@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship query on /root/testdata/sf0.001
+queries()     -> {name: (spark, sf_dir) -> DataFrame} from SURVEY.md §2
+oracle_sql()  -> {name: DuckDB-compatible ANSI SQL}
+
+The real catalog lives in enterprise_warp_spark/queries.py; each entry pairs
+a Spark DataFrame plan with an oracle whose column names match exactly.
 """
 
 from __future__ import annotations
@@ -15,24 +16,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q1-shaped pricing summary at sf0.001."""
+    from enterprise_warp_spark.queries import REGISTRY
+    from enterprise_warp_spark.session import tune_for_any_session
+
+    tune_for_any_session(spark)
+    return REGISTRY["q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from enterprise_warp_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark for name, spec in sorted(REGISTRY.items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from enterprise_warp_spark.queries import REGISTRY
+
+    return {
+        name: spec.oracle
+        for name, spec in sorted(REGISTRY.items())
+        if spec.oracle is not None
+    }

@@ -1,0 +1,27 @@
+"""enterprise_warp_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of ``bvgoncharov/enterprise_warp`` (reference repo,
+read-only mirror at ``/root/reference``), re-designed Spark-first.
+
+The reference is a configuration-driven batch analytics pipeline for
+pulsar-timing-array data (SURVEY.md §0). This package re-expresses its data
+model (§1), operator inventory (§2) and query lifecycle (§3) as declarative
+DataFrame/SQL plans that Catalyst can optimize, plus Arrow-batched pandas-UDF
+kernels for the per-pulsar linear-algebra likelihood (§2.6 F10/F12).
+
+Layout:
+    session     SparkSession factory (AQE, Arrow, UTC timezone)
+    tables      testdata/parquet table loaders
+    sources/    .tim/.par/json/chain text scans (SURVEY §2.1)
+    operators/  relational operator library (SURVEY §2.2-2.5)
+    functions/  deterministic column math F1-F9/F11/F15-F16 (SURVEY §2.6)
+    analytics/  chain analytics + optimal statistic (results.py semantics)
+    likelihood/ GP-marginalized likelihood kernel + sample-parallel inference
+    plans/      config front-end: paramfile / noise-model registry dispatch
+    pipeline/   LLM-data-pipeline extensions (dedup, similarity, text, multimodal)
+    streaming/  Structured Streaming surface over the events table
+"""
+
+__version__ = "0.1.0"
+
+from enterprise_warp_spark.session import get_spark  # noqa: F401
+from enterprise_warp_spark.tables import load_tables  # noqa: F401

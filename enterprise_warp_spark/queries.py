@@ -1,0 +1,572 @@
+"""Query catalog — the correctness surface of the engine.
+
+Every entry pairs (a) a Spark DataFrame plan built from the operator library
+with (b) an ANSI-SQL oracle that DuckDB runs on the same parquet tables. The
+driver hash-compares results (columns sorted by name, row-order-insensitive),
+so column names are aliased identically on both sides.
+
+Cross-engine numeric determinism rules used throughout:
+  * money-like SUMs go through exact DECIMAL casts (order-independent),
+    then CAST AS DOUBLE — bit-identical across engines;
+  * AVG = exact-decimal SUM / COUNT — one IEEE division, bit-identical;
+  * genuinely-double statistics (stddev, weighted means, transcendentals)
+    are ROUND()ed leaving >=5 orders of magnitude between the rounding
+    granularity and the worst-case summation-order error;
+  * rankings over doubles order by a pre-rounded value with a unique-key
+    tie-break, so 1-ulp libm differences cannot flip the order.
+
+Reference operators covered per query are noted as SURVEY §2 ids (A1, J6, ...).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from enterprise_warp_spark.functions.orf import hd_orf
+from enterprise_warp_spark.operators.binning import histogram_mode, ntile_bins
+from enterprise_warp_spark.operators.relational import (
+    burnin_filter,
+    credible_levels,
+    log_bayes_factors,
+    model_counts,
+    thin,
+)
+from enterprise_warp_spark.operators.weighted import weighted_mean
+from enterprise_warp_spark.tables import table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return wrap
+
+
+def _dec(col: str | F.Column, prec: int, scale: int) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DecimalType(prec, scale))
+
+
+def _dsum(col: str | F.Column, prec: int = 14, scale: int = 2) -> F.Column:
+    """Exact decimal sum surfaced as DOUBLE. The decimal sum itself is
+    order-independent; the final ROUND removes the 1-ulp wiggle in each
+    engine's decimal->double conversion."""
+    return F.round(F.sum(_dec(col, prec, scale)).cast("double"), 2)
+
+
+def _davg(col: str | F.Column, prec: int = 14, scale: int = 2) -> F.Column:
+    return F.round(
+        F.sum(_dec(col, prec, scale)).cast("double") / F.count(F.lit(1)), 6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational spine (TPC-H-style; exercises scans, joins, group-aggs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(19,2))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(1-l_discount AS DECIMAL(8,6))) AS DOUBLE), 2) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(1-l_discount AS DECIMAL(8,6)) * CAST(1+l_tax AS DECIMAL(8,6))) AS DOUBLE), 2) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(19,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan+filter+group-agg; exact decimal arithmetic.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc = _dec(F.lit(1.0) - F.col("l_discount"), 8, 6)
+    tax = _dec(F.lit(1.0) + F.col("l_tax"), 8, 6)
+    ep = _dec("l_extendedprice", 19, 2)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity", 19, 2).alias("sum_qty"),
+        _dsum("l_extendedprice", 19, 2).alias("sum_base_price"),
+        F.round(F.sum(ep * disc).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.sum(ep * disc * tax).cast("double"), 2).alias("sum_charge"),
+        _davg("l_quantity", 19, 2).alias("avg_qty"),
+        _davg("l_extendedprice", 19, 2).alias("avg_price"),
+        _davg("l_discount", 8, 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+    SELECT l_orderkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(1-l_discount AS DECIMAL(8,6))) AS DOUBLE), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join, group, deterministic top-k (exact decimal revenue).",
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = _dec("l_extendedprice", 19, 2) * _dec(F.lit(1.0) - F.col("l_discount"), 8, 6)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_volume",
+    """
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(1-l_discount AS DECIMAL(8,6))) AS DOUBLE), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way star join; dims broadcast, fact shuffles once.",
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = lambda n: table(spark, sf_dir, n)  # noqa: E731
+    orders = t("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev = _dec("l_extendedprice", 19, 2) * _dec(F.lit(1.0) - F.col("l_discount"), 8, 6)
+    return (
+        t("lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t("supplier")), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t("region")).filter(F.col("r_name") == "ASIA"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-derived operators on the events "chain" table (SURVEY §2.2-2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flag_select_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    GROUP BY event_type
+    """,
+    doc="P1 flag-equality selection: open-ended per-row map (JSON props) filter.",
+)
+def flag_select_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.get_json_object("props", "$.k").cast("int") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value", 14, 6).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "tspan_per_user",
+    """
+    SELECT user_id,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS tspan_us,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    doc="A1 observation span per group (exact int64 microseconds).",
+)
+def tspan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("tspan_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "model_counts_events",
+    """
+    SELECT CAST(ROUND(value/100, 0) AS BIGINT) AS nmodel, COUNT(*) AS n_samples
+    FROM events GROUP BY 1
+    """,
+    doc="A2 product-space model membership counts (round(nmodel) semantics).",
+)
+def model_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return model_counts(table(spark, sf_dir, "events"), F.col("value") / 100)
+
+
+@register(
+    "log_bayes_factors_events",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(value/100, 0) AS BIGINT) AS nmodel, COUNT(*) AS n_samples
+      FROM events GROUP BY 1
+    )
+    SELECT a.nmodel AS model_a, b.nmodel AS model_b,
+           a.n_samples AS n_a, b.n_samples AS n_b,
+           ROUND(LN(b.n_samples / CAST(a.n_samples AS DOUBLE)), 9) AS log_bf
+    FROM c a JOIN c b ON a.nmodel < b.nmodel
+    """,
+    doc="A3 log Bayes factors over all model pairs (results.py:605-616).",
+)
+def log_bayes_factors_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = model_counts(table(spark, sf_dir, "events"), F.col("value") / 100)
+    return log_bayes_factors(counts)
+
+
+@register(
+    "credible_levels_by_type",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.16), 6) AS p16,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.84), 6) AS p84
+    FROM events GROUP BY event_type
+    """,
+    doc="A4 credible levels: exact interpolated percentiles (results.py:201-213).",
+)
+def credible_levels_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return credible_levels(table(spark, sf_dir, "events"), "value", ["event_type"])
+
+
+@register(
+    "hist_mode_price",
+    """
+    WITH stats AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo)/50)) AS BIGINT), 49) AS bucket, lo, hi
+      FROM lineitem, stats
+    ),
+    c AS (SELECT bucket, lo, hi, COUNT(*) AS cnt FROM b GROUP BY bucket, lo, hi)
+    SELECT bucket, cnt, ROUND(lo + bucket*(hi-lo)/50, 6) AS mode_position
+    FROM c ORDER BY cnt DESC, bucket LIMIT 1
+    """,
+    doc="A5 50-bin histogram mode estimator (results.py:154-170).",
+)
+def hist_mode_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return histogram_mode(table(spark, sf_dir, "lineitem"), "l_extendedprice", 50)
+
+
+@register(
+    "weighted_mean_by_flag",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice/(l_quantity*l_quantity)) / SUM(1.0/(l_quantity*l_quantity)), 3) AS wavg,
+           ROUND(SQRT(1.0 / SUM(1.0/(l_quantity*l_quantity))), 9) AS werr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="A7 inverse-variance weighted mean (results.py:276-284).",
+)
+def weighted_mean_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_mean(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity", ["l_returnflag"]
+    )
+
+
+@register(
+    "ntile_bins_orders",
+    """
+    WITH t AS (
+      SELECT o_totalprice, NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT bin, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2))) AS DOUBLE), 2) AS sum_price,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 2) AS std_price
+    FROM t GROUP BY bin
+    """,
+    doc="A8 fixed-count binned stats: ntile(8) over tie-free order (results.py:305-346).",
+)
+def ntile_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ntile_bins(
+        table(spark, sf_dir, "orders"),
+        ["o_totalprice", "o_orderkey"],
+        8,
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice", 19, 2).alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("std_price"),
+        ],
+    )
+
+
+@register(
+    "range_bins_part",
+    """
+    SELECT CAST(FLOOR(p_retailprice/100) AS BIGINT) AS bucket, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(19,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+    FROM part GROUP BY 1
+    """,
+    doc="A9 fixed-width range bins (results.py:286-303).",
+)
+def range_bins_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.withColumn("bucket", F.floor(F.col("p_retailprice") / 100).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _davg("p_retailprice", 19, 2).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "census_events",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="A11 backend census: distinct flag values per group (libstempo_warp.py:60-75).",
+)
+def census_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pair joins + ORF math (J6, F8) and other joins/set-ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pair_hd_orf",
+    """
+    WITH p AS (
+      SELECT a.s_suppkey AS a_suppkey, b.s_suppkey AS b_suppkey,
+             (a.s_suppkey*37 + b.s_suppkey*53) % 179 + 1 AS zeta_deg
+      FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    ),
+    px AS (
+      SELECT a_suppkey, b_suppkey, zeta_deg,
+             (1.0 - COS(RADIANS(CAST(zeta_deg AS DOUBLE)))) / 2.0 AS x
+      FROM p
+    )
+    SELECT a_suppkey, b_suppkey, zeta_deg,
+           ROUND(1.5*x*LN(x) - 0.25*x + 0.5, 9) AS hd
+    FROM px
+    """,
+    doc="J6 unordered-pair self-join + F8 Hellings-Downs ORF (results.py:138-144).",
+)
+def pair_hd_orf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier").select("s_suppkey")
+    a = s.select(F.col("s_suppkey").alias("a_suppkey"))
+    b = s.select(F.col("s_suppkey").alias("b_suppkey"))
+    pairs = a.join(F.broadcast(b), F.col("a_suppkey") < F.col("b_suppkey"))
+    zeta_deg = (F.col("a_suppkey") * 37 + F.col("b_suppkey") * 53) % 179 + 1
+    zeta = F.radians(zeta_deg.cast("double"))
+    return pairs.select(
+        "a_suppkey",
+        "b_suppkey",
+        zeta_deg.alias("zeta_deg"),
+        F.round(hd_orf(zeta), 9).alias("hd"),
+    )
+
+
+@register(
+    "substring_join_docs",
+    """
+    SELECT token, COUNT(*) AS n_docs
+    FROM documents d
+    JOIN (VALUES ('spark'),('hash'),('join'),('window'),('stream')) t(token)
+      ON contains(d.text, t.token)
+    GROUP BY token
+    """,
+    doc="J2 substring/theta join (noise-file filename contains pulsar name).",
+)
+def substring_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tokens = spark.createDataFrame(
+        [("spark",), ("hash",), ("join",), ("window",), ("stream",)], "token string"
+    )
+    return (
+        docs.join(F.broadcast(tokens), F.col("text").contains(F.col("token")))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "anti_join_lineitem",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(19,2))) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem
+    WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size > 40)
+    GROUP BY l_returnflag
+    """,
+    doc="X3 anti-membership (covm row deletion, results.py:567-575).",
+)
+def anti_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    big_parts = table(spark, sf_dir, "part").filter(F.col("p_size") > 40).select("p_partkey")
+    return (
+        li.join(F.broadcast(big_parts), li.l_partkey == big_parts.p_partkey, "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("l_quantity", 19, 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "nation_intersect",
+    "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+    doc="X1 set intersection (repeated covm parameter names, results.py:563-566).",
+)
+def nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "nation_union",
+    "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
+    doc="X2 set union with dedup (noise-term list union, enterprise_warp.py:643).",
+)
+def nation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Windows / ordering / chain-management (P5, P6, W3, W4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "thin_events",
+    """
+    WITH t AS (SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM events)
+    SELECT event_id, rn FROM t WHERE rn % 100 = 0
+    """,
+    doc="P6 thinning: every k-th sample in step order (results.py:670,691).",
+)
+def thin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        thin(table(spark, sf_dir, "events").select("event_id"), "event_id", 100)
+        .select("event_id", F.col("_rn").alias("rn"))
+    )
+
+
+@register(
+    "burnin_events",
+    """
+    WITH t AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY event_id) AS rn, COUNT(*) OVER () AS n
+      FROM events
+    )
+    SELECT COUNT(*) AS n_kept,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    FROM t WHERE rn > FLOOR(0.25 * n)
+    """,
+    doc="P5 burn-in: drop first 25% of samples (results.py:499-500).",
+)
+def burnin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = burnin_filter(table(spark, sf_dir, "events").select("event_id", "value"), "event_id", 0.25)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(_davg("value", 14, 6), 6).alias("avg_value"),
+    )
+
+
+@register(
+    "top3_orders_per_customer",
+    """
+    WITH t AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM t WHERE rnk <= 3
+    """,
+    doc="W4 per-group ranking window (bin-cursor pattern, results.py:324-335).",
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "hourly_event_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling-window rollup (batch oracle for the streaming surface).",
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value", 14, 6).alias("sum_value"))
+    )

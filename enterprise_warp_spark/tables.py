@@ -1,0 +1,61 @@
+"""Loaders for the driver-generated parquet testdata (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events documents
+embeddings. Reads are plain ``spark.read.parquet`` so Catalyst gets predicate
+pushdown + column pruning for free; nothing is cached here — callers decide.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Timestamps in the testdata are naive instants; pin the session to UTC so
+    # collection (toPandas) never shifts them relative to the DuckDB oracle.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark only reads it as a raw
+        # int64 (nanosAsLong). Expose ts_us = ns div 1000, which matches
+        # DuckDB's truncating ns->us conversion exactly, plus a usable
+        # microsecond TIMESTAMP column.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
