@@ -1,0 +1,210 @@
+"""Deduplication operators for document corpora.
+
+    exact_groups        hash-groupBy on a normalization key
+    minhash_signature   word-3-shingles -> H universal-hash minima
+    minhash_bands       LSH banding of the signature (band-key equi-join
+                        turns the quadratic candidate search into a shuffle
+                        join on band_key — the 100 TB-safe plan shape)
+    simhash             32-bit sign-of-weighted-bits fingerprint
+    simhash_pairs       near-dup candidates: bucket on top bits (equi-join),
+                        verify hamming distance <= k
+    ngram_jaccard_pairs blocked pairwise exact Jaccard over 3-gram sets
+
+Hashes are md5-derived (portable across engines); universal hashes are
+(a*h + b) mod p with p = 2^31-1 so products stay within int64 in any engine.
+
+Scale notes: every pair-generating operator goes through an equi-join on a
+blocking key (band_key / simhash bucket / (lang, length-bucket)) — never a
+global cross join. Skewed buckets are handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.pipeline.text import H64, TOKENS
+
+P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+# fixed universal-hash parameters (classic LCG multipliers/increments)
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
+    (1103515245, 12345),
+    (1664525, 1013904223),
+    (22695477, 1),
+    (48271, 7),
+    (65537, 11),
+    (69621, 13),
+    (214013, 2531011),
+    (134775813, 1),
+)
+
+SHINGLES3 = (
+    "CASE WHEN size({t}) < 3 THEN array(concat_ws(' ', {t})) "
+    "ELSE transform(sequence(1, size({t}) - 2), i -> "
+    "concat_ws(' ', element_at({t}, i), element_at({t}, i+1), element_at({t}, i+2))) END"
+)
+
+
+def exact_groups(df: DataFrame, key_expr: str) -> DataFrame:
+    """Exact dedup: md5 over a normalization key; keeper = min(doc_id)."""
+    return (
+        df.select("doc_id", F.expr(f"md5({key_expr})").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 8) -> DataFrame:
+    """Explode shingles, md5 each ONCE, then n_hashes cheap integer minima in
+    a single hash aggregate. (The naive per-column array expression would
+    re-tokenize + re-hash the document once per hash function — 8x the md5
+    work; measured 20x slower at sf0.1.)"""
+    t = TOKENS.format(s=text_col)
+    sh = SHINGLES3.format(t=t)
+    exploded = df.select("doc_id", F.explode(F.expr(sh)).alias("s")).select(
+        "doc_id", F.expr(f"{H64.format(s='s')} % {P31}").alias("hp")
+    )
+    aggs = [
+        F.expr(f"min(({a} * hp + {b}) % {P31})").alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_PARAMS[:n_hashes])
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(df: DataFrame, text_col: str = "text", n_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """Long-form (doc_id, band_id, band_key) — band_key is md5 of the band's
+    signature slice; candidate pairs come from an equi-join on it."""
+    sig = minhash_signature(df, text_col, n_hashes)
+    n_bands = n_hashes // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        cols = ", ".join(
+            f"cast(mh{b * rows_per_band + r} as string)" for r in range(rows_per_band)
+        )
+        bands.append(
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.expr(f"md5(concat_ws(',', {cols}))").alias("band_key"),
+            )
+        )
+    return (
+        sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_key")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from the band table (equi-join on band key)."""
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over the token multiset (sign of per-bit weighted sum).
+
+    Shape: explode tokens -> hash each ONCE -> 32 conditional-sum aggregates
+    in one pass -> assemble the fingerprint from the bit weights. (A nested
+    array-aggregate expression re-hashes every token once per bit: 32x the
+    md5 work.) One shuffle on doc_id; partial aggregation is map-side.
+    """
+    t = TOKENS.format(s=text_col)
+    tok_h = df.select("doc_id", F.explode(F.expr(t)).alias("tok")).select(
+        "doc_id", F.expr(H64.format(s="tok")).alias("h")
+    )
+    weights = tok_h.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum(IF((shiftright(h, {i}) & 1) = 1, 1, -1))").alias(f"w{i}")
+            for i in range(32)
+        ]
+    )
+    assemble = " + ".join(
+        f"IF(w{i} > 0, cast({1 << i} as bigint), cast(0 as bigint))" for i in range(32)
+    )
+    return weights.select("doc_id", F.expr(assemble).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    bucket_bits: int = 26,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Near-dup candidates: equi-join on the top (32 - bucket_bits) simhash
+    bits, then exact hamming distance check. At scale, rotate the bucket bits
+    over several passes for full recall (pigeonhole); one pass here."""
+    sh = simhash(df, text_col)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(
+            b,
+            F.expr(
+                f"shiftright(sim_a, {bucket_bits}) = shiftright(sim_b, {bucket_bits})"
+                " AND doc_a < doc_b"
+            ),
+        )
+        .withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    length_bucket: int = 50,
+) -> DataFrame:
+    """Exact 3-gram Jaccard between blocked document pairs that share at
+    least one gram.
+
+    Shape: inverted-index join — explode distinct grams, equi-join on
+    (block, gram), count shared grams per pair, then join back per-doc set
+    sizes. Beats the quadratic per-block array-intersection scan (O(|A|x|B|)
+    string compares per pair; measured 140s -> ~2s at sf0.1) and is the only
+    shape that survives 100 TB: every join is an equi-join on a key with
+    bounded fan-out, so AQE can split skewed grams.
+    """
+    t = TOKENS.format(s=text_col)
+    sh = SHINGLES3.format(t=t)
+    base = df.select(
+        "doc_id",
+        *block_cols,
+        F.expr(f"cast(floor(n_chars / {length_bucket}) as bigint)").alias("len_bucket"),
+        F.expr(f"array_distinct({sh})").alias("grams"),
+    ).withColumn("n_grams", F.expr("size(grams)"))
+    ex = base.select(
+        "doc_id", *block_cols, "len_bucket", F.explode("grams").alias("gram")
+    )
+    keys = [*block_cols, "len_bucket", "gram"]
+    a = ex.select(F.col("doc_id").alias("doc_a"), *keys)
+    b = ex.select(F.col("doc_id").alias("doc_b"), *keys)
+    inter = (
+        a.join(b, keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = base.select("doc_id", "n_grams")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("la")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("lb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.expr("inter / cast(la + lb - inter as double)"), 9
+            ).alias("jaccard"),
+        )
+    )

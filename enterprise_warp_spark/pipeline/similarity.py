@@ -1,0 +1,121 @@
+"""Similarity search over an embedding column (array<float>).
+
+    cosine_topk          brute-force top-k: query-set x corpus join, exact
+                         cosine, per-query rank. Correctness baseline.
+    bucketed_topk        LSH-bucketed variant: deterministic random-hyperplane
+                         signs bucket both sides, candidates come from an
+                         equi-join on the bucket — the 100 TB plan shape
+                         (shuffle join on bucket key instead of cross join).
+
+The dot product is a sequential left-fold over the array in both engines
+(element order fixed), so results are bit-deterministic; cosines are rounded
+to 6 dp *before* ranking so a 1-ulp wiggle can never flip an order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# left-fold dot product of two array<double> expressions, 1-based index walk
+DOT = (
+    "aggregate(sequence(1, size({a})), cast(0.0 as double), "
+    "(acc, i) -> acc + cast(element_at({a}, i) as double) * cast(element_at({b}, i) as double))"
+)
+
+
+def _with_norm_sq(df: DataFrame, emb: str = "embedding") -> DataFrame:
+    return df.withColumn("nsq", F.expr(DOT.format(a=emb, b=emb)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_filter: str,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for rows matching query_filter."""
+    n = _with_norm_sq(emb, emb_col)
+    q = n.filter(F.expr(query_filter)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    c = n.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    dot = DOT.format(a="q_emb", b="c_emb")
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(F.expr(f"{dot} / sqrt(q_nsq * c_nsq)"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def hyperplane_bucket(emb_col: str, n_planes: int = 8, dim: int = 64) -> str:
+    """SQL fragment: deterministic random-hyperplane LSH bucket id.
+
+    Plane p's component for dimension i is a +-1 sign derived from a portable
+    integer mix of (p, i) — no stored model, reproducible anywhere.
+    """
+    plane_dot = (
+        f"aggregate(sequence(1, size({emb_col})), cast(0.0 as double), (acc, i) -> acc + "
+        f"cast(element_at({emb_col}, i) as double) * "
+        f"IF(((i * 2654435761 + p * 40503) % 97) % 2 = 0, 1.0, -1.0))"
+    )
+    return (
+        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), (acc, p) -> acc + "
+        f"IF({plane_dot} > 0, shiftleft(cast(1 as bigint), p), cast(0 as bigint)))"
+    )
+
+
+def bucketed_topk(
+    emb: DataFrame,
+    query_filter: str,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's hyperplane bucket.
+
+    Recall < 1 by construction (single probe); multi-probe = union over
+    neighboring buckets. The join is bucket-equi, so at 100 TB this is a
+    shuffle hash join on an int key, never a cross join.
+    """
+    n = _with_norm_sq(emb, emb_col).withColumn(
+        "bucket", F.expr(hyperplane_bucket(emb_col, n_planes))
+    )
+    q = n.filter(F.expr(query_filter)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+        "bucket",
+    )
+    c = n.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.col("nsq").alias("c_nsq"),
+        "bucket",
+    )
+    dot = DOT.format(a="q_emb", b="c_emb")
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(F.expr(f"{dot} / sqrt(q_nsq * c_nsq)"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

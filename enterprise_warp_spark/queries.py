@@ -570,3 +570,8 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), _dsum("value", 14, 6).alias("sum_value"))
     )
+
+
+# Pipeline-operator catalog entries register themselves on import (kept in a
+# separate module to keep this file focused on the reference-derived surface).
+from enterprise_warp_spark import queries_pipeline  # noqa: E402,F401
