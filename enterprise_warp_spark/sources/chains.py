@@ -1,0 +1,94 @@
+"""S6 — MCMC chain matrix source.
+
+Reference layout (results.py:427-513): per-run directory holds
+`chain_1.txt` / `chain_1.0.txt` (whitespace matrix; columns = parameters plus
+4 trailing sampler columns lnpost/lnlike/accept/pt stripped at :499-500) and
+a `pars.txt` sidecar with one parameter name per line
+(enterprise_warp.py:550-555). Timestamped segments `chain_<14 digits>.txt`
+concatenate in name order (:481-489).
+
+Spark shape: text scan -> split/cast to ARRAY<DOUBLE>; `step` is assigned by
+row_number over monotonically_increasing_id within each file — text splits
+are assigned in file order, which reproduces the reference's row index.
+Long form (run_id, step, idx, par, value) comes from posexplode + a broadcast
+join against the pars sidecar (J5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+AUX_COLS = ("lnpost", "lnlike", "accept", "pt")  # results.py:499-500
+
+
+def read_pars(spark: SparkSession, pars_path: str) -> DataFrame:
+    """pars.txt sidecar -> (idx, par), idx matching chain column order."""
+    w = Window.orderBy(F.col("mid"))
+    return (
+        spark.read.text(pars_path)
+        .select(F.monotonically_increasing_id().alias("mid"), F.trim("value").alias("par"))
+        .filter(F.col("par") != "")
+        .withColumn("idx", F.row_number().over(w) - 1)
+        .select("idx", "par")
+    )
+
+
+def read_chain(spark: SparkSession, chain_path: str, run_id: str | None = None) -> DataFrame:
+    """chain file(s) -> (run_id, step, values ARRAY<DOUBLE>, lnpost, lnlike,
+    accept, pt); the 4 trailing sampler columns are split off."""
+    run_id = run_id or os.path.basename(os.path.dirname(chain_path)) or "run"
+    w = Window.partitionBy("run_id").orderBy("file", "mid")
+    raw = (
+        spark.read.text(chain_path)
+        .filter(F.trim("value") != "")
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("mid"),
+            F.expr(
+                "transform(filter(split(trim(value), '\\\\s+'), x -> x != ''), x -> cast(x as double))"
+            ).alias("row"),
+        )
+    )
+    n = F.size("row")
+    return (
+        raw.withColumn("step", F.row_number().over(w) - 1)
+        .select(
+            "run_id",
+            "step",
+            F.expr("slice(row, 1, size(row) - 4)").alias("values"),
+            F.element_at("row", n - 3).alias("lnpost"),
+            F.element_at("row", n - 2).alias("lnlike"),
+            F.element_at("row", n - 1).alias("accept"),
+            F.element_at("row", n).alias("pt"),
+        )
+    )
+
+
+def chains_long(chain: DataFrame, pars: DataFrame) -> DataFrame:
+    """J5 — explode to (run_id, step, par, value) with the pars sidecar."""
+    return (
+        chain.select("run_id", "step", F.posexplode("values").alias("idx", "value"))
+        .join(F.broadcast(pars), "idx")
+        .select("run_id", "step", "par", "value")
+    )
+
+
+def read_chain_dir(spark: SparkSession, run_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Resolve a reference-style run directory: chain_1.txt or timestamped
+    segments + pars.txt (results.py:427-478)."""
+    pars = read_pars(spark, os.path.join(run_dir, "pars.txt"))
+    candidates = [
+        os.path.join(run_dir, "chain_1.txt"),
+        os.path.join(run_dir, "chain_1.0.txt"),
+    ]
+    existing = [p for p in candidates if os.path.exists(p)]
+    if not existing:
+        import glob as _glob
+
+        existing = sorted(_glob.glob(os.path.join(run_dir, "chain_[0-9]" * 1 + "*.txt")))
+    chain = read_chain(spark, existing[0], run_id=os.path.basename(run_dir.rstrip("/")))
+    return chain, pars

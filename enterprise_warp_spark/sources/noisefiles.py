@@ -1,0 +1,39 @@
+"""S5/J2 — PAL2 noise-file JSON source.
+
+Reference: get_noise_dict (enterprise_warp.py:583-597) globs *_noise.json
+files, keeps those whose FILENAME contains a wanted pulsar name (a substring
+join), and flattens `{"<PSR>_<BACKEND>_<param>": value}` into constants.
+
+Spark shape: wholetext read -> from_json to MAP<STRING,DOUBLE> -> explode;
+the psr/backend/param split is by expression. The substring join against the
+pulsar allow-list is a broadcast theta-join (tiny dimension side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_noise_files(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    raw = spark.read.text(paths, wholetext=True).select(
+        F.input_file_name().alias("path"),
+        F.from_json("value", "map<string,double>").alias("kv"),
+    )
+    exploded = raw.select("path", F.explode("kv").alias("key", "value"))
+    # key = <PSR>_<BACKEND>_<param>; PSR is the leading Jxxxx+/-xxxx token,
+    # param is the known trailing token set, backend is the middle.
+    return exploded.select(
+        "path",
+        F.regexp_extract("key", r"^([JB]\d{4}[+-]\d{4}[A-Za-z]?)_", 1).alias("psr"),
+        F.col("key"),
+        F.col("value"),
+    )
+
+
+def filter_for_pulsars(noise: DataFrame, pulsars: DataFrame) -> DataFrame:
+    """J2 substring join: keep files whose name contains a wanted pulsar."""
+    return noise.join(
+        F.broadcast(pulsars.select("psr").distinct().withColumnRenamed("psr", "want")),
+        F.col("path").contains(F.col("want")) | (F.col("psr") == F.col("want")),
+    ).drop("want")

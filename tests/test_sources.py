@@ -1,0 +1,102 @@
+"""Golden end-to-end tests against the reference's own example data
+(SURVEY §5.2.3): /root/reference/examples/data/*.{tim,par} and the known-good
+noise file. Counts and values derived from the reference parser semantics
+(enterprise_warp.py:648-660)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+DATA = "/root/reference/examples/data"
+NOISEFILES = "/root/reference/examples/example_noisefiles"
+
+
+@pytest.fixture(scope="module")
+def toas(spark):
+    from enterprise_warp_spark.sources.tim import read_tim
+
+    return read_tim(spark, f"{DATA}/J1832-0836.tim").cache()
+
+
+def test_active_toa_count(toas):
+    # 336 lines - 2 headers - 8 C-commented rows = 326 active TOAs
+    assert toas.count() == 326
+
+
+def test_fake_psr_count(spark):
+    from enterprise_warp_spark.sources.tim import read_tim
+
+    assert read_tim(spark, f"{DATA}/fake_psr_0.tim").count() == 122
+
+
+def test_flag_map_and_backend_census(toas):
+    # A11 census over flags['group'] must match the backends in the golden
+    # noise file: CASPSR_40CM, PDFB_10CM, PDFB_20CM, PDFB_40CM
+    groups = {
+        r["g"]
+        for r in toas.select(F.col("flags")["group"].alias("g")).distinct().collect()
+    }
+    assert groups == {"CASPSR_40CM", "PDFB_10CM", "PDFB_20CM", "PDFB_40CM"}
+
+
+def test_mjd_precision_roundtrip(toas):
+    # DECIMAL(27,19) must reproduce the raw 19-significant-digit string
+    row = toas.filter(F.col("toa_mjd_str") == "56260.28623951240413348").first()
+    assert row is not None
+    assert f"{row['toa_mjd']:.14f}".startswith("56260.28623951240413")
+
+
+def test_per_backend_stats_finite(toas):
+    from enterprise_warp_spark.operators.weighted import weighted_mean
+
+    stats = (
+        toas.groupBy(F.col("flags")["group"].alias("backend"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sqrt(F.avg(F.col("toa_err_us") ** 2)).alias("rms_err"),
+            F.avg("toa_err_us").alias("mean_err"),
+        )
+        .collect()
+    )
+    assert len(stats) == 4 and all(r["rms_err"] > 0 for r in stats)
+    wm = weighted_mean(toas, "freq_mhz", "toa_err_us").first()
+    assert wm["wavg"] > 0
+
+
+def test_tspan_per_selection(toas):
+    # per-backend Tspan != global Tspan (enterprise_models.py:508-539)
+    from enterprise_warp_spark.operators.relational import tspan
+
+    glob = tspan(toas, F.col("toa_mjd").cast("double")).first()
+    per = tspan(
+        toas.withColumn("backend", F.col("flags")["group"]),
+        F.col("toa_mjd").cast("double"),
+        ["backend"],
+    ).collect()
+    assert glob["tspan"] > 0
+    assert any(r["tspan"] < glob["tspan"] for r in per)
+
+
+def test_par_parse(spark):
+    from enterprise_warp_spark.sources.par import read_par
+
+    par = read_par(spark, f"{DATA}/J1832-0836.par")
+    rows = {r["param"]: r for r in par.collect()}
+    assert rows["PSRJ"]["value"] == "J1832-0836"
+    assert rows["F0"]["value"].startswith("367.767115417") and rows["F0"]["fit"] == 1
+    assert rows["RAJ"]["value"] == "18:32:27.5923449"
+    # DMEPOCH has a 3rd numeric field that is an uncertainty, not a fit flag
+    assert rows["DMEPOCH"]["fit"] is None
+    assert rows["DMEPOCH"]["uncertainty"] == pytest.approx(3e-9)
+    # dynamic schema: fake pulsar has a different parameter set
+    fake = read_par(spark, f"{DATA}/fake_psr_0.par")
+    assert {r["param"] for r in fake.collect()} != set(rows)
+
+
+def test_noise_file_source(spark):
+    from enterprise_warp_spark.sources.noisefiles import read_noise_files
+
+    nf = read_noise_files(spark, f"{NOISEFILES}/J1832-0836_noise.json")
+    rows = {r["key"]: r["value"] for r in nf.collect()}
+    assert rows["J1832-0836_CASPSR_40CM_efac"] == pytest.approx(1.0073561516481144)
+    psrs = {r["psr"] for r in nf.select("psr").distinct().collect()}
+    assert psrs == {"J1832-0836"}
