@@ -1,0 +1,161 @@
+"""F12/A12 — the optimal statistic (OS) pipeline, SURVEY §3.3.
+
+Reference flow (results.py:702-1047 OptimalStatisticWarp): rebuild the PTA,
+take noise parameters from the posterior (A6), compute per-pair
+cross-correlations rho_ab/sig_ab and the ORF-weighted amplitude estimate
+(compute_os at results.py:804-809), then noise-marginalise by re-evaluating
+over posterior draws (results.py:819-844) and bin (A8).
+
+Spark-native factorization:
+
+  1. per_pulsar_reduction: compress each pulsar's TOA data to k-space:
+         u_p = F^T N^-1 r           (2k vector)
+         S_p = F^T N^-1 F           (2k x 2k)
+     via groupBy(psr).applyInPandas — the only pass over the big data.
+  2. pair_statistics: J6 pair join of the small reduced table; per pair and
+     spectral template phi_hat (unit-amplitude powerlaw, gamma=13/3):
+         num_ab  = u_a^T phi_hat u_b
+         norm_ab = tr(phi_hat S_a phi_hat S_b)
+         rho_ab  = num_ab / norm_ab,  sig_ab = norm_ab^(-1/2)
+  3. os_estimate (A7 shape): with ORF weights G_ab (F8/F9):
+         A2_hat = sum(rho G / sig^2) / sum(G^2 / sig^2)
+         sig_OS = (sum(G^2 / sig^2))^(-1/2)
+  4. marginalised_os (A12): draws (log10_A, gamma) from the posterior chain
+     re-evaluate 2-3 per draw — a draws x pairs join; the reference loops
+     1000 times sequentially (results.py:829-832), here it is one shuffle.
+
+This is the standard cross-correlation OS of the PTA literature computed
+from the same N/F/phi ingredients as the likelihood kernel (gp.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.likelihood.gp import FYR
+
+
+def per_pulsar_reduction(residuals: DataFrame, nfreqs: int, tspan_s: float) -> DataFrame:
+    """-> (psr, u ARRAY<DOUBLE>[2k], s ARRAY<DOUBLE>[2k*2k], f ARRAY<DOUBLE>[2k]).
+
+    The common GW basis uses the ARRAY Tspan so every pulsar shares
+    frequencies (reference passes the array span to the GWB basis).
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["toa_s"].to_numpy()
+        r = pdf["residual_s"].to_numpy()
+        sig = pdf["toa_err_s"].to_numpy()
+        efac = pdf["efac"].to_numpy()
+        equad = pdf["equad"].to_numpy()
+        ndiag = efac**2 * (sig**2 + equad**2)
+        k = np.arange(1, nfreqs + 1)
+        f = k / tspan_s
+        arg = 2.0 * math.pi * np.outer(t, f)
+        Fmat = np.empty((len(t), 2 * nfreqs))
+        Fmat[:, 0::2] = np.sin(arg)
+        Fmat[:, 1::2] = np.cos(arg)
+        ninv_F = Fmat / ndiag[:, None]
+        u = Fmat.T @ (r / ndiag)
+        S = Fmat.T @ ninv_F
+        return pd.DataFrame(
+            {
+                "psr": [pdf["psr"].iloc[0]],
+                "u": [u.tolist()],
+                "s": [S.ravel().tolist()],
+                "f": [np.repeat(f, 2).tolist()],
+            }
+        )
+
+    return residuals.groupBy("psr").applyInPandas(
+        kernel, "psr string, u array<double>, s array<double>, f array<double>"
+    )
+
+
+def _phi_hat(f2: np.ndarray, df: float, gamma: float) -> np.ndarray:
+    return 1.0 / (12.0 * math.pi**2) * FYR ** (-3.0) * (f2 / FYR) ** (-gamma) * df
+
+
+def pair_statistics(
+    reduced: DataFrame,
+    positions: DataFrame,
+    gamma: float = 13.0 / 3.0,
+    tspan_s: float | None = None,
+) -> DataFrame:
+    """J6 pair join + per-pair rho/sig; xi from sky positions (pair_angle)."""
+    withpos = reduced.join(positions, "psr")
+    a = withpos.select(*[F.col(c).alias(f"a_{c}") for c in withpos.columns])
+    b = withpos.select(*[F.col(c).alias(f"b_{c}") for c in withpos.columns])
+    pairs = a.join(F.broadcast(b), F.col("a_psr") < F.col("b_psr"))
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                u_a, u_b = np.array(row.a_u), np.array(row.b_u)
+                f2 = np.array(row.a_f)
+                twok = len(f2)
+                S_a = np.array(row.a_s).reshape(twok, twok)
+                S_b = np.array(row.b_s).reshape(twok, twok)
+                df = (f2[0] if tspan_s is None else 1.0 / tspan_s)
+                ph = _phi_hat(f2, df, gamma)
+                num = float(u_a @ (ph * u_b))
+                norm = float(np.einsum("i,ij,j,ji->", ph, S_a, ph, S_b))
+                pos_a, pos_b = np.array(row.a_pos), np.array(row.b_pos)
+                xi = math.acos(max(-1.0, min(1.0, float(pos_a @ pos_b))))
+                out.append(
+                    (
+                        row.a_psr,
+                        row.b_psr,
+                        xi,
+                        num / norm,
+                        norm ** -0.5,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["psr_a", "psr_b", "xi", "rho", "sig"]
+            )
+
+    return pairs.mapInPandas(
+        kernel, "psr_a string, psr_b string, xi double, rho double, sig double"
+    )
+
+
+def os_estimate(pair_stats: DataFrame, orf_col: F.Column) -> DataFrame:
+    """A7-shaped aggregate -> one row (a2_hat, sig_os, snr)."""
+    g = orf_col
+    return (
+        pair_stats.select(
+            (F.col("rho") * g / (F.col("sig") ** 2)).alias("_n"),
+            (g * g / (F.col("sig") ** 2)).alias("_d"),
+        )
+        .agg(
+            (F.sum("_n") / F.sum("_d")).alias("a2_hat"),
+            (F.pow(F.sum("_d"), -0.5)).alias("sig_os"),
+        )
+        .withColumn("snr", F.col("a2_hat") / F.col("sig_os"))
+    )
+
+
+def binned_cross_correlations(pair_stats: DataFrame, n_bins: int = 8) -> DataFrame:
+    """A8 — ntile bins over xi with inverse-variance weighted rho per bin
+    (avg_ostat_bins, results.py:305-346)."""
+    from enterprise_warp_spark.operators.binning import ntile_bins
+    from enterprise_warp_spark.operators.weighted import weighted_mean_aggs
+
+    return ntile_bins(
+        pair_stats,
+        ["xi", "psr_a", "psr_b"],
+        n_bins,
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.avg("xi").alias("xi_mean"),
+            F.stddev_samp("xi").alias("xi_std"),
+            *weighted_mean_aggs("rho", "sig"),
+        ],
+    )

@@ -4,6 +4,9 @@
     err = sqrt(1 / sum(1/s^2))
 
 Pure map-side-combinable aggregate: one shuffle on the group key, no window.
+Rounding is OPT-IN (used by the oracle-parity catalog queries to absorb
+cross-engine summation-order noise); library callers get full precision —
+OS-scale sigmas are ~1e-13 and would round to zero.
 """
 
 from __future__ import annotations
@@ -14,18 +17,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def weighted_mean_aggs(r: Column | str, s: Column | str) -> list[Column]:
+def weighted_mean_aggs(
+    r: Column | str,
+    s: Column | str,
+    round_avg: int | None = None,
+    round_err: int | None = None,
+) -> list[Column]:
     r = F.col(r) if isinstance(r, str) else r
     s = F.col(s) if isinstance(s, str) else s
     inv_var = 1.0 / (s * s)
-    return [
-        F.round(F.sum(r * inv_var) / F.sum(inv_var), 3).alias("wavg"),
-        F.round(F.sqrt(1.0 / F.sum(inv_var)), 9).alias("werr"),
-    ]
+    wavg = F.sum(r * inv_var) / F.sum(inv_var)
+    werr = F.sqrt(1.0 / F.sum(inv_var))
+    if round_avg is not None:
+        wavg = F.round(wavg, round_avg)
+    if round_err is not None:
+        werr = F.round(werr, round_err)
+    return [wavg.alias("wavg"), werr.alias("werr")]
 
 
 def weighted_mean(
-    df: DataFrame, r: str, s: str, group_cols: Sequence[str] = ()
+    df: DataFrame,
+    r: str,
+    s: str,
+    group_cols: Sequence[str] = (),
+    round_avg: int | None = None,
+    round_err: int | None = None,
 ) -> DataFrame:
-    aggs = weighted_mean_aggs(r, s)
+    aggs = weighted_mean_aggs(r, s, round_avg, round_err)
     return df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)

@@ -314,7 +314,8 @@ def hist_mode_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def weighted_mean_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_mean(
-        table(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity", ["l_returnflag"]
+        table(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity",
+        ["l_returnflag"], round_avg=3, round_err=9,
     )
 
 

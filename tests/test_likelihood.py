@@ -1,0 +1,146 @@
+"""F10/F15 validation: Woodbury kernel vs dense oracle, Spark kernel vs
+local numpy, and the inject-recover property test (SURVEY §5.2.4)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.likelihood.gp import (
+    _lnlike_one,
+    dense_lnlike_reference,
+    gp_loglik_per_pulsar,
+    powerlaw_phi,
+    total_loglik,
+)
+
+
+def _make_pulsar(rng, n=150, tspan_yr=8.0, log10_A=-13.0, gamma=4.0, efac=1.0):
+    t = np.sort(rng.uniform(0, tspan_yr * 365.25 * 86400, n))
+    sig = rng.uniform(0.3e-6, 2e-6, n)
+    nfreqs = 15
+    T = t.max() - t.min()
+    f = np.arange(1, nfreqs + 1) / T
+    phi = powerlaw_phi(np.repeat(f, 2), np.repeat(1.0 / T, 2 * nfreqs), log10_A, gamma)
+    arg = 2 * math.pi * np.outer(t, f)
+    Fmat = np.empty((n, 2 * nfreqs))
+    Fmat[:, 0::2] = np.sin(arg)
+    Fmat[:, 1::2] = np.cos(arg)
+    coeffs = rng.normal(0, np.sqrt(phi))
+    red = Fmat @ coeffs
+    white = rng.normal(0, efac * sig)
+    return t, red + white, sig
+
+
+def test_woodbury_matches_dense():
+    rng = np.random.default_rng(1)
+    t, r, sig = _make_pulsar(rng)
+    ndiag = sig**2
+    T = t.max() - t.min()
+    nfreqs = 10
+    f = np.arange(1, nfreqs + 1) / T
+    arg = 2 * math.pi * np.outer(t, f)
+    Fmat = np.empty((len(t), 2 * nfreqs))
+    Fmat[:, 0::2] = np.sin(arg)
+    Fmat[:, 1::2] = np.cos(arg)
+    phi = powerlaw_phi(np.repeat(f, 2), np.repeat(1.0 / T, 2 * nfreqs), -13.2, 3.7)
+    fast = _lnlike_one(r, ndiag, Fmat, phi)
+    slow = dense_lnlike_reference(r, ndiag, Fmat, phi)
+    assert fast == pytest.approx(slow, rel=1e-10)
+
+
+@pytest.fixture(scope="module")
+def residuals_df(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for psr in ["J0001+0001", "J0002-0002"]:
+        t, r, sig = _make_pulsar(rng, log10_A=-13.0, gamma=4.0)
+        for ti, ri, si in zip(t, r, sig):
+            rows.append((psr, float(ti), float(ri), float(si), 1.0, 0.0))
+    return spark.createDataFrame(
+        rows, "psr string, toa_s double, residual_s double, toa_err_s double, efac double, equad double"
+    ).cache()
+
+
+def test_spark_kernel_matches_local(spark, residuals_df):
+    samples = pd.DataFrame(
+        {"sample_id": [0, 1], "log10_A": [-13.0, -14.0], "gamma": [4.0, 3.0]}
+    )
+    got = {
+        (r["psr"], r["sample_id"]): r["lnl"]
+        for r in gp_loglik_per_pulsar(residuals_df, samples, nfreqs=12).collect()
+    }
+    pdf = residuals_df.toPandas()
+    for psr, grp in pdf.groupby("psr"):
+        g = grp.sort_values("toa_s")
+        t, r, sig = g["toa_s"].to_numpy(), g["residual_s"].to_numpy(), g["toa_err_s"].to_numpy()
+        T = t.max() - t.min()
+        f = np.arange(1, 13) / T
+        arg = 2 * math.pi * np.outer(t, f)
+        Fmat = np.empty((len(t), 24))
+        Fmat[:, 0::2] = np.sin(arg)
+        Fmat[:, 1::2] = np.cos(arg)
+        for sid, lga, gam in samples.itertuples(index=False):
+            phi = powerlaw_phi(np.repeat(f, 2), np.repeat(1.0 / T, 24), lga, gam)
+            want = _lnlike_one(r, sig**2, Fmat, phi)
+            assert got[(psr, sid)] == pytest.approx(want, rel=1e-12), (psr, sid)
+    # A13: total = sum over pulsars
+    tot = {r["sample_id"]: r["lnl"] for r in total_loglik(
+        gp_loglik_per_pulsar(residuals_df, samples, nfreqs=12)
+    ).collect()}
+    assert tot[0] == pytest.approx(
+        sum(v for (p, s), v in got.items() if s == 0), rel=1e-12
+    )
+
+
+def test_inject_recover_grid(spark, residuals_df):
+    """Posterior over a (log10_A, gamma) grid must peak near the injection
+    (log10_A=-13, gamma=4) — SURVEY §5.2.4 round-trip validation."""
+    grid = [
+        (i, a, g)
+        for i, (a, g) in enumerate(
+            (a, g) for a in np.linspace(-15.0, -12.0, 13) for g in (2.0, 3.0, 4.0, 5.0)
+        )
+    ]
+    samples = pd.DataFrame(grid, columns=["sample_id", "log10_A", "gamma"])
+    tot = total_loglik(gp_loglik_per_pulsar(residuals_df, samples, nfreqs=15)).toPandas()
+    merged = tot.merge(samples, on="sample_id")
+    best = merged.loc[merged["lnl"].idxmax()]
+    assert abs(best["log10_A"] - (-13.0)) <= 0.5
+    assert abs(best["gamma"] - 4.0) <= 1.5
+
+
+def test_sample_priors(spark):
+    from enterprise_warp_spark.likelihood.sampling import Prior, sample_priors
+
+    priors = [
+        Prior("log10_A", "uniform", -18.0, -10.0),
+        Prior("gamma", "uniform", 0.0, 7.0),
+        Prior("efac", "normal", 1.0, 0.1),
+        Prior("fixed", "constant", 2.5),
+    ]
+    df = sample_priors(spark, priors, 500, seed=11).cache()
+    stats = df.agg(
+        F.min("log10_A"), F.max("log10_A"), F.avg("efac"), F.min("fixed"), F.max("fixed")
+    ).first()
+    assert stats[0] >= -18.0 and stats[1] <= -10.0
+    assert stats[2] == pytest.approx(1.0, abs=0.05)
+    assert stats[3] == 2.5 == stats[4]
+    # deterministic under the same seed
+    again = sample_priors(spark, priors, 500, seed=11)
+    assert df.exceptAll(again).count() == 0
+
+
+def test_posterior_summary(spark):
+    from enterprise_warp_spark.likelihood.sampling import posterior_summary
+
+    pdf = spark.createDataFrame(
+        [(i, float(x), float(-0.5 * (x - 2.0) ** 2)) for i, x in enumerate(np.linspace(-3, 7, 201))],
+        "sample_id long, theta double, lnl double",
+    )
+    row = posterior_summary(pdf, ["theta"]).first()
+    assert row["theta_map"] == pytest.approx(2.0, abs=0.05)
+    assert row["theta_mean"] == pytest.approx(2.0, abs=0.1)
+    assert row["theta_std"] == pytest.approx(1.0, abs=0.15)

@@ -1,0 +1,132 @@
+"""F12 optimal-statistic pipeline: per-pulsar reduction vs numpy, pair
+statistics, ORF curves, and a monopole inject-recover."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.analytics.optimal_statistic import (
+    _phi_hat,
+    binned_cross_correlations,
+    os_estimate,
+    pair_statistics,
+    per_pulsar_reduction,
+)
+
+NPSR = 6
+NFREQ = 8
+TSPAN = 10.0 * 365.25 * 86400.0
+A2_INJ = (2e-14) ** 2  # injected common-signal amplitude^2
+
+
+def _positions(rng):
+    pos = rng.normal(size=(NPSR, 3))
+    return pos / np.linalg.norm(pos, axis=1)[:, None]
+
+
+@pytest.fixture(scope="module")
+def synth(spark):
+    rng = np.random.default_rng(5)
+    pos = _positions(rng)
+    f = np.arange(1, NFREQ + 1) / TSPAN
+    phi = _phi_hat(np.repeat(f, 2), 1.0 / TSPAN, 13.0 / 3.0) * A2_INJ
+    common = rng.normal(0, np.sqrt(phi))  # same realization in every pulsar -> monopole
+    rows, local = [], {}
+    for p in range(NPSR):
+        psr = f"J{p:04d}+0000"
+        n = 120 + 30 * p  # skewed TOA counts
+        t = np.sort(rng.uniform(0, TSPAN, n))
+        sig = np.full(n, 1e-6)
+        arg = 2 * math.pi * np.outer(t, f)
+        Fmat = np.empty((n, 2 * NFREQ))
+        Fmat[:, 0::2] = np.sin(arg)
+        Fmat[:, 1::2] = np.cos(arg)
+        r = Fmat @ common + rng.normal(0, sig)
+        local[psr] = (t, r, sig, Fmat)
+        rows += [
+            (psr, float(ti), float(ri), float(si), 1.0, 0.0)
+            for ti, ri, si in zip(t, r, sig)
+        ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, efac double, equad double",
+    ).cache()
+    posdf = spark.createDataFrame(
+        [(f"J{p:04d}+0000", pos[p].tolist()) for p in range(NPSR)],
+        "psr string, pos array<double>",
+    )
+    return res, posdf, local
+
+
+def test_reduction_matches_numpy(spark, synth):
+    res, posdf, local = synth
+    red = {r["psr"]: r for r in per_pulsar_reduction(res, NFREQ, TSPAN).collect()}
+    psr, (t, r, sig, Fmat) = next(iter(local.items()))
+    ninv = 1.0 / sig**2
+    u = Fmat.T @ (r * ninv)
+    S = (Fmat * ninv[:, None]).T @ Fmat
+    np.testing.assert_allclose(red[psr]["u"], u, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.array(red[psr]["s"]).reshape(2 * NFREQ, 2 * NFREQ), S, rtol=1e-10
+    )
+
+
+def test_pair_statistics_and_xi(spark, synth):
+    res, posdf, local = synth
+    red = per_pulsar_reduction(res, NFREQ, TSPAN)
+    pairs = pair_statistics(red, posdf, tspan_s=TSPAN).cache()
+    assert pairs.count() == NPSR * (NPSR - 1) // 2
+    row = pairs.first()
+    assert 0.0 < row["xi"] < math.pi and row["sig"] > 0
+
+
+def test_monopole_inject_recover(spark, synth):
+    """Common (monopole-correlated) injection: OS with monopole ORF must
+    recover a2_hat within a few sigma of the injected amplitude^2."""
+    res, posdf, local = synth
+    red = per_pulsar_reduction(res, NFREQ, TSPAN)
+    pairs = pair_statistics(red, posdf, tspan_s=TSPAN).cache()
+    est = os_estimate(pairs, F.lit(1.0)).first()  # monopole ORF == 1
+    assert est["a2_hat"] == pytest.approx(A2_INJ, rel=0.5)
+    assert est["snr"] > 5
+
+
+def test_binned_cross_correlations(spark, synth):
+    res, posdf, local = synth
+    red = per_pulsar_reduction(res, NFREQ, TSPAN)
+    pairs = pair_statistics(red, posdf, tspan_s=TSPAN)
+    bins = binned_cross_correlations(pairs, 3).collect()
+    assert len(bins) == 3
+    assert sum(r["n"] for r in bins) == NPSR * (NPSR - 1) // 2
+    assert all(r["werr"] > 0 for r in bins)
+
+
+def test_orf_curves(spark):
+    """F8/F9 values against the closed forms (results.py:138-152)."""
+    from enterprise_warp_spark.functions.orf import dipole_orf, hd_orf, monopole_orf
+
+    df = spark.range(1).select(
+        hd_orf(F.lit(math.pi / 3)).alias("hd"),
+        monopole_orf(F.lit(math.pi / 3)).alias("mono"),
+        dipole_orf(F.lit(math.pi / 3)).alias("dip"),
+    )
+    row = df.first()
+    x = (1 - math.cos(math.pi / 3)) / 2
+    assert row["hd"] == pytest.approx(1.5 * x * math.log(x) - 0.25 * x + 0.5, rel=1e-12)
+    assert row["mono"] == 1.0
+    assert row["dip"] == pytest.approx(math.cos(math.pi / 3), rel=1e-12)
+
+
+def test_nfreqs_from_span(spark):
+    from enterprise_warp_spark.functions.fourier import nfreqs_from_span
+
+    ten_years = 10 * 365.25 * 86400.0
+    row = (
+        spark.createDataFrame([(ten_years,)], "tspan_s double")
+        .select(nfreqs_from_span(F.col("tspan_s")).alias("nf"))
+        .first()
+    )
+    # round(T/60d - 1) = round(60.875 - 1) = 60
+    assert row["nf"] == round(ten_years / (60 * 86400) - 1)
