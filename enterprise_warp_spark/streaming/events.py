@@ -1,0 +1,75 @@
+"""Streaming operators over the events table.
+
+Batch/stream parity: `windowed_rollup` computes exactly what the batch
+catalog query `hourly_event_rollup` computes, so the batch oracle doubles as
+the streaming correctness check (run with availableNow + memory sink).
+
+Scale notes: watermarks bound state; the rollup state is (window x
+event_type) — small; dedup state is bounded by the watermark horizon. At
+100 TB/day the same code runs against a Kafka/file source with no change —
+only the readStream source line differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, "
+    "props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events parquet (ts is
+    TIMESTAMP(NANOS) -> read as long, converted to a microsecond timestamp
+    exactly like tables.table does for batch)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def windowed_rollup(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count/sum per event_type (streaming twin of the batch
+    hourly_event_rollup catalog query)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w").start.alias("hour"), "event_type", "n", "sum_value")
+    )
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exact dedup on event_id within the watermark horizon — the streaming
+    form of the dedup_exact catalog operator; state is bounded by the
+    watermark."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def sessionized_activity(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based), the stateful custom-operator
+    showcase: count + span per session."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("s").start.alias("session_start"),
+            F.col("s").end.alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,70 @@
+"""Streaming/batch parity: the streaming rollup must equal the batch
+hourly_event_rollup on the same data (availableNow trigger + memory sink)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def rolled(spark, sf_dir):
+    from enterprise_warp_spark.streaming import stream_events, windowed_rollup
+
+    q = (
+        windowed_rollup(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("select * from rollup_test")
+
+
+def test_stream_rollup_matches_batch(spark, sf_dir, rolled):
+    from enterprise_warp_spark.tables import table
+
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    b = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"]) for r in batch.collect()}
+    s = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"]) for r in rolled.collect()}
+    assert set(b) == set(s)
+    for k in b:
+        assert b[k][0] == s[k][0]
+        assert b[k][1] == pytest.approx(s[k][1], rel=1e-9)
+
+
+def test_streaming_dedup(spark, sf_dir):
+    from enterprise_warp_spark.streaming import stream_events, streaming_dedup
+
+    q = (
+        streaming_dedup(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) n, count(distinct event_id) d from dedup_test").first()
+    assert got["n"] == got["d"] > 0
+
+
+def test_sessionized_activity(spark, sf_dir):
+    from enterprise_warp_spark.streaming import sessionized_activity, stream_events
+
+    q = (
+        sessionized_activity(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sessions_test").collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] >= r["session_start"] and r["n_events"] > 0 for r in rows)
