@@ -159,3 +159,75 @@ def binned_cross_correlations(pair_stats: DataFrame, n_bins: int = 8) -> DataFra
             *weighted_mean_aggs("rho", "sig"),
         ],
     )
+
+
+def marginalised_os(
+    reduced: DataFrame,
+    positions: DataFrame,
+    draws: "pd.DataFrame",
+    orf: str = "hd",
+    tspan_s: float | None = None,
+) -> DataFrame:
+    """A12 — noise-marginalised OS: re-evaluate the statistic for posterior
+    draws of the spectral index (results.py:819-844 draws 1000 chain rows and
+    loops; here every (pair, draw) evaluates in one distributed pass).
+
+    draws: pandas (draw_id, gamma). Returns one row per draw:
+    (draw_id, a2_hat, sig_os, snr); callers take avg(a2_hat), avg(snr) for
+    the reference's marginalised moments (results.py:829-844).
+    """
+    from enterprise_warp_spark.functions.orf import dipole_orf, hd_orf, monopole_orf
+
+    recs = list(draws[["draw_id", "gamma"]].itertuples(index=False))
+    withpos = reduced.join(positions, "psr")
+    a = withpos.select(*[F.col(c).alias(f"a_{c}") for c in withpos.columns])
+    b = withpos.select(*[F.col(c).alias(f"b_{c}") for c in withpos.columns])
+    pairs = a.join(F.broadcast(b), F.col("a_psr") < F.col("b_psr"))
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                u_a, u_b = np.array(row.a_u), np.array(row.b_u)
+                f2 = np.array(row.a_f)
+                twok = len(f2)
+                S_a = np.array(row.a_s).reshape(twok, twok)
+                S_b = np.array(row.b_s).reshape(twok, twok)
+                df = f2[0] if tspan_s is None else 1.0 / tspan_s
+                pos_a, pos_b = np.array(row.a_pos), np.array(row.b_pos)
+                xi = math.acos(max(-1.0, min(1.0, float(pos_a @ pos_b))))
+                for draw_id, gamma in recs:
+                    ph = _phi_hat(f2, df, float(gamma))
+                    num = float(u_a @ (ph * u_b))
+                    norm = float(np.einsum("i,ij,j,ji->", ph, S_a, ph, S_b))
+                    out.append((int(draw_id), xi, num / norm, norm**-0.5))
+            yield pd.DataFrame(out, columns=["draw_id", "xi", "rho", "sig"])
+
+    per_pair = pairs.mapInPandas(
+        kernel, "draw_id long, xi double, rho double, sig double"
+    )
+    g = {"hd": hd_orf, "monopole": monopole_orf, "dipole": dipole_orf}[orf](
+        F.col("xi")
+    )
+    return (
+        per_pair.select(
+            "draw_id",
+            (F.col("rho") * g / (F.col("sig") ** 2)).alias("_n"),
+            (g * g / (F.col("sig") ** 2)).alias("_d"),
+        )
+        .groupBy("draw_id")
+        .agg(
+            (F.sum("_n") / F.sum("_d")).alias("a2_hat"),
+            F.pow(F.sum("_d"), -0.5).alias("sig_os"),
+        )
+        .withColumn("snr", F.col("a2_hat") / F.col("sig_os"))
+    )
+
+
+def marginalised_moments(per_draw: DataFrame) -> DataFrame:
+    """Mean OS and mean SNR over draws (results.py:829-844)."""
+    return per_draw.agg(
+        F.avg("a2_hat").alias("a2_hat_mean"),
+        F.avg("snr").alias("snr_mean"),
+        F.count(F.lit(1)).alias("n_draws"),
+    )

@@ -75,11 +75,20 @@ def gp_loglik_per_pulsar(
     """Score every sample against every pulsar: -> (psr, sample_id, lnl).
 
     residuals: DataFrame with RESIDUAL_COLS (efac/equad may be per-backend
-    columns already joined in). samples: small pandas DataFrame with columns
-    sample_id, log10_A, gamma — serialized into the kernel closure (a few KB;
-    the Arrow-heavy TOA data moves only once).
+    columns already joined in); an optional `epoch_id` column enables ECORR.
+    samples: small pandas DataFrame with columns sample_id, log10_A, gamma,
+    and optionally log10_ecorr — serialized into the kernel closure (a few
+    KB; the Arrow-heavy TOA data moves only once).
+
+    ECORR (epoch-correlated white noise, enterprise_models.py:155-168) is
+    handled as extra GP basis columns: the per-epoch indicator matrix U with
+    prior variance 10^(2*log10_ecorr) per epoch — so C gains U diag(ec^2) U^T
+    and the same Woodbury path covers it (the standard basis-augmentation
+    trick; no dense blocks materialize).
     """
-    samp = samples[["sample_id", "log10_A", "gamma"]].to_records(index=False)
+    has_ecorr = "log10_ecorr" in samples.columns
+    cols = ["sample_id", "log10_A", "gamma"] + (["log10_ecorr"] if has_ecorr else [])
+    samp = samples[cols].to_records(index=False)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         psr = pdf["psr"].iloc[0]
@@ -102,10 +111,23 @@ def gp_loglik_per_pulsar(
         f2 = np.repeat(f, 2)
         df2 = np.repeat(df, 2)
 
+        U = None
+        if has_ecorr and "epoch_id" in pdf.columns:
+            epochs = pdf["epoch_id"].to_numpy()[order]
+            uniq, inv = np.unique(epochs, return_inverse=True)
+            U = np.zeros((len(t), len(uniq)))
+            U[np.arange(len(t)), inv] = 1.0
+
         out = np.empty(len(samp))
-        for i, (sid, lga, gam) in enumerate(samp):
-            phi = powerlaw_phi(f2, df2, lga, gam)
-            out[i] = _lnlike_one(r, ndiag, Fmat, phi)
+        for i, rec in enumerate(samp):
+            phi = powerlaw_phi(f2, df2, rec.log10_A, rec.gamma)
+            if U is not None:
+                ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2
+                basis = np.hstack([Fmat, U])
+                phi_aug = np.concatenate([phi, np.full(U.shape[1], ec2)])
+                out[i] = _lnlike_one(r, ndiag, basis, phi_aug)
+            else:
+                out[i] = _lnlike_one(r, ndiag, Fmat, phi)
         return pd.DataFrame(
             {
                 "psr": psr,

@@ -109,3 +109,14 @@ def burnin_filter(df: DataFrame, order_col: str, frac: float = 0.25) -> DataFram
 def thin(df: DataFrame, order_col: str, k: int) -> DataFrame:
     """P6 — keep every k-th row in ``order_col`` order."""
     return _ranked(df, order_col).filter(F.col("_rn") % k == 0).drop("_n")
+
+
+def allowlist_filter(df: DataFrame, allowed: Sequence[str], col: str = "psr") -> DataFrame:
+    """P2 — pulsar allow-list (psrlist, enterprise_warp.py:266-271,411);
+    empty list means keep all."""
+    return df if not allowed else df.filter(F.col(col).isin(list(allowed)))
+
+
+def drop_one(df: DataFrame, dropped: str, col: str = "psr") -> DataFrame:
+    """P3 — leave-one-out (--drop/--num, enterprise_warp.py:38-40,413-415)."""
+    return df.filter(F.col(col) != dropped)

@@ -27,6 +27,18 @@ from enterprise_warp_spark.pipeline.text import H64, TOKENS
 
 P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 
+
+def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition expression-heavy per-document work when the scan
+    under-partitions (e.g. one big parquet file -> one task). The shuffle
+    moves only the raw rows; the expensive shingle/hash expressions then run
+    on every core. No-op when the input is already at least as parallel as
+    the cluster (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
 # fixed universal-hash parameters (classic LCG multipliers/increments)
 MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
     (1103515245, 12345),
@@ -49,7 +61,7 @@ SHINGLES3 = (
 def exact_groups(df: DataFrame, key_expr: str) -> DataFrame:
     """Exact dedup: md5 over a normalization key; keeper = min(doc_id)."""
     return (
-        df.select("doc_id", F.expr(f"md5({key_expr})").alias("h"))
+        spread(df).select("doc_id", F.expr(f"md5({key_expr})").alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
     )
@@ -61,8 +73,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 8) 
     re-tokenize + re-hash the document once per hash function — 8x the md5
     work; measured 20x slower at sf0.1.)"""
     t = TOKENS.format(s=text_col)
-    sh = SHINGLES3.format(t=t)
-    exploded = df.select("doc_id", F.explode(F.expr(sh)).alias("s")).select(
+    # tokenize BEFORE the spread() exchange: the shuffle boundary stops
+    # Catalyst from inlining split() into every shingle sub-expression
+    # (9x re-tokenization per row otherwise)
+    toks = spread(df.select("doc_id", F.expr(t).alias("toks")))
+    sh = SHINGLES3.format(t="toks")
+    exploded = toks.select("doc_id", F.explode(F.expr(sh)).alias("s")).select(
         "doc_id", F.expr(f"{H64.format(s='s')} % {P31}").alias("hp")
     )
     aggs = [
@@ -119,9 +135,9 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     md5 work.) One shuffle on doc_id; partial aggregation is map-side.
     """
     t = TOKENS.format(s=text_col)
-    tok_h = df.select("doc_id", F.explode(F.expr(t)).alias("tok")).select(
-        "doc_id", F.expr(H64.format(s="tok")).alias("h")
-    )
+    tok_h = spread(df.select("doc_id", F.expr(t).alias("toks"))).select(
+        "doc_id", F.explode("toks").alias("tok")
+    ).select("doc_id", F.expr(H64.format(s="tok")).alias("h"))
     weights = tok_h.groupBy("doc_id").agg(
         *[
             F.expr(f"sum(IF((shiftright(h, {i}) & 1) = 1, 1, -1))").alias(f"w{i}")
@@ -177,29 +193,36 @@ def ngram_jaccard_pairs(
     bounded fan-out, so AQE can split skewed grams.
     """
     t = TOKENS.format(s=text_col)
-    sh = SHINGLES3.format(t=t)
-    base = df.select(
-        "doc_id",
-        *block_cols,
-        F.expr(f"cast(floor(n_chars / {length_bucket}) as bigint)").alias("len_bucket"),
+    tokenized = spread(
+        df.select(
+            "doc_id",
+            *block_cols,
+            F.expr(f"cast(floor(n_chars / {length_bucket}) as bigint)").alias("len_bucket"),
+            F.expr(t).alias("toks"),
+        )
+    )
+    sh = SHINGLES3.format(t="toks")
+    base = tokenized.select(
+        "doc_id", *block_cols, "len_bucket",
         F.expr(f"array_distinct({sh})").alias("grams"),
     ).withColumn("n_grams", F.expr("size(grams)"))
+    # n_grams rides along through the explode so no extra join (and no extra
+    # evaluation of the shingle subtree) is needed to recover set sizes.
     ex = base.select(
-        "doc_id", *block_cols, "len_bucket", F.explode("grams").alias("gram")
+        "doc_id", *block_cols, "len_bucket", "n_grams", F.explode("grams").alias("gram")
     )
     keys = [*block_cols, "len_bucket", "gram"]
-    a = ex.select(F.col("doc_id").alias("doc_a"), *keys)
-    b = ex.select(F.col("doc_id").alias("doc_b"), *keys)
-    inter = (
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("la"), *keys)
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("lb"), *keys)
+    return (
         a.join(b, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = base.select("doc_id", "n_grams")
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("la")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("lb")), "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("la").alias("la"),
+            F.first("lb").alias("lb"),
+        )
         .select(
             "doc_a",
             "doc_b",

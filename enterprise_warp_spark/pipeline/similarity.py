@@ -25,7 +25,9 @@ DOT = (
 
 
 def _with_norm_sq(df: DataFrame, emb: str = "embedding") -> DataFrame:
-    return df.withColumn("nsq", F.expr(DOT.format(a=emb, b=emb)))
+    from enterprise_warp_spark.pipeline.dedup import spread
+
+    return spread(df, "vec_id").withColumn("nsq", F.expr(DOT.format(a=emb, b=emb)))
 
 
 def cosine_topk(

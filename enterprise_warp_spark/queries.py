@@ -576,3 +576,4 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pipeline-operator catalog entries register themselves on import (kept in a
 # separate module to keep this file focused on the reference-derived surface).
 from enterprise_warp_spark import queries_pipeline  # noqa: E402,F401
+from enterprise_warp_spark import queries_extra  # noqa: E402,F401

@@ -1,0 +1,152 @@
+"""Additional catalog entries completing SURVEY §2 operator-id coverage in
+the oracle gate: A10 (per-backend error stats), J3 (lookup with universal
+fallback), J4 (dict merge with list union), P4 (substring column selection),
+P8/P9 (regex name predicates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.queries import register
+from enterprise_warp_spark.tables import table
+
+
+@register(
+    "rms_by_type",
+    """
+    SELECT event_type,
+           ROUND(SQRT(CAST(SUM(CAST(value*value AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*)), 6) AS rms,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / COUNT(*), 6) AS mean
+    FROM events GROUP BY event_type
+    """,
+    doc="A10 per-backend RMS + mean of errors (libstempo_warp.py:93-98).",
+)
+def rms_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    ev = table(spark, sf_dir, "events")
+    v2 = (F.col("value") * F.col("value")).cast(DecimalType(20, 8))
+    v = F.col("value").cast(DecimalType(14, 6))
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.sqrt(F.sum(v2).cast("double") / F.count(F.lit(1))), 6
+        ).alias("rms"),
+        F.round(F.sum(v).cast("double") / F.count(F.lit(1)), 6).alias("mean"),
+    )
+
+
+@register(
+    "coalesce_rate_lookup",
+    """
+    SELECT n.n_name, COALESCE(r.rate, 0.05) AS rate, COUNT(*) AS n_customers
+    FROM nation n
+    LEFT JOIN (VALUES ('NATION_3', 0.1), ('NATION_7', 0.2)) r(nname, rate)
+      ON n.n_name = r.nname
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="J3 per-key lookup with universal fallback (noisemodel[psr] else universal).",
+)
+def coalesce_rate_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    rates = spark.createDataFrame(
+        [("NATION_3", 0.1), ("NATION_7", 0.2)], "nname string, rate double"
+    )
+    return (
+        nation.join(F.broadcast(rates), nation.n_name == rates.nname, "left")
+        .withColumn("rate", F.coalesce(F.col("rate"), F.lit(0.05)))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "rate")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "flag_union_merge",
+    """
+    WITH a AS (
+      SELECT user_id, list_sort(list_distinct(list(event_type))) AS s1
+      FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, list_sort(list_distinct(list(event_type))) AS s2
+      FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY user_id
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           array_to_string(list_sort(list_distinct(
+             COALESCE(a.s1, CAST([] AS VARCHAR[])) || COALESCE(b.s2, CAST([] AS VARCHAR[]))
+           )), ',') AS merged
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+    doc="J4 dict merge with list-union semantics (merge_two_noise_model_dicts).",
+)
+def flag_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    a = (
+        ev.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("s1"))
+    )
+    b = (
+        ev.filter(F.col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("s2"))
+    )
+    return (
+        a.join(b, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.array_join(
+                F.sort_array(
+                    F.array_distinct(
+                        F.concat(
+                            F.coalesce(F.col("s1"), F.expr("array()")),
+                            F.coalesce(F.col("s2"), F.expr("array()")),
+                        )
+                    )
+                ),
+                ",",
+            ).alias("merged"),
+        )
+    )
+
+
+@register(
+    "par_substring_select",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE event_type LIKE '%ck%' OR event_type LIKE '%error%'
+    GROUP BY event_type
+    """,
+    doc="P4 column selection by name-substring patterns (results.py:516-524).",
+)
+def par_substring_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").like("%ck%") | F.col("event_type").like("%error%"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "regex_source_filter",
+    """
+    SELECT source, COUNT(*) AS n_docs
+    FROM documents
+    WHERE regexp_matches(source, '^src1[0-9]?$')
+    GROUP BY source
+    """,
+    doc="P8/P9 regex name predicates (psr-dir / chain-segment matching).",
+)
+def regex_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("source").rlike("^src1[0-9]?$"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -45,12 +45,16 @@ def read_tim(spark: SparkSession, paths: str | list[str]) -> DataFrame:
         F.col("f")[3].cast("double").alias("toa_err_us"),
         F.col("f")[4].alias("obs"),
         F.expr(
-            # trailing "-key value" pairs -> MAP<STRING,STRING>
-            "map_from_arrays("
-            " transform(filter(sequence(6, size(f)), i -> (i - 6) % 2 = 0),"
-            "           i -> substring(element_at(f, i), 2)),"
-            " transform(filter(sequence(6, size(f)), i -> (i - 6) % 2 = 1),"
-            "           i -> element_at(f, i)))"
+            # trailing "-key value" pairs -> MAP<STRING,STRING>. Guards:
+            # rows with no flags (size(f)=5; sequence(6,5) would DESCEND) and
+            # a dangling key with no value (i < size(f)).
+            "IF(size(f) >= 7,"
+            " map_from_arrays("
+            "  transform(filter(sequence(6, size(f)), i -> (i - 6) % 2 = 0 AND i < size(f)),"
+            "            i -> substring(element_at(f, i), 2)),"
+            "  transform(filter(sequence(6, size(f)), i -> (i - 6) % 2 = 0 AND i < size(f)),"
+            "            i -> element_at(f, i + 1))),"
+            " map())"
         ).alias("flags"),
     )
     return parsed

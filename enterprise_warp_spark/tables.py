@@ -59,3 +59,17 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def save_snapshot(df: DataFrame, path: str, partition_by: str | None = "psr") -> None:
+    """S3 — parquet snapshot (replaces the reference's pulsar pickle cache,
+    enterprise_warp.py:352-392): partitioned by psr so per-pulsar queries
+    prune partitions."""
+    w = df.write.mode("overwrite")
+    if partition_by and partition_by in df.columns:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
+
+def load_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

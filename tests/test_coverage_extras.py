@@ -1,0 +1,179 @@
+"""Tests for the §2 coverage completions: ECORR basis augmentation (F11),
+marginalised OS (A12), glob pairing (S4/J1), matrix sources (S7), compat
+sinks (K1/K2/K4), allow-list/drop-one filters (P2/P3), snapshots (S3)."""
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_ecorr_matches_dense(spark):
+    """ECORR as basis augmentation must equal the dense C = N + U ec^2 U^T +
+    F phi F^T evaluation."""
+    from enterprise_warp_spark.likelihood.gp import (
+        dense_lnlike_reference,
+        gp_loglik_per_pulsar,
+        powerlaw_phi,
+    )
+
+    rng = np.random.default_rng(11)
+    n, T = 80, 5 * 365.25 * 86400
+    t = np.sort(rng.uniform(0, T, n))
+    sig = np.full(n, 1e-6)
+    r = rng.normal(0, 2e-6, n)
+    epoch = (t // (30 * 86400)).astype(int)  # ~monthly epochs
+    rows = [
+        ("J0001+0001", float(a), float(b), float(c), 1.0, 0.0, int(e))
+        for a, b, c, e in zip(t, r, sig, epoch)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, epoch_id int",
+    )
+    samples = pd.DataFrame(
+        {"sample_id": [0], "log10_A": [-13.5], "gamma": [4.0], "log10_ecorr": [-6.3]}
+    )
+    got = gp_loglik_per_pulsar(df, samples, nfreqs=8).first()["lnl"]
+
+    # dense oracle
+    f = np.arange(1, 9) / (t.max() - t.min())
+    arg = 2 * math.pi * np.outer(t, f)
+    Fmat = np.empty((n, 16))
+    Fmat[:, 0::2] = np.sin(arg)
+    Fmat[:, 1::2] = np.cos(arg)
+    phi = powerlaw_phi(np.repeat(f, 2), np.repeat(1 / (t.max() - t.min()), 16), -13.5, 4.0)
+    uniq, inv = np.unique(epoch, return_inverse=True)
+    U = np.zeros((n, len(uniq)))
+    U[np.arange(n), inv] = 1.0
+    basis = np.hstack([Fmat, U])
+    phi_aug = np.concatenate([phi, np.full(len(uniq), (10.0**-6.3) ** 2)])
+    want = dense_lnlike_reference(r, sig**2, basis, phi_aug)
+    assert got == pytest.approx(want, rel=1e-10)
+
+
+def test_marginalised_os(spark):
+    from enterprise_warp_spark.analytics.optimal_statistic import (
+        marginalised_moments,
+        marginalised_os,
+        per_pulsar_reduction,
+    )
+
+    rng = np.random.default_rng(2)
+    TSPAN = 8 * 365.25 * 86400.0
+    rows, posrows = [], []
+    for p in range(4):
+        psr = f"J{p:04d}+0000"
+        t = np.sort(rng.uniform(0, TSPAN, 100))
+        rows += [
+            (psr, float(ti), float(rng.normal(0, 1e-6)), 1e-6, 1.0, 0.0) for ti in t
+        ]
+        v = rng.normal(size=3)
+        posrows.append((psr, (v / np.linalg.norm(v)).tolist()))
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, efac double, equad double",
+    )
+    pos = spark.createDataFrame(posrows, "psr string, pos array<double>")
+    red = per_pulsar_reduction(res, 6, TSPAN)
+    draws = pd.DataFrame({"draw_id": range(5), "gamma": [3.0, 3.5, 4.0, 4.5, 5.0]})
+    per_draw = marginalised_os(red, pos, draws, orf="hd", tspan_s=TSPAN).cache()
+    assert per_draw.count() == 5
+    mom = marginalised_moments(per_draw).first()
+    assert mom["n_draws"] == 5 and np.isfinite(mom["a2_hat_mean"])
+
+
+def test_paired_pulsar_files(spark):
+    from enterprise_warp_spark.sources.globscan import paired_pulsar_files
+
+    paired = paired_pulsar_files(spark, "/root/reference/examples/data")
+    rows = {r["psr"]: r for r in paired.collect()}
+    assert set(rows) == {"J1832-0836", "fake_psr_0"}
+    assert rows["J1832-0836"]["parfile"].endswith("J1832-0836.par")
+    assert rows["J1832-0836"]["timfile"].endswith("J1832-0836.tim")
+
+
+def test_matrix_sources_and_covm_sink(spark, tmp_path):
+    from enterprise_warp_spark.sinks import write_covm_csv
+    from enterprise_warp_spark.sources.matrix import ingest_npy, read_covm_csv
+
+    m = np.array([[2.0, 0.5], [0.5, 1.0]])
+    npy = tmp_path / "cov.npy"
+    np.save(npy, m)
+    covm = ingest_npy(spark, str(npy), ["parA", "parB"], run_id="r1")
+    assert covm.count() == 4
+    csv = tmp_path / "covm.csv"
+    write_covm_csv(covm, str(csv))
+    back = read_covm_csv(spark, str(csv), run_id="r1")
+    vals = {(r["row_par"], r["col_par"]): r["value"] for r in back.collect()}
+    assert vals[("parA", "parA")] == 2.0 and vals[("parB", "parA")] == 0.5
+
+
+def test_sinks_pars_and_noise_json(spark, tmp_path):
+    import json
+
+    from enterprise_warp_spark.sinks import write_noise_json_files, write_pars_txt
+
+    pars = spark.createDataFrame([(0, "alpha"), (1, "beta")], "idx int, par string")
+    p = tmp_path / "pars.txt"
+    write_pars_txt(pars, str(p))
+    assert p.read_text() == "alpha\nbeta\n"
+
+    noise = spark.createDataFrame(
+        [("J1", "J1_efac", 1.05), ("J1", "J1_lgA", -14.0)],
+        "run_id string, par string, value double",
+    )
+    paths = write_noise_json_files(noise, str(tmp_path / "nf"))
+    doc = json.loads(open(paths[0]).read())
+    assert doc == {"J1_efac": 1.05, "J1_lgA": -14.0}
+
+
+def test_allowlist_and_drop(spark):
+    from enterprise_warp_spark.operators.relational import allowlist_filter, drop_one
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "psr string")
+    assert allowlist_filter(df, []).count() == 3
+    assert allowlist_filter(df, ["a", "c"]).count() == 2
+    assert drop_one(df, "b").count() == 2
+
+
+def test_snapshot_roundtrip(spark, tmp_path):
+    from enterprise_warp_spark.sources.tim import read_tim
+    from enterprise_warp_spark.tables import load_snapshot, save_snapshot
+
+    toas = read_tim(spark, "/root/reference/examples/data/*.tim")
+    path = str(tmp_path / "toas_snapshot")
+    save_snapshot(toas, path)
+    back = load_snapshot(spark, path)
+    assert back.count() == toas.count() == 326 + 122
+    # partition pruning works on the snapshot
+    assert back.filter(F.col("psr") == "fake_psr_0").count() == 122
+    assert os.path.isdir(os.path.join(path, "psr=fake_psr_0"))
+
+
+def test_multimodal_feature_extraction(spark):
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        frame_sample,
+    )
+
+    rows = [
+        (1, "image", b"\x89PNG-fake-bytes", "image/png", 32, 32, None, None),
+        (2, "audio", b"RIFF-fake-audio", "audio/wav", None, None, 16000, None),
+        (3, "video", b"fake-video", "video/mp4", 64, 48, None, 25),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == len(b"\x89PNG-fake-bytes")
+    import hashlib
+
+    assert feats[2]["payload_md5"] == hashlib.md5(b"RIFF-fake-audio").hexdigest()
+    assert all(r["feature_dim"] == 8 for r in feats.values())
+    # frame sampling: stride-10 indices over 25 frames -> 0,10,20
+    frames = frame_sample(media, 10).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 10, 20]
