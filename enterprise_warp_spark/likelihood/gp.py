@@ -87,7 +87,14 @@ def gp_loglik_per_pulsar(
     trick; no dense blocks materialize).
     """
     has_ecorr = "log10_ecorr" in samples.columns
-    cols = ["sample_id", "log10_A", "gamma"] + (["log10_ecorr"] if has_ecorr else [])
+    has_efac = "efac" in samples.columns  # sampled white noise overrides the
+    has_equad = "log10_equad" in samples.columns  # per-TOA data columns
+    cols = (
+        ["sample_id", "log10_A", "gamma"]
+        + (["log10_ecorr"] if has_ecorr else [])
+        + (["efac"] if has_efac else [])
+        + (["log10_equad"] if has_equad else [])
+    )
     samp = samples[cols].to_records(index=False)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -120,14 +127,20 @@ def gp_loglik_per_pulsar(
 
         out = np.empty(len(samp))
         for i, rec in enumerate(samp):
+            if has_efac or has_equad:
+                ef = float(rec.efac) if has_efac else efac
+                eq = (10.0 ** float(rec.log10_equad)) if has_equad else equad
+                nd = ef**2 * (sig**2 + eq**2)
+            else:
+                nd = ndiag
             phi = powerlaw_phi(f2, df2, rec.log10_A, rec.gamma)
             if U is not None:
                 ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2
                 basis = np.hstack([Fmat, U])
                 phi_aug = np.concatenate([phi, np.full(U.shape[1], ec2)])
-                out[i] = _lnlike_one(r, ndiag, basis, phi_aug)
+                out[i] = _lnlike_one(r, nd, basis, phi_aug)
             else:
-                out[i] = _lnlike_one(r, ndiag, Fmat, phi)
+                out[i] = _lnlike_one(r, nd, Fmat, phi)
         return pd.DataFrame(
             {
                 "psr": psr,

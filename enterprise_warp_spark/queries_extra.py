@@ -150,3 +150,48 @@ def regex_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_STREAM_COUNTER = [0]
+
+
+@register(
+    "streaming_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured Streaming rollup (availableNow) — must equal the batch oracle.",
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the watermarked streaming rollup to completion (availableNow) and
+    returns the materialized result — the stream/batch parity guarantee is
+    the correctness claim here."""
+    from pyspark.sql.types import DecimalType
+
+    from enterprise_warp_spark.streaming.events import stream_events
+
+    _STREAM_COUNTER[0] += 1
+    name = f"ews_stream_rollup_{_STREAM_COUNTER[0]}"
+    rolled = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast(DecimalType(14, 6))).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(F.col("w").start.alias("hour"), "event_type", "n", "sum_value")
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

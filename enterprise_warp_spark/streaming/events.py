@@ -26,6 +26,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) -> read as long, converted to a microsecond timestamp
     exactly like tables.table does for batch)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        # streaming state has no AQE to coalesce partitions; the vanilla 200
+        # default costs ~25x task overhead at test scale
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
