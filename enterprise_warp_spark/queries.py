@@ -323,7 +323,7 @@ def weighted_mean_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ntile_bins_orders",
     """
     WITH t AS (
-      SELECT o_totalprice, NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      SELECT o_totalprice, CAST(NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS bin
       FROM orders
     )
     SELECT bin, COUNT(*) AS n,
@@ -499,7 +499,7 @@ def nation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "thin_events",
     """
-    WITH t AS (SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM events)
+    WITH t AS (SELECT event_id, CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS INTEGER) AS rn FROM events)
     SELECT event_id, rn FROM t WHERE rn % 100 = 0
     """,
     doc="P6 thinning: every k-th sample in step order (results.py:670,691).",
@@ -537,7 +537,7 @@ def burnin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
       FROM orders
     )
     SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM t WHERE rnk <= 3

@@ -39,9 +39,9 @@ def rms_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "coalesce_rate_lookup",
     """
-    SELECT n.n_name, COALESCE(r.rate, 0.05) AS rate, COUNT(*) AS n_customers
+    SELECT n.n_name, COALESCE(r.rate, CAST(0.05 AS DOUBLE)) AS rate, COUNT(*) AS n_customers
     FROM nation n
-    LEFT JOIN (VALUES ('NATION_3', 0.1), ('NATION_7', 0.2)) r(nname, rate)
+    LEFT JOIN (VALUES ('NATION_3', CAST(0.1 AS DOUBLE)), ('NATION_7', CAST(0.2 AS DOUBLE))) r(nname, rate)
       ON n.n_name = r.nname
     JOIN customer c ON c.c_nationkey = n.n_nationkey
     GROUP BY 1, 2
