@@ -45,6 +45,59 @@ def powerlaw_phi(f: np.ndarray, df: np.ndarray, log10_A: float, gamma: float) ->
     return a2 / (12.0 * math.pi**2) * FYR ** (-3.0) * (f / FYR) ** (-gamma) * df
 
 
+def turnover_phi(
+    f: np.ndarray, df: np.ndarray, log10_A: float, gamma: float, log10_fc: float,
+    kappa: float = 10.0 / 3.0,
+) -> np.ndarray:
+    """F2 variant — powerlaw suppressed below f_c (enterprise 'turnover')."""
+    fc = 10.0**log10_fc
+    return powerlaw_phi(f, df, log10_A, gamma) / (1.0 + (fc / f) ** kappa)
+
+
+def broken_powerlaw_phi(
+    f: np.ndarray, df: np.ndarray, log10_A: float, gamma: float, fc: float
+) -> np.ndarray:
+    """F2 — ((f+fc)/fyr)^(-gamma); fc<0 means 10^fc
+    (enterprise_models.py:593-603 powerlaw_bpl form)."""
+    if fc < 0:
+        fc = 10.0**fc
+    a2 = 10.0 ** (2.0 * log10_A)
+    return a2 / (12.0 * math.pi**2) * FYR ** (-3.0) * ((f + fc) / FYR) ** (-gamma) * df
+
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class RedComponent:
+    """One red-noise GP term: its own Fourier basis (optionally chromatic,
+    F5/F6: basis scaled by (fref/freq_mhz)^chrom_idx per TOA) and PSD family
+    (F1 powerlaw / F2 turnover / broken powerlaw). Sample columns are
+    '{name}_log10_A', '{name}_gamma' (+ '{name}_log10_fc' for turnover);
+    an empty name uses bare 'log10_A'/'gamma'."""
+
+    name: str = ""
+    chrom_idx: float = 0.0
+    psd: str = "powerlaw"  # powerlaw | turnover | broken_powerlaw
+    nfreqs: int = 20
+    fref_mhz: float = 1400.0
+
+    def prefix(self) -> str:
+        return f"{self.name}_" if self.name else ""
+
+    def phi(self, f2: np.ndarray, df2: np.ndarray, rec) -> np.ndarray:
+        p = self.prefix()
+        lga = float(getattr(rec, f"{p}log10_A"))
+        gam = float(getattr(rec, f"{p}gamma"))
+        if self.psd == "powerlaw":
+            return powerlaw_phi(f2, df2, lga, gam)
+        if self.psd == "turnover":
+            return turnover_phi(f2, df2, lga, gam, float(getattr(rec, f"{p}log10_fc")))
+        if self.psd == "broken_powerlaw":
+            return broken_powerlaw_phi(f2, df2, lga, gam, float(getattr(rec, f"{p}log10_fc")))
+        raise ValueError(f"unknown psd {self.psd}")
+
+
 def _lnlike_one(
     r: np.ndarray,
     ndiag: np.ndarray,
@@ -55,7 +108,14 @@ def _lnlike_one(
     ninv_r = r / ndiag
     ninv_F = Fmat / ndiag[:, None]
     Sigma = np.diag(1.0 / phi) + Fmat.T @ ninv_F  # phi^-1 + F^T N^-1 F
-    cf = np.linalg.cholesky(Sigma)
+    try:
+        cf = np.linalg.cholesky(Sigma)
+    except np.linalg.LinAlgError:
+        # near-collinear bases (e.g. chromatic term at constant radio
+        # frequency) + large amplitudes make Sigma numerically semi-definite;
+        # a relative jitter keeps the estimate finite (rel. error ~1e-12)
+        jitter = 1e-12 * float(np.max(np.diag(Sigma)))
+        cf = np.linalg.cholesky(Sigma + jitter * np.eye(Sigma.shape[0]))
     x = Fmat.T @ ninv_r
     y = np.linalg.solve(cf, x)
     rCr = float(r @ ninv_r - y @ y)
@@ -71,6 +131,7 @@ def gp_loglik_per_pulsar(
     residuals: DataFrame,
     samples: pd.DataFrame,
     nfreqs: int = 20,
+    components: tuple[RedComponent, ...] | None = None,
 ) -> DataFrame:
     """Score every sample against every pulsar: -> (psr, sample_id, lnl).
 
@@ -86,16 +147,22 @@ def gp_loglik_per_pulsar(
     and the same Woodbury path covers it (the standard basis-augmentation
     trick; no dense blocks materialize).
     """
+    comps = components or (RedComponent(nfreqs=nfreqs),)
     has_ecorr = "log10_ecorr" in samples.columns
     has_efac = "efac" in samples.columns  # sampled white noise overrides the
     has_equad = "log10_equad" in samples.columns  # per-TOA data columns
-    cols = (
-        ["sample_id", "log10_A", "gamma"]
-        + (["log10_ecorr"] if has_ecorr else [])
+    cols = ["sample_id"]
+    for c in comps:
+        cols += [f"{c.prefix()}log10_A", f"{c.prefix()}gamma"]
+        if c.psd in ("turnover", "broken_powerlaw"):
+            cols.append(f"{c.prefix()}log10_fc")
+    cols += (
+        (["log10_ecorr"] if has_ecorr else [])
         + (["efac"] if has_efac else [])
         + (["log10_equad"] if has_equad else [])
     )
     samp = samples[cols].to_records(index=False)
+    needs_freq = any(c.chrom_idx != 0.0 for c in comps)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         psr = pdf["psr"].iloc[0]
@@ -106,17 +173,22 @@ def gp_loglik_per_pulsar(
         efac = pdf["efac"].to_numpy()[order]
         equad = pdf["equad"].to_numpy()[order]
         ndiag = efac**2 * (sig**2 + equad**2)  # t2 convention (F11)
+        freq_mhz = pdf["freq_mhz"].to_numpy()[order] if needs_freq else None
 
         tspan = float(t.max() - t.min())
-        k = np.arange(1, nfreqs + 1)
-        f = k / tspan
-        df = np.full(nfreqs, 1.0 / tspan)
-        arg = 2.0 * math.pi * np.outer(t, f)
-        Fmat = np.empty((len(t), 2 * nfreqs))
-        Fmat[:, 0::2] = np.sin(arg)
-        Fmat[:, 1::2] = np.cos(arg)
-        f2 = np.repeat(f, 2)
-        df2 = np.repeat(df, 2)
+        bases, freqs2, dfs2 = [], [], []
+        for c in comps:
+            f = np.arange(1, c.nfreqs + 1) / tspan
+            arg = 2.0 * math.pi * np.outer(t, f)
+            Fc = np.empty((len(t), 2 * c.nfreqs))
+            Fc[:, 0::2] = np.sin(arg)
+            Fc[:, 1::2] = np.cos(arg)
+            if c.chrom_idx != 0.0:
+                # F5/F6 — chromatic weight multiplies the basis rows
+                Fc *= ((c.fref_mhz / freq_mhz) ** c.chrom_idx)[:, None]
+            bases.append(Fc)
+            freqs2.append(np.repeat(f, 2))
+            dfs2.append(np.full(2 * c.nfreqs, 1.0 / tspan))
 
         U = None
         if has_ecorr and "epoch_id" in pdf.columns:
@@ -124,6 +196,7 @@ def gp_loglik_per_pulsar(
             uniq, inv = np.unique(epochs, return_inverse=True)
             U = np.zeros((len(t), len(uniq)))
             U[np.arange(len(t)), inv] = 1.0
+        basis = np.hstack(bases + ([U] if U is not None else []))
 
         out = np.empty(len(samp))
         for i, rec in enumerate(samp):
@@ -133,14 +206,11 @@ def gp_loglik_per_pulsar(
                 nd = ef**2 * (sig**2 + eq**2)
             else:
                 nd = ndiag
-            phi = powerlaw_phi(f2, df2, rec.log10_A, rec.gamma)
+            phis = [c.phi(f2, d2, rec) for c, f2, d2 in zip(comps, freqs2, dfs2)]
             if U is not None:
                 ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2
-                basis = np.hstack([Fmat, U])
-                phi_aug = np.concatenate([phi, np.full(U.shape[1], ec2)])
-                out[i] = _lnlike_one(r, nd, basis, phi_aug)
-            else:
-                out[i] = _lnlike_one(r, nd, Fmat, phi)
+                phis.append(np.full(U.shape[1], ec2))
+            out[i] = _lnlike_one(r, nd, basis, np.concatenate(phis))
         return pd.DataFrame(
             {
                 "psr": psr,

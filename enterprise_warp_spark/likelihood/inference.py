@@ -4,56 +4,89 @@ Reference flow (run_example_paramfile.py + enterprise_warp.py:347-559):
 paramfile -> noise-model JSON -> per-pulsar signal terms -> PTA -> sequential
 sampler. Here the same config compiles to a sample-parallel plan:
 
-    noise-model rows (plans/noisemodel) -> priors (plans/registry)
+    noise-model rows (plans/noisemodel) -> red-noise components + priors
       -> samples table (likelihood/sampling, rand(seed) columns)
       -> GP kernel x pulsars (likelihood/gp, applyInPandas)
       -> A13 sum -> importance-weighted posterior summary
 
-Supported model family in the kernel: one powerlaw red-noise process +
-EFAC/EQUAD white noise (sampled or bound constants) + optional ECORR.
-Additional signal terms (chromatic, system noise, multi-term GWB) compose by
-extending the kernel's basis exactly like ECORR does — the registry already
-carries their priors and basis sizing.
+Kernel-compiled signal families: any number of red-noise GP terms
+(spin_noise achromatic, dm_noise nu^-2, chromred nu^-idx; powerlaw /
+turnover / broken-powerlaw PSDs) + EFAC/EQUAD white noise (sampled or bound
+constants) + ECORR epoch blocks. Selection-scoped terms (system_noise /
+ppta_band_noise) and BayesEphem are registry-described but not yet
+kernel-compiled — they follow the same basis-augmentation path.
 """
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from enterprise_warp_spark.likelihood.gp import gp_loglik_per_pulsar, total_loglik
+from enterprise_warp_spark.likelihood.gp import (
+    RedComponent,
+    gp_loglik_per_pulsar,
+    total_loglik,
+)
 from enterprise_warp_spark.likelihood.sampling import (
     Prior,
     posterior_summary,
     sample_priors,
 )
-from enterprise_warp_spark.plans.registry import priors_for_model
+from enterprise_warp_spark.plans.registry import build_signal
 
-# registry prior name -> kernel parameter name
-KERNEL_PARAMS = {
-    "spin_noise_log10_A": "log10_A",
-    "spin_noise_gamma": "gamma",
-    "efac": "efac",
-    "equad": "log10_equad",  # registry prior is already log10 (enterprise_models.py:74)
-    "ecorr": "log10_ecorr",
-}
+# white-noise registry prior name -> kernel sample-column name
+WHITE_MAP = {"efac": "efac", "equad": "log10_equad", "ecorr": "log10_ecorr"}
+
+# kernel-compilable red signals -> chromatic index (F5: DM ~ nu^-2)
+RED_CHROM_IDX = {"spin_noise": 0.0, "dm_noise": 2.0, "chromred": 4.0}
+
+KERNEL_PSDS = {"powerlaw", "turnover", "broken_powerlaw"}
 
 
-def compile_priors(model_rows: list[dict], fixed: dict[str, float] | None = None) -> list[Prior]:
-    """Map a normalized model's priors onto the kernel's parameter names,
-    binding fixed constants (O2: prior<0 => value from noise files,
-    enterprise_warp.py:544-548,561-581)."""
+def compile_model(
+    model_rows: list[dict],
+    fixed: dict[str, float] | None = None,
+    default_nfreqs: int = 20,
+) -> tuple[list[Prior], tuple[RedComponent, ...]]:
+    """Normalized model rows -> (priors to sample, kernel components).
+
+    Fixed constants (O2: prior<0 => value bound from noise files,
+    enterprise_warp.py:544-548,561-581) become constant priors.
+    """
     fixed = fixed or {}
-    out = []
-    for p in priors_for_model(model_rows):
-        name = KERNEL_PARAMS.get(p.name)
-        if name is None:
-            continue  # signal term not in the MVP kernel family
-        if name in fixed:
-            out.append(Prior(name, "constant", fixed[name]))
-        else:
-            out.append(Prior(name, p.kind, p.a, p.b))
-    return out
+    priors: dict[str, Prior] = {}
+    comps: list[RedComponent] = []
+    for row in model_rows:
+        spec = build_signal(row["signal"], json.loads(row["option_json"]))
+        specs = [spec, *spec.components]
+        for s in specs:
+            if s.kind == "white" or s.signal in ("efac", "equad", "ecorr", "measurement_noise"):
+                for p in s.priors:
+                    name = WHITE_MAP.get(p.name)
+                    if name and name not in priors:
+                        priors[name] = (
+                            Prior(name, "constant", fixed[name])
+                            if name in fixed
+                            else Prior(name, p.kind, p.a, p.b)
+                        )
+            elif s.kind == "red" and row["signal"] in RED_CHROM_IDX:
+                psd = s.psd if s.psd in KERNEL_PSDS else "powerlaw"
+                if s.psd == "free_spectrum":
+                    continue  # expression-level only (F3)
+                comps.append(
+                    RedComponent(
+                        name=row["signal"],
+                        chrom_idx=RED_CHROM_IDX[row["signal"]],
+                        psd=psd,
+                        nfreqs=s.nfreqs or default_nfreqs,
+                    )
+                )
+                for p in s.priors:
+                    if p.name not in priors:
+                        priors[p.name] = p
+    return list(priors.values()), tuple(comps)
 
 
 def run_inference(
@@ -67,19 +100,32 @@ def run_inference(
 ) -> tuple[DataFrame, DataFrame]:
     """-> (samples_with_lnl, posterior_summary_row).
 
-    residuals: (psr, toa_s, residual_s, toa_err_s, efac, equad[, epoch_id]).
-    model_rows: normalized noise-model rows (plans/noisemodel).
+    residuals: (psr, toa_s, residual_s, toa_err_s, efac, equad
+    [, epoch_id][, freq_mhz]). model_rows: normalized noise-model rows.
     """
-    priors = compile_priors(model_rows, fixed)
-    names = [p.name for p in priors]
-    if "log10_A" not in names:
-        priors.append(Prior("log10_A", "uniform", -20.0, -6.0))
-    if "gamma" not in names:
-        priors.append(Prior("gamma", "uniform", 0.0, 10.0))
+    priors, comps = compile_priors_and_components(model_rows, fixed, nfreqs)
     samples_df = sample_priors(spark, priors, n_samples, seed)
     samples_pd: pd.DataFrame = samples_df.toPandas()
-    lnl = total_loglik(gp_loglik_per_pulsar(residuals, samples_pd, nfreqs))
+    lnl = total_loglik(
+        gp_loglik_per_pulsar(residuals, samples_pd, nfreqs, components=comps or None)
+    )
     joined = lnl.join(samples_df, "sample_id")
     sampled_names = [p.name for p in priors if p.kind != "constant"]
     summary = posterior_summary(joined, sampled_names)
     return joined, summary
+
+
+def compile_priors_and_components(
+    model_rows: list[dict],
+    fixed: dict[str, float] | None = None,
+    default_nfreqs: int = 20,
+) -> tuple[list[Prior], tuple[RedComponent, ...]]:
+    priors, comps = compile_model(model_rows, fixed, default_nfreqs)
+    if not comps:
+        # minimal model: one achromatic powerlaw process (bare names)
+        names = {p.name for p in priors}
+        if "log10_A" not in names:
+            priors.append(Prior("log10_A", "uniform", -20.0, -6.0))
+        if "gamma" not in names:
+            priors.append(Prior("gamma", "uniform", 0.0, 10.0))
+    return priors, comps

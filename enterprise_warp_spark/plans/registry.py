@@ -131,7 +131,7 @@ def _red(signal: str, option, lg_key: str, gamma_key: str) -> SignalSpec:
     if psd != "free_spectrum":
         priors.append(_u(f"{signal}_gamma", gamma_key))
     if psd == "turnover":
-        priors.append(_u(f"{signal}_fc", "sn_fc"))
+        priors.append(_u(f"{signal}_log10_fc", "sn_fc"))
     return SignalSpec(
         signal, "red", psd=psd, nfreqs=nf, cadence_days=cad, priors=tuple(priors)
     )

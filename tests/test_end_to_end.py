@@ -52,7 +52,7 @@ def test_run_inference_from_model_config(spark, injected):
     )
     row = summary.first()
     # red-noise amplitude recovered; efac sampled and near truth (1.3)
-    assert abs(row["log10_A_map"] - (-13.2)) < 0.8
+    assert abs(row["spin_noise_log10_A_map"] - (-13.2)) < 0.8
     assert abs(row["efac_map"] - 1.3) < 0.35
     assert joined.count() == 192
 
@@ -70,7 +70,7 @@ def test_run_inference_with_fixed_white_noise(spark, injected):
     )
     row = summary.first()
     assert "efac_map" not in row.asDict()  # constant: not a sampled dimension
-    assert abs(row["log10_A_map"] - (-13.2)) < 0.8
+    assert abs(row["spin_noise_log10_A_map"] - (-13.2)) < 0.8
 
 
 @pytest.fixture(scope="module")
@@ -115,3 +115,97 @@ def test_results_pipeline(spark, run_dirs):
         assert len(paths) == 2
         doc = json.load(open(paths[0]))
         assert any("efac" in k for k in doc)
+
+
+def test_multi_component_kernel_matches_dense(spark):
+    """spin (achromatic) + DM (nu^-2 chromatic) + turnover PSD composed in
+    one kernel must equal the dense C = N + sum_c F_c phi_c F_c^T oracle."""
+    import pandas as pd
+
+    from enterprise_warp_spark.likelihood.gp import (
+        RedComponent,
+        dense_lnlike_reference,
+        gp_loglik_per_pulsar,
+        powerlaw_phi,
+        turnover_phi,
+    )
+
+    rng = np.random.default_rng(31)
+    n, T = 90, 6 * 365.25 * 86400
+    t = np.sort(rng.uniform(0, T, n))
+    sig = np.full(n, 1e-6)
+    r = rng.normal(0, 2e-6, n)
+    freq = rng.uniform(700, 3100, n)
+    df = spark.createDataFrame(
+        [
+            ("J1", float(a), float(b), float(c), 1.0, 0.0, float(fm))
+            for a, b, c, fm in zip(t, r, sig, freq)
+        ],
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, freq_mhz double",
+    )
+    comps = (
+        RedComponent(name="spin_noise", chrom_idx=0.0, psd="turnover", nfreqs=6),
+        RedComponent(name="dm_noise", chrom_idx=2.0, psd="powerlaw", nfreqs=5),
+    )
+    samples = pd.DataFrame(
+        {
+            "sample_id": [0],
+            "spin_noise_log10_A": [-13.1],
+            "spin_noise_gamma": [4.2],
+            "spin_noise_log10_fc": [-8.5],
+            "dm_noise_log10_A": [-13.8],
+            "dm_noise_gamma": [3.1],
+        }
+    )
+    got = gp_loglik_per_pulsar(df, samples, components=comps).first()["lnl"]
+
+    # dense oracle (TOAs sorted as the kernel sorts)
+    order = np.argsort(t)
+    ts, rs, ss, fs = t[order], r[order], sig[order], freq[order]
+    Tspan = ts.max() - ts.min()
+    bases, phis = [], []
+    for c, (lga, gam, fc) in zip(
+        comps, [(-13.1, 4.2, -8.5), (-13.8, 3.1, None)]
+    ):
+        f = np.arange(1, c.nfreqs + 1) / Tspan
+        arg = 2 * math.pi * np.outer(ts, f)
+        Fm = np.empty((n, 2 * c.nfreqs))
+        Fm[:, 0::2] = np.sin(arg)
+        Fm[:, 1::2] = np.cos(arg)
+        if c.chrom_idx:
+            Fm *= ((1400.0 / fs) ** c.chrom_idx)[:, None]
+        f2, d2 = np.repeat(f, 2), np.full(2 * c.nfreqs, 1 / Tspan)
+        phis.append(
+            turnover_phi(f2, d2, lga, gam, fc)
+            if c.psd == "turnover"
+            else powerlaw_phi(f2, d2, lga, gam)
+        )
+        bases.append(Fm)
+    want = dense_lnlike_reference(
+        rs, ss**2, np.hstack(bases), np.concatenate(phis)
+    )
+    assert got == pytest.approx(want, rel=1e-10)
+
+
+def test_run_inference_spin_plus_dm(spark, injected):
+    """Config with spin + DM noise compiles to a 2-component kernel and
+    still recovers the (achromatic) injection."""
+    from enterprise_warp_spark.likelihood.inference import run_inference
+    from enterprise_warp_spark.plans.noisemodel import normalize_noise_model
+
+    rows = normalize_noise_model(
+        {
+            "model_name": "two",
+            "universal": {"spin_noise": "powerlaw", "dm_noise": "powerlaw_5_nfreqs"},
+        }
+    )
+    with_freq = injected.withColumn(
+        "freq_mhz", (F.col("toa_s") % 2600.0) + 700.0  # deterministic spread
+    )
+    joined, summary = run_inference(
+        spark, with_freq, rows, n_samples=128, nfreqs=12, seed=8
+    )
+    row = summary.first()
+    assert abs(row["spin_noise_log10_A_map"] - (-13.2)) < 1.0
+    assert "dm_noise_log10_A_map" in row.asDict()

@@ -81,7 +81,7 @@ def test_registry_builds_and_option_grammar():
     assert {p.name for p in to.priors} == {
         "spin_noise_log10_A",
         "spin_noise_gamma",
-        "spin_noise_fc",
+        "spin_noise_log10_fc",
     }
 
     gwb = build_signal("gwb", "hd_vary_gamma")
