@@ -74,13 +74,20 @@ class RedComponent:
     F5/F6: basis scaled by (fref/freq_mhz)^chrom_idx per TOA) and PSD family
     (F1 powerlaw / F2 turnover / broken powerlaw). Sample columns are
     '{name}_log10_A', '{name}_gamma' (+ '{name}_log10_fc' for turnover);
-    an empty name uses bare 'log10_A'/'gamma'."""
+    an empty name uses bare 'log10_A'/'gamma'.
+
+    Selection scoping (P1, system/band noise, enterprise_models.py:616-683):
+    sel_col/sel_values restrict the term to matching TOAs — basis rows vanish
+    outside the selection and frequencies come from the SELECTION's Tspan
+    (per-selection nfreqs semantics, enterprise_models.py:508-539)."""
 
     name: str = ""
     chrom_idx: float = 0.0
     psd: str = "powerlaw"  # powerlaw | turnover | broken_powerlaw
     nfreqs: int = 20
     fref_mhz: float = 1400.0
+    sel_col: str | None = None
+    sel_values: tuple[str, ...] = ()
 
     def prefix(self) -> str:
         return f"{self.name}_" if self.name else ""
@@ -149,20 +156,25 @@ def gp_loglik_per_pulsar(
     """
     comps = components or (RedComponent(nfreqs=nfreqs),)
     has_ecorr = "log10_ecorr" in samples.columns
-    has_efac = "efac" in samples.columns  # sampled white noise overrides the
-    has_equad = "log10_equad" in samples.columns  # per-TOA data columns
+    # sampled white noise: global ('efac') or per-backend ('efac_<backend>',
+    # the reference's by_backend selection) — overrides the data columns
+    efac_cols = [c for c in samples.columns if c == "efac" or c.startswith("efac_")]
+    equad_cols = [
+        c for c in samples.columns if c == "log10_equad" or c.startswith("log10_equad_")
+    ]
     cols = ["sample_id"]
     for c in comps:
         cols += [f"{c.prefix()}log10_A", f"{c.prefix()}gamma"]
         if c.psd in ("turnover", "broken_powerlaw"):
             cols.append(f"{c.prefix()}log10_fc")
-    cols += (
-        (["log10_ecorr"] if has_ecorr else [])
-        + (["efac"] if has_efac else [])
-        + (["log10_equad"] if has_equad else [])
-    )
+    cols += (["log10_ecorr"] if has_ecorr else []) + efac_cols + equad_cols
     samp = samples[cols].to_records(index=False)
     needs_freq = any(c.chrom_idx != 0.0 for c in comps)
+    needs_backend = any("_" in c.replace("log10_", "") for c in efac_cols + equad_cols)
+    per_backend_efac = {c[len("efac_"):]: c for c in efac_cols if c != "efac"}
+    per_backend_equad = {
+        c[len("log10_equad_"):]: c for c in equad_cols if c != "log10_equad"
+    }
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         psr = pdf["psr"].iloc[0]
@@ -174,11 +186,24 @@ def gp_loglik_per_pulsar(
         equad = pdf["equad"].to_numpy()[order]
         ndiag = efac**2 * (sig**2 + equad**2)  # t2 convention (F11)
         freq_mhz = pdf["freq_mhz"].to_numpy()[order] if needs_freq else None
+        backend = (
+            pdf["backend"].to_numpy()[order]
+            if (needs_backend and "backend" in pdf.columns)
+            else None
+        )
 
         tspan = float(t.max() - t.min())
-        bases, freqs2, dfs2 = [], [], []
+        bases, freqs2, dfs2, active = [], [], [], []
         for c in comps:
-            f = np.arange(1, c.nfreqs + 1) / tspan
+            if c.sel_col is not None:
+                sel = np.isin(pdf[c.sel_col].to_numpy()[order], list(c.sel_values))
+                if sel.sum() < 4:
+                    continue  # selection absent in this pulsar: term drops out
+                t_sel = t[sel]
+                span = float(t_sel.max() - t_sel.min())
+            else:
+                sel, span = None, tspan
+            f = np.arange(1, c.nfreqs + 1) / span
             arg = 2.0 * math.pi * np.outer(t, f)
             Fc = np.empty((len(t), 2 * c.nfreqs))
             Fc[:, 0::2] = np.sin(arg)
@@ -186,9 +211,12 @@ def gp_loglik_per_pulsar(
             if c.chrom_idx != 0.0:
                 # F5/F6 — chromatic weight multiplies the basis rows
                 Fc *= ((c.fref_mhz / freq_mhz) ** c.chrom_idx)[:, None]
+            if sel is not None:
+                Fc[~sel, :] = 0.0  # P1 — term only acts on selected TOAs
+            active.append(c)
             bases.append(Fc)
             freqs2.append(np.repeat(f, 2))
-            dfs2.append(np.full(2 * c.nfreqs, 1.0 / tspan))
+            dfs2.append(np.full(2 * c.nfreqs, 1.0 / span))
 
         U = None
         if has_ecorr and "epoch_id" in pdf.columns:
@@ -200,13 +228,27 @@ def gp_loglik_per_pulsar(
 
         out = np.empty(len(samp))
         for i, rec in enumerate(samp):
-            if has_efac or has_equad:
-                ef = float(rec.efac) if has_efac else efac
-                eq = (10.0 ** float(rec.log10_equad)) if has_equad else equad
+            if efac_cols or equad_cols:
+                if per_backend_efac and backend is not None:
+                    ef = np.ones(len(t))
+                    for b, col in per_backend_efac.items():
+                        ef[backend == b] = float(getattr(rec, col))
+                elif "efac" in efac_cols:
+                    ef = float(rec.efac)
+                else:
+                    ef = efac
+                if per_backend_equad and backend is not None:
+                    eq = np.zeros(len(t))
+                    for b, col in per_backend_equad.items():
+                        eq[backend == b] = 10.0 ** float(getattr(rec, col))
+                elif "log10_equad" in equad_cols:
+                    eq = 10.0 ** float(rec.log10_equad)
+                else:
+                    eq = equad
                 nd = ef**2 * (sig**2 + eq**2)
             else:
                 nd = ndiag
-            phis = [c.phi(f2, d2, rec) for c, f2, d2 in zip(comps, freqs2, dfs2)]
+            phis = [c.phi(f2, d2, rec) for c, f2, d2 in zip(active, freqs2, dfs2)]
             if U is not None:
                 ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2
                 phis.append(np.full(U.shape[1], ec2))

@@ -11,10 +11,11 @@ sampler. Here the same config compiles to a sample-parallel plan:
 
 Kernel-compiled signal families: any number of red-noise GP terms
 (spin_noise achromatic, dm_noise nu^-2, chromred nu^-idx; powerlaw /
-turnover / broken-powerlaw PSDs) + EFAC/EQUAD white noise (sampled or bound
-constants) + ECORR epoch blocks. Selection-scoped terms (system_noise /
-ppta_band_noise) and BayesEphem are registry-described but not yet
-kernel-compiled — they follow the same basis-augmentation path.
+turnover / broken-powerlaw PSDs), selection-scoped terms (system_noise per
+listed system, ppta_band_noise per band — basis masked to the selection with
+per-selection Tspan), EFAC/EQUAD white noise (global or per-backend sampled,
+or bound constants) and ECORR epoch blocks. BayesEphem (F13) remains
+spec-only, per SURVEY §2.6.
 """
 
 from __future__ import annotations
@@ -45,32 +46,75 @@ RED_CHROM_IDX = {"spin_noise": 0.0, "dm_noise": 2.0, "chromred": 4.0}
 KERNEL_PSDS = {"powerlaw", "turnover", "broken_powerlaw"}
 
 
+# selection-scoped red signals -> the residuals column their flag keys map to
+SELECTION_COLS = {"system_noise": "backend", "ppta_band_noise": "band"}
+
+
 def compile_model(
     model_rows: list[dict],
     fixed: dict[str, float] | None = None,
     default_nfreqs: int = 20,
+    backends: list[str] | None = None,
 ) -> tuple[list[Prior], tuple[RedComponent, ...]]:
     """Normalized model rows -> (priors to sample, kernel components).
 
     Fixed constants (O2: prior<0 => value bound from noise files,
-    enterprise_warp.py:544-548,561-581) become constant priors.
+    enterprise_warp.py:544-548,561-581) become constant priors. With
+    ``backends`` given, 'by_backend' white noise samples one efac/equad PER
+    BACKEND (the reference's default selection); selection-scoped red terms
+    (system_noise/ppta_band_noise) become one component per listed system
+    (sys_noise_count semantics, enterprise_models.py:92-95,616-683).
     """
     fixed = fixed or {}
     priors: dict[str, Prior] = {}
     comps: list[RedComponent] = []
+
+    def add_white(p, base_name: str) -> None:
+        if (
+            backends
+            and isinstance(p_selection, str)
+            and p_selection == "by_backend"
+        ):
+            names = [f"{base_name}_{b}" for b in backends]
+        else:
+            names = [base_name]
+        for name in names:
+            if name not in priors:
+                priors[name] = (
+                    Prior(name, "constant", fixed[name])
+                    if name in fixed
+                    else Prior(name, p.kind, p.a, p.b)
+                )
+
     for row in model_rows:
         spec = build_signal(row["signal"], json.loads(row["option_json"]))
         specs = [spec, *spec.components]
         for s in specs:
+            p_selection = s.selection
             if s.kind == "white" or s.signal in ("efac", "equad", "ecorr", "measurement_noise"):
                 for p in s.priors:
                     name = WHITE_MAP.get(p.name)
-                    if name and name not in priors:
-                        priors[name] = (
-                            Prior(name, "constant", fixed[name])
-                            if name in fixed
-                            else Prior(name, p.kind, p.a, p.b)
+                    if name:
+                        add_white(p, name)
+            elif s.kind == "red" and row["signal"] in SELECTION_COLS:
+                sel_col = SELECTION_COLS[row["signal"]]
+                values = next(iter(s.selection.values())) if isinstance(s.selection, dict) else [s.selection]
+                for val in values:
+                    cname = f"{row['signal']}_{val}"
+                    comps.append(
+                        RedComponent(
+                            name=cname,
+                            psd="powerlaw",
+                            nfreqs=s.nfreqs or default_nfreqs,
+                            sel_col=sel_col,
+                            sel_values=(val,),
                         )
+                    )
+                    for suffix, key in (("log10_A", None), ("gamma", None)):
+                        pname = f"{cname}_{suffix}"
+                        ref = s.priors[0] if suffix == "log10_A" else s.priors[1]
+                        if pname not in priors:
+                            priors[pname] = Prior(pname, ref.kind, ref.a, ref.b)
             elif s.kind == "red" and row["signal"] in RED_CHROM_IDX:
                 psd = s.psd if s.psd in KERNEL_PSDS else "powerlaw"
                 if s.psd == "free_spectrum":
@@ -97,13 +141,15 @@ def run_inference(
     nfreqs: int = 20,
     seed: int = 42,
     fixed: dict[str, float] | None = None,
+    backends: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (samples_with_lnl, posterior_summary_row).
 
     residuals: (psr, toa_s, residual_s, toa_err_s, efac, equad
-    [, epoch_id][, freq_mhz]). model_rows: normalized noise-model rows.
+    [, epoch_id][, freq_mhz][, backend][, band]). model_rows: normalized
+    noise-model rows; backends enables per-backend 'by_backend' white noise.
     """
-    priors, comps = compile_priors_and_components(model_rows, fixed, nfreqs)
+    priors, comps = compile_priors_and_components(model_rows, fixed, nfreqs, backends)
     samples_df = sample_priors(spark, priors, n_samples, seed)
     samples_pd: pd.DataFrame = samples_df.toPandas()
     lnl = total_loglik(
@@ -119,8 +165,9 @@ def compile_priors_and_components(
     model_rows: list[dict],
     fixed: dict[str, float] | None = None,
     default_nfreqs: int = 20,
+    backends: list[str] | None = None,
 ) -> tuple[list[Prior], tuple[RedComponent, ...]]:
-    priors, comps = compile_model(model_rows, fixed, default_nfreqs)
+    priors, comps = compile_model(model_rows, fixed, default_nfreqs, backends)
     if not comps:
         # minimal model: one achromatic powerlaw process (bare names)
         names = {p.name for p in priors}

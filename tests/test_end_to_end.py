@@ -209,3 +209,99 @@ def test_run_inference_spin_plus_dm(spark, injected):
     row = summary.first()
     assert abs(row["spin_noise_log10_A_map"] - (-13.2)) < 1.0
     assert "dm_noise_log10_A_map" in row.asDict()
+
+
+def test_selection_scoped_and_per_backend_kernel(spark):
+    """system_noise scoped to one backend + per-backend sampled efac must
+    match the dense oracle built by hand."""
+    import pandas as pd
+
+    from enterprise_warp_spark.likelihood.gp import (
+        RedComponent,
+        dense_lnlike_reference,
+        gp_loglik_per_pulsar,
+        powerlaw_phi,
+    )
+
+    rng = np.random.default_rng(41)
+    n, T = 100, 6 * 365.25 * 86400
+    t = np.sort(rng.uniform(0, T, n))
+    sig = np.full(n, 1e-6)
+    r = rng.normal(0, 2e-6, n)
+    backend = np.where(np.arange(n) % 3 == 0, "PDFB_40CM", "PDFB_20CM")
+    df = spark.createDataFrame(
+        [
+            ("J1", float(a), float(b), float(c), 1.0, 0.0, str(be))
+            for a, b, c, be in zip(t, r, sig, backend)
+        ],
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, backend string",
+    )
+    comps = (
+        RedComponent(name="spin_noise", nfreqs=5),
+        RedComponent(
+            name="system_noise_PDFB_40CM",
+            nfreqs=4,
+            sel_col="backend",
+            sel_values=("PDFB_40CM",),
+        ),
+    )
+    samples = pd.DataFrame(
+        {
+            "sample_id": [0],
+            "spin_noise_log10_A": [-13.0],
+            "spin_noise_gamma": [4.0],
+            "system_noise_PDFB_40CM_log10_A": [-13.5],
+            "system_noise_PDFB_40CM_gamma": [3.0],
+            "efac_PDFB_40CM": [1.4],
+            "efac_PDFB_20CM": [0.9],
+        }
+    )
+    got = gp_loglik_per_pulsar(df, samples, components=comps).first()["lnl"]
+
+    # dense oracle
+    order = np.argsort(t)
+    ts, rs, ss, bes = t[order], r[order], sig[order], backend[order]
+    ef = np.where(bes == "PDFB_40CM", 1.4, 0.9)
+    nd = ef**2 * ss**2
+    Tspan = ts.max() - ts.min()
+    f1 = np.arange(1, 6) / Tspan
+    arg = 2 * math.pi * np.outer(ts, f1)
+    F1 = np.empty((n, 10)); F1[:, 0::2] = np.sin(arg); F1[:, 1::2] = np.cos(arg)
+    sel = bes == "PDFB_40CM"
+    Tsel = ts[sel].max() - ts[sel].min()
+    f2 = np.arange(1, 5) / Tsel
+    arg2 = 2 * math.pi * np.outer(ts, f2)
+    F2 = np.empty((n, 8)); F2[:, 0::2] = np.sin(arg2); F2[:, 1::2] = np.cos(arg2)
+    F2[~sel, :] = 0.0
+    phi1 = powerlaw_phi(np.repeat(f1, 2), np.full(10, 1 / Tspan), -13.0, 4.0)
+    phi2 = powerlaw_phi(np.repeat(f2, 2), np.full(8, 1 / Tsel), -13.5, 3.0)
+    want = dense_lnlike_reference(rs, nd, np.hstack([F1, F2]), np.concatenate([phi1, phi2]))
+    assert got == pytest.approx(want, rel=1e-10)
+
+
+def test_compile_by_backend_and_system_noise(spark):
+    """The reference's system_noise_example.json for J1832-0836 compiles to
+    per-system components and per-backend white-noise priors."""
+    from enterprise_warp_spark.likelihood.inference import (
+        compile_priors_and_components,
+    )
+    from enterprise_warp_spark.plans import normalize_noise_model, read_noise_model_json
+    from enterprise_warp_spark.plans.noisemodel import signals_for_pulsar
+
+    nm = read_noise_model_json(
+        "/root/reference/examples/example_noisemodels/system_noise_example.json"
+    )
+    rows = signals_for_pulsar(normalize_noise_model(nm), "J1832-0836")
+    backends = ["PDFB_10CM", "PDFB_20CM", "PDFB_40CM", "CASPSR_40CM"]
+    priors, comps = compile_priors_and_components(rows, backends=backends)
+    names = {p.name for p in priors}
+    # per-backend white noise (by_backend)
+    assert {f"efac_{b}" for b in backends} <= names
+    # one component per listed system + spin + dm
+    cnames = [c.name for c in comps]
+    assert "system_noise_PDFB_40CM" in cnames and "system_noise_CASPSR_40CM" in cnames
+    assert "ppta_band_noise_10CM" in cnames
+    assert "spin_noise" in cnames and "dm_noise" in cnames
+    sys_comp = next(c for c in comps if c.name == "system_noise_PDFB_40CM")
+    assert sys_comp.sel_col == "backend" and sys_comp.sel_values == ("PDFB_40CM",)
