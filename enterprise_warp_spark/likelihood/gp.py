@@ -248,6 +248,11 @@ def gp_loglik_per_pulsar(
                 nd = ef**2 * (sig**2 + eq**2)
             else:
                 nd = ndiag
+            if not np.all(np.asarray(nd) > 0):
+                # singular white noise (e.g. efac=0 at the prior edge):
+                # zero likelihood, not NaN
+                out[i] = -np.inf
+                continue
             phis = [c.phi(f2, d2, rec) for c, f2, d2 in zip(active, freqs2, dfs2)]
             if U is not None:
                 ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2

@@ -176,3 +176,31 @@ def compile_priors_and_components(
         if "gamma" not in names:
             priors.append(Prior("gamma", "uniform", 0.0, 10.0))
     return priors, comps
+
+
+def run_adaptive_inference(
+    spark: SparkSession,
+    residuals: DataFrame,
+    model_rows: list[dict],
+    rounds: int = 3,
+    n_per_round: int = 256,
+    nfreqs: int = 20,
+    seed: int = 42,
+    fixed: dict[str, float] | None = None,
+    backends: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """§3.1 with adaptive refinement: rounds of (sample -> score -> re-center)
+    recover higher-dimensional posteriors that one naive prior round cannot
+    (the reference's MCMC explores sequentially; this explores in parallel
+    waves). Deterministic given the seed."""
+    from enterprise_warp_spark.likelihood.sampling import adaptive_posterior
+
+    priors, comps = compile_priors_and_components(model_rows, fixed, nfreqs, backends)
+
+    def score(samples_df: DataFrame) -> DataFrame:
+        pdf = samples_df.toPandas()
+        return total_loglik(
+            gp_loglik_per_pulsar(residuals, pdf, nfreqs, components=comps or None)
+        )
+
+    return adaptive_posterior(spark, priors, score, rounds, n_per_round, seed)

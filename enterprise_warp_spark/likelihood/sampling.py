@@ -73,3 +73,80 @@ def posterior_summary(samples_lnl: DataFrame, param_cols: list[str]) -> DataFram
             F.max_by(F.col(c), F.col("lnl")).alias(f"{c}_map"),
         ]
     return weighted.agg(*aggs)
+
+
+def refined_samples(
+    spark: SparkSession,
+    priors: list[Prior],
+    centers: dict[str, float],
+    scales: dict[str, float],
+    n: int,
+    seed: int,
+) -> DataFrame:
+    """Gaussian proposal around `centers`, clipped to the prior box —
+    one adaptive-importance-sampling round (all rand/randn columns)."""
+    df = spark.range(n).withColumnRenamed("id", "sample_id")
+    for i, p in enumerate(priors):
+        if p.kind == "constant":
+            df = df.withColumn(p.name, F.lit(p.a))
+            continue
+        g = F.randn(seed + 1000 * i)
+        col = g * float(scales[p.name]) + float(centers[p.name])
+        if p.kind in ("uniform", "linearexp"):
+            col = F.greatest(F.lit(p.a), F.least(F.lit(p.b), col))
+        df = df.withColumn(p.name, col)
+    return df
+
+
+def adaptive_posterior(
+    spark: SparkSession,
+    priors: list[Prior],
+    score_fn,
+    rounds: int = 4,
+    n_per_round: int = 256,
+    seed: int = 42,
+    elite_frac: float = 0.2,
+):
+    """Cross-entropy-method posterior search: each round fits the Gaussian
+    proposal to the ELITE set (top lnl) of ALL samples scored so far, so a
+    lucky early sample is refined rather than lost and a mediocre first
+    round cannot trap the proposal (greedy weighted-moment refits measurably
+    did). Replaces the reference's sequential MCMC exploration with waves of
+    embarrassingly parallel scoring; deterministic given the seed.
+
+    score_fn(samples_df) -> DataFrame(sample_id, lnl).
+    Returns (all_scored_df, summary_row_df over the final elite-weighted set).
+    """
+    import numpy as _np
+    import pandas as _pd
+
+    def _np_isfinite(series):
+        return _np.isfinite(series.to_numpy())
+
+    sampled = [p for p in priors if p.kind != "constant"]
+    names = [p.name for p in sampled]
+    widths = {p.name: (p.b - p.a) if p.kind in ("uniform", "linearexp") else p.b
+              for p in sampled}
+    samples = sample_priors(spark, priors, n_per_round, seed)
+    seen: _pd.DataFrame | None = None
+    joined = None
+    n_elite = max(int(n_per_round * elite_frac), 12)
+    for rnd in range(rounds):
+        joined = score_fn(samples).join(samples, "sample_id")
+        part = joined.toPandas()
+        part = part[_np_isfinite(part["lnl"])]  # -inf/NaN scores carry no info
+        part["sample_id"] = part["sample_id"] + rnd * n_per_round
+        seen = part if seen is None else _pd.concat([seen, part], ignore_index=True)
+        if rnd == rounds - 1:
+            break
+        elites = seen.nlargest(n_elite, "lnl")
+        centers = {c: float(elites[c].mean()) for c in names}
+        scales = {
+            c: max(float(elites[c].std()), 0.02 * abs(widths[c])) for c in names
+        }
+        samples = refined_samples(
+            spark, priors, centers, scales, n_per_round, seed + 7919 * (rnd + 1)
+        )
+    all_scored = spark.createDataFrame(seen)
+    # guard exp() against overflow across rounds of very different lnl
+    return all_scored, posterior_summary(all_scored, names)

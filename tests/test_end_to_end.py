@@ -305,3 +305,36 @@ def test_compile_by_backend_and_system_noise(spark):
     assert "spin_noise" in cnames and "dm_noise" in cnames
     sys_comp = next(c for c in comps if c.name == "system_noise_PDFB_40CM")
     assert sys_comp.sel_col == "backend" and sys_comp.sel_values == ("PDFB_40CM",)
+
+
+def test_adaptive_inference_beats_naive_in_high_dim(spark, injected):
+    """6-dim model: adaptive rounds must localize the posterior better than
+    a single naive prior round with the same total sample budget."""
+    from enterprise_warp_spark.likelihood.inference import (
+        run_adaptive_inference,
+        run_inference,
+    )
+    from enterprise_warp_spark.plans.noisemodel import normalize_noise_model
+
+    rows = normalize_noise_model(
+        {
+            "model_name": "six",
+            "universal": {
+                "spin_noise": "powerlaw",
+                "dm_noise": "powerlaw_4_nfreqs",
+                "efac": "by_backend",
+                "equad": "by_backend",
+            },
+        }
+    )
+    with_freq = injected.withColumn("freq_mhz", (F.col("toa_s") % 2600.0) + 700.0)
+    _, naive = run_inference(
+        spark, with_freq, rows, n_samples=384, nfreqs=10, seed=21
+    )
+    _, adaptive = run_adaptive_inference(
+        spark, with_freq, rows, rounds=3, n_per_round=128, nfreqs=10, seed=21
+    )
+    err_naive = abs(naive.first()["spin_noise_log10_A_map"] - (-13.2))
+    err_adapt = abs(adaptive.first()["spin_noise_log10_A_map"] - (-13.2))
+    assert err_adapt < 1.0
+    assert err_adapt <= err_naive + 0.25  # same budget, no worse, usually better
