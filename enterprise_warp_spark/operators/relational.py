@@ -120,3 +120,24 @@ def allowlist_filter(df: DataFrame, allowed: Sequence[str], col: str = "psr") ->
 def drop_one(df: DataFrame, dropped: str, col: str = "psr") -> DataFrame:
     """P3 — leave-one-out (--drop/--num, enterprise_warp.py:38-40,413-415)."""
     return df.filter(F.col(col) != dropped)
+
+
+def classify_noise_param(param: Column | str) -> Column:
+    """P11 — route noise parameters by name substring into their category
+    (the when/rlike cascade of libstempo_warp.py:100-196): efac,
+    log10_equad, log10_ecorr, dm_gp_log10_A, dm_gp_gamma, red log10_A /
+    gamma, log10_P0 (Lorentzian), alpha, else 'other'."""
+    p = F.col(param) if isinstance(param, str) else param
+    low = F.lower(p)
+    return (
+        F.when(low.contains("efac"), "efac")
+        .when(low.contains("log10_equad"), "log10_equad")
+        .when(low.contains("log10_ecorr"), "log10_ecorr")
+        .when(p.contains("dm_gp_log10_A"), "dm_gp_log10_A")
+        .when(p.contains("dm_gp_gamma"), "dm_gp_gamma")
+        .when(p.endswith("_log10_A"), "log10_A")
+        .when(p.endswith("_gamma"), "gamma")
+        .when(p.contains("log10_P0"), "log10_P0")
+        .when(p.contains("alpha"), "alpha")
+        .otherwise("other")
+    )

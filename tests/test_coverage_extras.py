@@ -177,3 +177,48 @@ def test_multimodal_feature_extraction(spark):
     # frame sampling: stride-10 indices over 25 frames -> 0,10,20
     frames = frame_sample(media, 10).collect()
     assert [r["frame_idx"] for r in frames] == [0, 10, 20]
+
+
+def test_classify_noise_param(spark):
+    from enterprise_warp_spark.operators.relational import classify_noise_param
+
+    df = spark.createDataFrame(
+        [
+            ("J1832-0836_PDFB_20CM_efac",),
+            ("J1832-0836_PDFB_20CM_log10_equad",),
+            ("J1832-0836_basis_ecorr_log10_ecorr",),
+            ("J1832-0836_dm_gp_log10_A",),
+            ("J1832-0836_dm_gp_gamma",),
+            ("J1832-0836_log10_A",),
+            ("J1832-0836_gamma",),
+            ("J1832-0836_log10_P0",),
+            ("J1832-0836_alpha",),
+            ("nmodel",),
+        ],
+        "par string",
+    )
+    got = [r["cat"] for r in df.select(classify_noise_param("par").alias("cat")).collect()]
+    assert got == [
+        "efac", "log10_equad", "log10_ecorr", "dm_gp_log10_A", "dm_gp_gamma",
+        "log10_A", "gamma", "log10_P0", "alpha", "other",
+    ]
+
+
+def test_timestamped_chain_segments(spark, tmp_path):
+    """S6/X4 — timestamped segments chain_<14 digits>.txt concatenate in
+    name order (results.py:427-448, 481-489)."""
+    import numpy as np
+
+    from enterprise_warp_spark.sources.chains import read_chain
+
+    d = tmp_path / "run_seg"
+    d.mkdir()
+    m1 = np.column_stack([np.arange(10) * 1.0, np.zeros(10), np.zeros(10), np.zeros(10), np.ones(10)])
+    m2 = np.column_stack([np.arange(10, 25) * 1.0, np.zeros(15), np.zeros(15), np.zeros(15), np.ones(15)])
+    np.savetxt(d / "chain_20230101000000.txt", m1)
+    np.savetxt(d / "chain_20230202000000.txt", m2)
+    chain = read_chain(spark, str(d / "chain_*.txt"), run_id="seg")
+    rows = chain.orderBy("step").collect()
+    assert len(rows) == 25
+    # steps follow file-name order then row order: values[0] == step index
+    assert [int(r["values"][0]) for r in rows] == list(range(25))
