@@ -73,3 +73,20 @@ def save_snapshot(df: DataFrame, path: str, partition_by: str | None = "psr") ->
 
 def load_snapshot(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Write a bucketed+sorted table (hive-style layout): repeated joins or
+    aggregations on `key` then run WITHOUT a shuffle — both sides scan
+    co-located buckets. This is the 100 TB answer for fact-to-fact joins the
+    planner would otherwise sort-merge with two exchanges per query."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)

@@ -13,6 +13,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from enterprise_warp_spark.queries import REGISTRY
 
@@ -88,3 +89,24 @@ def test_gp_kernel_partitions_by_psr(spark):
     # one hash-partition exchange on psr feeding the Arrow kernel
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p
     assert "hashpartitioning(psr" in p
+
+
+def test_bucketed_join_has_no_exchange(spark, sf001, tmp_path):
+    """Bucketed fact tables join without a shuffle (co-located scan)."""
+    from enterprise_warp_spark.tables import table, write_bucketed
+
+    li = table(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
+    orders = table(spark, sf001, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", "l_orderkey", 8, str(tmp_path / "li_b"))
+    write_bucketed(orders, "o_b", "o_orderkey", 8, str(tmp_path / "o_b"))
+    joined = spark.table("li_b").join(
+        spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    p = plan(joined)
+    # no shuffle on either side of the join
+    assert "Exchange hashpartitioning" not in p
+    # and it computes the same thing as the shuffle join
+    shuffled = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    assert joined.count() == shuffled.count()
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
