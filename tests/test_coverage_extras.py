@@ -222,3 +222,67 @@ def test_timestamped_chain_segments(spark, tmp_path):
     assert len(rows) == 25
     # steps follow file-name order then row order: values[0] == step index
     assert [int(r["values"][0]) for r in rows] == list(range(25))
+
+
+def test_global_rank_and_scalable_ntile(spark):
+    """Distributed ranking must equal the single-partition window exactly."""
+    from pyspark.sql import Window
+
+    from enterprise_warp_spark.operators.binning import ntile_bins
+    from enterprise_warp_spark.operators.ranking import global_rank, ntile_bins_scalable
+    from enterprise_warp_spark.tables import table
+
+    orders = table(spark, "/root/testdata/sf0.01", "orders")
+    got = global_rank(orders, ["o_totalprice", "o_orderkey"], "rank")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = orders.withColumn("rank", F.row_number().over(w))
+    assert got.select("o_orderkey", "rank").exceptAll(
+        want.select("o_orderkey", "rank")
+    ).count() == 0
+
+    a = {r["bin"]: r["n"] for r in ntile_bins_scalable(
+        orders, ["o_totalprice", "o_orderkey"], 8
+    ).collect()}
+    b = {r["bin"]: r["n"] for r in ntile_bins(
+        orders, ["o_totalprice", "o_orderkey"], 8
+    ).collect()}
+    assert a == b
+
+
+def test_stateful_running_user_stats(spark, sf_dir):
+    from enterprise_warp_spark.streaming import stream_events
+    from enterprise_warp_spark.streaming.stateful import running_user_stats
+
+    stream = stream_events(spark, sf_dir).select("user_id", "ts_us", "value")
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r
+        for r in spark.sql(
+            "select * from stateful_test"
+        ).collect()
+    }
+    # batch oracle
+    from enterprise_warp_spark.tables import table
+
+    want = {
+        r["user_id"]: r
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("mean_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid]["n_events"] == want[uid]["n_events"]
+        assert got[uid]["mean_value"] == pytest.approx(want[uid]["mean_value"], rel=1e-9)
