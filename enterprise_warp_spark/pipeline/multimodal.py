@@ -117,3 +117,29 @@ def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
             F.expr(f"sequence(0, greatest(coalesce(n_frames, 1) - 1, 0), {every_k})")
         ).alias("frame_idx"),
     )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing (mapInPandas, partition-preserving): emits the
+    resized payload + updated dimensions. The pixel operation itself is the
+    stubbed decode step (no image libraries in this container) — a real
+    deployment swaps `_resize_stub` for PIL's Image.resize and nothing else
+    changes."""
+
+    def _resize_stub(payload: bytes) -> bytes:
+        if payload is None:
+            raise NotImplementedError("missing payload; real decoder required")
+        return payload  # deterministic passthrough marker
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[pdf["kind"] == "image"].copy()
+            out["payload"] = out["payload"].map(_resize_stub)
+            out["width"] = width
+            out["height"] = height
+            yield out[["media_id", "kind", "payload", "mime", "width", "height"]]
+
+    return media.mapInPandas(
+        kernel,
+        "media_id long, kind string, payload binary, mime string, width int, height int",
+    )

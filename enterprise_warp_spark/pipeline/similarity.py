@@ -121,3 +121,34 @@ def bucketed_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from the hyperplane
+    bucket equi-join (coarse buckets for recall), verified by exact cosine
+    against the threshold. The dedup counterpart of bucketed_topk."""
+    n = _with_norm_sq(emb, emb_col).withColumn(
+        "bucket", F.expr(hyperplane_bucket(emb_col, n_planes))
+    )
+    a = n.select(
+        F.col(id_col).alias("vec_a"), F.col(emb_col).alias("q_emb"),
+        F.col("nsq").alias("q_nsq"), "bucket",
+    )
+    b = n.select(
+        F.col(id_col).alias("vec_b"), F.col(emb_col).alias("c_emb"),
+        F.col("nsq").alias("c_nsq"), "bucket",
+    )
+    dot = DOT.format(a="q_emb", b="c_emb")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(F.expr(f"{dot} / sqrt(q_nsq * c_nsq)"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

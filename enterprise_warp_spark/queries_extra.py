@@ -195,3 +195,74 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS semi-join + group count.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT ROUND(
+      ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(1-l_discount AS DECIMAL(8,6))
+            ELSE CAST(0 AS DECIMAL(19,2)) END) AS DOUBLE), 2) * 100 /
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(1-l_discount AS DECIMAL(8,6))) AS DOUBLE), 2),
+      6) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+    doc="TPC-H Q14 shape: conditional aggregation share over a join.",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DecimalType(19, 2)) * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast(DecimalType(8, 6))
+    zero = F.lit(0).cast(DecimalType(19, 2))
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double"), 2
+            )
+            * 100
+            / F.round(F.sum(rev).cast("double"), 2),
+            6,
+        ).alias("promo_share")
+    )

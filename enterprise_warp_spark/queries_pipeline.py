@@ -333,3 +333,29 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.pipeline.multimodal import binary_meta
 
     return binary_meta(table(spark, sf_dir, "documents"))
+
+
+_D_BUCKET2 = (
+    "CAST(list_sum(list_transform(range(0, 2), p -> "
+    f"CASE WHEN {_D_PLANE_DOT} > 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH n AS (SELECT vec_id, embedding,
+                      {_D_DOT.format(a="embedding", b="embedding")} AS nsq,
+                      {_D_BUCKET2} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_D_DOT.format(a="a.embedding", b="b.embedding")} / SQRT(a.nsq * b.nsq), 6) AS cosine
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND({_D_DOT.format(a="a.embedding", b="b.embedding")} / SQRT(a.nsq * b.nsq), 6) >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs: hyperplane-bucket candidates + cosine threshold.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=2
+    )

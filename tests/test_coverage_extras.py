@@ -286,3 +286,16 @@ def test_stateful_running_user_stats(spark, sf_dir):
     for uid in want:
         assert got[uid]["n_events"] == want[uid]["n_events"]
         assert got[uid]["mean_value"] == pytest.approx(want[uid]["mean_value"], rel=1e-9)
+
+
+def test_multimodal_resize(spark):
+    from enterprise_warp_spark.pipeline.multimodal import MEDIA_SCHEMA, resize_images
+
+    rows = [
+        (1, "image", b"img-bytes", "image/png", 320, 200, None, None),
+        (2, "audio", b"wav-bytes", "audio/wav", None, None, 16000, None),
+    ]
+    out = resize_images(spark.createDataFrame(rows, MEDIA_SCHEMA), 64, 64).collect()
+    assert len(out) == 1  # audio rows pass through untouched (filtered)
+    assert out[0]["width"] == 64 and out[0]["height"] == 64
+    assert out[0]["payload"] == b"img-bytes"
