@@ -1,0 +1,89 @@
+"""End-to-end corpus curation — the composed training-data pipeline:
+
+    quality gate (text.quality_scores thresholds)
+      -> language filter (text.langid)
+      -> staged dedup: exact groups -> MinHash-LSH candidates
+         -> exact n-gram Jaccard verification of candidates
+      -> keep-list + per-stage accounting
+
+Every stage is one of the already-tested operators; the composition adds
+only filters and anti-joins, so the whole pipeline stays shuffle-bounded:
+one doc-keyed aggregate per dedup stage plus the band-key candidate join.
+At 100 TB this runs as a single lazy plan per stage with no driver-side
+loops; the stage counts are the only collected values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.pipeline import dedup, text
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    min_tokens: int = 20
+    min_stopword_ratio: float = 0.0
+    keep_langs: tuple[str, ...] = ()  # empty = all predicted languages
+    jaccard_threshold: float = 0.6
+
+
+def curate_corpus(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> dict[str, DataFrame]:
+    """-> {'kept', 'dropped_quality', 'dropped_lang', 'dropped_dup', 'stats'}."""
+    scored = text.quality_scores(docs).join(
+        text.langid(docs).select("doc_id", "predicted"), "doc_id"
+    )
+    quality_ok = scored.filter(
+        (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("stopword_ratio") >= cfg.min_stopword_ratio)
+    )
+    lang_ok = (
+        quality_ok.filter(F.col("predicted").isin(list(cfg.keep_langs)))
+        if cfg.keep_langs
+        else quality_ok
+    )
+    surviving = docs.join(lang_ok.select("doc_id"), "doc_id", "left_semi")
+
+    # stage 1: exact dedup on the full-token normalization key
+    key = f"concat_ws(' ', {text.TOKENS.format(s='text')})"
+    exact = dedup.exact_groups(surviving, key)
+    exact_losers = (
+        surviving.select("doc_id")
+        .join(exact.select(F.col("keeper").alias("doc_id")), "doc_id", "left_anti")
+    )
+    after_exact = surviving.join(exact_losers, "doc_id", "left_anti")
+
+    # stage 2: MinHash-LSH candidates -> exact Jaccard verification
+    candidates = dedup.lsh_candidate_pairs(dedup.minhash_bands(after_exact))
+    verified = (
+        dedup.ngram_jaccard_pairs(after_exact)
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .filter(F.col("jaccard") >= cfg.jaccard_threshold)
+    )
+    near_losers = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = after_exact.join(near_losers, "doc_id", "left_anti")
+
+    dropped_quality = docs.join(quality_ok.select("doc_id"), "doc_id", "left_anti")
+    dropped_lang = (
+        docs.join(quality_ok.select("doc_id"), "doc_id", "left_semi")
+        .join(lang_ok.select("doc_id"), "doc_id", "left_anti")
+    )
+    dropped_dup = surviving.join(kept.select("doc_id"), "doc_id", "left_anti")
+
+    stats = (
+        docs.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+        .crossJoin(dropped_quality.agg(F.count(F.lit(1)).alias("n_dropped_quality")))
+        .crossJoin(dropped_lang.agg(F.count(F.lit(1)).alias("n_dropped_lang")))
+        .crossJoin(dropped_dup.agg(F.count(F.lit(1)).alias("n_dropped_dup")))
+    )
+    return {
+        "kept": kept,
+        "dropped_quality": dropped_quality,
+        "dropped_lang": dropped_lang,
+        "dropped_dup": dropped_dup,
+        "stats": stats,
+    }

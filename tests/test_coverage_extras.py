@@ -299,3 +299,29 @@ def test_multimodal_resize(spark):
     assert len(out) == 1  # audio rows pass through untouched (filtered)
     assert out[0]["width"] == 64 and out[0]["height"] == 64
     assert out[0]["payload"] == b"img-bytes"
+
+
+def test_curate_corpus(spark, sf_dir):
+    from enterprise_warp_spark.pipeline.curate import CurationConfig, curate_corpus
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    # inject two exact duplicates and one near-duplicate of doc 0
+    base = docs.filter("doc_id = 0").first()
+    extra = spark.createDataFrame(
+        [
+            (100001, base["text"], base["lang"], "dup_src", base["n_chars"]),
+            (100002, base["text"], base["lang"], "dup_src", base["n_chars"]),
+            (100003, base["text"] + " tail tweak", base["lang"], "dup_src", base["n_chars"] + 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = curate_corpus(docs.unionByName(extra), CurationConfig(min_tokens=5))
+    stats = out["stats"].first()
+    assert stats["n_input"] == docs.count() + 3
+    assert stats["n_kept"] + stats["n_dropped_quality"] + stats["n_dropped_lang"] + stats["n_dropped_dup"] == stats["n_input"]
+    kept_ids = {r["doc_id"] for r in out["kept"].select("doc_id").collect()}
+    # original doc 0 survives; its exact copies and the near-dup are dropped
+    assert 0 in kept_ids
+    assert {100001, 100002, 100003}.isdisjoint(kept_ids)
+    assert stats["n_dropped_dup"] >= 3
