@@ -24,4 +24,32 @@ Layout:
 __version__ = "0.1.0"
 
 from enterprise_warp_spark.session import get_spark  # noqa: F401
-from enterprise_warp_spark.tables import load_tables  # noqa: F401
+from enterprise_warp_spark.tables import load_tables, save_snapshot, write_bucketed  # noqa: F401
+
+
+def run_inference(*args, **kwargs):
+    """§3.1 entry point (lazy import; see likelihood.inference)."""
+    from enterprise_warp_spark.likelihood.inference import run_inference as fn
+
+    return fn(*args, **kwargs)
+
+
+def run_adaptive_inference(*args, **kwargs):
+    """§3.1 with CEM refinement (lazy import)."""
+    from enterprise_warp_spark.likelihood.inference import run_adaptive_inference as fn
+
+    return fn(*args, **kwargs)
+
+
+def run_results_pipeline(*args, **kwargs):
+    """§3.2 entry point (lazy import; see analytics.results_pipeline)."""
+    from enterprise_warp_spark.analytics.results_pipeline import run_results_pipeline as fn
+
+    return fn(*args, **kwargs)
+
+
+def curate_corpus(*args, **kwargs):
+    """Training-data curation pipeline (lazy import; see pipeline.curate)."""
+    from enterprise_warp_spark.pipeline.curate import curate_corpus as fn
+
+    return fn(*args, **kwargs)

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): parser round-trips and operator
+invariants under generated inputs. Few examples per property — each drives a
+real Spark job."""
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORD = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+FLAGKEY = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6)
+FLAGVAL = st.text(alphabet=string.ascii_letters + string.digits + "_", min_size=1, max_size=10)
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            WORD,  # src
+            st.floats(600, 3600, allow_nan=False),  # freq
+            st.integers(50000, 59999),  # mjd int part
+            st.integers(0, 10**19 - 1),  # mjd frac digits
+            st.floats(0.1, 99.0, allow_nan=False),  # err
+            st.dictionaries(FLAGKEY, FLAGVAL, min_size=0, max_size=4),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SLOW
+def test_tim_parser_roundtrip(spark, tmp_path_factory, rows):
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.sources.tim import read_tim
+
+    d = tmp_path_factory.mktemp("timprop")
+    lines = ["FORMAT 1"]
+    for src, freq, mjd_i, mjd_f, err, flags in rows:
+        mjd = f"{mjd_i}.{mjd_f:019d}"
+        flagstr = " ".join(f"-{k} {v}" for k, v in flags.items())
+        lines.append(f" {src} {freq:.8f} {mjd} {err:.5f} obs {flagstr}".rstrip())
+    lines.append("C commented-out-row 1400.0 55000.0 1.0 obs")
+    path = d / "PROP+0001.tim"
+    path.write_text("\n".join(lines) + "\n")
+
+    toas = read_tim(spark, str(path)).orderBy("toa_mjd_str").collect()
+    assert len(toas) == len(rows)  # header + C-rows dropped
+    parsed = {(r["src"], r["toa_mjd_str"]): r for r in toas}
+    for src, freq, mjd_i, mjd_f, err, flags in rows:
+        mjd = f"{mjd_i}.{mjd_f:019d}"
+        r = parsed[(src, mjd)]
+        assert abs(r["freq_mhz"] - freq) < 1e-6
+        assert dict(r["flags"]) == flags
+        # DECIMAL(27,19) preserves all 19 fractional digits
+        assert f"{r['toa_mjd']:.19f}" == mjd
+
+
+@given(
+    entries=st.dictionaries(
+        st.text(alphabet=string.ascii_uppercase, min_size=1, max_size=8),
+        st.floats(-1e6, 1e6, allow_nan=False).map(lambda v: round(v, 6)),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SLOW
+def test_paramfile_numeric_roundtrip(spark, entries):
+    from enterprise_warp_spark.plans import parse_paramfile
+
+    text = "\n".join(f"{k}: {v}" for k, v in entries.items())
+    p = parse_paramfile(text + "\n")
+    for k, v in entries.items():
+        assert p.values[k] == v
+
+
+@given(texts=st.lists(st.lists(WORD, min_size=1, max_size=30).map(" ".join), min_size=1, max_size=15))
+@SLOW
+def test_exact_dedup_invariants(spark, texts):
+    from enterprise_warp_spark.pipeline.dedup import exact_groups
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    groups = exact_groups(docs, "text").collect()
+    # counts partition the corpus; keepers are group minima and distinct
+    assert sum(r["n"] for r in groups) == len(texts)
+    keepers = [r["keeper"] for r in groups]
+    assert len(set(keepers)) == len(keepers)
+    assert len(groups) == len(set(texts))
