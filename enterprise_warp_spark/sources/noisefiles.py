@@ -37,3 +37,26 @@ def filter_for_pulsars(noise: DataFrame, pulsars: DataFrame) -> DataFrame:
         F.broadcast(pulsars.select("psr").distinct().withColumnRenamed("psr", "want")),
         F.col("path").contains(F.col("want")) | (F.col("psr") == F.col("want")),
     ).drop("want")
+
+
+def white_noise_constants(noise: DataFrame, psr: str) -> dict[str, float]:
+    """O2/F16 — turn PAL2 noise-file rows into the kernel's `fixed` dict:
+    '<PSR>_<BACKEND>_efac' -> efac_<BACKEND>, '..._log10_equad' ->
+    log10_equad_<BACKEND> (kept in log space; the kernel applies 10**x,
+    mirroring readconstpar's transform at enterprise_warp.py:571-581).
+    Driver-side collect: noise files are tiny constants stores."""
+    out: dict[str, float] = {}
+    for row in noise.filter(F.col("psr") == psr).collect():
+        key, value = row["key"], row["value"]
+        rest = key[len(psr) + 1 :] if key.startswith(psr + "_") else key
+        for suffix, kernel_name in (
+            ("_log10_equad", "log10_equad"),
+            ("_log10_ecorr", "log10_ecorr"),
+            ("_efac", "efac"),
+        ):
+            if rest.endswith(suffix):
+                backend = rest[: -len(suffix)]
+                name = f"{kernel_name}_{backend}" if backend else kernel_name
+                out[name] = float(value)
+                break
+    return out

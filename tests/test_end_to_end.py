@@ -338,3 +338,48 @@ def test_adaptive_inference_beats_naive_in_high_dim(spark, injected):
     err_adapt = abs(adaptive.first()["spin_noise_log10_A_map"] - (-13.2))
     assert err_adapt < 1.0
     assert err_adapt <= err_naive + 0.25  # same budget, no worse, usually better
+
+
+def test_full_config_loop_with_noise_file_constants(spark):
+    """The complete §3.1 config loop on REAL reference artifacts: paramfile
+    (efac: -1 => fixed) -> noise model JSON -> golden noise file constants ->
+    per-backend-fixed inference plan."""
+    from enterprise_warp_spark.likelihood.inference import (
+        compile_priors_and_components,
+    )
+    from enterprise_warp_spark.plans import (
+        normalize_noise_model,
+        parse_paramfile,
+        read_noise_model_json,
+    )
+    from enterprise_warp_spark.plans.noisemodel import signals_for_pulsar
+    from enterprise_warp_spark.sources.noisefiles import (
+        read_noise_files,
+        white_noise_constants,
+    )
+
+    p = parse_paramfile(
+        "/root/reference/examples/example_params/system_noise_example.dat"
+    )
+    assert p.fixed_params() == {"efac": True, "equad": True}
+    nm = read_noise_model_json(
+        "/root/reference/examples/example_noisemodels/"
+        + p.models[0].values["noise_model_file"].split("/")[-1]
+    )
+    rows = signals_for_pulsar(normalize_noise_model(nm), "J1832-0836")
+    noise = read_noise_files(
+        spark, "/root/reference/examples/example_noisefiles/J1832-0836_noise.json"
+    )
+    fixed = white_noise_constants(noise, "J1832-0836")
+    # golden values land on the right kernel names
+    assert fixed["efac_CASPSR_40CM"] == pytest.approx(1.0073561516481144)
+    assert fixed["log10_equad_PDFB_10CM"] == pytest.approx(-6.2326037554799)
+    backends = ["CASPSR_40CM", "PDFB_10CM", "PDFB_20CM", "PDFB_40CM"]
+    priors, comps = compile_priors_and_components(rows, fixed=fixed, backends=backends)
+    by_name = {pr.name: pr for pr in priors}
+    # every per-backend white-noise prior is a bound constant now
+    for b in backends:
+        assert by_name[f"efac_{b}"].kind == "constant"
+        assert by_name[f"log10_equad_{b}"].kind == "constant"
+    # red-noise priors still sampled
+    assert by_name["spin_noise_log10_A"].kind == "uniform"
