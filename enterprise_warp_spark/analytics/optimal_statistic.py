@@ -69,11 +69,16 @@ def per_pulsar_reduction(residuals: DataFrame, nfreqs: int, tspan_s: float) -> D
                 "u": [u.tolist()],
                 "s": [S.ravel().tolist()],
                 "f": [np.repeat(f, 2).tolist()],
+                "rtn_r": [float(r @ (r / ndiag))],
+                "logdet_n": [float(np.sum(np.log(ndiag)))],
+                "n_toa": [int(len(r))],
             }
         )
 
     return residuals.groupBy("psr").applyInPandas(
-        kernel, "psr string, u array<double>, s array<double>, f array<double>"
+        kernel,
+        "psr string, u array<double>, s array<double>, f array<double>, "
+        "rtn_r double, logdet_n double, n_toa long",
     )
 
 
