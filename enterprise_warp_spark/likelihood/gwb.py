@@ -53,11 +53,18 @@ def gwb_loglik(
     samples: DataFrame,
     tspan_s: float,
     orf: str = "hd",
+    intrinsic: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """-> (sample_id, lnl) for a GWB with spatial correlations.
 
     reduced: per_pulsar_reduction output (common basis, ARRAY Tspan).
     samples: DataFrame with (sample_id, gw_log10_A, gw_gamma).
+    intrinsic: optional per-pulsar FIXED red noise {psr: (log10_A, gamma)} —
+    the reference's GWB-search workflow holds single-pulsar noise at its
+    posterior values (noise files, results.py:791-803); it adds to the
+    DIAGONAL pulsar blocks of Phi, which therefore loses its pure Kronecker
+    form — Phi is built densely (it is only (2k*npsr)^2, tiny next to the
+    TOA data).
     """
     rows = reduced.join(positions, "psr").orderBy("psr").collect()
     psrs = [r["psr"] for r in rows]
@@ -85,6 +92,15 @@ def gwb_loglik(
     sign, logdet_gamma = np.linalg.slogdet(gamma_m)
     assert sign > 0, "ORF matrix must be positive definite"
 
+    intr = None
+    if intrinsic:
+        from enterprise_warp_spark.likelihood.gp import powerlaw_phi
+
+        intr = []
+        for p in psrs:
+            lga, gam = intrinsic[p]
+            intr.append(powerlaw_phi(f2, np.full(len(f2), 1.0 / tspan_s), lga, gam))
+
     x = np.concatenate(us)
     S_block = np.zeros((npsr * twok, npsr * twok))
     for p, S in enumerate(Ss):
@@ -103,14 +119,25 @@ def gwb_loglik(
                     * (f2 / FYR) ** (-float(rec.gw_gamma))
                     * df
                 )
-                sigma = np.kron(gamma_inv, np.diag(1.0 / phi)) + S_block
+                if intr is None:
+                    phi_inv = np.kron(gamma_inv, np.diag(1.0 / phi))
+                    logdet_phi = twok * logdet_gamma + npsr * float(np.sum(np.log(phi)))
+                else:
+                    # dense Phi: Kronecker GWB + intrinsic diagonal blocks
+                    Phi = np.kron(gamma_m, np.diag(phi))
+                    for p in range(npsr):
+                        Phi[p * twok : (p + 1) * twok, p * twok : (p + 1) * twok] += np.diag(intr[p])
+                    cphi = np.linalg.cholesky(Phi)
+                    logdet_phi = 2.0 * float(np.sum(np.log(np.diag(cphi))))
+                    eye = np.eye(npsr * twok)
+                    phi_inv = np.linalg.solve(cphi.T, np.linalg.solve(cphi, eye))
+                sigma = phi_inv + S_block
                 try:
                     cf = np.linalg.cholesky(sigma)
                 except np.linalg.LinAlgError:
                     jit = 1e-12 * float(np.max(np.diag(sigma)))
                     cf = np.linalg.cholesky(sigma + jit * np.eye(sigma.shape[0]))
                 y = np.linalg.solve(cf, x)
-                logdet_phi = twok * logdet_gamma + npsr * float(np.sum(np.log(phi)))
                 logdet_sigma = 2.0 * float(np.sum(np.log(np.diag(cf))))
                 lnl = -0.5 * (
                     rtn

@@ -93,3 +93,49 @@ def test_gwb_inject_recover(spark):
     best = max(lnl, key=lnl.get)
     best_lga = grid[best][1]
     assert abs(best_lga - (-13.0)) <= 0.5
+
+
+def test_gwb_with_intrinsic_noise_matches_dense(spark):
+    """GWB + per-pulsar FIXED intrinsic red noise (the reference's GWB-search
+    configuration) vs the dense oracle with both terms."""
+    res, posdf, toas, posd = _setup(spark, seed=7)
+    red = per_pulsar_reduction(res, NFREQ, TSPAN)
+    intrinsic = {
+        f"J{p:04d}+0000": (-13.6 - 0.1 * p, 3.0 + 0.3 * p) for p in range(NPSR)
+    }
+    samples = spark.createDataFrame(
+        [(0, -13.8, 13.0 / 3.0)], "sample_id long, gw_log10_A double, gw_gamma double"
+    )
+    got = gwb_loglik(red, posdf, samples, TSPAN, intrinsic=intrinsic).first()["lnl"]
+
+    # dense oracle: full HD covariance + per-pulsar intrinsic blocks
+    from enterprise_warp_spark.likelihood.gp import FYR, powerlaw_phi
+
+    psrs = sorted(toas)
+    f = np.arange(1, NFREQ + 1) / TSPAN
+    f2 = np.repeat(f, 2)
+    a2 = 10.0 ** (2 * -13.8)
+    phi_gw = a2 / (12 * math.pi**2) * FYR**-3 * (f2 / FYR) ** (-13.0 / 3.0) / TSPAN
+    posm = np.array([posd[p] for p in psrs])
+    gm = hd_matrix(posm)
+    r = np.concatenate([toas[p][1] for p in psrs])
+    nd = np.concatenate([toas[p][2] ** 2 for p in psrs])
+    Fs = []
+    for p in psrs:
+        t = toas[p][0]
+        arg = 2 * math.pi * np.outer(t, f)
+        Fm = np.empty((len(t), 2 * NFREQ))
+        Fm[:, 0::2] = np.sin(arg)
+        Fm[:, 1::2] = np.cos(arg)
+        Fs.append(Fm)
+    C = np.diag(nd)
+    offs = np.cumsum([0] + [len(toas[p][0]) for p in psrs])
+    for a in range(NPSR):
+        for b in range(NPSR):
+            C[offs[a]:offs[a+1], offs[b]:offs[b+1]] += Fs[a] @ np.diag(gm[a, b] * phi_gw) @ Fs[b].T
+        lga, gam = intrinsic[psrs[a]]
+        phi_int = powerlaw_phi(f2, np.full(2 * NFREQ, 1 / TSPAN), lga, gam)
+        C[offs[a]:offs[a+1], offs[a]:offs[a+1]] += Fs[a] @ np.diag(phi_int) @ Fs[a].T
+    sign, logdet = np.linalg.slogdet(C)
+    want = -0.5 * (float(r @ np.linalg.solve(C, r)) + logdet + len(r) * math.log(2 * math.pi))
+    assert got == pytest.approx(want, rel=1e-9)
