@@ -212,6 +212,16 @@ def ngram_jaccard_pairs(
         "doc_id", *block_cols, "len_bucket", "n_grams", F.explode("grams").alias("gram")
     )
     keys = [*block_cols, "len_bucket", "gram"]
+    # ~86% of gram keys are unique within their block (measured at sf0.1) and
+    # contribute zero pairs — drop them before the self-join. The window
+    # shuffles on the same key the join needs, so no extra exchange shape.
+    from pyspark.sql import Window
+
+    ex = (
+        ex.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        .filter(F.col("_df") >= 2)
+        .drop("_df")
+    )
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("la"), *keys)
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("lb"), *keys)
     return (

@@ -266,3 +266,54 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("promo_share")
     )
+
+
+@register(
+    "hist_mode_by_type",
+    """
+    WITH stats AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi FROM events GROUP BY 1),
+    b AS (
+      SELECT e.event_type,
+             LEAST(CAST(FLOOR((e.value - s.lo) / ((s.hi - s.lo)/50)) AS BIGINT), 49) AS bucket,
+             s.lo, s.hi
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+    ),
+    c AS (SELECT event_type, bucket, lo, hi, COUNT(*) AS cnt FROM b GROUP BY 1,2,3,4),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt DESC, bucket) AS rn FROM c)
+    SELECT event_type, bucket, cnt, ROUND(lo + bucket*(hi-lo)/50, 6) AS mode_position
+    FROM r WHERE rn = 1
+    """,
+    doc="A5 grouped: 50-bin histogram mode per group (mode_positions_by_par shape).",
+)
+def hist_mode_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    )
+    w = (F.col("_hi") - F.col("_lo")) / 50
+    bucketed = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("_lo")) / w).cast("bigint"), F.lit(49)
+        ).alias("bucket"),
+        "_lo",
+        "_hi",
+    )
+    counted = bucketed.groupBy("event_type", "bucket", "_lo", "_hi").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    win = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("bucket"))
+    return (
+        counted.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            "bucket",
+            "cnt",
+            F.round(
+                F.col("_lo") + F.col("bucket") * (F.col("_hi") - F.col("_lo")) / 50, 6
+            ).alias("mode_position"),
+        )
+    )

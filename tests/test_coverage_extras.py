@@ -325,3 +325,18 @@ def test_curate_corpus(spark, sf_dir):
     assert 0 in kept_ids
     assert {100001, 100002, 100003}.isdisjoint(kept_ids)
     assert stats["n_dropped_dup"] >= 3
+
+
+def test_credible_levels_approx_close_to_exact(spark, sf_dir):
+    from enterprise_warp_spark.operators.relational import (
+        credible_levels,
+        credible_levels_approx,
+    )
+    from enterprise_warp_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r for r in credible_levels(ev, "value", ["event_type"]).collect()}
+    approx = {r["event_type"]: r for r in credible_levels_approx(ev, "value", ["event_type"]).collect()}
+    for et in exact:
+        for c in ("p16", "p50", "p84"):
+            assert abs(exact[et][c] - approx[et][c]) < 2.0  # value range ~0..490
