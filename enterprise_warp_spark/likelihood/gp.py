@@ -139,6 +139,7 @@ def gp_loglik_per_pulsar(
     samples: pd.DataFrame,
     nfreqs: int = 20,
     components: tuple[RedComponent, ...] | None = None,
+    sample_blocks: int = 1,
 ) -> DataFrame:
     """Score every sample against every pulsar: -> (psr, sample_id, lnl).
 
@@ -168,7 +169,7 @@ def gp_loglik_per_pulsar(
         if c.psd in ("turnover", "broken_powerlaw"):
             cols.append(f"{c.prefix()}log10_fc")
     cols += (["log10_ecorr"] if has_ecorr else []) + efac_cols + equad_cols
-    samp = samples[cols].to_records(index=False)
+    samp_all = samples[cols].to_records(index=False)
     needs_freq = any(c.chrom_idx != 0.0 for c in comps)
     needs_backend = any("_" in c.replace("log10_", "") for c in efac_cols + equad_cols)
     per_backend_efac = {c[len("efac_"):]: c for c in efac_cols if c != "efac"}
@@ -178,6 +179,12 @@ def gp_loglik_per_pulsar(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         psr = pdf["psr"].iloc[0]
+        # sample-block slicing: block b scores samples[b::sample_blocks]
+        samp = (
+            samp_all[int(pdf["_block"].iloc[0]) :: sample_blocks]
+            if sample_blocks > 1
+            else samp_all
+        )
         order = np.argsort(pdf["toa_s"].to_numpy())
         t = pdf["toa_s"].to_numpy()[order]
         r = pdf["residual_s"].to_numpy()[order]
@@ -266,6 +273,19 @@ def gp_loglik_per_pulsar(
             }
         )
 
+    if sample_blocks > 1:
+        # when n_pulsars << cores: replicate each pulsar's rows per sample
+        # block so parallelism = n_pulsars * sample_blocks; each block scores
+        # a strided slice of the samples. Data duplication x blocks buys
+        # proportional parallelism — choose blocks ~ cores / n_pulsars.
+        blocks = residuals.sparkSession.range(sample_blocks).withColumnRenamed(
+            "id", "_block"
+        )
+        return (
+            residuals.crossJoin(F.broadcast(blocks))
+            .groupBy("psr", "_block")
+            .applyInPandas(kernel, "psr string, sample_id long, lnl double")
+        )
     return residuals.groupBy("psr").applyInPandas(
         kernel, "psr string, sample_id long, lnl double"
     )

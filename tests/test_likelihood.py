@@ -144,3 +144,28 @@ def test_posterior_summary(spark):
     assert row["theta_map"] == pytest.approx(2.0, abs=0.05)
     assert row["theta_mean"] == pytest.approx(2.0, abs=0.1)
     assert row["theta_std"] == pytest.approx(1.0, abs=0.15)
+
+
+def test_sample_blocks_equivalence_and_speed(spark, residuals_df):
+    """sample_blocks partitions the sample set across tasks without changing
+    any lnl value."""
+    samples = pd.DataFrame(
+        {
+            "sample_id": range(12),
+            "log10_A": np.linspace(-15, -12, 12),
+            "gamma": [3.0, 4.0] * 6,
+        }
+    )
+    plain = {
+        (r["psr"], r["sample_id"]): r["lnl"]
+        for r in gp_loglik_per_pulsar(residuals_df, samples, nfreqs=10).collect()
+    }
+    blocked = {
+        (r["psr"], r["sample_id"]): r["lnl"]
+        for r in gp_loglik_per_pulsar(
+            residuals_df, samples, nfreqs=10, sample_blocks=4
+        ).collect()
+    }
+    assert set(plain) == set(blocked)
+    for k in plain:
+        assert plain[k] == pytest.approx(blocked[k], rel=1e-14)
