@@ -82,8 +82,8 @@ class RedComponent:
     (per-selection nfreqs semantics, enterprise_models.py:508-539)."""
 
     name: str = ""
-    chrom_idx: float = 0.0
-    psd: str = "powerlaw"  # powerlaw | turnover | broken_powerlaw
+    chrom_idx: float | None = 0.0  # None => sampled per-sample ('{name}_idx')
+    psd: str = "powerlaw"  # powerlaw | turnover | broken_powerlaw | free_spectrum
     nfreqs: int = 20
     fref_mhz: float = 1400.0
     sel_col: str | None = None
@@ -94,6 +94,13 @@ class RedComponent:
 
     def phi(self, f2: np.ndarray, df2: np.ndarray, rec) -> np.ndarray:
         p = self.prefix()
+        if self.psd == "free_spectrum":
+            # F3 — per-frequency amplitudes 10^(2*log10_rho_k), sin/cos pairs
+            # share rho_k (enterprise_models.py:421-426)
+            rho = np.array(
+                [float(getattr(rec, f"{p}log10_rho_{k}")) for k in range(len(f2) // 2)]
+            )
+            return np.repeat(10.0 ** (2.0 * rho), 2)
         lga = float(getattr(rec, f"{p}log10_A"))
         gam = float(getattr(rec, f"{p}gamma"))
         if self.psd == "powerlaw":
@@ -165,12 +172,17 @@ def gp_loglik_per_pulsar(
     ]
     cols = ["sample_id"]
     for c in comps:
-        cols += [f"{c.prefix()}log10_A", f"{c.prefix()}gamma"]
+        if c.psd == "free_spectrum":
+            cols += [f"{c.prefix()}log10_rho_{k}" for k in range(c.nfreqs)]
+        else:
+            cols += [f"{c.prefix()}log10_A", f"{c.prefix()}gamma"]
         if c.psd in ("turnover", "broken_powerlaw"):
             cols.append(f"{c.prefix()}log10_fc")
+        if c.chrom_idx is None:
+            cols.append(f"{c.prefix()}idx")
     cols += (["log10_ecorr"] if has_ecorr else []) + efac_cols + equad_cols
     samp_all = samples[cols].to_records(index=False)
-    needs_freq = any(c.chrom_idx != 0.0 for c in comps)
+    needs_freq = any(c.chrom_idx is None or c.chrom_idx != 0.0 for c in comps)
     needs_backend = any("_" in c.replace("log10_", "") for c in efac_cols + equad_cols)
     per_backend_efac = {c[len("efac_"):]: c for c in efac_cols if c != "efac"}
     per_backend_equad = {
@@ -215,7 +227,7 @@ def gp_loglik_per_pulsar(
             Fc = np.empty((len(t), 2 * c.nfreqs))
             Fc[:, 0::2] = np.sin(arg)
             Fc[:, 1::2] = np.cos(arg)
-            if c.chrom_idx != 0.0:
+            if c.chrom_idx is not None and c.chrom_idx != 0.0:
                 # F5/F6 — chromatic weight multiplies the basis rows
                 Fc *= ((c.fref_mhz / freq_mhz) ** c.chrom_idx)[:, None]
             if sel is not None:
@@ -231,7 +243,17 @@ def gp_loglik_per_pulsar(
             uniq, inv = np.unique(epochs, return_inverse=True)
             U = np.zeros((len(t), len(uniq)))
             U[np.arange(len(t)), inv] = 1.0
-        basis = np.hstack(bases + ([U] if U is not None else []))
+        sampled_idx = [c.chrom_idx is None for c in active]
+        ratio = (None if freq_mhz is None else None)  # per-comp fref ratios below
+        ratios = [
+            (c.fref_mhz / freq_mhz) if c.chrom_idx is None else None for c in active
+        ]
+        static_basis = not any(sampled_idx)
+        basis = (
+            np.hstack(bases + ([U] if U is not None else []))
+            if static_basis
+            else None
+        )
 
         out = np.empty(len(samp))
         for i, rec in enumerate(samp):
@@ -264,7 +286,22 @@ def gp_loglik_per_pulsar(
             if U is not None:
                 ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2
                 phis.append(np.full(U.shape[1], ec2))
-            out[i] = _lnlike_one(r, nd, basis, np.concatenate(phis))
+            if static_basis:
+                b = basis
+            else:
+                # F6 with SAMPLED chromatic index: rebuild the weighted
+                # bases for this sample (base Fourier matrices are reused)
+                parts = []
+                for c, Fc, rat in zip(active, bases, ratios):
+                    if rat is None:
+                        parts.append(Fc)
+                    else:
+                        idx = float(getattr(rec, f"{c.prefix()}idx"))
+                        parts.append(Fc * (rat**idx)[:, None])
+                if U is not None:
+                    parts.append(U)
+                b = np.hstack(parts)
+            out[i] = _lnlike_one(r, nd, b, np.concatenate(phis))
         return pd.DataFrame(
             {
                 "psr": psr,

@@ -116,15 +116,24 @@ def compile_model(
                         if pname not in priors:
                             priors[pname] = Prior(pname, ref.kind, ref.a, ref.b)
             elif s.kind == "red" and row["signal"] in RED_CHROM_IDX:
-                psd = s.psd if s.psd in KERNEL_PSDS else "powerlaw"
+                nf = s.nfreqs or default_nfreqs
                 if s.psd == "free_spectrum":
-                    continue  # expression-level only (F3)
+                    # F3 — per-bin amplitudes sampled (gwb_lgrho default range)
+                    comps.append(
+                        RedComponent(name=row["signal"], psd="free_spectrum", nfreqs=nf)
+                    )
+                    for k in range(nf):
+                        pname = f"{row['signal']}_log10_rho_{k}"
+                        priors.setdefault(pname, Prior(pname, "uniform", -10.0, -4.0))
+                    continue
+                psd = s.psd if s.psd in KERNEL_PSDS else "powerlaw"
+                vary_idx = any(pr.name.endswith("_idx") for pr in s.priors)
                 comps.append(
                     RedComponent(
                         name=row["signal"],
-                        chrom_idx=RED_CHROM_IDX[row["signal"]],
+                        chrom_idx=None if vary_idx else RED_CHROM_IDX[row["signal"]],
                         psd=psd,
-                        nfreqs=s.nfreqs or default_nfreqs,
+                        nfreqs=nf,
                     )
                 )
                 for p in s.priors:

@@ -151,7 +151,7 @@ def _dm(option="powerlaw") -> SignalSpec:
 @register_signal("chromred")
 def _chrom(option="vary") -> SignalSpec:
     spec = _red("chromred", option if isinstance(option, str) else "", "sn_lgA", "sn_gamma")
-    priors = spec.priors + ((_u("chrom_idx", "chrom_idx"),) if option == "vary" else ())
+    priors = spec.priors + ((_u("chromred_idx", "chrom_idx"),) if option == "vary" else ())
     return SignalSpec(
         "chromred",
         "red",

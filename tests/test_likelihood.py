@@ -169,3 +169,60 @@ def test_sample_blocks_equivalence_and_speed(spark, residuals_df):
     assert set(plain) == set(blocked)
     for k in plain:
         assert plain[k] == pytest.approx(blocked[k], rel=1e-14)
+
+
+def test_free_spectrum_and_sampled_idx_match_dense(spark):
+    """F3 (per-bin free-spectrum amplitudes) and F6 with SAMPLED chromatic
+    index composed in the kernel vs the dense oracle."""
+    from enterprise_warp_spark.likelihood.gp import (
+        RedComponent,
+        dense_lnlike_reference,
+    )
+
+    rng = np.random.default_rng(13)
+    n, T = 70, 5 * 365.25 * 86400
+    t = np.sort(rng.uniform(0, T, n))
+    sig = np.full(n, 1e-6)
+    r = rng.normal(0, 2e-6, n)
+    freq = rng.uniform(700, 3200, n)
+    df = spark.createDataFrame(
+        [
+            ("J1", float(a), float(b), float(c), 1.0, 0.0, float(fm))
+            for a, b, c, fm in zip(t, r, sig, freq)
+        ],
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, freq_mhz double",
+    )
+    comps = (
+        RedComponent(name="fs", psd="free_spectrum", nfreqs=4),
+        RedComponent(name="chrom", chrom_idx=None, psd="powerlaw", nfreqs=3),
+    )
+    rho = [-7.2, -7.6, -8.0, -8.4]
+    idx_val = 3.3
+    samples = pd.DataFrame(
+        {
+            "sample_id": [0],
+            **{f"fs_log10_rho_{k}": [rho[k]] for k in range(4)},
+            "chrom_log10_A": [-13.4],
+            "chrom_gamma": [3.8],
+            "chrom_idx": [idx_val],
+        }
+    )
+    got = gp_loglik_per_pulsar(df, samples, components=comps).first()["lnl"]
+
+    order = np.argsort(t)
+    ts, rs, ss, fs_mhz = t[order], r[order], sig[order], freq[order]
+    T2 = ts.max() - ts.min()
+    f1 = np.arange(1, 5) / T2
+    arg = 2 * math.pi * np.outer(ts, f1)
+    F1 = np.empty((n, 8)); F1[:, 0::2] = np.sin(arg); F1[:, 1::2] = np.cos(arg)
+    phi1 = np.repeat(10.0 ** (2 * np.array(rho)), 2)
+    f2_ = np.arange(1, 4) / T2
+    arg2 = 2 * math.pi * np.outer(ts, f2_)
+    F2 = np.empty((n, 6)); F2[:, 0::2] = np.sin(arg2); F2[:, 1::2] = np.cos(arg2)
+    F2 *= ((1400.0 / fs_mhz) ** idx_val)[:, None]
+    phi2 = powerlaw_phi(np.repeat(f2_, 2), np.full(6, 1 / T2), -13.4, 3.8)
+    want = dense_lnlike_reference(
+        rs, ss**2, np.hstack([F1, F2]), np.concatenate([phi1, phi2])
+    )
+    assert got == pytest.approx(want, rel=1e-10)

@@ -128,3 +128,27 @@ def test_priors_for_model_dedup():
     names = [p.name for p in priors]
     assert len(names) == len(set(names))
     assert "spin_noise_log10_A" in names and "efac" in names
+
+
+def test_compile_free_spectrum_and_vary_chrom():
+    from enterprise_warp_spark.likelihood.inference import (
+        compile_priors_and_components,
+    )
+    from enterprise_warp_spark.plans.noisemodel import normalize_noise_model
+
+    rows = normalize_noise_model(
+        {
+            "model_name": "fsvary",
+            "universal": {
+                "spin_noise": "free_spectrum_4_nfreqs",
+                "chromred": "vary",
+            },
+        }
+    )
+    priors, comps = compile_priors_and_components(rows, default_nfreqs=6)
+    names = {p.name for p in priors}
+    assert {f"spin_noise_log10_rho_{k}" for k in range(4)} <= names
+    assert "chromred_idx" in names
+    by_name = {c.name: c for c in comps}
+    assert by_name["spin_noise"].psd == "free_spectrum" and by_name["spin_noise"].nfreqs == 4
+    assert by_name["chromred"].chrom_idx is None  # sampled per-sample
