@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 from enterprise_warp_spark.functions.orf import hd_orf
-from enterprise_warp_spark.operators.binning import histogram_mode, ntile_bins
+from enterprise_warp_spark.operators.binning import histogram_mode
+from enterprise_warp_spark.operators.ranking import ntile_bins_scalable
 from enterprise_warp_spark.operators.relational import (
     burnin_filter,
     credible_levels,
@@ -332,10 +333,11 @@ def weighted_mean_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(STDDEV_SAMP(o_totalprice), 2) AS std_price
     FROM t GROUP BY bin
     """,
-    doc="A8 fixed-count binned stats: ntile(8) over tie-free order (results.py:305-346).",
+    doc="A8 fixed-count binned stats via distributed two-phase ranking — no "
+    "single-partition window sort (results.py:305-346).",
 )
 def ntile_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ntile_bins(
+    return ntile_bins_scalable(
         table(spark, sf_dir, "orders"),
         ["o_totalprice", "o_orderkey"],
         8,
