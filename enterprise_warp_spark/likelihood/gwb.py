@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from enterprise_warp_spark.likelihood.gp import FYR
+from enterprise_warp_spark.likelihood.gp import FYR, powerlaw_phi
 
 
 def hd_matrix(pos: np.ndarray) -> np.ndarray:
@@ -54,6 +54,7 @@ def gwb_loglik(
     tspan_s: float,
     orf: str = "hd",
     intrinsic: dict[str, tuple[float, float]] | None = None,
+    intrinsic_columns: dict[str, tuple[str, str]] | None = None,
 ) -> DataFrame:
     """-> (sample_id, lnl) for a GWB with spatial correlations.
 
@@ -65,7 +66,15 @@ def gwb_loglik(
     DIAGONAL pulsar blocks of Phi, which therefore loses its pure Kronecker
     form — Phi is built densely (it is only (2k*npsr)^2, tiny next to the
     TOA data).
+    intrinsic_columns: JOINT sampling — per-pulsar SAMPLED red noise
+    {psr: (log10_A_col, gamma_col)} naming columns of `samples`, so every
+    sample row carries its own intrinsic parameters alongside the GWB ones
+    (the reference's full joint model, enterprise_models.py:379-470 with
+    per-pulsar red-noise signals left free). Mutually exclusive with
+    `intrinsic`.
     """
+    if intrinsic and intrinsic_columns:
+        raise ValueError("pass either intrinsic (fixed) or intrinsic_columns (sampled)")
     rows = reduced.join(positions, "psr").orderBy("psr").collect()
     psrs = [r["psr"] for r in rows]
     us = [np.array(r["u"]) for r in rows]
@@ -92,41 +101,51 @@ def gwb_loglik(
     sign, logdet_gamma = np.linalg.slogdet(gamma_m)
     assert sign > 0, "ORF matrix must be positive definite"
 
+    df = 1.0 / tspan_s
+    df_arr = np.full(len(f2), df)
     intr = None
     if intrinsic:
-        from enterprise_warp_spark.likelihood.gp import powerlaw_phi
-
-        intr = []
-        for p in psrs:
-            lga, gam = intrinsic[p]
-            intr.append(powerlaw_phi(f2, np.full(len(f2), 1.0 / tspan_s), lga, gam))
+        intr = [powerlaw_phi(f2, df_arr, *intrinsic[p]) for p in psrs]
 
     x = np.concatenate(us)
     S_block = np.zeros((npsr * twok, npsr * twok))
     for p, S in enumerate(Ss):
         S_block[p * twok : (p + 1) * twok, p * twok : (p + 1) * twok] = S
-    df = 1.0 / tspan_s
+
+    # column order is positional in the kernel: arbitrary pulsar names (J...+...)
+    # are not valid itertuples attributes
+    sel_cols = ["sample_id", "gw_log10_A", "gw_gamma"]
+    if intrinsic_columns:
+        for p in psrs:
+            sel_cols += list(intrinsic_columns[p])
 
     def kernel(batches):
         for pdf in batches:
             out = []
-            for rec in pdf.itertuples(index=False):
-                a2 = 10.0 ** (2.0 * float(rec.gw_log10_A))
+            for row in pdf[sel_cols].to_numpy():
+                a2 = 10.0 ** (2.0 * float(row[1]))
                 phi = (
                     a2
                     / (12.0 * math.pi**2)
                     * FYR ** (-3.0)
-                    * (f2 / FYR) ** (-float(rec.gw_gamma))
+                    * (f2 / FYR) ** (-float(row[2]))
                     * df
                 )
-                if intr is None:
+                if intrinsic_columns:
+                    intr_s = [
+                        powerlaw_phi(f2, df_arr, float(row[3 + 2 * i]), float(row[4 + 2 * i]))
+                        for i in range(npsr)
+                    ]
+                else:
+                    intr_s = intr
+                if intr_s is None:
                     phi_inv = np.kron(gamma_inv, np.diag(1.0 / phi))
                     logdet_phi = twok * logdet_gamma + npsr * float(np.sum(np.log(phi)))
                 else:
                     # dense Phi: Kronecker GWB + intrinsic diagonal blocks
                     Phi = np.kron(gamma_m, np.diag(phi))
                     for p in range(npsr):
-                        Phi[p * twok : (p + 1) * twok, p * twok : (p + 1) * twok] += np.diag(intr[p])
+                        Phi[p * twok : (p + 1) * twok, p * twok : (p + 1) * twok] += np.diag(intr_s[p])
                     cphi = np.linalg.cholesky(Phi)
                     logdet_phi = 2.0 * float(np.sum(np.log(np.diag(cphi))))
                     eye = np.eye(npsr * twok)
@@ -147,12 +166,10 @@ def gwb_loglik(
                     + logdet_sigma
                     + n_tot * math.log(2.0 * math.pi)
                 )
-                out.append((int(rec.sample_id), lnl))
+                out.append((int(row[0]), lnl))
             yield pd.DataFrame(out, columns=["sample_id", "lnl"])
 
-    return samples.select("sample_id", "gw_log10_A", "gw_gamma").mapInPandas(
-        kernel, "sample_id long, lnl double"
-    )
+    return samples.select(*sel_cols).mapInPandas(kernel, "sample_id long, lnl double")
 
 
 def dense_gwb_reference(
@@ -162,9 +179,11 @@ def dense_gwb_reference(
     nfreqs: int,
     gw_log10_A: float,
     gw_gamma: float,
+    intrinsic: dict[str, tuple[float, float]] | None = None,
 ) -> float:
     """O(n^3) dense oracle: builds the full HD-correlated covariance across
-    ALL pulsars explicitly. Test-only."""
+    ALL pulsars explicitly; `intrinsic` adds per-pulsar powerlaw red noise
+    to the diagonal blocks. Test-only."""
     psrs = sorted(toas)
     blocks_t = [toas[p][0] for p in psrs]
     r = np.concatenate([toas[p][1] for p in psrs])
@@ -189,6 +208,9 @@ def dense_gwb_reference(
         for b in range(len(psrs)):
             Cab = Fs[a] @ np.diag(gamma_m[a, b] * phi) @ Fs[b].T
             C[offs[a] : offs[a + 1], offs[b] : offs[b + 1]] += Cab
+        if intrinsic:
+            phi_int = powerlaw_phi(f2, np.full(len(f2), 1.0 / tspan_s), *intrinsic[psrs[a]])
+            C[offs[a] : offs[a + 1], offs[a] : offs[a + 1]] += Fs[a] @ np.diag(phi_int) @ Fs[a].T
     sign, logdet = np.linalg.slogdet(C)
     assert sign > 0
     return -0.5 * (float(r @ np.linalg.solve(C, r)) + logdet + n_tot * math.log(2.0 * math.pi))

@@ -90,6 +90,45 @@ def gp_likelihood_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gwb_hd_likelihood",
+    None,  # non-SQL-expressible: Arrow kernel (rows-only check)
+    doc="F8/F11: HD-correlated GWB likelihood, JOINT GWB + per-pulsar sampled "
+    "red noise (Kronecker-Woodbury kernel over the distributed reduction).",
+)
+def gwb_hd_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.analytics.optimal_statistic import per_pulsar_reduction
+    from enterprise_warp_spark.likelihood.gwb import gwb_loglik
+
+    res = _synthetic_residuals(spark, sf_dir)
+    tspan = 300_000.0 * 1_000_000
+    red = per_pulsar_reduction(res, nfreqs=6, tspan_s=tspan)
+    positions = spark.createDataFrame(
+        [
+            ("J0", [1.0, 0.0, 0.0]),
+            ("J1", [0.0, 1.0, 0.0]),
+            ("J2", [0.0, 0.0, 1.0]),
+        ],
+        "psr string, pos array<double>",
+    )
+    cols = {f"J{i}": (f"rn_lga_{i}", f"rn_gam_{i}") for i in range(3)}
+    grid = [(-13.5, 13.0 / 3.0), (-14.0, 4.0), (-14.5, 3.0), (-13.0, 3.7)]
+    rows = [
+        tuple(
+            [sid, lga, gam]
+            + [v for i in range(3) for v in (-13.8 + 0.1 * i + 0.05 * sid, 3.2 + 0.2 * i)]
+        )
+        for sid, (lga, gam) in enumerate(grid)
+    ]
+    schema = "sample_id long, gw_log10_A double, gw_gamma double, " + ", ".join(
+        f"{c} double" for i in range(3) for c in cols[f"J{i}"]
+    )
+    samples = spark.createDataFrame(rows, schema)
+    return gwb_loglik(red, positions, samples, tspan, intrinsic_columns=cols).orderBy(
+        "sample_id"
+    )
+
+
+@register(
     "os_pair_statistics",
     None,  # non-SQL-expressible: Arrow kernel (rows-only check)
     doc="F12/J6: optimal-statistic per-pair cross-correlations (kernel op).",

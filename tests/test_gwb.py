@@ -95,6 +95,35 @@ def test_gwb_inject_recover(spark):
     assert abs(best_lga - (-13.0)) <= 0.5
 
 
+def test_gwb_joint_sampled_intrinsic_matches_dense(spark):
+    """JOINT sampling: per-pulsar red-noise params vary PER SAMPLE alongside
+    the GWB params (intrinsic_columns mode). Each sample must match the dense
+    oracle evaluated at that sample's full parameter vector."""
+    res, posdf, toas, posd = _setup(spark, seed=13)
+    red = per_pulsar_reduction(res, NFREQ, TSPAN)
+    psrs = sorted(toas)
+    cols = {p: (f"rn_lga_{i}", f"rn_gam_{i}") for i, p in enumerate(psrs)}
+    sample_params = [
+        (0, -13.9, 13.0 / 3.0, {p: (-13.5 - 0.2 * i, 2.5 + 0.4 * i) for i, p in enumerate(psrs)}),
+        (1, -14.3, 3.8, {p: (-14.0 + 0.1 * i, 4.0 - 0.3 * i) for i, p in enumerate(psrs)}),
+    ]
+    rows = [
+        tuple([sid, lga, gam] + [v for p in psrs for v in intr[p]])
+        for sid, lga, gam, intr in sample_params
+    ]
+    schema = "sample_id long, gw_log10_A double, gw_gamma double, " + ", ".join(
+        f"{c} double" for p in psrs for c in cols[p]
+    )
+    samples = spark.createDataFrame(rows, schema)
+    got = {
+        r["sample_id"]: r["lnl"]
+        for r in gwb_loglik(red, posdf, samples, TSPAN, intrinsic_columns=cols).collect()
+    }
+    for sid, lga, gam, intr in sample_params:
+        want = dense_gwb_reference(toas, posd, TSPAN, NFREQ, lga, gam, intrinsic=intr)
+        assert got[sid] == pytest.approx(want, rel=1e-9), sid
+
+
 def test_gwb_with_intrinsic_noise_matches_dense(spark):
     """GWB + per-pulsar FIXED intrinsic red noise (the reference's GWB-search
     configuration) vs the dense oracle with both terms."""
