@@ -1,0 +1,112 @@
+"""F13 — Solar-System ephemeris perturbation basis (BayesEphem).
+
+Reference: enterprise_models.py:465-470 enables a physical ephemeris signal
+with 11 COMMON sampled parameters — frame_drift_rate, d_jupiter_mass,
+d_saturn_mass, d_uranus_mass, d_neptune_mass and six Jupiter orbital-element
+corrections — each multiplying a precomputed partial-derivative time series
+of the Earth–SSB vector projected onto the pulsar direction.
+
+The physical partials come from JPL ephemeris tables that are NOT available
+in this environment, so the basis is pluggable:
+
+  - ``attach_basis_table`` — the REAL path: join a precomputed per-(psr, toa)
+    basis parquet onto the residuals (SURVEY §2 F13: "deterministic column
+    from precomputed basis table"). Pure DataFrame join, no UDF; at cluster
+    scale co-partition both sides on psr (the basis table has the same
+    cardinality as the TOAs).
+  - ``synthetic_basis`` — a clearly-marked DETERMINISTIC STAND-IN with the
+    physically right shape (secular frame drift, harmonics at the outer-
+    planet orbital periods, a per-pulsar projection factor) and plausible
+    partial amplitudes, so the plumbing, tests and inference loop run
+    end-to-end. Replace with attach_basis_table for real analyses.
+
+Either path adds the columns ``ephem_b_<param>``; the GP kernel consumes
+them through ``DetComponent`` (likelihood/gp.py): r -> r - B c per sample.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# enterprise's PhysicalEphemerisSignal parameter set (order fixed)
+BAYESEPHEM_PARAMS: tuple[str, ...] = (
+    "frame_drift_rate",
+    "d_jupiter_mass",
+    "d_saturn_mass",
+    "d_uranus_mass",
+    "d_neptune_mass",
+    "jup_orb_1",
+    "jup_orb_2",
+    "jup_orb_3",
+    "jup_orb_4",
+    "jup_orb_5",
+    "jup_orb_6",
+)
+
+# sampling ranges (reference uses these scales for the setabs/mass priors)
+BAYESEPHEM_PRIOR_RANGES: dict[str, tuple[float, float]] = {
+    "frame_drift_rate": (-1e-9, 1e-9),  # rad/yr
+    "d_jupiter_mass": (-1.55e-11, 1.55e-11),  # Msun
+    "d_saturn_mass": (-8.17e-12, 8.17e-12),
+    "d_uranus_mass": (-5.72e-11, 5.72e-11),
+    "d_neptune_mass": (-7.96e-11, 7.96e-11),
+    **{f"jup_orb_{k}": (-0.05, 0.05) for k in range(1, 7)},
+}
+
+BASIS_COLS: tuple[str, ...] = tuple(f"ephem_b_{p}" for p in BAYESEPHEM_PARAMS)
+
+YEAR_S = 365.25 * 86400.0
+_PERIODS_YR = {"jupiter": 11.862, "saturn": 29.457, "uranus": 84.02, "neptune": 164.8}
+# Roemer-delay partial scales: d(delay)/d(mass) ~ GM sensitivity of the
+# SSB position (~5e3 s/Msun), frame drift ~ 499 s (1 AU light time) per rad
+_MASS_SCALE_S = 5e3
+_FRAME_SCALE_S = 499.0
+
+
+def attach_basis_table(residuals: DataFrame, basis: DataFrame) -> DataFrame:
+    """Join a precomputed per-(psr, toa_s) ephemeris-partial table carrying
+    the BASIS_COLS columns. This is the production path."""
+    missing = [c for c in BASIS_COLS if c not in basis.columns]
+    if missing:
+        raise ValueError(f"basis table missing columns {missing}")
+    return residuals.join(basis, ["psr", "toa_s"], "left").fillna(
+        0.0, subset=list(BASIS_COLS)
+    )
+
+
+def synthetic_basis(residuals: DataFrame, t0_s: float = 0.0) -> DataFrame:
+    """SYNTHETIC STAND-IN basis (no JPL ephemeris in this container).
+
+    Deterministic JVM-side column expressions: per-pulsar projection factor
+    from a hash of the pulsar name (stands in for pos . partial), secular
+    drift for the frame rotation, one harmonic per outer-planet mass at its
+    orbital period, sin/cos pairs at the Jupiter period and its first
+    harmonic for the six orbital elements. NOT physical partials — same
+    shape and scale only.
+    """
+    t_yr = (F.col("toa_s") - F.lit(t0_s)) / YEAR_S
+    # per-pulsar projection in [-1, 1], deterministic in the pulsar name
+    proj = (F.pmod(F.xxhash64(F.col("psr")), F.lit(2000)) - 1000.0) / 1000.0
+
+    def harm(period_yr: float, phase: float = 0.0):
+        return F.sin(t_yr * (2.0 * math.pi / period_yr) + F.lit(phase))
+
+    out = residuals
+    exprs = {
+        "frame_drift_rate": _FRAME_SCALE_S * t_yr * proj,
+        "d_jupiter_mass": _MASS_SCALE_S * harm(_PERIODS_YR["jupiter"]) * proj,
+        "d_saturn_mass": _MASS_SCALE_S * harm(_PERIODS_YR["saturn"]) * proj,
+        "d_uranus_mass": _MASS_SCALE_S * harm(_PERIODS_YR["uranus"]) * proj,
+        "d_neptune_mass": _MASS_SCALE_S * harm(_PERIODS_YR["neptune"]) * proj,
+    }
+    p_j = _PERIODS_YR["jupiter"]
+    for k in range(1, 7):
+        period = p_j if k <= 3 else p_j / 2.0
+        phase = (k - 1) * math.pi / 3.0
+        exprs[f"jup_orb_{k}"] = 1e2 * harm(period, phase) * proj
+    for p in BAYESEPHEM_PARAMS:
+        out = out.withColumn(f"ephem_b_{p}", exprs[p])
+    return out

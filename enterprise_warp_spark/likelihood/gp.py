@@ -112,6 +112,24 @@ class RedComponent:
         raise ValueError(f"unknown psd {self.psd}")
 
 
+@dataclass(frozen=True)
+class DetComponent:
+    """F13 — deterministic signal with SAMPLED common coefficients over a
+    precomputed per-TOA basis (BayesEphem, enterprise_models.py:465-470):
+    delay_i = sum_k c_k * B_ik. `coeff_cols` name sample columns, `basis_cols`
+    name residuals columns (joined in from the basis table —
+    functions/ephemeris.py). The sampled delay shifts the residual vector
+    (r - B c) before the GP-marginalized Woodbury evaluation, so the basis
+    crosses the wire once with the TOA data and every sample reuses it."""
+
+    coeff_cols: tuple[str, ...]
+    basis_cols: tuple[str, ...]
+
+    def __post_init__(self):
+        if len(self.coeff_cols) != len(self.basis_cols):
+            raise ValueError("coeff_cols and basis_cols must pair up")
+
+
 def _lnlike_one(
     r: np.ndarray,
     ndiag: np.ndarray,
@@ -145,10 +163,14 @@ def gp_loglik_per_pulsar(
     residuals: DataFrame,
     samples: pd.DataFrame,
     nfreqs: int = 20,
-    components: tuple[RedComponent, ...] | None = None,
+    components: tuple[RedComponent | DetComponent, ...] | None = None,
     sample_blocks: int = 1,
 ) -> DataFrame:
     """Score every sample against every pulsar: -> (psr, sample_id, lnl).
+
+    components may mix RedComponent (GP terms) and DetComponent (F13
+    deterministic terms with sampled coefficients, e.g. BayesEphem); with no
+    RedComponent present a default achromatic powerlaw term is added.
 
     residuals: DataFrame with RESIDUAL_COLS (efac/equad may be per-backend
     columns already joined in); an optional `epoch_id` column enables ECORR.
@@ -162,7 +184,11 @@ def gp_loglik_per_pulsar(
     and the same Woodbury path covers it (the standard basis-augmentation
     trick; no dense blocks materialize).
     """
-    comps = components or (RedComponent(nfreqs=nfreqs),)
+    all_comps = components or (RedComponent(nfreqs=nfreqs),)
+    det_comps = tuple(c for c in all_comps if isinstance(c, DetComponent))
+    comps = tuple(c for c in all_comps if isinstance(c, RedComponent)) or (
+        RedComponent(nfreqs=nfreqs),
+    )
     has_ecorr = "log10_ecorr" in samples.columns
     # sampled white noise: global ('efac') or per-backend ('efac_<backend>',
     # the reference's by_backend selection) — overrides the data columns
@@ -181,6 +207,7 @@ def gp_loglik_per_pulsar(
         if c.chrom_idx is None:
             cols.append(f"{c.prefix()}idx")
     cols += (["log10_ecorr"] if has_ecorr else []) + efac_cols + equad_cols
+    cols += [cc for dc in det_comps for cc in dc.coeff_cols]
     samp_all = samples[cols].to_records(index=False)
     needs_freq = any(c.chrom_idx is None or c.chrom_idx != 0.0 for c in comps)
     needs_backend = any("_" in c.replace("log10_", "") for c in efac_cols + equad_cols)
@@ -237,6 +264,11 @@ def gp_loglik_per_pulsar(
             freqs2.append(np.repeat(f, 2))
             dfs2.append(np.full(2 * c.nfreqs, 1.0 / span))
 
+        det_bases = [
+            np.column_stack([pdf[b].to_numpy()[order] for b in dc.basis_cols])
+            for dc in det_comps
+        ]
+
         U = None
         if has_ecorr and "epoch_id" in pdf.columns:
             epochs = pdf["epoch_id"].to_numpy()[order]
@@ -282,6 +314,10 @@ def gp_loglik_per_pulsar(
                 # zero likelihood, not NaN
                 out[i] = -np.inf
                 continue
+            r_s = r
+            for dc, Bd in zip(det_comps, det_bases):
+                cvec = np.array([float(getattr(rec, cc)) for cc in dc.coeff_cols])
+                r_s = r_s - Bd @ cvec
             phis = [c.phi(f2, d2, rec) for c, f2, d2 in zip(active, freqs2, dfs2)]
             if U is not None:
                 ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2
@@ -301,7 +337,7 @@ def gp_loglik_per_pulsar(
                 if U is not None:
                     parts.append(U)
                 b = np.hstack(parts)
-            out[i] = _lnlike_one(r, nd, b, np.concatenate(phis))
+            out[i] = _lnlike_one(r_s, nd, b, np.concatenate(phis))
         return pd.DataFrame(
             {
                 "psr": psr,

@@ -14,8 +14,10 @@ Kernel-compiled signal families: any number of red-noise GP terms
 turnover / broken-powerlaw PSDs), selection-scoped terms (system_noise per
 listed system, ppta_band_noise per band — basis masked to the selection with
 per-selection Tspan), EFAC/EQUAD white noise (global or per-backend sampled,
-or bound constants) and ECORR epoch blocks. BayesEphem (F13) remains
-spec-only, per SURVEY §2.6.
+or bound constants), ECORR epoch blocks, and BayesEphem (F13: 11 common
+sampled coefficients over the per-TOA ephemeris-partial basis columns —
+functions/ephemeris.py; synthetic stand-in basis until real JPL partials
+are supplied via attach_basis_table).
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from enterprise_warp_spark.likelihood.gp import (
+    DetComponent,
     RedComponent,
     gp_loglik_per_pulsar,
     total_loglik,
@@ -55,7 +58,7 @@ def compile_model(
     fixed: dict[str, float] | None = None,
     default_nfreqs: int = 20,
     backends: list[str] | None = None,
-) -> tuple[list[Prior], tuple[RedComponent, ...]]:
+) -> tuple[list[Prior], tuple[RedComponent | DetComponent, ...]]:
     """Normalized model rows -> (priors to sample, kernel components).
 
     Fixed constants (O2: prior<0 => value bound from noise files,
@@ -115,6 +118,22 @@ def compile_model(
                         ref = s.priors[0] if suffix == "log10_A" else s.priors[1]
                         if pname not in priors:
                             priors[pname] = Prior(pname, ref.kind, ref.a, ref.b)
+            elif s.signal == "bayes_ephem":
+                # F13 — common sampled coefficients over the per-TOA ephemeris
+                # basis columns (functions/ephemeris.py attach/synthetic)
+                from enterprise_warp_spark.functions.ephemeris import (
+                    BASIS_COLS,
+                    BAYESEPHEM_PARAMS,
+                )
+
+                comps.append(DetComponent(BAYESEPHEM_PARAMS, BASIS_COLS))
+                for p in s.priors:
+                    if p.name not in priors:
+                        priors[p.name] = (
+                            Prior(p.name, "constant", fixed[p.name])
+                            if p.name in fixed
+                            else p
+                        )
             elif s.kind == "red" and row["signal"] in RED_CHROM_IDX:
                 nf = s.nfreqs or default_nfreqs
                 if s.psd == "free_spectrum":
@@ -175,7 +194,7 @@ def compile_priors_and_components(
     fixed: dict[str, float] | None = None,
     default_nfreqs: int = 20,
     backends: list[str] | None = None,
-) -> tuple[list[Prior], tuple[RedComponent, ...]]:
+) -> tuple[list[Prior], tuple[RedComponent | DetComponent, ...]]:
     priors, comps = compile_model(model_rows, fixed, default_nfreqs, backends)
     if not comps:
         # minimal model: one achromatic powerlaw process (bare names)

@@ -224,8 +224,19 @@ def _gwb(option="hd_vary_gamma") -> SignalSpec:
 
 @register_signal("bayes_ephem")
 def _bayes_ephem(option=True) -> SignalSpec:
-    # F13 — deterministic ephemeris perturbation; out of MVP, spec only.
-    return SignalSpec("bayes_ephem", "common", psd=None)
+    """F13 — deterministic Solar-System ephemeris perturbation (BayesEphem,
+    enterprise_models.py:465-470): 11 common sampled coefficients over a
+    precomputed per-TOA partial basis (functions/ephemeris.py; the kernel
+    consumes them as a DetComponent)."""
+    from enterprise_warp_spark.functions.ephemeris import (
+        BAYESEPHEM_PARAMS,
+        BAYESEPHEM_PRIOR_RANGES,
+    )
+
+    priors = tuple(
+        Prior(p, "uniform", *BAYESEPHEM_PRIOR_RANGES[p]) for p in BAYESEPHEM_PARAMS
+    )
+    return SignalSpec("bayes_ephem", "common", psd=None, priors=priors)
 
 
 def priors_for_model(rows: list[dict]) -> list[Prior]:
