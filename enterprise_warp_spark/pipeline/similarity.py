@@ -6,6 +6,9 @@
                          signs bucket both sides, candidates come from an
                          equi-join on the bucket — the 100 TB plan shape
                          (shuffle join on bucket key instead of cross join).
+    ivf_topk             IVF variant: nearest-centroid inverted lists +
+                         nprobe cell scan; centroids pluggable (deterministic
+                         dataset pick for oracles, MLlib KMeans at scale).
 
 The dot product is a sequential left-fold over the array in both engines
 (element order fixed), so results are bit-deterministic; cosines are rounded
@@ -114,6 +117,88 @@ def bucketed_topk(
         q.join(c, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.round(F.expr(f"{dot} / sqrt(q_nsq * c_nsq)"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def deterministic_centroids(
+    emb: DataFrame, n_cells: int, emb_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """IVF coarse quantizer, oracle-reproducible flavor: the first n_cells
+    vectors by id ARE the centroids (ids are dense from 0 in the testdata).
+    Production path at 100 TB: swap in MLlib KMeans cluster centers with the
+    same (cell_id, c_emb, c_nsq) schema — every downstream op is unchanged."""
+    n = _with_norm_sq(emb, emb_col)
+    return n.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.col("nsq").alias("c_nsq"),
+    )
+
+
+def _cell_distances(n: DataFrame, centroids: DataFrame, emb_col: str) -> DataFrame:
+    """vector x centroid squared-L2 distances: ||v||^2 - 2 v.c + ||c||^2,
+    rounded before any argmin so a 1-ulp wiggle can never flip a cell
+    assignment across engines. Centroid table is tiny -> broadcast; the
+    'cross join' is corpus x n_cells, the IVF fan-out, not corpus x corpus."""
+    dot = DOT.format(a=emb_col, b="c_emb")
+    return n.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", F.round(F.col("nsq") - 2.0 * F.expr(dot) + F.col("c_nsq"), 6)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_filter: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """ANN top-k, IVF shape: corpus vectors are assigned to their nearest
+    centroid cell (inverted lists); a query scans only its nprobe nearest
+    cells. Candidate join is an equi-join on cell_id, so at scale the
+    inverted lists shuffle once on a small int key and recall is tuned by
+    nprobe (nprobe = n_cells degenerates to exact search)."""
+    n = _with_norm_sq(emb, emb_col)
+    cents = centroids if centroids is not None else deterministic_centroids(
+        emb, n_cells, emb_col, id_col
+    )
+    d = _cell_distances(n, cents, emb_col)
+    w_assign = Window.partitionBy(id_col).orderBy("dist", "cell_id")
+    assigned = (
+        d.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(emb_col).alias("c_vec"),
+            F.col("nsq").alias("c_nsq2"),
+            "cell_id",
+        )
+    )
+    probes = (
+        d.filter(F.expr(query_filter))
+        .withColumn("prn", F.row_number().over(w_assign))
+        .filter(F.col("prn") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("q_emb"),
+            F.col("nsq").alias("q_nsq"),
+            "cell_id",
+        )
+    )
+    dot = DOT.format(a="q_emb", b="c_vec")
+    pairs = (
+        probes.join(assigned, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(F.expr(f"{dot} / sqrt(q_nsq * c_nsq2)"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -230,6 +230,37 @@ def embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_ann_ivf",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_D_DOT.format(a="embedding", b="embedding")} AS nsq
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, embedding AS c_emb, nsq AS c_nsq FROM n WHERE vec_id < 16),
+    d AS (SELECT n.vec_id, n.embedding, n.nsq, cent.cell_id,
+                 ROUND(n.nsq - 2 * {_D_DOT.format(a="n.embedding", b="cent.c_emb")} + cent.c_nsq, 6) AS dist
+          FROM n CROSS JOIN cent),
+    a AS (SELECT vec_id, embedding, nsq, cell_id FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn FROM d)
+          WHERE rn = 1),
+    probe AS (SELECT vec_id AS query_id, embedding AS q_emb, nsq AS q_nsq, cell_id FROM
+                (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS prn
+                 FROM d WHERE vec_id < 10)
+              WHERE prn <= 4),
+    p AS (SELECT probe.query_id, a.vec_id AS neighbor_id,
+                 ROUND({_D_DOT.format(a="probe.q_emb", b="a.embedding")} / SQRT(probe.q_nsq * a.nsq), 6) AS cosine
+          FROM probe JOIN a ON a.cell_id = probe.cell_id AND a.vec_id <> probe.query_id),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk FROM p)
+    SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+    """,
+    doc="IVF ANN: nearest-centroid inverted lists, nprobe=4 of 16 cells "
+    "(centroids = deterministic dataset pick; KMeans-pluggable).",
+)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        table(spark, sf_dir, "embeddings"), "vec_id < 10", 5, n_cells=16, nprobe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

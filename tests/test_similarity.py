@@ -1,0 +1,58 @@
+"""IVF ANN properties: full-probe degeneration to exact search, single-cell
+assignment, and pluggable centroids."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.pipeline import similarity
+from enterprise_warp_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings")
+
+
+def test_full_probe_equals_exact(spark, emb):
+    """nprobe == n_cells scans every inverted list -> results must equal the
+    brute-force baseline row for row."""
+    exact = similarity.cosine_topk(emb, "vec_id < 6", 4)
+    ivf = similarity.ivf_topk(emb, "vec_id < 6", 4, n_cells=8, nprobe=8)
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, ivf.collect()))
+    assert a == b
+
+
+def test_partial_probe_recall(spark, emb):
+    """nprobe < n_cells keeps most true neighbors (sanity floor, not a
+    guarantee: recall tunes with nprobe)."""
+    exact = {(r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(emb, "vec_id < 10", 5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_topk(emb, "vec_id < 10", 5, n_cells=16, nprobe=4).collect()}
+    assert len(exact & ivf) / len(exact) >= 0.6
+
+
+def test_single_cell_assignment(spark, emb):
+    """Inverted lists partition the corpus: each vector lands in exactly one
+    cell."""
+    n = similarity._with_norm_sq(emb)
+    cents = similarity.deterministic_centroids(emb, 8)
+    d = similarity._cell_distances(n, cents, "embedding")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+    assigned = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    total = emb.count()
+    assert assigned.count() == total
+    assert assigned.select("vec_id").distinct().count() == total
+
+
+def test_custom_centroids(spark, emb):
+    """Centroids are pluggable (KMeans path): any (cell_id, c_emb, c_nsq)
+    table drives the same plan."""
+    cents = similarity.deterministic_centroids(emb, 32).filter(
+        F.col("cell_id") % 2 == 0
+    )
+    out = similarity.ivf_topk(emb, "vec_id < 3", 3, centroids=cents)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(1 <= r["rnk"] <= 3 for r in rows)
