@@ -580,3 +580,4 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from enterprise_warp_spark import queries_pipeline  # noqa: E402,F401
 from enterprise_warp_spark import queries_extra  # noqa: E402,F401
 from enterprise_warp_spark import queries_kernel  # noqa: E402,F401
+from enterprise_warp_spark import queries_olap  # noqa: E402,F401

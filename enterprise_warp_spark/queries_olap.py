@@ -1,0 +1,197 @@
+"""OLAP-shape catalog entries: multi-level aggregation (ROLLUP / grouping
+sets), pivot, correlated scalar subqueries, semi joins and group-filtered
+aggregation (HAVING). These widen the relational surface beyond the
+reference's own query shapes with classic warehouse plans the engine must
+also serve at 100 TB.
+
+Scale notes: rollup/cube are single-shuffle multi-level aggregates (Spark
+expands grouping sets map-side); pivot with an explicit value list is one
+shuffle with conditional aggregation (never a second scan); the correlated
+Q17-style subquery is expressed as a per-key aggregate + equi-join, which is
+exactly Catalyst's decorrelation and keeps both sides shuffle-partitioned on
+the join key; semi joins never multiply rows, so their output stays small
+regardless of match fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.queries import _davg, _dec, _dsum, register
+from enterprise_warp_spark.tables import table
+
+
+@register(
+    "rollup_order_volume",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INTEGER) AS gid,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2))) AS DOUBLE), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+    doc="ROLLUP multi-level aggregate: (priority, status) -> priority -> grand "
+    "total in ONE shuffle (grouping-set expansion is map-side).",
+)
+def rollup_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice", 19, 2).alias("total"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2))) FILTER (o_orderstatus = 'F') AS DOUBLE), 2) AS filled_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot with an explicit value list == one-shuffle conditional "
+    "aggregation (no per-value scan).",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", _dec("o_totalprice", 19, 2))
+            ).cast("double"),
+            2,
+        ).alias("filled_total"),
+    )
+
+
+@register(
+    "q17_small_quantity_parts",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_small,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE), 2) AS small_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.l_partkey = lineitem.l_partkey
+    WHERE l_quantity < half_avg
+    GROUP BY p_brand
+    """,
+    doc="Q17 shape — correlated scalar subquery (per-part avg quantity) "
+    "decorrelated to aggregate + equi-join on the correlation key.",
+)
+def q17_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    pa = l.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+              F.col("pa_partkey") == l["l_partkey"])
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            _dsum("l_extendedprice", 19, 2).alias("small_revenue"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, o_orderdate,
+           ROUND(CAST(o_totalprice AS DOUBLE), 2) AS total_price,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(l_quantity) > 210
+    """,
+    doc="Q18 shape — HAVING on a post-join aggregate (large-volume orders).",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 210)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "semi_join_returned_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="EXISTS == LEFT SEMI join: match test without row multiplication "
+    "(the complement of anti_join_lineitem).",
+)
+def semi_join_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+    WITH c AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c GROUP BY c_count
+    """,
+    doc="Q13 shape — left outer join preserving customers with zero orders, "
+    "then a distribution over the per-customer counts.",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

@@ -110,3 +110,46 @@ def test_bucketed_join_has_no_exchange(spark, sf001, tmp_path):
     assert joined.count() == shuffled.count()
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_olap_queries_no_cartesian(spark, sf001):
+    """New OLAP shapes stay equi-join / single-shuffle: no cartesian or
+    nested-loop fallback anywhere."""
+    for name in (
+        "rollup_order_volume",
+        "pivot_status_by_priority",
+        "q17_small_quantity_parts",
+        "q18_large_orders",
+        "semi_join_returned_orders",
+        "q13_customer_order_distribution",
+    ):
+        p = plan(REGISTRY[name].spark(spark, sf001))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_rollup_is_single_expand_aggregate(spark, sf001):
+    """ROLLUP compiles to one Expand + hash aggregate, not one scan per
+    grouping level."""
+    p = plan(REGISTRY["rollup_order_volume"].spark(spark, sf001), "simple")
+    assert p.count("Expand") >= 1
+    assert p.count("Scan parquet") == 1
+
+
+def test_pivot_is_single_scan(spark, sf001):
+    """Explicit-values pivot == conditional aggregation over ONE scan."""
+    p = plan(REGISTRY["pivot_status_by_priority"].spark(spark, sf001), "simple")
+    assert p.count("Scan parquet") == 1
+
+
+def test_semi_join_stays_semi(spark, sf001):
+    p = plan(REGISTRY["semi_join_returned_orders"].spark(spark, sf001))
+    assert "LeftSemi" in p
+
+
+def test_ivf_centroids_broadcast(spark, sf001):
+    """IVF fan-out join broadcasts the small centroid table; candidate join
+    is an equi-join on cell_id."""
+    p = plan(REGISTRY["embedding_ann_ivf"].spark(spark, sf001))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
