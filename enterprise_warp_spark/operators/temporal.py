@@ -1,0 +1,124 @@
+"""Temporal join operators Spark lacks as built-ins: as-of (point-in-time)
+join and interval (range) join.
+
+Both are implemented as compositions of existing DataFrame ops chosen for the
+100 TB shape of the problem, NOT as theta-joins the planner would execute as
+a broadcast-nested-loop or cartesian product:
+
+* ``asof_join`` — union both sides tagged, ONE shuffle on the key, and a
+  running ``last(..., ignorenulls)`` carry-forward window. Cost is
+  O(n log n) per key partition with zero row multiplication, versus the
+  O(n_left * n_right) per key of a naive ``l.ts >= r.ts`` theta join. This
+  is the standard scalable point-in-time join (same plan shape Flink's
+  temporal join and kdb's aj compile to).
+* ``interval_join`` — intervals are exploded onto a coarse bucket grid
+  (``ceil(width / bucket)`` rows each, typically 1-2), points hash to one
+  bucket, and the join becomes an EQUI-join on (key, bucket) refined by the
+  range predicate. Catalyst plans a plain shuffled hash/sort-merge join;
+  no nested-loop fallback, skew handled by AQE like any equi-join.
+
+The reference has no temporal joins (its TOA tables are joined per-pulsar by
+position, SURVEY §2.3); these serve the training-data/event-analytics surface
+(BASELINE.json north_star) where point-in-time correctness (feature lookups)
+and window attribution are core query shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    match_col: str = "match",
+) -> DataFrame:
+    """For every left row, attach the LAST right row (as a struct column
+    ``match_col``) with ``right.ts <= left.ts`` for the same ``on`` key;
+    null struct when no right row precedes.
+
+    Equal timestamps count as preceding (right sorts before left on ties,
+    further tie-broken by right row order), matching ``ASOF JOIN ...
+    ON l.ts >= r.ts`` inclusive semantics.
+    """
+    l_t = StructType(left.schema.fields)
+    r_t = StructType(right.schema.fields)
+    l2 = left.select(
+        F.col(on).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lpay"),
+        F.lit(None).cast(r_t).alias("__rpay"),
+    )
+    r2 = right.select(
+        F.col(on).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_t).alias("__lpay"),
+        F.struct(*[F.col(c) for c in right.columns]).alias("__rpay"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l2.unionByName(r2)
+        .withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select(F.col("__lpay.*"), F.col("__m").alias(match_col))
+    )
+
+
+def interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    on: str,
+    start: str,
+    end: str,
+    point_ts: str,
+    bucket: int,
+) -> DataFrame:
+    """Join each interval ``[start, end)`` to the points falling inside it
+    (same ``on`` key), as an equi-join on (key, coarse time bucket).
+
+    ``start``/``end``/``point_ts`` are integer epoch columns (e.g. µs);
+    ``bucket`` is the grid width in the same unit — choose it >= the typical
+    interval width so each interval lands on 1-2 buckets. Output = interval
+    columns + matching point row struct ``point``.
+    """
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / bucket),
+                F.floor((F.col(end) - 1) / bucket),
+            )
+        ),
+    )
+    pt = points.withColumn("__b", F.floor(F.col(point_ts) / bucket)).select(
+        F.col(on).alias("__pk"),
+        "__b",
+        F.struct(*[F.col(c) for c in points.columns]).alias("point"),
+    )
+    return (
+        iv.join(
+            pt,
+            (iv[on] == pt["__pk"])
+            & (iv["__b"] == pt["__b"])
+            & (pt["point"][point_ts] >= iv[start])
+            & (pt["point"][point_ts] < iv[end]),
+        )
+        .drop("__b", "__pk")
+    )
+
+
+def time_bucket(ts_us: Column | str, width_us: int) -> Column:
+    """Hypertable-style time bucket: epoch-µs start of the containing
+    fixed-width bucket (timescaledb ``time_bucket`` analogue)."""
+    c = F.col(ts_us) if isinstance(ts_us, str) else ts_us
+    return (F.floor(c / width_us) * width_us).cast("long")

@@ -581,3 +581,4 @@ from enterprise_warp_spark import queries_pipeline  # noqa: E402,F401
 from enterprise_warp_spark import queries_extra  # noqa: E402,F401
 from enterprise_warp_spark import queries_kernel  # noqa: E402,F401
 from enterprise_warp_spark import queries_olap  # noqa: E402,F401
+from enterprise_warp_spark import queries_temporal  # noqa: E402,F401

@@ -1,0 +1,108 @@
+"""As-of join / interval join / time_bucket unit tests (operators/temporal.py)
+against hand-computed expectations, plus plan-shape assertions: the whole
+point of these operators is that they compile to single-shuffle / equi-join
+plans, never nested-loop theta joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    time_bucket,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],
+        "k int, t int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 15, 2.0), (2, 9, 3.0)], "k int, t int, v double"
+    )
+    out = {
+        r["tag"]: (r["match"]["t"] if r["match"] else None)
+        for r in asof_join(left, right, on="k", ts="t").collect()
+    }
+    # a(t=10) -> right t=8; b(t=20) -> t=15; c(t=5) -> none; d(t=7, k=2) -> none (9>7)
+    assert out == {"a": 8, "b": 15, "c": None, "d": None}
+
+
+def test_asof_join_tie_is_inclusive(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame([(1, 10, 7.0)], "k int, t int, v double")
+    [row] = asof_join(left, right, on="k", ts="t").collect()
+    assert row["match"]["v"] == 7.0
+
+
+def test_asof_join_no_join_node(spark):
+    """The as-of join must NOT be a join at all — union + window, one
+    shuffle, no cartesian/nested-loop anywhere."""
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame([(1, 8, 1.0)], "k int, t int, v double")
+    p = _plan(asof_join(left, right, on="k", ts="t"))
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p
+    assert "Join" not in p.split("== Physical Plan ==")[-1]
+
+
+def test_interval_join_membership(spark):
+    iv = spark.createDataFrame(
+        [(1, 100, 200, "w1"), (1, 150, 260, "w2"), (2, 0, 50, "w3")],
+        "k int, s long, e long, wid string",
+    )
+    pt = spark.createDataFrame(
+        [(1, 100), (1, 199), (1, 200), (1, 250), (2, 49), (2, 50), (3, 120)],
+        "k int, t long",
+    )
+    got = {
+        (r["wid"], r["point"]["t"])
+        for r in interval_join(
+            iv, pt, on="k", start="s", end="e", point_ts="t", bucket=128
+        ).collect()
+    }
+    # [start, end): 200 excluded from w1, included in w2; 50 excluded from w3
+    assert got == {
+        ("w1", 100),
+        ("w1", 199),
+        ("w2", 199),
+        ("w2", 200),
+        ("w2", 250),
+        ("w3", 49),
+    }
+
+
+def test_interval_join_is_equi_join(spark):
+    iv = spark.createDataFrame([(1, 100, 200)], "k int, s long, e long")
+    pt = spark.createDataFrame([(1, 150)], "k int, t long")
+    p = _plan(
+        interval_join(iv, pt, on="k", start="s", end="e", point_ts="t", bucket=256)
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_interval_join_wide_interval_spans_buckets(spark):
+    """Intervals wider than the bucket grid still match every point (the
+    explode covers ceil(width/bucket)+1 cells)."""
+    iv = spark.createDataFrame([(1, 0, 1000, "w")], "k int, s long, e long, wid string")
+    pt = spark.createDataFrame([(1, t) for t in range(0, 1000, 37)], "k int, t long")
+    n = interval_join(
+        iv, pt, on="k", start="s", end="e", point_ts="t", bucket=100
+    ).count()
+    assert n == len(range(0, 1000, 37))
+
+
+def test_time_bucket(spark):
+    df = spark.createDataFrame([(0,), (999_999,), (1_000_000,), (2_500_000,)], "t long")
+    got = [r[0] for r in df.select(time_bucket("t", 1_000_000)).collect()]
+    assert got == [0, 0, 1_000_000, 2_000_000]
