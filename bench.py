@@ -27,8 +27,29 @@ def main() -> None:
     spark = get_spark(app_name="ews-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: trigger JVM init + parquet footer reads once.
+    # Warmup: trigger JVM init, parquet footer reads, whole-stage-codegen JIT
+    # for the common plan shapes (agg/window/join), and the Arrow + Python
+    # worker pool once, so per-query numbers measure steady-state throughput
+    # rather than first-touch JIT (3-8x inflation on the first kernel query).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    w = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.rand(1).alias("v")
+    )
+    (
+        w.join(w.groupBy("k").agg(F.avg("v").alias("m")), "k")
+        .withColumn("rn", F.row_number().over(Window.partitionBy("k").orderBy("id")))
+        .groupBy("k")
+        .agg(F.sum("v"), F.max("rn"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    w.repartition(4, "k").mapInPandas(lambda it: it, "id long, k long, v double").groupBy(
+        "k"
+    ).applyInPandas(lambda p: p[["k"]].head(1), "k long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):

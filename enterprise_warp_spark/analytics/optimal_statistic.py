@@ -92,8 +92,14 @@ def pair_statistics(
     gamma: float = 13.0 / 3.0,
     tspan_s: float | None = None,
 ) -> DataFrame:
-    """J6 pair join + per-pair rho/sig; xi from sky positions (pair_angle)."""
-    withpos = reduced.join(positions, "psr")
+    """J6 pair join + per-pair rho/sig; xi from sky positions (pair_angle).
+
+    The reduction output is persisted before the pair self-join: it is tiny
+    (npsr rows of 2k-vectors) but expensive to produce (one pass over ALL
+    TOAs), and the self-join's two branches would otherwise re-run that pass
+    twice. The broadcast build materializes the cache; the probe side reuses
+    it."""
+    withpos = reduced.join(positions, "psr").persist()
     a = withpos.select(*[F.col(c).alias(f"a_{c}") for c in withpos.columns])
     b = withpos.select(*[F.col(c).alias(f"b_{c}") for c in withpos.columns])
     pairs = a.join(F.broadcast(b), F.col("a_psr") < F.col("b_psr"))

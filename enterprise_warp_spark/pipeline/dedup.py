@@ -23,21 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from enterprise_warp_spark.functions.arrays import explode_nonnull, spread
 from enterprise_warp_spark.pipeline.text import H64, TOKENS
 
 P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
-
-
-def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Repartition expression-heavy per-document work when the scan
-    under-partitions (e.g. one big parquet file -> one task). The shuffle
-    moves only the raw rows; the expensive shingle/hash expressions then run
-    on every core. No-op when the input is already at least as parallel as
-    the cluster (the 100 TB case)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
-    return df
 
 # fixed universal-hash parameters (classic LCG multipliers/increments)
 MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
@@ -78,7 +67,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 8) 
     # (9x re-tokenization per row otherwise)
     toks = spread(df.select("doc_id", F.expr(t).alias("toks")))
     sh = SHINGLES3.format(t="toks")
-    exploded = toks.select("doc_id", F.explode(F.expr(sh)).alias("s")).select(
+    exploded = explode_nonnull(toks, sh, "s", "doc_id").select(
         "doc_id", F.expr(f"{H64.format(s='s')} % {P31}").alias("hp")
     )
     aggs = [
@@ -135,8 +124,8 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     md5 work.) One shuffle on doc_id; partial aggregation is map-side.
     """
     t = TOKENS.format(s=text_col)
-    tok_h = spread(df.select("doc_id", F.expr(t).alias("toks"))).select(
-        "doc_id", F.explode("toks").alias("tok")
+    tok_h = explode_nonnull(
+        spread(df.select("doc_id", F.expr(t).alias("toks"))), F.col("toks"), "tok", "doc_id"
     ).select("doc_id", F.expr(H64.format(s="tok")).alias("h"))
     weights = tok_h.groupBy("doc_id").agg(
         *[
@@ -208,8 +197,8 @@ def ngram_jaccard_pairs(
     ).withColumn("n_grams", F.expr("size(grams)"))
     # n_grams rides along through the explode so no extra join (and no extra
     # evaluation of the shingle subtree) is needed to recover set sizes.
-    ex = base.select(
-        "doc_id", *block_cols, "len_bucket", "n_grams", F.explode("grams").alias("gram")
+    ex = explode_nonnull(
+        base, F.col("grams"), "gram", "doc_id", *block_cols, "len_bucket", "n_grams"
     )
     keys = [*block_cols, "len_bucket", "gram"]
     # ~86% of gram keys are unique within their block (measured at sf0.1) and

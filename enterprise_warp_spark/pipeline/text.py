@@ -111,11 +111,13 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprints: polynomial rolling hash (base 31,
     mod 1e9+7) over characters, full text + 64-char prefix."""
+    from enterprise_warp_spark.functions.arrays import spread
+
     poly = (
         "aggregate(filter(split({s}, ''), x -> x != ''), cast(0 as bigint), "
         "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"
     )
-    return df.select(
+    return spread(df).select(
         "doc_id",
         F.expr(poly.format(s=text_col)).alias("fp_full"),
         F.expr(poly.format(s=f"substring({text_col}, 1, 64)")).alias("fp_prefix64"),

@@ -102,13 +102,16 @@ def gwb_hd_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _synthetic_residuals(spark, sf_dir)
     tspan = 300_000.0 * 1_000_000
     red = per_pulsar_reduction(res, nfreqs=6, tspan_s=tspan)
+    # small local tables go through the Arrow createDataFrame path (one
+    # LocalTableScan partition) — the tuple-list path RDD-parallelizes over
+    # defaultParallelism slices and costs seconds per mapInPandas stage
     positions = spark.createDataFrame(
-        [
-            ("J0", [1.0, 0.0, 0.0]),
-            ("J1", [0.0, 1.0, 0.0]),
-            ("J2", [0.0, 0.0, 1.0]),
-        ],
-        "psr string, pos array<double>",
+        pd.DataFrame(
+            {
+                "psr": ["J0", "J1", "J2"],
+                "pos": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+            }
+        )
     )
     cols = {f"J{i}": (f"rn_lga_{i}", f"rn_gam_{i}") for i in range(3)}
     grid = [(-13.5, 13.0 / 3.0), (-14.0, 4.0), (-14.5, 3.0), (-13.0, 3.7)]
@@ -119,10 +122,10 @@ def gwb_hd_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for sid, (lga, gam) in enumerate(grid)
     ]
-    schema = "sample_id long, gw_log10_A double, gw_gamma double, " + ", ".join(
-        f"{c} double" for i in range(3) for c in cols[f"J{i}"]
-    )
-    samples = spark.createDataFrame(rows, schema)
+    names = ["sample_id", "gw_log10_A", "gw_gamma"] + [
+        c for i in range(3) for c in cols[f"J{i}"]
+    ]
+    samples = spark.createDataFrame(pd.DataFrame(rows, columns=names))
     return gwb_loglik(red, positions, samples, tspan, intrinsic_columns=cols).orderBy(
         "sample_id"
     )
@@ -142,11 +145,11 @@ def os_pair_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _synthetic_residuals(spark, sf_dir)
     red = per_pulsar_reduction(res, nfreqs=6, tspan_s=300_000.0 * 1_000_000)
     positions = spark.createDataFrame(
-        [
-            ("J0", [1.0, 0.0, 0.0]),
-            ("J1", [0.0, 1.0, 0.0]),
-            ("J2", [0.0, 0.0, 1.0]),
-        ],
-        "psr string, pos array<double>",
+        pd.DataFrame(
+            {
+                "psr": ["J0", "J1", "J2"],
+                "pos": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+            }
+        )
     )
     return pair_statistics(red, positions, tspan_s=300_000.0 * 1_000_000)
