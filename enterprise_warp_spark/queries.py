@@ -440,8 +440,11 @@ def pair_hd_orf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def substring_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    import pandas as pd
+
+    # Arrow path (LocalTableScan), not RDD-parallelize over 32 slices
     tokens = spark.createDataFrame(
-        [("spark",), ("hash",), ("join",), ("window",), ("stream",)], "token string"
+        pd.DataFrame({"token": ["spark", "hash", "join", "window", "stream"]})
     )
     return (
         docs.join(F.broadcast(tokens), F.col("text").contains(F.col("token")))

@@ -5,6 +5,7 @@ P8/P9 (regex name predicates)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,8 +52,9 @@ def rms_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def coalesce_rate_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     cust = table(spark, sf_dir, "customer")
+    # Arrow path (LocalTableScan), not RDD-parallelize over 32 slices
     rates = spark.createDataFrame(
-        [("NATION_3", 0.1), ("NATION_7", 0.2)], "nname string, rate double"
+        pd.DataFrame({"nname": ["NATION_3", "NATION_7"], "rate": [0.1, 0.2]})
     )
     return (
         nation.join(F.broadcast(rates), nation.n_name == rates.nname, "left")

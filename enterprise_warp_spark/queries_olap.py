@@ -173,6 +173,90 @@ def semi_join_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE: all 4 grouping combinations in one Expand + one shuffle.",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().cast("int").alias("gid"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@register(
+    "distinct_users_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+    doc="Exact COUNT DISTINCT per day (Catalyst expands to a two-phase "
+    "partial-distinct aggregate — no driver-side dedup).",
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "running_revenue_by_priority",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(19,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, month,
+           ROUND(CAST(SUM(rev) OVER (PARTITION BY priority ORDER BY month
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+             AS cum_revenue
+    FROM d
+    """,
+    doc="Cumulative (running-total) window over a pre-aggregated monthly "
+    "series: the window sees #months rows per priority, never the raw fact "
+    "table — the scalable shape for running totals.",
+)
+def running_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(F.sum(_dec("o_totalprice", 19, 2)).alias("rev"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "priority",
+        "month",
+        F.round(F.sum("rev").over(w).cast("double"), 2).alias("cum_revenue"),
+    )
+
+
+@register(
     "q13_customer_order_distribution",
     """
     WITH c AS (
