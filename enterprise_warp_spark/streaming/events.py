@@ -64,6 +64,57 @@ def streaming_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def stream_stream_attribution_join(
+    spark: SparkSession,
+    sf_dir: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    click joined to the same user's views from the preceding `within`
+    interval. Both sides are watermarked so the view-side buffer state is
+    dropped once `click_ts - within` passes the watermark — bounded state,
+    the streaming analogue of `interval_join`.
+
+    Two independent readStream sources (a streaming self-join on one source
+    reads the data once per side anyway)."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND view_ts <= click_ts "
+            f"AND view_ts > click_ts - INTERVAL {within}"
+        ),
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "view_id",
+        "view_ts",
+        "view_value",
+    )
+
+
 def sessionized_activity(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

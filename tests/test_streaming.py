@@ -68,3 +68,48 @@ def test_sessionized_activity(spark, sf_dir):
     rows = spark.sql("select * from sessions_test").collect()
     assert len(rows) > 0
     assert all(r["session_end"] >= r["session_start"] and r["n_events"] > 0 for r in rows)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream watermarked range join == the equivalent batch join."""
+    from enterprise_warp_spark.streaming.events import (
+        stream_stream_attribution_join,
+    )
+    from enterprise_warp_spark.tables import table
+
+    q = (
+        stream_stream_attribution_join(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("select * from ssj_test").collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    want = {
+        (r["click_id"], r["view_id"])
+        for r in clicks.join(
+            views,
+            F.expr(
+                "c_user = v_user AND view_ts <= click_ts "
+                "AND view_ts > click_ts - INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0

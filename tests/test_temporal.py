@@ -106,3 +106,37 @@ def test_time_bucket(spark):
     df = spark.createDataFrame([(0,), (999_999,), (1_000_000,), (2_500_000,)], "t long")
     got = [r[0] for r in df.select(time_bucket("t", 1_000_000)).collect()]
     assert got == [0, 0, 1_000_000, 2_000_000]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from enterprise_warp_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "cold") for i in range(50 if k == "hot" else 3)],
+        "k string, i int",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("cold", 2.0), ("absent", 3.0)], "k string, v double"
+    )
+    plain = {(r["k"], r["i"], r["v"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["k"], r["i"], r["v"])
+        for r in salted_join(left, right, "k", n_salt=4).collect()
+    }
+    assert salted == plain
+    assert len(plain) == 53
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """Each (key, salt) sub-key carries only a fraction of the hot key."""
+    from enterprise_warp_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([("hot", i) for i in range(400)], "k string, i int")
+    right = spark.createDataFrame([("hot", 1.0)], "k string, v double")
+    s = left.withColumn("__salt", (F.floor(F.rand(7) * 8)).cast("int"))
+    per_salt = [
+        r["n"] for r in s.groupBy("__salt").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(per_salt) > 1 and max(per_salt) < 400
+    assert salted_join(left, right, "k", n_salt=8).count() == 400
