@@ -257,6 +257,44 @@ def running_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q22_idle_high_balance_customers",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(CAST(c_acctbal AS DECIMAL(19,2))) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(19,2))) AS DOUBLE), 2) AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    doc="Q22 shape — scalar aggregate subquery (global avg balance, computed "
+    "once and broadcast as a 1-row cross join) + anti join (customers with "
+    "no orders).",
+)
+def q22_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(_dec("c_acctbal", 19, 2)).alias("ab"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _dsum("c_acctbal", 19, 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
     "q13_customer_order_distribution",
     """
     WITH c AS (
