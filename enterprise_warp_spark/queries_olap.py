@@ -295,6 +295,43 @@ def q22_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2))
+                             * (1 - CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE), 2)
+               AS total_revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="Q15 shape — aggregate view + MAX-of-aggregate scalar subquery "
+    "(tie-safe: every supplier at the max). The 1-row max is a broadcast, "
+    "not a driver collect.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(
+                _dec("l_extendedprice", 19, 2) * (F.lit(1) - _dec("l_discount", 5, 4))
+            ).cast("double"),
+            2,
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        s.join(rev, s["s_suppkey"] == rev["l_suppkey"])
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
     "q13_customer_order_distribution",
     """
     WITH c AS (
