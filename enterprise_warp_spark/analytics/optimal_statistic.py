@@ -40,14 +40,29 @@ from pyspark.sql import functions as F
 from enterprise_warp_spark.likelihood.gp import FYR
 
 
-def per_pulsar_reduction(residuals: DataFrame, nfreqs: int, tspan_s: float) -> DataFrame:
+def per_pulsar_reduction(
+    residuals: DataFrame, nfreqs: int, tspan_s: float, n_chunks: int | None = None
+) -> DataFrame:
     """-> (psr, u ARRAY<DOUBLE>[2k], s ARRAY<DOUBLE>[2k*2k], f ARRAY<DOUBLE>[2k]).
 
     The common GW basis uses the ARRAY Tspan so every pulsar shares
     frequencies (reference passes the array span to the GWB basis).
-    """
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    TWO-PHASE shape: u = F^T N^-1 r and S = F^T N^-1 F are row-wise sums
+    over TOAs, i.e. associative — so phase 1 computes partials per
+    (psr, chunk) with chunk a deterministic content-hash in [0, n_chunks),
+    and phase 2 merges the n_chunks small partials per pulsar. A pulsar with
+    10^9 TOAs is n_chunks parallel O((n/c)*(2k)^2) tasks plus a trivial
+    merge, instead of one straggler task. n_chunks defaults to the session's
+    default parallelism.
+    """
+    n_chunks = n_chunks or residuals.sparkSession.sparkContext.defaultParallelism
+    reduced_schema = (
+        "psr string, u array<double>, s array<double>, f array<double>, "
+        "rtn_r double, logdet_n double, n_toa long"
+    )
+
+    def partial_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         t = pdf["toa_s"].to_numpy()
         r = pdf["residual_s"].to_numpy()
         sig = pdf["toa_err_s"].to_numpy()
@@ -75,11 +90,29 @@ def per_pulsar_reduction(residuals: DataFrame, nfreqs: int, tspan_s: float) -> D
             }
         )
 
-    return residuals.groupBy("psr").applyInPandas(
-        kernel,
-        "psr string, u array<double>, s array<double>, f array<double>, "
-        "rtn_r double, logdet_n double, n_toa long",
+    def merge_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = np.sum(np.stack(pdf["u"].map(np.asarray)), axis=0)
+        S = np.sum(np.stack(pdf["s"].map(np.asarray)), axis=0)
+        return pd.DataFrame(
+            {
+                "psr": [pdf["psr"].iloc[0]],
+                "u": [u.tolist()],
+                "s": [S.tolist()],
+                "f": [list(pdf["f"].iloc[0])],
+                "rtn_r": [float(pdf["rtn_r"].sum())],
+                "logdet_n": [float(pdf["logdet_n"].sum())],
+                "n_toa": [int(pdf["n_toa"].sum())],
+            }
+        )
+
+    partials = (
+        residuals.withColumn(
+            "_chunk", F.pmod(F.hash("toa_s", "residual_s"), F.lit(n_chunks))
+        )
+        .groupBy("psr", "_chunk")
+        .applyInPandas(partial_kernel, reduced_schema)
     )
+    return partials.groupBy("psr").applyInPandas(merge_kernel, reduced_schema)
 
 
 def _phi_hat(f2: np.ndarray, df: float, gamma: float) -> np.ndarray:
@@ -189,7 +222,8 @@ def marginalised_os(
     """
     from enterprise_warp_spark.functions.orf import dipole_orf, hd_orf, monopole_orf
 
-    recs = list(draws[["draw_id", "gamma"]].itertuples(index=False))
+    draw_ids = draws["draw_id"].to_numpy().astype(np.int64)
+    gammas = draws["gamma"].to_numpy().astype(np.float64)
     withpos = reduced.join(positions, "psr")
     a = withpos.select(*[F.col(c).alias(f"a_{c}") for c in withpos.columns])
     b = withpos.select(*[F.col(c).alias(f"b_{c}") for c in withpos.columns])
@@ -197,7 +231,7 @@ def marginalised_os(
 
     def kernel(batches):
         for pdf in batches:
-            out = []
+            frames = []
             for row in pdf.itertuples(index=False):
                 u_a, u_b = np.array(row.a_u), np.array(row.b_u)
                 f2 = np.array(row.a_f)
@@ -207,12 +241,42 @@ def marginalised_os(
                 df = f2[0] if tspan_s is None else 1.0 / tspan_s
                 pos_a, pos_b = np.array(row.a_pos), np.array(row.b_pos)
                 xi = math.acos(max(-1.0, min(1.0, float(pos_a @ pos_b))))
-                for draw_id, gamma in recs:
-                    ph = _phi_hat(f2, df, float(gamma))
-                    num = float(u_a @ (ph * u_b))
-                    norm = float(np.einsum("i,ij,j,ji->", ph, S_a, ph, S_b))
-                    out.append((int(draw_id), xi, num / norm, norm**-0.5))
-            yield pd.DataFrame(out, columns=["draw_id", "xi", "rho", "sig"])
+                # all draws at once: PH is (n_draws, 2k) — phi_hat per draw —
+                # so num = PH @ (u_a*u_b) and norm = einsum(di,ij,dj) with
+                # M = S_a * S_b.T; one BLAS pass instead of a Python loop
+                # re-deriving phi_hat per (pair, draw)
+                PH = (
+                    1.0
+                    / (12.0 * math.pi**2)
+                    * FYR ** (-3.0)
+                    * (f2[None, :] / FYR) ** (-gammas[:, None])
+                    * df
+                )
+                num = PH @ (u_a * u_b)
+                M = S_a * S_b.T
+                norm = np.einsum("di,ij,dj->d", PH, M, PH)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "draw_id": draw_ids,
+                            "xi": xi,
+                            "rho": num / norm,
+                            "sig": norm**-0.5,
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(
+                    {
+                        "draw_id": pd.Series([], dtype="int64"),
+                        "xi": pd.Series([], dtype="float64"),
+                        "rho": pd.Series([], dtype="float64"),
+                        "sig": pd.Series([], dtype="float64"),
+                    }
+                )
+            )
 
     per_pair = pairs.mapInPandas(
         kernel, "draw_id long, xi double, rho double, sig double"

@@ -15,8 +15,12 @@ from pyspark.sql import functions as F
 
 
 def hd_orf(zeta: Column) -> Column:
-    """Hellings–Downs: x=(1-cos zeta)/2; 1.5*x*ln(x) - 0.25*x + 0.5."""
-    x = (1.0 - F.cos(zeta)) / 2.0
+    """Hellings–Downs: x=(1-cos zeta)/2; 1.5*x*ln(x) - 0.25*x + 0.5.
+
+    x is clamped to 1e-15 so coincident sky positions (zeta=0) give the
+    analytic off-diagonal limit 0.5 (x*ln(x) -> 0) instead of a silent null
+    from ln(0)."""
+    x = F.greatest((1.0 - F.cos(zeta)) / 2.0, F.lit(1e-15))
     return 1.5 * x * F.log(x) - 0.25 * x + 0.5
 
 

@@ -37,55 +37,79 @@ from enterprise_warp_spark.likelihood.gp import FYR, powerlaw_phi
 
 
 def hd_matrix(pos: np.ndarray) -> np.ndarray:
-    """HD ORF matrix with unit auto-correlation (enterprise convention)."""
+    """HD ORF matrix with unit auto-correlation (enterprise convention).
+
+    x clamped to 1e-15: two pulsars at identical sky positions (zeta=0) get
+    the analytic off-diagonal limit 0.5 (x ln x -> 0) instead of a math
+    domain error from log(0)."""
     npsr = pos.shape[0]
     g = np.eye(npsr)
     for a in range(npsr):
         for b in range(a + 1, npsr):
-            x = (1.0 - float(pos[a] @ pos[b])) / 2.0
+            x = max((1.0 - float(pos[a] @ pos[b])) / 2.0, 1e-15)
             g[a, b] = g[b, a] = 1.5 * x * math.log(x) - 0.25 * x + 0.5
     return g
 
 
-def gwb_loglik(
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class GwbKernelData:
+    """Collected-once reduction for the GWB kernel: everything the
+    sample-parallel evaluator needs, so a sampler calling gwb_loglik many
+    times pays the reduction collect exactly once (prepare_gwb_kernel)."""
+
+    psrs: tuple[str, ...]
+    x: np.ndarray  # stacked u_p, (npsr*2k,)
+    S_block: np.ndarray  # blockdiag(S_p), (npsr*2k, npsr*2k)
+    f2: np.ndarray
+    rtn: float
+    logdet_n: float
+    n_tot: int
+    gamma_m: np.ndarray
+    gamma_inv: np.ndarray
+    logdet_gamma: float
+    df: float
+    intr: list | None  # fixed intrinsic phi per pulsar (or None)
+
+
+# Dense Sigma solves are O((npsr*2k)^3) on the DRIVER-side prepared arrays;
+# past this dimension the (npsr*2k)^2 matrices stop being "tiny next to the
+# TOA data" and the dense path must be replaced (block solvers / low-rank).
+MAX_GWB_DIM = 8192
+
+
+def prepare_gwb_kernel(
     reduced: DataFrame,
     positions: DataFrame,
-    samples: DataFrame,
     tspan_s: float,
     orf: str = "hd",
     intrinsic: dict[str, tuple[float, float]] | None = None,
-    intrinsic_columns: dict[str, tuple[str, str]] | None = None,
-) -> DataFrame:
-    """-> (sample_id, lnl) for a GWB with spatial correlations.
-
-    reduced: per_pulsar_reduction output (common basis, ARRAY Tspan).
-    samples: DataFrame with (sample_id, gw_log10_A, gw_gamma).
-    intrinsic: optional per-pulsar FIXED red noise {psr: (log10_A, gamma)} —
-    the reference's GWB-search workflow holds single-pulsar noise at its
-    posterior values (noise files, results.py:791-803); it adds to the
-    DIAGONAL pulsar blocks of Phi, which therefore loses its pure Kronecker
-    form — Phi is built densely (it is only (2k*npsr)^2, tiny next to the
-    TOA data).
-    intrinsic_columns: JOINT sampling — per-pulsar SAMPLED red noise
-    {psr: (log10_A_col, gamma_col)} naming columns of `samples`, so every
-    sample row carries its own intrinsic parameters alongside the GWB ones
-    (the reference's full joint model, enterprise_models.py:379-470 with
-    per-pulsar red-noise signals left free). Mutually exclusive with
-    `intrinsic`.
-    """
-    if intrinsic and intrinsic_columns:
-        raise ValueError("pass either intrinsic (fixed) or intrinsic_columns (sampled)")
+    max_dim: int = MAX_GWB_DIM,
+) -> GwbKernelData:
+    """Collect the (tiny) per-pulsar reduction once and precompute the
+    sample-independent pieces. Guards npsr*2k <= max_dim with a clear error
+    instead of dying quietly-late in a dense O(d^3) solve."""
     rows = reduced.join(positions, "psr").orderBy("psr").collect()
     psrs = [r["psr"] for r in rows]
     us = [np.array(r["u"]) for r in rows]
     twok = len(us[0])
+    npsr = len(psrs)
+    dim = npsr * twok
+    if dim > max_dim:
+        raise ValueError(
+            f"gwb kernel dimension npsr*2k = {npsr}*{twok} = {dim} exceeds "
+            f"max_dim={max_dim}: the dense Sigma solve is O(d^3) and "
+            f"O(d^2) memory per sample — reduce nfreqs, split the array, "
+            f"or raise max_dim explicitly if you accept the cost"
+        )
     Ss = [np.array(r["s"]).reshape(twok, twok) for r in rows]
     f2 = np.array(rows[0]["f"])
     rtn = sum(r["rtn_r"] for r in rows)
     logdet_n = sum(r["logdet_n"] for r in rows)
     n_tot = sum(r["n_toa"] for r in rows)
     pos = np.array([r["pos"] for r in rows])
-    npsr = len(psrs)
 
     if orf == "hd":
         gamma_m = hd_matrix(pos)
@@ -108,18 +132,78 @@ def gwb_loglik(
         intr = [powerlaw_phi(f2, df_arr, *intrinsic[p]) for p in psrs]
 
     x = np.concatenate(us)
-    S_block = np.zeros((npsr * twok, npsr * twok))
+    S_block = np.zeros((dim, dim))
     for p, S in enumerate(Ss):
         S_block[p * twok : (p + 1) * twok, p * twok : (p + 1) * twok] = S
+    return GwbKernelData(
+        psrs=tuple(psrs),
+        x=x,
+        S_block=S_block,
+        f2=f2,
+        rtn=float(rtn),
+        logdet_n=float(logdet_n),
+        n_tot=int(n_tot),
+        gamma_m=gamma_m,
+        gamma_inv=gamma_inv,
+        logdet_gamma=float(logdet_gamma),
+        df=df,
+        intr=intr,
+    )
 
+
+def gwb_loglik(
+    reduced: DataFrame | GwbKernelData,
+    positions: DataFrame | None,
+    samples: DataFrame,
+    tspan_s: float,
+    orf: str = "hd",
+    intrinsic: dict[str, tuple[float, float]] | None = None,
+    intrinsic_columns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """-> (sample_id, lnl) for a GWB with spatial correlations.
+
+    reduced: per_pulsar_reduction output (common basis, ARRAY Tspan) — or an
+    already-prepared GwbKernelData (prepare_gwb_kernel) so repeated calls,
+    e.g. from a sampler loop, do not re-collect the reduction per call.
+    samples: DataFrame with (sample_id, gw_log10_A, gw_gamma).
+    intrinsic: optional per-pulsar FIXED red noise {psr: (log10_A, gamma)} —
+    the reference's GWB-search workflow holds single-pulsar noise at its
+    posterior values (noise files, results.py:791-803); it adds to the
+    DIAGONAL pulsar blocks of Phi, which therefore loses its pure Kronecker
+    form — Phi is built densely (it is only (2k*npsr)^2, tiny next to the
+    TOA data, bounded by MAX_GWB_DIM).
+    intrinsic_columns: JOINT sampling — per-pulsar SAMPLED red noise
+    {psr: (log10_A_col, gamma_col)} naming columns of `samples`, so every
+    sample row carries its own intrinsic parameters alongside the GWB ones
+    (the reference's full joint model, enterprise_models.py:379-470 with
+    per-pulsar red-noise signals left free). Mutually exclusive with
+    `intrinsic`.
+
+    The prepared arrays ship to executors via an explicit Spark broadcast
+    (sent once per executor), not closure capture (re-serialized per task).
+    """
+    if intrinsic and intrinsic_columns:
+        raise ValueError("pass either intrinsic (fixed) or intrinsic_columns (sampled)")
+    data = (
+        reduced
+        if isinstance(reduced, GwbKernelData)
+        else prepare_gwb_kernel(reduced, positions, tspan_s, orf, intrinsic)
+    )
     # column order is positional in the kernel: arbitrary pulsar names (J...+...)
     # are not valid itertuples attributes
     sel_cols = ["sample_id", "gw_log10_A", "gw_gamma"]
     if intrinsic_columns:
-        for p in psrs:
+        for p in data.psrs:
             sel_cols += list(intrinsic_columns[p])
+    has_intr_cols = bool(intrinsic_columns)
+    bc = samples.sparkSession.sparkContext.broadcast(data)
 
     def kernel(batches):
+        d = bc.value
+        f2, df, S_block, x = d.f2, d.df, d.S_block, d.x
+        twok = len(f2)
+        npsr = len(d.psrs)
+        df_arr = np.full(len(f2), df)
         for pdf in batches:
             out = []
             for row in pdf[sel_cols].to_numpy():
@@ -131,19 +215,19 @@ def gwb_loglik(
                     * (f2 / FYR) ** (-float(row[2]))
                     * df
                 )
-                if intrinsic_columns:
+                if has_intr_cols:
                     intr_s = [
                         powerlaw_phi(f2, df_arr, float(row[3 + 2 * i]), float(row[4 + 2 * i]))
                         for i in range(npsr)
                     ]
                 else:
-                    intr_s = intr
+                    intr_s = d.intr
                 if intr_s is None:
-                    phi_inv = np.kron(gamma_inv, np.diag(1.0 / phi))
-                    logdet_phi = twok * logdet_gamma + npsr * float(np.sum(np.log(phi)))
+                    phi_inv = np.kron(d.gamma_inv, np.diag(1.0 / phi))
+                    logdet_phi = twok * d.logdet_gamma + npsr * float(np.sum(np.log(phi)))
                 else:
                     # dense Phi: Kronecker GWB + intrinsic diagonal blocks
-                    Phi = np.kron(gamma_m, np.diag(phi))
+                    Phi = np.kron(d.gamma_m, np.diag(phi))
                     for p in range(npsr):
                         Phi[p * twok : (p + 1) * twok, p * twok : (p + 1) * twok] += np.diag(intr_s[p])
                     cphi = np.linalg.cholesky(Phi)
@@ -159,12 +243,12 @@ def gwb_loglik(
                 y = np.linalg.solve(cf, x)
                 logdet_sigma = 2.0 * float(np.sum(np.log(np.diag(cf))))
                 lnl = -0.5 * (
-                    rtn
+                    d.rtn
                     - float(y @ y)
-                    + logdet_n
+                    + d.logdet_n
                     + logdet_phi
                     + logdet_sigma
-                    + n_tot * math.log(2.0 * math.pi)
+                    + d.n_tot * math.log(2.0 * math.pi)
                 )
                 out.append((int(row[0]), lnl))
             yield pd.DataFrame(out, columns=["sample_id", "lnl"])

@@ -24,8 +24,12 @@ def global_rank(
     order_by: Sequence[str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    _total_out: list | None = None,
 ) -> DataFrame:
-    """Exact 1-based global rank over a tie-free order, no global sort."""
+    """Exact 1-based global rank (bigint — survives >2.1B rows) over a
+    tie-free order, no global sort. If ``_total_out`` is given, the total row
+    count (already known from the per-partition offsets) is appended to it so
+    callers don't pay a second scan for ``count()``."""
     cols = [F.col(c) for c in order_by]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # localCheckpoint pins the range partitioning: repartitionByRange SAMPLES
@@ -44,13 +48,18 @@ def global_rank(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if _total_out is not None:
+        _total_out.append(acc)
     offset_expr = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
     return (
         ranged.withColumn("_local", F.row_number().over(w))
-        .withColumn(rank_col, (F.col("_local") + offset_expr[F.col("_pid")]).cast("int"))
+        .withColumn(
+            rank_col,
+            (F.col("_local").cast("long") + offset_expr[F.col("_pid")].cast("long")),
+        )
         .drop("_pid", "_local")
     )
 
@@ -62,9 +71,13 @@ def ntile_bins_scalable(
     aggs: Sequence[F.Column] = (),
 ) -> DataFrame:
     """A8 at scale: fixed-count bins from the distributed rank (matches
-    Window ntile exactly: first `total % n` bins get the extra row)."""
-    ranked = global_rank(df, order_by, "_rank")
-    total = ranked.count()
+    Window ntile exactly: first `total % n` bins get the extra row).
+
+    The total row count is reused from global_rank's per-partition offset
+    collection — no second ``count()`` scan of the checkpointed data."""
+    total_out: list[int] = []
+    ranked = global_rank(df, order_by, "_rank", _total_out=total_out)
+    total = total_out[0]
     base, extra = divmod(total, n_bins)
     # rank -> ntile bin, replicating SQL NTILE's distribution rule
     boundary = (base + 1) * extra

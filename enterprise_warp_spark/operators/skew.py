@@ -37,7 +37,18 @@ def salted_join(
     """Equi-join `skewed` with `other` on `on`, spreading each key of the
     skewed side over ``n_salt`` sub-keys. `other` is replicated n_salt times
     (keep it the smaller side). Output columns = plain join output.
+
+    Only join types correct from the skewed side are allowed: for
+    right/full-outer joins every unmatched `other` row would be emitted once
+    per salt replica (n_salt null-extended copies), so those are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe — unmatched rows of the "
+            f"replicated side would appear n_salt times; use one of {sorted(allowed)}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     s = skewed.withColumn(
         "__salt", (F.floor(F.rand(seed) * n_salt)).cast("int")

@@ -41,9 +41,12 @@ def asof_join(
     ``match_col``) with ``right.ts <= left.ts`` for the same ``on`` key;
     null struct when no right row precedes.
 
-    Equal timestamps count as preceding (right sorts before left on ties,
-    further tie-broken by right row order), matching ``ASOF JOIN ...
-    ON l.ts >= r.ts`` inclusive semantics.
+    Equal timestamps count as preceding (right sorts before left on ties),
+    matching ``ASOF JOIN ... ON l.ts >= r.ts`` inclusive semantics. Among
+    several right rows at the SAME (key, ts), the winner is the one whose
+    full payload struct sorts last (field-wise struct ordering) — a
+    data-deterministic tiebreak, stable run-to-run regardless of
+    partitioning.
     """
     l_t = StructType(left.schema.fields)
     r_t = StructType(right.schema.fields)
@@ -61,9 +64,13 @@ def asof_join(
         F.lit(None).cast(l_t).alias("__lpay"),
         F.struct(*[F.col(c) for c in right.columns]).alias("__rpay"),
     )
+    # __rpay as final sort key: among right rows tied on (key, ts) the pick
+    # is the max payload struct — deterministic; left rows all have null
+    # __rpay so their relative order is unaffected (and irrelevant: each
+    # left row only reads the running last() at its own position).
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__rpay")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -28,6 +28,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table.
+
+    SESSION-LEVEL SIDE EFFECTS (documented API contract, shared with
+    load_tables/register_views and streaming.events.stream_events):
+    * ``spark.sql.session.timeZone`` is pinned to UTC (all queries here
+      assume it);
+    * loading ``events`` sets ``spark.sql.legacy.parquet.nanosAsLong=true``
+      for the SESSION — any later nanos-timestamp parquet read in the same
+      session also sees raw int64. The conf cannot be scoped to this one
+      read: Spark consults it lazily at scan execution, not at
+      ``spark.read`` time, so a save/restore here would corrupt the
+      deferred scan. Use a separate session if you need nanos-as-timestamp
+      semantics elsewhere.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Timestamps in the testdata are naive instants; pin the session to UTC so
     # collection (toPandas) never shifts them relative to the DuckDB oracle.

@@ -153,3 +153,20 @@ def test_ivf_centroids_broadcast(spark, sf001):
     p = plan(REGISTRY["embedding_ann_ivf"].spark(spark, sf001))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_per_pulsar_reduction_is_two_phase(spark):
+    """The heavy TOA pass must be chunk-parallel: partial F^T N^-1 F /
+    F^T N^-1 r per (psr, chunk) then a merge aggregate per psr — two
+    FlatMapGroupsInPandas nodes, never one task per pulsar."""
+    from enterprise_warp_spark.analytics.optimal_statistic import (
+        per_pulsar_reduction,
+    )
+
+    res = spark.createDataFrame(
+        [("J0001+0000", 1.0, 1e-7, 1e-6, 1.0, 0.0)],
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double",
+    )
+    p = plan(per_pulsar_reduction(res, 4, 1e8), "simple")
+    assert p.count("FlatMapGroupsInPandas") == 2
