@@ -108,6 +108,66 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def all_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One wide per-document projection with every text metric: language-ID
+    hit counts + prediction, quality scores, token counts and fingerprints —
+    a single scan + single shuffle-free select (the shape a curation pass
+    runs at 100 TB: compute all row-wise features in one pass, not four).
+    """
+    from enterprise_warp_spark.functions.arrays import spread
+
+    t = TOKENS.format(s=text_col)
+    n_tok = f"size({t})"
+    hits = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
+    pred = (
+        f"CASE WHEN {hits['en']} = 0 AND {hits['es']} = 0 AND {hits['de']} = 0 THEN 'und' "
+        f"WHEN {hits['en']} >= {hits['es']} AND {hits['en']} >= {hits['de']} THEN 'en' "
+        f"WHEN {hits['es']} >= {hits['de']} THEN 'es' ELSE 'de' END"
+    )
+    poly = (
+        "aggregate(filter(split({s}, ''), x -> x != ''), cast(0 as bigint), "
+        "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"
+    )
+    return spread(df).select(
+        "doc_id",
+        "lang",
+        F.expr(hits["en"]).alias("en_hits"),
+        F.expr(hits["es"]).alias("es_hits"),
+        F.expr(hits["de"]).alias("de_hits"),
+        F.expr(pred).alias("predicted"),
+        F.expr(f"length({text_col})").alias("n_chars_obs"),
+        F.expr(n_tok).alias("n_tokens"),
+        F.round(
+            F.expr(
+                f"(length({text_col}) - length(replace({text_col}, ' ', ''))) "
+                f"/ cast(greatest({n_tok}, 1) as double)"
+            ),
+            6,
+        ).alias("space_ratio"),
+        F.round(
+            F.expr(
+                f"length(replace({text_col}, ' ', '')) / cast(greatest({n_tok}, 1) as double)"
+            ),
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.expr(f"{hits['en']} / cast(greatest({n_tok}, 1) as double)"), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.expr(
+                f"0.5 * least(cast({n_tok} as double) / 100, cast(1 as double)) + 0.5 * "
+                f"({hits['en']} / cast(greatest({n_tok}, 1) as double))"
+            ),
+            6,
+        ).alias("quality_score"),
+        F.expr(
+            f"size(regexp_extract_all({text_col}, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+        ).alias("n_bpe_tokens"),
+        F.expr(poly.format(s=text_col)).alias("fp_full"),
+        F.expr(poly.format(s=f"substring({text_col}, 1, 64)")).alias("fp_prefix64"),
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprints: polynomial rolling hash (base 31,
     mod 1e9+7) over characters, full text + 64-char prefix."""

@@ -199,26 +199,40 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "flag_select_events",
+    "flag_substring_select",
     """
-    SELECT event_type, COUNT(*) AS n,
+    SELECT 'flag' AS op, event_type, COUNT(*) AS n,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE), 2) AS sum_value
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
     GROUP BY event_type
+    UNION ALL
+    SELECT 'substr' AS op, event_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    WHERE event_type LIKE '%ck%' OR event_type LIKE '%error%'
+    GROUP BY event_type
     """,
-    doc="P1 flag-equality selection: open-ended per-row map (JSON props) filter.",
+    doc="P1 flag-equality selection (open-ended per-row map / JSON props "
+    "filter) + P4 column selection by name-substring patterns "
+    "(results.py:516-524), tag-discriminated in one gate.",
 )
-def flag_select_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flag_substring_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    return (
+    aggs = [F.count(F.lit(1)).alias("n"), _dsum("value", 14, 6).alias("sum_value")]
+    flag = (
         ev.filter(F.get_json_object("props", "$.k").cast("int") >= 50)
         .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            _dsum("value", 14, 6).alias("sum_value"),
-        )
+        .agg(*aggs)
+        .select(F.lit("flag").alias("op"), "event_type", "n", "sum_value")
     )
+    substr = (
+        ev.filter(F.col("event_type").like("%ck%") | F.col("event_type").like("%error%"))
+        .groupBy("event_type")
+        .agg(*aggs)
+        .select(F.lit("substr").alias("op"), "event_type", "n", "sum_value")
+    )
+    return flag.unionByName(substr)
 
 
 @register(
@@ -240,18 +254,6 @@ def tspan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "model_counts_events",
-    """
-    SELECT CAST(ROUND(value/100, 0) AS BIGINT) AS nmodel, COUNT(*) AS n_samples
-    FROM events GROUP BY 1
-    """,
-    doc="A2 product-space model membership counts (round(nmodel) semantics).",
-)
-def model_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return model_counts(table(spark, sf_dir, "events"), F.col("value") / 100)
-
-
-@register(
     "log_bayes_factors_events",
     """
     WITH c AS (
@@ -263,7 +265,9 @@ def model_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LN(b.n_samples / CAST(a.n_samples AS DOUBLE)), 9) AS log_bf
     FROM c a JOIN c b ON a.nmodel < b.nmodel
     """,
-    doc="A3 log Bayes factors over all model pairs (results.py:605-616).",
+    doc="A2+A3 — product-space model membership counts (round(nmodel) "
+    "semantics; every model's n_samples appears as n_a/n_b) and log Bayes "
+    "factors over all model pairs (results.py:605-616).",
 )
 def log_bayes_factors_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = model_counts(table(spark, sf_dir, "events"), F.col("value") / 100)
@@ -286,38 +290,111 @@ def credible_levels_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "hist_mode_price",
+    "hist_mode",
     """
     WITH stats AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
     b AS (
       SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo)/50)) AS BIGINT), 49) AS bucket, lo, hi
       FROM lineitem, stats
     ),
-    c AS (SELECT bucket, lo, hi, COUNT(*) AS cnt FROM b GROUP BY bucket, lo, hi)
-    SELECT bucket, cnt, ROUND(lo + bucket*(hi-lo)/50, 6) AS mode_position
-    FROM c ORDER BY cnt DESC, bucket LIMIT 1
+    c AS (SELECT bucket, lo, hi, COUNT(*) AS cnt FROM b GROUP BY bucket, lo, hi),
+    gl AS (
+      SELECT 'lineitem_price' AS grp, bucket, cnt, ROUND(lo + bucket*(hi-lo)/50, 6) AS mode_position
+      FROM c ORDER BY cnt DESC, bucket LIMIT 1
+    ),
+    estats AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi FROM events GROUP BY 1),
+    eb AS (
+      SELECT e.event_type,
+             LEAST(CAST(FLOOR((e.value - s.lo) / ((s.hi - s.lo)/50)) AS BIGINT), 49) AS bucket,
+             s.lo, s.hi
+      FROM events e JOIN estats s ON e.event_type = s.event_type
+    ),
+    ec AS (SELECT event_type, bucket, lo, hi, COUNT(*) AS cnt FROM eb GROUP BY 1,2,3,4),
+    er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt DESC, bucket) AS rn FROM ec)
+    SELECT * FROM gl
+    UNION ALL
+    SELECT event_type AS grp, bucket, cnt, ROUND(lo + bucket*(hi-lo)/50, 6) AS mode_position
+    FROM er WHERE rn = 1
     """,
-    doc="A5 50-bin histogram mode estimator (results.py:154-170).",
+    doc="A5 50-bin histogram mode estimator, global (results.py:154-170) and "
+    "per-group (mode_positions_by_par shape), tag-discriminated in one gate.",
 )
-def hist_mode_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return histogram_mode(table(spark, sf_dir, "lineitem"), "l_extendedprice", 50)
+def hist_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    global_part = histogram_mode(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice", 50
+    ).select(F.lit("lineitem_price").alias("grp"), "bucket", "cnt", "mode_position")
+
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    )
+    w = (F.col("_hi") - F.col("_lo")) / 50
+    bucketed = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("_lo")) / w).cast("bigint"), F.lit(49)
+        ).alias("bucket"),
+        "_lo",
+        "_hi",
+    )
+    counted = bucketed.groupBy("event_type", "bucket", "_lo", "_hi").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    win = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("bucket"))
+    typed = (
+        counted.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("event_type").alias("grp"),
+            "bucket",
+            "cnt",
+            F.round(
+                F.col("_lo") + F.col("bucket") * (F.col("_hi") - F.col("_lo")) / 50, 6
+            ).alias("mode_position"),
+        )
+    )
+    return global_part.unionByName(typed)
 
 
 @register(
-    "weighted_mean_by_flag",
+    "weighted_error_stats",
     """
-    SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice/(l_quantity*l_quantity)) / SUM(1.0/(l_quantity*l_quantity)), 3) AS wavg,
-           ROUND(SQRT(1.0 / SUM(1.0/(l_quantity*l_quantity))), 9) AS werr
+    SELECT 'wavg_lineitem' AS op, l_returnflag AS grp,
+           ROUND(SUM(l_extendedprice/(l_quantity*l_quantity)) / SUM(1.0/(l_quantity*l_quantity)), 3) AS s1,
+           ROUND(SQRT(1.0 / SUM(1.0/(l_quantity*l_quantity))), 9) AS s2
     FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'rms_events' AS op, event_type AS grp,
+           ROUND(SQRT(CAST(SUM(CAST(value*value AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*)), 6) AS s1,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / COUNT(*), 6) AS s2
+    FROM events GROUP BY event_type
     """,
-    doc="A7 inverse-variance weighted mean (results.py:276-284).",
+    doc="A7 inverse-variance weighted mean (results.py:276-284) + A10 "
+    "per-backend RMS/mean error stats (libstempo_warp.py:93-98), "
+    "tag-discriminated: (op, grp, s1, s2) = (wavg, werr) | (rms, mean).",
 )
-def weighted_mean_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return weighted_mean(
+def weighted_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wm = weighted_mean(
         table(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity",
         ["l_returnflag"], round_avg=3, round_err=9,
+    ).select(
+        F.lit("wavg_lineitem").alias("op"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("wavg").alias("s1"),
+        F.col("werr").alias("s2"),
     )
+    ev = table(spark, sf_dir, "events")
+    v2 = (F.col("value") * F.col("value")).cast(DecimalType(20, 8))
+    v = F.col("value").cast(DecimalType(14, 6))
+    rms = ev.groupBy("event_type").agg(
+        F.round(F.sqrt(F.sum(v2).cast("double") / F.count(F.lit(1))), 6).alias("s1"),
+        F.round(F.sum(v).cast("double") / F.count(F.lit(1)), 6).alias("s2"),
+    ).select(
+        F.lit("rms_events").alias("op"), F.col("event_type").alias("grp"), "s1", "s2"
+    )
+    return wm.unionByName(rms)
 
 
 @register(
@@ -428,17 +505,24 @@ def pair_hd_orf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "substring_join_docs",
+    "string_predicate_select",
     """
-    SELECT token, COUNT(*) AS n_docs
+    SELECT 'token' AS op, token AS key, COUNT(*) AS n_docs
     FROM documents d
     JOIN (VALUES ('spark'),('hash'),('join'),('window'),('stream')) t(token)
       ON contains(d.text, t.token)
     GROUP BY token
+    UNION ALL
+    SELECT 'regex' AS op, source AS key, COUNT(*) AS n_docs
+    FROM documents
+    WHERE regexp_matches(source, '^src1[0-9]?$')
+    GROUP BY source
     """,
-    doc="J2 substring/theta join (noise-file filename contains pulsar name).",
+    doc="J2 substring/theta join (noise-file filename contains pulsar name) + "
+    "P8/P9 regex name predicates (psr-dir / chain-segment matching), "
+    "tag-discriminated in one gate.",
 )
-def substring_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def string_predicate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     import pandas as pd
 
@@ -446,11 +530,19 @@ def substring_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = spark.createDataFrame(
         pd.DataFrame({"token": ["spark", "hash", "join", "window", "stream"]})
     )
-    return (
+    tok = (
         docs.join(F.broadcast(tokens), F.col("text").contains(F.col("token")))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("token").alias("op"), F.col("token").alias("key"), "n_docs")
     )
+    rex = (
+        docs.filter(F.col("source").rlike("^src1[0-9]?$"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("regex").alias("op"), F.col("source").alias("key"), "n_docs")
+    )
+    return tok.unionByName(rex)
 
 
 @register(
@@ -475,25 +567,24 @@ def anti_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "nation_intersect",
-    "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
-    doc="X1 set intersection (repeated covm parameter names, results.py:563-566).",
+    "nation_set_ops",
+    """
+    SELECT 'intersect' AS op, nationkey FROM
+      (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union' AS op, nationkey FROM
+      (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+    """,
+    doc="X1 set intersection (repeated covm parameter names, results.py:563-566) "
+    "+ X2 set union with dedup (noise-term list union, enterprise_warp.py:643), "
+    "tag-discriminated in one gate.",
 )
-def nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@register(
-    "nation_union",
-    "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
-    doc="X2 set union with dedup (noise-term list union, enterprise_warp.py:643).",
-)
-def nation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
+    inter = c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey")
+    uni = c.union(s).distinct().select(F.lit("union").alias("op"), "nationkey")
+    return inter.unionByName(uni)
 
 
 # ---------------------------------------------------------------------------
@@ -502,39 +593,42 @@ def nation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "thin_events",
+    "chain_thin_burnin",
     """
-    WITH t AS (SELECT event_id, CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS INTEGER) AS rn FROM events)
-    SELECT event_id, rn FROM t WHERE rn % 100 = 0
-    """,
-    doc="P6 thinning: every k-th sample in step order (results.py:670,691).",
-)
-def thin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        thin(table(spark, sf_dir, "events").select("event_id"), "event_id", 100)
-        .select("event_id", F.col("_rn").alias("rn"))
-    )
-
-
-@register(
-    "burnin_events",
-    """
-    WITH t AS (
+    WITH t AS (SELECT event_id, CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS INTEGER) AS rn FROM events),
+    b AS (
       SELECT value, ROW_NUMBER() OVER (ORDER BY event_id) AS rn, COUNT(*) OVER () AS n
       FROM events
     )
-    SELECT COUNT(*) AS n_kept,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
-    FROM t WHERE rn > FLOOR(0.25 * n)
+    SELECT 'thin' AS op, event_id AS k, CAST(rn AS DOUBLE) AS v
+    FROM t WHERE rn % 100 = 0
+    UNION ALL
+    SELECT 'burnin' AS op, COUNT(*) AS k,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / COUNT(*), 6) AS v
+    FROM b WHERE rn > FLOOR(0.25 * n)
     """,
-    doc="P5 burn-in: drop first 25% of samples (results.py:499-500).",
+    doc="P6 thinning (every k-th sample in step order, results.py:670,691) + "
+    "P5 burn-in (drop first 25% of samples, results.py:499-500), "
+    "tag-discriminated: thin rows = (event_id, rank); burnin row = "
+    "(n_kept, avg_value).",
 )
-def burnin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kept = burnin_filter(table(spark, sf_dir, "events").select("event_id", "value"), "event_id", 0.25)
-    return kept.agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.round(_davg("value", 14, 6), 6).alias("avg_value"),
+def chain_thin_burnin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    thinned = (
+        thin(table(spark, sf_dir, "events").select("event_id"), "event_id", 100)
+        .select(
+            F.lit("thin").alias("op"),
+            F.col("event_id").alias("k"),
+            F.col("_rn").cast("double").alias("v"),
+        )
     )
+    kept = burnin_filter(
+        table(spark, sf_dir, "events").select("event_id", "value"), "event_id", 0.25
+    )
+    burned = kept.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.round(_davg("value", 14, 6), 6).alias("v"),
+    ).select(F.lit("burnin").alias("op"), "k", "v")
+    return thinned.unionByName(burned)
 
 
 @register(
@@ -561,22 +655,8 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "hourly_event_rollup",
-    """
-    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE), 2) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-    doc="Tumbling-window rollup (batch oracle for the streaming surface).",
-)
-def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n"), _dsum("value", 14, 6).alias("sum_value"))
-    )
-
+# (The batch hourly rollup was folded into `streaming_hourly_rollup`, whose
+# oracle SQL is byte-identical — the streaming gate proves stream==batch.)
 
 # Pipeline-operator catalog entries register themselves on import (kept in a
 # separate module to keep this file focused on the reference-derived surface).

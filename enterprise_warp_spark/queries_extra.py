@@ -14,30 +14,6 @@ from enterprise_warp_spark.tables import table
 
 
 @register(
-    "rms_by_type",
-    """
-    SELECT event_type,
-           ROUND(SQRT(CAST(SUM(CAST(value*value AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*)), 6) AS rms,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / COUNT(*), 6) AS mean
-    FROM events GROUP BY event_type
-    """,
-    doc="A10 per-backend RMS + mean of errors (libstempo_warp.py:93-98).",
-)
-def rms_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.types import DecimalType
-
-    ev = table(spark, sf_dir, "events")
-    v2 = (F.col("value") * F.col("value")).cast(DecimalType(20, 8))
-    v = F.col("value").cast(DecimalType(14, 6))
-    return ev.groupBy("event_type").agg(
-        F.round(
-            F.sqrt(F.sum(v2).cast("double") / F.count(F.lit(1))), 6
-        ).alias("rms"),
-        F.round(F.sum(v).cast("double") / F.count(F.lit(1)), 6).alias("mean"),
-    )
-
-
-@register(
     "coalesce_rate_lookup",
     """
     SELECT n.n_name, COALESCE(r.rate, CAST(0.05 AS DOUBLE)) AS rate, COUNT(*) AS n_customers
@@ -116,43 +92,12 @@ def flag_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "par_substring_select",
-    """
-    SELECT event_type, COUNT(*) AS n
-    FROM events
-    WHERE event_type LIKE '%ck%' OR event_type LIKE '%error%'
-    GROUP BY event_type
-    """,
-    doc="P4 column selection by name-substring patterns (results.py:516-524).",
-)
-def par_substring_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("event_type").like("%ck%") | F.col("event_type").like("%error%"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "regex_source_filter",
-    """
-    SELECT source, COUNT(*) AS n_docs
-    FROM documents
-    WHERE regexp_matches(source, '^src1[0-9]?$')
-    GROUP BY source
-    """,
-    doc="P8/P9 regex name predicates (psr-dir / chain-segment matching).",
-)
-def regex_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return (
-        docs.filter(F.col("source").rlike("^src1[0-9]?$"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
+# (par_substring_select merged into queries.flag_substring_select;
+#  regex_source_filter merged into queries.string_predicate_select;
+#  rms_by_type merged into queries.weighted_error_stats;
+#  hist_mode_by_type merged into queries.hist_mode;
+#  q4_order_priority and q14_promo_share merged into queries_olap entries —
+#  all to keep the catalog within the driver's 50-entry CORRECTNESS window.)
 
 _STREAM_COUNTER = [0]
 
@@ -199,123 +144,6 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register(
-    "q4_order_priority",
-    """
-    SELECT o_orderpriority, COUNT(*) AS order_count
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o_orderdate <  TIMESTAMP '1997-10-01'
-      AND EXISTS (
-        SELECT 1 FROM lineitem
-        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
-      )
-    GROUP BY o_orderpriority
-    """,
-    doc="TPC-H Q4 shape: EXISTS semi-join + group count.",
-)
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
-    )
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    return (
-        orders.join(
-            li,
-            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
-            "left_semi",
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-@register(
-    "q14_promo_share",
-    """
-    SELECT ROUND(
-      ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
-            THEN CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(1-l_discount AS DECIMAL(8,6))
-            ELSE CAST(0 AS DECIMAL(19,2)) END) AS DOUBLE), 2) * 100 /
-      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(1-l_discount AS DECIMAL(8,6))) AS DOUBLE), 2),
-      6) AS promo_share
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
-    """,
-    doc="TPC-H Q14 shape: conditional aggregation share over a join.",
-)
-def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.types import DecimalType
-
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
-    )
-    part = table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice").cast(DecimalType(19, 2)) * (
-        F.lit(1.0) - F.col("l_discount")
-    ).cast(DecimalType(8, 6))
-    zero = F.lit(0).cast(DecimalType(19, 2))
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-    return joined.agg(
-        F.round(
-            F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double"), 2
-            )
-            * 100
-            / F.round(F.sum(rev).cast("double"), 2),
-            6,
-        ).alias("promo_share")
-    )
-
-
-@register(
-    "hist_mode_by_type",
-    """
-    WITH stats AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi FROM events GROUP BY 1),
-    b AS (
-      SELECT e.event_type,
-             LEAST(CAST(FLOOR((e.value - s.lo) / ((s.hi - s.lo)/50)) AS BIGINT), 49) AS bucket,
-             s.lo, s.hi
-      FROM events e JOIN stats s ON e.event_type = s.event_type
-    ),
-    c AS (SELECT event_type, bucket, lo, hi, COUNT(*) AS cnt FROM b GROUP BY 1,2,3,4),
-    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt DESC, bucket) AS rn FROM c)
-    SELECT event_type, bucket, cnt, ROUND(lo + bucket*(hi-lo)/50, 6) AS mode_position
-    FROM r WHERE rn = 1
-    """,
-    doc="A5 grouped: 50-bin histogram mode per group (mode_positions_by_par shape).",
-)
-def hist_mode_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    ev = table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.min("value").alias("_lo"), F.max("value").alias("_hi")
-    )
-    w = (F.col("_hi") - F.col("_lo")) / 50
-    bucketed = ev.join(F.broadcast(stats), "event_type").select(
-        "event_type",
-        F.least(
-            F.floor((F.col("value") - F.col("_lo")) / w).cast("bigint"), F.lit(49)
-        ).alias("bucket"),
-        "_lo",
-        "_hi",
-    )
-    counted = bucketed.groupBy("event_type", "bucket", "_lo", "_hi").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    win = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("bucket"))
-    return (
-        counted.withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "event_type",
-            "bucket",
-            "cnt",
-            F.round(
-                F.col("_lo") + F.col("bucket") * (F.col("_hi") - F.col("_lo")) / 50, 6
-            ).alias("mode_position"),
-        )
-    )
+# (q4/q14/hist_mode_by_type bodies now live in their merged catalog entries —
+#  see queries_olap.semi_join_order_priority, queries_olap.q14_q17_part_stats,
+#  queries.hist_mode.)

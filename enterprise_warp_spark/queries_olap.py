@@ -23,22 +23,33 @@ from enterprise_warp_spark.tables import table
 
 
 @register(
-    "rollup_order_volume",
+    "grouping_sets_orders",
     """
-    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+    SELECT 'rollup' AS op,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
            COALESCE(o_orderstatus, 'ALL') AS status,
            CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INTEGER) AS gid,
            COUNT(*) AS n,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2))) AS DOUBLE), 2) AS total
     FROM orders
     GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    UNION ALL
+    SELECT 'cube' AS op,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2))) AS DOUBLE), 2) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
-    doc="ROLLUP multi-level aggregate: (priority, status) -> priority -> grand "
-    "total in ONE shuffle (grouping-set expansion is map-side).",
+    doc="ROLLUP multi-level aggregate ((priority, status) -> priority -> grand "
+    "total) + CUBE (all 4 grouping combinations), each ONE Expand + one "
+    "shuffle, tag-discriminated in one gate.",
 )
-def rollup_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    return (
+    rolled = (
         o.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -46,6 +57,7 @@ def rollup_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().cast("int").alias("gid"),
         )
         .select(
+            F.lit("rollup").alias("op"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             "gid",
@@ -53,6 +65,23 @@ def rollup_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+    cubed = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice", 19, 2).alias("total"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.lit("cube").alias("op"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+    return rolled.unionByName(cubed)
 
 
 @register(
@@ -84,41 +113,84 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q17_small_quantity_parts",
+    "q14_q17_part_stats",
     """
     WITH pa AS (
       SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT p_brand,
-           COUNT(*) AS n_small,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE), 2) AS small_revenue
+    SELECT 'q17_small_qty' AS op, p_brand AS k,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE), 2) AS v
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN pa ON pa.l_partkey = lineitem.l_partkey
     WHERE l_quantity < half_avg
     GROUP BY p_brand
+    UNION ALL
+    SELECT 'q14_promo_share' AS op, '' AS k, COUNT(*) AS n,
+           ROUND(
+      ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(1-l_discount AS DECIMAL(8,6))
+            ELSE CAST(0 AS DECIMAL(19,2)) END) AS DOUBLE), 2) * 100 /
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(1-l_discount AS DECIMAL(8,6))) AS DOUBLE), 2),
+      6) AS v
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
     """,
-    doc="Q17 shape — correlated scalar subquery (per-part avg quantity) "
-    "decorrelated to aggregate + equi-join on the correlation key.",
+    doc="Q17 shape (correlated scalar subquery decorrelated to aggregate + "
+    "equi-join on the correlation key) + Q14 shape (conditional aggregation "
+    "share over a join), tag-discriminated in one gate.",
 )
-def q17_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_q17_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     pa = l.groupBy("l_partkey").agg(
         (0.5 * F.avg("l_quantity")).alias("half_avg")
     )
-    return (
+    q17 = (
         l.join(p, l["l_partkey"] == p["p_partkey"])
         .join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
               F.col("pa_partkey") == l["l_partkey"])
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .groupBy("p_brand")
         .agg(
-            F.count(F.lit(1)).alias("n_small"),
-            _dsum("l_extendedprice", 19, 2).alias("small_revenue"),
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_extendedprice", 19, 2).alias("v"),
+        )
+        .select(
+            F.lit("q17_small_qty").alias("op"), F.col("p_brand").alias("k"), "n", "v"
         )
     )
+    li14 = l.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast(DecimalType(19, 2)) * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast(DecimalType(8, 6))
+    zero = F.lit(0).cast(DecimalType(19, 2))
+    q14 = (
+        li14.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.round(
+                    F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                        "double"
+                    ),
+                    2,
+                )
+                * 100
+                / F.round(F.sum(rev).cast("double"), 2),
+                6,
+            ).alias("v"),
+        )
+        .select(F.lit("q14_promo_share").alias("op"), F.lit("").alias("k"), "n", "v")
+    )
+    return q17.unionByName(q14)
 
 
 @register(
@@ -151,51 +223,66 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "semi_join_returned_orders",
+    "semi_join_order_priority",
     """
-    SELECT o_orderpriority, COUNT(*) AS n_orders
+    SELECT 'returned' AS op, o_orderpriority AS priority, COUNT(*) AS n
     FROM orders
     WHERE EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
     GROUP BY o_orderpriority
-    """,
-    doc="EXISTS == LEFT SEMI join: match test without row multiplication "
-    "(the complement of anti_join_lineitem).",
-)
-def semi_join_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return (
-        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-
-
-@register(
-    "cube_status_priority",
-    """
-    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-           COALESCE(o_orderpriority, 'ALL') AS priority,
-           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
-           COUNT(*) AS n
+    UNION ALL
+    SELECT 'q4_late_ship' AS op, o_orderpriority AS priority, COUNT(*) AS n
     FROM orders
-    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
     """,
-    doc="CUBE: all 4 grouping combinations in one Expand + one shuffle.",
+    doc="EXISTS == LEFT SEMI join without row multiplication, two variants "
+    "tag-discriminated: returned-order membership (complement of "
+    "anti_join_lineitem) and TPC-H Q4's date-windowed late-shipment test "
+    "(non-equi semi-join condition).",
 )
-def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semi_join_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().cast("int").alias("gid"))
+    l = table(spark, sf_dir, "lineitem")
+    returned = (
+        o.join(
+            l.filter(F.col("l_returnflag") == "R"),
+            o["o_orderkey"] == l["l_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "gid",
+            F.lit("returned").alias("op"),
+            F.col("o_orderpriority").alias("priority"),
             "n",
         )
     )
+    o4 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = l.select("l_orderkey", "l_shipdate")
+    q4 = (
+        o4.join(
+            li,
+            (o4.o_orderkey == li.l_orderkey) & (li.l_shipdate > o4.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("q4_late_ship").alias("op"),
+            F.col("o_orderpriority").alias("priority"),
+            "n",
+        )
+    )
+    return returned.unionByName(q4)
 
 
 @register(

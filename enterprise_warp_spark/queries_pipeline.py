@@ -77,66 +77,72 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "minhash_bands",
-    f"WITH {_D_SIG_CTE} SELECT doc_id, band_id, band_key FROM bands",
-    doc="MinHash signature -> LSH band table (shingle->minhash->band).",
-)
-def minhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_bands(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_minhash_pairs",
+    "minhash_lsh",
     f"""
     WITH {_D_SIG_CTE}
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    SELECT 'band' AS op, doc_id AS a, CAST(band_id AS BIGINT) AS b, band_key AS key
+    FROM bands
+    UNION ALL
+    SELECT DISTINCT 'pair' AS op, a.doc_id AS a, b.doc_id AS b, '' AS key
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     """,
-    doc="MinHash-LSH candidate pairs via band-key equi-join (100TB-safe plan).",
+    doc="MinHash signature -> LSH band table (shingle->minhash->band) + "
+    "candidate pairs via band-key equi-join (100TB-safe plan), "
+    "tag-discriminated in one gate.",
 )
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(
-        dedup.minhash_bands(table(spark, sf_dir, "documents"))
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = dedup.minhash_bands(table(spark, sf_dir, "documents"))
+    band_rows = bands.select(
+        F.lit("band").alias("op"),
+        F.col("doc_id").alias("a"),
+        F.col("band_id").cast("bigint").alias("b"),
+        F.col("band_key").alias("key"),
     )
+    pair_rows = dedup.lsh_candidate_pairs(bands).select(
+        F.lit("pair").alias("op"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.lit("").alias("key"),
+    )
+    return band_rows.unionByName(pair_rows)
 
 
 @register(
-    "simhash_docs",
-    f"""
-    WITH t AS (SELECT doc_id, {D_TOK} AS tok FROM documents),
-    h AS (SELECT doc_id, list_transform(tok, tk -> {D_H64.format(s="tk")}) AS hs FROM t)
-    SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), i ->
-      CASE WHEN list_sum(list_transform(hs, hv -> CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
-    FROM h
-    """,
-    doc="SimHash fingerprint (32-bit sign-of-weighted-bits) per document.",
-)
-def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "simhash_near_dup_pairs",
+    "simhash_near_dups",
     f"""
     WITH t AS (SELECT doc_id, {D_TOK} AS tok FROM documents),
     h AS (SELECT doc_id, list_transform(tok, tk -> {D_H64.format(s="tk")}) AS hs FROM t),
     s AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), i ->
       CASE WHEN list_sum(list_transform(hs, hv -> CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
            THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM h)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    SELECT 'sig' AS op, doc_id AS a, CAST(-1 AS BIGINT) AS b, simhash AS v FROM s
+    UNION ALL
+    SELECT 'pair' AS op, a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS v
     FROM s a JOIN s b
       ON (a.simhash >> 26) = (b.simhash >> 26) AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
     """,
-    doc="SimHash near-dup pairs: top-6-bit bucket equi-join + hamming verify.",
+    doc="SimHash fingerprint (32-bit sign-of-weighted-bits) per document + "
+    "near-dup pairs (top-6-bit bucket equi-join + hamming verify), "
+    "tag-discriminated in one gate.",
 )
-def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(
-        table(spark, sf_dir, "documents"), bucket_bits=26, max_hamming=10
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sig = dedup.simhash(docs).select(
+        F.lit("sig").alias("op"),
+        F.col("doc_id").alias("a"),
+        F.lit(-1).cast("bigint").alias("b"),
+        F.col("simhash").alias("v"),
     )
+    pairs = dedup.simhash_pairs(docs, bucket_bits=26, max_hamming=10).select(
+        F.lit("pair").alias("op"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("hamming").cast("bigint").alias("v"),
+    )
+    return sig.unionByName(pairs)
 
 
 @register(
@@ -171,27 +177,6 @@ _D_DOT = (
     "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
 )
 
-
-@register(
-    "embedding_topk",
-    f"""
-    WITH n AS (SELECT vec_id, embedding, {_D_DOT.format(a="embedding", b="embedding")} AS nsq
-               FROM embeddings),
-    p AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND({_D_DOT.format(a="q.embedding", b="c.embedding")} / SQRT(q.nsq * c.nsq), 6) AS cosine
-      FROM n q JOIN n c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id < 10
-    ),
-    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk FROM p)
-    SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
-    """,
-    doc="Brute-force cosine top-k ANN baseline (exact, rank pre-rounded).",
-)
-def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_topk(table(spark, sf_dir, "embeddings"), "vec_id < 10", 5)
-
-
 _D_PLANE_DOT = (
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
     "list_transform(range(1, len(embedding) + 1), i -> "
@@ -207,34 +192,25 @@ _D_BUCKET = (
 
 
 @register(
-    "embedding_ann_bucketed",
-    f"""
-    WITH n AS (SELECT vec_id, embedding,
-                      {_D_DOT.format(a="embedding", b="embedding")} AS nsq,
-                      {_D_BUCKET} AS bucket
-               FROM embeddings),
-    p AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND({_D_DOT.format(a="q.embedding", b="c.embedding")} / SQRT(q.nsq * c.nsq), 6) AS cosine
-      FROM n q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-      WHERE q.vec_id < 10
-    ),
-    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk FROM p)
-    SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
-    """,
-    doc="LSH-bucketed ANN: hyperplane-sign bucket equi-join (scale path).",
-)
-def embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.bucketed_topk(
-        table(spark, sf_dir, "embeddings"), "vec_id < 10", 5, n_planes=4
-    )
-
-
-@register(
-    "embedding_ann_ivf",
+    "embedding_ann_methods",
     f"""
     WITH n AS (SELECT vec_id, embedding, {_D_DOT.format(a="embedding", b="embedding")} AS nsq
                FROM embeddings),
+    bf AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_D_DOT.format(a="q.embedding", b="c.embedding")} / SQRT(q.nsq * c.nsq), 6) AS cosine
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    bfr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk FROM bf),
+    nb AS (SELECT vec_id, embedding, nsq, {_D_BUCKET} AS bucket FROM n),
+    lsh AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_D_DOT.format(a="q.embedding", b="c.embedding")} / SQRT(q.nsq * c.nsq), 6) AS cosine
+      FROM nb q JOIN nb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    lshr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk FROM lsh),
     cent AS (SELECT vec_id AS cell_id, embedding AS c_emb, nsq AS c_nsq FROM n WHERE vec_id < 16),
     d AS (SELECT n.vec_id, n.embedding, n.nsq, cent.cell_id,
                  ROUND(n.nsq - 2 * {_D_DOT.format(a="n.embedding", b="cent.c_emb")} + cent.c_nsq, 6) AS dist
@@ -246,19 +222,34 @@ def embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS prn
                  FROM d WHERE vec_id < 10)
               WHERE prn <= 4),
-    p AS (SELECT probe.query_id, a.vec_id AS neighbor_id,
+    ivf AS (SELECT probe.query_id, a.vec_id AS neighbor_id,
                  ROUND({_D_DOT.format(a="probe.q_emb", b="a.embedding")} / SQRT(probe.q_nsq * a.nsq), 6) AS cosine
           FROM probe JOIN a ON a.cell_id = probe.cell_id AND a.vec_id <> probe.query_id),
-    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk FROM p)
-    SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+    ivfr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk FROM ivf)
+    SELECT 'brute' AS method, query_id, neighbor_id, cosine, rnk FROM bfr WHERE rnk <= 5
+    UNION ALL
+    SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rnk FROM lshr WHERE rnk <= 5
+    UNION ALL
+    SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rnk FROM ivfr WHERE rnk <= 5
     """,
-    doc="IVF ANN: nearest-centroid inverted lists, nprobe=4 of 16 cells "
-    "(centroids = deterministic dataset pick; KMeans-pluggable).",
+    doc="ANN over the embedding column, three methods tag-discriminated in one "
+    "gate: brute-force cosine top-k (exact baseline), hyperplane-sign LSH "
+    "bucket equi-join (scale path), and IVF nearest-centroid inverted lists "
+    "with nprobe=4 of 16 cells (centroids = deterministic dataset pick; "
+    "KMeans-pluggable).",
 )
-def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ivf_topk(
-        table(spark, sf_dir, "embeddings"), "vec_id < 10", 5, n_cells=16, nprobe=4
+def embedding_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    brute = similarity.cosine_topk(emb, "vec_id < 10", 5).select(
+        F.lit("brute").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
     )
+    lsh = similarity.bucketed_topk(emb, "vec_id < 10", 5, n_planes=4).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
+    )
+    ivf = similarity.ivf_topk(emb, "vec_id < 10", 5, n_cells=16, nprobe=4).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
+    )
+    return brute.unionByName(lsh).unionByName(ivf)
 
 
 # ---------------------------------------------------------------------------
@@ -272,77 +263,37 @@ def _d_hits(lang: str) -> str:
 
 
 @register(
-    "text_langid",
+    "text_metrics",
     f"""
-    WITH t AS (SELECT doc_id, lang, {D_TOK} AS tok FROM documents)
+    WITH t AS (SELECT doc_id, lang, text, {D_TOK} AS tok,
+                      list_transform(string_split(text, ''), ch -> ascii(ch)) AS codes,
+                      list_transform(string_split(substr(text, 1, 64), ''), ch -> ascii(ch)) AS codes64
+               FROM documents)
     SELECT doc_id, lang,
            {_d_hits("en")} AS en_hits,
            {_d_hits("es")} AS es_hits,
            {_d_hits("de")} AS de_hits,
            CASE WHEN {_d_hits("en")} = 0 AND {_d_hits("es")} = 0 AND {_d_hits("de")} = 0 THEN 'und'
                 WHEN {_d_hits("en")} >= {_d_hits("es")} AND {_d_hits("en")} >= {_d_hits("de")} THEN 'en'
-                WHEN {_d_hits("es")} >= {_d_hits("de")} THEN 'es' ELSE 'de' END AS predicted
-    FROM t
-    """,
-    doc="Language ID: stopword-hit voting heuristic per document.",
-)
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.langid(table(spark, sf_dir, "documents")).select(
-        "doc_id", "lang", "en_hits", "es_hits", "de_hits", "predicted"
-    )
-
-
-@register(
-    "text_quality",
-    f"""
-    WITH t AS (SELECT doc_id, text, {D_TOK} AS tok FROM documents)
-    SELECT doc_id,
+                WHEN {_d_hits("es")} >= {_d_hits("de")} THEN 'es' ELSE 'de' END AS predicted,
            CAST(length(text) AS INTEGER) AS n_chars_obs,
            CAST(len(tok) AS INTEGER) AS n_tokens,
            ROUND((length(text) - length(replace(text, ' ', ''))) / CAST(greatest(len(tok), 1) AS DOUBLE), 6) AS space_ratio,
            ROUND(length(replace(text, ' ', '')) / CAST(greatest(len(tok), 1) AS DOUBLE), 6) AS avg_token_len,
            ROUND({_d_hits("en")} / CAST(greatest(len(tok), 1) AS DOUBLE), 6) AS stopword_ratio,
-           ROUND(0.5 * least(CAST(len(tok) AS DOUBLE) / 100, CAST(1 AS DOUBLE)) + 0.5 * ({_d_hits("en")} / CAST(greatest(len(tok), 1) AS DOUBLE)), 6) AS quality_score
-    FROM t
-    """,
-    doc="Quality scoring: length/space/stopword ratios + combined score.",
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_scores(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "token_counts",
-    f"""
-    SELECT doc_id,
-           CAST(len({D_TOK}) AS INTEGER) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens
-    FROM documents
-    """,
-    doc="Token counting: whitespace + BPE-ish pre-tokenizer regex.",
-)
-def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.token_counts(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "doc_fingerprints",
-    """
-    WITH c AS (
-      SELECT doc_id,
-             list_transform(string_split(text, ''), ch -> ascii(ch)) AS codes,
-             list_transform(string_split(substr(text, 1, 64), ''), ch -> ascii(ch)) AS codes64
-      FROM documents
-    )
-    SELECT doc_id,
+           ROUND(0.5 * least(CAST(len(tok) AS DOUBLE) / 100, CAST(1 AS DOUBLE)) + 0.5 * ({_d_hits("en")} / CAST(greatest(len(tok), 1) AS DOUBLE)), 6) AS quality_score,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
            list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_full,
            list_reduce(list_prepend(CAST(0 AS BIGINT), codes64), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_prefix64
-    FROM c
+    FROM t
     """,
-    doc="Document fingerprinting: polynomial rolling hash, full + 64-char prefix.",
+    doc="One wide per-document pass: language-ID stopword voting, quality "
+    "scoring (length/space/stopword ratios + combined score), token counting "
+    "(whitespace + BPE-ish pre-tokenizer regex) and polynomial rolling-hash "
+    "fingerprints (full + 64-char prefix) — previously four separate gates.",
 )
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprints(table(spark, sf_dir, "documents"))
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.all_metrics(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
