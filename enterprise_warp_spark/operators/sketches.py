@@ -7,8 +7,9 @@ only sees one small sketch per group):
 
     approx_distinct_by   HyperLogLog++ (relativeSD-controlled)
     approx_quantiles_by  Greenwald-Khanna percentile_approx
-    heavy_hitters        count-per-key with a minimum support threshold,
-                         exact within each partition-merged count
+    heavy_hitters        Misra-Gries (space-saving family) per-partition
+                         partials + one merge aggregate over the ≤m-row
+                         summaries — the value key space is NEVER shuffled
 
 They are deliberately NOT in the oracle catalog: sketch outputs are
 engine-specific (HLL register layouts differ across engines), so correctness
@@ -18,6 +19,7 @@ is gated by error-bound tests against the exact aggregates instead
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,11 +52,99 @@ def approx_quantiles_by(
 
 
 def heavy_hitters(
+    df: DataFrame,
+    group: str,
+    col: str,
+    min_share: float = 0.01,
+    capacity: int = 256,
+) -> DataFrame:
+    """Values of `col` with frequency >= `min_share` of their `group`, via a
+    TRUE mergeable sketch: a Misra-Gries (space-saving family) summary of at
+    most `capacity` counters per (group, partition), merged in ONE aggregate
+    over the tiny summaries. The raw value key space is never shuffled — at
+    100 TB with high-cardinality `col`, the only exchange carries
+    <= capacity rows per (group, input-partition).
+
+    Guarantees (standard MG bounds, preserved under this merge):
+      * for each reported value: n_lower <= true count <= n_upper, with
+        n_upper - n_lower = eps_tot (the summed decrement totals)
+        <= n_group / (capacity + 1);
+      * no false negatives PROVIDED capacity + 1 > 1/min_share: a true heavy
+        hitter (count >= min_share * n_group > eps_tot) cannot be evicted
+        from every partition summary, and the filter keeps everything whose
+        UPPER bound clears the threshold.
+    Choose capacity >> 1/min_share (default 256 vs 1% support) so the
+    guarantee holds with a narrow false-positive band.
+
+    Output: (group, col AS STRING, n_lower, n_upper, share_lower).
+    """
+
+    def partials(batches):
+        # per-group bounded counter state for THIS input partition
+        state: dict = {}  # g -> [pd.Series counts, eps, n_rows]
+        for pdf in batches:
+            for g, chunk in pdf.groupby(group, dropna=False, observed=True):
+                vc = chunk[col].astype(str).value_counts()
+                st = state.setdefault(g, [pd.Series(dtype="int64"), 0, 0])
+                st[2] += int(len(chunk))
+                s = st[0].add(vc, fill_value=0).astype("int64")
+                if len(s) > capacity:
+                    # Misra-Gries decrement: subtract the (capacity+1)-th
+                    # largest count from all counters, drop the non-positive
+                    delta = int(s.nlargest(capacity + 1).iloc[-1])
+                    s = (s - delta)[lambda x: x > 0]
+                    st[1] += delta
+                st[0] = s
+        out = []
+        for g, (s, eps, n_rows) in state.items():
+            for v, c in s.items():
+                out.append((g, str(v), int(c), int(eps), False, 0))
+            # one marker row per (group, partition): carries eps + row count
+            out.append((g, None, 0, int(eps), True, int(n_rows)))
+        yield pd.DataFrame(
+            out, columns=[group, "_v", "_cnt", "_eps", "_marker", "_n"]
+        ).astype({"_cnt": "int64", "_eps": "int64", "_n": "int64"})
+
+    schema = (
+        f"{group} string, _v string, _cnt long, _eps long, _marker boolean, _n long"
+    )
+    summaries = df.select(
+        F.col(group).cast("string").alias(group), F.col(col).alias(col)
+    ).mapInPandas(partials, schema)
+
+    # group-level constants from the marker rows (tiny: one per partition)
+    totals = (
+        summaries.filter("_marker")
+        .groupBy(group)
+        .agg(F.sum("_n").alias("_total"), F.sum("_eps").alias("_eps_tot"))
+    )
+    merged = (
+        summaries.filter(~F.col("_marker"))
+        .groupBy(group, "_v")
+        .agg(F.sum("_cnt").alias("n_lower"))
+    )
+    # MG counters UNDERcount: cnt_p <= true_p <= cnt_p + eps_p where present,
+    # 0 <= true_p <= eps_p where absent — so upper = lower + sum_p eps_p
+    return (
+        merged.join(F.broadcast(totals), group)
+        .withColumn("n_upper", F.col("n_lower") + F.col("_eps_tot"))
+        .filter(F.col("n_upper") >= F.col("_total") * min_share)
+        .select(
+            group,
+            F.col("_v").alias(col),
+            "n_lower",
+            "n_upper",
+            F.round(F.col("n_lower") / F.col("_total"), 6).alias("share_lower"),
+        )
+    )
+
+
+def frequent_values_exact(
     df: DataFrame, group: str, col: str, min_share: float = 0.01
 ) -> DataFrame:
-    """Values of `col` appearing in at least `min_share` of the rows of their
-    `group` — the aggregate-then-filter shape (two shuffles: value counts,
-    then group totals as a broadcastable side)."""
+    """EXACT heavy hitters — aggregate-then-filter, shuffling the full value
+    key space. The test oracle for `heavy_hitters`; at 100 TB prefer the
+    sketch."""
     counts = df.groupBy(group, col).agg(F.count(F.lit(1)).alias("n"))
     totals = df.groupBy(group).agg(F.count(F.lit(1)).alias("total"))
     return (

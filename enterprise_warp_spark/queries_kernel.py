@@ -132,6 +132,143 @@ def gwb_hd_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gp_whitened_loglik",
+    """
+    WITH r AS (
+      SELECT 'J' || CAST(user_id % 3 AS VARCHAR) AS psr,
+             CAST(((value - 49.6) * 0.02) * ((value - 49.6) * 0.02) AS DECIMAL(20,8)) AS t2
+      FROM events
+    )
+    SELECT psr, COUNT(*) AS n_toa,
+           ROUND(CAST(SUM(t2) AS DOUBLE), 6) AS rtn_r,
+           ROUND(-0.5 * (CAST(SUM(t2) AS DOUBLE)
+                         + COUNT(*) * LN(1e-12)
+                         + COUNT(*) * LN(2 * PI())), 6) AS lnl_white
+    FROM r GROUP BY psr
+    """,
+    doc="F10 SQL slice — the white-noise half of the GP-marginalized "
+    "likelihood on the same synthetic residuals the kernel gates use: "
+    "rtn_r = r^T N^-1 r and lnl = -1/2(rtn_r + logdet N + n ln 2pi) with "
+    "diagonal N = sigma^2 = 1e-12 (gp.py:133-159 with phi -> 0). Exact "
+    "decimal sum of the per-row quadratic terms makes the reduction "
+    "order-independent across engines.",
+)
+def gp_whitened_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.types import DecimalType
+
+    res = _synthetic_residuals(spark, sf_dir)
+    # whitened residual ratio r/sigma = (value-49.6)*2e-8 / 1e-6, already
+    # materialized by the synthetic mapping as residual_s / toa_err_s
+    t = (F.col("residual_s") / F.col("toa_err_s"))
+    t2 = (t * t).cast(DecimalType(20, 8))
+    n = F.count(F.lit(1))
+    rtn = F.sum(t2).cast("double")
+    return res.groupBy("psr").agg(
+        n.alias("n_toa"),
+        F.round(rtn, 6).alias("rtn_r"),
+        F.round(
+            -0.5 * (rtn + n * math.log(1e-12) + n * math.log(2.0 * math.pi)), 6
+        ).alias("lnl_white"),
+    )
+
+
+@register(
+    "os_estimate_slice",
+    """
+    WITH p AS (
+      SELECT a.s_suppkey AS a_k, b.s_suppkey AS b_k,
+             RADIANS(CAST((a.s_suppkey*37 + b.s_suppkey*53) % 179 + 1 AS DOUBLE)) AS zeta,
+             0.5 + ((a.s_suppkey*3 + b.s_suppkey) % 13) * 0.05 AS sig
+      FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    ),
+    g AS (
+      SELECT a_k, b_k, sig,
+             1.5*x*LN(x) - 0.25*x + 0.5 AS orf,
+             ((a_k*7 + b_k) % 11 - 5) * 0.05 AS noise
+      FROM (SELECT *, GREATEST((1.0 - COS(zeta)) / 2.0, 1e-15) AS x FROM p)
+    ),
+    terms AS (
+      SELECT CAST((orf + noise) * orf / (sig * sig) AS DECIMAL(20,10)) AS num_t,
+             CAST(orf * orf / (sig * sig) AS DECIMAL(20,10)) AS den_t
+      FROM g
+    )
+    SELECT ROUND(CAST(SUM(num_t) AS DOUBLE) / CAST(SUM(den_t) AS DOUBLE), 9) AS a2_hat,
+           ROUND(POWER(CAST(SUM(den_t) AS DOUBLE), -0.5), 9) AS sig_os,
+           ROUND(CAST(SUM(num_t) AS DOUBLE) / CAST(SUM(den_t) AS DOUBLE)
+                 * POWER(CAST(SUM(den_t) AS DOUBLE), 0.5), 9) AS snr
+    FROM terms
+    """,
+    doc="F12 SQL slice — the optimal-statistic estimate (os_estimate, "
+    "analytics/optimal_statistic.py step 3): ORF-weighted inverse-variance "
+    "average A2_hat = sum(rho G / sig^2)/sum(G^2/sig^2), sig_OS = "
+    "sum(G^2/sig^2)^-1/2 over a deterministic synthetic pair table (rho = "
+    "HD(zeta) + noise). Exact decimal term sums keep the reduction "
+    "order-independent across engines.",
+)
+def os_estimate_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    from enterprise_warp_spark.functions.orf import hd_orf
+
+    s = table(spark, sf_dir, "supplier").select("s_suppkey")
+    a = s.select(F.col("s_suppkey").alias("a_k"))
+    b = s.select(F.col("s_suppkey").alias("b_k"))
+    pairs = a.join(F.broadcast(b), F.col("a_k") < F.col("b_k"))
+    zeta = F.radians(((F.col("a_k") * 37 + F.col("b_k") * 53) % 179 + 1).cast("double"))
+    g = pairs.select(
+        hd_orf(zeta).alias("orf"),
+        (0.5 + ((F.col("a_k") * 3 + F.col("b_k")) % 13) * 0.05).alias("sig"),
+        (((F.col("a_k") * 7 + F.col("b_k")) % 11 - 5) * 0.05).alias("noise"),
+    )
+    num_t = ((F.col("orf") + F.col("noise")) * F.col("orf") / (F.col("sig") * F.col("sig"))).cast(
+        DecimalType(20, 10)
+    )
+    den_t = (F.col("orf") * F.col("orf") / (F.col("sig") * F.col("sig"))).cast(
+        DecimalType(20, 10)
+    )
+    num = F.sum(num_t).cast("double")
+    den = F.sum(den_t).cast("double")
+    return g.agg(
+        F.round(num / den, 9).alias("a2_hat"),
+        F.round(F.pow(den, -0.5), 9).alias("sig_os"),
+        F.round(num / den * F.pow(den, 0.5), 9).alias("snr"),
+    )
+
+
+@register(
+    "powerlaw_phi_grid",
+    """
+    SELECT n_nationkey AS k,
+           ROUND(LN( POWER(10.0, -28.0)
+                     * (1.0 / (12.0 * PI() * PI()))
+                     * POWER(1.0 / (365.25 * 86400), -3.0)
+                     * POWER((n_nationkey / 315576000.0) / (1.0 / (365.25 * 86400)),
+                             -(13.0/3.0))
+                     * (1.0 / 315576000.0) ), 6) AS ln_phi
+    FROM nation WHERE n_nationkey BETWEEN 1 AND 16
+    """,
+    doc="F1 SQL slice — the powerlaw PSD prior phi(f) = A^2/(12 pi^2) fyr^-3 "
+    "(f/fyr)^-gamma df (functions/psd.py:25, libstempo_warp.py:6-8) on the "
+    "k/Tspan frequency grid (A=1e-14, gamma=13/3, Tspan=10 yr), compared in "
+    "log space where a 6-decimal round leaves >=8 orders of margin over "
+    "cross-engine pow() ulp differences. This is the exact phi the F10/F12 "
+    "kernels consume.",
+)
+def powerlaw_phi_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.functions.psd import powerlaw_psd
+
+    tspan = 315_576_000.0  # 10 yr in seconds
+    n = table(spark, sf_dir, "nation").filter(F.col("n_nationkey").between(1, 16))
+    f = F.col("n_nationkey") / F.lit(tspan)
+    phi = powerlaw_psd(f, F.lit(-14.0), F.lit(13.0 / 3.0), F.lit(1.0 / tspan))
+    return n.select(
+        F.col("n_nationkey").alias("k"), F.round(F.log(phi), 6).alias("ln_phi")
+    )
+
+
+@register(
     "os_pair_statistics",
     None,  # non-SQL-expressible: Arrow kernel (rows-only check)
     doc="F12/J6: optimal-statistic per-pair cross-correlations (kernel op).",

@@ -50,14 +50,83 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
             assert abs(a - e) <= 0.05 * max(1.0, abs(e)), (k, a, e)
 
 
-def test_heavy_hitters_shares(spark, sf_dir):
+def test_heavy_hitters_bounds_vs_exact(spark, sf_dir):
+    """MG-sketch guarantees vs the exact twin: no false negatives among true
+    heavy hitters, and every reported value's true count sits inside
+    [n_lower, n_upper] with a band <= n_group / capacity."""
+    from enterprise_warp_spark.operators.sketches import frequent_values_exact
+
     ev = table(spark, sf_dir, "events")
-    hh = heavy_hitters(ev, "event_type", "user_id", min_share=0.005).collect()
+    cap = 512  # guarantee needs capacity+1 > 1/min_share (here 513 > 200)
+    hh = heavy_hitters(
+        ev, "event_type", "user_id", min_share=0.005, capacity=cap
+    ).collect()
     assert len(hh) > 0
+    exact_counts = {
+        (r["event_type"], str(r["user_id"])): r["n"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
     total_by_type = {
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
+    reported = {(r["event_type"], r["user_id"]) for r in hh}
+    # no false negatives: every true >=0.5% value is reported
+    for (g, v), n in exact_counts.items():
+        if n >= 0.005 * total_by_type[g]:
+            assert (g, v) in reported, (g, v, n)
     for r in hh:
-        assert r["n"] / total_by_type[r["event_type"]] >= 0.005
-        assert abs(r["share"] - r["n"] / total_by_type[r["event_type"]]) < 1e-4
+        true = exact_counts.get((r["event_type"], r["user_id"]), 0)
+        assert r["n_lower"] <= true <= r["n_upper"], (r, true)
+        # eps_tot <= n_group/(cap+1): each decrement delta removes >=
+        # (cap+1)*delta counted mass and total mass is n_group
+        assert r["n_upper"] - r["n_lower"] <= total_by_type[r["event_type"]] / cap + 1
+
+
+def test_heavy_hitters_exact_when_within_capacity(spark, sf_dir):
+    """capacity >= group cardinality => zero decrements => sketch == exact."""
+    from enterprise_warp_spark.operators.sketches import frequent_values_exact
+
+    ev = table(spark, sf_dir, "events")
+    hh = {
+        (r["event_type"], r["user_id"]): (r["n_lower"], r["n_upper"])
+        for r in heavy_hitters(
+            ev, "event_type", "user_id", min_share=0.01, capacity=100_000
+        ).collect()
+    }
+    exact = {
+        (r["event_type"], str(r["user_id"])): r["n"]
+        for r in frequent_values_exact(
+            ev, "event_type", "user_id", min_share=0.01
+        ).collect()
+    }
+    assert set(hh) == set(exact)
+    for k, n in exact.items():
+        assert hh[k] == (n, n), (k, hh[k], n)
+
+
+def test_heavy_hitters_plan_never_shuffles_value_space(spark, sf_dir):
+    """The only exchanges carry the <=capacity-row summaries: the MapInPandas
+    partial pass sits directly on the scan, below every Exchange."""
+    import contextlib
+    import io
+
+    ev = table(spark, sf_dir, "events")
+    df = heavy_hitters(ev, "event_type", "user_id", min_share=0.01)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
+    assert "MapInPandas" in p
+    # each MapInPandas partial pass must sit DIRECTLY on its scan: below it
+    # (textually after, plans print top-down) the FileScan appears before any
+    # Exchange — so every Exchange in the plan carries summary rows only
+    chunks = p.split("MapInPandas")[1:]
+    assert chunks
+    for c in chunks:
+        scan_at = c.find("FileScan")
+        exch_at = c.find("Exchange")
+        assert scan_at != -1
+        assert exch_at == -1 or scan_at < exch_at
