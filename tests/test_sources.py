@@ -100,3 +100,98 @@ def test_noise_file_source(spark):
     assert rows["J1832-0836_CASPSR_40CM_efac"] == pytest.approx(1.0073561516481144)
     psrs = {r["psr"] for r in nf.select("psr").distinct().collect()}
     assert psrs == {"J1832-0836"}
+
+
+# ---------------------------------------------------------------------------
+# S6b — bilby-result JSON posterior source (results.py:1050-1081)
+# ---------------------------------------------------------------------------
+
+
+def _write_bilby_result(tmp_path, label="dynesty_run", n=400):
+    """Synthetic golden fixture in the public bilby to_json layout."""
+    import json
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    post = {
+        "red_noise_log10_A": (-14.0 + 0.3 * rng.standard_normal(n)).tolist(),
+        "red_noise_gamma": (4.0 + 0.5 * rng.standard_normal(n)).tolist(),
+        "nmodel": rng.uniform(-0.5, 1.5, n).round(3).tolist(),
+        "log_likelihood": rng.uniform(-1200, -1100, n).round(4).tolist(),
+        "log_prior": rng.uniform(-5, 0, n).round(4).tolist(),
+    }
+    doc = {
+        "label": label,
+        "sampler": "dynesty",
+        "parameter_labels": ["red_noise_log10_A", "red_noise_gamma", "nmodel"],
+        "search_parameter_keys": ["red_noise_log10_A", "red_noise_gamma", "nmodel"],
+        "log_evidence": -1150.0,
+        "posterior": {"__dataframe__": True, "content": post},
+    }
+    run_dir = tmp_path / "J0000+0000"
+    run_dir.mkdir()
+    p = run_dir / f"{label}_result.json"
+    p.write_text(json.dumps(doc))
+    return run_dir, post
+
+
+def test_bilby_result_round_trip(spark, tmp_path):
+    from enterprise_warp_spark.sources.bilby import read_bilby_dir
+
+    run_dir, post = _write_bilby_result(tmp_path)
+    chain, pars = read_bilby_dir(spark, str(run_dir))
+    rows = chain.orderBy("step").collect()
+    assert len(rows) == 400
+    assert [r["par"] for r in pars.orderBy("idx").collect()] == [
+        "red_noise_log10_A",
+        "red_noise_gamma",
+        "nmodel",
+    ]
+    # values keep parameter order; lnpost = log_likelihood + log_prior
+    for i in (0, 123, 399):
+        r = rows[i]
+        assert r["run_id"] == "J0000+0000"
+        assert r["values"] == [
+            post["red_noise_log10_A"][i],
+            post["red_noise_gamma"][i],
+            post["nmodel"][i],
+        ]
+        assert abs(r["lnlike"] - post["log_likelihood"][i]) < 1e-12
+        assert abs(r["lnpost"] - (post["log_likelihood"][i] + post["log_prior"][i])) < 1e-12
+
+
+def test_bilby_chain_runs_results_pipeline(spark, tmp_path):
+    """End-to-end: the §3.2 analytics stack consumes bilby output exactly as
+    PTMCMC chains (the reference's BilbyWarpResult promise)."""
+    import numpy as np
+
+    from enterprise_warp_spark.analytics.chains import (
+        burn_in,
+        credible_levels_by_par,
+        log_bayes_factors_from_chain,
+        noise_summary,
+    )
+    from enterprise_warp_spark.sources.bilby import read_bilby_dir
+    from enterprise_warp_spark.sources.chains import chains_long
+
+    run_dir, post = _write_bilby_result(tmp_path)
+    chain, pars = read_bilby_dir(spark, str(run_dir))
+    long = chains_long(chain, pars)
+    kept = burn_in(long, 0.25)
+    assert kept.filter("par = 'nmodel'").count() == 300
+
+    cl = {
+        r["par"]: (r["p16"], r["p50"], r["p84"])
+        for r in credible_levels_by_par(kept).collect()
+    }
+    arr = np.array(post["red_noise_gamma"][100:])
+    exact = np.percentile(arr, [16, 50, 84], method="linear")
+    got = cl["red_noise_gamma"]
+    for g, e in zip(got, exact):
+        assert abs(g - e) < 1e-9
+
+    bf = log_bayes_factors_from_chain(kept).collect()
+    assert len(bf) == 1  # models 0 and 1 -> one pair
+    ns = noise_summary(kept)
+    assert ns.count() > 0
