@@ -364,6 +364,67 @@ def gp_loglik_per_pulsar(
     )
 
 
+def gp_loglik_reduced(
+    reduced: DataFrame,
+    samples: pd.DataFrame,
+    tspan_s: float,
+) -> DataFrame:
+    """F10 fast path from the TWO-PHASE reduction: score samples against the
+    per-pulsar sufficient statistics (u = F^T N^-1 r, S = F^T N^-1 F,
+    r^T N^-1 r, logdet N) produced by
+    `analytics.optimal_statistic.per_pulsar_reduction` — the chunk-parallel
+    pass over the TOAs (VERDICT: the same one-task-per-pulsar fix as the OS).
+
+    Valid when the white noise is FIXED in the data (N independent of the
+    sample) and the basis is static — then the Woodbury likelihood
+
+        lnL = -1/2 [ rtn - u^T (phi^-1 + S)^-1 u
+                     + logdet N + sum log phi + logdet(phi^-1 + S)
+                     + n ln 2pi ]
+
+    needs only the (2k)-sized reduction per pulsar: TOA volume and sample
+    count scale independently, and the heavy pass is chunk-parallel. Exact
+    match to gp_loglik_per_pulsar is pinned by a parity test.
+
+    samples: pandas (sample_id, log10_A, gamma) — achromatic powerlaw
+    (common-spectrum / CURN shape; the reference's gwb 'no-ORF' signals).
+    -> (psr, sample_id, lnl)
+    """
+    recs = samples[["sample_id", "log10_A", "gamma"]].to_numpy()
+    df_val = 1.0 / tspan_s
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in pdf.itertuples(index=False):
+            u = np.asarray(row.u)
+            twok = len(u)
+            S = np.asarray(row.s).reshape(twok, twok)
+            f2 = np.asarray(row.f)
+            for rec in recs:
+                phi = powerlaw_phi(f2, np.full(twok, df_val), float(rec[1]), float(rec[2]))
+                Sigma = np.diag(1.0 / phi) + S
+                try:
+                    cf = np.linalg.cholesky(Sigma)
+                except np.linalg.LinAlgError:
+                    jitter = 1e-12 * float(np.max(np.diag(Sigma)))
+                    cf = np.linalg.cholesky(Sigma + jitter * np.eye(twok))
+                y = np.linalg.solve(cf, u)
+                lnl = -0.5 * (
+                    float(row.rtn_r)
+                    - float(y @ y)
+                    + float(row.logdet_n)
+                    + float(np.sum(np.log(phi)))
+                    + 2.0 * float(np.sum(np.log(np.diag(cf))))
+                    + int(row.n_toa) * math.log(2.0 * math.pi)
+                )
+                out.append((row.psr, int(rec[0]), lnl))
+        return pd.DataFrame(out, columns=["psr", "sample_id", "lnl"])
+
+    return reduced.groupBy("psr").applyInPandas(
+        kernel, "psr string, sample_id long, lnl double"
+    )
+
+
 def total_loglik(per_pulsar: DataFrame) -> DataFrame:
     """A13 — the PTA likelihood factorizes over pulsars given common params
     (signal_base.PTA at enterprise_warp.py:542): sum lnL per sample."""

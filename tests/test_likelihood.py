@@ -226,3 +226,64 @@ def test_free_spectrum_and_sampled_idx_match_dense(spark):
         rs, ss**2, np.hstack([F1, F2]), np.concatenate([phi1, phi2])
     )
     assert got == pytest.approx(want, rel=1e-10)
+
+
+def test_gp_loglik_reduced_matches_full_kernel(spark):
+    """The two-phase-reduction fast path must equal the full per-pulsar
+    kernel exactly (same basis: endpoints pinned so per-pulsar span ==
+    common tspan)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from enterprise_warp_spark.analytics.optimal_statistic import (
+        per_pulsar_reduction,
+    )
+    from enterprise_warp_spark.likelihood.gp import (
+        gp_loglik_per_pulsar,
+        gp_loglik_reduced,
+    )
+
+    rng = np.random.default_rng(23)
+    tspan = 8.0 * 365.25 * 86400.0
+    rows = []
+    for p in range(3):
+        n = 90 + 11 * p
+        t = np.sort(rng.uniform(0, tspan, n))
+        t[0], t[-1] = 0.0, tspan  # pin span == common tspan
+        r = rng.normal(0, 1e-6, n)
+        rows += [
+            (f"J{p:02d}", float(ti), float(ri), 1e-6, 1.0, 0.0)
+            for ti, ri in zip(t, r)
+        ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double",
+    )
+    samples = pd.DataFrame(
+        {
+            "sample_id": range(5),
+            "log10_A": [-14.5, -14.0, -13.5, -13.0, -12.5],
+            "gamma": [2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    nf = 6
+    red = per_pulsar_reduction(res, nfreqs=nf, tspan_s=tspan)
+    fast = {
+        (r["psr"], r["sample_id"]): r["lnl"]
+        for r in gp_loglik_reduced(red, samples, tspan).collect()
+    }
+    full = {
+        (r["psr"], r["sample_id"]): r["lnl"]
+        for r in gp_loglik_per_pulsar(res, samples, nfreqs=nf).collect()
+    }
+    assert set(fast) == set(full)
+    for k in full:
+        assert math.isfinite(fast[k])
+        assert abs(fast[k] - full[k]) < 1e-6 * max(1.0, abs(full[k])), (
+            k,
+            fast[k],
+            full[k],
+        )
