@@ -195,3 +195,51 @@ def test_bilby_chain_runs_results_pipeline(spark, tmp_path):
     assert len(bf) == 1  # models 0 and 1 -> one pair
     ns = noise_summary(kept)
     assert ns.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# K8 — tempo2 shell source (tempo2_warp.py:4-48), golden stdout fixture
+# ---------------------------------------------------------------------------
+
+
+CANNED_TEMPO2_STDOUT = """\
+This program comes with ABSOLUTELY NO WARRANTY.
+[tempo2Util.c:396] Warning: [MISC1] Unknown parameter in par file
+Starting general2 plugin
+"53000.5\t1440.0\t1.2e-06\t0.9e-06\t1.1e-06\t2.0e-07\t3.0e-07
+53001.5\t1440.0\t-2.2e-06\t0.8e-06\t-2.0e-06\t1.0e-07\t-1.0e-07
+53002.5\t3100.0\t0.5e-06\t1.1e-06\t0.4e-06\t0.5e-07\t0.2e-07
+"Finished general2 plugin
+Goodbye.
+"""
+
+
+def test_tempo2_sentinel_scrape_and_parse(spark):
+    from enterprise_warp_spark.sources.tempo2 import (
+        DEFAULT_FORMAT,
+        format_fields,
+        general2_to_df,
+        parse_general2_output,
+    )
+
+    assert format_fields(DEFAULT_FORMAT) == [
+        "bat", "freq", "post", "err", "posttn", "tndm", "tnrn",
+    ]
+    scraped = parse_general2_output(CANNED_TEMPO2_STDOUT)
+    assert "Warning" not in scraped and "Goodbye" not in scraped
+    assert '"' not in scraped
+    df = general2_to_df(spark, scraped)
+    rows = df.orderBy("bat").collect()
+    assert len(rows) == 3
+    assert rows[0]["bat"] == 53000.5
+    assert rows[1]["post"] == -2.2e-06
+    assert rows[2]["freq"] == 3100.0
+
+
+def test_tempo2_disabled_by_default(spark):
+    import pytest as _pytest
+
+    from enterprise_warp_spark.sources.tempo2 import run_tempo2_prediction
+
+    with _pytest.raises(RuntimeError, match="disabled"):
+        run_tempo2_prediction(spark, "x.par", "x.tim")
