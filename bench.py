@@ -61,6 +61,43 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # bench-only entry (not a correctness-catalog query): A12 noise-
+    # marginalised OS over 1000 posterior draws — the draws x pairs fan-out
+    # whose per-(pair,draw) Python loop was vectorized into one einsum per
+    # pair; tracks that the 1000-draw pass stays ~the per-pair kernel cost.
+    import pandas as pd
+
+    from enterprise_warp_spark.analytics.optimal_statistic import (
+        marginalised_moments,
+        marginalised_os,
+        per_pulsar_reduction,
+    )
+    from enterprise_warp_spark.queries_kernel import _synthetic_residuals
+
+    t0 = time.perf_counter()
+    res = _synthetic_residuals(spark, sf_dir)
+    tspan = 300_000.0 * 1_000_000
+    red = per_pulsar_reduction(res, nfreqs=6, tspan_s=tspan)
+    positions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "psr": ["J0", "J1", "J2"],
+                "pos": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+            }
+        )
+    )
+    draws = pd.DataFrame(
+        {"draw_id": range(1000), "gamma": [3.0 + (i % 40) * 0.05 for i in range(1000)]}
+    )
+    marginalised_moments(
+        marginalised_os(red, positions, draws, tspan_s=tspan)
+    ).write.format("noop").mode("overwrite").save()
+    timings["x_marginalised_os_1000"] = round(time.perf_counter() - t0, 4)
+    print(
+        f"# x_marginalised_os_1000: {timings['x_marginalised_os_1000']:.3f}s",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
