@@ -340,3 +340,76 @@ def test_credible_levels_approx_close_to_exact(spark, sf_dir):
     for et in exact:
         for c in ("p16", "p50", "p84"):
             assert abs(exact[et][c] - approx[et][c]) < 2.0  # value range ~0..490
+
+
+def test_psd_expressions_match_numpy(spark):
+    """F1-F4 — all four PSD column expressions equal the numpy forms
+    (libstempo_warp.py:6-18, enterprise_models.py:421-426,593-603)."""
+    from enterprise_warp_spark.functions.psd import (
+        FYR,
+        broken_powerlaw_psd,
+        free_spectrum_psd,
+        lorentzian_psd,
+        powerlaw_psd,
+    )
+
+    tspan = 10 * 365.25 * 86400.0
+    f = np.arange(1, 21) / tspan
+    df = 1.0 / tspan
+    log10_A, gamma, fc_bpl, log10_rho = -14.5, 13.0 / 3.0, -8.5, -7.2
+    p_lor, fc_lor, alpha = 3.0e-13, 1.0e-8, 2.5
+
+    pdf = pd.DataFrame({"f_hz": f, "df_hz": df})
+    out = (
+        spark.createDataFrame(pdf)
+        .select(
+            "f_hz",
+            powerlaw_psd(
+                F.col("f_hz"), F.lit(log10_A), F.lit(gamma), F.col("df_hz")
+            ).alias("pl"),
+            broken_powerlaw_psd(
+                F.col("f_hz"), F.lit(log10_A), F.lit(gamma), F.lit(fc_bpl), F.col("df_hz")
+            ).alias("bpl"),
+            free_spectrum_psd(F.lit(log10_rho)).alias("fs"),
+            lorentzian_psd(
+                F.col("f_hz"), F.lit(p_lor), F.lit(fc_lor), F.lit(alpha)
+            ).alias("lor"),
+        )
+        .orderBy("f_hz")
+        .toPandas()
+    )
+    a2 = 10.0 ** (2 * log10_A)
+    norm = a2 / (12 * math.pi**2) * FYR**-3
+    np.testing.assert_allclose(out["pl"], norm * (f / FYR) ** -gamma * df, rtol=1e-12)
+    np.testing.assert_allclose(
+        out["bpl"], norm * ((f + 10.0**fc_bpl) / FYR) ** -gamma * df, rtol=1e-12
+    )
+    np.testing.assert_allclose(out["fs"], 10.0 ** (2 * log10_rho), rtol=1e-12)
+    np.testing.assert_allclose(
+        out["lor"], p_lor / (1 + (f / fc_lor) ** 2) ** (alpha / 2), rtol=1e-12
+    )
+
+
+def test_write_freqs_metadata_roundtrip(spark, tmp_path):
+    """K5 — per-selection nfreqs/f_min metadata survives the parquet sink."""
+    from enterprise_warp_spark.functions.fourier import freqs_table
+    from enterprise_warp_spark.sinks import write_freqs_metadata
+
+    spans = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "psr": ["J0001+0001", "J0002+0002"],
+                "selection": ["all", "all"],
+                "nfreqs": [5, 8],
+                "tspan_s": [3.0e8, 4.0e8],
+            }
+        )
+    )
+    path = str(tmp_path / "freqs_meta")
+    write_freqs_metadata(freqs_table(spans), path)
+    got = {
+        (r["psr"], r["selection"]): (r["nfreqs"], r["f_min_hz"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[("J0001+0001", "all")] == (5, pytest.approx(1.0 / 3.0e8))
+    assert got[("J0002+0002", "all")] == (8, pytest.approx(1.0 / 4.0e8))
