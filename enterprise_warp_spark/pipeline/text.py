@@ -17,6 +17,26 @@ H64 = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
 
 TOKENS = "filter(split({s}, ' '), x -> x != '')"
 
+# Max multiplicity of any element in a string array, computed scale-safe:
+# sort once (O(n log n)) then a single run-length aggregate — stays inside
+# whole-stage codegen with no shuffle, unlike the naive
+# transform(array_distinct, g -> count matches) form which is O(n·d) per row
+# and explodes on long documents. Init prev='' is safe: TOKENS drops empties.
+MAXRUN = (
+    "aggregate(array_sort({a}), named_struct('prev', cast('' as string), 'run', 0, 'best', 0), "
+    "(acc, x) -> named_struct('prev', x, "
+    "'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END, "
+    "'best', greatest(acc.best, CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END)), "
+    "acc -> acc.best)"
+)
+
+# Adjacent-token bigrams; guarded because Spark's sequence(1, 0) counts DOWN.
+BIGRAMS = (
+    "CASE WHEN size({t}) >= 2 THEN transform(sequence(1, size({t}) - 1), "
+    "i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1))) "
+    "ELSE cast(array() as array<string>) END"
+)
+
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to", "in", "is"),
     "es": ("el", "la", "de", "que", "y", "los"),
@@ -108,6 +128,76 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _repetition_cols(text_col: str) -> list[Column]:
+    """Gopher/C4-style repetition + symbol signals over materialized `__tok`
+    and `__big` columns (see repetition_metrics for the staging contract)."""
+    return [
+        F.expr("size(array_distinct(__tok))").alias("n_distinct_tokens"),
+        F.round(
+            F.expr(
+                "(size(__tok) - size(array_distinct(__tok))) "
+                "/ cast(greatest(size(__tok), 1) as double)"
+            ),
+            6,
+        ).alias("dup_token_ratio"),
+        F.round(
+            F.expr(
+                MAXRUN.format(a="__tok")
+                + " / cast(greatest(size(__tok), 1) as double)"
+            ),
+            6,
+        ).alias("top_token_share"),
+        F.round(
+            F.expr(
+                "(size(__big) - size(array_distinct(__big))) "
+                "/ cast(greatest(size(__big), 1) as double)"
+            ),
+            6,
+        ).alias("dup_bigram_ratio"),
+        F.round(
+            F.expr(
+                MAXRUN.format(a="__big")
+                + " / cast(greatest(size(__big), 1) as double)"
+            ),
+            6,
+        ).alias("top_bigram_share"),
+        F.round(
+            F.expr(
+                f"length(regexp_replace({text_col}, '[a-z0-9 ]', '')) "
+                f"/ cast(greatest(length({text_col}), 1) as double)"
+            ),
+            6,
+        ).alias("symbol_char_ratio"),
+    ]
+
+
+def _with_token_arrays(df: DataFrame, text_col: str) -> DataFrame:
+    """Stage the token/bigram arrays as real columns so each is computed ONCE.
+    Catalyst's CollapseProject leaves these projections alone (the aliases are
+    non-cheap and multiply referenced), which is exactly what we want — no
+    re-tokenization per downstream expression."""
+    staged = df.select("*", F.expr(TOKENS.format(s=text_col)).alias("__tok"))
+    return staged.select("*", F.expr(BIGRAMS.format(t="__tok")).alias("__big"))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition / boilerplate signals used by web-scale curation filters
+    (the Gopher 'repetitious text' family, C4 policy filters):
+
+      dup_token_ratio    fraction of tokens that repeat an earlier token
+      top_token_share    share of tokens taken by the single most frequent one
+      dup_bigram_ratio   same, over adjacent-token bigrams
+      top_bigram_share   share of bigrams taken by the most frequent bigram
+      symbol_char_ratio  non-alphanumeric, non-space character fraction
+
+    All pure Catalyst expressions; the max-multiplicity terms use the
+    sort+run-length MAXRUN form so cost is O(n log n) per document even at
+    10k-token documents (no O(n·d) lambda scans, no explode/shuffle)."""
+    return _with_token_arrays(df, text_col).select(
+        "doc_id", *_repetition_cols(text_col)
+    )
+
+
 def all_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One wide per-document projection with every text metric: language-ID
     hit counts + prediction, quality scores, token counts and fingerprints —
@@ -128,7 +218,7 @@ def all_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         "aggregate(filter(split({s}, ''), x -> x != ''), cast(0 as bigint), "
         "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"
     )
-    return spread(df).select(
+    return _with_token_arrays(spread(df), text_col).select(
         "doc_id",
         "lang",
         F.expr(hits["en"]).alias("en_hits"),
@@ -165,6 +255,7 @@ def all_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("n_bpe_tokens"),
         F.expr(poly.format(s=text_col)).alias("fp_full"),
         F.expr(poly.format(s=f"substring({text_col}, 1, 64)")).alias("fp_prefix64"),
+        *_repetition_cols(text_col),
     )
 
 

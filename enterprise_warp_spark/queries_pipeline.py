@@ -265,10 +265,14 @@ def _d_hits(lang: str) -> str:
 @register(
     "text_metrics",
     f"""
-    WITH t AS (SELECT doc_id, lang, text, {D_TOK} AS tok,
+    WITH t0 AS (SELECT doc_id, lang, text, {D_TOK} AS tok,
                       list_transform(string_split(text, ''), ch -> ascii(ch)) AS codes,
                       list_transform(string_split(substr(text, 1, 64), ''), ch -> ascii(ch)) AS codes64
-               FROM documents)
+               FROM documents),
+    t AS (SELECT *, CASE WHEN len(tok) >= 2
+                         THEN list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i + 1])
+                         ELSE [] END AS big
+          FROM t0)
     SELECT doc_id, lang,
            {_d_hits("en")} AS en_hits,
            {_d_hits("es")} AS es_hits,
@@ -284,13 +288,22 @@ def _d_hits(lang: str) -> str:
            ROUND(0.5 * least(CAST(len(tok) AS DOUBLE) / 100, CAST(1 AS DOUBLE)) + 0.5 * ({_d_hits("en")} / CAST(greatest(len(tok), 1) AS DOUBLE)), 6) AS quality_score,
            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
            list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_full,
-           list_reduce(list_prepend(CAST(0 AS BIGINT), codes64), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_prefix64
+           list_reduce(list_prepend(CAST(0 AS BIGINT), codes64), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_prefix64,
+           CAST(len(list_distinct(tok)) AS INTEGER) AS n_distinct_tokens,
+           ROUND((len(tok) - len(list_distinct(tok))) / CAST(greatest(len(tok), 1) AS DOUBLE), 6) AS dup_token_ratio,
+           ROUND(COALESCE(list_max(list_transform(list_distinct(tok), g -> len(list_filter(tok, x -> x = g)))), 0) / CAST(greatest(len(tok), 1) AS DOUBLE), 6) AS top_token_share,
+           ROUND((len(big) - len(list_distinct(big))) / CAST(greatest(len(big), 1) AS DOUBLE), 6) AS dup_bigram_ratio,
+           ROUND(COALESCE(list_max(list_transform(list_distinct(big), g -> len(list_filter(big, x -> x = g)))), 0) / CAST(greatest(len(big), 1) AS DOUBLE), 6) AS top_bigram_share,
+           ROUND(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS symbol_char_ratio
     FROM t
     """,
     doc="One wide per-document pass: language-ID stopword voting, quality "
     "scoring (length/space/stopword ratios + combined score), token counting "
-    "(whitespace + BPE-ish pre-tokenizer regex) and polynomial rolling-hash "
-    "fingerprints (full + 64-char prefix) — previously four separate gates.",
+    "(whitespace + BPE-ish pre-tokenizer regex), polynomial rolling-hash "
+    "fingerprints (full + 64-char prefix), and Gopher/C4-style repetition "
+    "signals (dup-token/bigram ratios, top token/bigram share, symbol ratio; "
+    "max-multiplicity via sort+run-length aggregate, O(n log n) per doc) — "
+    "previously four separate gates.",
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.all_metrics(table(spark, sf_dir, "documents"))

@@ -413,3 +413,48 @@ def test_write_freqs_metadata_roundtrip(spark, tmp_path):
     }
     assert got[("J0001+0001", "all")] == (5, pytest.approx(1.0 / 3.0e8))
     assert got[("J0002+0002", "all")] == (8, pytest.approx(1.0 / 4.0e8))
+
+
+def test_repetition_metrics_match_counter(spark):
+    """Gopher/C4 repetition signals: the sort+run-length MAXRUN expression
+    must equal a collections.Counter reference on hand-built documents
+    (incl. the 1-token doc where the bigram array is empty)."""
+    from collections import Counter
+
+    from enterprise_warp_spark.pipeline.text import repetition_metrics
+
+    docs = {
+        1: "a a a b c",
+        2: "x y x y x y",
+        3: "unique tokens only here now",
+        4: "solo",
+        5: "p q. r! p q. #",
+    }
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = {
+        r["doc_id"]: r
+        for r in repetition_metrics(spark.createDataFrame(pdf)).collect()
+    }
+    for doc_id, text in docs.items():
+        toks = [t for t in text.split(" ") if t]
+        bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        n, nb = len(toks), len(bigs)
+        r = got[doc_id]
+        assert r["n_distinct_tokens"] == len(set(toks))
+        assert r["dup_token_ratio"] == pytest.approx(
+            round((n - len(set(toks))) / max(n, 1), 6)
+        )
+        assert r["top_token_share"] == pytest.approx(
+            round(max(Counter(toks).values()) / max(n, 1), 6)
+        )
+        assert r["dup_bigram_ratio"] == pytest.approx(
+            round((nb - len(set(bigs))) / max(nb, 1), 6)
+        )
+        top_big = max(Counter(bigs).values()) if bigs else 0
+        assert r["top_bigram_share"] == pytest.approx(
+            round(top_big / max(nb, 1), 6)
+        )
+        sym = sum(1 for ch in text if not (ch.islower() or ch.isdigit() or ch == " "))
+        assert r["symbol_char_ratio"] == pytest.approx(
+            round(sym / max(len(text), 1), 6)
+        )
