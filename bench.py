@@ -51,14 +51,27 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Best-of-2 per query: single-shot timings on this box show 3-8x
+    # run-to-run spikes from GC pauses / VM steal on individual queries;
+    # min-of-two is the standard way to report steady-state throughput
+    # rather than whichever query happened to absorb a pause.
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        # noop sink materializes every output column (count() would let
-        # Catalyst prune the computed ones entirely)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(n_reps):
+            # Drop any cached/checkpointed intermediates from the previous
+            # rep: Spark's CacheManager matches by canonicalized plan, so an
+            # identical rerun would silently read rep 1's cache and report a
+            # cache-hit time instead of the query's real cost.
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
+            # noop sink materializes every output column (count() would let
+            # Catalyst prune the computed ones entirely)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     # bench-only entry (not a correctness-catalog query): A12 noise-
