@@ -4,8 +4,10 @@
     similarity  brute-force cosine top-k + LSH-bucketed ANN over embeddings
     text        language-ID, quality scoring, token counting, fingerprinting
     multimodal  opaque-binary columns with typed metadata; decode kernels as
-                Arrow-batched mapInPandas (decode itself stubbed: no codec
-                libraries in this container)
+                Arrow-batched mapInPandas — REAL decode for container-less
+                formats (WAV/PCM, PPM/PGM, raw-RGB video via codecs.py);
+                compressed formats stub-fallback with decoded=false
+    codecs      pure struct+numpy WAV / netpbm / raw-video codecs
 
 All hot paths are Catalyst expressions (portable 64-bit md5-derived hashes,
 higher-order array functions) — no Python UDFs. Each operator is exposed as a

@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
-The Spark-side plumbing (schemas, Arrow batch shapes, partition-preserving
-mapInPandas kernels) is real and tested; the codec step itself is stubbed
-behind DECODERS because no image/audio libraries exist in this container —
-swap the stub for a real decoder (PIL/torchaudio/pyav) and nothing else
-changes.
+Decoding is REAL for every container-less format (see pipeline.codecs):
+RIFF/PCM WAV audio, binary PPM/PGM images, and raw-RGB video frames are
+parsed with struct+numpy inside the Arrow batches. Compressed formats
+(JPEG/PNG/MP3/H.264/...) need codec libraries this container does not have;
+those rows fall back to a deterministic byte-hash pseudo-feature and are
+flagged `decoded=false` — swap `_decode_stub` for PIL/torchaudio/pyav and
+nothing else changes.
 
 Design for 100 TB: binaries ride in parquet as BINARY columns; kernels are
 mapInPandas so each Arrow batch is decoded vectorized with no per-row Python
@@ -20,7 +22,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -47,38 +52,63 @@ FEATURE_SCHEMA = StructType(
         StructField("kind", StringType()),
         StructField("n_bytes", LongType()),
         StructField("payload_md5", StringType()),
+        StructField("decoded", BooleanType()),  # real decode vs stub fallback
         StructField("feature_dim", IntegerType()),
-        StructField("feature_l2", StringType()),  # stub marker / value as str
+        StructField("feature", ArrayType(DoubleType())),
     ]
 )
 
 
-def _decode_stub(payload: bytes, kind: str) -> dict:
-    """Deterministic fake decode: derives a pseudo-feature from the bytes.
+def _decode_stub(payload: bytes) -> list[float]:
+    """Deterministic byte-hash pseudo-feature for formats that need an
+    external codec (JPEG/PNG/MP3/...): 8 rolling hashes over byte strides.
 
     Real deployments replace this with PIL / torchaudio / pyav decoding;
-    the function contract (bytes, kind) -> feature dict is the plugin point.
+    the contract (bytes) -> 8-dim feature is the plugin point.
     """
     if payload is None:
         raise NotImplementedError("missing payload; real decoder required")
-    acc = 0
-    for b in payload[:256]:
-        acc = (acc * 31 + b) % 1_000_000_007
-    return {"feature_dim": 8, "feature_l2": str(acc)}
+    out = []
+    for stride in range(8):
+        acc = 0
+        for b in payload[stride:256:8]:
+            acc = (acc * 31 + b) % 1_000_000_007
+        out.append(float(acc))
+    return out
+
+
+def _decode_features(row: pd.Series) -> tuple[bool, list[float]]:
+    """Dispatch one media row to the right pure-python decoder; returns
+    (decoded_for_real, 8-dim feature)."""
+    from enterprise_warp_spark.pipeline import codecs
+
+    family = codecs.DECODABLE_MIMES.get(row["mime"])
+    payload = row["payload"]
+    if family == "wav":
+        return True, codecs.audio_features(*codecs.decode_wav(payload))
+    if family == "pnm":
+        return True, codecs.image_features(codecs.decode_ppm(payload))
+    if family == "rawvideo":
+        return True, codecs.video_features(
+            payload, int(row["width"]), int(row["height"]), int(row["n_frames"])
+        )
+    return False, _decode_stub(payload)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over opaque binaries.
 
     Arrow-batched: each pandas chunk is processed vectorized; the plan keeps
-    the upstream partitioning (no shuffle).
+    the upstream partitioning (no shuffle). WAV/PPM/raw-RGB payloads are
+    REALLY decoded (pipeline.codecs); compressed mimes get the stub and
+    `decoded=false`.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            feats = [_decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            decoded_feats = [_decode_features(row) for _, row in pdf.iterrows()]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -87,8 +117,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "payload_md5": pdf["payload"].map(
                         lambda b: hashlib.md5(b).hexdigest() if b is not None else None
                     ),
-                    "feature_dim": pd.Series([f["feature_dim"] for f in feats], dtype="int32"),
-                    "feature_l2": [f["feature_l2"] for f in feats],
+                    "decoded": pd.Series([d for d, _ in decoded_feats], dtype="bool"),
+                    "feature_dim": pd.Series(
+                        [len(f) for _, f in decoded_feats], dtype="int32"
+                    ),
+                    "feature": [f for _, f in decoded_feats],
                 }
             )
 
@@ -109,8 +142,8 @@ def binary_meta(df: DataFrame, payload_expr: str = "cast(text as binary)") -> Da
 
 def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: explodes frame indices 0..n_frames-1
-    with stride k, keeping the payload reference — the decode of individual
-    frames is the stubbed step."""
+    with stride k, keeping the payload reference. Pure Catalyst — the
+    per-frame decode lives in sample_frames_decoded."""
     return media.filter(F.col("kind") == "video").select(
         "media_id",
         F.explode(
@@ -119,27 +152,81 @@ def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image-resize plumbing (mapInPandas, partition-preserving): emits the
-    resized payload + updated dimensions. The pixel operation itself is the
-    stubbed decode step (no image libraries in this container) — a real
-    deployment swaps `_resize_stub` for PIL's Image.resize and nothing else
-    changes."""
-
-    def _resize_stub(payload: bytes) -> bytes:
-        if payload is None:
-            raise NotImplementedError("missing payload; real decoder required")
-        return payload  # deterministic passthrough marker
+def sample_frames_decoded(media: DataFrame, every_k: int = 10) -> DataFrame:
+    """Frame sampling WITH real per-frame decode for raw-RGB video: every
+    k-th frame is sliced out of the concatenated payload (zero-copy
+    frombuffer) and summarized (mean/std brightness). mapInPandas,
+    partition-preserving; non-raw video rows (compressed containers) are
+    emitted with decoded=false and null stats."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from enterprise_warp_spark.pipeline import codecs
+
         for pdf in batches:
-            out = pdf[pdf["kind"] == "image"].copy()
-            out["payload"] = out["payload"].map(_resize_stub)
-            out["width"] = width
-            out["height"] = height
-            yield out[["media_id", "kind", "payload", "mime", "width", "height"]]
+            rows: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "decoded": [],
+                "frame_mean": [], "frame_std": [],
+            }
+            for _, r in pdf[pdf["kind"] == "video"].iterrows():
+                n = int(r["n_frames"]) if r["n_frames"] is not None else 1
+                raw = codecs.DECODABLE_MIMES.get(r["mime"]) == "rawvideo"
+                for idx in range(0, max(n, 1), every_k):
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_idx"].append(idx)
+                    rows["decoded"].append(raw)
+                    if raw:
+                        frame = codecs.decode_raw_frame(
+                            r["payload"], int(r["width"]), int(r["height"]), idx
+                        )
+                        rows["frame_mean"].append(float(frame.mean()))
+                        rows["frame_std"].append(float(frame.std()))
+                    else:
+                        rows["frame_mean"].append(None)
+                        rows["frame_std"].append(None)
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(
         kernel,
-        "media_id long, kind string, payload binary, mime string, width int, height int",
+        "media_id long, frame_idx int, decoded boolean, "
+        "frame_mean double, frame_std double",
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
+    """Image resize (mapInPandas, partition-preserving): PPM/PGM payloads are
+    REALLY resized — decode (pipeline.codecs), nearest-neighbor index-sample
+    in numpy, re-encode — with width/height updated and resized=true.
+    Compressed formats need an external codec: passthrough with
+    resized=false, or NotImplementedError when strict=True (the plugin point
+    for PIL's Image.resize)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from enterprise_warp_spark.pipeline import codecs
+
+        def one(row: pd.Series) -> tuple[bytes, int, int, bool]:
+            payload = row["payload"]
+            if payload is None:
+                raise NotImplementedError("missing payload; real decoder required")
+            if codecs.DECODABLE_MIMES.get(row["mime"]) == "pnm":
+                resized = codecs.resize_nearest(codecs.decode_ppm(payload), width, height)
+                return codecs.encode_ppm(resized), width, height, True
+            if strict:
+                raise NotImplementedError(
+                    f"mime {row['mime']!r} needs an external codec (PIL plugin point)"
+                )
+            return payload, row["width"], row["height"], False
+
+        for pdf in batches:
+            out = pdf[pdf["kind"] == "image"].copy()
+            done = [one(r) for _, r in out.iterrows()]
+            out["payload"] = [d[0] for d in done]
+            out["width"] = pd.Series([d[1] for d in done], index=out.index, dtype="int32")
+            out["height"] = pd.Series([d[2] for d in done], index=out.index, dtype="int32")
+            out["resized"] = [d[3] for d in done]
+            yield out[["media_id", "kind", "payload", "mime", "width", "height", "resized"]]
+
+    return media.mapInPandas(
+        kernel,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, resized boolean",
     )
