@@ -29,6 +29,10 @@ class CurationConfig:
     min_stopword_ratio: float = 0.0
     keep_langs: tuple[str, ...] = ()  # empty = all predicted languages
     jaccard_threshold: float = 0.6
+    # Gopher-style repetition gates (1.0 = disabled): drop documents whose
+    # duplicate-token fraction / dominant-bigram share exceed the bound.
+    max_dup_token_ratio: float = 1.0
+    max_top_bigram_share: float = 1.0
 
 
 def curate_corpus(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> dict[str, DataFrame]:
@@ -36,10 +40,24 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> di
     scored = text.quality_scores(docs).join(
         text.langid(docs).select("doc_id", "predicted"), "doc_id"
     )
-    quality_ok = scored.filter(
-        (F.col("n_tokens") >= cfg.min_tokens)
-        & (F.col("stopword_ratio") >= cfg.min_stopword_ratio)
+    quality_pred = (F.col("n_tokens") >= cfg.min_tokens) & (
+        F.col("stopword_ratio") >= cfg.min_stopword_ratio
     )
+    if cfg.max_dup_token_ratio < 1.0 or cfg.max_top_bigram_share < 1.0:
+        # Repetition signals are another doc-keyed projection over the same
+        # scan; the join is doc_id-equi so the whole gate stays one shuffle.
+        scored = scored.join(
+            text.repetition_metrics(docs).select(
+                "doc_id", "dup_token_ratio", "top_bigram_share"
+            ),
+            "doc_id",
+        )
+        quality_pred = (
+            quality_pred
+            & (F.col("dup_token_ratio") <= cfg.max_dup_token_ratio)
+            & (F.col("top_bigram_share") <= cfg.max_top_bigram_share)
+        )
+    quality_ok = scored.filter(quality_pred)
     lang_ok = (
         quality_ok.filter(F.col("predicted").isin(list(cfg.keep_langs)))
         if cfg.keep_langs

@@ -354,6 +354,28 @@ def test_curate_corpus(spark, sf_dir):
     assert stats["n_dropped_dup"] >= 3
 
 
+def test_curate_repetition_gate(spark):
+    from enterprise_warp_spark.pipeline.curate import CurationConfig, curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and then the dog sat down too", "en", "s", 0),
+            # 60% duplicate tokens: "spam " * many
+            (2, "spam spam spam spam spam spam spam spam spam spam", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = curate_corpus(
+        docs, CurationConfig(min_tokens=5, max_dup_token_ratio=0.5)
+    )
+    kept = {r["doc_id"] for r in out["kept"].select("doc_id").collect()}
+    dropped = {r["doc_id"] for r in out["dropped_quality"].select("doc_id").collect()}
+    assert kept == {1} and dropped == {2}
+    # disabled gate keeps both (and adds no repetition join to the plan)
+    out2 = curate_corpus(docs, CurationConfig(min_tokens=5))
+    assert {r["doc_id"] for r in out2["kept"].select("doc_id").collect()} == {1, 2}
+
+
 def test_credible_levels_approx_close_to_exact(spark, sf_dir):
     from enterprise_warp_spark.operators.relational import (
         credible_levels,
