@@ -236,24 +236,6 @@ def flag_substring_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tspan_per_user",
-    """
-    SELECT user_id,
-           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS tspan_us,
-           COUNT(*) AS n
-    FROM events GROUP BY user_id
-    """,
-    doc="A1 observation span per group (exact int64 microseconds).",
-)
-def tspan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("tspan_us"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
     "log_bayes_factors_events",
     """
     WITH c AS (
@@ -450,19 +432,39 @@ def range_bins_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "census_events",
+    "census_tspan_events",
     """
-    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+    SELECT 'census' AS op, event_type AS key,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS v
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'tspan' AS op, CAST(user_id AS VARCHAR) AS key,
+           COUNT(*) AS n, epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS v
+    FROM events GROUP BY user_id
     """,
-    doc="A11 backend census: distinct flag values per group (libstempo_warp.py:60-75).",
+    doc="A11 backend census (distinct flag values per group, "
+    "libstempo_warp.py:60-75) + A1 observation span per group (exact int64 "
+    "microseconds), tag-discriminated in one gate.",
 )
-def census_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n"))
+def census_tspan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    census = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("v"))
+        .select(F.lit("census").alias("op"), F.col("event_type").alias("key"), "n", "v")
     )
+    tspan = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("v"),
+        )
+        .select(
+            F.lit("tspan").alias("op"), F.col("user_id").cast("string").alias("key"),
+            "n", "v",
+        )
+    )
+    return census.unionByName(tspan)
 
 
 # ---------------------------------------------------------------------------

@@ -441,3 +441,176 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q7_q8_q10_trade_stats",
+    """
+    WITH rev AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate, l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(19,2))
+               * CAST(1 - l_discount AS DECIMAL(8,6)) AS r
+      FROM lineitem
+    ),
+    q7 AS (
+      SELECT sn.n_name AS k1,
+             cn.n_name || ':' || CAST(year(l_shipdate) AS VARCHAR) AS k2,
+             COUNT(*) AS n, ROUND(CAST(SUM(r) AS DOUBLE), 2) AS v
+      FROM rev
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        AND cn.n_name IN ('NATION_1', 'NATION_2')
+        AND sn.n_name <> cn.n_name
+        AND year(l_shipdate) IN (1996, 1997)
+      GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    ),
+    q8 AS (
+      SELECT 'NATION_3_share' AS k1, CAST(year(o_orderdate) AS VARCHAR) AS k2,
+             COUNT(*) AS n,
+             ROUND(COALESCE(ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                                               THEN r END) AS DOUBLE), 2), 0.0)
+                   / ROUND(CAST(SUM(r) AS DOUBLE), 2), 6) AS v
+      FROM rev
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE cn.n_regionkey = (SELECT n_regionkey FROM nation
+                              WHERE n_name = 'NATION_3')
+      GROUP BY year(o_orderdate)
+    ),
+    q10 AS (
+      SELECT c_name AS k1, cn.n_name AS k2,
+             COUNT(*) AS n, ROUND(CAST(SUM(r) AS DOUBLE), 2) AS v
+      FROM rev
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY c_name, cn.n_name
+      ORDER BY v DESC, k1 LIMIT 20
+    )
+    SELECT 'q7_volume' AS op, * FROM q7
+    UNION ALL SELECT 'q8_share' AS op, * FROM q8
+    UNION ALL SELECT 'q10_returns' AS op, * FROM q10
+    """,
+    doc="Q7 shape (cross-nation trade volume: double nation join, year "
+    "extraction) + Q8 shape (market share: conditional aggregation over a "
+    "region-scoped 6-way join, scalar-subquery region lookup) + Q10 shape "
+    "(returned-item revenue, deterministic top-20 via rounded-value + name "
+    "ordering), tag-discriminated in one gate.",
+)
+def q7_q8_q10_trade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+
+    rev = l.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        "l_returnflag",
+        (
+            F.col("l_extendedprice").cast(DecimalType(19, 2))
+            * (F.lit(1.0) - F.col("l_discount")).cast(DecimalType(8, 6))
+        ).alias("r"),
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("cn_rk"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    # shared 6-way join spine: lineitem revenue -> orders -> customer -> its
+    # nation, and lineitem -> supplier -> its nation. Nation (25 rows) and
+    # supplier are broadcast; the lineitem-orders join is the only big
+    # shuffle and both q7/q8 reuse this one spine.
+    spine = (
+        rev.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+    )
+    dsum = lambda col: F.round(F.sum(col).cast("double"), 2)  # noqa: E731
+
+    q7 = (
+        spine.filter(
+            F.col("supp_nation").isin("NATION_1", "NATION_2")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2")
+            & (F.col("supp_nation") != F.col("cust_nation"))
+            & F.year("l_shipdate").isin(1996, 1997)
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("r").alias("v"))
+        .select(
+            F.lit("q7_volume").alias("op"),
+            F.col("supp_nation").alias("k1"),
+            F.concat_ws(":", "cust_nation", "yr").alias("k2"),
+            "n",
+            "v",
+        )
+    )
+    target_rk = n.filter(F.col("n_name") == "NATION_3").select(
+        F.col("n_regionkey").alias("target_rk")
+    )
+    q8 = (
+        spine.join(F.broadcast(target_rk), F.col("cn_rk") == F.col("target_rk"))
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.coalesce(
+                    dsum(F.when(F.col("supp_nation") == "NATION_3", F.col("r"))),
+                    F.lit(0.0),
+                )
+                / dsum("r"),
+                6,
+            ).alias("v"),
+        )
+        .select(
+            F.lit("q8_share").alias("op"),
+            F.lit("NATION_3_share").alias("k1"),
+            F.col("yr").cast("string").alias("k2"),
+            "n",
+            "v",
+        )
+    )
+    q10 = (
+        rev.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .groupBy("c_name", "cust_nation")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("r").alias("v"))
+        .orderBy(F.col("v").desc(), F.col("c_name"))
+        .limit(20)
+        .select(
+            F.lit("q10_returns").alias("op"),
+            F.col("c_name").alias("k1"),
+            F.col("cust_nation").alias("k2"),
+            "n",
+            "v",
+        )
+    )
+    return q7.unionByName(q8).unionByName(q10)
