@@ -1,0 +1,109 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+`F.rand()`-based sampling is nondeterministic across retries and partition
+re-splits — a task that fails and reruns sees different rows, which breaks
+exactly-once training-set construction. Every operator here derives its
+randomness from a content hash of a caller-named key column, so the sample
+is a pure function of the data: reproducible across runs, engines, retries,
+and repartitioning, and expressible as plain SQL for cross-engine checks.
+
+Scale notes (100 TB):
+  hash_sample        pure map-side filter — pushes past shuffles, no state
+  stratified_sample  map-side filter with a broadcast per-stratum rate map
+  reservoir_sample   uniform-k as global top-k by hash: TakeOrderedAndProject
+                     (per-partition heap of k + driver merge), never a full
+                     sort — the distributed equivalent of reservoir sampling
+  split_dataset      disjoint train/val/test by hash range — a row's split is
+                     stable under appends, the property resumable pipelines
+                     need
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Uniform in [0, 1): top 15 hex digits of md5 (60 bits) over 16^15.
+# Portable: identical in Spark and DuckDB/ANSI SQL (see tests/oracle use).
+_DENOM = float(16**15)
+
+
+def _unit_hash(key: Column | str, seed: int) -> Column:
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat_ws("|", key.cast("string"), F.lit(str(seed))))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(20,0)").cast(
+        "double"
+    ) / F.lit(_DENOM)
+
+
+def hash_sample(
+    df: DataFrame, key: Column | str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hashes below
+    `fraction`. Same key + seed -> same decision, always."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_unit_hash(key, seed) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: str,
+    fractions: Mapping[str, float],
+    key: Column | str,
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downweight one source or
+    language): keep a row iff its key-hash < fractions[stratum]. Strata
+    absent from `fractions` use `default_fraction`. The rate lookup is a
+    literal CASE expression (broadcast-free, map-side)."""
+    rate = F.lit(float(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1], got {frac}")
+        rate = F.when(F.col(strata) == value, F.lit(float(frac))).otherwise(rate)
+    return df.filter(_unit_hash(key, seed) < rate)
+
+
+def reservoir_sample(df: DataFrame, k: int, key: Column | str, seed: int = 0) -> DataFrame:
+    """Exact uniform sample of k rows, deterministically: the k smallest
+    key-hashes. Physical plan is TakeOrderedAndProject — each partition keeps
+    a size-k heap, the driver merges heaps — so cost is O(n) scan + O(k)
+    driver memory regardless of input size."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    return (
+        df.withColumn("__h", _unit_hash(key, seed))
+        .orderBy("__h")
+        .limit(k)
+        .drop("__h")
+    )
+
+
+def split_dataset(
+    df: DataFrame,
+    key: Column | str,
+    weights: Mapping[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Disjoint deterministic split (train/val/test): label each row by which
+    cumulative-weight interval its key-hash falls in. Weights must sum to 1
+    (±1e-9). Unlike randomSplit, a row's split never changes when the rest of
+    the dataset changes."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    h = _unit_hash(key, seed)
+    expr = None
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = h < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return df.withColumn(split_col, last if expr is None else expr.otherwise(last))

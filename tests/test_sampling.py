@@ -1,0 +1,124 @@
+"""Deterministic sampling operators (operators/sampling.py).
+
+Key property under test: the sample is a pure function of (key, seed) —
+stable across runs, repartitioning, and engines (DuckDB twin for the hash).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.operators.sampling import (
+    hash_sample,
+    reservoir_sample,
+    split_dataset,
+    stratified_sample,
+)
+from enterprise_warp_spark.tables import table
+
+
+def test_hash_sample_deterministic_and_accurate(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    got = hash_sample(docs, "doc_id", 0.25, seed=7)
+    ids1 = {r["doc_id"] for r in got.select("doc_id").collect()}
+    # rerun + repartition -> identical membership
+    ids2 = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(13), "doc_id", 0.25, seed=7)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+    # fraction within binomial 5-sigma
+    import math
+
+    sigma = math.sqrt(n * 0.25 * 0.75)
+    assert abs(len(ids1) - 0.25 * n) < 5 * sigma
+    # different seed -> different (mostly independent) membership
+    ids3 = {
+        r["doc_id"]
+        for r in hash_sample(docs, "doc_id", 0.25, seed=8).select("doc_id").collect()
+    }
+    assert ids3 != ids1
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1.5)
+
+
+def test_hash_sample_matches_duckdb_twin(spark, sf_dir):
+    """The same keep-decision is expressible in ANSI SQL — cross-engine
+    reproducibility, the property F.rand() sampling cannot give."""
+    docs = table(spark, sf_dir, "documents")
+    ids_spark = sorted(
+        r["doc_id"]
+        for r in hash_sample(docs, "doc_id", 0.1, seed=3).select("doc_id").collect()
+    )
+    con = duckdb.connect()
+    ids_duck = [
+        r[0]
+        for r in con.sql(
+            f"""
+            SELECT doc_id FROM '{sf_dir}/documents.parquet'
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|3'), 1, 15) AS BIGINT)
+                  / CAST(16.0**15 AS DOUBLE) < 0.1
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert ids_spark == ids_duck
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    per_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    langs = sorted(per_lang)
+    rates = {langs[0]: 1.0, langs[1]: 0.2}
+    got = stratified_sample(docs, "lang", rates, "doc_id", seed=5)
+    got_counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # rate-1.0 stratum kept whole; absent strata dropped (default 0)
+    assert got_counts[langs[0]] == per_lang[langs[0]]
+    assert set(got_counts) <= {langs[0], langs[1]}
+    import math
+
+    n1 = per_lang[langs[1]]
+    assert abs(got_counts.get(langs[1], 0) - 0.2 * n1) < 5 * math.sqrt(n1 * 0.2 * 0.8)
+    # sampled rows are a subset of the keep-all stratum plus sampled stratum
+    assert got.count() == got_counts[langs[0]] + got_counts.get(langs[1], 0)
+
+
+def test_reservoir_sample_exact_k_deterministic(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    s1 = sorted(r["doc_id"] for r in reservoir_sample(docs, 17, "doc_id", seed=2).collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in reservoir_sample(docs.repartition(7), 17, "doc_id", seed=2).collect()
+    )
+    assert len(s1) == 17 and s1 == s2
+    assert "__h" not in reservoir_sample(docs, 3, "doc_id").columns
+    # k >= n returns everything
+    assert reservoir_sample(docs.limit(5), 100, "doc_id").count() == 5
+
+
+def test_reservoir_plan_is_take_ordered(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    plan = reservoir_sample(docs, 10, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # heap-merge, not a global sort
+
+
+def test_split_dataset_disjoint_stable(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    out = split_dataset(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # total partition, no dropped rows
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stability under appends: the split of existing rows is unchanged when
+    # computed over a subset (pure function of the key)
+    sub = split_dataset(docs.filter("doc_id < 100"), "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    full = {r["doc_id"]: r["split"] for r in out.filter("doc_id < 100").collect()}
+    assert {r["doc_id"]: r["split"] for r in sub.collect()} == full
+    with pytest.raises(ValueError):
+        split_dataset(docs, "doc_id", {"a": 0.5, "b": 0.6})
