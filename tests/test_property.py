@@ -92,3 +92,101 @@ def test_exact_dedup_invariants(spark, texts):
     keepers = [r["keeper"] for r in groups]
     assert len(set(keepers)) == len(keepers)
     assert len(groups) == len(set(texts))
+
+
+# ---------------------------------------------------------------------------
+# Pure-python codec properties (no Spark job per example — full example count)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+from hypothesis.extra.numpy import arrays  # noqa: E402
+
+FAST = settings(max_examples=60, deadline=None)
+
+
+@given(
+    x=arrays(
+        np.float64,
+        st.tuples(st.integers(1, 400), st.integers(1, 2)),
+        elements=st.floats(-1.0, 1.0, allow_nan=False),
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@FAST
+def test_wav_roundtrip_property(x, rate):
+    from enterprise_warp_spark.pipeline.codecs import decode_wav, encode_wav
+
+    got, got_rate = decode_wav(encode_wav(x, rate))
+    assert got_rate == rate and got.shape == x.shape
+    # encode quantizes by 32767, decode normalizes by 2^15: worst case is
+    # |x|/32768 (scale mismatch) + 0.5/32768 (rounding)
+    assert np.allclose(got, x, atol=2.0 / 32768)
+
+
+@given(
+    img=arrays(
+        np.uint8,
+        st.one_of(
+            st.tuples(st.integers(1, 32), st.integers(1, 32)),
+            st.tuples(st.integers(1, 32), st.integers(1, 32), st.just(3)),
+        ),
+    )
+)
+@FAST
+def test_ppm_roundtrip_property(img):
+    from enterprise_warp_spark.pipeline.codecs import decode_ppm, encode_ppm
+
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@given(
+    img=arrays(np.uint8, st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(3))),
+    out_w=st.integers(1, 40),
+    out_h=st.integers(1, 40),
+)
+@FAST
+def test_resize_nearest_properties(img, out_w, out_h):
+    from enterprise_warp_spark.pipeline.codecs import resize_nearest
+
+    out = resize_nearest(img, out_w, out_h)
+    assert out.shape == (out_h, out_w, 3)
+    # same-size resize is the identity
+    h, w = img.shape[:2]
+    assert np.array_equal(resize_nearest(img, w, h), img)
+    # every output pixel is an input pixel (nearest never interpolates)
+    flat_in = {tuple(p) for p in img.reshape(-1, 3)}
+    assert all(tuple(p) in flat_in for p in out.reshape(-1, 3))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc", "ddd", "e"]), min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SLOW
+def test_repetition_metrics_match_counter_property(spark, docs):
+    """MAXRUN (sort+run-length Catalyst aggregate) == collections.Counter
+    max multiplicity, for generated token lists (incl. empty docs)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from enterprise_warp_spark.pipeline.text import repetition_metrics
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": [" ".join(toks) for toks in docs]}
+    )
+    got = {
+        r["doc_id"]: r for r in repetition_metrics(spark.createDataFrame(pdf)).collect()
+    }
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        top = max(Counter(toks).values()) if toks else 0
+        assert got[i]["n_distinct_tokens"] == len(set(toks))
+        assert got[i]["top_token_share"] == round(top / max(n, 1), 6)
+        bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top_b = max(Counter(bigs).values()) if bigs else 0
+        assert got[i]["top_bigram_share"] == round(top_b / max(len(bigs), 1), 6)
