@@ -1,0 +1,119 @@
+"""Table maintenance for parquet-backed snapshots: partition upserts,
+key-level merge, and small-file compaction.
+
+At 100 TB a table is immutable files + partition directories; "update" means
+rewriting the smallest set of partitions that changed. These helpers are the
+no-lakehouse versions of MERGE INTO / OPTIMIZE: they use Spark's dynamic
+partition overwrite so untouched partitions are never rewritten (and never
+even read, except merge_by_key's pruned read of the affected partitions).
+Swapping the format for Delta/Iceberg upgrades atomicity without changing
+call sites.
+
+Scale notes:
+  upsert_partitions  write-only; shuffle = the writer's partitioning
+  merge_by_key       reads ONLY the partitions present in `updates`
+                     (partition-pruned scan), anti-joins old rows on the
+                     key, unions updates — one shuffle on the key
+  compact            repartitions the listed partitions to a target file
+                     count; data unchanged (asserted cheap by row count)
+"""
+
+from __future__ import annotations
+
+import contextlib
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a SQL conf for the duration of a write, then restore — avoids the
+    session-wide side-effect anti-pattern."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def upsert_partitions(df: DataFrame, path: str, partition_cols: Sequence[str]) -> None:
+    """Replace exactly the partitions present in `df`, leaving all others
+    untouched (dynamic partition overwrite). The parquet-native upsert for
+    append-mostly tables partitioned by date/source/shard."""
+    if not partition_cols:
+        raise ValueError("upsert_partitions requires partition columns")
+    spark = df.sparkSession
+    with _scoped_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def merge_by_key(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str],
+) -> None:
+    """MERGE-lite: upsert `updates` into the parquet table at `path` by key.
+
+    Rows in affected partitions whose key matches an update are replaced;
+    unmatched old rows are kept; new keys are inserted. Partitions not named
+    in `updates` are neither read nor written (pruned via an IN filter on
+    the collected distinct partition values — small by construction: it is
+    bounded by the number of partitions being touched, not by rows).
+    """
+    key_cols, partition_cols = list(key_cols), list(partition_cols)
+    if not partition_cols:
+        raise ValueError("merge_by_key requires partition columns")
+    touched = [
+        tuple(r[c] for c in partition_cols)
+        for r in updates.select(*partition_cols).distinct().collect()
+    ]
+    if not touched:
+        return
+    pred = F.struct(*[F.col(c) for c in partition_cols]).isin(
+        [F.struct(*[F.lit(v) for v in t]) for t in touched]
+    )
+    existing = spark.read.parquet(path).filter(pred)
+    kept = existing.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = kept.unionByName(updates.select(*existing.columns))
+    # The source partitions are being overwritten while still referenced by
+    # the lazy plan — materialize first (localCheckpoint severs the lineage).
+    merged = merged.localCheckpoint(eager=True)
+    upsert_partitions(merged, path, partition_cols)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str] = (),
+    files_per_partition: int = 1,
+) -> int:
+    """Rewrite the table's files so each partition holds at most
+    `files_per_partition` files (OPTIMIZE-lite for small-file buildup from
+    streaming/incremental writes). Returns the row count (cheap invariance
+    witness for callers). Non-partitioned tables coalesce to
+    `files_per_partition` total files."""
+    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    n = df.count()
+    if partition_cols:
+        # hash-repartition on the partition columns: every partition value
+        # lands in exactly one task, so the writer emits one file per value
+        # (files_per_partition > 1 would need salting; 1 is the compaction
+        # target that matters)
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        out = df.coalesce(files_per_partition)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    return n

@@ -1,0 +1,90 @@
+"""Parquet table maintenance: partition upsert, key merge, compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.maintenance import compact, merge_by_key, upsert_partitions
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, part string")
+
+
+def _files(path, part):
+    return sorted(glob.glob(os.path.join(path, f"part={part}", "*.parquet")))
+
+
+def test_upsert_partitions_leaves_others_untouched(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = _mk(spark, [(1, "a1", "a"), (2, "a2", "a"), (3, "b1", "b")])
+    base.write.partitionBy("part").parquet(path)
+    before_a = _files(path, "a")
+
+    upsert_partitions(_mk(spark, [(9, "b9", "b")]), path, ["part"])
+
+    got = {(r["k"], r["v"], r["part"]) for r in spark.read.parquet(path).collect()}
+    # partition b fully replaced, partition a untouched (same physical files)
+    assert got == {(1, "a1", "a"), (2, "a2", "a"), (9, "b9", "b")}
+    assert _files(path, "a") == before_a
+    # conf restored (no session-wide side effect)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static").lower()
+        == "static"
+    )
+    with pytest.raises(ValueError):
+        upsert_partitions(base, path, [])
+
+
+def test_merge_by_key_updates_inserts_keeps(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(
+        spark,
+        [(1, "a1", "a"), (2, "a2", "a"), (3, "b1", "b"), (4, "c1", "c")],
+    ).write.partitionBy("part").parquet(path)
+    before_c = _files(path, "c")
+
+    updates = _mk(spark, [(2, "a2-new", "a"), (5, "b5", "b")])
+    merge_by_key(spark, path, updates, key_cols=["k"], partition_cols=["part"])
+
+    got = {(r["k"], r["v"], r["part"]) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "a1", "a"),      # kept (unmatched old row, touched partition)
+        (2, "a2-new", "a"),  # updated
+        (3, "b1", "b"),      # kept
+        (5, "b5", "b"),      # inserted
+        (4, "c1", "c"),      # untouched partition
+    }
+    assert _files(path, "c") == before_c  # partition c never rewritten
+
+    # empty updates is a no-op
+    merge_by_key(spark, path, updates.limit(0), ["k"], ["part"])
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_compact_reduces_files_keeps_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("v"),
+        (F.col("id") % 3).cast("string").alias("part"),
+    )
+    df.repartition(20).write.partitionBy("part").parquet(path)
+    assert len(_files(path, "0")) > 5  # small-file buildup
+
+    n = compact(spark, path, ["part"])
+    assert n == 1000
+    for p in ("0", "1", "2"):
+        assert len(_files(path, p)) == 1
+    assert spark.read.parquet(path).count() == 1000
+
+    # non-partitioned compaction
+    path2 = str(tmp_path / "t2")
+    spark.range(100).repartition(16).write.parquet(path2)
+    compact(spark, path2)
+    assert len(glob.glob(os.path.join(path2, "*.parquet"))) == 1
+    assert spark.read.parquet(path2).count() == 100
