@@ -230,3 +230,66 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def incremental_minhash_filter(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    update_index: bool = True,
+) -> DataFrame:
+    """Incremental dedup of an arriving batch against a persisted corpus:
+    drop new documents that LSH-collide with any already-indexed document,
+    then (optionally) append the survivors' bands to the index.
+
+    The index at `index_path` is the long-form band table
+    (doc_id, band_id, band_key) written by minhash_bands — parquet,
+    partitioned by band_id so the probe join prunes to the bands it needs.
+    The probe is a left-semi equi-join on (band_id, band_key): new-batch
+    cost is O(new x bands) regardless of corpus size, which is what makes
+    continuous corpus construction feasible — no O(corpus) rescan per batch.
+
+    Within-batch duplicates are also removed (keep lowest doc_id), so the
+    result is collision-free both against the corpus and internally.
+    Returns the surviving rows of `new_docs`.
+    """
+    spark = new_docs.sparkSession
+    bands = minhash_bands(new_docs, text_col, n_hashes, rows_per_band)
+
+    import os
+
+    if os.path.isdir(index_path):
+        # successive calls append to this path: drop any cached file listing
+        # so THIS batch probes the index as of now, not as of a prior read
+        spark.catalog.refreshByPath(index_path)
+        index = spark.read.parquet(index_path)
+        hit_corpus = (
+            bands.join(index, ["band_id", "band_key"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        survivors_vs_corpus = new_docs.join(hit_corpus, "doc_id", "left_anti")
+    else:
+        survivors_vs_corpus = new_docs
+
+    # within-batch: among colliding pairs keep the smallest doc_id
+    batch_bands = minhash_bands(survivors_vs_corpus, text_col, n_hashes, rows_per_band)
+    losers = (
+        lsh_candidate_pairs(batch_bands)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = survivors_vs_corpus.join(losers, "doc_id", "left_anti")
+    # Materialize the result NOW: the plan reads the index path this call is
+    # about to append to, so a lazy re-evaluation after the append would see
+    # the batch's own bands and drop every row (self-collision).
+    survivors = survivors.localCheckpoint(eager=True)
+
+    if update_index:
+        minhash_bands(survivors, text_col, n_hashes, rows_per_band).write.mode(
+            "append"
+        ).partitionBy("band_id").parquet(index_path)
+        spark.catalog.refreshByPath(index_path)
+    return survivors

@@ -88,3 +88,36 @@ def test_compact_reduces_files_keeps_rows(spark, tmp_path):
     compact(spark, path2)
     assert len(glob.glob(os.path.join(path2, "*.parquet"))) == 1
     assert spark.read.parquet(path2).count() == 100
+
+
+def test_incremental_minhash_filter(spark, tmp_path, sf_dir):
+    """Continuous corpus construction: batch 2 docs colliding with batch 1
+    are dropped via the persisted band index, not a corpus rescan."""
+    from enterprise_warp_spark.pipeline.dedup import incremental_minhash_filter
+    from enterprise_warp_spark.tables import table
+
+    idx = str(tmp_path / "band_index")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    batch1 = docs.filter("doc_id < 200")
+    kept1 = incremental_minhash_filter(batch1, idx)
+    n1 = kept1.count()
+    assert 0 < n1 <= 200
+    assert os.path.isdir(idx)
+
+    # batch 2 = copies of batch-1 docs (new ids) + genuinely new docs
+    dupes = batch1.limit(50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter("doc_id >= 200 and doc_id < 300")
+    kept2 = incremental_minhash_filter(dupes.unionByName(fresh), idx)
+    ids2 = {r["doc_id"] for r in kept2.select("doc_id").collect()}
+    # every copy of an indexed doc is dropped; fresh docs mostly survive
+    assert not {i for i in ids2 if i >= 1_000_000}
+    assert len(ids2) > 0
+
+    # batch 3: re-sending batch 2's survivors drops them all (index updated)
+    kept3 = incremental_minhash_filter(
+        kept2.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"), idx
+    )
+    assert kept3.count() == 0
