@@ -237,3 +237,38 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    emb_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF coarse quantizer, production flavor: Lloyd's k-means (MLlib) over
+    the embedding column, returned in deterministic_centroids' exact
+    (cell_id, c_emb, c_nsq) schema so ivf_topk/build_ivf_cells take either
+    interchangeably. Training cost is iterations x one pass over the corpus
+    (distributed); at 100 TB train on a hash_sample of the corpus — centroid
+    quality needs only a representative sample, not every vector."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(array_to_vector(F.col(emb_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(vecs)
+    spark = emb.sparkSession
+    import pandas as pd
+
+    centers = pd.DataFrame(
+        {
+            "cell_id": range(len(model.clusterCenters())),
+            "c_emb": [c.tolist() for c in model.clusterCenters()],
+        }
+    )
+    out = spark.createDataFrame(centers)
+    return out.select(
+        "cell_id",
+        F.col("c_emb").cast("array<float>").alias("c_emb"),
+        F.expr(DOT.format(a="c_emb", b="c_emb")).alias("c_nsq"),
+    )

@@ -56,3 +56,35 @@ def test_custom_centroids(spark, emb):
     rows = out.collect()
     assert {r["query_id"] for r in rows} == {0, 1, 2}
     assert all(1 <= r["rnk"] <= 3 for r in rows)
+
+
+def test_kmeans_centroids_drive_ivf(spark, emb):
+    """Trained (MLlib Lloyd's) centroids in deterministic_centroids' schema:
+    ivf_topk runs unchanged, full-probe still equals exact, and partial-probe
+    recall with trained cells beats the sanity floor."""
+    cents = similarity.kmeans_centroids(emb, 8, seed=7)
+    assert [f.name for f in cents.schema.fields] == ["cell_id", "c_emb", "c_nsq"]
+    assert cents.count() == 8
+    # full probe == exact regardless of centroid quality
+    exact = sorted(map(tuple, similarity.cosine_topk(emb, "vec_id < 4", 3).collect()))
+    full = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                emb, "vec_id < 4", 3, n_cells=8, nprobe=8, centroids=cents
+            ).collect(),
+        )
+    )
+    assert exact == full
+    # partial probe with trained cells: reasonable recall
+    ex10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, "vec_id < 10", 5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, "vec_id < 10", 5, n_cells=8, nprobe=3, centroids=cents
+        ).collect()
+    }
+    assert len(ex10 & ivf) / len(ex10) >= 0.6
