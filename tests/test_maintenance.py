@@ -121,3 +121,44 @@ def test_incremental_minhash_filter(spark, tmp_path, sf_dir):
         kept2.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"), idx
     )
     assert kept3.count() == 0
+
+
+def test_dedup_corpus_stream(spark, tmp_path, sf_dir):
+    """Streaming ingest with cross-batch near-dup filtering: batch 2's copies
+    of batch-1 docs never reach the corpus."""
+    from enterprise_warp_spark.streaming.corpus import dedup_corpus_stream
+    from enterprise_warp_spark.tables import table
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # batch 1: docs 0..99; batch 2: copies of 0..29 (new ids) + fresh 100..149
+    docs.filter("doc_id < 100").coalesce(1).write.parquet(str(src / "b1"))
+    copies = docs.filter("doc_id < 30").select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    copies.unionByName(docs.filter("doc_id >= 100 and doc_id < 150")).coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = dedup_corpus_stream(
+        stream,
+        index_path=str(tmp_path / "bands"),
+        corpus_path=str(tmp_path / "corpus"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert not {i for i in ids if i >= 5_000_000}  # no cross-batch near-dups
+    assert ids & set(range(100, 150))  # fresh batch-2 docs did land
+    # corpus is internally collision-free: no two docs share all band keys
+    from enterprise_warp_spark.pipeline.dedup import lsh_candidate_pairs, minhash_bands
+
+    assert lsh_candidate_pairs(minhash_bands(corpus)).count() == 0
