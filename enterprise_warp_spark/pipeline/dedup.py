@@ -293,3 +293,71 @@ def incremental_minhash_filter(
         ).partitionBy("band_id").parquet(index_path)
         spark.catalog.refreshByPath(index_path)
     return survivors
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Near-dup CLUSTERS from the pair table: (doc_id, component) where
+    component = min doc_id reachable through any chain of pairs.
+
+    Pair-wise dedup (drop the larger of each pair) keeps every local-minimum
+    document — a chain A-C-B with ids 1,3,2 keeps BOTH 1 and 2. Transitive
+    clustering keeps exactly one representative per component, which is the
+    semantics corpus dedup actually wants.
+
+    Algorithm: iterative min-label propagation — each round every vertex
+    takes the min label among itself and its neighbors, via one groupBy over
+    the symmetrized edge list. Rounds needed = graph diameter (near-dup
+    components are shallow: chains of near-copies), each round one shuffle;
+    lineage is cut per round (localCheckpoint) so plans stay flat. Converges
+    early when a round changes nothing.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+def cluster_keep_list(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Docs surviving transitive dedup: one representative (min id) per
+    connected component, plus every doc in no pair at all."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(
+        losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )

@@ -162,3 +162,90 @@ def test_dedup_corpus_stream(spark, tmp_path, sf_dir):
     from enterprise_warp_spark.pipeline.dedup import lsh_candidate_pairs, minhash_bands
 
     assert lsh_candidate_pairs(minhash_bands(corpus)).count() == 0
+
+
+def test_connected_components_transitive_chain(spark):
+    """Chain A-C-B (pairs (1,3),(3,2)): pairwise drop-the-larger keeps BOTH
+    1 and 2; transitive clustering keeps exactly min(component) = 1."""
+    from enterprise_warp_spark.pipeline.dedup import (
+        cluster_keep_list,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]], "doc_id long")
+    kept = {r["doc_id"] for r in cluster_keep_list(docs, pairs).collect()}
+    assert kept == {1, 10, 20, 99}  # one rep per component + unpaired doc
+
+
+def test_connected_components_on_real_pairs(spark, sf_dir):
+    from enterprise_warp_spark.pipeline.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    comp = connected_components(pairs)
+    rows = comp.collect()
+    assert len(rows) == pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("d")
+    ).distinct().count()
+    # component label is always <= member id and is itself a member
+    labels = {r["component"] for r in rows}
+    ids = {r["doc_id"] for r in rows}
+    assert all(r["component"] <= r["doc_id"] for r in rows)
+    assert labels <= ids
+
+
+def test_pack_documents(spark, sf_dir):
+    from enterprise_warp_spark.pipeline.packing import pack_documents
+    from enterprise_warp_spark.pipeline.text import token_counts
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    with_tokens = docs.join(
+        token_counts(docs).select(
+            "doc_id", F.col("n_ws_tokens").alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    budget = 500
+    packed = pack_documents(with_tokens, budget).select(
+        "doc_id", "n_tokens", "pack_id", "pack_offset"
+    )
+    rows = sorted(
+        ((r["doc_id"], r["n_tokens"], r["pack_id"], r["pack_offset"]) for r in packed.collect())
+    )
+    # sequential reference: cumulative layout in doc_id order
+    cum = 0
+    max_doc = 0
+    for doc_id, n, pack_id, off in rows:
+        assert pack_id == cum // budget
+        assert off == cum % budget
+        cum += n
+        max_doc = max(max_doc, n)
+    # overflow bound: every pack holds <= budget + (max doc - 1) tokens
+    from collections import defaultdict
+
+    per_pack = defaultdict(int)
+    for _, n, pack_id, _ in rows:
+        per_pack[pack_id] += n
+    assert max(per_pack.values()) <= budget + max_doc - 1
+    # partition-count independence: same assignment with a different split
+    packed2 = pack_documents(with_tokens, budget, n_partitions=7).select(
+        "doc_id", "n_tokens", "pack_id", "pack_offset"
+    )
+    assert rows == sorted(
+        ((r["doc_id"], r["n_tokens"], r["pack_id"], r["pack_offset"]) for r in packed2.collect())
+    )
+    with pytest.raises(ValueError):
+        pack_documents(with_tokens, 0)
