@@ -135,6 +135,8 @@ def test_olap_queries_no_cartesian(spark, sf001):
         "q18_large_orders",
         "semi_join_order_priority",
         "q13_customer_order_distribution",
+        "q7_q8_q10_trade_stats",
+        "census_tspan_events",
     ):
         p = plan(REGISTRY[name].spark(spark, sf001))
         assert "CartesianProduct" not in p, name
@@ -188,3 +190,11 @@ def test_per_pulsar_reduction_is_two_phase(spark):
     )
     p = plan(per_pulsar_reduction(res, 4, 1e8), "simple")
     assert p.count("FlatMapGroupsInPandas") == 2
+
+
+def test_trade_stats_broadcasts_dims(spark, sf001):
+    """Q7/Q8/Q10 spine: nation/supplier dims ride broadcast joins; the only
+    big shuffle is lineitem-orders (never a shuffled nation join)."""
+    p = plan(REGISTRY["q7_q8_q10_trade_stats"].spark(spark, sf001))
+    assert p.count("BroadcastHashJoin") >= 6  # cn, s, sn in q7/q8 spine + q10 cn
+    assert "CartesianProduct" not in p
