@@ -1,0 +1,106 @@
+"""Benchmark decontamination + unigram-LM perplexity scoring."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.pipeline.decontaminate import (
+    decontaminate,
+    ngram_contamination,
+)
+from enterprise_warp_spark.pipeline.lm import (
+    perplexity,
+    train_unigram_lm,
+    unseen_logp,
+)
+from enterprise_warp_spark.tables import table
+
+
+def test_contamination_detects_injected_eval_text(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = {r["doc_id"]: r["text"] for r in docs.filter("doc_id < 3").collect()}
+    eval_text = "the quick brown fox jumps over the lazy dog every single morning"
+    eval_docs = spark.createDataFrame(
+        [(1, eval_text), (2, "completely unrelated benchmark question here okay " * 2)],
+        "eval_id long, text string",
+    )
+    # inject the eval sentence into doc 0's text
+    contaminated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.concat_ws(" ", "text", F.lit(eval_text))).otherwise(
+            F.col("text")
+        ),
+    )
+    hits = ngram_contamination(contaminated, eval_docs, n=8).collect()
+    assert {(r["doc_id"], r["eval_id"]) for r in hits} == {(0, 1)}
+    # shared-gram count: eval sentence has 12 tokens -> 5 distinct 8-grams
+    assert hits[0]["n_shared_grams"] == 5
+
+    clean = decontaminate(contaminated, eval_docs, n=8)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert 0 not in kept and 1 in kept and 2 in kept
+    assert clean.count() == docs.count() - 1
+    # untouched docs preserved verbatim
+    got = {r["doc_id"]: r["text"] for r in clean.filter("doc_id < 3").collect()}
+    assert got[1] == base[1] and got[2] == base[2]
+
+
+def test_contamination_short_docs_no_false_hits(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short for an eight gram"), (2, "")], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame([(1, "too short for an eight gram")], "eval_id long, text string")
+    # both sides shorter than n -> zero grams -> no hits, no crash
+    assert ngram_contamination(docs, evals, n=8).count() == 0
+
+
+def test_unigram_lm_matches_counter_reference(spark):
+    texts = ["a a b c", "a b b d", "c c a a"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    lm = train_unigram_lm(docs, k=1.0)
+    got = {r["token"]: r["logp"] for r in lm.collect()}
+    counts = Counter(" ".join(texts).split())
+    total, vocab = sum(counts.values()), len(counts)
+    for tok, c in counts.items():
+        assert got[tok] == pytest.approx(math.log((c + 1) / (total + vocab + 1)))
+
+    unseen = unseen_logp((total, vocab), k=1.0)
+    scored = {r["doc_id"]: r for r in perplexity(docs, lm, unseen).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        nll = -sum(
+            math.log((counts[x] + 1) / (total + vocab + 1)) for x in toks
+        ) / len(toks)
+        assert scored[i]["mean_nll"] == pytest.approx(nll, rel=1e-9)
+        assert scored[i]["ppl"] == pytest.approx(math.exp(nll), rel=1e-9)
+
+    # unseen tokens get the smoothing floor, not -inf/null
+    oov = spark.createDataFrame([(99, "zzz qqq")], "doc_id long, text string")
+    r = perplexity(oov, lm, unseen).collect()[0]
+    assert r["mean_nll"] == pytest.approx(-unseen)
+
+
+def test_lm_ranks_gibberish_above_fluent(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_unigram_lm(docs)
+    vocab_size = lm.count()
+    # fluent = a real document's text; gibberish = junk tokens
+    probe = spark.createDataFrame(
+        [
+            (1, docs.filter("doc_id = 5").first()["text"]),
+            (2, "xqzv wvvk jjqx zzpr mmnn qqll"),
+        ],
+        "doc_id long, text string",
+    )
+    totals_row = docs.select(
+        F.expr("sum(size(filter(split(text, ' '), x -> x != '')))").alias("total")
+    ).first()
+    unseen = unseen_logp((totals_row["total"], vocab_size))
+    scored = {r["doc_id"]: r["ppl"] for r in perplexity(probe, lm, unseen).collect()}
+    assert scored[2] > scored[1] * 5  # gibberish is much more perplexing
