@@ -8,6 +8,11 @@
                 formats (WAV/PCM, PPM/PGM, raw-RGB video via codecs.py);
                 compressed formats stub-fallback with decoded=false
     codecs      pure struct+numpy WAV / netpbm / raw-video codecs
+    curate      end-to-end corpus curation (quality/lang/repetition gates +
+                staged dedup)
+    packing     token-budget sequence packing (two-phase prefix sum)
+    decontaminate  eval-set n-gram overlap removal (broadcast eval grams)
+    lm          add-k unigram LM training + per-doc perplexity scoring
 
 All hot paths are Catalyst expressions (portable 64-bit md5-derived hashes,
 higher-order array functions) — no Python UDFs. Each operator is exposed as a
