@@ -361,3 +361,56 @@ def cluster_keep_list(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id")
     return docs.join(
         losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
+
+
+def simhash_pairs_multiprobe(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+    table_bits: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with FULL recall up to `max_hamming`, via
+    bucket-bit rotation (the multi-pass scheme single-probe simhash_pairs
+    documents but does not run).
+
+    Pigeonhole guarantee: split the 32 fingerprint bits into `n_tables`
+    contiguous tables of `table_bits` bits. Two fingerprints within hamming
+    distance h < n_tables must agree EXACTLY on at least one table — so
+    probing every table (equi-join on that table's bit slice) finds every
+    such pair; hamming is then verified exactly. With the defaults any pair
+    at distance <= 3 is guaranteed caught (and most farther pairs are too).
+
+    Scale: n_tables equi-joins on ~2^table_bits-cardinality keys, unioned
+    then distinct-verified — the same banded-join shape as MinHash-LSH,
+    never an all-pairs scan. Cost scales linearly in n_tables; recall
+    guarantees grow with it (n_tables > max_hamming is the invariant,
+    asserted here).
+    """
+    if n_tables * table_bits > 32:
+        raise ValueError("n_tables * table_bits must fit the 32-bit fingerprint")
+    if n_tables <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs n_tables > max_hamming ({n_tables} <= {max_hamming})"
+        )
+    sh = simhash(df, text_col).localCheckpoint(eager=True)  # fingerprint once
+    mask = (1 << table_bits) - 1
+    out = None
+    for t in range(n_tables):
+        key = F.expr(f"shiftright(simhash, {t * table_bits}) & {mask}")
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+                      key.alias("bucket"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+                      key.alias("bucket"))
+        cand = (
+            a.join(b, "bucket")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sim_a", "sim_b")
+        )
+        out = cand if out is None else out.unionByName(cand)
+    return (
+        out.distinct()
+        .withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -249,3 +249,29 @@ def test_pack_documents(spark, sf_dir):
     )
     with pytest.raises(ValueError):
         pack_documents(with_tokens, 0)
+
+
+def test_simhash_multiprobe_full_recall(spark, sf_dir):
+    """Pigeonhole guarantee: multiprobe finds EVERY pair within max_hamming
+    (== the exact all-pairs reference), where single-probe misses some."""
+    from enterprise_warp_spark.pipeline.dedup import simhash, simhash_pairs_multiprobe
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").filter("doc_id < 300")
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sh)
+    exact = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs_multiprobe(docs, max_hamming=3).collect()
+    }
+    assert got == exact  # full recall AND no false positives
+    with pytest.raises(ValueError):
+        simhash_pairs_multiprobe(docs, max_hamming=4, n_tables=4)
+    with pytest.raises(ValueError):
+        simhash_pairs_multiprobe(docs, n_tables=5, table_bits=8)
