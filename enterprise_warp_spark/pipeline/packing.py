@@ -45,6 +45,12 @@ def pack_documents(
         r["_pid"]: r["t"]
         for r in local.groupBy("_pid").agg(F.max("_cum").alias("t")).collect()
     }
+    if not totals:  # empty input: typed empty result, no empty-map expression
+        return (
+            local.withColumn("pack_id", F.lit(None).cast("long"))
+            .withColumn("pack_offset", F.lit(None).cast("long"))
+            .drop("_pid", "_cum")
+        )
     offsets, acc = {}, 0
     for pid in sorted(totals):
         offsets[pid] = acc
