@@ -22,6 +22,7 @@ Production hardening = write corpus + index under an epoch-id-keyed path
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -48,6 +49,38 @@ def dedup_corpus_stream(
 
     return (
         stream_docs.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def exactly_once_parquet_sink(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    partition_cols: tuple[str, ...] = (),
+) -> StreamingQuery:
+    """foreachBatch parquet sink with idempotent replays: each micro-batch
+    writes under an epoch-keyed partition (`__epoch=<id>`) using dynamic
+    partition overwrite, so a batch replayed after a crash OVERWRITES its own
+    previous (possibly partial) output instead of appending duplicates.
+    Combined with the checkpoint's exactly-once offset tracking this gives
+    end-to-end exactly-once file output — the property a bare
+    `.writeStream.format("parquet")` only approximates when readers ignore
+    its _spark_metadata log (which plain `spark.read.parquet` does).
+
+    Readers: `spark.read.parquet(out_path)` — `__epoch` appears as an extra
+    partition column; drop it or prune on it for incremental consumption.
+    """
+    from enterprise_warp_spark.maintenance import upsert_partitions
+
+    def _one_batch(batch: DataFrame, epoch_id: int) -> None:
+        tagged = batch.withColumn("__epoch", F.lit(int(epoch_id)))
+        upsert_partitions(tagged, out_path, ["__epoch", *partition_cols])
+
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

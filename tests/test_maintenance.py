@@ -275,3 +275,42 @@ def test_simhash_multiprobe_full_recall(spark, sf_dir):
         simhash_pairs_multiprobe(docs, max_hamming=4, n_tables=4)
     with pytest.raises(ValueError):
         simhash_pairs_multiprobe(docs, n_tables=5, table_bits=8)
+
+
+def test_exactly_once_parquet_sink(spark, tmp_path, sf_dir):
+    """Epoch-keyed overwrite: replaying the whole stream with a FRESH
+    checkpoint (the worst replay case) rewrites the same epochs in place —
+    row set unchanged, no duplicates."""
+    from enterprise_warp_spark.streaming.corpus import exactly_once_parquet_sink
+    from enterprise_warp_spark.tables import table
+
+    src = tmp_path / "in"
+    src.mkdir()
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.filter("doc_id < 40").coalesce(1).write.parquet(str(src / "b1"))
+    docs.filter("doc_id >= 40 and doc_id < 90").coalesce(1).write.parquet(str(src / "b2"))
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "out")
+    q = exactly_once_parquet_sink(stream(), out, str(tmp_path / "ck1"))
+    q.awaitTermination(300)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == list(range(90))
+    epochs = {r["__epoch"] for r in spark.read.parquet(out).select("__epoch").distinct().collect()}
+    assert len(epochs) == 2  # one per micro-batch
+
+    # full replay (fresh checkpoint): same epochs overwrite themselves
+    q2 = exactly_once_parquet_sink(stream(), out, str(tmp_path / "ck2"))
+    q2.awaitTermination(300)
+    spark.catalog.refreshByPath(out)
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == first  # idempotent: no duplicated rows
+
+    # resuming with the ORIGINAL checkpoint: nothing new -> no-op
+    q3 = exactly_once_parquet_sink(stream(), out, str(tmp_path / "ck1"))
+    q3.awaitTermination(300)
+    spark.catalog.refreshByPath(out)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == first
