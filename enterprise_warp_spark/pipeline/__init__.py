@@ -13,6 +13,7 @@
     packing     token-budget sequence packing (two-phase prefix sum)
     decontaminate  eval-set n-gram overlap removal (broadcast eval grams)
     lm          add-k unigram LM training + per-doc perplexity scoring
+    redact      email/URL/IP/number scrubbing with audit counts
 
 All hot paths are Catalyst expressions (portable 64-bit md5-derived hashes,
 higher-order array functions) — no Python UDFs. Each operator is exposed as a

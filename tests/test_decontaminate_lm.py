@@ -104,3 +104,27 @@ def test_lm_ranks_gibberish_above_fluent(spark, sf_dir):
     unseen = unseen_logp((totals_row["total"], vocab_size))
     scored = {r["doc_id"]: r["ppl"] for r in perplexity(probe, lm, unseen).collect()}
     assert scored[2] > scored[1] * 5  # gibberish is much more perplexing
+
+
+def test_redact_patterns_and_counts(spark):
+    from enterprise_warp_spark.pipeline.redact import redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or visit https://a.example.com/p?q=1 now"),
+            (2, "server 10.0.255.3 answered, call 5551234567 or 123456 (too short)"),
+            (3, "clean text with no sensitive content at all"),
+            (4, "www.example.org and bob@site.io and 99999999999"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_url"] == 1
+    assert got[1]["text_redacted"] == "mail me at <EMAIL> or visit <URL> now"
+    assert got[2]["n_ip"] == 1 and got[2]["n_digits"] == 1
+    assert got[2]["text_redacted"] == "server <IP> answered, call <NUMBER> or 123456 (too short)"
+    assert got[3]["text_redacted"] == got[3]["text"]
+    assert all(got[3][c] == 0 for c in ("n_email", "n_url", "n_ip", "n_digits"))
+    assert got[4]["text_redacted"] == "<URL> and <EMAIL> and <NUMBER>"
+    # original column untouched
+    assert got[1]["text"].startswith("mail me at jane.doe")
