@@ -62,3 +62,51 @@ def pack_documents(
         .withColumn("pack_offset", start % budget)
         .drop("_pid", "_cum")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with optional
+    overlap — packing's counterpart for documents LONGER than the context
+    budget (long docs are chunked first, then chunks are packed).
+
+    -> (id_col, chunk_idx, n_chunk_tokens, chunk_text). Chunks cover every
+    token: starts step by (chunk_tokens - overlap); the last chunk may be
+    short; empty documents produce no chunks. Pure Catalyst (tokenize once,
+    posexplode of slice()s) — map-only, no shuffle, no Python."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"overlap must be in [0, chunk_tokens), got {overlap}")
+    from enterprise_warp_spark.functions.arrays import spread
+    from enterprise_warp_spark.pipeline.text import TOKENS
+
+    step = chunk_tokens - overlap
+    toks = spread(
+        df.select(id_col, F.expr(TOKENS.format(s=text_col)).alias("__toks"))
+    )
+    # 1-based start positions 1, 1+step, 1+2*step, ... covering every token;
+    # a doc shorter than one chunk gets exactly one start
+    starts = (
+        f"CASE WHEN size(__toks) = 0 THEN cast(array() as array<int>) "
+        f"WHEN size(__toks) <= {chunk_tokens} THEN array(1) "
+        f"ELSE transform(sequence(0, int(ceil((size(__toks) - {chunk_tokens}) "
+        f"/ cast({step} as double)))), i -> 1 + i * {step}) END"
+    )
+    exploded = toks.select(
+        id_col,
+        "__toks",
+        F.posexplode(F.expr(starts)).alias("chunk_idx", "__start"),
+    )
+    piece = F.expr(f"slice(__toks, __start, {chunk_tokens})")
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

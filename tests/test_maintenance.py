@@ -314,3 +314,47 @@ def test_exactly_once_parquet_sink(spark, tmp_path, sf_dir):
     q3.awaitTermination(300)
     spark.catalog.refreshByPath(out)
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == first
+
+
+def test_chunk_documents(spark):
+    from enterprise_warp_spark.pipeline.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),                                # shorter than chunk
+            (3, ""),                                     # empty
+        ],
+        "doc_id long, text string",
+    )
+    # no overlap: 10 tokens / 4 -> chunks of 4,4,2
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, 4).collect()
+    )
+    assert got == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t4 t5 t6 t7"),
+        (1, 2, 2, "t8 t9"),
+        (2, 0, 3, "a b c"),
+    ]
+    # overlap 2: starts 1,3,5,7 -> windows of 4 with 2-token overlap
+    ov = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_documents(docs.filter("doc_id = 1"), 4, overlap=2).collect()
+    )
+    assert ov == [
+        (0, "t0 t1 t2 t3"),
+        (1, "t2 t3 t4 t5"),
+        (2, "t4 t5 t6 t7"),
+        (3, "t6 t7 t8 t9"),
+    ]
+    # every token covered exactly once with no overlap (reconstruction)
+    recon = " ".join(text for d, _, _, text in got if d == 1)
+    assert recon == " ".join(f"t{i}" for i in range(10))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, 0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, 4, overlap=4)
