@@ -230,3 +230,79 @@ def resize_images(media: DataFrame, width: int, height: int, strict: bool = Fals
         "media_id long, kind string, payload binary, mime string, "
         "width int, height int, resized boolean",
     )
+
+
+def audio_fingerprints(media: DataFrame, n_bins: int = 32) -> DataFrame:
+    """64-bit perceptual fingerprint for decodable audio (WAV/PCM): the
+    energy envelope resampled to `n_bins` windows, each window contributing
+    2 bits (energy rise/fall vs the previous window and vs the track
+    median). Robust to volume scaling (bits compare, not measure) and to
+    small edits (one window flips, hamming stays low) — the audio analogue
+    of SimHash for text.
+
+    mapInPandas, partition-preserving; non-decodable audio (MP3/AAC) rows
+    are emitted with decoded=false and a null fingerprint.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from enterprise_warp_spark.pipeline import codecs
+
+        def one(row: pd.Series) -> tuple[bool, int | None]:
+            if codecs.DECODABLE_MIMES.get(row["mime"]) != "wav":
+                return False, None
+            samples, _ = codecs.decode_wav(row["payload"])
+            mono = samples.mean(axis=1)
+            if len(mono) < n_bins:
+                mono = np.pad(mono, (0, n_bins - len(mono)))
+            # per-window RMS energy envelope (vectorized reshape)
+            w = len(mono) // n_bins
+            env = np.sqrt((mono[: w * n_bins].reshape(n_bins, w) ** 2).mean(axis=1))
+            med = float(np.median(env))
+            fp = 0
+            for i in range(n_bins):
+                rise = env[i] > (env[i - 1] if i else med)
+                loud = env[i] > med
+                fp = (fp << 2) | (int(rise) << 1) | int(loud)
+            return True, fp
+
+        for pdf in batches:
+            out = pdf[pdf["kind"] == "audio"]
+            done = [one(r) for _, r in out.iterrows()]
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "decoded": pd.Series([d for d, _ in done], index=out.index, dtype="bool"),
+                    "fingerprint": pd.Series(
+                        [f for _, f in done], index=out.index, dtype="object"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(
+        kernel, "media_id long, decoded boolean, fingerprint long"
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 8, bucket_shift: int = 32
+) -> DataFrame:
+    """Near-duplicate audio pairs: equi-join on the fingerprint's top bits
+    (bucket), verify full hamming distance — the banded-join shape every
+    dedup op in this engine uses; never an all-pairs scan."""
+    fp = audio_fingerprints(media).filter(F.col("decoded"))
+    a = fp.select(F.col("media_id").alias("media_a"), F.col("fingerprint").alias("fp_a"))
+    b = fp.select(F.col("media_id").alias("media_b"), F.col("fingerprint").alias("fp_b"))
+    return (
+        a.join(
+            b,
+            F.expr(
+                f"shiftright(fp_a, {bucket_shift}) = shiftright(fp_b, {bucket_shift})"
+                " AND media_a < media_b"
+            ),
+        )
+        .withColumn("hamming", F.expr("bit_count(fp_a ^ fp_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )

@@ -152,3 +152,50 @@ def test_sample_frames_decoded_spark(spark):
     comp = [r for r in out if r["media_id"] == 2]
     assert len(comp) == 6 and all(not r["decoded"] and r["frame_mean"] is None for r in comp)
     assert not [r for r in out if r["media_id"] == 3]
+
+
+def test_audio_fingerprint_near_dups(spark):
+    """Volume-scaled and lightly-edited copies of a track fingerprint within
+    hamming range; a different track does not. MP3 rows: decoded=false."""
+    import numpy as np
+
+    from enterprise_warp_spark.pipeline.codecs import encode_wav
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(4)
+    rate = 8000
+    t = np.arange(4 * rate) / rate
+    # track with a distinctive energy envelope (amplitude-modulated tones)
+    envelope = 0.3 + 0.7 * (np.sin(2 * np.pi * 0.7 * t) ** 2)
+    track = envelope * np.sin(2 * np.pi * 440 * t)
+    scaled = 0.4 * track                       # volume change
+    edited = track + 0.02 * rng.normal(size=len(t))  # light noise edit
+    other = (0.3 + 0.7 * (np.cos(2 * np.pi * 2.3 * t) ** 2)) * np.sin(
+        2 * np.pi * 330 * t
+    )
+    rows = [
+        (1, "audio", encode_wav(track, rate), "audio/wav", None, None, rate, None),
+        (2, "audio", encode_wav(scaled, rate), "audio/wav", None, None, rate, None),
+        (3, "audio", encode_wav(edited, rate), "audio/wav", None, None, rate, None),
+        (4, "audio", encode_wav(other, rate), "audio/wav", None, None, rate, None),
+        (5, "audio", b"not-a-wav-mp3-payload", "audio/mpeg", None, None, rate, None),
+        (6, "image", b"img", "image/png", 8, 8, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = {r["media_id"]: r for r in audio_fingerprints(media).collect()}
+    assert set(fps) == {1, 2, 3, 4, 5}  # image rows excluded
+    assert not fps[5]["decoded"] and fps[5]["fingerprint"] is None
+    # volume scaling leaves the comparison-based fingerprint untouched
+    assert fps[2]["fingerprint"] == fps[1]["fingerprint"]
+
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in audio_near_dup_pairs(media, max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # light edit stays within hamming range
+    assert not any(4 in p for p in pairs)  # different track is no near-dup
