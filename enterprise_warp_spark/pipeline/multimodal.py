@@ -232,6 +232,12 @@ def resize_images(media: DataFrame, width: int, height: int, strict: bool = Fals
     )
 
 
+def _signed64(fp: int) -> int:
+    """Reinterpret an unsigned 64-bit fingerprint as signed int64 (Arrow/
+    Spark LongType): a set top bit would otherwise overflow the C long."""
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
 def audio_fingerprints(media: DataFrame, n_bins: int = 32) -> DataFrame:
     """64-bit perceptual fingerprint for decodable audio (WAV/PCM): the
     energy envelope resampled to `n_bins` windows, each window contributing
@@ -265,7 +271,7 @@ def audio_fingerprints(media: DataFrame, n_bins: int = 32) -> DataFrame:
                 rise = env[i] > (env[i - 1] if i else med)
                 loud = env[i] > med
                 fp = (fp << 2) | (int(rise) << 1) | int(loud)
-            return True, fp
+            return True, _signed64(fp)
 
         for pdf in batches:
             out = pdf[pdf["kind"] == "audio"]
@@ -292,6 +298,70 @@ def audio_near_dup_pairs(
     (bucket), verify full hamming distance — the banded-join shape every
     dedup op in this engine uses; never an all-pairs scan."""
     fp = audio_fingerprints(media).filter(F.col("decoded"))
+    a = fp.select(F.col("media_id").alias("media_a"), F.col("fingerprint").alias("fp_a"))
+    b = fp.select(F.col("media_id").alias("media_b"), F.col("fingerprint").alias("fp_b"))
+    return (
+        a.join(
+            b,
+            F.expr(
+                f"shiftright(fp_a, {bucket_shift}) = shiftright(fp_b, {bucket_shift})"
+                " AND media_a < media_b"
+            ),
+        )
+        .withColumn("hamming", F.expr("bit_count(fp_a ^ fp_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+def image_fingerprints(media: DataFrame) -> DataFrame:
+    """64-bit dHash for decodable images (PPM/PGM): grayscale, nearest-resize
+    to 9x8 (pipeline.codecs), one bit per horizontal neighbor comparison.
+    Comparison bits make it invariant to brightness/contrast scaling and
+    robust to resizing — the classic perceptual image hash. Non-decodable
+    (JPEG/PNG) rows: decoded=false, null fingerprint."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from enterprise_warp_spark.pipeline import codecs
+
+        def one(row: pd.Series) -> tuple[bool, int | None]:
+            if codecs.DECODABLE_MIMES.get(row["mime"]) != "pnm":
+                return False, None
+            arr = codecs.decode_ppm(row["payload"])
+            gray = arr.mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
+            small = codecs.resize_nearest(gray, 9, 8)  # 9 cols -> 8 diffs/row
+            bits = (small[:, 1:] > small[:, :-1]).flatten()
+            fp = 0
+            for b in bits:
+                fp = (fp << 1) | int(b)
+            return True, _signed64(fp)
+
+        for pdf in batches:
+            out = pdf[pdf["kind"] == "image"]
+            done = [one(r) for _, r in out.iterrows()]
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "decoded": pd.Series([d for d, _ in done], index=out.index, dtype="bool"),
+                    "fingerprint": pd.Series(
+                        [f for _, f in done], index=out.index, dtype="object"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(
+        kernel, "media_id long, decoded boolean, fingerprint long"
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 10, bucket_shift: int = 32
+) -> DataFrame:
+    """Near-duplicate image pairs: same hamming-bucket equi-join + verify
+    shape as audio_near_dup_pairs, over dHash fingerprints."""
+    fp = image_fingerprints(media).filter(F.col("decoded"))
     a = fp.select(F.col("media_id").alias("media_a"), F.col("fingerprint").alias("fp_a"))
     b = fp.select(F.col("media_id").alias("media_b"), F.col("fingerprint").alias("fp_b"))
     return (

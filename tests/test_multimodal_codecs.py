@@ -199,3 +199,44 @@ def test_audio_fingerprint_near_dups(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
     assert (1, 3) in pairs  # light edit stays within hamming range
     assert not any(4 in p for p in pairs)  # different track is no near-dup
+
+
+def test_image_fingerprint_near_dups(spark):
+    """A resized and a brightness-scaled copy match the original's dHash
+    within hamming range; a different image does not; PNG: decoded=false."""
+    import numpy as np
+
+    from enterprise_warp_spark.pipeline.codecs import encode_ppm, resize_nearest
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        image_fingerprints,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    # structured image (smooth gradient + blobs) so dHash bits are stable
+    y, x = np.mgrid[0:80, 0:120]
+    img = (
+        40 + 100 * np.sin(x / 17.0) ** 2 + 60 * np.cos(y / 11.0) ** 2
+        + rng.normal(0, 2, (80, 120))
+    ).clip(0, 255).astype(np.uint8)
+    img3 = np.stack([img] * 3, axis=2)
+    resized = resize_nearest(img3, 60, 40)          # downscaled copy
+    brighter = (img3.astype(np.float64) * 0.7 + 20).clip(0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (80, 120, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", encode_ppm(img3), "image/x-portable-pixmap", 120, 80, None, None),
+        (2, "image", encode_ppm(resized), "image/x-portable-pixmap", 60, 40, None, None),
+        (3, "image", encode_ppm(brighter), "image/x-portable-pixmap", 120, 80, None, None),
+        (4, "image", encode_ppm(other), "image/x-portable-pixmap", 120, 80, None, None),
+        (5, "image", b"png-bytes", "image/png", 8, 8, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = {r["media_id"]: r for r in image_fingerprints(media).collect()}
+    assert not fps[5]["decoded"] and fps[5]["fingerprint"] is None
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in image_near_dup_pairs(media).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
