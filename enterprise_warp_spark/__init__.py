@@ -17,8 +17,14 @@ Layout:
     analytics/  chain analytics + optimal statistic (results.py semantics)
     likelihood/ GP-marginalized likelihood kernel + sample-parallel inference
     plans/      config front-end: paramfile / noise-model registry dispatch
-    pipeline/   LLM-data-pipeline extensions (dedup, similarity, text, multimodal)
-    streaming/  Structured Streaming surface over the events table
+    pipeline/   LLM-data-pipeline extensions: dedup (exact/MinHash/SimHash/
+                incremental index/transitive clusters), similarity (ANN),
+                text + repetition metrics, media codecs + multimodal
+                fingerprints, curation, packing/chunking, decontamination,
+                LM perplexity, redaction
+    streaming/  Structured Streaming surface: event rollups/dedup/sessions,
+                dedup'd corpus ingest, exactly-once parquet sink
+    maintenance partition upsert / key merge / compaction for parquet tables
 """
 
 __version__ = "0.1.0"
