@@ -107,3 +107,16 @@ def split_dataset(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     return df.withColumn(split_col, last if expr is None else expr.otherwise(last))
+
+
+def weighted_sample(
+    df: DataFrame, key: Column | str, weight: Column | str, seed: int = 0
+) -> DataFrame:
+    """Per-row deterministic Bernoulli with row-specific keep probability
+    (importance sampling — e.g. keep probability = quality score): keep a
+    row iff its key-hash < its weight. Weights outside [0, 1] are clamped.
+    Same purity guarantees as hash_sample: stable across retries, partitions
+    and engines."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    bounded = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(_unit_hash(key, seed) < bounded)

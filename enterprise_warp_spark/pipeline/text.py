@@ -273,3 +273,22 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.expr(poly.format(s=text_col)).alias("fp_full"),
         F.expr(poly.format(s=f"substring({text_col}, 1, 64)")).alias("fp_prefix64"),
     )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """Standard pre-dedup text normalization: lowercase, map tab/newline/CR
+    to spaces, collapse whitespace runs to single spaces, trim. Dedup keys
+    built on the normalized column catch case/spacing variants of the same
+    document. Pure Catalyst (map-only at any scale)."""
+    return df.withColumn(
+        out_col,
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.expr(f"translate({text_col}, '\\t\\n\\r', '   ')")),
+                " +",
+                " ",
+            )
+        ),
+    )

@@ -122,3 +122,39 @@ def test_split_dataset_disjoint_stable(spark, sf_dir):
     assert {r["doc_id"]: r["split"] for r in sub.collect()} == full
     with pytest.raises(ValueError):
         split_dataset(docs, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_weighted_sample(spark, sf_dir):
+    from enterprise_warp_spark.operators.sampling import weighted_sample
+
+    docs = table(spark, sf_dir, "documents")
+    # weight 1 keeps everything; weight 0 keeps nothing
+    n = docs.count()
+    assert weighted_sample(docs, "doc_id", F.lit(1.0)).count() == n
+    assert weighted_sample(docs, "doc_id", F.lit(0.0)).count() == 0
+    assert weighted_sample(docs, "doc_id", F.lit(7.5)).count() == n  # clamped
+    # row-specific weights: low-weight stratum kept less often
+    w = F.when(F.col("doc_id") % 2 == 0, 0.9).otherwise(0.1)
+    kept = weighted_sample(docs, "doc_id", w, seed=3).collect()
+    even = sum(1 for r in kept if r["doc_id"] % 2 == 0)
+    odd = len(kept) - even
+    assert even > 3 * odd
+    # deterministic across repartition
+    ids1 = {r["doc_id"] for r in kept}
+    ids2 = {
+        r["doc_id"]
+        for r in weighted_sample(docs.repartition(9), "doc_id", w, seed=3).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_normalize_text(spark):
+    from enterprise_warp_spark.pipeline.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "  Hello\tWORLD  \n multiple   spaces "), (2, "already clean")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_norm"] for r in normalize_text(docs).collect()}
+    assert got[1] == "hello world multiple spaces"
+    assert got[2] == "already clean"
