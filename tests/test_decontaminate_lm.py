@@ -152,3 +152,57 @@ def test_corpus_report(spark, sf_dir):
     ).collect()[0]
     assert doubled["n_docs"] == 2 * n
     assert doubled["exact_dup_rate_est"] > 0.4
+
+
+def test_bigram_lm_matches_counter_reference(spark):
+    from enterprise_warp_spark.pipeline.lm import (
+        bigram_perplexity,
+        train_bigram_lm,
+        unseen_context_logp,
+    )
+
+    texts = ["a b a b c", "b c a a", "c a b"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bigrams, contexts, vocab = train_bigram_lm(docs, k=1.0)
+
+    pair_c, ctx_c = Counter(), Counter()
+    for t in texts:
+        toks = t.split()
+        for a, b in zip(toks, toks[1:]):
+            pair_c[(a, b)] += 1
+            ctx_c[a] += 1
+    all_toks = set(" ".join(texts).split())
+    assert vocab == len(all_toks)
+    denom_k = vocab + 1
+
+    got_big = {(r["prev"], r["token"]): r["logp"] for r in bigrams.collect()}
+    assert set(got_big) == set(pair_c)
+    for (a, b), c in pair_c.items():
+        assert got_big[(a, b)] == pytest.approx(
+            math.log((c + 1) / (ctx_c[a] + denom_k))
+        )
+
+    # scoring: mixed seen pairs / seen-context-unseen-pair / unseen context
+    probe = spark.createDataFrame(
+        [(1, "a b c"), (2, "a zzz"), (3, "qqq www"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    scored = {r["doc_id"]: r for r in bigram_perplexity(probe, bigrams, contexts, vocab).collect()}
+
+    def ref_lp(a, b):
+        if (a, b) in pair_c:
+            return math.log((pair_c[(a, b)] + 1) / (ctx_c[a] + denom_k))
+        if a in ctx_c:
+            return math.log(1 / (ctx_c[a] + denom_k))
+        return unseen_context_logp(vocab)
+
+    for doc_id, text in [(1, "a b c"), (2, "a zzz"), (3, "qqq www")]:
+        toks = text.split()
+        lps = [ref_lp(a, b) for a, b in zip(toks, toks[1:])]
+        assert scored[doc_id]["n_transitions"] == len(lps)
+        assert scored[doc_id]["mean_nll"] == pytest.approx(-sum(lps) / len(lps), rel=1e-9)
+    assert 4 not in scored  # single-token doc has no transitions
+    # fluent (in-distribution) sequence is less perplexing than unseen junk
+    assert scored[1]["ppl"] < scored[3]["ppl"]
