@@ -10,13 +10,17 @@ external state (the band index), which no built-in streaming operator
 expresses. dropDuplicatesWithinWatermark handles EXACT ids inside the
 watermark horizon; this handles NEAR duplicates across the corpus lifetime.
 
-Delivery note (honest): foreachBatch gives at-least-once for external
-writes. A replayed batch re-probes the updated index, so its documents are
-seen as duplicates of themselves and dropped — the corpus stays
-collision-free, but a replay interleaved exactly with a crash between the
-corpus append and the index append could duplicate one batch's corpus rows.
-Production hardening = write corpus + index under an epoch-id-keyed path
-(idempotent overwrite per epoch), or a lakehouse table with txn support.
+Delivery semantics: foreachBatch is at-least-once for external writes, but
+the batch body is ordered so every replay converges to the exactly-once
+outcome: (1) probe the index (not yet updated by this batch), (2) write the
+corpus under an epoch-keyed partition with dynamic overwrite (idempotent —
+a replay rewrites its own epoch in place), (3) append the survivors' bands
+to the index. Crash between 2 and 3: the replay re-probes an index without
+this batch's bands, recomputes the SAME survivors (the probe is
+deterministic), and overwrites the same epoch — then completes step 3.
+Crash after 3 (before the checkpoint commit): the replay finds all its
+documents already indexed, survivors are empty, and both writes are no-ops
+— the corpus rows written in step 2 stay, exactly once.
 """
 
 from __future__ import annotations
@@ -35,17 +39,29 @@ def dedup_corpus_stream(
 ) -> StreamingQuery:
     """Start the streaming dedup-ingest: micro-batches of (doc_id, text, ...)
     are near-dup-filtered against everything already ingested, survivors
-    appended to `corpus_path`. availableNow drains the source then stops —
-    swap the trigger for continuous ingestion."""
-    from enterprise_warp_spark.pipeline.dedup import incremental_minhash_filter
+    written to `corpus_path` (epoch-partitioned, replay-idempotent — see the
+    module docstring for the crash analysis). availableNow drains the source
+    then stops — swap the trigger for continuous ingestion."""
+    from enterprise_warp_spark.maintenance import upsert_partitions
+    from enterprise_warp_spark.pipeline.dedup import (
+        incremental_minhash_filter,
+        minhash_bands,
+    )
 
     def _one_batch(batch: DataFrame, epoch_id: int) -> None:
+        # 1. probe (index not yet updated by this batch) — deterministic
         survivors = incremental_minhash_filter(
-            batch, index_path, text_col=text_col, update_index=True
+            batch, index_path, text_col=text_col, update_index=False
         )
-        # survivors is already materialized (localCheckpoint) by the filter,
-        # so this append does not re-run the probe against the updated index
-        survivors.write.mode("append").parquet(corpus_path)
+        # 2. idempotent corpus write: replays overwrite their own epoch
+        tagged = survivors.withColumn("__epoch", F.lit(int(epoch_id)))
+        if tagged.take(1):  # empty overwrite would be a no-op anyway; skip IO
+            upsert_partitions(tagged, corpus_path, ["__epoch"])
+        # 3. index append LAST, so a replay after a crash re-derives the
+        # same survivors instead of dropping them as self-duplicates
+        bands = minhash_bands(survivors, text_col).localCheckpoint(eager=True)
+        bands.write.mode("append").partitionBy("band_id").parquet(index_path)
+        batch.sparkSession.catalog.refreshByPath(index_path)
 
     return (
         stream_docs.writeStream.foreachBatch(_one_batch)

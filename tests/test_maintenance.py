@@ -158,10 +158,24 @@ def test_dedup_corpus_stream(spark, tmp_path, sf_dir):
     ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
     assert not {i for i in ids if i >= 5_000_000}  # no cross-batch near-dups
     assert ids & set(range(100, 150))  # fresh batch-2 docs did land
+    assert "__epoch" in corpus.columns  # epoch-keyed idempotent layout
     # corpus is internally collision-free: no two docs share all band keys
     from enterprise_warp_spark.pipeline.dedup import lsh_candidate_pairs, minhash_bands
 
-    assert lsh_candidate_pairs(minhash_bands(corpus)).count() == 0
+    assert lsh_candidate_pairs(minhash_bands(corpus.select("doc_id", "text"))).count() == 0
+
+    # full replay (fresh checkpoint, worst case): every doc already indexed
+    # -> empty survivors -> corpus unchanged, no duplicates
+    q2 = dedup_corpus_stream(
+        stream,
+        index_path=str(tmp_path / "bands"),
+        corpus_path=str(tmp_path / "corpus"),
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(300)
+    spark.catalog.refreshByPath(str(tmp_path / "corpus"))
+    again = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert again == ids
 
 
 def test_connected_components_transitive_chain(spark):
