@@ -272,3 +272,77 @@ def kmeans_centroids(
         F.col("c_emb").cast("array<float>").alias("c_emb"),
         F.expr(DOT.format(a="c_emb", b="c_emb")).alias("c_nsq"),
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the IVF inverted lists: every corpus vector stored under its
+    nearest-centroid cell, as parquet PARTITIONED BY cell_id. This is the
+    piece that makes ANN real at 100 TB: a search touches only its nprobe
+    cell directories (partition pruning at the file-listing level) instead
+    of scanning the corpus. Rebuild = re-run after centroids change; append
+    new vectors by writing their assignments with mode append."""
+    n = _with_norm_sq(emb, emb_col)
+    d = _cell_distances(n, centroids, emb_col)
+    w_assign = Window.partitionBy(id_col).orderBy("dist", "cell_id")
+    assigned = (
+        d.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(emb_col).alias("c_vec"),
+            F.col("nsq").alias("c_nsq2"),
+            "cell_id",
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(index_path)
+
+
+def search_ivf_index(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index: each query probes
+    its nprobe nearest cells; the scan carries `cell_id IN (...)` so parquet
+    partition pruning reads ONLY those directories. The probed-cell list is
+    collected (bounded by n_queries x nprobe — a search-request-sized list,
+    not corpus-sized) to push the filter into the file listing."""
+    qn = _with_norm_sq(queries, emb_col)
+    qd = _cell_distances(qn, centroids, emb_col)
+    w = Window.partitionBy(id_col).orderBy("dist", "cell_id")
+    probes = (
+        qd.withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("q_emb"),
+            F.col("nsq").alias("q_nsq"),
+            "cell_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    cells = [r["cell_id"] for r in probes.select("cell_id").distinct().collect()]
+    lists = spark.read.parquet(index_path).filter(F.col("cell_id").isin(cells))
+    dot = DOT.format(a="q_emb", b="c_vec")
+    pairs = (
+        probes.join(lists, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(F.expr(f"{dot} / sqrt(q_nsq * c_nsq2)"), 6))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -88,3 +88,23 @@ def test_kmeans_centroids_drive_ivf(spark, emb):
         ).collect()
     }
     assert len(ex10 & ivf) / len(ex10) >= 0.6
+
+
+def test_persisted_ivf_index_matches_in_memory(spark, emb, tmp_path):
+    """build_ivf_index + search_ivf_index == in-memory ivf_topk, and the
+    scan plan prunes to the probed cell partitions."""
+    idx = str(tmp_path / "ivf")
+    cents = similarity.deterministic_centroids(emb, 16)
+    similarity.build_ivf_index(emb, cents, idx)
+    import glob
+    import os
+
+    assert len(glob.glob(os.path.join(idx, "cell_id=*"))) > 1
+
+    queries = emb.filter("vec_id < 10")
+    got = similarity.search_ivf_index(spark, idx, cents, queries, k=5, nprobe=4)
+    want = similarity.ivf_topk(emb, "vec_id < 10", 5, n_cells=16, nprobe=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # partition pruning reaches the scan: the index read carries cell_id IN
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "cell_id IN" in plan or "cell_id#" in plan
