@@ -346,3 +346,136 @@ def search_ivf_index(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to M byte codes, search via
+# asymmetric distance computation — the FAISS IVF-PQ memory-scaling story.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m_subspaces: int,
+    k_codes: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """-> (subspace, code, c_sub): per-subspace codebooks, deterministic
+    flavor (the first k_codes vectors' subvectors are the codes — same
+    pluggable-quantizer pattern as deterministic_centroids; swap in
+    per-subspace KMeans centers at scale, schema unchanged). M*K rows —
+    always broadcastable."""
+    slices = _subvectors(emb, m_subspaces, emb_col, id_col)
+    return (
+        slices.filter(F.col(id_col) < k_codes)
+        .select(
+            "subspace",
+            F.col(id_col).cast("int").alias("code"),
+            F.col("sub").alias("c_sub"),
+        )
+    )
+
+
+def _subvectors(
+    emb: DataFrame, m: int, emb_col: str, id_col: str
+) -> DataFrame:
+    """Explode each vector into m contiguous subvectors (subspace, sub)."""
+    from enterprise_warp_spark.functions.arrays import explode_nonnull
+    from enterprise_warp_spark.pipeline.dedup import spread
+
+    sub_arr = (
+        f"transform(sequence(0, {m - 1}), s -> struct(s as subspace, "
+        f"slice({emb_col}, s * (size({emb_col}) div {m}) + 1, "
+        f"size({emb_col}) div {m}) as sub))"
+    )
+    return explode_nonnull(spread(emb, id_col), sub_arr, "sv", id_col).select(
+        id_col, "sv.subspace", "sv.sub"
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m_subspaces: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """-> (vec_id, codes array<int>): each vector compressed to M codebook
+    indices (nearest sub-centroid per subspace, L2). Storage drops from
+    dim floats to M small ints — the compression that lets a 100 TB corpus'
+    index fit in memory. Codebook join is broadcast; argmin is a window over
+    M*K candidate rows per vector."""
+    dot = DOT.format(a="sub", b="c_sub")
+    nsq_sub = DOT.format(a="sub", b="sub")
+    nsq_c = DOT.format(a="c_sub", b="c_sub")
+    slices = _subvectors(emb, m_subspaces, emb_col, id_col)
+    d = (
+        slices.join(F.broadcast(codebooks), "subspace")
+        .withColumn(
+            "dist",
+            F.round(
+                F.expr(nsq_sub) - 2.0 * F.expr(dot) + F.expr(nsq_c), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy("dist", "code")
+    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("subspace", "code"))
+            ).alias("sc")
+        )
+        .select(id_col, F.expr("transform(sc, x -> x.code)").alias("codes"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m_subspaces: int,
+    query_filter: str,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """ANN top-k by asymmetric distance computation (ADC): queries stay
+    exact, corpus vectors are their PQ codes; approx dot(q, v) =
+    sum_m LUT_q[m, code_m] where LUT_q holds dot(q_sub, c_sub) for every
+    (subspace, code) — M*K entries per query, computed once and broadcast.
+    The corpus-side scan touches only the code arrays (explode to M rows per
+    vector, equi-join on (query-independent) (subspace, code))."""
+    codes = (
+        encoded
+        if encoded is not None
+        else pq_encode(emb, codebooks, m_subspaces, emb_col, id_col)
+    )
+    q = _subvectors(
+        emb.filter(F.expr(query_filter)), m_subspaces, emb_col, id_col
+    ).select(F.col(id_col).alias("query_id"), "subspace", "sub")
+    lut = (
+        q.join(F.broadcast(codebooks), "subspace")
+        .withColumn("part_dot", F.expr(DOT.format(a="sub", b="c_sub")))
+        .select("query_id", "subspace", "code", "part_dot")
+    )
+    corpus = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    pairs = (
+        corpus.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("part_dot"), 4).alias("approx_dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "approx_dot", "rnk")
+    )
