@@ -479,3 +479,48 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "approx_dot", "rnk")
     )
+
+
+def pq_topk_reranked(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m_subspaces: int,
+    query_filter: str,
+    k: int = 5,
+    rerank: int = 25,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage PQ search (the standard production shape): a wide ADC pass
+    selects `rerank` candidates per query from the compressed codes, then
+    ONLY those candidates' raw vectors are fetched (equi-join on id) and
+    re-scored with the exact dot product. Recall approaches exact search at
+    a fraction of its cost: the exact math touches n_queries x rerank
+    vectors, never the corpus."""
+    cand = pq_topk(
+        emb, codebooks, m_subspaces, query_filter, k=rerank,
+        emb_col=emb_col, id_col=id_col,
+    ).select("query_id", "neighbor_id")
+    n = _with_norm_sq(emb, emb_col)
+    q = n.filter(F.expr(query_filter)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    c = n.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    dot = DOT.format(a="q_emb", b="c_emb")
+    pairs = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", F.round(F.expr(f"{dot} / sqrt(q_nsq * c_nsq)"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

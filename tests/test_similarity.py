@@ -154,3 +154,29 @@ def test_pq_lossy_recall(spark, emb):
         hits += len(exact & nbs)
         total += 5
     assert hits / total >= 0.4
+
+
+def test_pq_rerank_beats_raw_adc(spark, emb):
+    """Exact re-ranking of a wide ADC candidate set: recall vs the exact
+    top-k must improve on (or match) raw ADC at the same k."""
+    import numpy as np
+
+    cb = similarity.pq_codebooks(emb, 16, 32)
+    pdf = {r["vec_id"]: np.array(r["embedding"], float) for r in emb.collect()}
+
+    def recall(df):
+        by_q = {}
+        for r in df.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = total = 0
+        for q, nbs in by_q.items():
+            dots = {v: float(pdf[q] @ e) for v, e in pdf.items() if v != q}
+            exact = set(sorted(dots, key=lambda v: (-dots[v], v))[:5])
+            hits += len(exact & nbs)
+            total += 5
+        return hits / total
+
+    raw = recall(similarity.pq_topk(emb, cb, 16, "vec_id < 10", k=5))
+    rr = recall(similarity.pq_topk_reranked(emb, cb, 16, "vec_id < 10", k=5, rerank=40))
+    assert rr >= raw
+    assert rr >= 0.6  # wide-candidate exact re-rank recovers most of exact
