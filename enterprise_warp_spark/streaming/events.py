@@ -15,32 +15,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NS = (
     "event_id long, ts long, user_id long, event_type string, value double, "
     "props string"
+)
+EVENTS_SCHEMA_US = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
 )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the driver's events parquet (ts is
-    TIMESTAMP(NANOS) -> read as long, converted to a microsecond timestamp
-    exactly like tables.table does for batch)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the driver's events parquet, normalized to the
+    same (ts TIMESTAMP, ts_us, ts_ns) contract as tables.table — the physical
+    unit (TIMESTAMP(NANOS) read as long vs microsecond TIMESTAMP) is sniffed
+    from the parquet footer so batch and stream always agree."""
+    from enterprise_warp_spark.tables import events_ts_unit
+
     try:
         # streaming state has no AQE to coalesce partitions; the vanilla 200
         # default costs ~25x task overhead at test scale
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    if events_ts_unit(sf_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA_NS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return (
+            raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_US)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns div 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts_us", F.unix_micros(F.col("ts")))
+        .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
     )
 
 

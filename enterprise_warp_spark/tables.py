@@ -27,6 +27,20 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def events_ts_unit(sf_dir: str) -> str:
+    """Sniff the physical parquet unit of ``events.ts`` ('ns' or 'us').
+
+    Driver-side footer read via pyarrow — no Spark job. The driver has
+    shipped both encodings across rounds (TIMESTAMP(NANOS) initially, plain
+    microsecond TIMESTAMP later), so the loaders adapt per-directory instead
+    of hard-coding one.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return "ns" if getattr(t, "unit", "us") == "ns" else "us"
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table.
 
@@ -34,13 +48,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     load_tables/register_views and streaming.events.stream_events):
     * ``spark.sql.session.timeZone`` is pinned to UTC (all queries here
       assume it);
-    * loading ``events`` sets ``spark.sql.legacy.parquet.nanosAsLong=true``
-      for the SESSION — any later nanos-timestamp parquet read in the same
-      session also sees raw int64. The conf cannot be scoped to this one
-      read: Spark consults it lazily at scan execution, not at
-      ``spark.read`` time, so a save/restore here would corrupt the
-      deferred scan. Use a separate session if you need nanos-as-timestamp
-      semantics elsewhere.
+    * loading a nanos-encoded ``events`` sets
+      ``spark.sql.legacy.parquet.nanosAsLong=true`` for the SESSION — any
+      later nanos-timestamp parquet read in the same session also sees raw
+      int64. The conf cannot be scoped to this one read: Spark consults it
+      lazily at scan execution, not at ``spark.read`` time, so a
+      save/restore here would corrupt the deferred scan. Use a separate
+      session if you need nanos-as-timestamp semantics elsewhere.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Timestamps in the testdata are naive instants; pin the session to UTC so
@@ -50,18 +64,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): Spark only reads it as a raw
-        # int64 (nanosAsLong). Expose ts_us = ns div 1000, which matches
-        # DuckDB's truncating ns->us conversion exactly, plus a usable
-        # microsecond TIMESTAMP column.
+        # Normalize events to a stable 3-column time contract regardless of
+        # the physical encoding: ts (microsecond TIMESTAMP), ts_us (µs epoch
+        # bigint), ts_ns (ns epoch bigint). Queries/oracles only ever touch
+        # ts / ts_us.
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if events_ts_unit(sf_dir) == "ns":
+            # TIMESTAMP(NANOS): Spark only reads it as a raw int64
+            # (nanosAsLong); ns div 1000 matches DuckDB's truncating ns->us.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts_us", F.expr("ts_ns div 1000"))
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            )
+        # Microsecond TIMESTAMP (reads as TIMESTAMP_NTZ): with the session
+        # pinned to UTC the NTZ->TIMESTAMP cast is value-preserving.
         df = spark.read.parquet(path)
         return (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_us", F.expr("ts_ns div 1000"))
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            df.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("ts_us", F.unix_micros(F.col("ts")))
+            .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
         )
     return spark.read.parquet(path)
 
