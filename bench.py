@@ -51,14 +51,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Best-of-2 per query: single-shot timings on this box show 3-8x
-    # run-to-run spikes from GC pauses / VM steal on individual queries;
-    # min-of-two is the standard way to report steady-state throughput
-    # rather than whichever query happened to absorb a pause.
-    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Median-of-3 per query: single-shot timings on this box show 3-8x
+    # run-to-run spikes from GC pauses / VM steal on individual queries; the
+    # median is robust to one spiked rep while still reflecting steady-state
+    # cost (min would hide a real every-time regression behind one lucky
+    # rep). The per-query spread (max-min) goes to stderr so noise-dominated
+    # deltas are distinguishable from real regressions.
+    import statistics
+
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
-        best = float("inf")
+        reps: list[float] = []
         for _ in range(n_reps):
             # Drop any cached/checkpointed intermediates from the previous
             # rep: Spark's CacheManager matches by canonicalized plan, so an
@@ -70,9 +74,13 @@ def main() -> None:
             # noop sink materializes every output column (count() would let
             # Catalyst prune the computed ones entirely)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(reps), 4)
+        print(
+            f"# {name}: median {timings[name]:.3f}s "
+            f"spread {max(reps) - min(reps):.3f}s ({n_reps} reps)",
+            file=sys.stderr,
+        )
 
     # bench-only entry (not a correctness-catalog query): A12 noise-
     # marginalised OS over 1000 posterior draws — the draws x pairs fan-out

@@ -32,11 +32,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the parquet footer so batch and stream always agree."""
     from enterprise_warp_spark.tables import events_ts_unit
 
+    # correctness-critical: the µs branch casts NTZ->timestamp, which reads
+    # the session timezone — pin it first and unconditionally, never behind
+    # the same try as the perf tweak below
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         # streaming state has no AQE to coalesce partitions; the vanilla 200
         # default costs ~25x task overhead at test scale
         spark.conf.set("spark.sql.shuffle.partitions", "32")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     if events_ts_unit(sf_dir) == "ns":

@@ -38,7 +38,15 @@ def events_ts_unit(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    return "ns" if getattr(t, "unit", "us") == "ns" else "us"
+    unit = getattr(t, "unit", None)
+    if unit not in ("ns", "us"):
+        # a third encoding (ms/s, or a non-timestamp ts column) must fail
+        # loudly at load time, not be silently mis-read as µs
+        raise ValueError(
+            f"events.ts has unsupported encoding {t!r} (unit={unit!r}); "
+            "loaders understand TIMESTAMP(NANOS) and microsecond TIMESTAMP"
+        )
+    return unit
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
