@@ -34,15 +34,37 @@ PSR_DIR_RE = re.compile(r"^\d+_[JB]\d{2,4}[+-]\d{2,4}[AB]?$")
 
 def discover_run_dirs(base_dir: str, pattern: re.Pattern = PSR_DIR_RE) -> list[str]:
     """P8 — run directories whose basename matches the psr-dir regex; falls
-    back to 'any dir containing pars.txt' for non-reference layouts."""
+    back to 'any dir containing pars.txt OR a bilby *_result.json' for
+    non-reference layouts (the reference picks the parser per run the same
+    way: PTMCMC chain files vs BilbyWarpResult, results.py:1050-1081)."""
+    import glob as _glob
+
     out = []
     for name in sorted(os.listdir(base_dir)):
         full = os.path.join(base_dir, name)
         if not os.path.isdir(full):
             continue
-        if pattern.match(name) or os.path.exists(os.path.join(full, "pars.txt")):
+        if (
+            pattern.match(name)
+            or os.path.exists(os.path.join(full, "pars.txt"))
+            or _glob.glob(os.path.join(full, "*_result.json"))
+        ):
             out.append(full)
     return out
+
+
+def read_run_dir(spark: SparkSession, run_dir: str):
+    """Resolve ONE run directory with the right source: bilby result JSON
+    (S6b) when `*_result.json` is present, else PTMCMC chain files (S6).
+    Both return (chain, pars) in the same wide schema, so every downstream
+    analytics stage is source-agnostic."""
+    import glob as _glob
+
+    if _glob.glob(os.path.join(run_dir, "*_result.json")):
+        from enterprise_warp_spark.sources.bilby import read_bilby_dir
+
+        return read_bilby_dir(spark, run_dir)
+    return read_chain_dir(spark, run_dir)
 
 
 def run_results_pipeline(
@@ -58,7 +80,7 @@ def run_results_pipeline(
         raise FileNotFoundError(f"no run directories under {base_dir}")
     long_parts = []
     for d in dirs:
-        chain, pars = read_chain_dir(spark, d)
+        chain, pars = read_run_dir(spark, d)
         long_parts.append(chains_long(chain, pars))
     all_long = long_parts[0]
     for part in long_parts[1:]:

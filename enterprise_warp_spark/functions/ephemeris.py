@@ -77,6 +77,55 @@ def attach_basis_table(residuals: DataFrame, basis: DataFrame) -> DataFrame:
     )
 
 
+def ingest_basis_table(
+    spark,
+    path: str,
+    fmt: str | None = None,
+    column_map: dict[str, str] | None = None,
+    mjd_col: str | None = None,
+    mjd0: float = 0.0,
+) -> DataFrame:
+    """Ingest a PUBLISHED ephemeris-perturbation table (parquet or CSV) into
+    the attach_basis_table schema (psr, toa_s, ephem_b_*).
+
+    Published SSE partial tables — the inputs enterprise builds its
+    PhysicalEphemerisSignal from (enterprise_models.py:465-470: frame drift,
+    outer-planet mass partials, Jupiter orbital-element partials projected on
+    each pulsar direction) — come as one row per (pulsar, epoch) with one
+    column per partial. ``column_map`` renames source columns to the
+    canonical BASIS_COLS names; ``mjd_col`` converts an MJD epoch column to
+    seconds (toa_s = (mjd - mjd0) * 86400). Missing partials fail loudly.
+
+    The result feeds ``attach_basis_table`` unchanged — at cluster scale
+    write it back out partitioned/bucketed by psr so the join with the TOA
+    table is co-located.
+    """
+    fmt = fmt or ("csv" if path.endswith(".csv") else "parquet")
+    if fmt == "csv":
+        df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    elif fmt == "parquet":
+        df = spark.read.parquet(path)
+    else:
+        raise ValueError(f"unknown basis table format {fmt!r}")
+    for src, dst in (column_map or {}).items():
+        df = df.withColumnRenamed(src, dst)
+    if mjd_col and mjd_col in df.columns:
+        df = df.withColumn(
+            "toa_s", (F.col(mjd_col) - F.lit(mjd0)) * 86400.0
+        )
+    missing = [c for c in ("psr", "toa_s", *BASIS_COLS) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"ephemeris basis table {path} lacks columns {missing}; "
+            "map source names via column_map"
+        )
+    return df.select(
+        "psr",
+        F.col("toa_s").cast("double"),
+        *[F.col(c).cast("double").alias(c) for c in BASIS_COLS],
+    )
+
+
 def synthetic_basis(residuals: DataFrame, t0_s: float = 0.0) -> DataFrame:
     """SYNTHETIC STAND-IN basis (no JPL ephemeris in this container).
 

@@ -130,16 +130,62 @@ class DetComponent:
             raise ValueError("coeff_cols and basis_cols must pair up")
 
 
+# gp_signals.TimingModel prior weight on the normalized basis (`tm: default`)
+TM_WEIGHT = 1e40
+
+
+@dataclass(frozen=True, eq=False)
+class TMComponent:
+    """Linear timing-model design-matrix marginalization — the reference's
+    `tm:` choice (enterprise_warp.py:500-508), previously the one missing
+    piece of F10. Modes:
+
+      - 'fast'    — exact infinite-prior marginalization of col(M)
+                    (gp_signals.MarginalizingTimingModel): M's columns join
+                    the Woodbury basis with phi^-1 = 0 (see _lnlike_one).
+      - 'default' — gp_signals.TimingModel: finite TM_WEIGHT=1e40 prior on
+                    the normalized basis. Identical inference; differs from
+                    'fast' by the constant -1/2 m ln(1e40) per pulsar.
+      - 'ridge'   — `tm: ridge_regression`: per-sample variance
+                    10^tm_log10_variance on every M column, sampled via the
+                    `tm_log10_variance` sample column (reference prior
+                    Uniform(-20, -10), enterprise_warp.py:505-508).
+
+    specs: one functions.timingmodel TMSpec for all pulsars, or a dict
+    psr -> TMSpec. use_svd: the reference's tm_svd stabilization — M is
+    replaced by an orthonormal basis of its column span.
+    """
+
+    specs: object
+    mode: str = "fast"
+    use_svd: bool = False
+
+    def spec_for(self, psr: str):
+        return self.specs[psr] if isinstance(self.specs, dict) else self.specs
+
+
 def _lnlike_one(
     r: np.ndarray,
     ndiag: np.ndarray,
     Fmat: np.ndarray,
     phi: np.ndarray,
+    n_inf: int = 0,
 ) -> float:
-    """Woodbury lnL for one (pulsar, sample)."""
+    """Woodbury lnL for one (pulsar, sample).
+
+    The leading ``n_inf`` basis columns carry an INFINITE prior — the exact
+    timing-model marginalization (`tm: fast`, gp_signals.
+    MarginalizingTimingModel): their phi^-1 block is zero in Sigma and they
+    contribute no sum-log-phi term. The returned value omits the divergent
+    m*ln(v) constant of the v->inf limit, so it differs from the finite-prior
+    evaluation of the same basis by exactly -1/2 * n_inf * ln(v) — a
+    sample-independent constant (pinned by test)."""
     ninv_r = r / ndiag
     ninv_F = Fmat / ndiag[:, None]
-    Sigma = np.diag(1.0 / phi) + Fmat.T @ ninv_F  # phi^-1 + F^T N^-1 F
+    phi_inv = 1.0 / phi
+    if n_inf:
+        phi_inv = np.concatenate([np.zeros(n_inf), phi_inv])
+    Sigma = np.diag(phi_inv) + Fmat.T @ ninv_F  # phi^-1 + F^T N^-1 F
     try:
         cf = np.linalg.cholesky(Sigma)
     except np.linalg.LinAlgError:
@@ -163,14 +209,17 @@ def gp_loglik_per_pulsar(
     residuals: DataFrame,
     samples: pd.DataFrame,
     nfreqs: int = 20,
-    components: tuple[RedComponent | DetComponent, ...] | None = None,
+    components: tuple[RedComponent | DetComponent | TMComponent, ...] | None = None,
     sample_blocks: int = 1,
 ) -> DataFrame:
     """Score every sample against every pulsar: -> (psr, sample_id, lnl).
 
-    components may mix RedComponent (GP terms) and DetComponent (F13
-    deterministic terms with sampled coefficients, e.g. BayesEphem); with no
-    RedComponent present a default achromatic powerlaw term is added.
+    components may mix RedComponent (GP terms), DetComponent (F13
+    deterministic terms with sampled coefficients, e.g. BayesEphem) and at
+    most one TMComponent (timing-model marginalization — the `tm:` modes);
+    with no RedComponent present a default achromatic powerlaw term is
+    added. TM jump columns need a `flags` MAP column in residuals; TM dm
+    columns need `freq_mhz`.
 
     residuals: DataFrame with RESIDUAL_COLS (efac/equad may be per-backend
     columns already joined in); an optional `epoch_id` column enables ECORR.
@@ -186,6 +235,19 @@ def gp_loglik_per_pulsar(
     """
     all_comps = components or (RedComponent(nfreqs=nfreqs),)
     det_comps = tuple(c for c in all_comps if isinstance(c, DetComponent))
+    tm_comps = tuple(c for c in all_comps if isinstance(c, TMComponent))
+    if len(tm_comps) > 1:
+        raise ValueError("at most one TMComponent per model")
+    tm_comp = tm_comps[0] if tm_comps else None
+    if tm_comp is not None and tm_comp.mode not in ("fast", "default", "ridge"):
+        raise ValueError(f"unknown tm mode {tm_comp.mode!r}")
+    tm_specs_all = (
+        list(tm_comp.specs.values())
+        if tm_comp is not None and isinstance(tm_comp.specs, dict)
+        else ([tm_comp.specs] if tm_comp is not None else [])
+    )
+    tm_needs_freq = any(e[0] == "dm" for s in tm_specs_all for e in s)
+    tm_needs_flags = any(e[0] == "jump" for s in tm_specs_all for e in s)
     comps = tuple(c for c in all_comps if isinstance(c, RedComponent)) or (
         RedComponent(nfreqs=nfreqs),
     )
@@ -208,8 +270,13 @@ def gp_loglik_per_pulsar(
             cols.append(f"{c.prefix()}idx")
     cols += (["log10_ecorr"] if has_ecorr else []) + efac_cols + equad_cols
     cols += [cc for dc in det_comps for cc in dc.coeff_cols]
+    if tm_comp is not None and tm_comp.mode == "ridge":
+        cols.append("tm_log10_variance")
     samp_all = samples[cols].to_records(index=False)
-    needs_freq = any(c.chrom_idx is None or c.chrom_idx != 0.0 for c in comps)
+    needs_freq = (
+        any(c.chrom_idx is None or c.chrom_idx != 0.0 for c in comps)
+        or tm_needs_freq
+    )
     needs_backend = any("_" in c.replace("log10_", "") for c in efac_cols + equad_cols)
     per_backend_efac = {c[len("efac_"):]: c for c in efac_cols if c != "efac"}
     per_backend_equad = {
@@ -237,6 +304,26 @@ def gp_loglik_per_pulsar(
             if (needs_backend and "backend" in pdf.columns)
             else None
         )
+
+        M = None
+        if tm_comp is not None:
+            from enterprise_warp_spark.functions.timingmodel import (
+                design_matrix,
+                flag_array_from_pandas,
+            )
+
+            flag_of = (
+                flag_array_from_pandas(pdf["flags"].iloc[order])
+                if tm_needs_flags and "flags" in pdf.columns
+                else None
+            )
+            M = design_matrix(
+                tm_comp.spec_for(psr),
+                t,
+                freq_mhz=freq_mhz,
+                flag_of=flag_of,
+                svd=tm_comp.use_svd,
+            )
 
         tspan = float(t.max() - t.min())
         bases, freqs2, dfs2, active = [], [], [], []
@@ -281,9 +368,20 @@ def gp_loglik_per_pulsar(
             (c.fref_mhz / freq_mhz) if c.chrom_idx is None else None for c in active
         ]
         static_basis = not any(sampled_idx)
+        head = [M] if M is not None else []
         basis = (
-            np.hstack(bases + ([U] if U is not None else []))
+            np.hstack(head + bases + ([U] if U is not None else []))
             if static_basis
+            else None
+        )
+        # tm marginalization: 'fast' -> M columns lead with infinite prior;
+        # 'default' -> finite TM_WEIGHT phi entries; 'ridge' -> per-sample
+        n_inf = (
+            M.shape[1] if (M is not None and tm_comp.mode == "fast") else 0
+        )
+        tm_phi_static = (
+            np.full(M.shape[1], TM_WEIGHT)
+            if (M is not None and tm_comp.mode == "default")
             else None
         )
 
@@ -322,12 +420,19 @@ def gp_loglik_per_pulsar(
             if U is not None:
                 ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2
                 phis.append(np.full(U.shape[1], ec2))
+            if tm_phi_static is not None:
+                phis.insert(0, tm_phi_static)
+            elif M is not None and tm_comp.mode == "ridge":
+                phis.insert(
+                    0,
+                    np.full(M.shape[1], 10.0 ** float(rec.tm_log10_variance)),
+                )
             if static_basis:
                 b = basis
             else:
                 # F6 with SAMPLED chromatic index: rebuild the weighted
                 # bases for this sample (base Fourier matrices are reused)
-                parts = []
+                parts = [M] if M is not None else []
                 for c, Fc, rat in zip(active, bases, ratios):
                     if rat is None:
                         parts.append(Fc)
@@ -337,7 +442,7 @@ def gp_loglik_per_pulsar(
                 if U is not None:
                     parts.append(U)
                 b = np.hstack(parts)
-            out[i] = _lnlike_one(r_s, nd, b, np.concatenate(phis))
+            out[i] = _lnlike_one(r_s, nd, b, np.concatenate(phis), n_inf=n_inf)
         return pd.DataFrame(
             {
                 "psr": psr,
@@ -441,4 +546,38 @@ def dense_lnlike_reference(
     assert sign > 0
     return -0.5 * (
         float(r @ np.linalg.solve(C, r)) + logdet + len(r) * math.log(2.0 * math.pi)
+    )
+
+
+def dense_lnlike_tm_marginalized(
+    r: np.ndarray,
+    ndiag: np.ndarray,
+    M: np.ndarray,
+    Fmat: np.ndarray,
+    phi: np.ndarray,
+) -> float:
+    """Dense test oracle for `tm: fast`: the explicit M-projection of the
+    v->infinity limit of C + v M M^T,
+
+        lnL = -1/2 [ r^T C^-1 r - x^T (M^T C^-1 M)^-1 x
+                     + logdet C + logdet(M^T C^-1 M) + n ln 2pi ],
+        x = M^T C^-1 r,   C = N + F phi F^T
+
+    (the divergent m ln v constant dropped, matching _lnlike_one's n_inf
+    convention). Never used in production plans."""
+    C = np.diag(ndiag) + Fmat @ np.diag(phi) @ Fmat.T
+    sign, logdet_c = np.linalg.slogdet(C)
+    assert sign > 0
+    Cinv_r = np.linalg.solve(C, r)
+    Cinv_M = np.linalg.solve(C, M)
+    MCM = M.T @ Cinv_M
+    x = M.T @ Cinv_r
+    sign_m, logdet_m = np.linalg.slogdet(MCM)
+    assert sign_m > 0
+    return -0.5 * (
+        float(r @ Cinv_r)
+        - float(x @ np.linalg.solve(MCM, x))
+        + logdet_c
+        + logdet_m
+        + len(r) * math.log(2.0 * math.pi)
     )

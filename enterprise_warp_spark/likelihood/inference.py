@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from enterprise_warp_spark.likelihood.gp import (
     DetComponent,
     RedComponent,
+    TMComponent,
     gp_loglik_per_pulsar,
     total_loglik,
 )
@@ -170,14 +171,25 @@ def run_inference(
     seed: int = 42,
     fixed: dict[str, float] | None = None,
     backends: list[str] | None = None,
+    tm: TMComponent | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (samples_with_lnl, posterior_summary_row).
 
     residuals: (psr, toa_s, residual_s, toa_err_s, efac, equad
-    [, epoch_id][, freq_mhz][, backend][, band]). model_rows: normalized
-    noise-model rows; backends enables per-backend 'by_backend' white noise.
+    [, epoch_id][, freq_mhz][, backend][, band][, flags]). model_rows:
+    normalized noise-model rows; backends enables per-backend 'by_backend'
+    white noise. tm: the paramfile-level `tm:` choice
+    (enterprise_warp.py:500-508) — a TMComponent whose specs come from
+    functions.timingmodel.tm_spec_from_par_file; 'ridge' mode adds the
+    reference's Uniform(-20, -10) tm_log10_variance prior.
     """
     priors, comps = compile_priors_and_components(model_rows, fixed, nfreqs, backends)
+    if tm is not None:
+        comps = (*comps, tm) if comps else (RedComponent(nfreqs=nfreqs), tm)
+        if tm.mode == "ridge" and not any(
+            p.name == "tm_log10_variance" for p in priors
+        ):
+            priors.append(Prior("tm_log10_variance", "uniform", -20.0, -10.0))
     samples_df = sample_priors(spark, priors, n_samples, seed)
     samples_pd: pd.DataFrame = samples_df.toPandas()
     lnl = total_loglik(

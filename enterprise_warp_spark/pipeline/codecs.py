@@ -229,3 +229,77 @@ DECODABLE_MIMES = {
     "image/x-portable-graymap": "pnm",
     "video/x-raw-rgb": "rawvideo",
 }
+
+
+# ---------------------------------------------------------------------------
+# Optional-dependency codecs — the documented plugin point, feature-gated
+# behind import-try so the pure-python formats stay the always-on path.
+# When Pillow / soundfile are installed, compressed mimes flip to
+# decoded=true through the SAME (bytes) -> array interface; when absent
+# (this container), resolvers return None and callers use the stub.
+# ---------------------------------------------------------------------------
+
+OPTIONAL_IMAGE_MIMES = {
+    "image/jpeg", "image/png", "image/gif", "image/webp", "image/bmp",
+}
+OPTIONAL_AUDIO_MIMES = {"audio/mpeg", "audio/mp3", "audio/flac", "audio/ogg"}
+
+
+def pillow_image_decoder():
+    """bytes -> uint8 (h, w, 3) decoder backed by Pillow, or None when the
+    optional dependency is absent."""
+    try:
+        from PIL import Image  # optional dependency
+    except Exception:
+        return None
+    import io
+
+    def decode(payload: bytes) -> np.ndarray:
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"))
+
+    return decode
+
+
+def pillow_image_resizer():
+    """(bytes, w, h) -> re-encoded bytes resizer backed by Pillow (keeps the
+    source format), or None when absent."""
+    try:
+        from PIL import Image  # optional dependency
+    except Exception:
+        return None
+    import io
+
+    def resize(payload: bytes, w: int, h: int) -> bytes:
+        with Image.open(io.BytesIO(payload)) as im:
+            fmt = im.format or "PNG"
+            buf = io.BytesIO()
+            im.resize((w, h)).save(buf, format=fmt)
+            return buf.getvalue()
+
+    return resize
+
+
+def soundfile_audio_decoder():
+    """bytes -> (float64 (n, ch) in [-1, 1], sample_rate) decoder backed by
+    soundfile/libsndfile, or None when absent."""
+    try:
+        import soundfile  # optional dependency
+    except Exception:
+        return None
+    import io
+
+    def decode(payload: bytes):
+        data, rate = soundfile.read(io.BytesIO(payload), always_2d=True)
+        return np.asarray(data, dtype=np.float64), int(rate)
+
+    return decode
+
+
+def optional_decoders() -> dict:
+    """Resolve every optional decoder once (called per executor worker)."""
+    return {
+        "image": pillow_image_decoder(),
+        "image_resize": pillow_image_resizer(),
+        "audio": soundfile_audio_decoder(),
+    }

@@ -77,9 +77,12 @@ def _decode_stub(payload: bytes) -> list[float]:
     return out
 
 
-def _decode_features(row: pd.Series) -> tuple[bool, list[float]]:
+def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, list[float]]:
     """Dispatch one media row to the right pure-python decoder; returns
-    (decoded_for_real, 8-dim feature)."""
+    (decoded_for_real, 8-dim feature). `opt` carries resolved OPTIONAL
+    decoders (codecs.optional_decoders): when Pillow/soundfile are
+    importable, JPEG/PNG/MP3/... rows decode for real through the same
+    interface; otherwise they fall back to the stub with decoded=false."""
     from enterprise_warp_spark.pipeline import codecs
 
     family = codecs.DECODABLE_MIMES.get(row["mime"])
@@ -92,23 +95,39 @@ def _decode_features(row: pd.Series) -> tuple[bool, list[float]]:
         return True, codecs.video_features(
             payload, int(row["width"]), int(row["height"]), int(row["n_frames"])
         )
+    opt = opt or {}
+    if row["mime"] in codecs.OPTIONAL_IMAGE_MIMES and opt.get("image"):
+        try:
+            return True, codecs.image_features(opt["image"](payload))
+        except Exception:
+            pass  # undecodable bytes: fall through to the stub
+    if row["mime"] in codecs.OPTIONAL_AUDIO_MIMES and opt.get("audio"):
+        try:
+            return True, codecs.audio_features(*opt["audio"](payload))
+        except Exception:
+            pass
     return False, _decode_stub(payload)
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, decoders: dict | None = None) -> DataFrame:
     """mapInPandas feature extraction over opaque binaries.
 
     Arrow-batched: each pandas chunk is processed vectorized; the plan keeps
     the upstream partitioning (no shuffle). WAV/PPM/raw-RGB payloads are
-    REALLY decoded (pipeline.codecs); compressed mimes get the stub and
-    `decoded=false`.
+    REALLY decoded (pipeline.codecs); compressed mimes decode through the
+    optional Pillow/soundfile plugins when those are importable on the
+    workers, else get the stub and `decoded=false`. `decoders` overrides the
+    per-worker codecs.optional_decoders() resolution (tests inject fakes).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from enterprise_warp_spark.pipeline import codecs
+
+        opt = decoders if decoders is not None else codecs.optional_decoders()
         for pdf in batches:
-            decoded_feats = [_decode_features(row) for _, row in pdf.iterrows()]
+            decoded_feats = [_decode_features(row, opt) for _, row in pdf.iterrows()]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -192,16 +211,21 @@ def sample_frames_decoded(media: DataFrame, every_k: int = 10) -> DataFrame:
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, strict: bool = False,
+    decoders: dict | None = None,
+) -> DataFrame:
     """Image resize (mapInPandas, partition-preserving): PPM/PGM payloads are
     REALLY resized — decode (pipeline.codecs), nearest-neighbor index-sample
     in numpy, re-encode — with width/height updated and resized=true.
-    Compressed formats need an external codec: passthrough with
-    resized=false, or NotImplementedError when strict=True (the plugin point
-    for PIL's Image.resize)."""
+    Compressed formats resize through the optional Pillow plugin when
+    importable (codecs.pillow_image_resizer); otherwise passthrough with
+    resized=false, or NotImplementedError when strict=True."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from enterprise_warp_spark.pipeline import codecs
+
+        opt = decoders if decoders is not None else codecs.optional_decoders()
 
         def one(row: pd.Series) -> tuple[bytes, int, int, bool]:
             payload = row["payload"]
@@ -210,6 +234,11 @@ def resize_images(media: DataFrame, width: int, height: int, strict: bool = Fals
             if codecs.DECODABLE_MIMES.get(row["mime"]) == "pnm":
                 resized = codecs.resize_nearest(codecs.decode_ppm(payload), width, height)
                 return codecs.encode_ppm(resized), width, height, True
+            if row["mime"] in codecs.OPTIONAL_IMAGE_MIMES and opt.get("image_resize"):
+                try:
+                    return opt["image_resize"](payload, width, height), width, height, True
+                except Exception:
+                    pass  # undecodable bytes: passthrough / strict below
             if strict:
                 raise NotImplementedError(
                     f"mime {row['mime']!r} needs an external codec (PIL plugin point)"

@@ -136,21 +136,31 @@ def gwb_hd_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH r AS (
       SELECT 'J' || CAST(user_id % 3 AS VARCHAR) AS psr,
-             CAST(((value - 49.6) * 0.02) * ((value - 49.6) * 0.02) AS DECIMAL(20,8)) AS t2
+             CAST(((value - 49.6) * 0.02) * ((value - 49.6) * 0.02) AS DECIMAL(20,8)) AS t2,
+             CAST((value - 49.6) * 0.02 AS DECIMAL(20,8)) AS t1
       FROM events
     )
     SELECT psr, COUNT(*) AS n_toa,
            ROUND(CAST(SUM(t2) AS DOUBLE), 6) AS rtn_r,
            ROUND(-0.5 * (CAST(SUM(t2) AS DOUBLE)
                          + COUNT(*) * LN(1e-12)
-                         + COUNT(*) * LN(2 * PI())), 6) AS lnl_white
+                         + COUNT(*) * LN(2 * PI())), 6) AS lnl_white,
+           ROUND(-0.5 * (CAST(SUM(t2) AS DOUBLE)
+                         - CAST(SUM(t1) AS DOUBLE) * CAST(SUM(t1) AS DOUBLE) / COUNT(*)
+                         + COUNT(*) * LN(1e-12)
+                         + LN(COUNT(*) * 1e12)
+                         + COUNT(*) * LN(2 * PI())), 6) AS lnl_tm_offset
     FROM r GROUP BY psr
     """,
     doc="F10 SQL slice — the white-noise half of the GP-marginalized "
     "likelihood on the same synthetic residuals the kernel gates use: "
     "rtn_r = r^T N^-1 r and lnl = -1/2(rtn_r + logdet N + n ln 2pi) with "
-    "diagonal N = sigma^2 = 1e-12 (gp.py:133-159 with phi -> 0). Exact "
-    "decimal sum of the per-row quadratic terms makes the reduction "
+    "diagonal N = sigma^2 = 1e-12 (gp.py:133-159 with phi -> 0); plus the "
+    "tm: fast (MarginalizingTimingModel) value for the m=1 OFFSET design "
+    "column, whose infinite-prior projection has the closed form "
+    "rCr - (sum r/s^2)^2 / sum(1/s^2) and logdet += ln(sum 1/s^2) "
+    "(likelihood/gp.py _lnlike_one n_inf path; functions/timingmodel.py). "
+    "Exact decimal sums of the per-row terms keep both reductions "
     "order-independent across engines.",
 )
 def gp_whitened_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,77 +173,146 @@ def gp_whitened_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized by the synthetic mapping as residual_s / toa_err_s
     t = (F.col("residual_s") / F.col("toa_err_s"))
     t2 = (t * t).cast(DecimalType(20, 8))
+    t1 = t.cast(DecimalType(20, 8))
     n = F.count(F.lit(1))
     rtn = F.sum(t2).cast("double")
+    s1 = F.sum(t1).cast("double")
     return res.groupBy("psr").agg(
         n.alias("n_toa"),
         F.round(rtn, 6).alias("rtn_r"),
         F.round(
             -0.5 * (rtn + n * math.log(1e-12) + n * math.log(2.0 * math.pi)), 6
         ).alias("lnl_white"),
+        # M = [1] (offset), sigma = 1e-6: u_M = 1e12 sum r, S_MM = n 1e12;
+        # the n_inf Woodbury collapses to the scalar projection below
+        F.round(
+            -0.5
+            * (
+                rtn
+                - s1 * s1 / n
+                + n * math.log(1e-12)
+                + F.log(n * 1e12)
+                + n * math.log(2.0 * math.pi)
+            ),
+            6,
+        ).alias("lnl_tm_offset"),
     )
 
 
 @register(
     "os_estimate_slice",
     """
-    WITH p AS (
-      SELECT a.s_suppkey AS a_k, b.s_suppkey AS b_k,
-             RADIANS(CAST((a.s_suppkey*37 + b.s_suppkey*53) % 179 + 1 AS DOUBLE)) AS zeta,
-             0.5 + ((a.s_suppkey*3 + b.s_suppkey) % 13) * 0.05 AS sig
-      FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WITH psr AS (SELECT s_suppkey AS p FROM supplier WHERE s_suppkey <= 30),
+    draws AS (SELECT n_nationkey AS d, 2.0 + 0.1*n_nationkey AS gamma FROM nation),
+    basis AS (
+      SELECT n_nationkey AS i, CEIL(n_nationkey/2.0)/315576000.0 AS f
+      FROM nation WHERE n_nationkey BETWEEN 1 AND 8
+    ),
+    ph AS (
+      SELECT d.d, b.i,
+             (1.0/(12.0*PI()*PI())) * POWER(1.0/(365.25*86400), -3.0)
+               * POWER(b.f/(1.0/(365.25*86400)), -d.gamma)
+               * (1.0/315576000.0) AS ph
+      FROM draws d CROSS JOIN basis b
+    ),
+    pos AS (
+      SELECT p,
+             SIN(RADIANS(CAST((p*97)%180 AS DOUBLE))) * COS(RADIANS(CAST((p*61)%360 AS DOUBLE))) AS x,
+             SIN(RADIANS(CAST((p*97)%180 AS DOUBLE))) * SIN(RADIANS(CAST((p*61)%360 AS DOUBLE))) AS y,
+             COS(RADIANS(CAST((p*97)%180 AS DOUBLE))) AS z
+      FROM psr
+    ),
+    pairs AS (SELECT a.p AS ap, b.p AS bp FROM psr a JOIN psr b ON a.p < b.p),
+    corr AS (
+      SELECT pr.ap, pr.bp, ph.d,
+             SUM(ph.ph * (((pr.ap*7 + ph.i*3) % 11 - 5) * 0.1)
+                       * (((pr.bp*7 + ph.i*3) % 11 - 5) * 0.1)) AS num,
+             SUM(ph.ph * ph.ph) AS norm
+      FROM pairs pr CROSS JOIN ph
+      GROUP BY pr.ap, pr.bp, ph.d
+    ),
+    geo AS (
+      SELECT pr.ap, pr.bp,
+             GREATEST((1.0 - (pa.x*pb.x + pa.y*pb.y + pa.z*pb.z)) / 2.0, 1e-15) AS xx
+      FROM pairs pr JOIN pos pa ON pa.p = pr.ap JOIN pos pb ON pb.p = pr.bp
     ),
     g AS (
-      SELECT a_k, b_k, sig,
-             1.5*x*LN(x) - 0.25*x + 0.5 AS orf,
-             ((a_k*7 + b_k) % 11 - 5) * 0.05 AS noise
-      FROM (SELECT *, GREATEST((1.0 - COS(zeta)) / 2.0, 1e-15) AS x FROM p)
-    ),
-    terms AS (
-      SELECT CAST((orf + noise) * orf / (sig * sig) AS DECIMAL(20,10)) AS num_t,
-             CAST(orf * orf / (sig * sig) AS DECIMAL(20,10)) AS den_t
-      FROM g
+      SELECT c.d, c.num/c.norm AS rho, POWER(c.norm, -0.5) AS sig,
+             1.5*geo.xx*LN(geo.xx) - 0.25*geo.xx + 0.5 AS orf
+      FROM corr c JOIN geo ON geo.ap = c.ap AND geo.bp = c.bp
     )
-    SELECT ROUND(CAST(SUM(num_t) AS DOUBLE) / CAST(SUM(den_t) AS DOUBLE), 9) AS a2_hat,
-           ROUND(POWER(CAST(SUM(den_t) AS DOUBLE), -0.5), 9) AS sig_os,
-           ROUND(CAST(SUM(num_t) AS DOUBLE) / CAST(SUM(den_t) AS DOUBLE)
-                 * POWER(CAST(SUM(den_t) AS DOUBLE), 0.5), 9) AS snr
-    FROM terms
+    SELECT CAST(d AS BIGINT) AS draw_id,
+           ROUND((SUM(rho*orf/(sig*sig)) / SUM(orf*orf/(sig*sig)))
+                 * POWER(SUM(orf*orf/(sig*sig)), 0.5), 6) AS snr,
+           ROUND(LN(POWER(SUM(orf*orf/(sig*sig)), -0.5)), 6) AS ln_sig_os
+    FROM g GROUP BY d
     """,
-    doc="F12 SQL slice — the optimal-statistic estimate (os_estimate, "
-    "analytics/optimal_statistic.py step 3): ORF-weighted inverse-variance "
-    "average A2_hat = sum(rho G / sig^2)/sum(G^2/sig^2), sig_OS = "
-    "sum(G^2/sig^2)^-1/2 over a deterministic synthetic pair table (rho = "
-    "HD(zeta) + noise). Exact decimal term sums keep the reduction "
-    "order-independent across engines.",
+    doc="A12/F12 end-to-end — the REAL marginalised_os kernel "
+    "(analytics/optimal_statistic.py: pair join + batched per-draw einsum + "
+    "per-draw ORF-weighted aggregate) over a deterministic reduced table "
+    "(identity S, closed-form u, 8-entry common basis, 25 posterior gamma "
+    "draws). With S = I the per-(pair, draw) correlation has the closed "
+    "forms num = sum_i ph_i u_a_i u_b_i and norm = sum_i ph_i^2, so the "
+    "whole draws x pairs x freq fan-out is exactly SQL-expressible and the "
+    "oracle checks the full A12 path, not a side computation. Outputs are "
+    "per-draw snr and ln(sig_os) (O(1) scales survive ROUND).",
 )
 def os_estimate_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.types import DecimalType
+    import math
 
-    from enterprise_warp_spark.functions.orf import hd_orf
+    import numpy as np
 
-    s = table(spark, sf_dir, "supplier").select("s_suppkey")
-    a = s.select(F.col("s_suppkey").alias("a_k"))
-    b = s.select(F.col("s_suppkey").alias("b_k"))
-    pairs = a.join(F.broadcast(b), F.col("a_k") < F.col("b_k"))
-    zeta = F.radians(((F.col("a_k") * 37 + F.col("b_k") * 53) % 179 + 1).cast("double"))
-    g = pairs.select(
-        hd_orf(zeta).alias("orf"),
-        (0.5 + ((F.col("a_k") * 3 + F.col("b_k")) % 13) * 0.05).alias("sig"),
-        (((F.col("a_k") * 7 + F.col("b_k")) % 11 - 5) * 0.05).alias("noise"),
+    from enterprise_warp_spark.analytics.optimal_statistic import marginalised_os
+
+    T = 315_576_000.0  # 10 yr
+    K = 4  # 2K = 8 basis entries
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 30)
+        .select("s_suppkey")
+        .toPandas()
     )
-    num_t = ((F.col("orf") + F.col("noise")) * F.col("orf") / (F.col("sig") * F.col("sig"))).cast(
-        DecimalType(20, 10)
+    ps = sorted(int(p) for p in sup["s_suppkey"])
+    f2 = np.repeat(np.arange(1, K + 1) / T, 2)
+    eye = np.eye(2 * K).ravel().tolist()
+    reduced = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "psr": [f"P{p:02d}" for p in ps],
+                "u": [
+                    [((p * 7 + i * 3) % 11 - 5) * 0.1 for i in range(1, 2 * K + 1)]
+                    for p in ps
+                ],
+                "s": [eye] * len(ps),
+                "f": [f2.tolist()] * len(ps),
+            }
+        )
     )
-    den_t = (F.col("orf") * F.col("orf") / (F.col("sig") * F.col("sig"))).cast(
-        DecimalType(20, 10)
+    positions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "psr": [f"P{p:02d}" for p in ps],
+                "pos": [
+                    [
+                        math.sin(math.radians((p * 97) % 180))
+                        * math.cos(math.radians((p * 61) % 360)),
+                        math.sin(math.radians((p * 97) % 180))
+                        * math.sin(math.radians((p * 61) % 360)),
+                        math.cos(math.radians((p * 97) % 180)),
+                    ]
+                    for p in ps
+                ],
+            }
+        )
     )
-    num = F.sum(num_t).cast("double")
-    den = F.sum(den_t).cast("double")
-    return g.agg(
-        F.round(num / den, 9).alias("a2_hat"),
-        F.round(F.pow(den, -0.5), 9).alias("sig_os"),
-        F.round(num / den * F.pow(den, 0.5), 9).alias("snr"),
+    draws = pd.DataFrame(
+        {"draw_id": range(25), "gamma": [2.0 + 0.1 * d for d in range(25)]}
+    )
+    per_draw = marginalised_os(reduced, positions, draws, orf="hd", tspan_s=T)
+    return per_draw.select(
+        "draw_id",
+        F.round("snr", 6).alias("snr"),
+        F.round(F.log("sig_os"), 6).alias("ln_sig_os"),
     )
 
 

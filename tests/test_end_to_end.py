@@ -3,6 +3,7 @@ sampled white noise) and §3.2 run_results_pipeline (run dirs -> analytics)."""
 
 import json
 import math
+import os
 
 import numpy as np
 import pytest
@@ -115,6 +116,73 @@ def test_results_pipeline(spark, run_dirs):
         assert len(paths) == 2
         doc = json.load(open(paths[0]))
         assert any("efac" in k for k in doc)
+
+
+def test_results_pipeline_cross_source(spark, run_dirs, tmp_path):
+    """§3.2 over a MIXED base dir — one PTMCMC chain dir and one bilby-result
+    dir side by side — in a single run_results_pipeline call: the per-dir
+    source dispatch (read_run_dir) feeds both through identical burn-in →
+    A4/A5/A6 stages, so every analytics output has the same schema and
+    carries both run_ids; K2 noise files emit for both (VERDICT r4 item 9)."""
+    import shutil
+
+    base = tmp_path / "mixed_base"
+    base.mkdir()
+    shutil.copytree(os.path.join(run_dirs, "0_J0437-4715"), base / "0_J0437-4715")
+    # bilby run dir in the public to_json layout, same parameter names
+    rng = np.random.default_rng(91)
+    n = 800
+    post = {
+        "J1909-3744_PDFB_20CM_efac": rng.normal(1.0, 0.05, n).tolist(),
+        "nmodel": rng.uniform(-0.4, 1.4, n).tolist(),
+        "log_likelihood": rng.normal(-100.0, 3.0, n).tolist(),
+        "log_prior": np.zeros(n).tolist(),
+    }
+    bdir = base / "bilby_J1909-3744"
+    bdir.mkdir()
+    (bdir / "dynesty_result.json").write_text(
+        json.dumps(
+            {
+                "label": "dynesty",
+                "parameter_labels": ["J1909-3744_PDFB_20CM_efac", "nmodel"],
+                "posterior": {
+                    "__dataframe__": True,
+                    "content": post,
+                },
+            }
+        )
+    )
+    from enterprise_warp_spark.analytics.results_pipeline import run_results_pipeline
+    from enterprise_warp_spark.sinks import write_noise_json_files
+
+    single = run_results_pipeline(spark, run_dirs)
+    mixed = run_results_pipeline(spark, str(base))
+    # identical analytics schemas regardless of source mix
+    for key in single:
+        assert mixed[key].schema == single[key].schema, key
+    runs = {
+        r["run_id"] for r in mixed["model_counts"].select("run_id").distinct().collect()
+    }
+    assert runs == {"0_J0437-4715", "bilby_J1909-3744"}
+    # burn-in applied to both sources (25% of 1200 / 800 dropped)
+    counts = {
+        r["run_id"]: r["n"]
+        for r in mixed["chains_long"]
+        .filter("par = 'nmodel'")
+        .groupBy("run_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {"0_J0437-4715": 900, "bilby_J1909-3744": 600}
+    levels = mixed["credible_levels"].filter(F.col("par").contains("efac")).collect()
+    assert len(levels) == 2
+    assert all(r["p16"] < r["p50"] < r["p84"] for r in levels)
+    # K2 emission covers both sources
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = write_noise_json_files(mixed["noise"], td)
+        assert len(paths) == 2
 
 
 def test_multi_component_kernel_matches_dense(spark):

@@ -240,3 +240,82 @@ def test_image_fingerprint_near_dups(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Optional-dependency codec plugins (Pillow / soundfile): both environments
+# must stay green — with the libs absent the resolvers return None and
+# compressed mimes keep the decoded=false stub; with a decoder present (the
+# injected fake stands in for a real install) the SAME rows flip to
+# decoded=true through the plugin interface.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_row(media_id=1):
+    # a payload with a JPEG mime; content is irrelevant for the stub path
+    return (media_id, "image", b"\xff\xd8\xe0" + bytes(range(64)), "image/jpeg",
+            8, 8, None, None)
+
+
+def test_optional_resolvers_import_gated():
+    from enterprise_warp_spark.pipeline import codecs
+
+    for resolver in (
+        codecs.pillow_image_decoder,
+        codecs.pillow_image_resizer,
+        codecs.soundfile_audio_decoder,
+    ):
+        dec = resolver()
+        assert dec is None or callable(dec)
+
+
+def test_compressed_mime_stub_without_plugins(spark):
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    media = spark.createDataFrame([_jpeg_row()], MEDIA_SCHEMA)
+    # force the no-plugins environment regardless of what's installed
+    row = extract_features(media, decoders={}).first()
+    assert row["decoded"] is False
+    assert row["feature_dim"] == 8
+
+
+def test_plugin_decoder_flips_decoded_true(spark):
+    from enterprise_warp_spark.pipeline.codecs import image_features
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    def fake_image_decoder(payload: bytes) -> np.ndarray:
+        # deterministic stand-in for PIL: gradient image from payload length
+        h = w = 8
+        g = (np.arange(h * w * 3, dtype=np.uint8) + len(payload)).reshape(h, w, 3)
+        return g
+
+    media = spark.createDataFrame([_jpeg_row()], MEDIA_SCHEMA)
+    row = extract_features(media, decoders={"image": fake_image_decoder}).first()
+    assert row["decoded"] is True
+    payload = _jpeg_row()[2]
+    assert row["feature"] == pytest.approx(image_features(fake_image_decoder(payload)))
+
+
+def test_plugin_resizer_flips_resized_true(spark):
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    def fake_resizer(payload: bytes, w: int, h: int) -> bytes:
+        return b"RSZ" + bytes([w, h]) + payload[:4]
+
+    media = spark.createDataFrame([_jpeg_row()], MEDIA_SCHEMA)
+    # absent plugins: passthrough, resized=false
+    plain = resize_images(media, 4, 4, decoders={}).first()
+    assert plain["resized"] is False
+    # injected plugin: resized=true with the plugin's bytes
+    got = resize_images(media, 4, 4, decoders={"image_resize": fake_resizer}).first()
+    assert got["resized"] is True
+    assert bytes(got["payload"]).startswith(b"RSZ\x04\x04")

@@ -130,3 +130,115 @@ def test_nfreqs_from_span(spark):
     )
     # round(T/60d - 1) = round(60.875 - 1) = 60
     assert row["nf"] == round(ten_years / (60 * 86400) - 1)
+
+
+def test_reduction_tm_projection_matches_kernel_shape(spark):
+    """per_pulsar_reduction(tm_specs=...) + gp_loglik_reduced equals the full
+    kernel with TMComponent('fast') up to a per-pulsar sample-independent
+    constant (the two paths scale M differently: t_scale columns vs 2-norm
+    normalization — exactly the TimingModel-vs-Marginalizing constant)."""
+    import math as _math
+
+    import pandas as pd
+
+    from enterprise_warp_spark.likelihood.gp import (
+        RedComponent,
+        TMComponent,
+        gp_loglik_per_pulsar,
+        gp_loglik_reduced,
+    )
+
+    rng = np.random.default_rng(67)
+    tspan = 8.0 * 365.25 * 86400.0
+    spec = (("offset",), ("spin", 1, 0.0), ("spin", 2, 0.0))
+    rows = []
+    for p in range(3):
+        n = 110 + 13 * p
+        t = np.sort(rng.uniform(0, tspan, n))
+        t[0], t[-1] = 0.0, tspan  # pin span == common tspan
+        r = rng.normal(0, 1e-6, n) + 2e-6 * (t / tspan) ** 2
+        rows += [
+            (f"J{p:02d}", float(ti), float(ri), 1e-6, 1.0, 0.0)
+            for ti, ri in zip(t, r)
+        ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double",
+    ).cache()
+    samples = pd.DataFrame(
+        {
+            "sample_id": range(4),
+            "log10_A": [-14.0, -13.5, -13.0, -12.5],
+            "gamma": [3.0, 4.0, 4.5, 5.0],
+        }
+    )
+    nf = 6
+    red = per_pulsar_reduction(res, nfreqs=nf, tspan_s=tspan, tm_specs=spec)
+    fast = {
+        (r["psr"], r["sample_id"]): r["lnl"]
+        for r in gp_loglik_reduced(red, samples, tspan).collect()
+    }
+    full = {
+        (r["psr"], r["sample_id"]): r["lnl"]
+        for r in gp_loglik_per_pulsar(
+            res,
+            samples,
+            nfreqs=nf,
+            components=(TMComponent(spec, mode="fast"), RedComponent(nfreqs=nf)),
+        ).collect()
+    }
+    assert set(fast) == set(full)
+    for psr in {k[0] for k in full}:
+        offs = [fast[(psr, s)] - full[(psr, s)] for s in range(4)]
+        for o in offs:
+            assert _math.isfinite(o)
+            # constant across samples at fp tolerance
+            assert abs(o - offs[0]) < 1e-6 * max(1.0, abs(offs[0])), (psr, offs)
+
+
+def test_reduction_tm_projection_kills_common_trend(spark):
+    """A pure spin-trend 'signal' (common quadratic in every pulsar) must
+    vanish from the cross-correlations once the reduction projects out the
+    timing model — the OS fidelity reason to project (real analyses fit M
+    away before correlating)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(71)
+    tspan = 8.0 * 365.25 * 86400.0
+    spec = (("offset",), ("spin", 1, 0.0), ("spin", 2, 0.0))
+    rows = []
+    for p in range(4):
+        n = 120
+        t = np.sort(rng.uniform(0, tspan, n))
+        t[0], t[-1] = 0.0, tspan
+        # identical trend in every pulsar + small white noise
+        r = 5e-6 * (t / tspan) ** 2 - 3e-6 * (t / tspan) + rng.normal(0, 2e-7, n)
+        rows += [
+            (f"J{p:02d}", float(ti), float(ri), 2e-7, 1.0, 0.0)
+            for ti, ri in zip(t, r)
+        ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double",
+    ).cache()
+    positions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "psr": [f"J{p:02d}" for p in range(4)],
+                "pos": [
+                    [1.0, 0.0, 0.0],
+                    [0.0, 1.0, 0.0],
+                    [0.0, 0.0, 1.0],
+                    [0.7071067811865476, 0.7071067811865476, 0.0],
+                ],
+            }
+        )
+    )
+    raw = per_pulsar_reduction(res, nfreqs=5, tspan_s=tspan)
+    proj = per_pulsar_reduction(res, nfreqs=5, tspan_s=tspan, tm_specs=spec)
+    rho_raw = [r["rho"] for r in pair_statistics(raw, positions, tspan_s=tspan).collect()]
+    rho_proj = [r["rho"] for r in pair_statistics(proj, positions, tspan_s=tspan).collect()]
+    # the shared trend correlates strongly pre-projection, ~vanishes after
+    assert max(abs(x) for x in rho_raw) > 50 * max(abs(x) for x in rho_proj)

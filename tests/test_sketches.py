@@ -130,3 +130,42 @@ def test_heavy_hitters_plan_never_shuffles_value_space(spark, sf_dir):
         exch_at = c.find("Exchange")
         assert scan_at != -1
         assert exch_at == -1 or scan_at < exch_at
+
+
+def test_heavy_hitters_adversarial_zipf_skew(spark):
+    """MG false-negative guarantee at adversarial skew (VERDICT r4 item 10):
+    a zipf-distributed value column with a long high-cardinality tail,
+    spread over MANY partitions so per-partition summaries see different
+    tails, must still report EVERY true heavy hitter as long as
+    capacity + 1 > 1/min_share — and the reported bounds must bracket the
+    true counts with total slack <= n_group / (capacity + 1)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(77)
+    n = 60_000
+    # zipf(1.3) truncated: head values huge, tail ~tens of thousands distinct
+    vals = np.minimum(rng.zipf(1.3, n), 200_000)
+    groups = rng.integers(0, 3, n)
+    pdf = pd.DataFrame({"g": groups, "v": vals})
+    df = spark.createDataFrame(pdf).repartition(32)  # many partial summaries
+
+    min_share, capacity = 0.02, 64  # capacity + 1 = 65 > 1/0.02 = 50
+    got = heavy_hitters(df, "g", "v", min_share=min_share, capacity=capacity)
+    by_gv = {(r["g"], r["v"]): r for r in got.collect()}
+
+    exact = pdf.groupby("g")["v"].value_counts()
+    n_g = pdf.groupby("g").size()
+    for (g, v), cnt in exact.items():
+        if cnt >= min_share * n_g[g]:
+            key = (str(g), str(v))
+            assert key in by_gv, f"false negative: {key} count={cnt}"
+            r = by_gv[key]
+            assert r["n_lower"] <= cnt <= r["n_upper"], (key, cnt, dict(r.asDict()))
+            assert r["n_upper"] - r["n_lower"] <= n_g[g] / (capacity + 1)
+    # capacity-vs-min_share guidance: the false-positive band is values in
+    # [min_share - 1/(capacity+1), min_share) — everything reported must at
+    # least clear the lower edge
+    for (g, v), r in by_gv.items():
+        true_cnt = exact.get((int(g), int(v)), 0)
+        assert true_cnt >= (min_share - 1.0 / (capacity + 1)) * n_g[int(g)] - 1
