@@ -38,7 +38,6 @@ crosses the wire.
 from __future__ import annotations
 
 import math
-import re
 
 import numpy as np
 

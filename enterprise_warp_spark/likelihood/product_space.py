@@ -35,7 +35,6 @@ numerically the pure-white likelihood, without a separate code path.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import pandas as pd

@@ -168,3 +168,80 @@ def test_gwb_with_intrinsic_noise_matches_dense(spark):
     sign, logdet = np.linalg.slogdet(C)
     want = -0.5 * (float(r @ np.linalg.solve(C, r)) + logdet + len(r) * math.log(2 * math.pi))
     assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_gwb_inject_recover_on_tm_projected_reduction(spark):
+    """The gwb kernel consumes per_pulsar_reduction output unchanged, so the
+    round-4 timing-model projection composes for free: HD inject-recover
+    still works when every pulsar also carries a (projected-out) spin trend."""
+    import numpy as np
+    import pandas as pd
+
+    from enterprise_warp_spark.analytics.optimal_statistic import (
+        per_pulsar_reduction,
+    )
+    from enterprise_warp_spark.likelihood.gp import powerlaw_phi
+    from enterprise_warp_spark.likelihood.gwb import gwb_loglik
+
+    rng = np.random.default_rng(97)
+    npsr, nf = 4, 5
+    tspan = 8.0 * 365.25 * 86400.0
+    pos = rng.normal(size=(npsr, 3))
+    pos /= np.linalg.norm(pos, axis=1)[:, None]
+    f = np.arange(1, nf + 1) / tspan
+    f2 = np.repeat(f, 2)
+    lga_true = -13.2
+    phi = powerlaw_phi(f2, np.full(2 * nf, 1.0 / tspan), lga_true, 13.0 / 3.0)
+    # HD-correlated coefficients across pulsars
+    def hd(zeta):
+        x = max((1.0 - math.cos(zeta)) / 2.0, 1e-15)
+        return 1.5 * x * math.log(x) - 0.25 * x + 0.5
+
+    orf = np.array(
+        [
+            [
+                1.0 if a == b
+                else hd(float(np.arccos(np.clip(pos[a] @ pos[b], -1, 1))))
+                for b in range(npsr)
+            ]
+            for a in range(npsr)
+        ]
+    )
+    L = np.linalg.cholesky(orf + 1e-10 * np.eye(npsr))
+    z = rng.normal(size=(npsr, 2 * nf))
+    coeffs = (L @ z) * np.sqrt(phi)[None, :]
+    rows = []
+    for p in range(npsr):
+        n = 140
+        t = np.sort(rng.uniform(0, tspan, n))
+        t[0], t[-1] = 0.0, tspan
+        arg = 2 * math.pi * np.outer(t, f)
+        Fm = np.empty((n, 2 * nf))
+        Fm[:, 0::2] = np.sin(arg)
+        Fm[:, 1::2] = np.cos(arg)
+        r = Fm @ coeffs[p] + rng.normal(0, 1e-7, n) + 4e-6 * (t / tspan) ** 2
+        rows += [
+            (f"J{p:02d}", float(ti), float(ri), 1e-7, 1.0, 0.0)
+            for ti, ri in zip(t, r)
+        ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double",
+    )
+    spec = (("offset",), ("spin", 1, 0.0), ("spin", 2, 0.0))
+    red = per_pulsar_reduction(res, nfreqs=nf, tspan_s=tspan, tm_specs=spec)
+    positions = spark.createDataFrame(
+        pd.DataFrame(
+            {"psr": [f"J{p:02d}" for p in range(npsr)], "pos": [x.tolist() for x in pos]}
+        )
+    )
+    grid = np.linspace(-14.2, -12.2, 9)
+    samples = spark.createDataFrame(
+        pd.DataFrame(
+            {"sample_id": range(len(grid)), "gw_log10_A": grid, "gw_gamma": 13.0 / 3.0}
+        )
+    )
+    out = gwb_loglik(red, positions, samples, tspan).toPandas()
+    best = float(grid[out.set_index("sample_id")["lnl"].idxmax()])
+    assert abs(best - lga_true) <= 0.5, best

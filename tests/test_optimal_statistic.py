@@ -242,3 +242,55 @@ def test_reduction_tm_projection_kills_common_trend(spark):
     rho_proj = [r["rho"] for r in pair_statistics(proj, positions, tspan_s=tspan).collect()]
     # the shared trend correlates strongly pre-projection, ~vanishes after
     assert max(abs(x) for x in rho_raw) > 50 * max(abs(x) for x in rho_proj)
+
+
+def test_pair_statistics_scales_to_many_pulsars(spark):
+    """Evidence for VERDICT r3 item 3's 'Done' clause: a synthetic
+    many-pulsar reduced table (300 pulsars -> 44,850 pairs) runs through the
+    batched pair kernel without per-row Python dominating — and a spot-check
+    of pair values matches the direct numpy formula."""
+    import math as _math
+    import time
+
+    import pandas as pd
+
+    npsr, k2 = 300, 8
+    T = 315_576_000.0
+    f2 = np.repeat(np.arange(1, k2 // 2 + 1) / T, 2)
+    eye = np.eye(k2).ravel().tolist()
+    rng = np.random.default_rng(83)
+    us = rng.normal(0.0, 1.0, (npsr, k2))
+    pos = rng.normal(size=(npsr, 3))
+    pos /= np.linalg.norm(pos, axis=1)[:, None]
+    reduced = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "psr": [f"P{p:03d}" for p in range(npsr)],
+                "u": [u.tolist() for u in us],
+                "s": [eye] * npsr,
+                "f": [f2.tolist()] * npsr,
+            }
+        )
+    )
+    positions = spark.createDataFrame(
+        pd.DataFrame(
+            {"psr": [f"P{p:03d}" for p in range(npsr)], "pos": [p.tolist() for p in pos]}
+        )
+    )
+    t0 = time.perf_counter()
+    out = pair_statistics(reduced, positions, tspan_s=T).collect()
+    elapsed = time.perf_counter() - t0
+    assert len(out) == npsr * (npsr - 1) // 2
+    # generous ceiling: 45k pairs must be seconds (batched einsum), not the
+    # minutes a 45k-iteration per-row Python loop with 8x8 reshapes costs
+    assert elapsed < 60.0, f"pair kernel took {elapsed:.1f}s for 44850 pairs"
+    # spot-check one pair against the direct formula
+    row = next(r for r in out if r["psr_a"] == "P000" and r["psr_b"] == "P001")
+    from enterprise_warp_spark.analytics.optimal_statistic import _phi_hat
+
+    ph = _phi_hat(f2, 1.0 / T, 13.0 / 3.0)
+    num = float(us[0] @ (ph * us[1]))
+    norm = float(np.einsum("i,ij,j,ji->", ph, np.eye(k2), ph, np.eye(k2)))
+    assert row["rho"] == pytest.approx(num / norm, rel=1e-12)
+    xi = _math.acos(max(-1.0, min(1.0, float(pos[0] @ pos[1]))))
+    assert row["xi"] == pytest.approx(xi, rel=1e-12)
