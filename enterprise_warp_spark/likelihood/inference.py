@@ -228,14 +228,21 @@ def run_adaptive_inference(
     seed: int = 42,
     fixed: dict[str, float] | None = None,
     backends: list[str] | None = None,
+    tm: TMComponent | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """§3.1 with adaptive refinement: rounds of (sample -> score -> re-center)
     recover higher-dimensional posteriors that one naive prior round cannot
     (the reference's MCMC explores sequentially; this explores in parallel
-    waves). Deterministic given the seed."""
+    waves). Deterministic given the seed. tm: as in run_inference."""
     from enterprise_warp_spark.likelihood.sampling import adaptive_posterior
 
     priors, comps = compile_priors_and_components(model_rows, fixed, nfreqs, backends)
+    if tm is not None:
+        comps = (*comps, tm) if comps else (RedComponent(nfreqs=nfreqs), tm)
+        if tm.mode == "ridge" and not any(
+            p.name == "tm_log10_variance" for p in priors
+        ):
+            priors.append(Prior("tm_log10_variance", "uniform", -20.0, -10.0))
 
     def score(samples_df: DataFrame) -> DataFrame:
         pdf = samples_df.toPandas()

@@ -198,3 +198,34 @@ def test_trade_stats_broadcasts_dims(spark, sf001):
     p = plan(REGISTRY["q7_q8_q10_trade_stats"].spark(spark, sf001))
     assert p.count("BroadcastHashJoin") >= 6  # cn, s, sn in q7/q8 spine + q10 cn
     assert "CartesianProduct" not in p
+
+
+def test_hypermodel_resample_never_single_partition(spark):
+    """The distributed systematic resample (product_space.hypermodel_sample)
+    must do its prefix sums with chunk-partitioned windows — a refactor back
+    to one global window would serialize the whole chain through a
+    SinglePartition exchange."""
+    import json
+
+    import numpy as np
+
+    from enterprise_warp_spark.likelihood.product_space import hypermodel_sample
+
+    rng = np.random.default_rng(3)
+    rows = [
+        ("J1", float(t), float(rng.normal(0, 1e-6)), 1e-6, 1.0, 0.0)
+        for t in np.sort(rng.uniform(0, 2.5e8, 60))
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double",
+    )
+    models = {
+        0: [],
+        1: [{"signal": "spin_noise", "option_json": json.dumps("powerlaw_4_nfreqs")}],
+    }
+    chain, _ = hypermodel_sample(spark, res, models, n_samples=64, nfreqs=4, seed=5)
+    p = plan(chain, "simple")
+    assert "SinglePartition" not in p, p
+    assert "Window" in p  # the per-chunk cumsum is still a window, sharded

@@ -413,3 +413,33 @@ def test_offset_tm_closed_form_matches_kernel():
         + n * math.log(2.0 * math.pi)
     )
     assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_run_adaptive_inference_accepts_tm(spark):
+    """run_adaptive_inference wires the tm option like run_inference (ridge
+    adds the sampled tm_log10_variance dimension)."""
+    import json
+
+    from enterprise_warp_spark.likelihood.inference import run_adaptive_inference
+
+    rng = np.random.default_rng(5)
+    rows = [
+        ("J1", float(t), float(rng.normal(0, 1e-6)), 1e-6, 1.0, 0.0)
+        for t in np.sort(rng.uniform(0, 2.5e8, 80))
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double",
+    )
+    model_rows = [
+        {"signal": "spin_noise", "option_json": json.dumps("powerlaw_4_nfreqs")}
+    ]
+    spec = (("offset",), ("spin", 1, 0.0))
+    scored, summary = run_adaptive_inference(
+        spark, res, model_rows, rounds=2, n_per_round=48, nfreqs=4, seed=9,
+        tm=TMComponent(spec, mode="ridge"),
+    )
+    row = summary.first()
+    assert "tm_log10_variance_map" in row.asDict()
+    assert math.isfinite(row["tm_log10_variance_map"])
