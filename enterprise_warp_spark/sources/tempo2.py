@@ -63,6 +63,34 @@ def general2_to_df(
     return spark.createDataFrame(pd.DataFrame(rows, columns=fields))
 
 
+def residuals_from_general2(
+    g2: DataFrame,
+    psr: str,
+    bat_mjd0: float = 0.0,
+    residual_col: str = "post",
+    err_scale: float = 1e-6,
+) -> DataFrame:
+    """Bridge general2 noise-reconstruction rows into the GP kernel's
+    residual schema (gp.RESIDUAL_COLS + freq_mhz): bat MJD -> seconds
+    relative to ``bat_mjd0`` (use PEPOCH so timing-model specs line up),
+    post-fit residual seconds from ``residual_col`` ('post' or the
+    noise-subtracted 'posttn'), err µs -> seconds. This is the §3.1
+    raw-data path: tempo2 fits the nonlinear timing solution, the engine's
+    TMComponent marginalizes the remaining LINEAR fit uncertainty, and the
+    same rows feed likelihood/gp and the OS reduction unchanged."""
+    from pyspark.sql import functions as F
+
+    return g2.select(
+        F.lit(psr).alias("psr"),
+        ((F.col("bat") - F.lit(bat_mjd0)) * 86400.0).alias("toa_s"),
+        F.col(residual_col).cast("double").alias("residual_s"),
+        (F.col("err") * F.lit(err_scale)).alias("toa_err_s"),
+        F.lit(1.0).alias("efac"),
+        F.lit(0.0).alias("equad"),
+        F.col("freq").alias("freq_mhz"),
+    )
+
+
 def run_tempo2_prediction(
     spark: SparkSession,
     par: str,

@@ -190,3 +190,78 @@ def test_repetition_metrics_match_counter_property(spark, docs):
         bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         top_b = max(Counter(bigs).values()) if bigs else 0
         assert got[i]["top_bigram_share"] == round(top_b / max(len(bigs), 1), 6)
+
+
+@given(
+    fit_spin=st.lists(st.booleans(), min_size=1, max_size=4),
+    fit_dm=st.lists(st.booleans(), min_size=0, max_size=3),
+    pos=st.booleans(),
+    pm=st.booleans(),
+    px=st.booleans(),
+    n_jumps=st.integers(min_value=0, max_value=4),
+)
+@SLOW
+def test_tm_spec_parse_matches_par_fit_flags(
+    tmp_path_factory, fit_spin, fit_dm, pos, pm, px, n_jumps
+):
+    """Property: tm_spec_from_par_file emits exactly one column group per
+    fit-flagged parameter family, for arbitrary fit-flag combinations."""
+    from enterprise_warp_spark.functions.timingmodel import tm_spec_from_par_file
+
+    d = tmp_path_factory.mktemp("par")
+    lines = ["PSRJ\tJ0000+0000", "PEPOCH\t57000"]
+    for k, fit in enumerate(fit_spin):
+        lines.append(f"F{k}\t{1.0 + k}\t{1 if fit else 0}")
+    for k, fit in enumerate(fit_dm):
+        name = "DM" if k == 0 else f"DM{k}"
+        lines.append(f"{name}\t{10.0 + k}\t{1 if fit else 0}")
+    if pos:
+        lines.append("RAJ\t01:02:03.4\t1")
+    if pm:
+        lines.append("PMRA\t-3.0\t1")
+    if px:
+        lines.append("PX\t0.5\t1")
+    for j in range(n_jumps):
+        lines.append(f"JUMP -g SYS{j} 1e-6 1")
+    p = d / "x.par"
+    p.write_text("\n".join(lines) + "\n")
+    spec = tm_spec_from_par_file(str(p))
+    kinds = [e[0] for e in spec]
+    assert kinds.count("offset") == 1
+    assert kinds.count("spin") == sum(fit_spin)
+    assert kinds.count("dm") == sum(fit_dm)
+    assert kinds.count("harm") == 2 * (int(pos) + int(pm) + int(px))
+    assert kinds.count("jump") == n_jumps
+    # spin orders are 1-based powers matching the fit F(k-1) rows, ascending
+    spins = [e[1] for e in spec if e[0] == "spin"]
+    assert spins == sorted(spins)
+
+
+@given(
+    n=st.integers(min_value=8, max_value=60),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@SLOW
+def test_design_matrix_invariants(n, seed):
+    """Properties: normalized columns have unit 2-norm; t_scale changes only
+    column scales (same span: WLS projection of any vector is identical);
+    fit_residuals is an idempotent projection."""
+    import numpy as np
+
+    from enterprise_warp_spark.functions.timingmodel import (
+        design_matrix,
+        fit_residuals,
+    )
+
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(-1e8, 1e8, n))
+    spec = (("offset",), ("spin", 1, 0.0), ("spin", 2, 0.0), ("harm", 1.0, "sin", 0))
+    M = design_matrix(spec, t)
+    assert np.allclose(np.linalg.norm(M, axis=0), 1.0)
+    M_scaled = design_matrix(spec, t, normalize=False, t_scale=1e8)
+    y = rng.normal(0, 1.0, n)
+    r1 = fit_residuals(M, y)
+    r2 = fit_residuals(M_scaled, y)
+    assert np.allclose(r1, r2, atol=1e-8 * max(1.0, np.abs(y).max()))
+    # idempotent: projecting the residual again changes nothing
+    assert np.allclose(fit_residuals(M, r1), r1, atol=1e-10)

@@ -243,3 +243,35 @@ def test_tempo2_disabled_by_default(spark):
 
     with _pytest.raises(RuntimeError, match="disabled"):
         run_tempo2_prediction(spark, "x.par", "x.tim")
+
+
+def test_tempo2_residual_bridge_feeds_gp_kernel(spark):
+    """general2 output -> residuals_from_general2 -> GP kernel: the §3.1
+    raw-data path composes end-to-end on the golden stdout fixture."""
+    import pandas as pd
+
+    from enterprise_warp_spark.likelihood.gp import (
+        RedComponent,
+        gp_loglik_per_pulsar,
+    )
+    from enterprise_warp_spark.sources.tempo2 import (
+        general2_to_df,
+        parse_general2_output,
+        residuals_from_general2,
+    )
+
+    g2 = general2_to_df(spark, parse_general2_output(CANNED_TEMPO2_STDOUT))
+    res = residuals_from_general2(g2, "J0000+0000", bat_mjd0=53000.0, err_scale=1.0)
+    rows = res.orderBy("toa_s").collect()
+    assert [r["toa_s"] for r in rows] == [0.5 * 86400.0, 1.5 * 86400.0, 2.5 * 86400.0]
+    assert rows[0]["residual_s"] == 1.2e-06
+    assert rows[0]["toa_err_s"] == 0.9e-06
+    assert rows[2]["freq_mhz"] == 3100.0
+    samples = pd.DataFrame({"sample_id": [0], "log10_A": [-14.0], "gamma": [4.0]})
+    lnl = gp_loglik_per_pulsar(res, samples, nfreqs=1).first()["lnl"]
+    assert lnl == lnl  # finite, not NaN
+    # the noise-subtracted column selects posttn instead
+    res_tn = residuals_from_general2(
+        g2, "J0000+0000", bat_mjd0=53000.0, residual_col="posttn", err_scale=1.0
+    )
+    assert res_tn.orderBy("toa_s").first()["residual_s"] == 1.1e-06
