@@ -46,6 +46,7 @@ def per_pulsar_reduction(
     tspan_s: float,
     n_chunks: int | None = None,
     tm_specs=None,
+    ecorr_col: str | None = None,
 ) -> DataFrame:
     """-> (psr, u ARRAY<DOUBLE>[2k], s ARRAY<DOUBLE>[2k*2k], f ARRAY<DOUBLE>[2k]).
 
@@ -75,6 +76,21 @@ def per_pulsar_reduction(
     chunk-parallel (M is built per chunk from fixed specs with
     chunk-independent t_scale scaling, never normalized per chunk).
     Globally-empty jump columns are dropped at merge time.
+
+    ecorr_col: name of a column holding each row's FIXED ECORR amplitude in
+    seconds (F11's epoch-correlated white noise with amplitudes bound from
+    noise files, the reference's OS configuration — results.py rebuilds the
+    PTA with the noise dictionary applied). Requires an `epoch_id` column;
+    rows sharing (psr, epoch_id) form one correlated block N_e = D_e +
+    ec^2 1 1^T, applied EXACTLY via a per-epoch Sherman-Morrison rank-1
+    correction to every accumulated quantity:
+
+        alpha_e = ec^2 / (1 + ec^2 sum(1/d_i))
+        u -= alpha_e (1^T D^-1 r) W^T D^-1 1     (and S, rtn analogously)
+        logdet += log(1 + ec^2 sum(1/d_i))
+
+    Corrections are associative over epochs, so the pass stays two-phase —
+    chunking switches to hash(epoch_id) so no epoch straddles chunks.
     """
     from enterprise_warp_spark.functions.timingmodel import (
         design_matrix,
@@ -124,14 +140,35 @@ def per_pulsar_reduction(
         ninv_F = Fmat / ndiag[:, None]
         u = Fmat.T @ (r / ndiag)
         S = Fmat.T @ ninv_F
+        rtn = float(r @ (r / ndiag))
+        logdet = float(np.sum(np.log(ndiag)))
+        if ecorr_col is not None and "epoch_id" in pdf.columns:
+            # fixed-ECORR blocks: exact Sherman-Morrison per epoch
+            epochs = pdf["epoch_id"].to_numpy()
+            ecs = pdf[ecorr_col].to_numpy()
+            dinv = 1.0 / ndiag
+            for e in pd.unique(epochs):
+                sel = epochs == e
+                ec = float(ecs[sel][0])
+                if not (ec > 0.0):
+                    continue
+                ec2 = ec * ec
+                s_e = float(dinv[sel].sum())
+                alpha = ec2 / (1.0 + ec2 * s_e)
+                v = Fmat[sel].T @ dinv[sel]  # W^T D^-1 1 over the block
+                c = float(r[sel] @ dinv[sel])
+                u -= alpha * c * v
+                S -= alpha * np.outer(v, v)
+                rtn -= alpha * c * c
+                logdet += math.log1p(ec2 * s_e)
         return pd.DataFrame(
             {
                 "psr": [pdf["psr"].iloc[0]],
                 "u": [u.tolist()],
                 "s": [S.ravel().tolist()],
                 "f": [np.repeat(f, 2).tolist()],
-                "rtn_r": [float(r @ (r / ndiag))],
-                "logdet_n": [float(np.sum(np.log(ndiag)))],
+                "rtn_r": [rtn],
+                "logdet_n": [logdet],
                 "n_toa": [int(len(r))],
                 "m": [m],
             }
@@ -173,10 +210,14 @@ def per_pulsar_reduction(
             }
         )
 
+    # ECORR blocks must not straddle chunks: chunk whole epochs together
+    chunk_expr = (
+        F.pmod(F.hash("epoch_id"), F.lit(n_chunks))
+        if ecorr_col is not None
+        else F.pmod(F.hash("toa_s", "residual_s"), F.lit(n_chunks))
+    )
     partials = (
-        residuals.withColumn(
-            "_chunk", F.pmod(F.hash("toa_s", "residual_s"), F.lit(n_chunks))
-        )
+        residuals.withColumn("_chunk", chunk_expr)
         .groupBy("psr", "_chunk")
         .applyInPandas(partial_kernel, partial_schema)
     )

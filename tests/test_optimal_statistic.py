@@ -294,3 +294,151 @@ def test_pair_statistics_scales_to_many_pulsars(spark):
     assert row["rho"] == pytest.approx(num / norm, rel=1e-12)
     xi = _math.acos(max(-1.0, min(1.0, float(pos[0] @ pos[1]))))
     assert row["xi"] == pytest.approx(xi, rel=1e-12)
+
+
+def test_reduction_fixed_ecorr_matches_dense_and_kernel(spark):
+    """Fixed-ECORR blocks in the reduction (per-epoch Sherman-Morrison) must
+    equal BOTH the dense block-covariance likelihood and the per-pulsar
+    kernel's ECORR-as-extra-basis path at the same fixed amplitude."""
+    import math as _math
+
+    import pandas as pd
+
+    from enterprise_warp_spark.likelihood.gp import (
+        gp_loglik_per_pulsar,
+        gp_loglik_reduced,
+        powerlaw_phi,
+    )
+
+    rng = np.random.default_rng(101)
+    tspan = 6.0 * 365.25 * 86400.0
+    nf = 4
+    n = 90
+    ec = 4e-7
+    t = np.sort(rng.uniform(0, tspan, n))
+    t[0], t[-1] = 0.0, tspan
+    epochs = np.digitize(t, np.linspace(0, tspan, 16))  # ~15 epoch blocks
+    sig = rng.uniform(3e-7, 1.2e-6, n)
+    r = rng.normal(0, 1e-6, n)
+    rows = [
+        ("J1", float(t[i]), float(r[i]), float(sig[i]), 1.0, 0.0,
+         int(epochs[i]), float(ec))
+        for i in range(n)
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, epoch_id int, ecorr double",
+    ).cache()
+    samples = pd.DataFrame(
+        {"sample_id": [0, 1], "log10_A": [-13.4, -12.9], "gamma": [4.0, 3.1]}
+    )
+    red = per_pulsar_reduction(
+        res, nfreqs=nf, tspan_s=tspan, ecorr_col="ecorr"
+    )
+    got = {
+        r_["sample_id"]: r_["lnl"]
+        for r_ in gp_loglik_reduced(red, samples, tspan).collect()
+    }
+
+    # dense oracle: C = D + ec^2 sum_e 1_e 1_e^T + F phi F^T
+    order = np.argsort(t)
+    ts, rs, ss, es = t[order], r[order], sig[order], epochs[order]
+    Nb = np.diag(ss**2)
+    for e in np.unique(es):
+        mask = (es == e).astype(float)
+        Nb += ec * ec * np.outer(mask, mask)
+    f = np.arange(1, nf + 1) / tspan
+    arg = 2 * _math.pi * np.outer(ts, f)
+    Fm = np.empty((n, 2 * nf))
+    Fm[:, 0::2] = np.sin(arg)
+    Fm[:, 1::2] = np.cos(arg)
+    for sid, lga, gam in samples.itertuples(index=False):
+        phi = powerlaw_phi(np.repeat(f, 2), np.full(2 * nf, 1.0 / tspan), lga, gam)
+        C = Nb + Fm @ np.diag(phi) @ Fm.T
+        sign, logdet = np.linalg.slogdet(C)
+        assert sign > 0
+        want = -0.5 * (
+            float(rs @ np.linalg.solve(C, rs)) + logdet + n * _math.log(2 * _math.pi)
+        )
+        assert got[sid] == pytest.approx(want, rel=1e-9), sid
+
+    # kernel parity: ECORR as U-basis columns with pinned fixed amplitude
+    kern = {
+        r_["sample_id"]: r_["lnl"]
+        for r_ in gp_loglik_per_pulsar(
+            res,
+            samples.assign(log10_ecorr=np.log10(ec)),
+            nfreqs=nf,
+        ).collect()
+    }
+    for sid in got:
+        assert got[sid] == pytest.approx(kern[sid], rel=1e-9), sid
+
+
+def test_reduction_ecorr_composes_with_tm_projection(spark):
+    """ECORR blocks + timing-model projection in one reduction equal the
+    dense block-N M-projection oracle."""
+    import math as _math
+
+    import pandas as pd
+
+    from enterprise_warp_spark.functions.timingmodel import design_matrix
+    from enterprise_warp_spark.likelihood.gp import (
+        gp_loglik_reduced,
+        powerlaw_phi,
+    )
+
+    rng = np.random.default_rng(103)
+    tspan = 6.0 * 365.25 * 86400.0
+    nf, n, ec = 3, 70, 5e-7
+    t = np.sort(rng.uniform(0, tspan, n))
+    t[0], t[-1] = 0.0, tspan
+    epochs = np.digitize(t, np.linspace(0, tspan, 11))
+    sig = np.full(n, 5e-7)
+    r = rng.normal(0, 1e-6, n) + 3e-6 * (t / tspan)
+    rows = [
+        ("J1", float(t[i]), float(r[i]), float(sig[i]), 1.0, 0.0,
+         int(epochs[i]), float(ec))
+        for i in range(n)
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, epoch_id int, ecorr double",
+    )
+    spec = (("offset",), ("spin", 1, 0.0))
+    samples = pd.DataFrame({"sample_id": [0], "log10_A": [-13.2], "gamma": [3.8]})
+    red = per_pulsar_reduction(
+        res, nfreqs=nf, tspan_s=tspan, tm_specs=spec, ecorr_col="ecorr"
+    )
+    got = gp_loglik_reduced(red, samples, tspan).first()["lnl"]
+
+    order = np.argsort(t)
+    ts, rs, es = t[order], r[order], epochs[order]
+    Nb = np.diag(np.full(n, sig[0] ** 2))
+    for e in np.unique(es):
+        mask = (es == e).astype(float)
+        Nb += ec * ec * np.outer(mask, mask)
+    M = design_matrix(spec, ts, normalize=False, t_scale=tspan)
+    f = np.arange(1, nf + 1) / tspan
+    arg = 2 * _math.pi * np.outer(ts, f)
+    Fm = np.empty((n, 2 * nf))
+    Fm[:, 0::2] = np.sin(arg)
+    Fm[:, 1::2] = np.cos(arg)
+    phi = powerlaw_phi(np.repeat(f, 2), np.full(2 * nf, 1.0 / tspan), -13.2, 3.8)
+    C = Nb + Fm @ np.diag(phi) @ Fm.T
+    Cinv_r = np.linalg.solve(C, rs)
+    Cinv_M = np.linalg.solve(C, M)
+    MCM = M.T @ Cinv_M
+    x = M.T @ Cinv_r
+    sign, logdet_c = np.linalg.slogdet(C)
+    sign_m, logdet_m = np.linalg.slogdet(MCM)
+    want = -0.5 * (
+        float(rs @ Cinv_r)
+        - float(x @ np.linalg.solve(MCM, x))
+        + logdet_c
+        + logdet_m
+        + n * _math.log(2 * _math.pi)
+    )
+    assert got == pytest.approx(want, rel=1e-9)
