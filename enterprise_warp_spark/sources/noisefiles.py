@@ -39,6 +39,61 @@ def filter_for_pulsars(noise: DataFrame, pulsars: DataFrame) -> DataFrame:
     ).drop("want")
 
 
+def apply_noise_dict(residuals: DataFrame, noise: DataFrame) -> DataFrame:
+    """Apply a noise dictionary DISTRIBUTEDLY — the reference's 'rebuild the
+    PTA with the noise dictionary applied' step (the OS flow takes noise
+    parameters from the posterior/noise files before correlating,
+    results.py:710-734) as a broadcast column join instead of a driver dict:
+
+      noise rows (read_noise_files) -> pivot to one row per (psr, backend)
+      with efac / log10_equad / log10_ecorr -> broadcast-join on the
+      residual rows' (psr, backend) -> COALESCE onto the efac/equad data
+      columns (existing values kept where unbound) + an `ecorr` seconds
+      column ready for per_pulsar_reduction(ecorr_col='ecorr').
+
+    The noise side is tiny (one row per pulsar-backend) — always broadcast;
+    the TOA side is never reshuffled.
+    """
+    parsed = noise.withColumn(
+        "rest", F.expr("substring(key, length(psr) + 2)")
+    )
+    per = (
+        parsed.withColumn(
+            "param",
+            F.when(F.col("rest").endswith("_log10_equad"), "log10_equad")
+            .when(F.col("rest").endswith("_log10_ecorr"), "log10_ecorr")
+            .when(F.col("rest").endswith("_efac"), "efac"),
+        )
+        .filter(F.col("param").isNotNull())
+        .withColumn(
+            "backend",
+            F.expr("substring(rest, 1, length(rest) - length(param) - 1)"),
+        )
+        .groupBy("psr", "backend")
+        .pivot("param", ["efac", "log10_equad", "log10_ecorr"])
+        .agg(F.first("value"))
+        .withColumnRenamed("efac", "nf_efac")
+        .withColumnRenamed("log10_equad", "nf_log10_equad")
+        .withColumnRenamed("log10_ecorr", "nf_log10_ecorr")
+    )
+    out = residuals.join(F.broadcast(per), ["psr", "backend"], "left")
+    return (
+        out.withColumn("efac", F.coalesce(F.col("nf_efac"), F.col("efac")))
+        .withColumn(
+            "equad",
+            F.coalesce(F.pow(F.lit(10.0), F.col("nf_log10_equad")), F.col("equad")),
+        )
+        .withColumn(
+            "ecorr",
+            F.coalesce(
+                F.pow(F.lit(10.0), F.col("nf_log10_ecorr")),
+                F.col("ecorr") if "ecorr" in residuals.columns else F.lit(0.0),
+            ),
+        )
+        .drop("nf_efac", "nf_log10_equad", "nf_log10_ecorr")
+    )
+
+
 def white_noise_constants(noise: DataFrame, psr: str) -> dict[str, float]:
     """O2/F16 — turn PAL2 noise-file rows into the kernel's `fixed` dict:
     '<PSR>_<BACKEND>_efac' -> efac_<BACKEND>, '..._log10_equad' ->

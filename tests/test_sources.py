@@ -275,3 +275,67 @@ def test_tempo2_residual_bridge_feeds_gp_kernel(spark):
         g2, "J0000+0000", bat_mjd0=53000.0, residual_col="posttn", err_scale=1.0
     )
     assert res_tn.orderBy("toa_s").first()["residual_s"] == 1.1e-06
+
+
+def test_apply_noise_dict_distributed(spark, tmp_path):
+    """apply_noise_dict joins bound efac/equad/ecorr onto residual rows by
+    (psr, backend), keeping data values where unbound, and feeds the
+    ECORR-aware reduction; parity with the driver-dict path
+    (white_noise_constants -> sampled-constant kernel columns)."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    from enterprise_warp_spark.likelihood.gp import gp_loglik_per_pulsar
+    from enterprise_warp_spark.sources.noisefiles import (
+        apply_noise_dict,
+        read_noise_files,
+        white_noise_constants,
+    )
+
+    nf = {
+        "J0437-4715_PDFB_20CM_efac": 1.3,
+        "J0437-4715_PDFB_20CM_log10_equad": -6.2,
+        "J0437-4715_PDFB_20CM_log10_ecorr": -6.5,
+        "J0437-4715_CASPSR_40CM_efac": 0.9,
+    }
+    p = tmp_path / "J0437-4715_noise.json"
+    p.write_text(_json.dumps(nf))
+    noise = read_noise_files(spark, str(p))
+
+    rng = np.random.default_rng(7)
+    tspan = 3.0e8
+    rows = []
+    for i, t in enumerate(np.sort(rng.uniform(0, tspan, 60))):
+        backend = "PDFB_20CM" if i % 2 == 0 else "CASPSR_40CM"
+        rows.append(
+            ("J0437-4715", float(t), float(rng.normal(0, 1e-6)), 1e-6,
+             1.0, 0.0, backend, int(t // (tspan / 12)))
+        )
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, backend string, epoch_id int",
+    )
+    applied = apply_noise_dict(res, noise)
+    got = {r["backend"]: r for r in applied.select("backend", "efac", "equad", "ecorr").distinct().collect()}
+    assert got["PDFB_20CM"]["efac"] == 1.3
+    assert got["PDFB_20CM"]["equad"] == pytest.approx(10.0**-6.2)
+    assert got["PDFB_20CM"]["ecorr"] == pytest.approx(10.0**-6.5)
+    assert got["CASPSR_40CM"]["efac"] == 0.9
+    assert got["CASPSR_40CM"]["equad"] == 0.0  # unbound: data value kept
+    assert got["CASPSR_40CM"]["ecorr"] == 0.0
+
+    # parity: column-applied efac/equad == the driver-dict sampled-constant
+    # path (ECORR excluded on both sides; it rides separately)
+    consts = white_noise_constants(noise, "J0437-4715")
+    samples = pd.DataFrame({"sample_id": [0], "log10_A": [-13.5], "gamma": [4.0]})
+    lnl_applied = gp_loglik_per_pulsar(
+        applied.drop("ecorr"), samples, nfreqs=4
+    ).first()["lnl"]
+    samples_const = samples.assign(
+        **{k: v for k, v in consts.items() if not k.startswith("log10_ecorr")}
+    )
+    lnl_const = gp_loglik_per_pulsar(res, samples_const, nfreqs=4).first()["lnl"]
+    assert lnl_applied == pytest.approx(lnl_const, rel=1e-12)
