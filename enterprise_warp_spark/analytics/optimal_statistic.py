@@ -421,3 +421,77 @@ def marginalised_moments(per_draw: DataFrame) -> DataFrame:
         F.avg("snr").alias("snr_mean"),
         F.count(F.lit(1)).alias("n_draws"),
     )
+
+
+def draws_from_chain(
+    chain: DataFrame, gamma_col: str, n_draws: int = 1000, seed: int = 42
+) -> "pd.DataFrame":
+    """Posterior draws for A12 the way the reference takes them
+    (results.py:819-832: 1000 random chain rows), deterministically: rows
+    ordered by a seeded hash, first n_draws kept. Returns the small pandas
+    (draw_id, gamma) frame marginalised_os expects — bounded by n_draws,
+    never the chain size."""
+    picked = (
+        chain.select(F.col(gamma_col).alias("gamma"))
+        .withColumn("_h", F.xxhash64(F.col("gamma"), F.lit(seed), F.monotonically_increasing_id()))
+        .orderBy("_h")
+        .limit(n_draws)
+        .drop("_h")
+        .toPandas()
+    )
+    picked.insert(0, "draw_id", range(len(picked)))
+    return picked
+
+
+def run_os_pipeline(
+    residuals: DataFrame,
+    positions: DataFrame,
+    nfreqs: int,
+    tspan_s: float,
+    noise: DataFrame | None = None,
+    tm_specs=None,
+    gamma: float = 13.0 / 3.0,
+    orf: str = "hd",
+    n_bins: int = 8,
+    draws: "pd.DataFrame | None" = None,
+) -> dict[str, DataFrame]:
+    """§3.3 end-to-end — the OptimalStatisticWarp flow (results.py:702-1047)
+    as one composed plan:
+
+      [apply noise dictionary] -> per-pulsar reduction (timing-model
+      projection + fixed-ECORR blocks folded in) -> pair statistics ->
+      ORF-weighted OS estimate + fixed-count xi bins ->
+      [noise-marginalised per-draw OS + moments]
+
+    -> {'reduced', 'pair_stats', 'os', 'binned'[, 'marginalised',
+    'marginalised_moments']}. The reduction is persisted: it is the one
+    pass over the TOA volume and every downstream stage reuses it.
+    """
+    from enterprise_warp_spark.functions.orf import dipole_orf, hd_orf, monopole_orf
+
+    ecorr_col = None
+    if noise is not None:
+        from enterprise_warp_spark.sources.noisefiles import apply_noise_dict
+
+        residuals = apply_noise_dict(residuals, noise)
+        ecorr_col = "ecorr"
+    elif "ecorr" in residuals.columns:
+        ecorr_col = "ecorr"
+    red = per_pulsar_reduction(
+        residuals, nfreqs, tspan_s, tm_specs=tm_specs, ecorr_col=ecorr_col
+    ).persist()
+    ps = pair_statistics(red, positions, gamma=gamma, tspan_s=tspan_s).persist()
+    g = {"hd": hd_orf, "monopole": monopole_orf, "dipole": dipole_orf}[orf](
+        F.col("xi")
+    )
+    out = {
+        "reduced": red,
+        "pair_stats": ps,
+        "os": os_estimate(ps, g),
+        "binned": binned_cross_correlations(ps, n_bins),
+    }
+    if draws is not None:
+        per_draw = marginalised_os(red, positions, draws, orf=orf, tspan_s=tspan_s)
+        out["marginalised"] = per_draw
+        out["marginalised_moments"] = marginalised_moments(per_draw)
+    return out
