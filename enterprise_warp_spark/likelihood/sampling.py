@@ -23,9 +23,49 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Prior:
     name: str
-    kind: str  # uniform | linearexp | normal | constant
+    kind: str  # uniform | linearexp | normal | truncnormal | constant
     a: float = 0.0  # lo / mu / value
     b: float = 1.0  # hi / sigma
+    lo: float = float("-inf")  # truncnormal bounds
+    hi: float = float("inf")
+
+
+# Acklam's inverse normal CDF — a piecewise rational approximation
+# (~1.15e-9 relative error), published algorithm; expressed as pure column
+# arithmetic so truncated-normal sampling stays JVM-side (no erfinv in
+# Spark SQL and no scipy in this environment).
+_ACK_A = (-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+          1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00)
+_ACK_B = (-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+          6.680131188771972e01, -1.328068155288572e01)
+_ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+          -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00)
+_ACK_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+          3.754408661907416e00)
+
+
+def _poly(q: F.Column, coeffs) -> F.Column:
+    out = F.lit(float(coeffs[0]))
+    for c in coeffs[1:]:
+        out = out * q + F.lit(float(c))
+    return out
+
+
+def probit(p: F.Column) -> F.Column:
+    """Inverse standard-normal CDF as a column expression (Acklam)."""
+    p_low = 0.02425
+    q_c = p - 0.5
+    r_c = q_c * q_c
+    central = (_poly(r_c, _ACK_A) * q_c) / (_poly(r_c, _ACK_B) * r_c + F.lit(1.0))
+    q_l = F.sqrt(-2.0 * F.log(p))
+    lower = _poly(q_l, _ACK_C) / (_poly(q_l, _ACK_D) * q_l + F.lit(1.0))
+    q_u = F.sqrt(-2.0 * F.log(1.0 - p))
+    upper = -_poly(q_u, _ACK_C) / (_poly(q_u, _ACK_D) * q_u + F.lit(1.0))
+    return (
+        F.when(p < p_low, lower)
+        .when(p > 1.0 - p_low, upper)
+        .otherwise(central)
+    )
 
 
 def _column(p: Prior, u: F.Column, g: F.Column) -> F.Column:
@@ -35,6 +75,17 @@ def _column(p: Prior, u: F.Column, g: F.Column) -> F.Column:
         return u * (p.b - p.a) + p.a
     if p.kind == "normal":
         return g * p.b + p.a
+    if p.kind == "truncnormal":
+        # exact inverse-CDF sampling of N(a, b) truncated to [lo, hi]
+        # (bilby_warp.py:67-68 TruncatedGaussian): the bound CDFs are
+        # plain driver-side constants, only probit runs per row
+        import math as _math
+
+        alpha = ( _math.erf(((p.lo - p.a) / p.b) / _math.sqrt(2.0)) + 1.0) / 2.0 \
+            if _math.isfinite(p.lo) else 0.0
+        beta = (_math.erf(((p.hi - p.a) / p.b) / _math.sqrt(2.0)) + 1.0) / 2.0 \
+            if _math.isfinite(p.hi) else 1.0
+        return probit(u * (beta - alpha) + F.lit(alpha)) * p.b + p.a
     if p.kind == "constant":
         return F.lit(p.a)
     raise ValueError(f"unknown prior kind {p.kind}")
@@ -94,6 +145,13 @@ def refined_samples(
         col = g * float(scales[p.name]) + float(centers[p.name])
         if p.kind in ("uniform", "linearexp"):
             col = F.greatest(F.lit(p.a), F.least(F.lit(p.b), col))
+        elif p.kind == "truncnormal":
+            import math as _math
+
+            if _math.isfinite(p.lo):
+                col = F.greatest(F.lit(p.lo), col)
+            if _math.isfinite(p.hi):
+                col = F.least(F.lit(p.hi), col)
         df = df.withColumn(p.name, col)
     return df
 

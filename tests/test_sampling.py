@@ -158,3 +158,58 @@ def test_normalize_text(spark):
     got = {r["doc_id"]: r["text_norm"] for r in normalize_text(docs).collect()}
     assert got[1] == "hello world multiple spaces"
     assert got[2] == "already clean"
+
+
+def test_probit_accuracy(spark):
+    """Acklam inverse-normal-CDF column: known quantiles to ~1e-8."""
+    import pandas as pd
+
+    from enterprise_warp_spark.likelihood.sampling import probit
+
+    known = {
+        0.5: 0.0,
+        0.975: 1.959963984540054,
+        0.025: -1.959963984540054,
+        0.84134474606854293: 1.0,
+        0.999: 3.090232306167813,
+        0.001: -3.090232306167813,
+        0.01: -2.3263478740408408,
+    }
+    df = spark.createDataFrame(pd.DataFrame({"p": list(known)}))
+    got = {r["p"]: r["x"] for r in df.select("p", probit(F.col("p")).alias("x")).collect()}
+    for p, want in known.items():
+        assert got[p] == pytest.approx(want, abs=5e-8), p
+
+
+def test_truncnormal_prior_bounds_and_moments(spark):
+    """truncnormal (bilby_warp.py:67-68 TruncatedGaussian): samples honor
+    the bounds exactly and match the analytic truncated-normal moments."""
+    import math
+
+    from enterprise_warp_spark.likelihood.sampling import Prior, sample_priors
+
+    mu, sigma, lo, hi = 1.0, 0.4, 0.5, 1.6
+    pri = [Prior("efac", "truncnormal", mu, sigma, lo=lo, hi=hi)]
+    df = sample_priors(spark, pri, 40_000, seed=17).cache()
+    row = df.agg(
+        F.min("efac"), F.max("efac"), F.avg("efac"), F.stddev_samp("efac")
+    ).first()
+    assert row[0] >= lo and row[1] <= hi
+
+    def phi(x):
+        return math.exp(-0.5 * x * x) / math.sqrt(2 * math.pi)
+
+    def Phi(x):
+        return (1.0 + math.erf(x / math.sqrt(2.0))) / 2.0
+
+    a, b = (lo - mu) / sigma, (hi - mu) / sigma
+    Z = Phi(b) - Phi(a)
+    mean = mu + sigma * (phi(a) - phi(b)) / Z
+    var = sigma**2 * (
+        1 + (a * phi(a) - b * phi(b)) / Z - ((phi(a) - phi(b)) / Z) ** 2
+    )
+    assert row[2] == pytest.approx(mean, abs=0.01)
+    assert row[3] == pytest.approx(math.sqrt(var), abs=0.01)
+    # deterministic under the seed
+    again = sample_priors(spark, pri, 40_000, seed=17)
+    assert df.exceptAll(again).count() == 0
