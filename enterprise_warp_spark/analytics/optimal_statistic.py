@@ -143,24 +143,40 @@ def per_pulsar_reduction(
         rtn = float(r @ (r / ndiag))
         logdet = float(np.sum(np.log(ndiag)))
         if ecorr_col is not None and "epoch_id" in pdf.columns:
-            # fixed-ECORR blocks: exact Sherman-Morrison per epoch
+            # fixed-ECORR blocks: exact Sherman-Morrison per block, where a
+            # block is a distinct (epoch_id, ecorr) pair — two backends
+            # sharing an epoch form SEPARATE blocks (enterprise's
+            # per-backend ECORR never couples cross-backend TOAs), and the
+            # correction is deterministic regardless of row order.
+            # Single sorted pass + segment sums (np.add.reduceat): O(n * 2k)
+            # total, not O(n_blocks * n).
             epochs = pdf["epoch_id"].to_numpy()
-            ecs = pdf[ecorr_col].to_numpy()
+            ecs = np.nan_to_num(
+                pdf[ecorr_col].to_numpy(dtype=np.float64), nan=0.0
+            )
             dinv = 1.0 / ndiag
-            for e in pd.unique(epochs):
-                sel = epochs == e
-                ec = float(ecs[sel][0])
-                if not (ec > 0.0):
-                    continue
-                ec2 = ec * ec
-                s_e = float(dinv[sel].sum())
-                alpha = ec2 / (1.0 + ec2 * s_e)
-                v = Fmat[sel].T @ dinv[sel]  # W^T D^-1 1 over the block
-                c = float(r[sel] @ dinv[sel])
-                u -= alpha * c * v
-                S -= alpha * np.outer(v, v)
-                rtn -= alpha * c * c
-                logdet += math.log1p(ec2 * s_e)
+            codes = np.unique(
+                np.stack([epochs.astype(np.float64), ecs]), axis=1,
+                return_inverse=True,
+            )[1].ravel()
+            order = np.argsort(codes, kind="stable")
+            starts = np.r_[0, np.flatnonzero(np.diff(codes[order])) + 1]
+            seg_s = np.add.reduceat(dinv[order], starts)
+            seg_c = np.add.reduceat((r * dinv)[order], starts)
+            seg_V = np.add.reduceat(
+                (Fmat * dinv[:, None])[order], starts, axis=0
+            )
+            ec_seg = ecs[order][starts]
+            live = ec_seg > 0.0
+            if live.any():
+                ec2 = ec_seg[live] ** 2
+                alpha = ec2 / (1.0 + ec2 * seg_s[live])
+                V = seg_V[live]
+                c = seg_c[live]
+                u -= V.T @ (alpha * c)
+                S -= (V * alpha[:, None]).T @ V
+                rtn -= float(alpha @ (c * c))
+                logdet += float(np.sum(np.log1p(ec2 * seg_s[live])))
         return pd.DataFrame(
             {
                 "psr": [pdf["psr"].iloc[0]],
@@ -188,7 +204,17 @@ def per_pulsar_reduction(
             u_m, u_f = u[keep], u[m:]
             S_mm = S[np.ix_(keep, keep)]
             S_fm = S[m:][:, keep]
-            cf = np.linalg.cholesky(S_mm)
+            try:
+                cf = np.linalg.cholesky(S_mm)
+            except np.linalg.LinAlgError:
+                # exactly-degenerate tm columns (e.g. single-frequency data
+                # makes the DM column proportional to OFFSET, or fit jumps
+                # jointly covering every TOA): relative jitter regularizes
+                # the projection, matching _lnlike_one's fallback
+                jitter = 1e-12 * float(np.max(np.diag(S_mm)))
+                cf = np.linalg.cholesky(
+                    S_mm + jitter * np.eye(S_mm.shape[0])
+                )
             x = np.linalg.solve(cf, u_m)  # cf^-1 u_M
             Y = np.linalg.solve(cf, S_fm.T)  # cf^-1 S_MF
             u = u_f - Y.T @ x
@@ -210,10 +236,13 @@ def per_pulsar_reduction(
             }
         )
 
-    # ECORR blocks must not straddle chunks: chunk whole epochs together
+    # ECORR blocks must not straddle chunks: chunk whole epochs together.
+    # Without an epoch_id column there are no blocks to keep intact (the
+    # partial kernel degrades to the diagonal-N path), so keep content
+    # chunking rather than referencing a missing column.
     chunk_expr = (
         F.pmod(F.hash("epoch_id"), F.lit(n_chunks))
-        if ecorr_col is not None
+        if ecorr_col is not None and "epoch_id" in residuals.columns
         else F.pmod(F.hash("toa_s", "residual_s"), F.lit(n_chunks))
     )
     partials = (
@@ -255,6 +284,16 @@ def pair_statistics(
             # over the pair axis — no per-row Python
             f2 = np.asarray(pdf["a_f"].iloc[0], dtype=np.float64)
             twok = len(f2)
+            # batched kernel precondition: every pair shares the COMMON
+            # basis (reduction uses the array tspan). Mixed-basis input
+            # (e.g. a union of reductions with different tspans) must fail
+            # loudly, not silently mis-weight with the first row's grid.
+            all_f = np.stack(pdf["a_f"].map(np.asarray))
+            if not np.allclose(all_f, f2[None, :]):
+                raise ValueError(
+                    "pair_statistics batch mixes frequency grids; all "
+                    "pulsars must come from ONE reduction (common tspan)"
+                )
             UA = np.stack(pdf["a_u"].map(np.asarray))
             UB = np.stack(pdf["b_u"].map(np.asarray))
             SA = np.stack(pdf["a_s"].map(np.asarray)).reshape(-1, twok, twok)
@@ -355,6 +394,12 @@ def marginalised_os(
                 continue
             f2 = np.asarray(pdf["a_f"].iloc[0], dtype=np.float64)
             twok = len(f2)
+            all_f = np.stack(pdf["a_f"].map(np.asarray))
+            if not np.allclose(all_f, f2[None, :]):
+                raise ValueError(
+                    "marginalised_os batch mixes frequency grids; all "
+                    "pulsars must come from ONE reduction (common tspan)"
+                )
             df = f2[0] if tspan_s is None else 1.0 / tspan_s
             # phi_hat per draw, shared across every pair in the batch
             PH = (
@@ -431,10 +476,13 @@ def draws_from_chain(
     ordered by a seeded hash, first n_draws kept. Returns the small pandas
     (draw_id, gamma) frame marginalised_os expects — bounded by n_draws,
     never the chain size."""
+    # content-only ordering key: rows with equal gamma are interchangeable,
+    # so (hash(gamma, seed), gamma) is a REPRODUCIBLE selection regardless
+    # of partition layout — monotonically_increasing_id would not be
     picked = (
         chain.select(F.col(gamma_col).alias("gamma"))
-        .withColumn("_h", F.xxhash64(F.col("gamma"), F.lit(seed), F.monotonically_increasing_id()))
-        .orderBy("_h")
+        .withColumn("_h", F.xxhash64(F.col("gamma"), F.lit(seed)))
+        .orderBy("_h", "gamma")
         .limit(n_draws)
         .drop("_h")
         .toPandas()

@@ -109,7 +109,14 @@ def ingest_basis_table(
         raise ValueError(f"unknown basis table format {fmt!r}")
     for src, dst in (column_map or {}).items():
         df = df.withColumnRenamed(src, dst)
-    if mjd_col and mjd_col in df.columns:
+    if mjd_col:
+        if mjd_col not in df.columns:
+            # silently skipping the conversion could leave a stale toa_s
+            # column in raw MJD days — 86400x wrong with no error
+            raise ValueError(
+                f"ephemeris basis table {path} has no column {mjd_col!r} "
+                f"(columns: {df.columns})"
+            )
         df = df.withColumn(
             "toa_s", (F.col(mjd_col) - F.lit(mjd0)) * 86400.0
         )

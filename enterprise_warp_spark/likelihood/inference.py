@@ -184,12 +184,7 @@ def run_inference(
     reference's Uniform(-20, -10) tm_log10_variance prior.
     """
     priors, comps = compile_priors_and_components(model_rows, fixed, nfreqs, backends)
-    if tm is not None:
-        comps = (*comps, tm) if comps else (RedComponent(nfreqs=nfreqs), tm)
-        if tm.mode == "ridge" and not any(
-            p.name == "tm_log10_variance" for p in priors
-        ):
-            priors.append(Prior("tm_log10_variance", "uniform", -20.0, -10.0))
+    priors, comps = _wire_tm(priors, comps, tm, nfreqs)
     samples_df = sample_priors(spark, priors, n_samples, seed)
     samples_pd: pd.DataFrame = samples_df.toPandas()
     lnl = total_loglik(
@@ -199,6 +194,20 @@ def run_inference(
     sampled_names = [p.name for p in priors if p.kind != "constant"]
     summary = posterior_summary(joined, sampled_names)
     return joined, summary
+
+
+def _wire_tm(priors, comps, tm: TMComponent | None, nfreqs: int):
+    """Append the paramfile-level tm component (and its ridge prior) to a
+    compiled (priors, comps) pair — shared by run_inference and
+    run_adaptive_inference."""
+    if tm is None:
+        return priors, comps
+    comps = (*comps, tm) if comps else (RedComponent(nfreqs=nfreqs), tm)
+    if tm.mode == "ridge" and not any(
+        p.name == "tm_log10_variance" for p in priors
+    ):
+        priors.append(Prior("tm_log10_variance", "uniform", -20.0, -10.0))
+    return priors, comps
 
 
 def compile_priors_and_components(
@@ -237,12 +246,7 @@ def run_adaptive_inference(
     from enterprise_warp_spark.likelihood.sampling import adaptive_posterior
 
     priors, comps = compile_priors_and_components(model_rows, fixed, nfreqs, backends)
-    if tm is not None:
-        comps = (*comps, tm) if comps else (RedComponent(nfreqs=nfreqs), tm)
-        if tm.mode == "ridge" and not any(
-            p.name == "tm_log10_variance" for p in priors
-        ):
-            priors.append(Prior("tm_log10_variance", "uniform", -20.0, -10.0))
+    priors, comps = _wire_tm(priors, comps, tm, nfreqs)
 
     def score(samples_df: DataFrame) -> DataFrame:
         pdf = samples_df.toPandas()

@@ -543,3 +543,84 @@ def test_run_os_pipeline_end_to_end(spark, tmp_path):
     mom = out["marginalised_moments"].first()
     assert mom["n_draws"] == 40
     assert np.isfinite(mom["a2_hat_mean"]) and np.isfinite(mom["snr_mean"])
+
+
+def test_reduction_ecorr_without_epoch_id_degrades_to_diagonal(spark):
+    """ecorr_col set but no epoch_id column: no blocks exist — the reduction
+    must run the diagonal path, not crash on a missing chunk column
+    (review finding r4)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(131)
+    tspan = 2.0e8
+    rows = [
+        ("J1", float(t), float(rng.normal(0, 1e-6)), 1e-6, 1.0, 0.0, 4e-7)
+        for t in np.sort(rng.uniform(0, tspan, 50))
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, ecorr double",
+    )
+    with_ec = per_pulsar_reduction(res, nfreqs=3, tspan_s=tspan, ecorr_col="ecorr")
+    plain = per_pulsar_reduction(res.drop("ecorr"), nfreqs=3, tspan_s=tspan)
+    a, b = with_ec.first(), plain.first()
+    assert a["rtn_r"] == pytest.approx(b["rtn_r"], rel=1e-12)
+    assert np.allclose(a["u"], b["u"])
+
+
+def test_reduction_ecorr_mixed_amplitudes_form_separate_blocks(spark):
+    """Two backends sharing an epoch_id but carrying different ecorr values
+    are SEPARATE correlated blocks (per-backend ECORR semantics) — checked
+    against the dense covariance built per (epoch, ecorr) pair."""
+    import math as _math
+
+    import pandas as pd
+
+    from enterprise_warp_spark.likelihood.gp import (
+        gp_loglik_reduced,
+        powerlaw_phi,
+    )
+
+    rng = np.random.default_rng(137)
+    tspan = 4.0e8
+    nf, n = 3, 60
+    t = np.sort(rng.uniform(0, tspan, n))
+    t[0], t[-1] = 0.0, tspan
+    epochs = np.digitize(t, np.linspace(0, tspan, 7))
+    # alternate backends inside the same epochs with different ecorr
+    ecs = np.where(np.arange(n) % 2 == 0, 3e-7, 6e-7)
+    sig = np.full(n, 5e-7)
+    r = rng.normal(0, 1e-6, n)
+    rows = [
+        ("J1", float(t[i]), float(r[i]), float(sig[i]), 1.0, 0.0,
+         int(epochs[i]), float(ecs[i]))
+        for i in range(n)
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, epoch_id int, ecorr double",
+    )
+    samples = pd.DataFrame({"sample_id": [0], "log10_A": [-13.3], "gamma": [4.0]})
+    red = per_pulsar_reduction(res, nfreqs=nf, tspan_s=tspan, ecorr_col="ecorr")
+    got = gp_loglik_reduced(red, samples, tspan).first()["lnl"]
+
+    order = np.argsort(t)
+    ts, rs, es, cs = t[order], r[order], epochs[order], ecs[order]
+    Nb = np.diag(np.full(n, sig[0] ** 2))
+    for e, c in {(int(a), float(b)) for a, b in zip(es, cs)}:
+        mask = ((es == e) & (cs == c)).astype(float)
+        Nb += c * c * np.outer(mask, mask)
+    f = np.arange(1, nf + 1) / tspan
+    arg = 2 * _math.pi * np.outer(ts, f)
+    Fm = np.empty((n, 2 * nf))
+    Fm[:, 0::2] = np.sin(arg)
+    Fm[:, 1::2] = np.cos(arg)
+    phi = powerlaw_phi(np.repeat(f, 2), np.full(2 * nf, 1.0 / tspan), -13.3, 4.0)
+    C = Nb + Fm @ np.diag(phi) @ Fm.T
+    sign, logdet = np.linalg.slogdet(C)
+    want = -0.5 * (
+        float(rs @ np.linalg.solve(C, rs)) + logdet + n * _math.log(2 * _math.pi)
+    )
+    assert got == pytest.approx(want, rel=1e-9)
