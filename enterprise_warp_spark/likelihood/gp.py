@@ -251,13 +251,24 @@ def gp_loglik_per_pulsar(
     comps = tuple(c for c in all_comps if isinstance(c, RedComponent)) or (
         RedComponent(nfreqs=nfreqs),
     )
-    has_ecorr = "log10_ecorr" in samples.columns
     # sampled white noise: global ('efac') or per-backend ('efac_<backend>',
-    # the reference's by_backend selection) — overrides the data columns
+    # the reference's by_backend selection) — overrides the data columns.
+    # ECORR follows the same convention: 'log10_ecorr' (one variance for
+    # every epoch block) or 'log10_ecorr_<backend>' (per-backend blocks —
+    # an epoch observed by two backends splits into two blocks, and a
+    # backend with no sampled column contributes NO block, matching the
+    # reference's selection-scoped ECORR).
     efac_cols = [c for c in samples.columns if c == "efac" or c.startswith("efac_")]
     equad_cols = [
         c for c in samples.columns if c == "log10_equad" or c.startswith("log10_equad_")
     ]
+    ecorr_cols = [
+        c for c in samples.columns if c == "log10_ecorr" or c.startswith("log10_ecorr_")
+    ]
+    has_ecorr = bool(ecorr_cols)
+    per_backend_ecorr = {
+        c[len("log10_ecorr_"):]: c for c in ecorr_cols if c != "log10_ecorr"
+    }
     cols = ["sample_id"]
     for c in comps:
         if c.psd == "free_spectrum":
@@ -268,7 +279,7 @@ def gp_loglik_per_pulsar(
             cols.append(f"{c.prefix()}log10_fc")
         if c.chrom_idx is None:
             cols.append(f"{c.prefix()}idx")
-    cols += (["log10_ecorr"] if has_ecorr else []) + efac_cols + equad_cols
+    cols += ecorr_cols + efac_cols + equad_cols
     cols += [cc for dc in det_comps for cc in dc.coeff_cols]
     if tm_comp is not None and tm_comp.mode == "ridge":
         cols.append("tm_log10_variance")
@@ -277,7 +288,9 @@ def gp_loglik_per_pulsar(
         any(c.chrom_idx is None or c.chrom_idx != 0.0 for c in comps)
         or tm_needs_freq
     )
-    needs_backend = any("_" in c.replace("log10_", "") for c in efac_cols + equad_cols)
+    needs_backend = any(
+        "_" in c.replace("log10_", "") for c in efac_cols + equad_cols + ecorr_cols
+    )
     per_backend_efac = {c[len("efac_"):]: c for c in efac_cols if c != "efac"}
     per_backend_equad = {
         c[len("log10_equad_"):]: c for c in equad_cols if c != "log10_equad"
@@ -357,11 +370,36 @@ def gp_loglik_per_pulsar(
         ]
 
         U = None
+        block_cols = None  # per-U-column sample-column name (per-backend)
         if has_ecorr and "epoch_id" in pdf.columns:
             epochs = pdf["epoch_id"].to_numpy()[order]
-            uniq, inv = np.unique(epochs, return_inverse=True)
-            U = np.zeros((len(t), len(uniq)))
-            U[np.arange(len(t)), inv] = 1.0
+            if per_backend_ecorr and backend is not None:
+                # blocks are (epoch, backend) pairs; only backends with a
+                # sampled column form blocks
+                e_uniq, e_inv = np.unique(epochs, return_inverse=True)
+                b_uniq, b_inv = np.unique(backend, return_inverse=True)
+                combo = e_inv * len(b_uniq) + b_inv
+                c_uniq, c_inv = np.unique(combo, return_inverse=True)
+                col_of = [
+                    per_backend_ecorr.get(
+                        b_uniq[c % len(b_uniq)],
+                        "log10_ecorr" if "log10_ecorr" in ecorr_cols else None,
+                    )
+                    for c in c_uniq
+                ]
+                kept = [j for j, c in enumerate(col_of) if c is not None]
+                if kept:
+                    remap = {j: k for k, j in enumerate(kept)}
+                    U = np.zeros((len(t), len(kept)))
+                    for i, c in enumerate(c_inv):
+                        k = remap.get(int(c))
+                        if k is not None:
+                            U[i, k] = 1.0
+                    block_cols = [col_of[j] for j in kept]
+            else:
+                uniq, inv = np.unique(epochs, return_inverse=True)
+                U = np.zeros((len(t), len(uniq)))
+                U[np.arange(len(t)), inv] = 1.0
         sampled_idx = [c.chrom_idx is None for c in active]
         ratio = (None if freq_mhz is None else None)  # per-comp fref ratios below
         ratios = [
@@ -418,8 +456,15 @@ def gp_loglik_per_pulsar(
                 r_s = r_s - Bd @ cvec
             phis = [c.phi(f2, d2, rec) for c, f2, d2 in zip(active, freqs2, dfs2)]
             if U is not None:
-                ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2
-                phis.append(np.full(U.shape[1], ec2))
+                if block_cols is not None:
+                    vals = {
+                        c: (10.0 ** float(getattr(rec, c))) ** 2
+                        for c in set(block_cols)
+                    }
+                    phis.append(np.array([vals[c] for c in block_cols]))
+                else:
+                    ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2
+                    phis.append(np.full(U.shape[1], ec2))
             if tm_phi_static is not None:
                 phis.insert(0, tm_phi_static)
             elif M is not None and tm_comp.mode == "ridge":

@@ -287,3 +287,65 @@ def test_gp_loglik_reduced_matches_full_kernel(spark):
             fast[k],
             full[k],
         )
+
+
+def test_per_backend_ecorr_matches_dense(spark):
+    """by_backend ECORR ('log10_ecorr_<backend>' sample columns): each
+    (epoch, backend) pair forms its own correlated block with that backend's
+    variance; a backend with no sampled column contributes NO block. Checked
+    against the dense block-covariance oracle."""
+    rng = np.random.default_rng(151)
+    tspan = 4.0e8
+    nf, n = 3, 72
+    t = np.sort(rng.uniform(0, tspan, n))
+    epochs = np.digitize(t, np.linspace(0, tspan, 9))
+    backends = np.array(
+        [["PDFB_20CM", "CASPSR_40CM", "NOCOL_10CM"][i % 3] for i in range(n)]
+    )
+    sig = np.full(n, 5e-7)
+    r = rng.normal(0, 1e-6, n)
+    rows = [
+        ("J1", float(t[i]), float(r[i]), float(sig[i]), 1.0, 0.0,
+         int(epochs[i]), str(backends[i]))
+        for i in range(n)
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, epoch_id int, backend string",
+    )
+    ec_pdfb, ec_caspsr = 4e-7, 7e-7
+    samples = pd.DataFrame(
+        {
+            "sample_id": [0],
+            "log10_A": [-13.2],
+            "gamma": [4.0],
+            "log10_ecorr_PDFB_20CM": [np.log10(ec_pdfb)],
+            "log10_ecorr_CASPSR_40CM": [np.log10(ec_caspsr)],
+        }
+    )
+    got = gp_loglik_per_pulsar(res, samples, nfreqs=nf).first()["lnl"]
+
+    order = np.argsort(t)
+    ts, rs, es, bs = t[order], r[order], epochs[order], backends[order]
+    T = ts.max() - ts.min()
+    Nb = np.diag(np.full(n, sig[0] ** 2))
+    amp = {"PDFB_20CM": ec_pdfb, "CASPSR_40CM": ec_caspsr}
+    for e in np.unique(es):
+        for b, ec in amp.items():
+            mask = ((es == e) & (bs == b)).astype(float)
+            if mask.sum() > 0:
+                Nb += ec * ec * np.outer(mask, mask)
+    # NOCOL_10CM rows: no block at all
+    f = np.arange(1, nf + 1) / T
+    arg = 2 * math.pi * np.outer(ts, f)
+    Fm = np.empty((n, 2 * nf))
+    Fm[:, 0::2] = np.sin(arg)
+    Fm[:, 1::2] = np.cos(arg)
+    phi = powerlaw_phi(np.repeat(f, 2), np.full(2 * nf, 1.0 / T), -13.2, 4.0)
+    C = Nb + Fm @ np.diag(phi) @ Fm.T
+    sign, logdet = np.linalg.slogdet(C)
+    want = -0.5 * (
+        float(rs @ np.linalg.solve(C, rs)) + logdet + n * math.log(2 * math.pi)
+    )
+    assert got == pytest.approx(want, rel=1e-9)
