@@ -269,6 +269,18 @@ def gp_loglik_per_pulsar(
     per_backend_ecorr = {
         c[len("log10_ecorr_"):]: c for c in ecorr_cols if c != "log10_ecorr"
     }
+    if (
+        per_backend_ecorr
+        and "log10_ecorr" not in ecorr_cols
+        and "backend" not in residuals.columns
+    ):
+        # fail at plan time with a clear message, not as an opaque
+        # AttributeError inside an executor task
+        raise ValueError(
+            "per-backend ECORR columns "
+            f"{sorted(per_backend_ecorr.values())} need a 'backend' column "
+            "in residuals (or a global 'log10_ecorr' fallback column)"
+        )
     cols = ["sample_id"]
     for c in comps:
         if c.psd == "free_spectrum":
@@ -373,35 +385,41 @@ def gp_loglik_per_pulsar(
         block_cols = None  # per-U-column sample-column name (per-backend)
         if has_ecorr and "epoch_id" in pdf.columns:
             epochs = pdf["epoch_id"].to_numpy()[order]
+            e_uniq, e_inv = np.unique(epochs, return_inverse=True)
             if per_backend_ecorr and backend is not None:
-                # blocks are (epoch, backend) pairs; only backends with a
-                # sampled column form blocks
-                e_uniq, e_inv = np.unique(epochs, return_inverse=True)
+                # PARTITION semantics (the reference's by_backend selection
+                # splits the TOAs; terms never stack): a backend with a
+                # sampled column gets its own (epoch, backend) blocks; the
+                # remaining TOAs of each epoch form ONE whole-epoch block
+                # under the global 'log10_ecorr' column when present, and
+                # no block otherwise.
                 b_uniq, b_inv = np.unique(backend, return_inverse=True)
-                combo = e_inv * len(b_uniq) + b_inv
-                c_uniq, c_inv = np.unique(combo, return_inverse=True)
+                nb = len(b_uniq)
+                b_col = [per_backend_ecorr.get(b) for b in b_uniq]
+                listed = np.array([c is not None for c in b_col])
+                has_global = "log10_ecorr" in ecorr_cols
+                slot = np.where(listed[b_inv], b_inv, nb)
+                code = e_inv * (nb + 1) + slot
+                c_uniq, c_inv = np.unique(code, return_inverse=True)
                 col_of = [
-                    per_backend_ecorr.get(
-                        b_uniq[c % len(b_uniq)],
-                        "log10_ecorr" if "log10_ecorr" in ecorr_cols else None,
-                    )
+                    b_col[int(c % (nb + 1))]
+                    if int(c % (nb + 1)) < nb
+                    else ("log10_ecorr" if has_global else None)
                     for c in c_uniq
                 ]
-                kept = [j for j, c in enumerate(col_of) if c is not None]
-                if kept:
-                    remap = {j: k for k, j in enumerate(kept)}
-                    U = np.zeros((len(t), len(kept)))
-                    for i, c in enumerate(c_inv):
-                        k = remap.get(int(c))
-                        if k is not None:
-                            U[i, k] = 1.0
-                    block_cols = [col_of[j] for j in kept]
+                keep_mask = np.array([c is not None for c in col_of])
+                if keep_mask.any():
+                    lut = np.full(len(c_uniq), -1)
+                    lut[keep_mask] = np.arange(int(keep_mask.sum()))
+                    mcol = lut[c_inv]
+                    U = np.zeros((len(t), int(keep_mask.sum())))
+                    rows = np.nonzero(mcol >= 0)[0]
+                    U[rows, mcol[rows]] = 1.0
+                    block_cols = [c for c in col_of if c is not None]
             else:
-                uniq, inv = np.unique(epochs, return_inverse=True)
-                U = np.zeros((len(t), len(uniq)))
-                U[np.arange(len(t)), inv] = 1.0
+                U = np.zeros((len(t), len(e_uniq)))
+                U[np.arange(len(t)), e_inv] = 1.0
         sampled_idx = [c.chrom_idx is None for c in active]
-        ratio = (None if freq_mhz is None else None)  # per-comp fref ratios below
         ratios = [
             (c.fref_mhz / freq_mhz) if c.chrom_idx is None else None for c in active
         ]

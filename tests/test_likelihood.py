@@ -349,3 +349,70 @@ def test_per_backend_ecorr_matches_dense(spark):
         float(rs @ np.linalg.solve(C, rs)) + logdet + n * math.log(2 * math.pi)
     )
     assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_mixed_global_and_backend_ecorr_partition_semantics(spark):
+    """Global + per-backend ECORR columns together PARTITION the TOAs
+    (selection semantics, never stacking): listed backends get their own
+    (epoch, backend) blocks; every other TOA of an epoch shares ONE
+    whole-epoch block at the global variance. Dense parity."""
+    rng = np.random.default_rng(163)
+    tspan = 4.0e8
+    nf, n = 3, 72
+    t = np.sort(rng.uniform(0, tspan, n))
+    epochs = np.digitize(t, np.linspace(0, tspan, 9))
+    backends = np.array(
+        [["PDFB_20CM", "OTHER_A", "OTHER_B"][i % 3] for i in range(n)]
+    )
+    sig = np.full(n, 5e-7)
+    r = rng.normal(0, 1e-6, n)
+    rows = [
+        ("J1", float(t[i]), float(r[i]), float(sig[i]), 1.0, 0.0,
+         int(epochs[i]), str(backends[i]))
+        for i in range(n)
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, epoch_id int, backend string",
+    )
+    ec_listed, ec_global = 4e-7, 8e-7
+    samples = pd.DataFrame(
+        {
+            "sample_id": [0],
+            "log10_A": [-13.2],
+            "gamma": [4.0],
+            "log10_ecorr": [np.log10(ec_global)],
+            "log10_ecorr_PDFB_20CM": [np.log10(ec_listed)],
+        }
+    )
+    got = gp_loglik_per_pulsar(res, samples, nfreqs=nf).first()["lnl"]
+
+    order = np.argsort(t)
+    ts, rs, es, bs = t[order], r[order], epochs[order], backends[order]
+    T = ts.max() - ts.min()
+    Nb = np.diag(np.full(n, sig[0] ** 2))
+    for e in np.unique(es):
+        listed_mask = ((es == e) & (bs == "PDFB_20CM")).astype(float)
+        if listed_mask.sum() > 0:
+            Nb += ec_listed**2 * np.outer(listed_mask, listed_mask)
+        # OTHER_A and OTHER_B share ONE whole-epoch block at the global amp
+        rest = ((es == e) & (bs != "PDFB_20CM")).astype(float)
+        if rest.sum() > 0:
+            Nb += ec_global**2 * np.outer(rest, rest)
+    f = np.arange(1, nf + 1) / T
+    arg = 2 * math.pi * np.outer(ts, f)
+    Fm = np.empty((n, 2 * nf))
+    Fm[:, 0::2] = np.sin(arg)
+    Fm[:, 1::2] = np.cos(arg)
+    phi = powerlaw_phi(np.repeat(f, 2), np.full(2 * nf, 1.0 / T), -13.2, 4.0)
+    C = Nb + Fm @ np.diag(phi) @ Fm.T
+    sign, logdet = np.linalg.slogdet(C)
+    want = -0.5 * (
+        float(rs @ np.linalg.solve(C, rs)) + logdet + n * math.log(2 * math.pi)
+    )
+    assert got == pytest.approx(want, rel=1e-9)
+    # misconfiguration fails at plan time with a clear message
+    bad = samples.drop(columns=["log10_ecorr"])
+    with pytest.raises(ValueError, match="backend"):
+        gp_loglik_per_pulsar(res.drop("backend"), bad, nfreqs=nf)
