@@ -451,3 +451,68 @@ def test_full_config_loop_with_noise_file_constants(spark):
         assert by_name[f"log10_equad_{b}"].kind == "constant"
     # red-noise priors still sampled
     assert by_name["spin_noise_log10_A"].kind == "uniform"
+
+
+def test_full_cycle_chain_to_noise_files_to_os(spark, run_dirs, tmp_path):
+    """The reference's complete workflow loop in one test: posterior chains
+    -> §3.2 noise summary -> K2 noise-file JSON on disk -> S5 re-ingest ->
+    apply_noise_dict onto TOA rows -> §3.3 OS pipeline. The engine's own
+    noise output reconfigures its own OS run, byte-for-byte through the
+    PAL2 flat format."""
+    import numpy as np
+
+    from enterprise_warp_spark.analytics.optimal_statistic import run_os_pipeline
+    from enterprise_warp_spark.analytics.results_pipeline import run_results_pipeline
+    from enterprise_warp_spark.sinks import write_noise_json_files
+    from enterprise_warp_spark.sources.noisefiles import read_noise_files
+
+    out = run_results_pipeline(spark, run_dirs)
+    noise_dir = tmp_path / "noise_out"
+    paths = write_noise_json_files(out["noise"], str(noise_dir))
+    assert len(paths) == 2
+    noise = read_noise_files(spark, [str(p) for p in paths])
+    # re-key run-dir-style ids (0_J0437-4715) to bare psr names so the
+    # (psr, backend) join below matches the TOA rows
+    noise = noise.withColumn(
+        "psr", F.regexp_extract("key", r"^(\d+_)?([JB][\d+-]+)", 2)
+    )
+
+    rng = np.random.default_rng(171)
+    tspan = 8.0 * 365.25 * 86400.0
+    rows = []
+    for psr in ["J0437-4715", "J1832-0836"]:
+        t = np.sort(rng.uniform(0, tspan, 80))
+        t[0], t[-1] = 0.0, tspan
+        rows += [
+            (psr, float(ti), float(rng.normal(0, 1e-6)), 1e-6, 1.0, 0.0,
+             "PDFB_20CM", int(ti // (tspan / 10)))
+            for ti in t
+        ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, backend string, epoch_id int",
+    )
+    positions = spark.createDataFrame(
+        [("J0437-4715", [1.0, 0.0, 0.0]), ("J1832-0836", [0.0, 1.0, 0.0])],
+        "psr string, pos array<double>",
+    )
+    os_out = run_os_pipeline(
+        res, positions, nfreqs=4, tspan_s=tspan, noise=noise
+    )
+    # the chain's efac mode (~1.0 ± noise) reached the reduction via the
+    # noise file: the applied efac differs from the data column default
+    from enterprise_warp_spark.sources.noisefiles import apply_noise_dict
+
+    applied = {
+        r["psr"]: r["efac"]
+        for r in apply_noise_dict(res, noise)
+        .select("psr", "efac")
+        .distinct()
+        .collect()
+    }
+    for psr in ["J0437-4715", "J1832-0836"]:
+        assert 0.7 < applied[psr] < 1.3 and applied[psr] != 1.0
+    row = os_out["os"].first()
+    assert np.isfinite(row["a2_hat"]) and np.isfinite(row["sig_os"])
+    assert os_out["pair_stats"].count() == 1
