@@ -47,8 +47,10 @@ def tune_for_any_session(spark: SparkSession) -> None:
     The correctness driver hands us its own SparkSession; these are the confs
     that can still be set post-startup and matter for our plans.
     """
+    # correctness-critical and always runtime-settable: never behind the
+    # best-effort try below, where a failure would silently skip it
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for k, v in (
-        ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),

@@ -67,10 +67,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Timestamps in the testdata are naive instants; pin the session to UTC so
     # collection (toPandas) never shifts them relative to the DuckDB oracle.
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+    # Unconditional (no try/except): session.timeZone is runtime-settable in
+    # every Spark session, and silently skipping the pin would corrupt every
+    # timestamp comparison — the r3-ADVICE failure shape.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Normalize events to a stable 3-column time contract regardless of
         # the physical encoding: ts (microsecond TIMESTAMP), ts_us (µs epoch
