@@ -71,10 +71,17 @@ def _synthetic_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "gp_likelihood_scan",
     None,  # non-SQL-expressible: Arrow kernel (rows-only check)
-    doc="F10/A13: GP-marginalized likelihood over a fixed sample grid (kernel op).",
+    doc="F10/A13: GP-marginalized likelihood over a fixed sample grid, WITH "
+    "timing-model marginalization (tm: fast — offset/F0/F1 design columns "
+    "projected out in the Woodbury solve, likelihood/gp.py TMComponent).",
 )
 def gp_likelihood_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from enterprise_warp_spark.likelihood.gp import gp_loglik_per_pulsar, total_loglik
+    from enterprise_warp_spark.likelihood.gp import (
+        RedComponent,
+        TMComponent,
+        gp_loglik_per_pulsar,
+        total_loglik,
+    )
 
     res = _synthetic_residuals(spark, sf_dir)
     samples = pd.DataFrame(
@@ -84,9 +91,14 @@ def gp_likelihood_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gamma": [3.0, 3.5, 4.0, 4.5, 5.0, 5.5],
         }
     )
-    return total_loglik(gp_loglik_per_pulsar(res, samples, nfreqs=8)).orderBy(
-        "sample_id"
+    tm = TMComponent(
+        (("offset",), ("spin", 1, 0.0), ("spin", 2, 0.0)), mode="fast"
     )
+    return total_loglik(
+        gp_loglik_per_pulsar(
+            res, samples, components=(tm, RedComponent(nfreqs=8))
+        )
+    ).orderBy("sample_id")
 
 
 @register(
