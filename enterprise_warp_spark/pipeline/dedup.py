@@ -232,6 +232,27 @@ def ngram_jaccard_pairs(
     )
 
 
+def _readable_parquet(spark, path: str):
+    """Scheme-agnostic 'does a readable parquet dataset exist here' probe.
+
+    os.path.isdir is wrong for s3://, hdfs://, abfs:// — it is always False
+    there, which would SILENTLY disable the corpus probe and degrade the
+    dedup to within-batch only. Use the Hadoop FileSystem of the path's own
+    scheme; a directory that exists but holds no data files yet (e.g. only
+    _SUCCESS from an appended empty frame) reads as 'no index'.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    spark.catalog.refreshByPath(path)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None  # exists but no readable data files yet
+
+
 def incremental_minhash_filter(
     new_docs: DataFrame,
     index_path: str,
@@ -239,6 +260,7 @@ def incremental_minhash_filter(
     n_hashes: int = 8,
     rows_per_band: int = 2,
     update_index: bool = True,
+    exclude_epoch: int | None = None,
 ) -> DataFrame:
     """Incremental dedup of an arriving batch against a persisted corpus:
     drop new documents that LSH-collide with any already-indexed document,
@@ -254,19 +276,27 @@ def incremental_minhash_filter(
     Within-batch duplicates are also removed (keep lowest doc_id), so the
     result is collision-free both against the corpus and internally.
     Returns the surviving rows of `new_docs`.
+
+    exclude_epoch: when the index carries an `__epoch` partition column
+    (the streaming corpus flow), ignore rows of that epoch during the probe
+    — a crash-replayed micro-batch must not see its own partially-written
+    bands as 'corpus' and drop its documents (that would lose them).
+
+    The batch's bands are computed ONCE and reused for the probe, the
+    within-batch pass and the index update (they were previously re-derived
+    from raw text up to three times per call).
     """
     spark = new_docs.sparkSession
-    bands = minhash_bands(new_docs, text_col, n_hashes, rows_per_band)
+    bands_all = minhash_bands(
+        new_docs, text_col, n_hashes, rows_per_band
+    ).localCheckpoint(eager=True)
 
-    import os
-
-    if os.path.isdir(index_path):
-        # successive calls append to this path: drop any cached file listing
-        # so THIS batch probes the index as of now, not as of a prior read
-        spark.catalog.refreshByPath(index_path)
-        index = spark.read.parquet(index_path)
+    index = _readable_parquet(spark, index_path)
+    if index is not None:
+        if exclude_epoch is not None and "__epoch" in index.columns:
+            index = index.filter(F.col("__epoch") != int(exclude_epoch))
         hit_corpus = (
-            bands.join(index, ["band_id", "band_key"], "left_semi")
+            bands_all.join(index, ["band_id", "band_key"], "left_semi")
             .select("doc_id")
             .distinct()
         )
@@ -275,7 +305,9 @@ def incremental_minhash_filter(
         survivors_vs_corpus = new_docs
 
     # within-batch: among colliding pairs keep the smallest doc_id
-    batch_bands = minhash_bands(survivors_vs_corpus, text_col, n_hashes, rows_per_band)
+    batch_bands = bands_all.join(
+        survivors_vs_corpus.select("doc_id"), "doc_id", "left_semi"
+    )
     losers = (
         lsh_candidate_pairs(batch_bands)
         .select(F.col("doc_b").alias("doc_id"))
@@ -288,10 +320,14 @@ def incremental_minhash_filter(
     survivors = survivors.localCheckpoint(eager=True)
 
     if update_index:
-        minhash_bands(survivors, text_col, n_hashes, rows_per_band).write.mode(
-            "append"
-        ).partitionBy("band_id").parquet(index_path)
-        spark.catalog.refreshByPath(index_path)
+        out_bands = bands_all.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
+        if out_bands.take(1):  # appending an empty frame leaves a data-less
+            out_bands.write.mode("append").partitionBy("band_id").parquet(
+                index_path
+            )
+            spark.catalog.refreshByPath(index_path)
     return survivors
 
 
@@ -350,6 +386,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # max_iter rounds elapsed with changes still propagating: the labels
+        # are NOT a fixpoint and several component ids may still cover one
+        # true cluster — silently returning them would keep multiple
+        # representatives of the same duplicate cluster downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the pair graph's diameter "
+            "exceeds max_iter — raise it"
+        )
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 

@@ -27,10 +27,15 @@ DOT = (
 )
 
 
-def _with_norm_sq(df: DataFrame, emb: str = "embedding") -> DataFrame:
+def _with_norm_sq(
+    df: DataFrame, emb: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
     from enterprise_warp_spark.pipeline.dedup import spread
 
-    return spread(df, "vec_id").withColumn("nsq", F.expr(DOT.format(a=emb, b=emb)))
+    # spread must repartition on the CALLER's id column — hardcoding vec_id
+    # fails on tables with a different id (review finding)
+    key = id_col if id_col in df.columns else df.columns[0]
+    return spread(df, key).withColumn("nsq", F.expr(DOT.format(a=emb, b=emb)))
 
 
 def cosine_topk(
@@ -41,7 +46,7 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for rows matching query_filter."""
-    n = _with_norm_sq(emb, emb_col)
+    n = _with_norm_sq(emb, emb_col, id_col)
     q = n.filter(F.expr(query_filter)).select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
@@ -97,7 +102,7 @@ def bucketed_topk(
     neighboring buckets. The join is bucket-equi, so at 100 TB this is a
     shuffle hash join on an int key, never a cross join.
     """
-    n = _with_norm_sq(emb, emb_col).withColumn(
+    n = _with_norm_sq(emb, emb_col, id_col).withColumn(
         "bucket", F.expr(hyperplane_bucket(emb_col, n_planes))
     )
     q = n.filter(F.expr(query_filter)).select(
@@ -133,7 +138,7 @@ def deterministic_centroids(
     vectors by id ARE the centroids (ids are dense from 0 in the testdata).
     Production path at 100 TB: swap in MLlib KMeans cluster centers with the
     same (cell_id, c_emb, c_nsq) schema — every downstream op is unchanged."""
-    n = _with_norm_sq(emb, emb_col)
+    n = _with_norm_sq(emb, emb_col, id_col)
     return n.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell_id"),
         F.col(emb_col).alias("c_emb"),
@@ -167,7 +172,7 @@ def ivf_topk(
     cells. Candidate join is an equi-join on cell_id, so at scale the
     inverted lists shuffle once on a small int key and recall is tuned by
     nprobe (nprobe = n_cells degenerates to exact search)."""
-    n = _with_norm_sq(emb, emb_col)
+    n = _with_norm_sq(emb, emb_col, id_col)
     cents = centroids if centroids is not None else deterministic_centroids(
         emb, n_cells, emb_col, id_col
     )
@@ -218,7 +223,7 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: candidates from the hyperplane
     bucket equi-join (coarse buckets for recall), verified by exact cosine
     against the threshold. The dedup counterpart of bucketed_topk."""
-    n = _with_norm_sq(emb, emb_col).withColumn(
+    n = _with_norm_sq(emb, emb_col, id_col).withColumn(
         "bucket", F.expr(hyperplane_bucket(emb_col, n_planes))
     )
     a = n.select(
@@ -287,7 +292,7 @@ def build_ivf_index(
     cell directories (partition pruning at the file-listing level) instead
     of scanning the corpus. Rebuild = re-run after centroids change; append
     new vectors by writing their assignments with mode append."""
-    n = _with_norm_sq(emb, emb_col)
+    n = _with_norm_sq(emb, emb_col, id_col)
     d = _cell_distances(n, centroids, emb_col)
     w_assign = Window.partitionBy(id_col).orderBy("dist", "cell_id")
     assigned = (
@@ -318,7 +323,7 @@ def search_ivf_index(
     partition pruning reads ONLY those directories. The probed-cell list is
     collected (bounded by n_queries x nprobe — a search-request-sized list,
     not corpus-sized) to push the filter into the file listing."""
-    qn = _with_norm_sq(queries, emb_col)
+    qn = _with_norm_sq(queries, emb_col, id_col)
     qd = _cell_distances(qn, centroids, emb_col)
     w = Window.partitionBy(id_col).orderBy("dist", "cell_id")
     probes = (
@@ -380,10 +385,23 @@ def pq_codebooks(
 def _subvectors(
     emb: DataFrame, m: int, emb_col: str, id_col: str
 ) -> DataFrame:
-    """Explode each vector into m contiguous subvectors (subspace, sub)."""
+    """Explode each vector into m contiguous subvectors (subspace, sub).
+
+    Requires dim % m == 0: slicing would otherwise silently TRUNCATE the
+    trailing dimensions (dim=64, m=6 ignores dims 61-64 in codebooks,
+    encoding and the query LUT), and dim < m degenerates to empty
+    subvectors whose distances are all 0.0 — garbage with no error."""
     from enterprise_warp_spark.functions.arrays import explode_nonnull
     from enterprise_warp_spark.pipeline.dedup import spread
 
+    probe = emb.select(F.size(emb_col).alias("d")).first()
+    if probe is not None:
+        dim = int(probe["d"])
+        if dim < m or dim % m != 0:
+            raise ValueError(
+                f"PQ needs size({emb_col}) divisible by m_subspaces: "
+                f"dim={dim}, m={m}"
+            )
     sub_arr = (
         f"transform(sequence(0, {m - 1}), s -> struct(s as subspace, "
         f"slice({emb_col}, s * (size({emb_col}) div {m}) + 1, "
@@ -441,21 +459,32 @@ def pq_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     encoded: DataFrame | None = None,
+    rank_by: str = "dot",
 ) -> DataFrame:
     """ANN top-k by asymmetric distance computation (ADC): queries stay
     exact, corpus vectors are their PQ codes; approx dot(q, v) =
     sum_m LUT_q[m, code_m] where LUT_q holds dot(q_sub, c_sub) for every
     (subspace, code) — M*K entries per query, computed once and broadcast.
     The corpus-side scan touches only the code arrays (explode to M rows per
-    vector, equi-join on (query-independent) (subspace, code))."""
+    vector, equi-join on (query-independent) (subspace, code)).
+
+    rank_by: 'dot' ranks by the raw approximate inner product (right for
+    normalized corpora / max-IP search); 'cosine' divides by
+    sqrt(q_nsq * reconstructed ||v||^2) — the reconstructed norm is a
+    codes-only sum of per-(subspace, code) centroid norms, so the corpus
+    scan still never touches raw vectors. Use 'cosine' when feeding a
+    cosine re-ranker on UNNORMALIZED embeddings: dot ranking would flood
+    the candidate set with long vectors and starve high-cosine short ones.
+    """
     codes = (
         encoded
         if encoded is not None
         else pq_encode(emb, codebooks, m_subspaces, emb_col, id_col)
     )
-    q = _subvectors(
-        emb.filter(F.expr(query_filter)), m_subspaces, emb_col, id_col
-    ).select(F.col(id_col).alias("query_id"), "subspace", "sub")
+    qrows = emb.filter(F.expr(query_filter))
+    q = _subvectors(qrows, m_subspaces, emb_col, id_col).select(
+        F.col(id_col).alias("query_id"), "subspace", "sub"
+    )
     lut = (
         q.join(F.broadcast(codebooks), "subspace")
         .withColumn("part_dot", F.expr(DOT.format(a="sub", b="c_sub")))
@@ -465,14 +494,47 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode("codes").alias("subspace", "code"),
     )
-    pairs = (
-        corpus.join(F.broadcast(lut), ["subspace", "code"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("part_dot"), 4).alias("approx_dot"))
-    )
+    if rank_by == "cosine":
+        # reconstructed ||v||^2 = sum_m ||c_{m,code_m}||^2 — query-independent
+        cb_nsq = F.broadcast(
+            codebooks.withColumn(
+                "c_nsq_part", F.expr(DOT.format(a="c_sub", b="c_sub"))
+            ).select("subspace", "code", "c_nsq_part")
+        )
+        q_nsq = F.broadcast(
+            _with_norm_sq(qrows, emb_col, id_col).select(
+                F.col(id_col).alias("query_id"), F.col("nsq").alias("q_nsq")
+            )
+        )
+        pairs = (
+            corpus.join(cb_nsq, ["subspace", "code"])
+            .join(F.broadcast(lut), ["subspace", "code"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.round(F.sum("part_dot"), 4).alias("approx_dot"),
+                F.sum("c_nsq_part").alias("_rnsq"),
+            )
+            .join(q_nsq, "query_id")
+            .withColumn(
+                "_score",
+                F.round(
+                    F.col("approx_dot")
+                    / F.sqrt(F.col("q_nsq") * F.greatest(F.col("_rnsq"), F.lit(1e-30))),
+                    6,
+                ),
+            )
+        )
+    else:
+        pairs = (
+            corpus.join(F.broadcast(lut), ["subspace", "code"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.round(F.sum("part_dot"), 4).alias("approx_dot"))
+            .withColumn("_score", F.col("approx_dot"))
+        )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_dot"), F.asc("neighbor_id")
+        F.desc("_score"), F.asc("neighbor_id")
     )
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
@@ -490,18 +552,23 @@ def pq_topk_reranked(
     rerank: int = 25,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage PQ search (the standard production shape): a wide ADC pass
     selects `rerank` candidates per query from the compressed codes, then
     ONLY those candidates' raw vectors are fetched (equi-join on id) and
     re-scored with the exact dot product. Recall approaches exact search at
     a fraction of its cost: the exact math touches n_queries x rerank
-    vectors, never the corpus."""
+    vectors, never the corpus. Candidates are ranked by APPROXIMATE COSINE
+    (reconstructed norms) so the final cosine re-rank isn't starved of
+    high-cosine short vectors on unnormalized corpora; pass `encoded` to
+    reuse a precomputed code table instead of re-encoding the corpus per
+    search call."""
     cand = pq_topk(
         emb, codebooks, m_subspaces, query_filter, k=rerank,
-        emb_col=emb_col, id_col=id_col,
+        emb_col=emb_col, id_col=id_col, encoded=encoded, rank_by="cosine",
     ).select("query_id", "neighbor_id")
-    n = _with_norm_sq(emb, emb_col)
+    n = _with_norm_sq(emb, emb_col, id_col)
     q = n.filter(F.expr(query_filter)).select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),

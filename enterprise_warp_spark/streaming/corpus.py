@@ -10,17 +10,25 @@ external state (the band index), which no built-in streaming operator
 expresses. dropDuplicatesWithinWatermark handles EXACT ids inside the
 watermark horizon; this handles NEAR duplicates across the corpus lifetime.
 
-Delivery semantics: foreachBatch is at-least-once for external writes, but
-the batch body is ordered so every replay converges to the exactly-once
-outcome: (1) probe the index (not yet updated by this batch), (2) write the
-corpus under an epoch-keyed partition with dynamic overwrite (idempotent —
-a replay rewrites its own epoch in place), (3) append the survivors' bands
-to the index. Crash between 2 and 3: the replay re-probes an index without
-this batch's bands, recomputes the SAME survivors (the probe is
-deterministic), and overwrites the same epoch — then completes step 3.
-Crash after 3 (before the checkpoint commit): the replay finds all its
-documents already indexed, survivors are empty, and both writes are no-ops
-— the corpus rows written in step 2 stay, exactly once.
+Delivery semantics: foreachBatch is at-least-once for external writes; the
+batch body makes every replay converge to the exactly-once outcome because
+BOTH writes are epoch-keyed dynamic-partition OVERWRITES and the probe
+EXCLUDES the batch's own epoch:
+
+  (1) probe the index with `exclude_epoch=epoch_id` — so a replay after
+      ANY partial index write (including a committer that exposes task
+      output mid-job) recomputes exactly the same survivors; its own
+      half-visible bands can never suppress its own documents;
+  (2) overwrite the corpus partition `__epoch=<id>` (idempotent);
+  (3) overwrite the index partitions `(__epoch=<id>, band_id=*)`
+      (idempotent — a replay rewrites the same band partitions because the
+      survivor set is identical by (1)).
+
+Any crash point therefore replays to the identical final state: no
+appended duplicates, and no lost documents — the failure mode of an
+append-based index, where a replay could see its own partial bands as
+'corpus', drop those documents from the survivors, and then overwrite the
+epoch's corpus partition without them.
 """
 
 from __future__ import annotations
@@ -49,19 +57,30 @@ def dedup_corpus_stream(
     )
 
     def _one_batch(batch: DataFrame, epoch_id: int) -> None:
-        # 1. probe (index not yet updated by this batch) — deterministic
+        # 1. probe, ignoring this epoch's own (possibly partially written)
+        # bands — deterministic across replays by construction
         survivors = incremental_minhash_filter(
-            batch, index_path, text_col=text_col, update_index=False
+            batch,
+            index_path,
+            text_col=text_col,
+            update_index=False,
+            exclude_epoch=int(epoch_id),
         )
         # 2. idempotent corpus write: replays overwrite their own epoch
         tagged = survivors.withColumn("__epoch", F.lit(int(epoch_id)))
         if tagged.take(1):  # empty overwrite would be a no-op anyway; skip IO
             upsert_partitions(tagged, corpus_path, ["__epoch"])
-        # 3. index append LAST, so a replay after a crash re-derives the
-        # same survivors instead of dropping them as self-duplicates
-        bands = minhash_bands(survivors, text_col).localCheckpoint(eager=True)
-        bands.write.mode("append").partitionBy("band_id").parquet(index_path)
-        batch.sparkSession.catalog.refreshByPath(index_path)
+        # 3. idempotent index write: the survivors' bands overwrite this
+        # epoch's (__epoch, band_id) partitions — a replay rewrites the
+        # same set, never appends duplicates
+        bands = (
+            minhash_bands(survivors, text_col)
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+            .localCheckpoint(eager=True)
+        )
+        if bands.take(1):  # appending nothing must not create a data-less dir
+            upsert_partitions(bands, index_path, ["__epoch", "band_id"])
+            batch.sparkSession.catalog.refreshByPath(index_path)
 
     return (
         stream_docs.writeStream.foreachBatch(_one_batch)

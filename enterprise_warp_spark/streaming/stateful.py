@@ -34,14 +34,21 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
         count, sum_value, last_us, max_gap = (
             state.get if state.exists else (0, 0.0, None, 0)
         )
-        for pdf in batches:
-            pdf = pdf.sort_values("ts_us")
-            for us, val in zip(pdf["ts_us"], pdf["value"]):
-                if last_us is not None:
-                    max_gap = max(max_gap, int(us - last_us))
-                last_us = int(us)
-                count += 1
-                sum_value += float(val)
+        # a key's micro-batch data may arrive as SEVERAL Arrow chunks;
+        # sorting each chunk independently would compute gaps across an
+        # unsorted seam — concatenate first, sort once
+        chunks = list(batches)
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values("ts_us")
+            if chunks
+            else pd.DataFrame({"ts_us": [], "value": []})
+        )
+        for us, val in zip(pdf["ts_us"], pdf["value"]):
+            if last_us is not None:
+                max_gap = max(max_gap, int(us - last_us))
+            last_us = int(us)
+            count += 1
+            sum_value += float(val)
         state.update((count, sum_value, last_us, max_gap))
         yield pd.DataFrame(
             {

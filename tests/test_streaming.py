@@ -113,3 +113,33 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_incremental_filter_empty_batch_never_poisons_index(spark, tmp_path):
+    """An empty batch (or one whose survivors are empty) must not leave a
+    data-less parquet directory that crashes every later probe (review
+    finding: append of an empty frame creates _SUCCESS-only dirs)."""
+    import pandas as pd
+
+    from enterprise_warp_spark.pipeline.dedup import incremental_minhash_filter
+
+    idx = str(tmp_path / "band_index")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = incremental_minhash_filter(empty, idx, update_index=True)
+    assert out.count() == 0
+    # second batch with real docs: the probe must work, not crash on a
+    # schema-less index directory
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a completely different document about spark")],
+        "doc_id long, text string",
+    )
+    out2 = incremental_minhash_filter(docs, idx, update_index=True)
+    assert out2.count() == 2
+    # and a third batch re-probing the now-real index sees batch-2's bands
+    dup = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out3 = incremental_minhash_filter(dup, idx, update_index=False)
+    assert out3.count() == 0  # near-copy of doc 1 filtered via the index
