@@ -27,15 +27,14 @@ def histogram_mode(df: DataFrame, value: str, bins: int = 50) -> DataFrame:
     v = F.col(value)
     stats = df.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
     w = (F.col("_hi") - F.col("_lo")) / bins
+    # constant column (min == max): zero bin width would DIVIDE_BY_ZERO
+    # under ANSI mode — everything belongs in bucket 0 (mode_position = lo)
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("bigint")).otherwise(
+        F.least(F.floor((v - F.col("_lo")) / w).cast("bigint"), F.lit(bins - 1))
+    )
     bucketed = (
         df.join(F.broadcast(stats))
-        .select(
-            F.least(
-                F.floor((v - F.col("_lo")) / w).cast("bigint"), F.lit(bins - 1)
-            ).alias("bucket"),
-            "_lo",
-            "_hi",
-        )
+        .select(bucket.alias("bucket"), "_lo", "_hi")
     )
     counted = bucketed.groupBy("bucket", "_lo", "_hi").agg(
         F.count(F.lit(1)).alias("cnt")

@@ -50,6 +50,11 @@ def global_rank(
         acc += counts[pid]
     if _total_out is not None:
         _total_out.append(acc)
+    if not counts:
+        # empty input: F.create_map() yields map<void,void> and the [_pid]
+        # lookup fails analysis — return the empty frame with the rank
+        # column in place (same fix pack_documents carries)
+        return ranged.withColumn(rank_col, F.lit(0).cast("long")).drop("_pid")
     offset_expr = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )

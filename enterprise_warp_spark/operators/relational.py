@@ -106,9 +106,14 @@ def burnin_filter(df: DataFrame, order_col: str, frac: float = 0.25) -> DataFram
     )
 
 
-def thin(df: DataFrame, order_col: str, k: int) -> DataFrame:
-    """P6 — keep every k-th row in ``order_col`` order."""
-    return _ranked(df, order_col).filter(F.col("_rn") % k == 0).drop("_n")
+def thin(df: DataFrame, order_col: str, k: int, with_rank: bool = False) -> DataFrame:
+    """P6 — keep rows at 0-based stride positions 0, k, 2k, ... in
+    ``order_col`` order — numpy's chain[::k] (results.py:670,691): the FIRST
+    sample is always kept (a rank-%k==0 predicate would drop it and shift
+    the stride phase). with_rank=True keeps the internal 1-based `_rn`
+    column for callers that report it."""
+    out = _ranked(df, order_col).filter((F.col("_rn") - 1) % k == 0)
+    return out.drop("_n") if with_rank else out.drop("_n", "_rn")
 
 
 def allowlist_filter(df: DataFrame, allowed: Sequence[str], col: str = "psr") -> DataFrame:

@@ -76,7 +76,9 @@ def heavy_hitters(
     Choose capacity >> 1/min_share (default 256 vs 1% support) so the
     guarantee holds with a narrow false-positive band.
 
-    Output: (group, col AS STRING, n_lower, n_upper, share_lower).
+    Output: (group, col AS STRING, n_lower, n_upper, share_lower). Null
+    values of `col` are EXCLUDED (the exact twin reports them as a null
+    row; a string sketch has no faithful spelling for them).
     """
 
     def partials(batches):
@@ -84,7 +86,10 @@ def heavy_hitters(
         state: dict = {}  # g -> [pd.Series counts, eps, n_rows]
         for pdf in batches:
             for g, chunk in pdf.groupby(group, dropna=False, observed=True):
-                vc = chunk[col].astype(str).value_counts()
+                # exclude null values: astype(str) would fold them into the
+                # literal strings 'None'/'nan' (dtype-dependent spellings!)
+                # while the exact twin reports a null row — neither matches
+                vc = chunk[col].dropna().astype(str).value_counts()
                 st = state.setdefault(g, [pd.Series(dtype="int64"), 0, 0])
                 st[2] += int(len(chunk))
                 s = st[0].add(vc, fill_value=0).astype("int64")

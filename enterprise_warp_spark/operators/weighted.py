@@ -25,7 +25,10 @@ def weighted_mean_aggs(
 ) -> list[Column]:
     r = F.col(r) if isinstance(r, str) else r
     s = F.col(s) if isinstance(s, str) else s
-    inv_var = 1.0 / (s * s)
+    # sigma == 0 rows carry no usable weight: NULL them out (skipped by the
+    # sums — the pre-ANSI behavior) instead of DIVIDE_BY_ZERO killing the
+    # whole aggregation under Spark's ANSI default
+    inv_var = F.when(s != 0.0, 1.0 / (s * s))
     wavg = F.sum(r * inv_var) / F.sum(inv_var)
     werr = F.sqrt(1.0 / F.sum(inv_var))
     if round_avg is not None:

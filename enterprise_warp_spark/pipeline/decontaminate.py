@@ -29,7 +29,10 @@ NGRAMS = (
 
 
 def _doc_grams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
-    toks = spread(df.select(id_col, F.expr(TOKENS.format(s=text_col)).alias("toks")))
+    toks = spread(
+        df.select(id_col, F.expr(TOKENS.format(s=text_col)).alias("toks")),
+        id_col,
+    )
     grams = NGRAMS.format(t="toks", n=n)
     return explode_nonnull(toks, f"array_distinct({grams})", "gram", id_col)
 

@@ -28,7 +28,10 @@ def pack_documents(
     n_partitions: int = 32,
 ) -> DataFrame:
     """-> df + (pack_id bigint, pack_offset bigint): pack assignment and the
-    document's token offset within its pack. Deterministic in `order_col`."""
+    document's token offset within its pack. Deterministic in `order_col` —
+    which therefore must be UNIQUE per row (the same tie-free-key contract
+    as ranking.global_rank): with duplicate keys the running sum could
+    order tied rows differently across runs/retries."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     ranged = df.repartitionByRange(n_partitions, F.col(order_col)).withColumn(
@@ -88,7 +91,8 @@ def chunk_documents(
 
     step = chunk_tokens - overlap
     toks = spread(
-        df.select(id_col, F.expr(TOKENS.format(s=text_col)).alias("__toks"))
+        df.select(id_col, F.expr(TOKENS.format(s=text_col)).alias("__toks")),
+        id_col,
     )
     # 1-based start positions 1, 1+step, 1+2*step, ... covering every token;
     # a doc shorter than one chunk gets exactly one start

@@ -4,6 +4,10 @@ quality scores, fingerprints.
 All pure Catalyst expressions (split/filter/transform/aggregate + md5) so the
 work stays in whole-stage codegen — at 100 TB the text columns stream through
 the JVM with zero Python round-trips.
+
+PRECONDITION: stopword matching and the BPE-ish token regex assume
+lowercased text — run normalize_text (or lower(text)) first; raw
+upper/mixed-case input skews language-ID hits and token counts.
 """
 
 from __future__ import annotations

@@ -603,20 +603,25 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT 'thin' AS op, event_id AS k, CAST(rn AS DOUBLE) AS v
-    FROM t WHERE rn % 100 = 0
+    FROM t WHERE (rn - 1) % 100 = 0
     UNION ALL
     SELECT 'burnin' AS op, COUNT(*) AS k,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / COUNT(*), 6) AS v
     FROM b WHERE rn > FLOOR(0.25 * n)
     """,
-    doc="P6 thinning (every k-th sample in step order, results.py:670,691) + "
-    "P5 burn-in (drop first 25% of samples, results.py:499-500), "
-    "tag-discriminated: thin rows = (event_id, rank); burnin row = "
-    "(n_kept, avg_value).",
+    doc="P6 thinning (numpy chain[::k] — first sample kept, "
+    "results.py:670,691) + P5 burn-in (drop first 25% of samples, "
+    "results.py:499-500), tag-discriminated: thin rows = (event_id, rank); "
+    "burnin row = (n_kept, avg_value).",
 )
 def chain_thin_burnin(spark: SparkSession, sf_dir: str) -> DataFrame:
     thinned = (
-        thin(table(spark, sf_dir, "events").select("event_id"), "event_id", 100)
+        thin(
+            table(spark, sf_dir, "events").select("event_id"),
+            "event_id",
+            100,
+            with_rank=True,
+        )
         .select(
             F.lit("thin").alias("op"),
             F.col("event_id").alias("k"),
