@@ -68,17 +68,18 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     Returns doc rows + per-language hit counts + predicted label
     ('und' when no stopwords hit at all).
     """
-    t = TOKENS.format(s=text_col)
-    hits = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
+    hits = {lang: stopword_hits("__tok", lang) for lang in STOPWORDS}
     pred = (
         "CASE WHEN en_hits = 0 AND es_hits = 0 AND de_hits = 0 THEN 'und' "
         "WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en' "
         "WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END"
     )
-    out = df
+    # stage the token array once (SPARK-35410: lambda expressions are not
+    # deduplicated, so three hit columns would tokenize three times)
+    out = df.select("*", F.expr(TOKENS.format(s=text_col)).alias("__tok"))
     for lang, expr in hits.items():
         out = out.withColumn(f"{lang}_hits", F.expr(expr))
-    return out.withColumn("predicted", F.expr(pred))
+    return out.withColumn("predicted", F.expr(pred)).drop("__tok")
 
 
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -210,7 +211,11 @@ def all_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from enterprise_warp_spark.functions.arrays import spread
 
-    t = TOKENS.format(s=text_col)
+    # every token-derived metric reads the STAGED __tok column — Spark skips
+    # subexpression elimination for lambda expressions (SPARK-35410), so
+    # formatting TOKENS into each expression would re-tokenize the text
+    # ~15x per row (the pred CASE alone embeds it 6x)
+    t = "__tok"
     n_tok = f"size({t})"
     hits = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
     pred = (
