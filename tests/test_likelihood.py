@@ -416,3 +416,65 @@ def test_mixed_global_and_backend_ecorr_partition_semantics(spark):
     bad = samples.drop(columns=["log10_ecorr"])
     with pytest.raises(ValueError, match="backend"):
         gp_loglik_per_pulsar(res.drop("backend"), bad, nfreqs=nf)
+
+
+def test_fast_path_matches_slow_path_with_det_and_ecorr(spark):
+    """The r5 hoisted-Gram fast path (sample-invariant F^T N^-1 F blocks,
+    likelihood/gp.py _lnlike_cached) must agree exactly with the per-sample
+    slow path. Forcing the slow path by adding a sampled 'efac' column whose
+    value equals the data efac keeps the math identical while flipping the
+    code path — covered here WITH a DetComponent (low-rank shifted-residual
+    update) and ECORR (U-augmented basis) in the model."""
+    from enterprise_warp_spark.likelihood.gp import DetComponent, RedComponent
+
+    rng = np.random.default_rng(42)
+    t, r, sig = _make_pulsar(rng, n=120)
+    n = len(t)
+    b0 = rng.normal(0, 1e-6, n)
+    b1 = np.sin(t / t.max() * 3.0) * 1e-6
+    epochs = (np.arange(n) // 8).astype(int)
+    rows = [
+        (
+            "J1",
+            float(t[i]),
+            float(r[i]),
+            float(sig[i]),
+            1.3,
+            2e-7,
+            float(b0[i]),
+            float(b1[i]),
+            int(epochs[i]),
+        )
+        for i in range(n)
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, b0 double, b1 double, epoch_id int",
+    )
+    comps = (
+        RedComponent(nfreqs=6),
+        DetComponent(("c_0", "c_1"), ("b0", "b1")),
+    )
+    base = pd.DataFrame(
+        {
+            "sample_id": [0, 1, 2],
+            "log10_A": [-13.5, -13.0, -12.8],
+            "gamma": [3.0, 4.0, 4.4],
+            "log10_ecorr": [-6.5, -6.0, -7.0],
+            "c_0": [0.5, -1.0, 2.0],
+            "c_1": [0.0, 1.5, -0.7],
+        }
+    )
+    fast = {
+        row["sample_id"]: row["lnl"]
+        for row in gp_loglik_per_pulsar(res, base, components=comps).collect()
+    }
+    slow_samples = base.assign(efac=1.3)  # sampled == data column: same N
+    slow = {
+        row["sample_id"]: row["lnl"]
+        for row in gp_loglik_per_pulsar(res, slow_samples, components=comps).collect()
+    }
+    assert set(fast) == set(slow) == {0, 1, 2}
+    for sid in fast:
+        assert fast[sid] == pytest.approx(slow[sid], rel=1e-11), sid
