@@ -155,10 +155,19 @@ def per_pulsar_reduction(
                 pdf[ecorr_col].to_numpy(dtype=np.float64), nan=0.0
             )
             dinv = 1.0 / ndiag
-            codes = np.unique(
-                np.stack([epochs.astype(np.float64), ecs]), axis=1,
-                return_inverse=True,
-            )[1].ravel()
+            # block identity: (epoch, backend when present, amplitude) via
+            # INTEGER factor codes — keying on the float amplitude alone
+            # would merge two backends that happen to share an epoch and an
+            # exactly-equal ECORR value into one cross-backend block, and a
+            # float64 cast of epoch_id loses uniqueness above 2^53
+            codes = np.unique(epochs, return_inverse=True)[1].astype(np.int64)
+            if "backend" in pdf.columns:
+                bc = np.unique(
+                    pdf["backend"].to_numpy().astype(str), return_inverse=True
+                )[1].astype(np.int64)
+                codes = codes * (bc.max() + 1) + bc
+            vc = np.unique(ecs, return_inverse=True)[1].astype(np.int64)
+            codes = codes * (vc.max() + 1) + vc
             order = np.argsort(codes, kind="stable")
             starts = np.r_[0, np.flatnonzero(np.diff(codes[order])) + 1]
             seg_s = np.add.reduceat(dinv[order], starts)
@@ -476,15 +485,27 @@ def draws_from_chain(
     ordered by a seeded hash, first n_draws kept. Returns the small pandas
     (draw_id, gamma) frame marginalised_os expects — bounded by n_draws,
     never the chain size."""
-    # content-only ordering key: rows with equal gamma are interchangeable,
-    # so (hash(gamma, seed), gamma) is a REPRODUCIBLE selection regardless
-    # of partition layout — monotonically_increasing_id would not be
+    # Per-ROW ordering key, not per-VALUE: MCMC chains contain long runs of
+    # exact duplicates (rejected proposals), so hashing gamma alone would
+    # make every duplicate sort contiguously and the head-n_draws collapse
+    # into a few clustered values — badly inflated draw variance vs the
+    # reference's uniform-random rows. Rows sharing a gamma are
+    # interchangeable in content, so numbering them 1..k inside their value
+    # group (any within-group order gives the same multiset) and hashing
+    # (gamma, rank, seed) yields a selection that is a deterministic
+    # function of the VALUE MULTISET — reproducible across partition
+    # layouts (monotonically_increasing_id would not be) while each
+    # physical row keeps its own iid-ish hash.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gamma").orderBy(F.lit(0))
     picked = (
         chain.select(F.col(gamma_col).alias("gamma"))
-        .withColumn("_h", F.xxhash64(F.col("gamma"), F.lit(seed)))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_h", F.xxhash64(F.col("gamma"), F.col("_rn"), F.lit(seed)))
         .orderBy("_h", "gamma")
         .limit(n_draws)
-        .drop("_h")
+        .drop("_h", "_rn")
         .toPandas()
     )
     picked.insert(0, "draw_id", range(len(picked)))

@@ -53,6 +53,12 @@ def _poly(q: F.Column, coeffs) -> F.Column:
 
 def probit(p: F.Column) -> F.Column:
     """Inverse standard-normal CDF as a column expression (Acklam)."""
+    # clamp away the open-interval endpoints: F.rand() can return exactly
+    # 0.0 (and an infinite truncation bound maps it there), where
+    # sqrt(-2*log(0)) = inf and the rational tail becomes inf/inf = NaN —
+    # one poisoned sample row. 1e-15 keeps ~|z| <= 8, far outside any
+    # realistic truncation window.
+    p = F.greatest(F.least(p, F.lit(1.0 - 1e-15)), F.lit(1e-15))
     p_low = 0.02425
     q_c = p - 0.5
     r_c = q_c * q_c

@@ -75,8 +75,13 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
         "WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END"
     )
     # stage the token array once (SPARK-35410: lambda expressions are not
-    # deduplicated, so three hit columns would tokenize three times)
-    out = df.select("*", F.expr(TOKENS.format(s=text_col)).alias("__tok"))
+    # deduplicated, so three hit columns would tokenize three times).
+    # __tok is internal scratch: drop any stale copy first so repeated
+    # application (or input that carries one from an earlier stage) cannot
+    # raise a duplicate-column AnalysisException or resolve ambiguously.
+    out = df.drop("__tok").select(
+        "*", F.expr(TOKENS.format(s=text_col)).alias("__tok")
+    )
     for lang, expr in hits.items():
         out = out.withColumn(f"{lang}_hits", F.expr(expr))
     return out.withColumn("predicted", F.expr(pred)).drop("__tok")
@@ -181,7 +186,9 @@ def _with_token_arrays(df: DataFrame, text_col: str) -> DataFrame:
     Catalyst's CollapseProject leaves these projections alone (the aliases are
     non-cheap and multiply referenced), which is exactly what we want — no
     re-tokenization per downstream expression."""
-    staged = df.select("*", F.expr(TOKENS.format(s=text_col)).alias("__tok"))
+    staged = df.drop("__tok", "__big").select(
+        "*", F.expr(TOKENS.format(s=text_col)).alias("__tok")
+    )
     return staged.select("*", F.expr(BIGRAMS.format(t="__tok")).alias("__big"))
 
 

@@ -54,6 +54,15 @@ def apply_noise_dict(residuals: DataFrame, noise: DataFrame) -> DataFrame:
     The noise side is tiny (one row per pulsar-backend) — always broadcast;
     the TOA side is never reshuffled.
     """
+    if "backend" not in residuals.columns:
+        # fail at plan time with a clear message, not as an opaque
+        # AnalysisException deep inside run_os_pipeline (noise-file keys are
+        # per-(psr, backend); a backendless residual table cannot bind them)
+        raise ValueError(
+            "apply_noise_dict needs a 'backend' column in residuals to join "
+            "the per-(psr, backend) noise-file parameters onto; got columns "
+            f"{residuals.columns}"
+        )
     parsed = noise.withColumn(
         "rest", F.expr("substring(key, length(psr) + 2)")
     )

@@ -507,3 +507,25 @@ def test_repetition_metrics_match_counter(spark):
         assert r["symbol_char_ratio"] == pytest.approx(
             round(sym / max(len(text), 1), 6)
         )
+
+
+def test_langid_tolerates_existing_tok_column_and_reapplication(spark):
+    """ADVICE r4: __tok/__big are internal scratch names — input already
+    carrying one (e.g. output of an earlier staging pass) or repeated
+    application must not raise a duplicate-column AnalysisException."""
+    from enterprise_warp_spark.pipeline.text import langid, repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog", ["stale"])],
+        "doc_id int, text string, __tok array<string>",
+    )
+    out = langid(df, "text")
+    row = out.first()
+    assert row["predicted"] == "en"
+    assert out.columns.count("__tok") <= 1  # no duplicate staging
+    # repeated application of the staged-metrics path is also safe
+    twice = repetition_metrics(
+        spark.createDataFrame([(1, "a a b")], "doc_id int, text string"),
+        "text",
+    )
+    assert twice.first()["dup_token_ratio"] > 0

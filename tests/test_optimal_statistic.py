@@ -624,3 +624,97 @@ def test_reduction_ecorr_mixed_amplitudes_form_separate_blocks(spark):
         float(rs @ np.linalg.solve(C, rs)) + logdet + n * _math.log(2 * _math.pi)
     )
     assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_reduction_ecorr_equal_amplitudes_separate_backends(spark):
+    """ADVICE r4: two backends sharing an epoch with EXACTLY EQUAL fixed
+    ECORR amplitudes must still form separate per-backend blocks — the block
+    key includes the backend column, never just the float amplitude."""
+    import math as _math
+
+    import pandas as pd
+
+    from enterprise_warp_spark.likelihood.gp import (
+        gp_loglik_reduced,
+        powerlaw_phi,
+    )
+
+    rng = np.random.default_rng(211)
+    tspan = 4.0e8
+    nf, n = 3, 64
+    ec = 5e-7  # IDENTICAL amplitude on both backends
+    t = np.sort(rng.uniform(0, tspan, n))
+    t[0], t[-1] = 0.0, tspan
+    epochs = np.digitize(t, np.linspace(0, tspan, 7))
+    backends = np.where(np.arange(n) % 2 == 0, "RCVR_A", "RCVR_B")
+    sig = np.full(n, 5e-7)
+    r = rng.normal(0, 1e-6, n)
+    rows = [
+        ("J1", float(t[i]), float(r[i]), float(sig[i]), 1.0, 0.0,
+         int(epochs[i]), str(backends[i]), float(ec))
+        for i in range(n)
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, epoch_id int, backend string, ecorr double",
+    )
+    samples = pd.DataFrame({"sample_id": [0], "log10_A": [-13.3], "gamma": [4.0]})
+    red = per_pulsar_reduction(res, nfreqs=nf, tspan_s=tspan, ecorr_col="ecorr")
+    got = gp_loglik_reduced(red, samples, tspan).first()["lnl"]
+
+    order = np.argsort(t)
+    ts, rs, es, bs = t[order], r[order], epochs[order], backends[order]
+    Nb = np.diag(np.full(n, sig[0] ** 2))
+    for e in np.unique(es):
+        for b in ("RCVR_A", "RCVR_B"):  # per-(epoch, backend) blocks
+            mask = ((es == e) & (bs == b)).astype(float)
+            if mask.sum() > 0:
+                Nb += ec * ec * np.outer(mask, mask)
+    f = np.arange(1, nf + 1) / tspan
+    arg = 2 * _math.pi * np.outer(ts, f)
+    Fm = np.empty((n, 2 * nf))
+    Fm[:, 0::2] = np.sin(arg)
+    Fm[:, 1::2] = np.cos(arg)
+    phi = powerlaw_phi(np.repeat(f, 2), np.full(2 * nf, 1.0 / tspan), -13.3, 4.0)
+    C = Nb + Fm @ np.diag(phi) @ Fm.T
+    sign, logdet = np.linalg.slogdet(C)
+    assert sign > 0
+    want = -0.5 * (
+        float(rs @ np.linalg.solve(C, rs)) + logdet + n * _math.log(2 * _math.pi)
+    )
+    assert got == pytest.approx(want, rel=1e-9)
+
+    # cross-backend merge (the pre-fix behavior) gives a DIFFERENT value:
+    Nm = np.diag(np.full(n, sig[0] ** 2))
+    for e in np.unique(es):
+        mask = (es == e).astype(float)
+        Nm += ec * ec * np.outer(mask, mask)
+    Cm = Nm + Fm @ np.diag(phi) @ Fm.T
+    merged = -0.5 * (
+        float(rs @ np.linalg.solve(Cm, rs))
+        + np.linalg.slogdet(Cm)[1]
+        + n * _math.log(2 * _math.pi)
+    )
+    assert abs(got - merged) > 1e-3  # the distinction is physically real
+
+
+def test_draws_from_chain_duplicate_runs_stay_uniform(spark):
+    """ADVICE r4 (medium): a chain full of exact duplicate runs (rejected
+    MCMC proposals) must still yield draws spread over the distinct values —
+    hashing the VALUE alone would sort all duplicates contiguously and the
+    head-n collapse into a handful of clustered gammas."""
+    from enterprise_warp_spark.analytics.optimal_statistic import draws_from_chain
+
+    # 60 distinct gammas, each duplicated 50x in long runs -> 3000 rows
+    vals = [2.0 + 0.05 * k for k in range(60) for _ in range(50)]
+    chain = spark.createDataFrame([(v,) for v in vals], "gamma double")
+    draws = draws_from_chain(chain, "gamma", n_draws=120, seed=7)
+    assert len(draws) == 120
+    n_distinct = draws["gamma"].nunique()
+    # uniform row sampling: expected distinct ~ 60*(1-(1-1/60)^120) ~ 52;
+    # the value-hash bug gave ceil(120/50)=3
+    assert n_distinct >= 40, n_distinct
+    # deterministic under repartitioning (content-function of the multiset)
+    again = draws_from_chain(chain.repartition(13), "gamma", n_draws=120, seed=7)
+    assert sorted(draws["gamma"]) == sorted(again["gamma"])

@@ -7,6 +7,7 @@ stable across runs, repartitioning, and engines (DuckDB twin for the hash).
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -213,3 +214,30 @@ def test_truncnormal_prior_bounds_and_moments(spark):
     # deterministic under the seed
     again = sample_priors(spark, pri, 40_000, seed=17)
     assert df.exceptAll(again).count() == 0
+
+
+def test_probit_clamps_open_interval_endpoints(spark):
+    """ADVICE r4: probit(0) / probit(1) must be large-finite, never NaN —
+    F.rand() can return exactly 0.0 and an infinite truncation bound maps it
+    there (sqrt(-2 log 0) -> inf, tail ratio -> inf/inf = NaN)."""
+    from enterprise_warp_spark.likelihood.sampling import probit
+
+    row = spark.range(1).select(
+        probit(F.lit(0.0)).alias("z0"),
+        probit(F.lit(1.0)).alias("z1"),
+        probit(F.lit(0.5)).alias("zm"),
+    ).first()
+    assert np.isfinite(row["z0"]) and row["z0"] < -7.0
+    assert np.isfinite(row["z1"]) and row["z1"] > 7.0
+    assert row["zm"] == pytest.approx(0.0, abs=1e-8)
+
+
+def test_truncnormal_infinite_lower_bound_no_nan(spark):
+    """truncnormal with lo=-inf: alpha=0, so u=0 rows hit probit(0) — every
+    sampled value must be finite."""
+    from enterprise_warp_spark.likelihood.sampling import Prior, sample_priors
+
+    pr = [Prior("x", "truncnormal", 0.0, 1.0, float("-inf"), 2.0)]
+    vals = sample_priors(spark, pr, 5000, seed=3).select("x").toPandas()["x"]
+    assert np.isfinite(vals).all()
+    assert (vals <= 2.0 + 1e-9).all()

@@ -339,3 +339,26 @@ def test_apply_noise_dict_distributed(spark, tmp_path):
     )
     lnl_const = gp_loglik_per_pulsar(res, samples_const, nfreqs=4).first()["lnl"]
     assert lnl_applied == pytest.approx(lnl_const, rel=1e-12)
+
+
+def test_apply_noise_dict_requires_backend_column(spark, tmp_path):
+    """ADVICE r4: a residual table without a backend column must fail at
+    PLAN time with a message naming the column, not as an opaque
+    AnalysisException inside run_os_pipeline."""
+    import json as _json
+
+    from enterprise_warp_spark.sources.noisefiles import (
+        apply_noise_dict,
+        read_noise_files,
+    )
+
+    p = tmp_path / "J1_noise.json"
+    p.write_text(_json.dumps({"J1_X_efac": 1.1}))
+    noise = read_noise_files(spark, str(p))
+    res = spark.createDataFrame(
+        [("J1", 0.0, 0.0, 1e-6, 1.0, 0.0)],
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double",
+    )
+    with pytest.raises(ValueError, match="backend"):
+        apply_noise_dict(res, noise)
