@@ -279,7 +279,7 @@ def pair_statistics(
     TOAs), and the self-join's two branches would otherwise re-run that pass
     twice. The broadcast build materializes the cache; the probe side reuses
     it."""
-    withpos = reduced.join(positions, "psr").persist()
+    withpos = reduced.join(F.broadcast(positions), "psr").persist()
     a = withpos.select(*[F.col(c).alias(f"a_{c}") for c in withpos.columns])
     b = withpos.select(*[F.col(c).alias(f"b_{c}") for c in withpos.columns])
     pairs = a.join(F.broadcast(b), F.col("a_psr") < F.col("b_psr"))

@@ -381,3 +381,293 @@ def os_pair_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pair_statistics(red, positions, tspan_s=300_000.0 * 1_000_000)
+
+
+@register(
+    "gp_kernel_single_freq",
+    """
+    WITH r AS (
+      SELECT 'J' || CAST(s_suppkey % 3 AS VARCHAR) AS psr,
+             CAST(s_suppkey AS DOUBLE) * 1e5 AS t,
+             s_acctbal * 1e-10 AS resid
+      FROM supplier
+    ),
+    g AS (SELECT psr, MAX(t) - MIN(t) AS tsp FROM r GROUP BY psr),
+    b AS (
+      SELECT r.psr, g.tsp,
+             SIN(2*PI()*r.t/g.tsp) AS sn,
+             COS(2*PI()*r.t/g.tsp) AS cs,
+             r.resid / 1e-6 AS w
+      FROM r JOIN g USING (psr)
+    ),
+    agg AS (
+      SELECT psr, ANY_VALUE(tsp) AS tsp, COUNT(*) AS n,
+             SUM(w*w) AS rtn,
+             SUM(sn*w) * 1e6 AS xs,
+             SUM(cs*w) * 1e6 AS xc,
+             SUM(sn*sn) * 1e12 AS sss,
+             SUM(sn*cs) * 1e12 AS ssc,
+             SUM(cs*cs) * 1e12 AS scc
+      FROM b GROUP BY psr
+    ),
+    smp AS (SELECT * FROM (VALUES (0, -13.0, 4.0), (1, -13.5, 3.0)) AS v(sample_id, lga, gam)),
+    ph AS (
+      SELECT a.*, s.sample_id,
+             POWER(10.0, 2.0*s.lga) / (12.0*PI()*PI())
+               * POWER(1.0/(365.25*86400), -3.0)
+               * POWER((1.0/a.tsp)/(1.0/(365.25*86400)), -s.gam)
+               * (1.0/a.tsp) AS phi
+      FROM agg a CROSS JOIN smp s
+    )
+    SELECT psr, CAST(sample_id AS BIGINT) AS sample_id,
+           ROUND(-0.5*( rtn
+               - ( xs*xs*(1.0/phi + scc) - 2.0*xs*xc*ssc + xc*xc*(1.0/phi + sss) )
+                 / ( (1.0/phi + sss)*(1.0/phi + scc) - ssc*ssc )
+               + n*LN(1e-12) + 2.0*LN(phi)
+               + LN( (1.0/phi + sss)*(1.0/phi + scc) - ssc*ssc )
+               + n*LN(2*PI()) ), 6) AS lnl
+    FROM ph
+    """,
+    doc="F10 VALUE gate (VERDICT r5 #6) — the REAL gp_loglik_per_pulsar "
+    "kernel (basis build + Gram + Woodbury Cholesky, likelihood/gp.py) run "
+    "at nfreqs=1, where the 2x2 Woodbury system has a closed form the "
+    "oracle evaluates directly in SQL: Sigma = diag(1/phi) + [[Sss,Ssc],"
+    "[Ssc,Scc]], q = x' Sigma^-1 x via the 2x2 inverse, lnL = -1/2(rtn - q "
+    "+ logdet N + 2 ln phi + ln det Sigma + n ln 2pi). Deterministic "
+    "supplier-derived residuals; per-pulsar Tspan from min/max exactly as "
+    "the kernel computes it.",
+)
+def gp_kernel_single_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.likelihood.gp import (
+        RedComponent,
+        gp_loglik_per_pulsar,
+    )
+
+    sup = table(spark, sf_dir, "supplier")
+    res = sup.select(
+        F.concat(F.lit("J"), (F.col("s_suppkey") % 3).cast("string")).alias("psr"),
+        (F.col("s_suppkey").cast("double") * 1e5).alias("toa_s"),
+        (F.col("s_acctbal").cast("double") * 1e-10).alias("residual_s"),
+        F.lit(1e-6).alias("toa_err_s"),
+        F.lit(1.0).alias("efac"),
+        F.lit(0.0).alias("equad"),
+    )
+    samples = pd.DataFrame(
+        {"sample_id": [0, 1], "log10_A": [-13.0, -13.5], "gamma": [4.0, 3.0]}
+    )
+    per = gp_loglik_per_pulsar(res, samples, components=(RedComponent(nfreqs=1),))
+    return per.select("psr", "sample_id", F.round("lnl", 6).alias("lnl"))
+
+
+@register(
+    "gwb_kernel_two_psr",
+    """
+    WITH r AS (
+      SELECT CAST(s_suppkey AS DOUBLE) * 1e5 AS t,
+             s_acctbal * 1e-10 AS ra,
+             (CAST((s_suppkey * 7) % 11 AS DOUBLE) - 5.0) * 1e-7 AS rb
+      FROM supplier
+    ),
+    b AS (
+      SELECT SIN(2*PI()*t/1e8) AS sn, COS(2*PI()*t/1e8) AS cs,
+             ra/1e-6 AS wa, rb/1e-6 AS wb
+      FROM r
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(wa*wa) + SUM(wb*wb) AS rtn,
+             SUM(sn*wa) * 1e6 AS xsa, SUM(cs*wa) * 1e6 AS xca,
+             SUM(sn*wb) * 1e6 AS xsb, SUM(cs*wb) * 1e6 AS xcb,
+             SUM(sn*sn) * 1e12 AS sss,
+             SUM(sn*cs) * 1e12 AS ssc,
+             SUM(cs*cs) * 1e12 AS scc
+      FROM b
+    ),
+    smp AS (SELECT * FROM (VALUES (0, -13.5, 4.0), (1, -14.0, 3.5),
+                                  (2, -13.0, 3.0), (3, -14.5, 2.5))
+            AS v(sample_id, lga, gam)),
+    k AS (
+      SELECT a.*, s.sample_id,
+             1.5*0.5*LN(0.5) - 0.25*0.5 + 0.5 AS c,
+             POWER(10.0, 2.0*s.lga) / (12.0*PI()*PI())
+               * POWER(1.0/(365.25*86400), -3.0)
+               * POWER((1.0/1e8)/(1.0/(365.25*86400)), -s.gam)
+               * (1.0/1e8) AS phi
+      FROM agg a CROSS JOIN smp s
+    ),
+    q AS (
+      SELECT sample_id, n, rtn, phi, c,
+             1.0/phi/(1.0+c) AS pp, 1.0/phi/(1.0-c) AS pm,
+             (xsa+xsb)/SQRT(2.0) AS xsp, (xca+xcb)/SQRT(2.0) AS xcp,
+             (xsa-xsb)/SQRT(2.0) AS xsm, (xca-xcb)/SQRT(2.0) AS xcm,
+             sss, ssc, scc
+      FROM k
+    )
+    SELECT CAST(sample_id AS BIGINT) AS sample_id,
+           ROUND(-0.5*( rtn
+             - ( xsp*xsp*(pp+scc) - 2.0*xsp*xcp*ssc + xcp*xcp*(pp+sss) )
+               / ( (pp+sss)*(pp+scc) - ssc*ssc )
+             - ( xsm*xsm*(pm+scc) - 2.0*xsm*xcm*ssc + xcm*xcm*(pm+sss) )
+               / ( (pm+sss)*(pm+scc) - ssc*ssc )
+             + 2*n*LN(1e-12)
+             + 2.0*LN(1.0-c*c) + 4.0*LN(phi)
+             + LN( (pp+sss)*(pp+scc) - ssc*ssc )
+             + LN( (pm+sss)*(pm+scc) - ssc*ssc )
+             + 2*n*LN(2*PI()) ), 6) AS lnl
+    FROM q
+    """,
+    doc="F12b VALUE gate (VERDICT r5 #6) — the REAL HD-correlated GWB "
+    "pipeline (per_pulsar_reduction -> prepare_gwb_kernel -> gwb_loglik "
+    "Kronecker-Woodbury solve, likelihood/gwb.py) on TWO pulsars sharing "
+    "one TOA pattern at nfreqs=1. With S_A = S_B the 4x4 Sigma "
+    "block-diagonalizes in the symmetric/antisymmetric combination "
+    "(x_A +- x_B)/sqrt(2) with Gamma^-1 eigenvalues 1/(1 +- c), c the HD "
+    "coefficient at 90 deg separation (= 0.75 ln(1/2) + 3/8), so the full "
+    "correlated likelihood reduces to two closed-form 2x2 systems the "
+    "oracle evaluates in SQL — the driver artifact now checks GWB kernel "
+    "VALUES, not just shapes.",
+)
+def gwb_kernel_two_psr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.analytics.optimal_statistic import (
+        per_pulsar_reduction,
+    )
+    from enterprise_warp_spark.likelihood.gwb import gwb_loglik
+
+    tspan = 1e8
+    sup = table(spark, sf_dir, "supplier")
+    base = sup.select(
+        (F.col("s_suppkey").cast("double") * 1e5).alias("toa_s"),
+        (F.col("s_acctbal").cast("double") * 1e-10).alias("ra"),
+        (
+            (F.pmod(F.col("s_suppkey") * 7, F.lit(11)).cast("double") - 5.0)
+            * 1e-7
+        ).alias("rb"),
+    )
+    mk = lambda psr, col: base.select(  # noqa: E731
+        F.lit(psr).alias("psr"),
+        "toa_s",
+        F.col(col).alias("residual_s"),
+        F.lit(1e-6).alias("toa_err_s"),
+        F.lit(1.0).alias("efac"),
+        F.lit(0.0).alias("equad"),
+    )
+    res = mk("A", "ra").unionByName(mk("B", "rb"))
+    red = per_pulsar_reduction(res, nfreqs=1, tspan_s=tspan)
+    positions = spark.createDataFrame(
+        pd.DataFrame({"psr": ["A", "B"], "pos": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]})
+    )
+    samples = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sample_id": [0, 1, 2, 3],
+                "gw_log10_A": [-13.5, -14.0, -13.0, -14.5],
+                "gw_gamma": [4.0, 3.5, 3.0, 2.5],
+            }
+        )
+    )
+    out = gwb_loglik(red, positions, samples, tspan, orf="hd")
+    return out.select("sample_id", F.round("lnl", 6).alias("lnl"))
+
+
+@register(
+    "os_pair_slice",
+    """
+    WITH psr AS (SELECT s_suppkey AS p FROM supplier WHERE s_suppkey BETWEEN 1 AND 12),
+    basis AS (
+      SELECT n_nationkey AS i, CEIL(n_nationkey/2.0)/315576000.0 AS f
+      FROM nation WHERE n_nationkey BETWEEN 1 AND 8
+    ),
+    ph AS (
+      SELECT i,
+             (1.0/(12.0*PI()*PI())) * POWER(1.0/(365.25*86400), -3.0)
+               * POWER(f/(1.0/(365.25*86400)), -(13.0/3.0))
+               * (1.0/315576000.0) AS ph
+      FROM basis
+    ),
+    pos AS (
+      SELECT p,
+             SIN(RADIANS(CAST((p*97)%180 AS DOUBLE))) * COS(RADIANS(CAST((p*61)%360 AS DOUBLE))) AS x,
+             SIN(RADIANS(CAST((p*97)%180 AS DOUBLE))) * SIN(RADIANS(CAST((p*61)%360 AS DOUBLE))) AS y,
+             COS(RADIANS(CAST((p*97)%180 AS DOUBLE))) AS z
+      FROM psr
+    ),
+    pairs AS (SELECT a.p AS ap, b.p AS bp FROM psr a JOIN psr b ON a.p < b.p),
+    corr AS (
+      SELECT pr.ap, pr.bp,
+             SUM(ph.ph * (((pr.ap*7 + ph.i*3) % 11 - 5) * 0.1)
+                       * (((pr.bp*7 + ph.i*3) % 11 - 5) * 0.1)) AS num,
+             SUM(ph.ph * ph.ph) AS norm
+      FROM pairs pr CROSS JOIN ph
+      GROUP BY pr.ap, pr.bp
+    )
+    SELECT 'P' || CASE WHEN c.ap < 10 THEN '0' ELSE '' END || CAST(c.ap AS VARCHAR) AS psr_a,
+           'P' || CASE WHEN c.bp < 10 THEN '0' ELSE '' END || CAST(c.bp AS VARCHAR) AS psr_b,
+           ROUND(ACOS(LEAST(GREATEST(pa.x*pb.x + pa.y*pb.y + pa.z*pb.z, -1.0), 1.0)), 6) AS xi,
+           ROUND(c.num / SQRT(c.norm), 6) AS rho_over_sig,
+           ROUND(-0.5 * LN(c.norm), 6) AS ln_sig
+    FROM corr c JOIN pos pa ON pa.p = c.ap JOIN pos pb ON pb.p = c.bp
+    """,
+    doc="F12/J6 VALUE gate (VERDICT r5 #6) — the REAL pair_statistics kernel "
+    "(pair self-join + pair-axis einsum, analytics/optimal_statistic.py:269) "
+    "over a deterministic identity-S reduced table, where the per-pair "
+    "correlation has the closed forms num = sum_i ph_i u_a_i u_b_i and "
+    "norm = sum_i ph_i^2 — so per-pair xi, rho/sig and ln(sig) are exactly "
+    "SQL-expressible (dimensionless/log outputs survive ROUND; raw rho ~ "
+    "1/ph is astronomically scaled).",
+)
+def os_pair_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import numpy as np
+
+    from enterprise_warp_spark.analytics.optimal_statistic import pair_statistics
+
+    T = 315_576_000.0
+    K = 4
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey").between(1, 12))
+        .select("s_suppkey")
+        .toPandas()
+    )
+    ps = sorted(int(p) for p in sup["s_suppkey"])
+    f2 = np.repeat(np.arange(1, K + 1) / T, 2)
+    eye = np.eye(2 * K).ravel().tolist()
+    reduced = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "psr": [f"P{p:02d}" for p in ps],
+                "u": [
+                    [((p * 7 + i * 3) % 11 - 5) * 0.1 for i in range(1, 2 * K + 1)]
+                    for p in ps
+                ],
+                "s": [eye] * len(ps),
+                "f": [f2.tolist()] * len(ps),
+            }
+        )
+    )
+    positions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "psr": [f"P{p:02d}" for p in ps],
+                "pos": [
+                    [
+                        math.sin(math.radians((p * 97) % 180))
+                        * math.cos(math.radians((p * 61) % 360)),
+                        math.sin(math.radians((p * 97) % 180))
+                        * math.sin(math.radians((p * 61) % 360)),
+                        math.cos(math.radians((p * 97) % 180)),
+                    ]
+                    for p in ps
+                ],
+            }
+        )
+    )
+    st = pair_statistics(reduced, positions, gamma=13.0 / 3.0, tspan_s=T)
+    return st.select(
+        "psr_a",
+        "psr_b",
+        F.round("xi", 6).alias("xi"),
+        F.round(F.col("rho") / F.col("sig"), 6).alias("rho_over_sig"),
+        F.round(-0.5 * F.log(F.col("sig") ** -2.0), 6).alias("ln_sig"),
+    )
