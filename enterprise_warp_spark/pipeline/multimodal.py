@@ -89,8 +89,13 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
     payload = row["payload"]
     if family == "wav":
         return True, codecs.audio_features(*codecs.decode_wav(payload))
-    if family == "pnm":
-        return True, codecs.image_features(codecs.decode_ppm(payload))
+    if family in ("pnm", "png"):
+        try:
+            return True, codecs.image_features(
+                codecs.decode_image(payload, row["mime"])
+            )
+        except Exception:
+            return False, _decode_stub(payload)  # undecodable bytes
     if family == "rawvideo":
         return True, codecs.video_features(
             payload, int(row["width"]), int(row["height"]), int(row["n_frames"])
@@ -231,9 +236,18 @@ def resize_images(
             payload = row["payload"]
             if payload is None:
                 raise NotImplementedError("missing payload; real decoder required")
-            if codecs.DECODABLE_MIMES.get(row["mime"]) == "pnm":
-                resized = codecs.resize_nearest(codecs.decode_ppm(payload), width, height)
-                return codecs.encode_ppm(resized), width, height, True
+            family = codecs.DECODABLE_MIMES.get(row["mime"])
+            if family in ("pnm", "png"):
+                try:
+                    resized = codecs.resize_nearest(
+                        codecs.decode_image(payload, row["mime"]), width, height
+                    )
+                    enc = (
+                        codecs.encode_ppm if family == "pnm" else codecs.encode_png
+                    )
+                    return enc(resized), width, height, True
+                except Exception:
+                    pass  # undecodable bytes: plugin / passthrough / strict
             if row["mime"] in codecs.OPTIONAL_IMAGE_MIMES and opt.get("image_resize"):
                 try:
                     return opt["image_resize"](payload, width, height), width, height, True
@@ -344,11 +358,11 @@ def audio_near_dup_pairs(
 
 
 def image_fingerprints(media: DataFrame) -> DataFrame:
-    """64-bit dHash for decodable images (PPM/PGM): grayscale, nearest-resize
-    to 9x8 (pipeline.codecs), one bit per horizontal neighbor comparison.
-    Comparison bits make it invariant to brightness/contrast scaling and
-    robust to resizing — the classic perceptual image hash. Non-decodable
-    (JPEG/PNG) rows: decoded=false, null fingerprint."""
+    """64-bit dHash for decodable images (PPM/PGM/PNG): grayscale,
+    nearest-resize to 9x8 (pipeline.codecs), one bit per horizontal neighbor
+    comparison. Comparison bits make it invariant to brightness/contrast
+    scaling and robust to resizing — the classic perceptual image hash.
+    Non-decodable (JPEG/...) rows: decoded=false, null fingerprint."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -356,9 +370,12 @@ def image_fingerprints(media: DataFrame) -> DataFrame:
         from enterprise_warp_spark.pipeline import codecs
 
         def one(row: pd.Series) -> tuple[bool, int | None]:
-            if codecs.DECODABLE_MIMES.get(row["mime"]) != "pnm":
+            if codecs.DECODABLE_MIMES.get(row["mime"]) not in ("pnm", "png"):
                 return False, None
-            arr = codecs.decode_ppm(row["payload"])
+            try:
+                arr = codecs.decode_image(row["payload"], row["mime"])
+            except Exception:
+                return False, None  # undecodable bytes under a decodable mime
             gray = arr.mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
             small = codecs.resize_nearest(gray, 9, 8)  # 9 cols -> 8 diffs/row
             bits = (small[:, 1:] > small[:, :-1]).flatten()
