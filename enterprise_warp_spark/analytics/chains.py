@@ -82,10 +82,19 @@ def mode_positions_by_par(chain_long: DataFrame, bins: int = 50) -> DataFrame:
             "par",
             "_lo",
             "_hi",
-            F.least(
-                F.floor((F.col("value") - F.col("_lo")) / width).cast("bigint"),
-                F.lit(bins - 1),
-            ).alias("bucket"),
+            # degenerate chains (all values equal — e.g. a constant-prior
+            # column) have zero width: everything lands in bucket 0 and the
+            # mode is the value itself, instead of an ANSI divide-by-zero
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("value") - F.col("_lo")) / width).cast(
+                        "bigint"
+                    ),
+                    F.lit(bins - 1),
+                )
+            )
+            .alias("bucket"),
         )
     )
     counted = bucketed.groupBy("run_id", "par", "_lo", "_hi", "bucket").agg(

@@ -162,6 +162,15 @@ def refined_samples(
     return df
 
 
+# adaptive_posterior round-trips each round's scored samples through the
+# driver (the CEM refit is a driver-side pandas moment fit). That is fine at
+# the design scale — hundreds to thousands of samples of tens of params —
+# but it is NOT a distributed reduction: the cap below turns a silent
+# 10^7-samples-per-round driver OOM into a loud plan-time error. Rounds
+# times n_per_round rows are also retained driver-side across rounds.
+MAX_ADAPTIVE_N_PER_ROUND = 65_536
+
+
 def adaptive_posterior(
     spark: SparkSession,
     priors: list[Prior],
@@ -183,6 +192,15 @@ def adaptive_posterior(
     """
     import numpy as _np
     import pandas as _pd
+
+    if n_per_round > MAX_ADAPTIVE_N_PER_ROUND:
+        raise ValueError(
+            f"adaptive_posterior n_per_round={n_per_round} exceeds the "
+            f"driver-collect contract ({MAX_ADAPTIVE_N_PER_ROUND}): each "
+            "round's samples are refit driver-side (CEM moments); for more "
+            "posterior mass per round, raise `rounds` or score more chains "
+            "in parallel instead"
+        )
 
     def _np_isfinite(series):
         return _np.isfinite(series.to_numpy())

@@ -150,3 +150,15 @@ def test_covariance_assembly(spark):
     assert pairs[("a", "a")] == 1.0 and pairs[("c", "c")] == 3.0
     assert ("b", "b") in pairs and pairs[("b", "b")] == 2.0  # first block wins
     assert ("c", "b") not in pairs  # pruned: 'b' already seen
+
+
+def test_mode_positions_degenerate_constant_chain(spark):
+    """A5 — a parameter whose chain values are ALL identical (constant
+    prior) must yield its value as the mode, not an ANSI divide-by-zero."""
+    from enterprise_warp_spark.analytics.chains import mode_positions_by_par
+
+    rows = [("r0", "efac", 1.25)] * 40 + [("r0", "gamma", 4.0), ("r0", "gamma", 5.0)]
+    chain = spark.createDataFrame(rows, "run_id string, par string, value double")
+    got = {r["par"]: r["mode_position"] for r in mode_positions_by_par(chain).collect()}
+    assert got["efac"] == 1.25
+    assert 4.0 <= got["gamma"] <= 5.0

@@ -6,6 +6,7 @@ import math
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -516,3 +517,188 @@ def test_full_cycle_chain_to_noise_files_to_os(spark, run_dirs, tmp_path):
     row = os_out["os"].first()
     assert np.isfinite(row["a2_hat"]) and np.isfinite(row["sig_os"])
     assert os_out["pair_stats"].count() == 1
+
+
+def test_golden_noise_file_parity_j1832(spark, tmp_path):
+    """VERDICT r5 #5 — answer-parity on the reference's published artifacts:
+    the full §3.1 pipeline (reference noise-model JSON -> priors/components,
+    real J1832-0836 .par/.tim -> TM spec + TOA sampling/errors/backends,
+    adaptive inference -> noise-file JSON sink) run against residuals whose
+    noise is injected EXACTLY per the reference's published
+    J1832-0836_noise.json (examples/example_noisefiles). Asserts:
+
+      1. the CEM MAP is at least as good as the truth point (the sampler
+         converged onto the posterior ridge; with 326 TOAs the DM-GP vs
+         40cm-white direction is genuinely flat, dlnl ~ 1);
+      2. the IDENTIFIABLE combinations are recovered: dominant-backend efac
+         tightly, per-backend effective white rms everywhere;
+      3. the K2 noise-file sink emits exactly the reference's key set.
+    """
+    import json
+
+    import numpy as np
+
+    from enterprise_warp_spark.functions.timingmodel import (
+        DAY_S,
+        flag_array_from_pandas,
+        tm_spec_from_par_file,
+    )
+    from enterprise_warp_spark.likelihood.gp import (
+        RedComponent,
+        TMComponent,
+        gp_loglik_per_pulsar,
+        powerlaw_phi,
+        total_loglik,
+    )
+    from enterprise_warp_spark.likelihood.inference import run_adaptive_inference
+    from enterprise_warp_spark.plans.noisemodel import (
+        normalize_noise_model,
+        signals_for_pulsar,
+    )
+    from enterprise_warp_spark.sinks import write_noise_json_files
+    from enterprise_warp_spark.sources.tim import read_tim
+
+    PSR = "J1832-0836"
+    EX = "/root/reference/examples"
+    golden = json.load(open(f"{EX}/example_noisefiles/{PSR}_noise.json"))
+    toas = read_tim(spark, f"{EX}/data/{PSR}.tim").toPandas()
+    spec = tm_spec_from_par_file(f"{EX}/data/{PSR}.par")
+    t = ((toas["toa_mjd"].astype(float)) - 57246.0).to_numpy() * DAY_S
+    n = len(t)
+    assert n == 326
+    freq = toas["freq_mhz"].to_numpy()
+    sig = toas["toa_err_us"].to_numpy() * 1e-6
+    flags = toas["flags"]
+    backend = np.array([dict(m)["group"] for m in flags])
+    backends = sorted(set(backend))
+    assert backends == ["CASPSR_40CM", "PDFB_10CM", "PDFB_20CM", "PDFB_40CM"]
+
+    # inject noise exactly per the golden file on the real observing setup
+    efac_inj = np.array([golden[f"{PSR}_{b}_efac"] for b in backend])
+    equad_inj = np.array([10.0 ** golden[f"{PSR}_{b}_log10_equad"] for b in backend])
+    rng = np.random.default_rng(20250814)
+    white = rng.normal(0.0, efac_inj * np.sqrt(sig**2 + equad_inj**2))
+    T = t.max() - t.min()
+    nf = 8
+    f = np.arange(1, nf + 1) / T
+    arg = 2 * np.pi * np.outer(t, f)
+    Fred = np.empty((n, 2 * nf))
+    Fred[:, 0::2] = np.sin(arg)
+    Fred[:, 1::2] = np.cos(arg)
+    df2 = np.full(2 * nf, 1.0 / T)
+    phi_red = powerlaw_phi(
+        np.repeat(f, 2), df2,
+        golden[f"{PSR}_red_noise_log10_A"], golden[f"{PSR}_red_noise_gamma"],
+    )
+    phi_dm = powerlaw_phi(
+        np.repeat(f, 2), df2,
+        golden[f"{PSR}_dm_gp_log10_A"], golden[f"{PSR}_dm_gp_gamma"],
+    )
+    Fdm = Fred * ((1400.0 / freq) ** 2.0)[:, None]
+    from enterprise_warp_spark.functions.timingmodel import design_matrix
+
+    M = design_matrix(spec, t, freq_mhz=freq, flag_of=flag_array_from_pandas(flags))
+    r = (
+        white
+        + Fred @ rng.normal(0, np.sqrt(phi_red))
+        + Fdm @ rng.normal(0, np.sqrt(phi_dm))
+        + M @ (rng.normal(0, 1.0, M.shape[1]) * 1e-6)
+    )
+    rows = [
+        (PSR, float(t[i]), float(r[i]), float(sig[i]), 1.0, 0.0,
+         float(freq[i]), str(backend[i]), dict(flags.iloc[i]))
+        for i in range(n)
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, freq_mhz double, backend string, "
+        "flags map<string,string>",
+    ).cache()
+
+    # the reference's own model file drives the priors/components
+    nm = json.load(open(f"{EX}/example_noisemodels/default_noise_example_1.json"))
+    model_rows = signals_for_pulsar(normalize_noise_model(nm), PSR)
+    scored, summary = run_adaptive_inference(
+        spark, res, model_rows, rounds=5, n_per_round=320, nfreqs=nf,
+        backends=backends, tm=TMComponent(spec, mode="fast"), seed=99,
+    )
+    row = summary.first().asDict()
+
+    # (1) sampler quality: MAP lnl >= truth lnl - margin
+    truth = {"sample_id": [0]}
+    truth["spin_noise_log10_A"] = [golden[f"{PSR}_red_noise_log10_A"]]
+    truth["spin_noise_gamma"] = [golden[f"{PSR}_red_noise_gamma"]]
+    truth["dm_noise_log10_A"] = [golden[f"{PSR}_dm_gp_log10_A"]]
+    truth["dm_noise_gamma"] = [golden[f"{PSR}_dm_gp_gamma"]]
+    for b in backends:
+        truth[f"efac_{b}"] = [golden[f"{PSR}_{b}_efac"]]
+        truth[f"log10_equad_{b}"] = [golden[f"{PSR}_{b}_log10_equad"]]
+    comps = (
+        TMComponent(spec, mode="fast"),
+        RedComponent(name="spin_noise", nfreqs=nf),
+        RedComponent(name="dm_noise", chrom_idx=2.0, nfreqs=nf),
+    )
+    lnl_truth = total_loglik(
+        gp_loglik_per_pulsar(res, pd.DataFrame(truth), components=comps)
+    ).first()["lnl"]
+    lnl_map = scored.agg(F.max("lnl")).first()[0]
+    assert lnl_map >= lnl_truth - 3.0, (lnl_map, lnl_truth)
+
+    # (2a) the dominant backend (243 of 326 TOAs) pins its efac tightly
+    assert abs(row["efac_PDFB_20CM_mean"] - golden[f"{PSR}_PDFB_20CM_efac"]) < 0.12
+    # (2b) per-backend EFFECTIVE white rms — the identifiable combination
+    # even where efac/equad are individually degenerate (few-TOA backends)
+    counts = {b: int((backend == b).sum()) for b in backends}
+    for b in backends:
+        m = backend == b
+        inj = float(np.mean(efac_inj[m] ** 2 * (sig[m] ** 2 + equad_inj[m] ** 2)))
+        ef, eq = row[f"efac_{b}_mean"], 10.0 ** row[f"log10_equad_{b}_mean"]
+        rec = float(np.mean(ef**2 * (sig[m] ** 2 + eq**2)))
+        ratio = rec / inj
+        # few-TOA 40cm backends sit on the flat DM-vs-white direction
+        # (dlnl ~ 1 between truth and the alternate mode): sanity-bound
+        # only; the >=50-TOA backends carry the real identifiability
+        lo, hi = (0.7, 1.45) if counts[b] >= 50 else (0.25, 6.0)
+        assert lo < ratio < hi, (b, counts[b], ratio)
+    # (2c) total achromatic f1 red-noise power (spin + DM at the 1400 MHz
+    # reference frequency) within the single-realization scatter of a
+    # 2-dof periodogram bin (~1.5 dex)
+    def f1_power(lga_s, gam_s, lga_d, gam_d):
+        return float(
+            powerlaw_phi(f[:1], df2[:1], lga_s, gam_s)[0]
+            + powerlaw_phi(f[:1], df2[:1], lga_d, gam_d)[0]
+        )
+
+    p_inj = f1_power(
+        golden[f"{PSR}_red_noise_log10_A"], golden[f"{PSR}_red_noise_gamma"],
+        golden[f"{PSR}_dm_gp_log10_A"], golden[f"{PSR}_dm_gp_gamma"],
+    )
+    p_rec = f1_power(
+        row["spin_noise_log10_A_mean"], row["spin_noise_gamma_mean"],
+        row["dm_noise_log10_A_mean"], row["dm_noise_gamma_mean"],
+    )
+    assert abs(np.log10(p_rec / p_inj)) < 1.5
+
+    # (3) K2 sink emits EXACTLY the reference's key set
+    to_ref = {f"efac_{b}": f"{PSR}_{b}_efac" for b in backends}
+    to_ref |= {f"log10_equad_{b}": f"{PSR}_{b}_log10_equad" for b in backends}
+    to_ref |= {
+        "spin_noise_log10_A": f"{PSR}_red_noise_log10_A",
+        "spin_noise_gamma": f"{PSR}_red_noise_gamma",
+        "dm_noise_log10_A": f"{PSR}_dm_gp_log10_A",
+        "dm_noise_gamma": f"{PSR}_dm_gp_gamma",
+    }
+    long_rows = []
+    for ours, ref_key in to_ref.items():
+        long_rows.append((PSR, ref_key[len(PSR) + 1 :], float(row[f"{ours}_mean"])))
+    chain_long = spark.createDataFrame(
+        long_rows, "run_id string, par string, value double"
+    )
+    from enterprise_warp_spark.analytics.chains import noise_summary
+
+    # one-value chains: mode == median == the value; exercises the real sink
+    paths = write_noise_json_files(noise_summary(chain_long), str(tmp_path))
+    assert len(paths) == 1 and paths[0].endswith(f"{PSR}_noise.json")
+    written = json.load(open(paths[0]))
+    assert {f"{PSR}_{k}" for k in written} == set(golden.keys())

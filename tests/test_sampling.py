@@ -241,3 +241,22 @@ def test_truncnormal_infinite_lower_bound_no_nan(spark):
     vals = sample_priors(spark, pr, 5000, seed=3).select("x").toPandas()["x"]
     assert np.isfinite(vals).all()
     assert (vals <= 2.0 + 1e-9).all()
+
+
+def test_adaptive_posterior_n_per_round_contract(spark):
+    """VERDICT r5 #8 — each CEM round's samples round-trip through the
+    driver; the documented cap turns a silent driver OOM into a loud
+    plan-time error."""
+    from enterprise_warp_spark.likelihood.sampling import (
+        MAX_ADAPTIVE_N_PER_ROUND,
+        Prior,
+        adaptive_posterior,
+    )
+
+    with pytest.raises(ValueError, match="n_per_round"):
+        adaptive_posterior(
+            spark,
+            [Prior("x", "uniform", 0.0, 1.0)],
+            lambda df: df.select("sample_id", F.lit(0.0).alias("lnl")),
+            n_per_round=MAX_ADAPTIVE_N_PER_ROUND + 1,
+        )
