@@ -99,17 +99,30 @@ def minhash_bands(df: DataFrame, text_col: str = "text", n_hashes: int = 8, rows
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Distinct candidate pairs from the band table (equi-join on band key)."""
+def lsh_candidate_pairs(bands: DataFrame, n_salt: int | None = None) -> DataFrame:
+    """Distinct candidate pairs from the band table (equi-join on band key).
+
+    n_salt: spread HOT band keys over n_salt tasks (operators.skew
+    salted_join). A corpus with a large exact-duplicate class funnels every
+    one of its O(d^2) candidate rows through the single task that owns that
+    band key — AQE can split the partition but every split still carries the
+    whole build side of the key. Salting replicates the probe side n_salt
+    times and splits the build side, bounding any task's share of a hot key
+    at ~1/n_salt. Same pair set either way (property-tested)."""
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
     )
     b = bands.select(
         F.col("doc_id").alias("doc_b"), "band_id", "band_key"
     )
+    if n_salt:
+        from enterprise_warp_spark.operators.skew import salted_join
+
+        joined = salted_join(a, b, ["band_id", "band_key"], n_salt=n_salt)
+    else:
+        joined = a.join(b, ["band_id", "band_key"])
     return (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        joined.filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )

@@ -265,3 +265,92 @@ def test_design_matrix_invariants(n, seed):
     assert np.allclose(r1, r2, atol=1e-8 * max(1.0, np.abs(y).max()))
     # idempotent: projecting the residual again changes nothing
     assert np.allclose(fit_residuals(M, r1), r1, atol=1e-10)
+
+
+def test_lsh_salted_pairs_equal_unsalted_on_zipf_corpus(spark):
+    """VERDICT r5 #7 — skewed-band stress: a zipf corpus (one exact-duplicate
+    class holding ~half the documents, plus a long tail) must produce the
+    SAME candidate-pair set salted and unsalted, and salting must spread the
+    hot band key over tasks instead of funneling every candidate row of the
+    duplicate class through one."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.skew import salted_join
+    from enterprise_warp_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    # zipf-ish multiplicities over 12 distinct texts: 60, 30, 20, 15, ...
+    texts = [
+        " ".join(f"tok{w}_{k}" for w in range(25)) for k in range(12)
+    ]
+    mult = [max(60 // (k + 1), 1) for k in range(12)]
+    rows, did = [], 0
+    for k, m in enumerate(mult):
+        for _ in range(m):
+            rows.append((did, texts[k]))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bands = minhash_bands(docs).cache()
+    plain = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(bands).collect()}
+    salted = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(bands, n_salt=8).collect()
+    }
+    assert plain == salted
+    # every within-class pair is a candidate (identical docs share all bands)
+    import itertools
+
+    off = 0
+    for m in mult:
+        ids = range(off, off + m)
+        for a, b in itertools.combinations(ids, 2):
+            assert (a, b) in plain
+        off += m
+
+    # task-share mechanics on the HOT key: unsalted, one shuffle partition
+    # owns 100% of the joined rows; salted, the max share is ~1/n_salt
+    hot = bands.join(
+        bands.groupBy("band_id", "band_key")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(1)
+        .select("band_id", "band_key"),
+        ["band_id", "band_key"],
+    ).cache()
+    a = hot.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = hot.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+
+    def shares(df):
+        counts = (
+            df.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .count()
+            .collect()
+        )
+        total = sum(r["count"] for r in counts)
+        return max(r["count"] for r in counts) / total
+
+    # at test scale Spark broadcasts the tiny side (no shuffle, no funnel);
+    # a real >threshold band table sort-merges — force that plan to expose
+    # the per-key funnel the salt exists to fix
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    prev_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE's post-shuffle coalescing merges the small result into one read
+    # partition, hiding the per-TASK distribution we are asserting on
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        assert shares(a.join(b, ["band_id", "band_key"])) == 1.0  # the funnel
+        assert (
+            shares(salted_join(a, b, ["band_id", "band_key"], n_salt=8)) <= 0.35
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
+        )
