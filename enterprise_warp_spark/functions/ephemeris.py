@@ -6,19 +6,23 @@ d_saturn_mass, d_uranus_mass, d_neptune_mass and six Jupiter orbital-element
 corrections — each multiplying a precomputed partial-derivative time series
 of the Earth–SSB vector projected onto the pulsar direction.
 
-The physical partials come from JPL ephemeris tables that are NOT available
-in this environment, so the basis is pluggable:
+The basis is pluggable, three sources in decreasing fidelity:
 
-  - ``attach_basis_table`` — the REAL path: join a precomputed per-(psr, toa)
-    basis parquet onto the residuals (SURVEY §2 F13: "deterministic column
-    from precomputed basis table"). Pure DataFrame join, no UDF; at cluster
+  - ``attach_basis_table`` / ``ingest_basis_table`` — join a precomputed
+    per-(psr, toa) basis parquet (e.g. tabulated from a JPL DE ephemeris)
+    onto the residuals (SURVEY §2 F13: "deterministic column from
+    precomputed basis table"). Pure DataFrame join, no UDF; at cluster
     scale co-partition both sides on psr (the basis table has the same
     cardinality as the TOAs).
+  - ``functions.solar_system.physical_basis`` — REAL physical partials
+    computed from the PUBLIC Keplerian mean elements of the major planets
+    (textbook approximate ephemerides, r5): frame-drift, outer-planet mass
+    and Jupiter orbital-element partials of the Earth–SSB Roemer delay,
+    vectorized per Arrow batch. Accurate to the mean-element ephemeris
+    (~arcminutes), which is ample for perturbation PARTIALS; no external
+    data files needed.
   - ``synthetic_basis`` — a clearly-marked DETERMINISTIC STAND-IN with the
-    physically right shape (secular frame drift, harmonics at the outer-
-    planet orbital periods, a per-pulsar projection factor) and plausible
-    partial amplitudes, so the plumbing, tests and inference loop run
-    end-to-end. Replace with attach_basis_table for real analyses.
+    physically right shape and scales; kept as the cheap test fixture.
 
 Either path adds the columns ``ephem_b_<param>``; the GP kernel consumes
 them through ``DetComponent`` (likelihood/gp.py): r -> r - B c per sample.

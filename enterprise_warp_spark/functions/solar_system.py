@@ -1,0 +1,196 @@
+"""Approximate solar-system ephemerides from PUBLIC Keplerian mean elements,
+and the physical BayesEphem perturbation basis built from them (F13).
+
+The reference's PhysicalEphemerisSignal (enterprise_models.py:465-470)
+multiplies 11 sampled parameters — frame_drift_rate, four outer-planet mass
+corrections, six Jupiter orbital-element corrections — against precomputed
+partial-derivative time series of the Earth–SSB Roemer delay. The JPL DE
+ephemeris files those partials are normally tabulated from are not in this
+container, but the PARTIALS themselves only need planet positions to
+~arcminute accuracy (they multiply small corrections), and those are fully
+determined by the published Keplerian mean elements of the major planets
+(the classic 'Keplerian elements for approximate positions' table: J2000
+elements + linear centennial rates, valid 1800–2050). Everything here is
+textbook celestial mechanics over that public data:
+
+  position:  solve Kepler's equation for each planet/epoch, rotate the
+             orbital-plane coordinates by (argument of perihelion,
+             inclination, ascending node) into heliocentric ecliptic xyz.
+  mass partial (per planet p):  to first order a mass error dm_p displaces
+             the SSB by dm_p * r_p(t) (solar masses, M_total ~ 1), so
+             d(Roemer)/d(dm_p) = (r_p(t) . n_hat) * AU_LIGHT_S seconds
+             per Msun, n_hat the pulsar direction (ecliptic frame).
+  frame drift:  a rotation of the ephemeris frame about the ecliptic pole at
+             rate eps rad/yr moves the Earth by eps * t * (z_hat x r_E(t)),
+             so the partial is t_yr * ((z_hat x r_E) . n_hat) * AU_LIGHT_S.
+  Jupiter orbital elements:  the SSB follows Jupiter's position weighted by
+             its mass, so element partials are m_jup * (dr_jup/d elem . n_hat)
+             * AU_LIGHT_S, evaluated by central finite differences on the
+             Keplerian elements (a step in each of a, e, i, L, varpi, Omega).
+
+Execution shape: `physical_basis` runs the whole computation as one
+mapInPandas pass over the TOA table (vectorized numpy per Arrow batch, the
+tiny positions table broadcast-joined first) producing exactly the
+``attach_basis_table`` schema — the production F13 path at any scale. The
+synthetic generator in functions/ephemeris.py remains as a test fixture.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.functions.ephemeris import BASIS_COLS, BAYESEPHEM_PARAMS
+
+AU_LIGHT_S = 499.004784  # light travel time of 1 AU in seconds
+DAY_S = 86400.0
+YEAR_S = 365.25 * DAY_S
+MJD_J2000 = 51544.5
+
+# Public J2000 mean Keplerian elements + centennial rates (valid 1800-2050):
+# (a [AU], e, i [deg], L [deg], varpi [deg], Omega [deg]) and their rates
+# per Julian century. 'emb' is the Earth-Moon barycenter.
+KEPLER_ELEMENTS: dict[str, tuple[tuple[float, ...], tuple[float, ...]]] = {
+    "emb": (
+        (1.00000261, 0.01671123, -0.00001531, 100.46457166, 102.93768193, 0.0),
+        (0.00000562, -0.00004392, -0.01294668, 35999.37244981, 0.32327364, 0.0),
+    ),
+    "jupiter": (
+        (5.20288700, 0.04838624, 1.30439695, 34.39644051, 14.72847983, 100.47390909),
+        (-0.00011607, -0.00013253, -0.00183714, 3034.74612775, 0.21252668, 0.20469106),
+    ),
+    "saturn": (
+        (9.53667594, 0.05386179, 2.48599187, 49.95424423, 92.59887831, 113.66242448),
+        (-0.00125060, -0.00050991, 0.00193609, 1222.49362201, -0.41897216, -0.28867794),
+    ),
+    "uranus": (
+        (19.18916464, 0.04725744, 0.77263783, 313.23810451, 170.95427630, 74.01692503),
+        (-0.00196176, -0.00004397, -0.00242939, 428.48202785, 0.40805281, 0.04240589),
+    ),
+    "neptune": (
+        (30.06992276, 0.00859048, 1.77004347, -55.12002969, 44.96476227, 131.78422574),
+        (0.00026291, 0.00005105, 0.00035372, 218.45945325, -0.32241464, -0.00508664),
+    ),
+}
+
+# Planet masses in solar masses (public reciprocal-mass values)
+PLANET_MASS_MSUN = {
+    "jupiter": 1.0 / 1047.3486,
+    "saturn": 1.0 / 3497.898,
+    "uranus": 1.0 / 22902.98,
+    "neptune": 1.0 / 19412.24,
+}
+
+_ELEMENT_NAMES = ("a", "e", "i", "L", "varpi", "Omega")
+# finite-difference steps per element for the Jupiter orbital partials
+_ELEMENT_STEPS = (1e-5, 1e-6, 1e-5, 1e-5, 1e-5, 1e-5)  # AU / - / deg...
+
+
+def _kepler_solve(M: np.ndarray, e: float | np.ndarray, iters: int = 8) -> np.ndarray:
+    """Newton iteration for the eccentric anomaly, vectorized; e < 0.1 for
+    every major planet so 8 iterations converge far below float64 eps."""
+    E = M + e * np.sin(M)
+    for _ in range(iters):
+        E = E - (E - e * np.sin(E) - M) / (1.0 - e * np.cos(E))
+    return E
+
+
+def planet_position_au(
+    body: str, mjd: np.ndarray, d_elements: np.ndarray | None = None
+) -> np.ndarray:
+    """Heliocentric ecliptic position (n, 3) in AU at the given MJD epochs.
+
+    d_elements: optional additive perturbation of the J2000 elements
+    (a, e, i, L, varpi, Omega) — used for the finite-difference orbital
+    partials and for injecting element errors in tests.
+    """
+    el0, rate = KEPLER_ELEMENTS[body]
+    T = (np.asarray(mjd, dtype=np.float64) - MJD_J2000) / 36525.0
+    el = [el0[k] + rate[k] * T for k in range(6)]
+    if d_elements is not None:
+        el = [el[k] + d_elements[k] for k in range(6)]
+    a, e, i_deg, L_deg, varpi_deg, Omega_deg = el
+    i = np.radians(i_deg)
+    Omega = np.radians(Omega_deg)
+    omega = np.radians(varpi_deg - Omega_deg)  # argument of perihelion
+    M = np.radians(((L_deg - varpi_deg) + 180.0) % 360.0 - 180.0)
+    E = _kepler_solve(M, e)
+    xp = a * (np.cos(E) - e)
+    yp = a * np.sqrt(1.0 - e * e) * np.sin(E)
+    co, so = np.cos(omega), np.sin(omega)
+    ci, si = np.cos(i), np.sin(i)
+    cO, sO = np.cos(Omega), np.sin(Omega)
+    x = (co * cO - so * sO * ci) * xp + (-so * cO - co * sO * ci) * yp
+    y = (co * sO + so * cO * ci) * xp + (-so * sO + co * cO * ci) * yp
+    z = (so * si) * xp + (co * si) * yp
+    return np.stack([x, y, z], axis=-1)
+
+
+def basis_arrays(mjd: np.ndarray, n_hat: np.ndarray) -> dict[str, np.ndarray]:
+    """The 11 physical partials (seconds per unit parameter) for one pulsar:
+    mjd (n,) TOA epochs, n_hat (3,) unit direction in ecliptic coordinates.
+    Returns {param: (n,) array} over BAYESEPHEM_PARAMS."""
+    n_hat = np.asarray(n_hat, dtype=np.float64)
+    r_emb = planet_position_au("emb", mjd)
+    t_yr = (np.asarray(mjd, dtype=np.float64) - MJD_J2000) * DAY_S / YEAR_S
+    out: dict[str, np.ndarray] = {}
+    # frame drift about the ecliptic pole: dr = eps*t * (z_hat x r_emb)
+    zxr = np.stack([-r_emb[:, 1], r_emb[:, 0], np.zeros(len(r_emb))], axis=-1)
+    out["frame_drift_rate"] = t_yr * (zxr @ n_hat) * AU_LIGHT_S
+    for planet in ("jupiter", "saturn", "uranus", "neptune"):
+        r_p = planet_position_au(planet, mjd)
+        out[f"d_{planet}_mass"] = (r_p @ n_hat) * AU_LIGHT_S
+    m_j = PLANET_MASS_MSUN["jupiter"]
+    for k, (name, h) in enumerate(zip(_ELEMENT_NAMES, _ELEMENT_STEPS)):
+        dp = np.zeros(6)
+        dp[k] = h
+        dr = (
+            planet_position_au("jupiter", mjd, dp)
+            - planet_position_au("jupiter", mjd, -dp)
+        ) / (2.0 * h)
+        out[f"jup_orb_{k + 1}"] = m_j * (dr @ n_hat) * AU_LIGHT_S
+    return out
+
+
+def physical_basis(
+    residuals: DataFrame,
+    positions: DataFrame,
+    mjd0: float = 0.0,
+) -> DataFrame:
+    """Attach the PHYSICAL ephemeris-perturbation basis columns to TOA rows.
+
+    residuals: any DataFrame with (psr, toa_s, ...); toa_s is seconds since
+    MJD ``mjd0``. positions: (psr, pos) with pos a length-3 unit vector in
+    ECLIPTIC coordinates (broadcast — one row per pulsar). Output adds the
+    11 ``ephem_b_*`` columns of attach_basis_table's schema, computed
+    vectorized per Arrow batch; no shuffle of the TOA side.
+    """
+    with_pos = residuals.join(F.broadcast(positions), "psr")
+    schema_out = (
+        ", ".join(f"{c} {t}" for c, t in with_pos.dtypes if c != "pos")
+        + ", "
+        + ", ".join(f"{c} double" for c in BASIS_COLS)
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.drop(columns=["pos"]).copy()
+            for c in BASIS_COLS:
+                out[c] = 0.0
+            for psr, idx in pdf.groupby("psr").groups.items():
+                sub = pdf.loc[idx]
+                mjd = sub["toa_s"].to_numpy() / DAY_S + mjd0
+                n_hat = np.asarray(sub["pos"].iloc[0], dtype=np.float64)
+                arrs = basis_arrays(mjd, n_hat)
+                for p in BAYESEPHEM_PARAMS:
+                    out.loc[idx, f"ephem_b_{p}"] = arrs[p]
+            yield out
+
+    return with_pos.mapInPandas(kernel, schema_out)
