@@ -120,3 +120,54 @@ def weighted_sample(
     w = F.col(weight) if isinstance(weight, str) else weight
     bounded = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
     return df.filter(_unit_hash(key, seed) < bounded)
+
+
+def mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    weights: Mapping[str, float],
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Per-group acceptance rates that reshape the corpus toward a TARGET
+    MIXTURE (the data-mixing step of training-set construction: 'sample so
+    the result is w_en English, w_code code, ...') by downsampling only.
+
+    rate_g = (w_g / sum w) * N_out / n_g, with N_out defaulting to the
+    LARGEST total achievable without upsampling any group
+    (min_g n_g * sum_w / w_g). Groups absent from `weights` get rate 0.
+    The per-group counts are one tiny aggregate (n_groups rows collected);
+    the sampling itself stays a map-side hash filter (stratified_sample)."""
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must have positive sum")
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    missing = [g for g in weights if g not in counts]
+    if missing:
+        raise ValueError(f"mixture groups absent from the data: {missing}")
+    n_out_max = min(counts[g] * wsum / w for g, w in weights.items() if w > 0)
+    n_out = float(target_total) if target_total is not None else n_out_max
+    if n_out > n_out_max + 1e-9:
+        raise ValueError(
+            f"target_total={target_total} needs upsampling: max achievable "
+            f"total without replacement is {int(n_out_max)}"
+        )
+    return {
+        g: min((w / wsum) * n_out / counts[g], 1.0) for g, w in weights.items()
+    }
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    weights: Mapping[str, float],
+    key: Column | str,
+    seed: int = 0,
+    target_total: int | None = None,
+) -> DataFrame:
+    """Deterministically resample toward a target group mixture (see
+    mixture_rates). Pure map-side filter after one tiny count aggregate."""
+    rates = mixture_rates(df, group_col, weights, target_total)
+    return stratified_sample(df, group_col, rates, key, seed)

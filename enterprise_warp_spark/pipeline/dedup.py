@@ -473,3 +473,125 @@ def simhash_pairs_multiprobe(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level repeated-substring dedup (the ExactSubstr family: published
+# web-corpus pipelines remove substrings of >= k tokens that occur more than
+# once corpus-wide, not just whole near-duplicate documents)
+# ---------------------------------------------------------------------------
+
+
+def repeated_ngram_positions(
+    df: DataFrame, text_col: str = "text", k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """(doc_id, pos) token positions (1-based) whose k-token gram occurs at
+    least min_count times CORPUS-WIDE.
+
+    Shape: explode one row per gram start position (linear in token count),
+    hash the gram (portable md5-64), count per hash with map-side partial
+    aggregation, left-semi join the duplicated hashes back. No cross joins;
+    a boilerplate gram repeated millions of times is just a hot aggregate
+    key (partial agg) and a hot semi-join key whose probe rows are distinct
+    (doc, pos) pairs — both AQE-splittable."""
+    toks = spread(df.select("doc_id", F.expr(TOKENS.format(s=text_col)).alias("toks")))
+    pos = explode_nonnull(
+        toks,
+        F.expr(
+            f"CASE WHEN size(toks) >= {k} THEN sequence(1, size(toks) - {k} + 1) "
+            "ELSE cast(array() as array<int>) END"
+        ),
+        "pos",
+        "doc_id",
+        "toks",
+    )
+    gram = f"concat_ws(' ', slice(toks, pos, {k}))"
+    hashed = pos.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        F.expr(H64.format(s=gram)).alias("gh"),
+    )
+    dup = (
+        hashed.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("gh")
+    )
+    return hashed.join(dup, "gh", "left_semi").select("doc_id", "pos")
+
+
+def repeated_ngram_spans(
+    df: DataFrame, text_col: str = "text", k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Maximal duplicated spans per document: consecutive duplicated gram
+    positions merged gaps-and-islands style -> (doc_id, span_start,
+    span_end, n_grams), where [span_start, span_end] is the covered TOKEN
+    range (span_end = last gram start + k - 1). The single window is
+    partitioned by doc_id — per-document state only, shuffles once on
+    doc_id."""
+    from pyspark.sql import Window
+
+    flagged = repeated_ngram_positions(df, text_col, k, min_count)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = flagged.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("isl")
+    )
+
+
+def strip_repeated_spans(
+    df: DataFrame, text_col: str = "text", k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Remove every duplicated span's tokens from every document (the
+    ExactSubstr removal step applied to all occurrences) ->
+    (doc_id, cleaned_text, n_removed_tokens).
+
+    Covered positions come from exploding the span ranges (output volume =
+    removed tokens, bounded by corpus size); tokens are re-assembled with a
+    per-document sort_array over (pos, token) structs — no window, one
+    shuffle on doc_id."""
+    spans = repeated_ngram_spans(df, text_col, k, min_count)
+    covered = (
+        spans.select(
+            "doc_id",
+            F.explode(F.expr("sequence(span_start, span_end)")).alias("pos"),
+        )
+        .distinct()
+        .withColumn("cut", F.lit(True))
+    )
+    toks = spread(df.select("doc_id", F.expr(TOKENS.format(s=text_col)).alias("toks")))
+    tok_rows = explode_nonnull(
+        toks,
+        F.expr(
+            "CASE WHEN size(toks) > 0 THEN sequence(1, size(toks)) "
+            "ELSE cast(array() as array<int>) END"
+        ),
+        "pos",
+        "doc_id",
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr("element_at(toks, pos)").alias("tok"),
+    )
+    joined = tok_rows.join(covered, ["doc_id", "pos"], "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN cut IS NULL "
+                    "THEN struct(pos, tok) END)), s -> s.tok)"
+                ),
+            ).alias("cleaned_text"),
+            F.sum(F.when(F.col("cut").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed_tokens"
+            ),
+        )
+    )

@@ -354,3 +354,91 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(
         table(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=2
     )
+
+
+@register(
+    "repeated_ngram_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS tok
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, tok, UNNEST(range(1, len(tok) - 6 + 2)) AS pos
+      FROM t WHERE len(tok) >= 6
+    ),
+    p AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             {D_H64.format(s="array_to_string(list_slice(tok, CAST(pos AS INTEGER), CAST(pos AS INTEGER) + 5), ' ')")} AS gh
+      FROM px
+    ),
+    d AS (SELECT gh FROM p GROUP BY gh HAVING COUNT(*) >= 2),
+    f AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (gh)),
+    n AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM f
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 5 AS span_end,
+           COUNT(*) AS n_grams
+    FROM n GROUP BY doc_id, isl
+    """,
+    doc="Span-level repeated-substring detection (the ExactSubstr dedup "
+    "family used by published web-corpus pipelines): token positions whose "
+    "6-gram occurs >= 2 times CORPUS-WIDE, merged gaps-and-islands into "
+    "maximal per-document spans. Linear explode -> portable md5-64 gram "
+    "hash -> hash aggregate -> left-semi join back -> one per-doc window. "
+    "pipeline/dedup.py repeated_ngram_spans.",
+)
+def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.pipeline.dedup import repeated_ngram_spans
+
+    return repeated_ngram_spans(
+        table(spark, sf_dir, "documents"), k=6, min_count=2
+    )
+
+
+@register(
+    "mixture_resample_by_lang",
+    """
+    WITH w(lang, w) AS (VALUES ('en', 0.5), ('zh', 0.25), ('de', 0.125), ('fr', 0.125)),
+    c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    j AS (SELECT c.lang, c.n, CAST(w.w AS DOUBLE) AS w FROM c JOIN w USING (lang)),
+    m AS (SELECT MIN(n * 1.0 / w) AS n_out FROM j),
+    r AS (
+      SELECT lang, n,
+             LEAST(w / 1.0 * (SELECT n_out FROM m) / n, 1.0) AS rate
+      FROM j
+    )
+    SELECT r.lang, ROUND(r.rate, 9) AS rate, COUNT(*) AS n_kept
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|11'), 1, 15) AS BIGINT)
+          / CAST(16.0**15 AS DOUBLE) < r.rate
+    GROUP BY r.lang, r.rate
+    """,
+    doc="Data-mixing resample: deterministic hash downsampling toward a "
+    "TARGET language mixture (en .5 / zh .25 / de .125 / fr .125, exact "
+    "binary weights so the rate arithmetic is bit-reproducible across "
+    "engines; es carries weight 0 and drops out). Rates = "
+    "(w/sum w) * N_out / n_g with N_out the largest total achievable "
+    "without upsampling. operators/sampling.py mixture_resample — one tiny "
+    "count aggregate, then a pure map-side filter.",
+)
+def mixture_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.operators.sampling import (
+        mixture_rates,
+        mixture_resample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    weights = {"en": 0.5, "zh": 0.25, "de": 0.125, "fr": 0.125}
+    rates = mixture_rates(docs, "lang", weights)
+    kept = mixture_resample(docs, "lang", weights, key="doc_id", seed=11)
+    rate_col = F.lit(None).cast("double")
+    for g, r in sorted(rates.items()):
+        rate_col = F.when(F.col("lang") == g, F.lit(float(r))).otherwise(rate_col)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .withColumn("rate", F.round(rate_col, 9))
+    )

@@ -372,3 +372,124 @@ def test_chunk_documents(spark):
         chunk_documents(docs, 0)
     with _pytest.raises(ValueError):
         chunk_documents(docs, 4, overlap=4)
+
+
+def test_repeated_ngram_spans_known_corpus(spark):
+    """A 6-gram shared by two documents is flagged in BOTH, merged into one
+    maximal span each; unique text produces no spans."""
+    from enterprise_warp_spark.pipeline.dedup import (
+        repeated_ngram_spans,
+        strip_repeated_spans,
+    )
+
+    boiler = "all rights reserved click here to subscribe now"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta epsilon"),
+            (2, f"zeta eta {boiler} theta"),
+            (3, "totally unique words appear in this document only once ever"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+        for r in repeated_ngram_spans(docs, k=6, min_count=2).collect()
+    }
+    # doc 1: boiler tokens are positions 4..11 -> gram starts 4,5,6 share
+    # doc 2's grams -> span [4, 11], 3 grams
+    assert spans[1] == (4, 11, 3)
+    # doc 2: boiler at positions 3..10 -> gram starts 3,4,5 -> span [3, 10]
+    assert spans[2] == (3, 10, 3)
+    assert 3 not in spans
+
+    cleaned = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed_tokens"])
+        for r in strip_repeated_spans(docs, k=6, min_count=2).collect()
+    }
+    assert cleaned[1] == ("alpha beta gamma delta epsilon", 8)
+    assert cleaned[2] == ("zeta eta theta", 8)
+    assert cleaned[3][1] == 0 and cleaned[3][0].startswith("totally unique")
+
+
+def test_strip_repeated_spans_matches_python_reference(spark):
+    """Distributed span removal == a direct per-document Python reference
+    over a random corpus with seeded duplicate injections."""
+    import random
+
+    from enterprise_warp_spark.pipeline.dedup import strip_repeated_spans
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler_a = ["spam1", "spam2", "spam3", "spam4", "spam5", "spam6", "spam7"]
+    boiler_b = ["ad1", "ad2", "ad3", "ad4", "ad5", "ad6"]
+    docs = []
+    for i in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(8, 25))]
+        if i % 3 == 0:
+            at = rng.randint(0, len(toks))
+            toks[at:at] = boiler_a
+        if i % 4 == 0:
+            at = rng.randint(0, len(toks))
+            toks[at:at] = boiler_b
+        docs.append((i, " ".join(toks)))
+
+    k, min_count = 6, 2
+    # python reference: corpus-wide gram counts -> covered positions -> strip
+    from collections import Counter
+
+    gram_counts = Counter()
+    tok_lists = {}
+    for did, text in docs:
+        toks = text.split()
+        tok_lists[did] = toks
+        for p in range(len(toks) - k + 1):
+            gram_counts[" ".join(toks[p : p + k])] += 1
+    expect = {}
+    for did, toks in tok_lists.items():
+        covered = set()
+        for p in range(len(toks) - k + 1):
+            if gram_counts[" ".join(toks[p : p + k])] >= min_count:
+                covered.update(range(p, p + k))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        expect[did] = (" ".join(kept), len(covered))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed_tokens"])
+        for r in strip_repeated_spans(df, k=k, min_count=min_count).collect()
+    }
+    assert got == expect
+
+
+def test_mixture_resample_reaches_target_mixture(spark):
+    """The resampled corpus approximates the target mixture; rates cap at 1
+    for the scarcest weighted group; upsampling demands fail loudly."""
+    import math
+
+    from enterprise_warp_spark.operators.sampling import (
+        mixture_rates,
+        mixture_resample,
+    )
+
+    rows = (
+        [(i, "en") for i in range(4000)]
+        + [(10_000 + i, "code") for i in range(500)]
+        + [(20_000 + i, "junk") for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    weights = {"en": 0.75, "code": 0.25}
+    rates = mixture_rates(df, "lang", weights)
+    assert rates["code"] == 1.0  # scarcest weighted group keeps everything
+    assert math.isclose(rates["en"], 0.75 * 2000 / 4000)
+    kept = mixture_resample(df, "lang", weights, key="doc_id", seed=3)
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert "junk" not in counts  # weight 0 -> dropped
+    assert counts["code"] == 500
+    # en share ~ 0.75 within binomial noise
+    share = counts["en"] / (counts["en"] + counts["code"])
+    assert abs(share - 0.75) < 0.05
+    with pytest.raises(ValueError, match="upsampling"):
+        mixture_rates(df, "lang", weights, target_total=10_000)
+    with pytest.raises(ValueError, match="absent"):
+        mixture_rates(df, "lang", {"en": 0.5, "nope": 0.5})
