@@ -229,3 +229,30 @@ def test_hypermodel_resample_never_single_partition(spark):
     p = plan(chain, "simple")
     assert "SinglePartition" not in p, p
     assert "Window" in p  # the per-chunk cumsum is still a window, sharded
+
+
+def test_repeated_ngram_spans_plan_shape(spark, sf001):
+    """Span dedup never builds a cartesian: duplicated grams reach documents
+    through a left-SEMI equi-join, and the scan reads only doc_id + text."""
+    df = REGISTRY["repeated_ngram_spans"].spark(spark, sf001)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+    scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan and all(
+        "text" in ln and "lang" not in ln and "source" not in ln for ln in scan
+    ), scan
+
+
+def test_mixture_resample_is_map_side_filter(spark, sf001):
+    """After the (tiny, separate) count aggregate, the sampling plan itself
+    is a pure scan+filter: no join, no exchange introduced by the filter."""
+    from enterprise_warp_spark.operators.sampling import mixture_resample
+    from enterprise_warp_spark.tables import table as _table
+
+    docs = _table(spark, sf001, "documents")
+    kept = mixture_resample(
+        docs, "lang", {"en": 0.5, "zh": 0.5}, key="doc_id", seed=1
+    )
+    p = plan(kept)
+    assert "Join" not in p and "CartesianProduct" not in p
