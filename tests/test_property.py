@@ -354,3 +354,21 @@ def test_lsh_salted_pairs_equal_unsalted_on_zipf_corpus(spark):
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
         )
+
+
+@given(
+    h=_st.integers(min_value=1, max_value=24),
+    w=_st.integers(min_value=1, max_value=24),
+    gray=_st.booleans(),
+    filter_type=_st.integers(min_value=0, max_value=4),
+    seed=_st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(h, w, gray, filter_type, seed):
+    """PNG encode(filter f) -> decode is the identity for every shape,
+    color mode and scanline filter — pure-python codec, no Spark."""
+    from enterprise_warp_spark.pipeline.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr, filter_type)), arr)
