@@ -552,7 +552,9 @@ def gwb_kernel_two_psr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("equad"),
     )
     res = mk("A", "ra").unionByName(mk("B", "rb"))
-    red = per_pulsar_reduction(res, nfreqs=1, tspan_s=tspan)
+    # 2 chunks, not defaultParallelism: this gate's TOA table is ~2k rows,
+    # so 32 near-empty partial tasks cost more scheduling than they save
+    red = per_pulsar_reduction(res, nfreqs=1, tspan_s=tspan, n_chunks=2)
     positions = spark.createDataFrame(
         pd.DataFrame({"psr": ["A", "B"], "pos": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]})
     )
