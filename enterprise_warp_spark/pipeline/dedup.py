@@ -482,18 +482,9 @@ def simhash_pairs_multiprobe(
 # ---------------------------------------------------------------------------
 
 
-def repeated_ngram_positions(
-    df: DataFrame, text_col: str = "text", k: int = 8, min_count: int = 2
-) -> DataFrame:
-    """(doc_id, pos) token positions (1-based) whose k-token gram occurs at
-    least min_count times CORPUS-WIDE.
-
-    Shape: explode one row per gram start position (linear in token count),
-    hash the gram (portable md5-64), count per hash with map-side partial
-    aggregation, left-semi join the duplicated hashes back. No cross joins;
-    a boilerplate gram repeated millions of times is just a hot aggregate
-    key (partial agg) and a hot semi-join key whose probe rows are distinct
-    (doc, pos) pairs — both AQE-splittable."""
+def _gram_position_hashes(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """(doc_id, pos, gh): portable md5-64 hash of the k-gram starting at
+    each 1-based token position (linear explode; one row per gram)."""
     toks = spread(df.select("doc_id", F.expr(TOKENS.format(s=text_col)).alias("toks")))
     pos = explode_nonnull(
         toks,
@@ -506,10 +497,25 @@ def repeated_ngram_positions(
         "toks",
     )
     gram = f"concat_ws(' ', slice(toks, pos, {k}))"
-    hashed = pos.select(
+    return pos.select(
         "doc_id", F.col("pos").cast("long").alias("pos"),
         F.expr(H64.format(s=gram)).alias("gh"),
     )
+
+
+def repeated_ngram_positions(
+    df: DataFrame, text_col: str = "text", k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """(doc_id, pos) token positions (1-based) whose k-token gram occurs at
+    least min_count times CORPUS-WIDE.
+
+    Shape: explode one row per gram start position (linear in token count),
+    hash the gram (portable md5-64), count per hash with map-side partial
+    aggregation, left-semi join the duplicated hashes back. No cross joins;
+    a boilerplate gram repeated millions of times is just a hot aggregate
+    key (partial agg) and a hot semi-join key whose probe rows are distinct
+    (doc, pos) pairs — both AQE-splittable."""
+    hashed = _gram_position_hashes(df, text_col, k)
     dup = (
         hashed.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -517,6 +523,25 @@ def repeated_ngram_positions(
         .select("gh")
     )
     return hashed.join(dup, "gh", "left_semi").select("doc_id", "pos")
+
+
+def _spans_from_positions(flagged: DataFrame, k: int) -> DataFrame:
+    """Merge (doc_id, pos) duplicated-gram positions into maximal spans
+    gaps-and-islands style; span covers tokens [span_start, span_end]
+    with span_end = last gram start + k - 1."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = flagged.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("isl")
+    )
 
 
 def repeated_ngram_spans(
@@ -528,19 +553,8 @@ def repeated_ngram_spans(
     range (span_end = last gram start + k - 1). The single window is
     partitioned by doc_id — per-document state only, shuffles once on
     doc_id."""
-    from pyspark.sql import Window
-
-    flagged = repeated_ngram_positions(df, text_col, k, min_count)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = flagged.withColumn("isl", F.col("pos") - F.row_number().over(w))
-    return (
-        islands.groupBy("doc_id", "isl")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
-        .drop("isl")
+    return _spans_from_positions(
+        repeated_ngram_positions(df, text_col, k, min_count), k
     )
 
 
@@ -556,6 +570,11 @@ def strip_repeated_spans(
     per-document sort_array over (pos, token) structs — no window, one
     shuffle on doc_id."""
     spans = repeated_ngram_spans(df, text_col, k, min_count)
+    return _strip_spans(df, spans, text_col)
+
+
+def _strip_spans(df: DataFrame, spans: DataFrame, text_col: str) -> DataFrame:
+    """Rebuild each document's text with the given spans' tokens removed."""
     covered = (
         spans.select(
             "doc_id",
@@ -595,3 +614,59 @@ def strip_repeated_spans(
             ),
         )
     )
+
+
+def incremental_gram_strip(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    k: int = 8,
+    update_index: bool = True,
+) -> DataFrame:
+    """Incremental ExactSubstr: strip from an ARRIVING batch every span whose
+    k-gram was already seen (persisted gram index at `index_path`) or occurs
+    >= 2 times within the batch, then append the batch's gram hashes to the
+    index. -> (doc_id, cleaned_text, n_removed_tokens) for the batch.
+
+    Continuous-corpus analogue of repeated_ngram_spans, same cost model as
+    incremental_minhash_filter: the probe is a left-semi equi-join of the
+    batch's gram hashes against the index, so per-batch cost is
+    O(batch tokens) regardless of corpus size — no O(corpus) rescan.
+
+    SEEN-SET semantics: the index records every gram hash the pipeline has
+    ever ingested (including grams this call strips), so a third copy of
+    once-stripped boilerplate is still stripped later. Differs from the
+    batch-mode operator exactly the way incremental_minhash_filter differs
+    from lsh_candidate_pairs: the FIRST occurrence, already ingested in an
+    earlier batch, stays intact.
+    """
+    spark = new_docs.sparkSession
+    hashed = _gram_position_hashes(new_docs, text_col, k).localCheckpoint(
+        eager=True
+    )
+
+    dup_in_batch = (
+        hashed.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gh")
+    )
+    index = _readable_parquet(spark, index_path)
+    seen = (
+        dup_in_batch.unionByName(index.select("gh")).distinct()
+        if index is not None
+        else dup_in_batch
+    )
+    flagged = hashed.join(seen, "gh", "left_semi").select("doc_id", "pos")
+    # materialize BEFORE the index append: the plan reads index_path
+    out = _strip_spans(new_docs, _spans_from_positions(flagged, k), text_col)
+    out = out.localCheckpoint(eager=True)
+
+    if update_index:
+        new_ghs = hashed.select("gh").distinct()
+        if index is not None:
+            new_ghs = new_ghs.join(index.select("gh"), "gh", "left_anti")
+        if new_ghs.take(1):
+            new_ghs.write.mode("append").parquet(index_path)
+            spark.catalog.refreshByPath(index_path)
+    return out

@@ -493,3 +493,49 @@ def test_mixture_resample_reaches_target_mixture(spark):
         mixture_rates(df, "lang", weights, target_total=10_000)
     with pytest.raises(ValueError, match="absent"):
         mixture_rates(df, "lang", {"en": 0.5, "nope": 0.5})
+
+
+def test_incremental_gram_strip_three_batches(spark, tmp_path):
+    """Continuous-corpus span dedup: batch-2 copies of batch-1 content are
+    stripped, and a batch-3 copy of content batch 2 ALREADY had stripped is
+    still stripped (seen-set semantics); unique text always survives."""
+    from enterprise_warp_spark.pipeline.dedup import incremental_gram_strip
+
+    idx = str(tmp_path / "gram_index")
+    boiler = "sub6 sub7 sub1 sub2 sub3 sub4 sub5"  # 7 tokens -> 2 six-grams
+    b1 = spark.createDataFrame(
+        [(1, f"alpha beta {boiler} gamma"), (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    out1 = {r["doc_id"]: r for r in incremental_gram_strip(b1, idx, k=6).collect()}
+    # nothing repeated yet: batch 1 passes through intact
+    assert out1[1]["n_removed_tokens"] == 0 and out1[2]["n_removed_tokens"] == 0
+
+    b2 = spark.createDataFrame(
+        [(3, f"fresh words here {boiler} tail bits")],
+        "doc_id long, text string",
+    )
+    out2 = incremental_gram_strip(b2, idx, k=6).first()
+    assert out2["n_removed_tokens"] == 7  # the whole boilerplate span
+    assert out2["cleaned_text"] == "fresh words here tail bits"
+
+    # batch 3 repeats the SAME boilerplate (stripped from batch 2's doc):
+    # the seen-set still knows it
+    b3 = spark.createDataFrame(
+        [(4, f"{boiler} closing remark follows here"),
+         (5, "totally new content never seen anywhere at all")],
+        "doc_id long, text string",
+    )
+    out3 = {r["doc_id"]: r for r in incremental_gram_strip(b3, idx, k=6).collect()}
+    assert out3[4]["n_removed_tokens"] == 7
+    assert out3[4]["cleaned_text"] == "closing remark follows here"
+    assert out3[5]["n_removed_tokens"] == 0
+
+    # within-batch duplication is caught without any index round-trip
+    b4 = spark.createDataFrame(
+        [(6, "p1 p2 dupa dupb dupc dupd dupe dupf q1"),
+         (7, "r1 dupa dupb dupc dupd dupe dupf r2 r3")],
+        "doc_id long, text string",
+    )
+    out4 = {r["doc_id"]: r for r in incremental_gram_strip(b4, idx, k=6).collect()}
+    assert out4[6]["n_removed_tokens"] == 6 and out4[7]["n_removed_tokens"] == 6
