@@ -15,3 +15,18 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         assert df.count() >= 0
         return
     compare(df, duck.sql(spec.oracle))
+
+
+def test_hostile_timezone_session_still_matches_oracle(spark, duck, sf_dir):
+    """The driver uses a VANILLA session; a user session pinned to a
+    non-UTC timezone must not change timestamp-bearing query output —
+    tables.table() re-pins session.timeZone to UTC on every call."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in ("sessionize_events", "hypertable_rollup_events",
+                     "asof_last_view_per_click"):
+            spec = REGISTRY[name]
+            compare(spec.spark(spark, sf_dir), duck.sql(spec.oracle))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
