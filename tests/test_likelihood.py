@@ -478,3 +478,60 @@ def test_fast_path_matches_slow_path_with_det_and_ecorr(spark):
     assert set(fast) == set(slow) == {0, 1, 2}
     for sid in fast:
         assert fast[sid] == pytest.approx(slow[sid], rel=1e-11), sid
+
+
+def test_sample_batch_matches_scalar_loop(spark):
+    """The r5 vectorized sample axis (stacked phi + batched cholesky/solve)
+    must agree with the per-sample scalar loop across a model exercising
+    DetComponent, ECORR and TM-fast marginalization."""
+    from enterprise_warp_spark.functions.timingmodel import design_matrix  # noqa: F401
+    from enterprise_warp_spark.likelihood.gp import (
+        DetComponent,
+        RedComponent,
+        TMComponent,
+    )
+
+    rng = np.random.default_rng(77)
+    t, r, sig = _make_pulsar(rng, n=140)
+    n = len(t)
+    b0 = rng.normal(0, 1e-6, n)
+    epochs = (np.arange(n) // 10).astype(int)
+    rows = [
+        ("J1", float(t[i]), float(r[i]), float(sig[i]), 1.0, 0.0,
+         float(b0[i]), int(epochs[i]))
+        for i in range(n)
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, b0 double, epoch_id int",
+    )
+    comps = (
+        TMComponent((("offset",), ("spin", 1, 0.0)), mode="fast"),
+        RedComponent(nfreqs=7),
+        DetComponent(("c_0",), ("b0",)),
+    )
+    rng2 = np.random.default_rng(5)
+    S = 40
+    samples = pd.DataFrame(
+        {
+            "sample_id": range(S),
+            "log10_A": rng2.uniform(-14.5, -12.5, S),
+            "gamma": rng2.uniform(2.0, 6.0, S),
+            "log10_ecorr": rng2.uniform(-7.5, -6.0, S),
+            "c_0": rng2.normal(0, 1.0, S),
+        }
+    )
+    batched = {
+        row["sample_id"]: row["lnl"]
+        for row in gp_loglik_per_pulsar(res, samples, components=comps).collect()
+    }
+    scalar = {
+        row["sample_id"]: row["lnl"]
+        for row in gp_loglik_per_pulsar(
+            res, samples, components=comps, sample_batch=False
+        ).collect()
+    }
+    assert set(batched) == set(scalar) and len(batched) == S
+    for sid in batched:
+        assert batched[sid] == pytest.approx(scalar[sid], rel=1e-12), sid
