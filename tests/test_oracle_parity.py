@@ -30,3 +30,11 @@ def test_hostile_timezone_session_still_matches_oracle(spark, duck, sf_dir):
             compare(spec.spark(spark, sf_dir), duck.sql(spec.oracle))
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_registry_within_driver_artifact_capacity():
+    """The driver's correctness artifact records at most 50 catalog entries
+    (observed round 1: 65 registered -> first 50 alphabetical recorded);
+    exceeding it silently drops the alphabetical tail's hash rows. Merge
+    same-theme gates (kernel_value_slices precedent) instead."""
+    assert len(REGISTRY) <= 50, sorted(REGISTRY)[50:]
