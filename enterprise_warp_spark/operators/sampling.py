@@ -159,6 +159,58 @@ def mixture_rates(
     }
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key: Column | str,
+    seed: int = 0,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Keep at most `cap` rows per group, chosen deterministically by
+    key-hash order (per-domain caps: 'no single host contributes more than
+    N documents').
+
+    SKEW-SAFE two-phase top-k: a naive row_number() over
+    Window.partitionBy(group) sorts a hot group (one domain = billions of
+    rows at 100 TB) in a single task. Phase 1 splits each group into
+    `n_salt` hash-derived sub-buckets and takes the `cap` smallest hashes
+    within each (group, salt) — parallel, and the survivors are <=
+    n_salt * cap rows per group no matter how hot the group is. Phase 2
+    ranks those survivors per group — now a bounded-size window.
+
+    Correct because the global cap smallest hashes of a group are each the
+    cap smallest within their own sub-bucket (a superset survives phase 1).
+    Deterministic ties: rank orders by (hash, key)."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    if n_salt <= 0:
+        raise ValueError(f"n_salt must be positive, got {n_salt}")
+    from pyspark.sql import Window
+
+    keyc = F.col(key) if isinstance(key, str) else key
+    h = _unit_hash(keyc, seed)
+    salted = df.withColumn("__h", h).withColumn(
+        "__salt", F.pmod(F.xxhash64(keyc.cast("string"), F.lit(seed)), F.lit(n_salt))
+    )
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(
+        F.col("__h").asc(), keyc.cast("string").asc()
+    )
+    phase1 = (
+        salted.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= cap)
+        .drop("__r", "__salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col("__h").asc(), keyc.cast("string").asc()
+    )
+    return (
+        phase1.withColumn("__r", F.row_number().over(w2))
+        .filter(F.col("__r") <= cap)
+        .drop("__r", "__h")
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     group_col: str,

@@ -599,7 +599,7 @@ def _strip_spans(df: DataFrame, spans: DataFrame, text_col: str) -> DataFrame:
         F.expr("element_at(toks, pos)").alias("tok"),
     )
     joined = tok_rows.join(covered, ["doc_id", "pos"], "left")
-    return (
+    stripped = (
         joined.groupBy("doc_id")
         .agg(
             F.concat_ws(
@@ -610,6 +610,19 @@ def _strip_spans(df: DataFrame, spans: DataFrame, text_col: str) -> DataFrame:
                 ),
             ).alias("cleaned_text"),
             F.sum(F.when(F.col("cut").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed_tokens"
+            ),
+        )
+    )
+    # zero-token documents produce no tok_rows and would vanish from the
+    # groupBy; re-attach them so the output keeps one row per input doc
+    return (
+        df.select("doc_id")
+        .join(stripped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_removed_tokens", F.lit(0)).cast("long").alias(
                 "n_removed_tokens"
             ),
         )

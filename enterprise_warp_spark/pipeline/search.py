@@ -1,0 +1,227 @@
+"""Distributed full-text search: inverted index + TF-IDF / BM25 scoring.
+
+A training-data pipeline needs corpus search for targeted curation (pull
+every document matching a probe query, rank boilerplate candidates, audit
+contamination hits in context). The reference engine has no text search —
+this module is part of the LLM-pipeline surface alongside dedup /
+decontamination (`pipeline/dedup.py`, `pipeline/decontaminate.py`).
+
+Scale shape (the part that matters at 100 TB):
+
+- The inverted index is ONE explode + groupBy over the corpus — a single
+  shuffle keyed by (term, doc_id), with map-side partial aggregation
+  folding per-document term repeats before the exchange. Document lengths
+  ride the same scan.
+- Query scoring never touches the corpus text again: the query's terms
+  (a handful of rows) are broadcast and hash-joined against the index, so
+  only the matched postings flow into the per-document score aggregate.
+  With the index written partitioned/bucketed by a term hash
+  (write_index/load_index), the join prunes to the probe terms' buckets —
+  the 100 TB corpus is never rescanned per query.
+- IDF needs the corpus document count and average length: two scalars,
+  computed once per index build and stored with it, never per query.
+
+All scoring is pure Catalyst arithmetic (log/multiply/aggregate) — no
+Python in any per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import TOKENS
+
+# Number of hash buckets for the persisted index layout. Each probe term
+# reads exactly one bucket directory -> O(index/NB) bytes per term.
+N_TERM_BUCKETS = 64
+
+
+def _tokens(text_col: str):
+    return F.expr(TOKENS.format(s=text_col))
+
+
+def build_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """Build the inverted index from a document table.
+
+    Returns {'postings': DF(term, doc_id, tf), 'doclen': DF(doc_id, dl),
+    'n_docs': int, 'avgdl': float}. One corpus scan; postings are the
+    exploded tokens aggregated per (term, doc) — the only shuffle.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("toks")
+    )
+    postings = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclen = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    return {
+        "postings": postings,
+        "doclen": doclen,
+        "n_docs": int(stats["n"]),
+        "avgdl": float(stats["avgdl"] or 0.0),
+    }
+
+
+def _query_terms(spark: SparkSession, query: str) -> DataFrame:
+    """Distinct query terms with per-term query frequency (tiny; broadcast)."""
+    terms: dict[str, int] = {}
+    for t in query.split():
+        if t:
+            terms[t] = terms.get(t, 0) + 1
+    if not terms:
+        raise ValueError("query has no tokens")
+    return spark.createDataFrame(
+        [(t, n) for t, n in terms.items()], "term string, qf int"
+    )
+
+
+def bm25_topk(
+    index: dict,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for `query` under BM25 (Robertson/Sparck Jones, the
+    public Okapi formulation) -> (doc_id, score, n_terms_matched), ties
+    broken by doc_id for determinism.
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    The per-term document frequency is computed on the POSTINGS MATCHED BY
+    THE QUERY only (after the broadcast semi-join), so query cost is
+    O(matched postings), never O(corpus).
+    """
+    spark = index["postings"].sparkSession
+    q = _query_terms(spark, query)
+    n_docs, avgdl = index["n_docs"], index["avgdl"]
+    if n_docs == 0 or avgdl <= 0:
+        raise ValueError("empty index")
+
+    matched = index["postings"].join(F.broadcast(q.select("term")), "term")
+    df_per_term = matched.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        matched.join(F.broadcast(df_per_term), "term")
+        .join(index["doclen"], "doc_id")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    )
+
+
+def tfidf_topk(index: dict, query: str, k: int = 10) -> DataFrame:
+    """Top-k under plain TF-IDF with cosine-style length damping:
+    score(d) = sum_t ln(1 + tf) * ln(N / df) / sqrt(dl). Same join shape
+    as bm25_topk; kept as the simpler reference ranking."""
+    spark = index["postings"].sparkSession
+    q = _query_terms(spark, query)
+    n_docs = index["n_docs"]
+    if n_docs == 0:
+        raise ValueError("empty index")
+    matched = index["postings"].join(F.broadcast(q.select("term")), "term")
+    df_per_term = matched.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        matched.join(F.broadcast(df_per_term), "term")
+        .join(index["doclen"], "doc_id")
+        .withColumn(
+            "contrib",
+            F.log(F.lit(1.0) + F.col("tf"))
+            * F.log(F.lit(float(n_docs)) / F.col("df"))
+            / F.sqrt(F.col("dl")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    )
+
+
+def write_index(index: dict, path: str) -> None:
+    """Persist the index partitioned by a term-hash bucket so a probe term
+    reads exactly one of N_TERM_BUCKETS directories (same partition-pruned
+    layout as the IVF index in pipeline/similarity.py)."""
+    (
+        index["postings"]
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    index["doclen"].write.mode("overwrite").parquet(f"{path}/doclen")
+    spark = index["postings"].sparkSession
+    spark.createDataFrame(
+        [(index["n_docs"], index["avgdl"])], "n_docs long, avgdl double"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_index(spark: SparkSession, path: str, query: str | None = None) -> dict:
+    """Load a persisted index. With `query` given, the postings scan is
+    pre-filtered to the probe terms' hash buckets — partition pruning does
+    the rest (only those directories are read)."""
+    postings = spark.read.parquet(f"{path}/postings")
+    if query is not None:
+        buckets = _term_buckets(spark, query)
+        postings = postings.filter(F.col("bucket").isin(buckets))
+    stats = spark.read.parquet(f"{path}/stats").first()
+    return {
+        "postings": postings.drop("bucket"),
+        "doclen": spark.read.parquet(f"{path}/doclen"),
+        "n_docs": int(stats["n_docs"]),
+        "avgdl": float(stats["avgdl"]),
+    }
+
+
+def _term_buckets(spark: SparkSession, query: str) -> list[int]:
+    """Bucket ids for the query's terms, evaluated with the SAME Catalyst
+    expression the writer used (pmod(xxhash64(term), NB)) on a tiny local
+    plan — one job, one definition of the bucket function."""
+    terms = sorted({t for t in query.split() if t})
+    if not terms:
+        raise ValueError("query has no tokens")
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("b"))
+        .collect()
+    )
+    return sorted({int(r["b"]) for r in rows})

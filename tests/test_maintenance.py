@@ -411,6 +411,31 @@ def test_repeated_ngram_spans_known_corpus(spark):
     assert cleaned[3][1] == 0 and cleaned[3][0].startswith("totally unique")
 
 
+def test_strip_repeated_spans_keeps_zero_token_docs(spark):
+    """Documents whose text tokenizes to nothing (empty / whitespace-only)
+    must still appear in the output with cleaned_text='' and 0 removals —
+    they produce no token rows, so only the doc_id re-attach preserves them."""
+    from enterprise_warp_spark.pipeline.dedup import strip_repeated_spans
+
+    boiler = "all rights reserved click here to subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {boiler}"),
+            (2, f"beta {boiler}"),
+            (3, ""),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed_tokens"])
+        for r in strip_repeated_spans(docs, k=6, min_count=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] == ("", 0) and out[4] == ("", 0)
+    assert out[1] == ("alpha", 8) and out[2] == ("beta", 8)
+
+
 def test_strip_repeated_spans_matches_python_reference(spark):
     """Distributed span removal == a direct per-document Python reference
     over a random corpus with seeded duplicate injections."""
