@@ -223,3 +223,30 @@ def mixture_resample(
     mixture_rates). Pure map-side filter after one tiny count aggregate."""
     rates = mixture_rates(df, group_col, weights, target_total)
     return stratified_sample(df, group_col, rates, key, seed)
+
+
+def shuffle_corpus(
+    df: DataFrame, key: Column | str, seed: int = 0, n_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic global pseudo-random ordering for training-data
+    serving: sort the corpus by key-hash so (a) the order is a pure function
+    of (data, seed) — reproducible across runs, retries, and cluster sizes —
+    and (b) any contiguous slice of the output is an unbiased sample, which
+    interleaves sources/languages uniformly (no 'all of domain X first'
+    curriculum accidents).
+
+    Physical shape: repartitionByRange on the hash (sampled range bounds,
+    one shuffle) + in-partition sort — a total order WITHOUT a single-task
+    global sort; writing the result preserves per-file order and the file
+    index inherits the global order. Re-shuffling between epochs = new seed.
+    Ties (duplicate keys) are broken by the key itself, so the order is
+    total whenever the key is unique."""
+    keyc = F.col(key) if isinstance(key, str) else key
+    h = _unit_hash(keyc, seed).alias("__ord")
+    out = df.withColumn("__ord", h)
+    n = n_partitions or out.sparkSession.sparkContext.defaultParallelism
+    return (
+        out.repartitionByRange(n, F.col("__ord"), keyc.cast("string"))
+        .sortWithinPartitions(F.col("__ord"), keyc.cast("string"))
+        .drop("__ord")
+    )

@@ -591,3 +591,74 @@ def pq_topk_reranked(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    semantic near-duplicates found WITHIN k-means cells only — cluster the
+    embeddings, then compare pairs inside each cell. -> (vec_a, vec_b,
+    cosine) with vec_a < vec_b and cosine >= threshold.
+
+    Scale shape: the all-pairs comparison is confined to one cell
+    (equi-join on cell_id), so total work is sum over cells of |cell|^2
+    instead of corpus^2 — the published recipe's exact cost model. Cell
+    assignment is the IVF broadcast fan-out (corpus x n_cells); a hot cell
+    is AQE-splittable because the join key is the small int cell_id.
+    Cross-cell duplicates are missed by construction (the documented
+    SemDeDup recall trade-off); lower `threshold`/raise `n_cells` per the
+    paper's ablations."""
+    n = _with_norm_sq(emb, emb_col, id_col)
+    cents = centroids if centroids is not None else deterministic_centroids(
+        emb, n_cells, emb_col, id_col
+    )
+    d = _cell_distances(n, cents, emb_col)
+    w_assign = Window.partitionBy(id_col).orderBy("dist", "cell_id")
+    assigned = (
+        d.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(id_col, emb_col, "nsq", "cell_id")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("vec_a"), F.col(emb_col).alias("a_emb"),
+        F.col("nsq").alias("a_nsq"), "cell_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("vec_b"), F.col(emb_col).alias("b_emb"),
+        F.col("nsq").alias("b_nsq"), "cell_id",
+    )
+    dot = DOT.format(a="a_emb", b="b_emb")
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(F.expr(f"{dot} / sqrt(a_nsq * b_nsq)"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def semdedup_keep_list(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Rows surviving SemDeDup: one representative (min id) per connected
+    semantic-duplicate component, everything unpaired untouched. Reuses the
+    transitive min-label keep-list from pipeline/dedup.py."""
+    from enterprise_warp_spark.pipeline.dedup import cluster_keep_list
+
+    pairs = semdedup_pairs(emb, threshold, n_cells, emb_col, id_col, centroids)
+    return cluster_keep_list(
+        emb, pairs.withColumnRenamed("vec_a", "doc_a").withColumnRenamed(
+            "vec_b", "doc_b"
+        ), id_col
+    )

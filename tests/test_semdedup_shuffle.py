@@ -1,0 +1,147 @@
+"""SemDeDup (within-cluster semantic dedup) and deterministic corpus
+shuffle."""
+
+import math
+import random
+
+import pytest
+
+
+def _emb_corpus(spark, seed=11):
+    """Clusters of near-identical vectors plus isolated singletons; ids
+    assigned so duplicate groups span id ranges (exercises transitivity)."""
+    rng = random.Random(seed)
+    rows = []
+    vid = 0
+    # 4 duplicate families around distinct anchors, 3-5 members each
+    for fam in range(4):
+        anchor = [rng.uniform(-1, 1) for _ in range(8)]
+        for _ in range(3 + fam % 3):
+            jitter = [a + rng.uniform(-0.003, 0.003) for a in anchor]
+            rows.append((vid, jitter))
+            vid += 1
+    # 10 singletons far apart
+    for s in range(10):
+        v = [0.0] * 8
+        v[s % 8] = 10.0 + s
+        rows.append((vid, v))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _brute_pairs(rows, threshold):
+    out = set()
+    for i, (ia, va) in enumerate(rows):
+        for ib, vb in rows[i + 1 :]:
+            dot = sum(x * y for x, y in zip(va, vb))
+            na = math.sqrt(sum(x * x for x in va))
+            nb = math.sqrt(sum(x * x for x in vb))
+            if round(dot / (na * nb), 6) >= threshold:
+                out.add((min(ia, ib), max(ia, ib)))
+    return out
+
+
+def test_semdedup_pairs_within_cell_match_brute_force(spark):
+    """With nprobe-style cells covering the corpus, every brute-force
+    duplicate pair whose members share a cell is found, at the exact
+    cosine. With n_cells=1 (single cell) recall is total."""
+    from enterprise_warp_spark.pipeline.similarity import semdedup_pairs
+
+    emb = _emb_corpus(spark)
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    want = _brute_pairs(rows, 0.999)
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in semdedup_pairs(emb, threshold=0.999, n_cells=1).collect()
+    }
+    assert got == want and len(want) >= 10
+
+
+def test_semdedup_keep_list_one_rep_per_family(spark):
+    """Keep-list retains exactly one representative (min id) per duplicate
+    family and every singleton."""
+    from enterprise_warp_spark.pipeline.similarity import (
+        semdedup_keep_list,
+        semdedup_pairs,
+    )
+
+    emb = _emb_corpus(spark)
+    kept = {r["vec_id"] for r in semdedup_keep_list(emb, 0.999, n_cells=1).collect()}
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    fams = _brute_pairs(rows, 0.999)
+    # union-find over brute pairs
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in fams:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i for i, _ in rows if find(i) == i}
+    assert kept == want
+
+    # clustered variant: recall may drop across cells, but never keeps a
+    # non-representative AND never drops a singleton
+    kept8 = {r["vec_id"] for r in semdedup_keep_list(emb, 0.999, n_cells=8).collect()}
+    assert want <= kept8
+
+
+def test_semdedup_plan_no_cartesian(spark):
+    """Candidate generation must stay an equi-join on cell_id — no
+    CartesianProduct anywhere. (BroadcastNestedLoopJoin IS allowed: the
+    centroid cell-assignment fan-out is corpus x n_cells against a broadcast
+    table, same as the IVF paths in test_plan_quality.)"""
+    from enterprise_warp_spark.pipeline.similarity import semdedup_pairs
+
+    emb = _emb_corpus(spark)
+    plan = (
+        semdedup_pairs(emb, 0.999, n_cells=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the within-cell pair join itself is a hash or sort-merge equi-join
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_shuffle_corpus_deterministic_and_mixing(spark):
+    """Order is a pure function of (data, seed): invariant under input
+    partitioning; different under a different seed; sources interleave
+    (no long single-source runs)."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.sampling import shuffle_corpus
+
+    n = 400
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n / 2, F.lit("src_a")).otherwise(F.lit("src_b")).alias(
+            "source"
+        ),
+    )
+    o1 = [r["doc_id"] for r in shuffle_corpus(df, "doc_id", seed=1, n_partitions=4).toLocalIterator()]
+    o2 = [
+        r["doc_id"]
+        for r in shuffle_corpus(df.repartition(17), "doc_id", seed=1, n_partitions=4).toLocalIterator()
+    ]
+    assert o1 == o2 and sorted(o1) == list(range(n))
+    o3 = [r["doc_id"] for r in shuffle_corpus(df, "doc_id", seed=2, n_partitions=4).toLocalIterator()]
+    assert o3 != o1
+
+    # mixing: max run of one source far below the n/2 block of the input
+    srcs = ["src_a" if d < n / 2 else "src_b" for d in o1]
+    longest = cur = 1
+    for i in range(1, len(srcs)):
+        cur = cur + 1 if srcs[i] == srcs[i - 1] else 1
+        longest = max(longest, cur)
+    assert longest <= 25
