@@ -490,22 +490,45 @@ def draws_from_chain(
     # make every duplicate sort contiguously and the head-n_draws collapse
     # into a few clustered values — badly inflated draw variance vs the
     # reference's uniform-random rows. Rows sharing a gamma are
-    # interchangeable in content, so numbering them 1..k inside their value
-    # group (any within-group order gives the same multiset) and hashing
-    # (gamma, rank, seed) yields a selection that is a deterministic
-    # function of the VALUE MULTISET — reproducible across partition
-    # layouts (monotonically_increasing_id would not be) while each
-    # physical row keeps its own iid-ish hash.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("gamma").orderBy(F.lit(0))
-    picked = (
+    # interchangeable in content, so the draw only needs each value's COUNT
+    # k: hash the synthetic row keys (gamma, 1..k, seed) and keep the
+    # n_draws smallest. That makes the selection a deterministic function
+    # of the VALUE MULTISET (counts), reproducible across partition
+    # layouts — and needs NO per-value window: a stuck chain's hot gamma
+    # is just a large k. Index generation is chunked (explode of
+    # sequence(1..k) in <= _DRAW_CHUNK slices) and repartitioned on
+    # (gamma, chunk) so a hot value's hashes spread across tasks instead
+    # of funneling through one; the final pick is a top-n_draws heap
+    # (TakeOrderedAndProject), never a full sort.
+    _DRAW_CHUNK = 1 << 16
+    counts = (
         chain.select(F.col(gamma_col).alias("gamma"))
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_h", F.xxhash64(F.col("gamma"), F.col("_rn"), F.lit(seed)))
+        .groupBy("gamma")
+        .agg(F.count(F.lit(1)).alias("_k"))
+    )
+    chunks = counts.select(
+        "gamma",
+        "_k",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.col("_k") - 1) / F.lit(_DRAW_CHUNK))
+            )
+        ).alias("_c"),
+    ).repartition("gamma", "_c")
+    idx = chunks.select(
+        "gamma",
+        F.explode(
+            F.sequence(
+                F.col("_c") * _DRAW_CHUNK + 1,
+                F.least(F.col("_k"), (F.col("_c") + 1) * _DRAW_CHUNK),
+            )
+        ).alias("_rn"),
+    )
+    picked = (
+        idx.withColumn("_h", F.xxhash64(F.col("gamma"), F.col("_rn"), F.lit(seed)))
         .orderBy("_h", "gamma")
         .limit(n_draws)
-        .drop("_h", "_rn")
+        .select("gamma")
         .toPandas()
     )
     picked.insert(0, "draw_id", range(len(picked)))

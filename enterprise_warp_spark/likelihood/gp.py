@@ -602,27 +602,33 @@ def gp_loglik_per_pulsar(
                 }
             )
 
+        # one definition of per-sample phi assembly, shared by the scalar
+        # fast path and the legacy path (the vectorized PHI builder above
+        # mirrors it column-wise; batch==scalar parity is test-pinned)
+        def _phi_for(rec) -> np.ndarray:
+            phis = [c.phi(f2, d2, rec) for c, f2, d2 in zip(active, freqs2, dfs2)]
+            if U is not None:
+                if block_cols is not None:
+                    vals = {
+                        c: (10.0 ** float(getattr(rec, c))) ** 2
+                        for c in set(block_cols)
+                    }
+                    phis.append(np.array([vals[c] for c in block_cols]))
+                else:
+                    ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2
+                    phis.append(np.full(U.shape[1], ec2))
+            if tm_phi_static is not None:
+                phis.insert(0, tm_phi_static)
+            elif M is not None and tm_comp.mode == "ridge":
+                phis.insert(
+                    0,
+                    np.full(M.shape[1], 10.0 ** float(rec.tm_log10_variance)),
+                )
+            return np.concatenate(phis)
+
         out = np.empty(len(samp))
         for i, rec in enumerate(samp):
             if fast:
-                phis = [c.phi(f2, d2, rec) for c, f2, d2 in zip(active, freqs2, dfs2)]
-                if U is not None:
-                    if block_cols is not None:
-                        vals = {
-                            c: (10.0 ** float(getattr(rec, c))) ** 2
-                            for c in set(block_cols)
-                        }
-                        phis.append(np.array([vals[c] for c in block_cols]))
-                    else:
-                        ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2
-                        phis.append(np.full(U.shape[1], ec2))
-                if tm_phi_static is not None:
-                    phis.insert(0, tm_phi_static)
-                elif M is not None and tm_comp.mode == "ridge":
-                    phis.insert(
-                        0,
-                        np.full(M.shape[1], 10.0 ** float(rec.tm_log10_variance)),
-                    )
                 if det_comps:
                     cvec = np.concatenate(
                         [
@@ -637,7 +643,7 @@ def gp_loglik_per_pulsar(
                 else:
                     rtn, x = rtn0, x0
                 out[i] = _lnlike_cached(
-                    rtn, x, G0, np.concatenate(phis), logdet_n0, len(t), n_inf=n_inf
+                    rtn, x, G0, _phi_for(rec), logdet_n0, len(t), n_inf=n_inf
                 )
                 continue
             if efac_cols or equad_cols:
@@ -669,24 +675,6 @@ def gp_loglik_per_pulsar(
             for dc, Bd in zip(det_comps, det_bases):
                 cvec = np.array([float(getattr(rec, cc)) for cc in dc.coeff_cols])
                 r_s = r_s - Bd @ cvec
-            phis = [c.phi(f2, d2, rec) for c, f2, d2 in zip(active, freqs2, dfs2)]
-            if U is not None:
-                if block_cols is not None:
-                    vals = {
-                        c: (10.0 ** float(getattr(rec, c))) ** 2
-                        for c in set(block_cols)
-                    }
-                    phis.append(np.array([vals[c] for c in block_cols]))
-                else:
-                    ec2 = (10.0 ** float(rec.log10_ecorr)) ** 2
-                    phis.append(np.full(U.shape[1], ec2))
-            if tm_phi_static is not None:
-                phis.insert(0, tm_phi_static)
-            elif M is not None and tm_comp.mode == "ridge":
-                phis.insert(
-                    0,
-                    np.full(M.shape[1], 10.0 ** float(rec.tm_log10_variance)),
-                )
             if static_basis:
                 b = basis
             else:
@@ -702,7 +690,7 @@ def gp_loglik_per_pulsar(
                 if U is not None:
                     parts.append(U)
                 b = np.hstack(parts)
-            out[i] = _lnlike_one(r_s, nd, b, np.concatenate(phis), n_inf=n_inf)
+            out[i] = _lnlike_one(r_s, nd, b, _phi_for(rec), n_inf=n_inf)
         return pd.DataFrame(
             {
                 "psr": psr,

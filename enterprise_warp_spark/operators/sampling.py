@@ -144,7 +144,8 @@ def mixture_rates(
         r[group_col]: r["n"]
         for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    missing = [g for g in weights if g not in counts]
+    # zero-weight groups need no rows — only positive weights must exist
+    missing = [g for g, w in weights.items() if w > 0 and g not in counts]
     if missing:
         raise ValueError(f"mixture groups absent from the data: {missing}")
     n_out_max = min(counts[g] * wsum / w for g, w in weights.items() if w > 0)
@@ -155,7 +156,8 @@ def mixture_rates(
             f"total without replacement is {int(n_out_max)}"
         )
     return {
-        g: min((w / wsum) * n_out / counts[g], 1.0) for g, w in weights.items()
+        g: min((w / wsum) * n_out / counts[g], 1.0) if w > 0 else 0.0
+        for g, w in weights.items()
     }
 
 

@@ -35,21 +35,28 @@ from .text import BIGRAMS, TOKENS
 DEFAULT_DIM = 1 << 18
 
 
-def _ngram_array(text_col: str) -> F.Column:
-    toks = TOKENS.format(s=text_col)
-    return F.expr(f"concat({toks}, {BIGRAMS.format(t=toks)})")
-
-
 def featurize(
     df: DataFrame, text_col: str = "text", dim: int = DEFAULT_DIM
 ) -> DataFrame:
     """Append a `features` sparse vector: hashing trick over unigrams +
-    adjacent bigrams (fasttext's wordNgrams=2 input representation)."""
+    adjacent bigrams (fasttext's wordNgrams=2 input representation).
+
+    The token array is STAGED in its own projection before the bigram
+    expression references it: lambda subexpressions are not deduplicated
+    (SPARK-35410, same staging pattern as pipeline/text.py), so inlining
+    TOKENS into every {t} of BIGRAMS would re-tokenize each document ~6x."""
     from pyspark.ml.feature import HashingTF
 
-    staged = df.withColumn("__ngrams", _ngram_array(text_col))
+    staged = (
+        df.drop("__tok", "__ngrams")
+        .withColumn("__tok", F.expr(TOKENS.format(s=text_col)))
+        .withColumn(
+            "__ngrams",
+            F.expr(f"concat(__tok, {BIGRAMS.format(t='__tok')})"),
+        )
+    )
     tf = HashingTF(inputCol="__ngrams", outputCol="features", numFeatures=dim)
-    return tf.transform(staged).drop("__ngrams")
+    return tf.transform(staged).drop("__tok", "__ngrams")
 
 
 def train_quality_classifier(

@@ -99,16 +99,28 @@ def minhash_bands(df: DataFrame, text_col: str = "text", n_hashes: int = 8, rows
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, n_salt: int | None = None) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, n_salt: int | None = None, hot_min: int = 32
+) -> DataFrame:
     """Distinct candidate pairs from the band table (equi-join on band key).
 
-    n_salt: spread HOT band keys over n_salt tasks (operators.skew
-    salted_join). A corpus with a large exact-duplicate class funnels every
-    one of its O(d^2) candidate rows through the single task that owns that
-    band key — AQE can split the partition but every split still carries the
-    whole build side of the key. Salting replicates the probe side n_salt
-    times and splits the build side, bounding any task's share of a hot key
-    at ~1/n_salt. Same pair set either way (property-tested)."""
+    n_salt: spread HOT band keys over n_salt tasks. A corpus with a large
+    exact-duplicate class funnels every one of its O(d^2) candidate rows
+    through the single task that owns that band key — AQE can split the
+    partition but every split still carries the whole build side of the key.
+    Band keys with >= hot_min member rows (found by one aggregate over the
+    band table — linear, vs the join's quadratic hot-key output) join through
+    operators.skew salted_join, which spreads the skewed side's keys over
+    n_salt sub-keys and replicates the OTHER side's (hot-only) rows n_salt
+    times, bounding any task's share of a hot key at ~1/n_salt; replicating
+    s * count rows is noise against the count^2 pair output. Cold keys join
+    plain — the build side is NOT replicated for the bulk of the corpus.
+    Same pair set either way (property-tested).
+
+    The hot-key list is broadcast; it holds at most n_band_rows / hot_min
+    keys, so size hot_min to the scale (hot_min=32 suits tests; at 100 TB
+    use ~1e5 so 'hot' means keys whose quadratic pair output actually
+    dominates a task, and the broadcast list stays tiny)."""
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
     )
@@ -118,7 +130,19 @@ def lsh_candidate_pairs(bands: DataFrame, n_salt: int | None = None) -> DataFram
     if n_salt:
         from enterprise_warp_spark.operators.skew import salted_join
 
-        joined = salted_join(a, b, ["band_id", "band_key"], n_salt=n_salt)
+        hot = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= hot_min)
+            .select("band_id", "band_key")
+        )
+        keys = ["band_id", "band_key"]
+        a_hot = a.join(F.broadcast(hot), keys, "left_semi")
+        a_cold = a.join(F.broadcast(hot), keys, "left_anti")
+        b_hot = b.join(F.broadcast(hot), keys, "left_semi")
+        joined = salted_join(a_hot, b_hot, keys, n_salt=n_salt).unionByName(
+            a_cold.join(b, keys)
+        )
     else:
         joined = a.join(b, ["band_id", "band_key"])
     return (

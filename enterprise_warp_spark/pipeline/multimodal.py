@@ -95,7 +95,10 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
                 codecs.decode_image(payload, row["mime"])
             )
         except Exception:
-            return False, _decode_stub(payload)  # undecodable bytes
+            # unsupported variant (16-bit / interlaced PNG, ...): fall
+            # through to the optional Pillow plugin below, like
+            # resize_images does, instead of stubbing immediately
+            pass
     if family == "rawvideo":
         return True, codecs.video_features(
             payload, int(row["width"]), int(row["height"]), int(row["n_frames"])

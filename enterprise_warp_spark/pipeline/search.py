@@ -70,17 +70,22 @@ def build_index(
     }
 
 
-def _query_terms(spark: SparkSession, query: str) -> DataFrame:
-    """Distinct query terms with per-term query frequency (tiny; broadcast)."""
-    terms: dict[str, int] = {}
-    for t in query.split():
-        if t:
-            terms[t] = terms.get(t, 0) + 1
+def _query_terms(spark: SparkSession, query: str, index: dict) -> DataFrame:
+    """Distinct query terms (tiny; broadcast). Term multiplicity in the
+    query is deliberately ignored — the classic Okapi k3 weighting is a
+    no-op for the short probe queries this serves. Raises if the index was
+    bucket-pruned for a DIFFERENT query (see load_index)."""
+    terms = sorted({t for t in query.split() if t})
     if not terms:
         raise ValueError("query has no tokens")
-    return spark.createDataFrame(
-        [(t, n) for t, n in terms.items()], "term string, qf int"
-    )
+    probe = index.get("probe_terms")
+    if probe is not None and not set(terms) <= probe:
+        raise ValueError(
+            "index was loaded bucket-pruned for query terms "
+            f"{sorted(probe)} and cannot serve {terms}; reload with "
+            "load_index(..., query=<this query>) or without `query`"
+        )
+    return spark.createDataFrame([(t,) for t in terms], "term string")
 
 
 def bm25_topk(
@@ -103,12 +108,12 @@ def bm25_topk(
     O(matched postings), never O(corpus).
     """
     spark = index["postings"].sparkSession
-    q = _query_terms(spark, query)
+    q = _query_terms(spark, query, index)
     n_docs, avgdl = index["n_docs"], index["avgdl"]
     if n_docs == 0 or avgdl <= 0:
         raise ValueError("empty index")
 
-    matched = index["postings"].join(F.broadcast(q.select("term")), "term")
+    matched = index["postings"].join(F.broadcast(q), "term")
     df_per_term = matched.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
@@ -149,11 +154,11 @@ def tfidf_topk(index: dict, query: str, k: int = 10) -> DataFrame:
     score(d) = sum_t ln(1 + tf) * ln(N / df) / sqrt(dl). Same join shape
     as bm25_topk; kept as the simpler reference ranking."""
     spark = index["postings"].sparkSession
-    q = _query_terms(spark, query)
+    q = _query_terms(spark, query, index)
     n_docs = index["n_docs"]
     if n_docs == 0:
         raise ValueError("empty index")
-    matched = index["postings"].join(F.broadcast(q.select("term")), "term")
+    matched = index["postings"].join(F.broadcast(q), "term")
     df_per_term = matched.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
@@ -198,18 +203,25 @@ def write_index(index: dict, path: str) -> None:
 def load_index(spark: SparkSession, path: str, query: str | None = None) -> dict:
     """Load a persisted index. With `query` given, the postings scan is
     pre-filtered to the probe terms' hash buckets — partition pruning does
-    the rest (only those directories are read)."""
+    the rest (only those directories are read). A query-pruned index is
+    marked with its `probe_terms` and REFUSES any query using other terms
+    (a pruned postings frame would silently miss their matches)."""
     postings = spark.read.parquet(f"{path}/postings")
+    probe_terms = None
     if query is not None:
         buckets = _term_buckets(spark, query)
         postings = postings.filter(F.col("bucket").isin(buckets))
+        probe_terms = {t for t in query.split() if t}
     stats = spark.read.parquet(f"{path}/stats").first()
-    return {
+    out = {
         "postings": postings.drop("bucket"),
         "doclen": spark.read.parquet(f"{path}/doclen"),
         "n_docs": int(stats["n_docs"]),
         "avgdl": float(stats["avgdl"]),
     }
+    if probe_terms is not None:
+        out["probe_terms"] = probe_terms
+    return out
 
 
 def _term_buckets(spark: SparkSession, query: str) -> list[int]:

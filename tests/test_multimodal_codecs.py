@@ -465,3 +465,30 @@ def test_png_decode_against_pillow_if_available():
         decode_png(encode_png(rgb, 3)),
         np.asarray(Image.open(_io.BytesIO(encode_png(rgb, 3))).convert("RGB")),
     )
+
+
+def test_unsupported_png_variant_falls_through_to_plugin(spark):
+    """A PNG the stdlib decoder rejects (here: corrupt bytes standing in for
+    16-bit / interlaced variants) must fall through to the optional image
+    plugin — same as resize_images — not stub out with decoded=false."""
+    from enterprise_warp_spark.pipeline.codecs import image_features
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    def fake_image_decoder(payload: bytes) -> np.ndarray:
+        h = w = 4
+        return (np.arange(h * w * 3, dtype=np.uint8) + len(payload)).reshape(h, w, 3)
+
+    bad_png = b"\x89PNG\r\n\x1a\n" + bytes(range(40))  # magic ok, body junk
+    media = spark.createDataFrame(
+        [(9, "image", bad_png, "image/png", 4, 4, None, None)], MEDIA_SCHEMA
+    )
+    with_plugin = extract_features(media, decoders={"image": fake_image_decoder}).first()
+    assert with_plugin["decoded"] is True
+    assert with_plugin["feature"] == pytest.approx(
+        image_features(fake_image_decoder(bad_png))
+    )
+    without = extract_features(media, decoders={}).first()
+    assert without["decoded"] is False

@@ -185,3 +185,38 @@ def test_cap_per_group_small_groups_untouched(spark):
     out = cap_per_group(df, "grp", 5, "k")
     assert out.count() == 20  # all groups have 2 rows < cap
     assert set(out.columns) == {"k", "grp"}
+
+
+def test_pruned_index_refuses_other_queries(spark, tmp_path):
+    """A bucket-pruned index must raise on a query with terms outside its
+    probe set instead of silently returning wrong rankings."""
+    from enterprise_warp_spark.pipeline.search import (
+        bm25_topk,
+        build_index,
+        load_index,
+        write_index,
+    )
+
+    idx = build_index(_corpus(spark))
+    path = str(tmp_path / "btx2")
+    write_index(idx, path)
+    pruned = load_index(spark, path, query="lazy dog")
+    assert bm25_topk(pruned, "lazy dog").count() > 0  # own query fine
+    with pytest.raises(ValueError, match="bucket-pruned"):
+        bm25_topk(pruned, "quick brown fox")
+
+
+def test_mixture_rates_zero_weight_group_may_be_absent(spark):
+    """A zero-weight group absent from the data is satisfiable (it needs no
+    rows) — no error, rate 0; only positive-weight groups must exist."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.sampling import mixture_rates
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("en").alias("lang")
+    )
+    rates = mixture_rates(df, "lang", {"en": 1.0, "xx": 0.0})
+    assert rates == {"en": 1.0, "xx": 0.0}
+    with pytest.raises(ValueError, match="absent"):
+        mixture_rates(df, "lang", {"en": 0.5, "xx": 0.5})
