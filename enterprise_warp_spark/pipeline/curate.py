@@ -15,7 +15,8 @@ loops; the stage counts are the only collected values.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from collections.abc import Mapping
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -105,3 +106,73 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> di
         "dropped_dup": dropped_dup,
         "stats": stats,
     }
+
+
+@dataclass(frozen=True)
+class ServingConfig:
+    """Post-curation serving knobs (all optional; None/empty = skip):
+
+    quality_model      fitted pipeline.classify model; docs scoring below
+                       quality_threshold are dropped (learned gate, applied
+                       after the heuristic gates so the model only scores
+                       already-plausible text)
+    cap_per_source     max docs per `source_col` value (skew-safe two-phase
+                       top-k; 'no host dominates the corpus')
+    mixture_weights    target group mixture over `mixture_col`
+                       (deterministic downsample-only resampling)
+    shuffle_seed       epoch seed for the deterministic global shuffle
+    """
+
+    quality_model: object | None = None
+    quality_threshold: float = 0.5
+    cap_per_source: int | None = None
+    source_col: str = "source"
+    mixture_weights: Mapping[str, float] | None = field(default=None)
+    mixture_col: str = "lang"
+    shuffle_seed: int = 0
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    curation: CurationConfig = CurationConfig(),
+    serving: ServingConfig = ServingConfig(),
+) -> dict[str, DataFrame]:
+    """The full corpus-to-training-order pipeline, each stage one of the
+    already-tested operators:
+
+        curate_corpus (heuristic gates + staged dedup)
+          -> learned quality filter        (pipeline.classify, optional)
+          -> per-source cap                (operators.sampling.cap_per_group)
+          -> target-mixture resample       (operators.sampling.mixture_resample)
+          -> deterministic global shuffle  (operators.sampling.shuffle_corpus)
+
+    Returns curate_corpus's dict plus `corpus`: the serving-ordered result.
+    Every stage is deterministic (pure function of data + seeds), so a
+    re-run — or a retried production job — reproduces the byte-identical
+    training set. Composition cost on top of curation: one tiny count
+    aggregate (mixture rates), bounded windows (caps), and one range
+    shuffle (ordering); all filters are map-side."""
+    from enterprise_warp_spark.operators.sampling import (
+        cap_per_group,
+        mixture_resample,
+        shuffle_corpus,
+    )
+
+    out = curate_corpus(docs, curation)
+    kept = out["kept"]
+    if serving.quality_model is not None:
+        from enterprise_warp_spark.pipeline.classify import quality_filter
+
+        kept = quality_filter(
+            serving.quality_model, kept, threshold=serving.quality_threshold
+        )
+    if serving.cap_per_source is not None:
+        kept = cap_per_group(
+            kept, serving.source_col, serving.cap_per_source, "doc_id"
+        )
+    if serving.mixture_weights:
+        kept = mixture_resample(
+            kept, serving.mixture_col, serving.mixture_weights, "doc_id"
+        )
+    out["corpus"] = shuffle_corpus(kept, "doc_id", seed=serving.shuffle_seed)
+    return out

@@ -529,3 +529,111 @@ def test_langid_tolerates_existing_tok_column_and_reapplication(spark):
         "text",
     )
     assert twice.first()["dup_token_ratio"] > 0
+
+
+def test_prepare_training_corpus_end_to_end(spark, sf_dir):
+    """Full corpus-to-training-order recipe on the real documents table:
+    curation -> per-source cap -> lang-mixture resample -> deterministic
+    shuffle. Checks caps, mixture shares, ordering determinism, and that
+    the corpus is a subset of the curated keep-set."""
+    from enterprise_warp_spark.pipeline.curate import (
+        CurationConfig,
+        ServingConfig,
+        prepare_training_corpus,
+    )
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = prepare_training_corpus(
+        docs,
+        CurationConfig(min_tokens=5),
+        ServingConfig(
+            cap_per_source=8,
+            mixture_weights={"en": 0.5, "de": 0.25, "fr": 0.25},
+            shuffle_seed=4,
+        ),
+    )
+    rows = out["corpus"].collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)) > 0
+
+    # subset of the curated keep-set
+    kept_ids = {r["doc_id"] for r in out["kept"].select("doc_id").collect()}
+    assert set(ids) <= kept_ids
+
+    # per-source cap respected
+    from collections import Counter
+
+    by_src = Counter(r["source"] for r in rows)
+    assert max(by_src.values()) <= 8
+
+    # mixture: only requested langs, shares near 2:1:1 for en:de:fr
+    by_lang = Counter(r["lang"] for r in rows)
+    assert set(by_lang) <= {"en", "de", "fr"}
+    n = sum(by_lang.values())
+    # wide tolerance: the deterministic hash downsample meets the rate in
+    # expectation; at n~100 binomial noise is ~0.1 (exact share recovery is
+    # pinned at scale in test_mixture_resample_reaches_target_mixture)
+    assert abs(by_lang["en"] / n - 0.5) < 0.2
+    assert abs(by_lang["de"] / n - 0.25) < 0.15
+
+    # deterministic: same seed -> same order; different seed -> different
+    again = [
+        r["doc_id"]
+        for r in prepare_training_corpus(
+            docs,
+            CurationConfig(min_tokens=5),
+            ServingConfig(
+                cap_per_source=8,
+                mixture_weights={"en": 0.5, "de": 0.25, "fr": 0.25},
+                shuffle_seed=4,
+            ),
+        )["corpus"].collect()
+    ]
+    assert again == ids
+
+
+def test_prepare_training_corpus_with_quality_model(spark):
+    """The learned quality gate drops model-flagged docs from the corpus."""
+    from enterprise_warp_spark.pipeline.classify import train_quality_classifier
+    from enterprise_warp_spark.pipeline.curate import (
+        CurationConfig,
+        ServingConfig,
+        prepare_training_corpus,
+    )
+
+    prose = (
+        "the quiet river winds through a valley where farmers tend orchards "
+        "and children walk to school past the old stone bridge every morning"
+    )
+    spamwords = "buy cheap now click here free winner casino deal offer"
+    import random
+
+    rng = random.Random(3)
+    labeled = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(prose.split()) for _ in range(25)), 1)
+            for i in range(80)
+        ]
+        + [
+            (100 + i, " ".join(rng.choice(spamwords.split()) for _ in range(25)), 0)
+            for i in range(80)
+        ],
+        "doc_id long, text string, label int",
+    )
+    model = train_quality_classifier(labeled, dim=1 << 13)
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(prose.split()[:30]) + " one", "en", "s1", 10),
+            (2, " ".join((spamwords + " " + spamwords + " again now yes").split()), "en", "s1", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = prepare_training_corpus(
+        docs,
+        CurationConfig(min_tokens=3),
+        ServingConfig(quality_model=model, quality_threshold=0.5),
+    )
+    ids = {r["doc_id"] for r in out["corpus"].collect()}
+    assert ids == {1}
