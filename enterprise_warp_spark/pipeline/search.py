@@ -237,3 +237,82 @@ def _term_buckets(spark: SparkSession, query: str) -> list[int]:
         .collect()
     )
     return sorted({int(r["b"]) for r in rows})
+
+
+def build_positional_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """build_index plus per-(term, doc) POSITION LISTS (1-based token
+    offsets), enabling exact phrase queries. Same single explode+groupBy
+    shuffle; positions ride the aggregate as a collect_list folded map-side.
+    Postings schema: (term, doc_id, tf, positions array<int>)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("toks")
+    )
+    pos_rows = toks.select(
+        "doc_id",
+        F.posexplode("toks").alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    postings = (
+        pos_rows.groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+    doclen = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    return {
+        "postings": postings,
+        "doclen": doclen,
+        "n_docs": int(stats["n"]),
+        "avgdl": float(stats["avgdl"] or 0.0),
+    }
+
+
+def phrase_match(index: dict, phrase: str) -> DataFrame:
+    """Documents containing the exact token phrase -> (doc_id, n_occurrences).
+
+    Position-list intersection, the classical phrase-query plan: for the
+    i-th phrase term, shift its positions by -i; a phrase occurrence is a
+    position present in EVERY term's shifted list. All Catalyst: the
+    broadcast phrase-term join prunes the postings to the phrase's terms,
+    one groupBy(doc_id) collects each term's shifted list, and
+    aggregate()/array_intersect folds the intersection — no Python rows,
+    query cost O(matched postings) like bm25_topk.
+
+    Repeated terms in the phrase are handled naturally: each occurrence of
+    the term contributes its own (slot, shifted-positions) row."""
+    spark = index["postings"].sparkSession
+    if "positions" not in index["postings"].columns:
+        raise ValueError("phrase_match needs build_positional_index postings")
+    terms = [t for t in phrase.split() if t]
+    if not terms:
+        raise ValueError("phrase has no tokens")
+    slots = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, slot int"
+    )
+    n_slots = len(terms)
+    matched = index["postings"].join(F.broadcast(slots), "term").select(
+        "doc_id",
+        "slot",
+        F.expr("transform(positions, p -> p - slot)").alias("shifted"),
+    )
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_slots"),
+            F.expr(
+                "aggregate(collect_list(shifted), "
+                "cast(null as array<int>), "
+                "(acc, x) -> CASE WHEN acc IS NULL THEN x "
+                "ELSE array_intersect(acc, x) END)"
+            ).alias("_starts"),
+        )
+        .filter(
+            (F.col("_n_slots") == n_slots) & (F.size("_starts") > 0)
+        )
+        .select("doc_id", F.size("_starts").alias("n_occurrences"))
+    )

@@ -220,3 +220,81 @@ def test_mixture_rates_zero_weight_group_may_be_absent(spark):
     assert rates == {"en": 1.0, "xx": 0.0}
     with pytest.raises(ValueError, match="absent"):
         mixture_rates(df, "lang", {"en": 0.5, "xx": 0.5})
+
+
+def test_phrase_match_exact_and_counts(spark):
+    from enterprise_warp_spark.pipeline.search import (
+        build_positional_index,
+        phrase_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the quick brown dog"),
+            (2, "quick brown things and brown quick things"),
+            (3, "the fox"),
+            (4, "quick quick quick"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_positional_index(docs)
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(idx, "quick brown").collect()
+    }
+    # doc 1 has it twice, doc 2 once (positions 1-2), doc 3/4 never
+    assert got == {1: 2, 2: 1}
+
+    # repeated-term phrase
+    got2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(idx, "quick quick").collect()
+    }
+    assert got2 == {4: 2}
+
+    # full-sentence phrase matches only itself
+    assert {
+        r["doc_id"] for r in phrase_match(idx, "the fox").collect()
+    } == {3}
+    assert phrase_match(idx, "brown the").count() == 0
+
+
+def test_phrase_match_matches_python_reference(spark):
+    """Random corpus with seeded phrase injections: distributed position
+    intersection == a direct substring-over-token-list reference."""
+    import random
+
+    from enterprise_warp_spark.pipeline.search import (
+        build_positional_index,
+        phrase_match,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    phrase = ["alpha", "beta", "gamma"]
+    rows = []
+    for did in range(60):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        for _ in range(rng.randint(0, 2)):
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + phrase + toks[pos:]
+        rows.append((did, " ".join(toks)))
+
+    def ref_count(toks, ph):
+        return sum(
+            1
+            for i in range(len(toks) - len(ph) + 1)
+            if toks[i : i + len(ph)] == ph
+        )
+
+    want = {
+        did: ref_count(txt.split(), phrase)
+        for did, txt in rows
+        if ref_count(txt.split(), phrase) > 0
+    }
+    idx = build_positional_index(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(idx, " ".join(phrase)).collect()
+    }
+    assert got == want and len(want) >= 10
