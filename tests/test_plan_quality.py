@@ -256,3 +256,38 @@ def test_mixture_resample_is_map_side_filter(spark, sf001):
     )
     p = plan(kept)
     assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_r5_pipeline_ops_plan_shapes(spark, sf001):
+    """Round-5 operators keep their scale-deciding physical shapes:
+    BM25 broadcasts the query terms; cap_per_group never plans a global
+    Sort (only windowed sorts inside Exchange-partitioned groups);
+    shuffle_corpus range-partitions instead of a single-task global sort."""
+    from enterprise_warp_spark.operators.sampling import (
+        cap_per_group,
+        shuffle_corpus,
+    )
+    from enterprise_warp_spark.pipeline.search import bm25_topk, build_index
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf001, "documents")
+
+    idx = build_index(docs)
+    p = plan(bm25_topk(idx, "alpha beta"))
+    assert "BroadcastHashJoin" in p  # probe terms + df are broadcast
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = plan(cap_per_group(docs, "source", 5, "doc_id"))
+    # both ranking phases are Window sorts local to their Exchange
+    # partitioning; a global orderBy would appear as a rangepartitioning
+    # Exchange feeding a Sort [global=true]
+    assert "Window" in p
+    assert "Sort [" not in p or "global=true" not in p.split("Sort [", 1)[1][:80]
+
+    p = plan(shuffle_corpus(docs, "doc_id", seed=1))
+    assert "rangepartitioning" in p.lower()
+    # the sort after range partitioning is per-partition, not global
+    for seg in p.split("Sort [")[1:]:
+        head = seg[:200]
+        assert "global=false" in head or "global=true" not in head

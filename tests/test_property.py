@@ -372,3 +372,43 @@ def test_png_roundtrip_property(h, w, gray, filter_type, seed):
     rng = np.random.default_rng(seed)
     arr = rng.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(arr, filter_type)), arr)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=300,
+    ),
+    cap=st.integers(1, 12),
+    seed=st.integers(0, 5),
+)
+def test_cap_per_group_property(spark, data, cap, seed):
+    """Random (group, key) multisets: the two-phase cap always equals the
+    single-window reference and never exceeds the cap."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.sampling import _unit_hash, cap_per_group
+
+    rows = [(g, k) for g, k in {(g, k) for g, k in data}]  # unique keys
+    df = spark.createDataFrame(rows, "grp int, k long")
+    got = {
+        (r["grp"], r["k"])
+        for r in cap_per_group(df, "grp", cap, "k", seed=seed, n_salt=4).collect()
+    }
+    w = Window.partitionBy("grp").orderBy(
+        _unit_hash(F.col("k"), seed).asc(), F.col("k").cast("string").asc()
+    )
+    want = {
+        (r["grp"], r["k"])
+        for r in df.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= cap)
+        .collect()
+    }
+    assert got == want
