@@ -392,6 +392,7 @@ DECODABLE_MIMES = {
     "image/x-portable-pixmap": "pnm",
     "image/x-portable-graymap": "pnm",
     "image/png": "png",
+    "image/jpeg": "jpeg",
     "video/x-raw-rgb": "rawvideo",
 }
 
@@ -404,6 +405,10 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         return decode_ppm(payload)
     if family == "png":
         return decode_png(payload)
+    if family == "jpeg":
+        from enterprise_warp_spark.pipeline.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(f"image mime {mime!r} needs an external codec")
 
 

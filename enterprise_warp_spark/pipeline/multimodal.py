@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
-Decoding is REAL for every container-less format (see pipeline.codecs):
-RIFF/PCM WAV audio, binary PPM/PGM images, and raw-RGB video frames are
-parsed with struct+numpy inside the Arrow batches. Compressed formats
-(JPEG/PNG/MP3/H.264/...) need codec libraries this container does not have;
-those rows fall back to a deterministic byte-hash pseudo-feature and are
-flagged `decoded=false` — swap `_decode_stub` for PIL/torchaudio/pyav and
+Decoding is REAL for container-less formats AND the two dominant
+compressed image formats (see pipeline.codecs / pipeline.jpeg): RIFF/PCM
+WAV audio, binary PPM/PGM images, raw-RGB video frames, stdlib-zlib PNG,
+and pure-numpy baseline JPEG are parsed inside the Arrow batches with no
+external codec. Remaining compressed formats (MP3/H.264/progressive
+JPEG/...) decode through optional Pillow/soundfile plugins when importable;
+otherwise those rows fall back to a deterministic byte-hash pseudo-feature
+flagged `decoded=false` — swap `_decode_stub` for torchaudio/pyav and
 nothing else changes.
 
 Design for 100 TB: binaries ride in parquet as BINARY columns; kernels are
@@ -89,7 +91,7 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
     payload = row["payload"]
     if family == "wav":
         return True, codecs.audio_features(*codecs.decode_wav(payload))
-    if family in ("pnm", "png"):
+    if family in ("pnm", "png", "jpeg"):
         try:
             return True, codecs.image_features(
                 codecs.decode_image(payload, row["mime"])
@@ -240,14 +242,19 @@ def resize_images(
             if payload is None:
                 raise NotImplementedError("missing payload; real decoder required")
             family = codecs.DECODABLE_MIMES.get(row["mime"])
-            if family in ("pnm", "png"):
+            if family in ("pnm", "png", "jpeg"):
                 try:
                     resized = codecs.resize_nearest(
                         codecs.decode_image(payload, row["mime"]), width, height
                     )
-                    enc = (
-                        codecs.encode_ppm if family == "pnm" else codecs.encode_png
-                    )
+                    if family == "pnm":
+                        enc = codecs.encode_ppm
+                    elif family == "png":
+                        enc = codecs.encode_png
+                    else:
+                        from enterprise_warp_spark.pipeline.jpeg import encode_jpeg
+
+                        enc = encode_jpeg
                     return enc(resized), width, height, True
                 except Exception:
                     pass  # undecodable bytes: plugin / passthrough / strict
@@ -365,7 +372,7 @@ def image_fingerprints(media: DataFrame) -> DataFrame:
     nearest-resize to 9x8 (pipeline.codecs), one bit per horizontal neighbor
     comparison. Comparison bits make it invariant to brightness/contrast
     scaling and robust to resizing — the classic perceptual image hash.
-    Non-decodable (JPEG/...) rows: decoded=false, null fingerprint."""
+    Non-decodable (MP3-art/corrupt/...) rows: decoded=false, null fingerprint."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -373,7 +380,7 @@ def image_fingerprints(media: DataFrame) -> DataFrame:
         from enterprise_warp_spark.pipeline import codecs
 
         def one(row: pd.Series) -> tuple[bool, int | None]:
-            if codecs.DECODABLE_MIMES.get(row["mime"]) not in ("pnm", "png"):
+            if codecs.DECODABLE_MIMES.get(row["mime"]) not in ("pnm", "png", "jpeg"):
                 return False, None
             try:
                 arr = codecs.decode_image(row["payload"], row["mime"])
