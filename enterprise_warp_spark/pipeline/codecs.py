@@ -393,8 +393,28 @@ DECODABLE_MIMES = {
     "image/x-portable-graymap": "pnm",
     "image/png": "png",
     "image/jpeg": "jpeg",
+    "audio/flac": "flac",
     "video/x-raw-rgb": "rawvideo",
 }
+
+
+def decode_audio(payload: bytes, mime: str) -> tuple[np.ndarray, int]:
+    """Decode any pure-python-decodable audio mime -> (samples, rate)."""
+    family = DECODABLE_MIMES.get(mime)
+    if family == "wav":
+        return decode_wav(payload)
+    if family == "flac":
+        from enterprise_warp_spark.pipeline.flac import decode_flac
+
+        samples, rate = decode_flac(payload)
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        # match decode_wav's convention: float64 scaled to [-1, 1] by the
+        # sample type's full-scale, so a WAV and a FLAC of the same signal
+        # yield identical features/fingerprints (codec-invariant dedup)
+        bits = 8 if samples.dtype == np.int8 else (16 if samples.dtype == np.int16 else 32)
+        return samples.astype(np.float64) / float(2 ** (bits - 1)), rate
+    raise NotImplementedError(f"audio mime {mime!r} needs an external codec")
 
 
 def decode_image(payload: bytes, mime: str) -> np.ndarray:

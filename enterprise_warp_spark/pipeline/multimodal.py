@@ -89,8 +89,13 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
 
     family = codecs.DECODABLE_MIMES.get(row["mime"])
     payload = row["payload"]
-    if family == "wav":
-        return True, codecs.audio_features(*codecs.decode_wav(payload))
+    if family in ("wav", "flac"):
+        try:
+            return True, codecs.audio_features(
+                *codecs.decode_audio(payload, row["mime"])
+            )
+        except Exception:
+            pass  # unsupported variant: optional plugin below, else stub
     if family in ("pnm", "png", "jpeg"):
         try:
             return True, codecs.image_features(
@@ -309,9 +314,14 @@ def audio_fingerprints(media: DataFrame, n_bins: int = 32) -> DataFrame:
         from enterprise_warp_spark.pipeline import codecs
 
         def one(row: pd.Series) -> tuple[bool, int | None]:
-            if codecs.DECODABLE_MIMES.get(row["mime"]) != "wav":
+            if codecs.DECODABLE_MIMES.get(row["mime"]) not in ("wav", "flac"):
                 return False, None
-            samples, _ = codecs.decode_wav(row["payload"])
+            try:
+                samples, _ = codecs.decode_audio(row["payload"], row["mime"])
+            except Exception:
+                return False, None  # undecodable bytes
+            if samples.ndim == 1:
+                samples = samples[:, None]
             mono = samples.mean(axis=1)
             if len(mono) < n_bins:
                 mono = np.pad(mono, (0, n_bins - len(mono)))

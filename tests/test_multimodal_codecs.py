@@ -600,3 +600,161 @@ def test_jpeg_mime_decodes_for_real_in_spark(spark):
     rrow = resize_images(media, 8, 8, decoders={}).first()
     assert rrow["resized"] is True
     assert decode_jpeg(rrow["payload"]).shape == (8, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# FLAC codec (pipeline/flac.py)
+# ---------------------------------------------------------------------------
+
+
+def _tone(n=6000, rate=16000):
+    t = np.arange(n)
+    rng = np.random.default_rng(7)
+    return (
+        3000 * np.sin(2 * np.pi * 440 * t / rate) + 200 * rng.normal(size=n)
+    ).astype(np.int16)
+
+
+def test_flac_round_trip_lossless():
+    """FLAC is lossless: decode(encode(x)) == x exactly, for mono/stereo,
+    int8/int16, tonal/constant/noise content, multiple block sizes."""
+    from enterprise_warp_spark.pipeline.flac import decode_flac, encode_flac
+
+    mono = _tone()
+    out, rate = decode_flac(encode_flac(mono, 16000))
+    assert rate == 16000 and np.array_equal(out, mono)
+
+    stereo = np.stack([mono, (mono // 2 + 100).astype(np.int16)], axis=-1)
+    out, rate = decode_flac(encode_flac(stereo, 44100, block_size=1024))
+    assert rate == 44100 and np.array_equal(out, stereo)
+
+    const = np.full(5000, 12, dtype=np.int8)
+    out, _ = decode_flac(encode_flac(const, 8000))
+    assert np.array_equal(out, const)
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(-32768, 32767, 3000).astype(np.int16)
+    out, _ = decode_flac(encode_flac(noise, 8000))
+    assert np.array_equal(out, noise)
+
+    # compression actually happens on tonal content
+    assert len(encode_flac(mono, 16000)) < mono.nbytes
+
+
+def test_flac_decoder_lpc_and_midside_paths():
+    """The decoder paths our encoder never produces — LPC subframes and
+    mid-side stereo decorrelation — decoded from a hand-built spec-conformant
+    stream and checked against a direct Python reconstruction."""
+    import struct
+
+    from enterprise_warp_spark.pipeline.flac import (
+        _Writer,
+        _crc8,
+        _crc16,
+        _utf8_number,
+        decode_flac,
+    )
+
+    bsize, bps, rate = 64, 16, 8000
+    # channel 0 (mid) as an order-2 LPC subframe: x[i] = r[i] + (c0*x[i-1] + c1*x[i-2]) >> shift
+    warm = [100, 120]
+    coefs, prec, shift = [3, -1], 4, 1
+    resid = [((i * 7) % 11) - 5 for i in range(bsize - 2)]
+    mid = list(warm)
+    for i in range(2, bsize):
+        pred = (coefs[0] * mid[i - 1] + coefs[1] * mid[i - 2]) >> shift
+        mid.append(resid[i - 2] + pred)
+    # channel 1 (side), constant 9 (odd -> exercises the side&1 bit)
+    side = [9] * bsize
+
+    # reference reconstruction of mid/side per spec
+    want_l, want_r = [], []
+    for m, s in zip(mid, side):
+        mm = (m << 1) | (s & 1)
+        want_l.append((mm + s) >> 1)
+        want_r.append((mm - s) >> 1)
+
+    out = bytearray(b"fLaC")
+    si = _Writer()
+    si.write(bsize, 16); si.write(bsize, 16); si.write(0, 24); si.write(0, 24)
+    si.write(rate, 20); si.write(2 - 1, 3); si.write(bps - 1, 5); si.write(bsize, 36)
+    si.align()
+    body = bytes(si.out) + b"\x00" * 16
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    hw = _Writer()
+    hw.write(0b11111111111110, 14); hw.write(0, 1); hw.write(0, 1)
+    hw.write(7, 4)   # blocksize: 16-bit at end
+    hw.write(0, 4)   # rate from STREAMINFO
+    hw.write(10, 4)  # mid/side
+    hw.write(4, 3)   # 16 bps
+    hw.write(0, 1)
+    hw.align()
+    header = bytes(hw.out) + _utf8_number(0) + struct.pack(">H", bsize - 1)
+    header += bytes([_crc8(header)])
+
+    bw = _Writer()
+    # mid: LPC order 2
+    bw.write(0, 1); bw.write(32 + (2 - 1), 6); bw.write(0, 1)
+    for v in warm:
+        bw.swrite(v, bps)
+    bw.write(prec - 1, 4); bw.swrite(shift, 5)
+    for c in coefs:
+        bw.swrite(c, prec)
+    bw.write(0, 2); bw.write(0, 4)  # rice method 0, partition order 0
+    p = 3
+    bw.write(p, 4)
+    for v in resid:
+        u = (v << 1) ^ (v >> 63)
+        q, rem = u >> p, u & ((1 << p) - 1)
+        for _ in range(q):
+            bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(rem, p)
+    # side: CONSTANT 9 at bps+1 bits
+    bw.write(0, 1); bw.write(0, 6); bw.write(0, 1)
+    bw.swrite(9, bps + 1)
+    bw.align()
+    frame = header + bytes(bw.out)
+    frame += struct.pack(">H", _crc16(frame))
+    out += frame
+
+    decoded, got_rate = decode_flac(bytes(out))
+    assert got_rate == rate and decoded.shape == (bsize, 2)
+    assert decoded[:, 0].tolist() == want_l
+    assert decoded[:, 1].tolist() == want_r
+
+
+def test_flac_mime_decodes_for_real_in_spark(spark):
+    """audio/flac media rows get decoded=true with NO optional plugins, and
+    the energy-envelope fingerprint matches the WAV twin of the same
+    samples (codec-invariant audio near-dup)."""
+    from enterprise_warp_spark.pipeline.codecs import encode_wav
+    from enterprise_warp_spark.pipeline.flac import encode_flac
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprints,
+        extract_features,
+    )
+
+    mono = _tone()
+    flac_payload = encode_flac(mono, 16000)
+    # encode_wav takes floats in [-1, 1] and writes round(x * 32767):
+    # feeding mono/32767 makes the PCM samples exactly `mono`, so both
+    # containers decode to the identical float signal
+    wav_payload = encode_wav(mono.astype(np.float64)[:, None] / 32767.0, 16000)
+    media = spark.createDataFrame(
+        [
+            (51, "audio", flac_payload, "audio/flac", None, None, 16000, None),
+            (52, "audio", wav_payload, "audio/wav", None, None, 16000, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, decoders={}).collect()}
+    assert rows[51]["decoded"] is True and rows[52]["decoded"] is True
+    # identical samples -> identical features regardless of container
+    assert rows[51]["feature"] == pytest.approx(rows[52]["feature"])
+
+    fps = {r["media_id"]: r for r in audio_fingerprints(media).collect()}
+    assert fps[51]["decoded"] is True
+    assert fps[51]["fingerprint"] == fps[52]["fingerprint"]
