@@ -404,16 +404,16 @@ def decode_audio(payload: bytes, mime: str) -> tuple[np.ndarray, int]:
     if family == "wav":
         return decode_wav(payload)
     if family == "flac":
-        from enterprise_warp_spark.pipeline.flac import decode_flac
+        from enterprise_warp_spark.pipeline.flac import decode_flac_info
 
-        samples, rate = decode_flac(payload)
+        samples, rate, bps = decode_flac_info(payload)
         if samples.ndim == 1:
             samples = samples[:, None]
         # match decode_wav's convention: float64 scaled to [-1, 1] by the
-        # sample type's full-scale, so a WAV and a FLAC of the same signal
-        # yield identical features/fingerprints (codec-invariant dedup)
-        bits = 8 if samples.dtype == np.int8 else (16 if samples.dtype == np.int16 else 32)
-        return samples.astype(np.float64) / float(2 ** (bits - 1)), rate
+        # STREAM's bits-per-sample full-scale (the numpy container is wider
+        # than bps for 8/12/20/24-bit streams), so a WAV and a FLAC of the
+        # same signal yield identical features/fingerprints
+        return samples.astype(np.float64) / float(2 ** (bps - 1)), rate
     raise NotImplementedError(f"audio mime {mime!r} needs an external codec")
 
 

@@ -137,6 +137,15 @@ class _Writer:
 def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     """FLAC bytes -> (samples (n,) mono or (n, ch), sample_rate). Output
     dtype int16 for bps<=16 else int32."""
+    samples, rate, _ = decode_flac_info(payload)
+    return samples, rate
+
+
+def decode_flac_info(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """decode_flac plus the stream's STREAMINFO bits-per-sample — needed by
+    callers that scale to full-range floats (the numpy container dtype is
+    wider than bps for 8/12/20/24-bit streams, so dtype alone cannot give
+    the right full-scale divisor)."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -259,7 +268,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     dtype = np.int16 if streaminfo["bps"] <= 16 else np.int32
     arrs = [np.asarray(c[:total], dtype=dtype) for c in chans_out]
     out = arrs[0] if streaminfo["nch"] == 1 else np.stack(arrs, axis=-1)
-    return out, streaminfo["rate"]
+    return out, streaminfo["rate"], streaminfo["bps"]
 
 
 def _decode_subframe(r: _Reader, bsize: int, bps: int) -> list[int]:

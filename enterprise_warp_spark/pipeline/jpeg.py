@@ -305,6 +305,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK/YCCK) needs an external codec"
+                )
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -494,8 +498,10 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False) -> 
     if gray:
         subsample = False
     h, w = arr.shape[:2]
-    qt_l = _quality_scale(QT_LUM, quality)
-    qt_c = _quality_scale(QT_CHROM, quality)
+    # DQT is zigzag-serialized per the spec, and _plane_to_zz expects the
+    # same zigzag order — serialize the natural-order Annex-K tables ONCE
+    qt_l = _quality_scale(QT_LUM, quality)[ZIGZAG]
+    qt_c = _quality_scale(QT_CHROM, quality)[ZIGZAG]
 
     if gray:
         planes = [arr.astype(np.float64)]

@@ -320,9 +320,7 @@ def audio_fingerprints(media: DataFrame, n_bins: int = 32) -> DataFrame:
                 samples, _ = codecs.decode_audio(row["payload"], row["mime"])
             except Exception:
                 return False, None  # undecodable bytes
-            if samples.ndim == 1:
-                samples = samples[:, None]
-            mono = samples.mean(axis=1)
+            mono = samples.mean(axis=1)  # decode_audio guarantees (n, ch)
             if len(mono) < n_bins:
                 mono = np.pad(mono, (0, n_bins - len(mono)))
             # per-window RMS energy envelope (vectorized reshape)

@@ -41,6 +41,20 @@ def _tokens(text_col: str):
     return F.expr(TOKENS.format(s=text_col))
 
 
+def _index_from_postings(toks: DataFrame, postings: DataFrame) -> dict:
+    """Shared tail of both index builders: doc lengths + corpus stats."""
+    doclen = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    return {
+        "postings": postings,
+        "doclen": doclen,
+        "n_docs": int(stats["n"]),
+        "avgdl": float(stats["avgdl"] or 0.0),
+    }
+
+
 def build_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> dict:
@@ -58,16 +72,7 @@ def build_index(
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    doclen = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
-    return {
-        "postings": postings,
-        "doclen": doclen,
-        "n_docs": int(stats["n"]),
-        "avgdl": float(stats["avgdl"] or 0.0),
-    }
+    return _index_from_postings(toks, postings)
 
 
 def _query_terms(spark: SparkSession, query: str, index: dict) -> DataFrame:
@@ -260,16 +265,7 @@ def build_positional_index(
             F.sort_array(F.collect_list("pos")).alias("positions"),
         )
     )
-    doclen = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
-    return {
-        "postings": postings,
-        "doclen": doclen,
-        "n_docs": int(stats["n"]),
-        "avgdl": float(stats["avgdl"] or 0.0),
-    }
+    return _index_from_postings(toks, postings)
 
 
 def phrase_match(index: dict, phrase: str) -> DataFrame:

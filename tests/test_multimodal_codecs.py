@@ -758,3 +758,59 @@ def test_flac_mime_decodes_for_real_in_spark(spark):
     fps = {r["media_id"]: r for r in audio_fingerprints(media).collect()}
     assert fps[51]["decoded"] is True
     assert fps[51]["fingerprint"] == fps[52]["fingerprint"]
+
+
+def test_jpeg_dqt_is_zigzag_serialized():
+    """The DQT segment must serialize the quantization table in zigzag
+    order (spec): parsing it back through the zigzag scatter must
+    reproduce the natural-order Annex-K table at the chosen quality."""
+    from enterprise_warp_spark.pipeline.jpeg import (
+        QT_LUM,
+        ZIGZAG,
+        _quality_scale,
+        encode_jpeg,
+    )
+
+    payload = encode_jpeg(_gradient_rgb(16, 16), quality=90)
+    i = payload.find(b"\xff\xdb")
+    dqt = np.frombuffer(payload[i + 5 : i + 5 + 64], np.uint8).astype(np.int32)
+    natural = np.zeros(64, np.int32)
+    natural[ZIGZAG] = dqt  # the decoder's scatter
+    assert np.array_equal(natural, _quality_scale(QT_LUM, 90))
+
+
+def test_jpeg_cmyk_component_count_rejected():
+    """A 4-component SOF0 (CMYK) must raise instead of silently producing
+    garbage RGB flagged decoded=true."""
+    from enterprise_warp_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(_gradient_rgb(16, 16)))
+    i = payload.find(b"\xff\xc0")
+    # SOF body: len(2) prec(1) h(2) w(2) nc(1): bump nc byte 3->4
+    assert payload[i + 9] == 3
+    payload[i + 9] = 4
+    with pytest.raises(NotImplementedError, match="component"):
+        decode_jpeg(bytes(payload))
+
+
+def test_flac_8bit_features_match_wav_twin(spark):
+    """An 8-bit FLAC must scale by the STREAM's bps (2^7), not the int16
+    numpy container width — features must equal the 8-bit WAV twin."""
+    from enterprise_warp_spark.pipeline.codecs import decode_audio, encode_wav
+    from enterprise_warp_spark.pipeline.flac import encode_flac
+
+    rng = np.random.default_rng(9)
+    t = np.arange(4000)
+    mono8 = (100 * np.sin(2 * np.pi * 220 * t / 8000)).astype(np.int8)
+    flac_payload = encode_flac(mono8, 8000)
+    got, rate = decode_audio(flac_payload, "audio/flac")
+    assert rate == 8000 and got.shape == (4000, 1)
+    # full scale for 8-bit is 2^7: a +/-100 sine peaks near 0.78
+    assert 0.7 < np.abs(got).max() < 0.85
+    # decode_wav twin of the same signal (8-bit WAV stores unsigned around
+    # 128 and decode_wav scales by 2^7 too)
+    wav = encode_wav(mono8.astype(np.float64)[:, None] / 127.0, 8000)
+    want, _ = decode_audio(wav, "audio/wav")
+    # encode_wav writes 16-bit PCM; compare against the analytic signal
+    assert np.allclose(got[:, 0], mono8 / 128.0)
+    assert np.allclose(want[:, 0], np.round(mono8 / 127.0 * 32767) / 32768.0)
