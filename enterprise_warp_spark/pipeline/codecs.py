@@ -393,6 +393,7 @@ DECODABLE_MIMES = {
     "image/x-portable-graymap": "pnm",
     "image/png": "png",
     "image/jpeg": "jpeg",
+    "image/gif": "gif",
     "audio/flac": "flac",
     "video/x-raw-rgb": "rawvideo",
 }
@@ -429,6 +430,10 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         from enterprise_warp_spark.pipeline.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if family == "gif":
+        from enterprise_warp_spark.pipeline.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(f"image mime {mime!r} needs an external codec")
 
 

@@ -96,7 +96,7 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
             )
         except Exception:
             pass  # unsupported variant: optional plugin below, else stub
-    if family in ("pnm", "png", "jpeg"):
+    if family in ("pnm", "png", "jpeg", "gif"):
         try:
             return True, codecs.image_features(
                 codecs.decode_image(payload, row["mime"])
@@ -247,7 +247,7 @@ def resize_images(
             if payload is None:
                 raise NotImplementedError("missing payload; real decoder required")
             family = codecs.DECODABLE_MIMES.get(row["mime"])
-            if family in ("pnm", "png", "jpeg"):
+            if family in ("pnm", "png", "jpeg", "gif"):
                 try:
                     resized = codecs.resize_nearest(
                         codecs.decode_image(payload, row["mime"]), width, height
@@ -256,10 +256,14 @@ def resize_images(
                         enc = codecs.encode_ppm
                     elif family == "png":
                         enc = codecs.encode_png
-                    else:
+                    elif family == "jpeg":
                         from enterprise_warp_spark.pipeline.jpeg import encode_jpeg
 
                         enc = encode_jpeg
+                    else:
+                        from enterprise_warp_spark.pipeline.gif import encode_gif
+
+                        enc = encode_gif
                     return enc(resized), width, height, True
                 except Exception:
                     pass  # undecodable bytes: plugin / passthrough / strict
@@ -388,7 +392,7 @@ def image_fingerprints(media: DataFrame) -> DataFrame:
         from enterprise_warp_spark.pipeline import codecs
 
         def one(row: pd.Series) -> tuple[bool, int | None]:
-            if codecs.DECODABLE_MIMES.get(row["mime"]) not in ("pnm", "png", "jpeg"):
+            if codecs.DECODABLE_MIMES.get(row["mime"]) not in ("pnm", "png", "jpeg", "gif"):
                 return False, None
             try:
                 arr = codecs.decode_image(row["payload"], row["mime"])

@@ -814,3 +814,78 @@ def test_flac_8bit_features_match_wav_twin(spark):
     # encode_wav writes 16-bit PCM; compare against the analytic signal
     assert np.allclose(got[:, 0], mono8 / 128.0)
     assert np.allclose(want[:, 0], np.round(mono8 / 127.0 * 32767) / 32768.0)
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (pipeline/gif.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_round_trip_lossless_within_palette():
+    """GIF is palettized: round-trips are exact whenever the image has
+    <= 256 distinct colors; >256 colors is a loud error, not quantization."""
+    from enterprise_warp_spark.pipeline.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 16, (45, 67), dtype=np.uint8) * 16
+    img = np.stack([base, 255 - base, np.full_like(base, 7)], axis=-1)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+    gray = rng.integers(0, 200, (20, 30), dtype=np.uint8)
+    assert np.array_equal(
+        decode_gif(encode_gif(gray)), np.stack([gray] * 3, axis=-1)
+    )
+
+    # LZW table growth/reset path: large image, full 256-color palette
+    flat = np.tile(np.arange(256, dtype=np.uint8).reshape(16, 16), (20, 20))
+    big = np.stack([flat, flat, flat], axis=-1)
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+
+    over = rng.integers(0, 255, (30, 30, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(over)
+
+
+def test_gif_decodes_real_third_party_files():
+    """Interop: IDLE's icon GIFs (palette + LZW streams written by other
+    encoders). Skipped where absent; hermetic round-trips carry the
+    guarantee everywhere."""
+    import glob
+
+    from enterprise_warp_spark.pipeline.gif import decode_gif
+
+    found = sorted(
+        glob.glob(
+            "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/idlelib/Icons/*.gif"
+        )
+    )[:5]
+    if not found:
+        pytest.skip("no third-party GIF fixtures on this box")
+    for p in found:
+        img = decode_gif(open(p, "rb").read())
+        assert img.dtype == np.uint8 and img.ndim == 3 and img.size > 0
+
+
+def test_gif_mime_decodes_for_real_in_spark(spark):
+    from enterprise_warp_spark.pipeline.codecs import image_features
+    from enterprise_warp_spark.pipeline.gif import decode_gif, encode_gif
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(8)
+    base = rng.integers(0, 8, (24, 33), dtype=np.uint8) * 32
+    img = np.stack([base, base // 2, 255 - base], axis=-1)
+    payload = encode_gif(img)
+    media = spark.createDataFrame(
+        [(61, "image", payload, "image/gif", 33, 24, None, None)], MEDIA_SCHEMA
+    )
+    row = extract_features(media, decoders={}).first()
+    assert row["decoded"] is True
+    assert row["feature"] == pytest.approx(image_features(img))
+
+    rrow = resize_images(media, 8, 8, decoders={}).first()
+    assert rrow["resized"] is True
+    assert decode_gif(rrow["payload"]).shape == (8, 8, 3)
