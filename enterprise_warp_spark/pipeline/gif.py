@@ -162,10 +162,17 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
-    """All frames of a GIF as (h, w, 3) uint8 canvases (disposal: each
-    frame composited over the previous canvas; transparent pixels keep
-    the underlying canvas value)."""
+def decode_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> list[np.ndarray]:
+    """Frames of a GIF as (h, w, 3) uint8 canvases, composited per the
+    graphic-control disposal method: 0/1 keep the canvas, 2 restores the
+    frame rect to the background color, 3 restores the pre-frame canvas.
+    Transparent pixels keep the underlying canvas value. `max_frames`
+    stops decoding early (decode_gif passes 1 — feature extraction never
+    pays for the tail of an animation). Frame rects extending past the
+    logical screen (buggy real-world encoders) are clamped like mainstream
+    decoders do."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h, flags, bg_idx, _ = struct.unpack_from("<HHBBB", payload, 6)
@@ -177,11 +184,13 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         pos += 3 * n
 
     if gct is not None and bg_idx < len(gct):
-        canvas = np.tile(gct[bg_idx], (h, w, 1)).astype(np.uint8)
+        background = gct[bg_idx].astype(np.uint8)
     else:
-        canvas = np.zeros((h, w, 3), np.uint8)
+        background = np.zeros(3, np.uint8)
+    canvas = np.tile(background, (h, w, 1)).astype(np.uint8)
     frames: list[np.ndarray] = []
     transparent: int | None = None
+    disposal = 0
 
     while pos < len(payload):
         b = payload[pos]
@@ -194,6 +203,7 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
                 size = payload[pos]
                 gflags = payload[pos + 1]
                 transparent = payload[pos + 4] if gflags & 0x01 else None
+                disposal = (gflags >> 2) & 0x07
                 pos += 1 + size
             # skip remaining sub-blocks (any extension)
             while payload[pos] != 0:
@@ -225,24 +235,38 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         ).reshape(ih, iw)
         if iflags & 0x40:
             idx = _deinterlace(idx)
-        region = canvas[iy : iy + ih, ix : ix + iw].copy()
+        # clamp the frame rect to the logical screen
+        cw, ch = min(iw, max(0, w - ix)), min(ih, max(0, h - iy))
+        idx = idx[:ch, :cw]
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[iy : iy + ch, ix : ix + cw].copy()
         vis = (
-            np.ones((ih, iw), bool)
+            np.ones((ch, cw), bool)
             if transparent is None
             else idx != transparent
         )
         region[vis] = ct[np.clip(idx[vis], 0, len(ct) - 1)]
-        canvas[iy : iy + ih, ix : ix + iw] = region
+        canvas[iy : iy + ch, ix : ix + cw] = region
         frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        # apply the frame's disposal for the NEXT frame's starting canvas
+        if disposal == 2:  # restore rect to background
+            canvas[iy : iy + ch, ix : ix + cw] = background
+        elif disposal == 3 and before is not None:  # restore previous
+            canvas = before
         transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF payload has no image data")
     return frames
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """First frame as (h, w, 3) uint8 — the feature-extraction entry."""
-    return decode_gif_frames(payload)[0]
+    """First frame as (h, w, 3) uint8 — the feature-extraction entry.
+    Stops after one frame: an animated GIF never pays full-animation LZW
+    cost in the Spark kernels."""
+    return decode_gif_frames(payload, max_frames=1)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -254,6 +278,12 @@ def encode_gif(arr: np.ndarray) -> bytes:
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
+    if arr.ndim != 3 or arr.shape[-1] != 3:
+        # reshape(-1, 3) on RGBA/(h,w,1) input would regroup bytes ACROSS
+        # pixels and encode garbage — reject loudly instead
+        raise ValueError(
+            f"encode_gif needs (h, w) gray or (h, w, 3) RGB, got {arr.shape}"
+        )
     h, w = arr.shape[:2]
     flat = arr.reshape(-1, 3)
     colors, inverse = np.unique(flat, axis=0, return_inverse=True)

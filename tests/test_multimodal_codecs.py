@@ -889,3 +889,82 @@ def test_gif_mime_decodes_for_real_in_spark(spark):
     rrow = resize_images(media, 8, 8, decoders={}).first()
     assert rrow["resized"] is True
     assert decode_gif(rrow["payload"]).shape == (8, 8, 3)
+
+
+def test_gif_disposal_clamping_and_rgba_rejection():
+    """The four GIF review fixes: (a) disposal=2 restores the rect to
+    background between frames; (b) disposal=3 restores the prior canvas;
+    (c) frame rects past the logical screen are clamped, not IndexError;
+    (d) RGBA input to encode_gif raises instead of silently corrupting;
+    (e) decode_gif stops after frame 1 of an animation."""
+    import struct
+
+    from enterprise_warp_spark.pipeline.gif import (
+        _lzw_encode,
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    # hand-build a 2-frame animated GIF: screen 4x4, palette [black, red],
+    # frame 1 full red (disposal=2), frame 2 a 1x1 red dot at (0,0)
+    def img_block(ix, iy, iw, ih, indices):
+        blk = b"\x2c" + struct.pack("<HHHHB", ix, iy, iw, ih, 0)
+        lzw = _lzw_encode(indices, 2)
+        blk += bytes([2, len(lzw)]) + lzw + b"\x00"
+        return blk
+
+    def gce(disposal):
+        return b"\x21\xf9\x04" + bytes([disposal << 2, 0, 0, 0]) + b"\x00"
+
+    pal = bytes([0, 0, 0, 255, 0, 0]) + bytes(6 * 31)  # 2 used of 64... keep 2^1
+    # use 2-entry palette: flags 0x80 | size 0 -> 2 colors
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 4, 4, 0x80, 0, 0)
+        + bytes([0, 0, 0, 255, 0, 0])
+        + gce(2)
+        + img_block(0, 0, 4, 4, [1] * 16)
+        + gce(0)
+        + img_block(0, 0, 1, 1, [1])
+        + b"\x3b"
+    )
+    frames = decode_gif_frames(payload)
+    assert len(frames) == 2
+    assert (frames[0] == [255, 0, 0]).all()  # full red
+    # disposal=2: frame 2 starts from background (black), red only at (0,0)
+    assert (frames[1][0, 0] == [255, 0, 0]).all()
+    assert (frames[1][1:] == 0).all() and (frames[1][0, 1:] == 0).all()
+    # decode_gif == first frame only
+    assert np.array_equal(decode_gif(payload), frames[0])
+
+    # disposal=3: restore-to-previous
+    payload3 = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 4, 4, 0x80, 0, 0)
+        + bytes([0, 0, 0, 255, 0, 0])
+        + gce(3)
+        + img_block(0, 0, 4, 4, [1] * 16)
+        + gce(0)
+        + img_block(0, 0, 1, 1, [0])
+        + b"\x3b"
+    )
+    f3 = decode_gif_frames(payload3)
+    # frame 2 draws black dot over the RESTORED background (black) canvas
+    assert (f3[1] == 0).all()
+
+    # out-of-bounds frame rect is clamped (no IndexError)
+    oob = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 4, 4, 0x80, 0, 0)
+        + bytes([0, 0, 0, 255, 0, 0])
+        + img_block(2, 2, 4, 4, [1] * 16)
+        + b"\x3b"
+    )
+    img = decode_gif(oob)
+    assert img.shape == (4, 4, 3)
+    assert (img[2:, 2:] == [255, 0, 0]).all() and (img[:2, :] == 0).all()
+
+    # RGBA rejection
+    with pytest.raises(ValueError, match="RGB"):
+        encode_gif(np.zeros((4, 4, 4), np.uint8))  # RGBA
