@@ -6,20 +6,26 @@ the same guarantee `decode_png` gives for PNG. The implementation follows
 only the public JPEG specification (ITU-T T.81 / ISO 10918-1):
 
 decoder (`decode_jpeg`)
-  marker parse (SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS) -> canonical Huffman
-  tables built FROM THE FILE's DHT segments -> MCU entropy decode (DC
-  differentials, AC run/size with ZRL+EOB, restart markers) -> dequantize
-  -> inverse zigzag -> orthonormal 8x8 IDCT (one numpy matmul pair per
-  block stack) -> component upsampling for 4:2:0/4:2:2 -> YCbCr->RGB.
-  Baseline sequential only: progressive (SOF2) raises NotImplementedError,
-  which the multimodal layer treats as "fall through to the optional
-  Pillow plugin, else stub" — never a crash.
+  marker parse (SOI/APPn/COM/DQT/DHT/DRI/SOF/SOS) -> canonical Huffman
+  tables built FROM THE FILE's DHT segments -> entropy decode ->
+  dequantize -> inverse zigzag -> orthonormal 8x8 IDCT (one numpy matmul
+  pair per block stack) -> component upsampling for 4:2:0/4:2:2 ->
+  YCbCr->RGB. Handles BOTH baseline sequential (SOF0/1: MCU-interleaved
+  DC differentials + AC run/size with ZRL/EOB, restart markers) AND
+  PROGRESSIVE (SOF2, T.81 Annex G: multi-scan spectral selection,
+  successive approximation with DC/AC first and one-bit refinement
+  passes, cross-block EOB runs with buffered correction bits).
+  Lossless/arithmetic/hierarchical SOFs raise NotImplementedError, which
+  the multimodal layer treats as "fall through to the optional Pillow
+  plugin, else stub" — never a crash.
 
-encoder (`encode_jpeg`)
-  4:4:4 (or grayscale) baseline JFIF with the spec Annex-K quantization
-  tables (quality-scaled, IJG convention) and Annex-K Huffman tables,
-  written into DQT/DHT so ANY decoder — including this one — reads the
-  exact tables used. Exists to make the round-trip testable hermetically.
+encoders (`encode_jpeg`, `encode_jpeg_progressive`)
+  baseline 4:4:4/4:2:0/grayscale JFIF with the spec Annex-K tables, and a
+  progressive SOF2 writer whose scan script exercises every progressive
+  decode path; both quantize identically, so progressive and baseline
+  decodes of the same image match EXACTLY — the hermetic correctness
+  oracle for the progressive path (the baseline path is itself
+  interop-verified against third-party files).
 
 Spark never calls this per row from Python UDFs in a relational path —
 it runs inside the Arrow-batched mapInPandas media kernels
@@ -256,7 +262,9 @@ def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline-sequential JPEG -> uint8 (h, w) gray or (h, w, 3) RGB."""
+    """JPEG -> uint8 (h, w) gray or (h, w, 3) RGB. Handles baseline/extended
+    sequential (SOF0/1) and PROGRESSIVE (SOF2: spectral selection +
+    successive approximation, DC and AC refinement scans, EOB runs)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -264,6 +272,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    planes = None  # progressive: coefficient store accumulated across scans
     restart_interval = 0
     n = len(payload)
     while pos < n:
@@ -301,7 +310,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 off += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -315,40 +324,65 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                planes = _alloc_planes(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline SOF marker 0xFF{marker:02X} (progressive/lossless)"
+                f"unsupported SOF marker 0xFF{marker:02X} (lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             sel = {}
+            order = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
                 sel[cs] = (tdta >> 4, tdta & 0x0F)
+                order.append(cs)
             data_start = pos + seglen
-            return _decode_scan(
-                payload, data_start, frame, sel, qts, huff_dc, huff_ac,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    payload, data_start, frame, sel, qts, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, data_start, frame, planes, order, sel,
+                huff_dc, huff_ac, ss, se, ahl >> 4, ahl & 0x0F,
                 restart_interval,
             )
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return _reconstruct(frame, planes, qts)
     raise ValueError("no SOS segment found")
+
+
+def _geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_planes(frame):
+    """Per-component zigzag-coefficient block grids, MCU-padded."""
+    _, _, mcus_x, mcus_y = _geometry(frame)
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
 
 
 def _decode_scan(data, pos, frame, sel, qts, huff_dc, huff_ac, restart_interval):
     comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    # per-component coefficient block grids
-    planes = []
-    for c in comps:
-        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
-        planes.append(np.zeros((bh, bw, 64), dtype=np.int32))
+    hmax, vmax, mcus_x, mcus_y = _geometry(frame)
+    planes = _alloc_planes(frame)
 
     reader = _BitReader(data, pos)
     pred = [0] * len(comps)
@@ -392,8 +426,14 @@ def _decode_scan(data, pos, frame, sel, qts, huff_dc, huff_ac, restart_interval)
         except _MarkerReached:
             break  # truncated stream: keep what we have (robust decode)
         mcu += 1
+    return _reconstruct(frame, planes, qts)
 
-    # dequantize + inverse zigzag + IDCT, stacked per component
+
+def _reconstruct(frame, planes, qts):
+    """Shared tail: dequantize + inverse zigzag + IDCT + upsample + color."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _geometry(frame)
     out_planes = []
     for c, plane in zip(comps, planes):
         # plane holds zigzag-order coefficients; dequantize with the
@@ -419,6 +459,182 @@ def _decode_scan(data, pos, frame, sel, qts, huff_dc, huff_ac, restart_interval)
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _comp_blocks(frame, c, hmax, vmax):
+    """Non-interleaved block-grid dims for one component: ceil over the
+    component's true sample dims (NOT MCU-padded), per the spec."""
+    comp_w = -((-frame["w"] * c["h"]) // hmax)
+    comp_h = -((-frame["h"] * c["v"]) // vmax)
+    return -(-comp_w // 8), -(-comp_h // 8)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First position at/after pos holding a real marker (not a stuffed
+    0xFF00 and not an RST)."""
+    n = len(data)
+    while pos < n - 1:
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(
+    data, pos, frame, planes, order, sel, huff_dc, huff_ac,
+    ss, se, ah, al, restart_interval,
+):
+    """One progressive SOS (T.81 Annex G decoding): updates the coefficient
+    store in place, returns the byte position of the next marker.
+
+    DC scans (ss==0) may be interleaved (MCU order over all scan
+    components); AC scans are single-component in block-raster order over
+    the component's own (non-MCU-padded) grid. ah==0 is a first pass,
+    ah>0 a one-bit refinement; EOB runs span blocks within a scan."""
+    comps = frame["comps"]
+    hmax, vmax, mcus_x, mcus_y = _geometry(frame)
+    reader = _BitReader(data, pos)
+    scan_comps = []  # (comp_index, comp)
+    for cid in order:
+        for ci, c in enumerate(comps):
+            if c["id"] == cid:
+                scan_comps.append((ci, c))
+                break
+        else:
+            raise ValueError(f"scan references unknown component {cid}")
+
+    units = 0  # MCUs (DC interleaved) or blocks (non-interleaved)
+    pred = {ci: 0 for ci, _ in scan_comps}
+    eobrun = 0
+
+    def maybe_restart() -> None:
+        nonlocal eobrun
+        if restart_interval and units and units % restart_interval == 0:
+            reader.align()
+            p = reader.pos
+            if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+                reader.pos = p + 2
+                for k in pred:
+                    pred[k] = 0
+                eobrun = 0
+
+    def dc_block(ci, coef):
+        if ah == 0:
+            tdc, _ = sel[comps[ci]["id"]]
+            s = _decode_huff(reader, huff_dc[tdc])
+            pred[ci] += _extend(reader.receive(s), s)
+            coef[0] = pred[ci] << al
+        else:  # refinement: one bit
+            if reader.read_bit():
+                coef[0] = int(coef[0]) | (1 << al)
+
+    def ac_first(coef):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        _, tac = sel[scan_comps[0][1]["id"]]
+        act = huff_ac[tac]
+        k = ss
+        while k <= se:
+            rs = _decode_huff(reader, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1 + (reader.receive(r) if r else 0)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band end")
+            coef[k] = _extend(reader.receive(s), s) << al
+            k += 1
+
+    def ac_refine(coef):
+        nonlocal eobrun
+        p1, m1 = 1 << al, -1 << al
+        _, tac = sel[scan_comps[0][1]["id"]]
+        act = huff_ac[tac]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huff(reader, act)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) + (reader.receive(r) if r else 0)
+                        break
+                    # r == 15: ZRL — advance past 16 zero-history zeros
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement size must be 1")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if coef[k] != 0:
+                        if reader.read_bit() and (coef[k] & p1) == 0:
+                            coef[k] += p1 if coef[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            if val:
+                                coef[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+
+    try:
+        if ss == 0:  # DC scan
+            if len(scan_comps) > 1 or len(comps) == 1:
+                # interleaved MCU order (also the trivial 1-component frame)
+                for mcu in range(mcus_x * mcus_y):
+                    maybe_restart()
+                    my, mx = divmod(mcu, mcus_x)
+                    for ci, c in scan_comps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    ci,
+                                    planes[ci][my * c["v"] + by, mx * c["h"] + bx],
+                                )
+                    units += 1
+            else:  # single-component DC scan: the component's own grid
+                ci, c = scan_comps[0]
+                nbx, nby = _comp_blocks(frame, c, hmax, vmax)
+                for by in range(nby):
+                    for bx in range(nbx):
+                        maybe_restart()
+                        dc_block(ci, planes[ci][by, bx])
+                        units += 1
+        else:  # AC scan: exactly one component (spec)
+            if len(scan_comps) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            ci, c = scan_comps[0]
+            nbx, nby = _comp_blocks(frame, c, hmax, vmax)
+            for by in range(nby):
+                for bx in range(nbx):
+                    maybe_restart()
+                    coef = planes[ci][by, bx]
+                    if ah == 0:
+                        ac_first(coef)
+                    else:
+                        ac_refine(coef)
+                    units += 1
+    except _MarkerReached:
+        pass  # truncated scan: keep what decoded (robust)
+    return _next_marker(data, reader.pos)
 
 
 # ---------------------------------------------------------------------------
@@ -601,4 +817,256 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False) -> 
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+
+# AC table for progressive scans: the Annex-K baseline tables lack the
+# EOBn (r<<4|0, r>0) symbols progressive EOB runs need, so the encoder
+# writes its own flat canonical table — 176 symbols, all 8-bit codes
+# (canonical codes 0..175; the reserved all-ones code is never reached).
+# The decoder reads whatever DHT the file carries, so this also gives the
+# hermetic tests real EOBn coverage.
+AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+def _tz_shift(v: int, al: int) -> int:
+    """Toward-zero shift by al bits (the spec's point transform for AC)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _emit_eob_first(writer, ac_tab, eobrun: int) -> int:
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, ln = ac_tab[r << 4]
+        writer.write(code, ln)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+    return 0
+
+
+def _emit_eob_refine(writer, ac_tab, eobrun: int, be: list[int]) -> tuple[int, list[int]]:
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, ln = ac_tab[r << 4]
+        writer.write(code, ln)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+        for b in be:
+            writer.write(b, 1)
+        be = []
+    return 0, be
+
+
+def _encode_ac_first_scan(writer, blocks_zz, ac_tab, ss, se, al):
+    eobrun = 0
+    for blk in blocks_zz:
+        t = [_tz_shift(int(blk[k]), al) for k in range(64)]
+        last = 0
+        for k in range(ss, se + 1):
+            if t[k]:
+                last = k
+        if last == 0 and t[ss] == 0 and all(t[k] == 0 for k in range(ss, se + 1)):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eob_first(writer, ac_tab, eobrun)
+            continue
+        eobrun = _emit_eob_first(writer, ac_tab, eobrun)
+        r = 0
+        for k in range(ss, se + 1):
+            v = t[k]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_tab[0xF0]  # ZRL
+                writer.write(code, ln)
+                r -= 16
+            s = _csize(v)
+            code, ln = ac_tab[(r << 4) | s]
+            writer.write(code, ln)
+            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+            if k == last:
+                break
+        if last < se:
+            eobrun += 1
+    _emit_eob_first(writer, ac_tab, eobrun)
+
+
+def _encode_ac_refine_scan(writer, blocks_zz, ac_tab, ss, se, al):
+    """One-bit AC refinement (Ah = al+1 -> Al = al): newly-significant
+    coefficients (|t| == 1) are coded run/size with a sign bit; already-
+    significant ones emit correction bits interleaved exactly where the
+    decoder's position walk reads them; trailing content joins a buffered
+    EOB run whose correction bits follow the EOB code."""
+    eobrun = 0
+    be: list[int] = []
+    for blk in blocks_zz:
+        t = [_tz_shift(int(blk[k]), al) for k in range(64)]
+        last_new = -1
+        for k in range(ss, se + 1):
+            if abs(t[k]) == 1:
+                last_new = k
+        if last_new < 0:
+            # whole block joins the EOB run; buffer its correction bits
+            for k in range(ss, se + 1):
+                if t[k]:
+                    be.append((abs(t[k])) & 1)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun, be = _emit_eob_refine(writer, ac_tab, eobrun, be)
+            continue
+        eobrun, be = _emit_eob_refine(writer, ac_tab, eobrun, be)
+        r = 0
+        pending: list[int] = []
+        for k in range(ss, last_new + 1):
+            at = abs(t[k])
+            if at > 1:  # history coefficient: correction bit
+                pending.append(at & 1)
+                continue
+            if at == 0:
+                r += 1
+                # eager ZRL: safe because a newly-significant coefficient
+                # is known to follow (k <= last_new)
+                if r == 16:
+                    code, ln = ac_tab[0xF0]
+                    writer.write(code, ln)
+                    for b in pending:
+                        writer.write(b, 1)
+                    pending = []
+                    r = 0
+                continue
+            # newly significant: run/1 + sign + the run's correction bits
+            code, ln = ac_tab[(r << 4) | 1]
+            writer.write(code, ln)
+            writer.write(1 if t[k] > 0 else 0, 1)
+            for b in pending:
+                writer.write(b, 1)
+            pending = []
+            r = 0
+        # tail after the last newly-significant coefficient
+        tail_bits = [
+            (abs(t[k])) & 1 for k in range(last_new + 1, se + 1) if t[k]
+        ]
+        if last_new < se:
+            be.extend(tail_bits)
+            eobrun += 1
+        assert not pending  # consumed at the last newly-significant coeff
+    _emit_eob_refine(writer, ac_tab, eobrun, be)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 gray or RGB -> PROGRESSIVE JFIF (SOF2), 4:4:4.
+
+    Scan script exercises every progressive decode path: interleaved DC
+    first pass at Al=1, DC refinement to Al=0, per-component AC first
+    passes split into two spectral bands at Al=1 (EOB runs + ZRL), and
+    per-component AC refinement scans to Al=0 (correction bits + buffered
+    EOB runs). Quantized coefficients are IDENTICAL to encode_jpeg's at
+    the same quality, so progressive and baseline decodes of the same
+    image must match exactly."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    qt_l = _quality_scale(QT_LUM, quality)[ZIGZAG]
+    qt_c = _quality_scale(QT_CHROM, quality)[ZIGZAG]
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    nc = len(planes)
+    zzs = [
+        _plane_to_zz(p, qt_l if i == 0 else qt_c) for i, p in enumerate(planes)
+    ]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(qt_l.tolist())
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x01]) + bytes(qt_c.tolist())
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    tables = [(0x00, DC_LUM), (0x10, AC_PROG)]
+    if not gray:
+        tables += [(0x01, DC_CHROM), (0x11, AC_PROG)]
+    for tclass, (bits, vals) in tables:
+        body = bytes([tclass]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    dc_tabs = [
+        _build_encode_table(*(DC_LUM if ci == 0 else DC_CHROM)) for ci in range(nc)
+    ]
+    ac_tabs = [_build_encode_table(*AC_PROG) for _ in range(nc)]
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td = 0 if cid == 1 else 1
+            body += bytes([cid, (td << 4) | td])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    n_blocks = zzs[0].shape[0]
+
+    # scan 1: interleaved DC first pass, Al=1 (arithmetic shift, DIFF-coded)
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 0, 1)
+    wdc = _BitWriter()
+    preds = [0] * nc
+    for bi in range(n_blocks):
+        for ci in range(nc):
+            v = int(zzs[ci][bi][0]) >> 1
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _csize(diff)
+            code, ln = dc_tabs[ci][s]
+            wdc.write(code, ln)
+            if s:
+                wdc.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    wdc.flush()
+    out += wdc.out
+
+    # scans 2..: per-component AC first passes in two spectral bands, Al=1
+    for ci in range(nc):
+        for band in ((1, 5), (6, 63)):
+            out += sos_header([ci + 1], band[0], band[1], 0, 1)
+            wac = _BitWriter()
+            _encode_ac_first_scan(wac, zzs[ci], ac_tabs[ci], band[0], band[1], 1)
+            wac.flush()
+            out += wac.out
+
+    # DC refinement to Al=0 (interleaved raw bits)
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 1, 0)
+    wdr = _BitWriter()
+    for bi in range(n_blocks):
+        for ci in range(nc):
+            wdr.write(int(zzs[ci][bi][0]) & 1, 1)
+    wdr.flush()
+    out += wdr.out
+
+    # AC refinement to Al=0 per component
+    for ci in range(nc):
+        out += sos_header([ci + 1], 1, 63, 1, 0)
+        war = _BitWriter()
+        _encode_ac_refine_scan(war, zzs[ci], ac_tabs[ci], 1, 63, 0)
+        war.flush()
+        out += war.out
+
+    out += b"\xff\xd9"
     return bytes(out)

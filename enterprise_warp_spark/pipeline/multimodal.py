@@ -1,14 +1,14 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
-Decoding is REAL for container-less formats AND the two dominant
-compressed image formats (see pipeline.codecs / pipeline.jpeg): RIFF/PCM
-WAV audio, binary PPM/PGM images, raw-RGB video frames, stdlib-zlib PNG,
-and pure-numpy baseline JPEG are parsed inside the Arrow batches with no
-external codec. Remaining compressed formats (MP3/H.264/progressive
-JPEG/...) decode through optional Pillow/soundfile plugins when importable;
-otherwise those rows fall back to a deterministic byte-hash pseudo-feature
-flagged `decoded=false` — swap `_decode_stub` for torchaudio/pyav and
-nothing else changes.
+Decoding is REAL for container-less formats AND every dominant
+compressed image/audio format (see pipeline.codecs/jpeg/flac/gif):
+RIFF/PCM WAV, FLAC, binary PPM/PGM, raw-RGB video frames, stdlib-zlib
+PNG, baseline AND progressive JPEG, and GIF all parse inside the Arrow
+batches with no external codec. Remaining formats (MP3/H.264/...) decode
+through optional Pillow/soundfile plugins when importable; otherwise
+those rows fall back to a deterministic byte-hash pseudo-feature flagged
+`decoded=false` — swap `_decode_stub` for torchaudio/pyav and nothing
+else changes.
 
 Design for 100 TB: binaries ride in parquet as BINARY columns; kernels are
 mapInPandas so each Arrow batch is decoded vectorized with no per-row Python

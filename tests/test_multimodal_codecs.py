@@ -563,17 +563,16 @@ def test_jpeg_decodes_real_third_party_files():
         assert img.dtype == np.uint8 and img.size > 0
 
 
-def test_jpeg_progressive_raises_not_implemented():
-    """A progressive SOF2 marker must raise (the multimodal layer then falls
-    through to the optional plugin / stub, never crashes the kernel)."""
-    import struct
-
+def test_jpeg_lossless_sof_raises_not_implemented():
+    """A lossless SOF3 marker must raise (the multimodal layer then falls
+    through to the optional plugin / stub, never crashes the kernel).
+    Progressive SOF2 is NOT in this class anymore — it decodes for real
+    (see test_progressive_jpeg_decodes_identically_to_baseline)."""
     from enterprise_warp_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
 
     payload = bytearray(encode_jpeg(_gradient_rgb(16, 16)))
-    # rewrite the SOF0 marker (FFC0) to SOF2 (FFC2)
     i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xC2
+    payload[i + 1] = 0xC3  # SOF3 lossless
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(payload))
 
@@ -968,3 +967,59 @@ def test_gif_disposal_clamping_and_rgba_rejection():
     # RGBA rejection
     with pytest.raises(ValueError, match="RGB"):
         encode_gif(np.zeros((4, 4, 4), np.uint8))  # RGBA
+
+
+def test_progressive_jpeg_decodes_identically_to_baseline():
+    """Progressive (SOF2) and baseline encodes of the same image quantize
+    identically, so their decodes must match EXACTLY — gradient, noise,
+    sparse (long cross-block EOBn runs), flat, gray and RGB, odd dims.
+    The baseline path is interop-verified, making this a true oracle for
+    the multi-scan successive-approximation decode logic."""
+    from enterprise_warp_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(2)
+    rgb = _gradient_rgb()
+    cases = [
+        ("gray", rgb[..., 0], 90),
+        ("rgb", rgb, 90),
+        ("noise", rng.integers(0, 256, (17, 23, 3), dtype=np.uint8), 85),
+        ("sparse", np.zeros((64, 64, 3), np.uint8), 90),
+        ("flat", np.full((128, 96, 3), 77, np.uint8), 90),
+    ]
+    cases[3][1][30, 30] = [255, 0, 0]
+    for name, img, q in cases:
+        baseline = decode_jpeg(encode_jpeg(img, quality=q))
+        progressive = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        assert np.array_equal(progressive, baseline), name
+
+    # the progressive payload really is SOF2 with multiple scans
+    payload = encode_jpeg_progressive(rgb, quality=90)
+    # 11 scans: DC first, 3 comps x 2 AC bands, DC refine, 3 AC refines
+    assert b"\xff\xc2" in payload and payload.count(b"\xff\xda") == 11
+
+
+def test_progressive_jpeg_mime_decodes_in_spark(spark):
+    """image/jpeg rows carrying a PROGRESSIVE payload now get decoded=true
+    with no plugins (previously they stubbed out)."""
+    from enterprise_warp_spark.pipeline.codecs import image_features
+    from enterprise_warp_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    rgb = _gradient_rgb()
+    payload = encode_jpeg_progressive(rgb, quality=92)
+    media = spark.createDataFrame(
+        [(71, "image", payload, "image/jpeg", 37, 21, None, None)], MEDIA_SCHEMA
+    )
+    row = extract_features(media, decoders={}).first()
+    assert row["decoded"] is True
+    assert row["feature"] == pytest.approx(image_features(decode_jpeg(payload)))
