@@ -14,8 +14,10 @@ Scale shape:
 - Dangling nodes (no out-links) redistribute their mass uniformly — the
   standard correction — via ONE scalar aggregate per iteration (sum of
   dangling rank), never a driver-side vertex scan.
-- Iterations localCheckpoint every few rounds to cut lineage, the same
-  pattern as pipeline/dedup.connected_components.
+- Every iteration materializes via localCheckpoint before the dangling
+  aggregate (an action runs per round anyway), keeping per-iteration work
+  constant and lineage flat — same pattern as
+  pipeline/dedup.connected_components.
 
 All public-textbook math (Brin & Page 1998); no reference-repo
 counterpart exists (the reference has no graph surface).
@@ -52,7 +54,6 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 20,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(node, rank) after `iterations` of damped PageRank with uniform
     dangling-mass redistribution; ranks sum to 1.
@@ -62,6 +63,8 @@ def pagerank(
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     verts = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -81,6 +84,12 @@ def pagerank(
 
     ranks = base.select("node", "odeg", F.lit(1.0 / n).alias("rank"))
     for it in range(iterations):
+        # the dangling-mass aggregate is an ACTION every iteration — without
+        # materializing first it would re-execute every prior iteration's
+        # join chain (and the next iteration would re-run it again). Since
+        # an action runs anyway, materialize ranks eagerly each round:
+        # per-iteration work stays constant and lineage never grows.
+        ranks = ranks.localCheckpoint(eager=True)
         dangling = (
             ranks.filter(F.col("odeg") == 0).agg(F.sum("rank").alias("s")).first()["s"]
             or 0.0
@@ -104,8 +113,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)  # cut lineage
     return ranks.select("node", "rank")
 
 
@@ -121,14 +128,24 @@ def rank_quality_weights(
     for rank-proportional downsampling, the way host-authority priors
     feed crawl curation."""
     lo, hi = ranks.agg(F.min("rank"), F.max("rank")).first()
-    span = (hi - lo) or 1.0
-    scaled = ranks.select(
-        F.col("node").alias(doc_node_col),
-        (
-            F.lit(floor)
-            + F.lit(1.0 - floor) * (F.col("rank") - F.lit(lo)) / F.lit(span)
-        ).alias("rank_weight"),
-    )
+    if lo is None:
+        raise ValueError("rank_quality_weights: ranks table is empty")
+    if hi == lo:
+        # uniform ranks (single host / regular graph): every KNOWN host is
+        # equally authoritative -> weight 1, distinguishable from the
+        # unknown-host floor
+        scaled = ranks.select(
+            F.col("node").alias(doc_node_col),
+            F.lit(1.0).alias("rank_weight"),
+        )
+    else:
+        scaled = ranks.select(
+            F.col("node").alias(doc_node_col),
+            (
+                F.lit(floor)
+                + F.lit(1.0 - floor) * (F.col("rank") - F.lit(lo)) / F.lit(hi - lo)
+            ).alias("rank_weight"),
+        )
     # plain equi-join on the node key: host-level rank tables are usually
     # broadcastable, but page-level ones are not — let AQE pick the side
     return docs.join(scaled, doc_node_col, "left").withColumn(

@@ -273,6 +273,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     planes = None  # progressive: coefficient store accumulated across scans
+    n_scans = 0
     restart_interval = 0
     n = len(payload)
     while pos < n:
@@ -354,10 +355,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huff_dc, huff_ac, ss, se, ahl >> 4, ahl & 0x0F,
                 restart_interval,
             )
+            n_scans += 1
             continue
         pos += seglen
-    if frame is not None and frame.get("progressive"):
+    if frame is not None and frame.get("progressive") and n_scans > 0:
         return _reconstruct(frame, planes, qts)
+    # a progressive payload truncated before any scan must raise like the
+    # baseline path — returning all-zero planes would fabricate a solid
+    # gray image flagged decoded=true
     raise ValueError("no SOS segment found")
 
 
@@ -597,8 +602,8 @@ def _decode_progressive_scan(
 
     try:
         if ss == 0:  # DC scan
-            if len(scan_comps) > 1 or len(comps) == 1:
-                # interleaved MCU order (also the trivial 1-component frame)
+            if len(scan_comps) > 1:
+                # interleaved MCU order
                 for mcu in range(mcus_x * mcus_y):
                     maybe_restart()
                     my, mx = divmod(mcu, mcus_x)
@@ -702,6 +707,38 @@ def _plane_to_zz(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return zz
 
 
+def _split_planes(arr: np.ndarray) -> list[np.ndarray]:
+    """gray -> [Y]; RGB -> [Y, Cb, Cr] float64 planes. THE one definition
+    of the color matrix both encoders quantize through — the hermetic
+    progressive==baseline oracle depends on them being identical."""
+    if arr.ndim == 2:
+        return [arr.astype(np.float64)]
+    r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+    return [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+
+
+def _write_headers(h, w, nc, qt_l, qt_c, y_hv, sof_marker, dht_tables) -> bytearray:
+    """SOI + JFIF APP0 + DQT(s) + SOF + DHT(s), shared by both encoders."""
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(qt_l.tolist())
+    if nc > 1:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x01]) + bytes(qt_c.tolist())
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, y_hv if ci == 0 else 0x11, 0 if ci == 0 else 1])
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    for tclass, (bits, vals) in dht_tables:
+        body = bytes([tclass]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    return out
+
+
 def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
     """uint8 (h, w) gray or (h, w, 3) RGB -> baseline JFIF bytes.
 
@@ -719,44 +756,22 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False) -> 
     qt_l = _quality_scale(QT_LUM, quality)[ZIGZAG]
     qt_c = _quality_scale(QT_CHROM, quality)[ZIGZAG]
 
-    if gray:
-        planes = [arr.astype(np.float64)]
-    else:
-        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            # box-average 2x2 -> half-resolution chroma (pad odd dims first)
-            def _half(p):
-                ph, pw = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
-                q = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
-                return q.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    planes = _split_planes(arr)
+    if subsample:
+        # box-average 2x2 -> half-resolution chroma (pad odd dims first)
+        def _half(p):
+            ph, pw = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+            q = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+            return q.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
 
-            cb, cr = _half(cb), _half(cr)
-        planes = [y, cb, cr]
+        planes = [planes[0], _half(planes[1]), _half(planes[2])]
 
-    y_hv = 0x22 if subsample else 0x11
-    out = bytearray()
-    out += b"\xff\xd8"  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    # DQT
-    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(qt_l.tolist())
-    if not gray:
-        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x01]) + bytes(qt_c.tolist())
-    # SOF0
     nc = 1 if gray else 3
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
-    for ci in range(nc):
-        sof += bytes([ci + 1, y_hv if ci == 0 else 0x11, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    # DHT
+    y_hv = 0x22 if subsample else 0x11
     tables = [(0x00, DC_LUM), (0x10, AC_LUM)]
     if not gray:
         tables += [(0x01, DC_CHROM), (0x11, AC_CHROM)]
-    for tclass, (bits, vals) in tables:
-        body = bytes([tclass]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    out = _write_headers(h, w, nc, qt_l, qt_c, y_hv, b"\xff\xc0", tables)
     # SOS
     sos = bytes([nc])
     for ci in range(nc):
@@ -873,7 +888,7 @@ def _encode_ac_first_scan(writer, blocks_zz, ac_tab, ss, se, al):
         for k in range(ss, se + 1):
             if t[k]:
                 last = k
-        if last == 0 and t[ss] == 0 and all(t[k] == 0 for k in range(ss, se + 1)):
+        if last == 0:  # ss >= 1 for AC scans, so last==0 means all-zero band
             eobrun += 1
             if eobrun == 0x7FFF:
                 eobrun = _emit_eob_first(writer, ac_tab, eobrun)
@@ -979,36 +994,16 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
     qt_l = _quality_scale(QT_LUM, quality)[ZIGZAG]
     qt_c = _quality_scale(QT_CHROM, quality)[ZIGZAG]
 
-    if gray:
-        planes = [arr.astype(np.float64)]
-    else:
-        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
+    planes = _split_planes(arr)
     nc = len(planes)
     zzs = [
         _plane_to_zz(p, qt_l if i == 0 else qt_c) for i, p in enumerate(planes)
     ]
 
-    out = bytearray()
-    out += b"\xff\xd8"
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(qt_l.tolist())
-    if not gray:
-        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x01]) + bytes(qt_c.tolist())
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
-    for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
     tables = [(0x00, DC_LUM), (0x10, AC_PROG)]
     if not gray:
         tables += [(0x01, DC_CHROM), (0x11, AC_PROG)]
-    for tclass, (bits, vals) in tables:
-        body = bytes([tclass]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    out = _write_headers(h, w, nc, qt_l, qt_c, 0x11, b"\xff\xc2", tables)
 
     dc_tabs = [
         _build_encode_table(*(DC_LUM if ci == 0 else DC_CHROM)) for ci in range(nc)

@@ -69,3 +69,30 @@ def test_degrees_and_quality_weights(spark):
     assert out[1] == pytest.approx(1.0)          # top-ranked host -> weight 1
     assert 0.1 <= out[2] < out[1]                # low-rank host in [floor, 1)
     assert out[3] == pytest.approx(0.1)          # unknown host -> floor
+
+
+def test_pagerank_and_weights_guards(spark):
+    """Validation and edge semantics: bad iterations raise up front; an
+    empty ranks table raises; uniform ranks give every KNOWN host weight 1
+    (distinguishable from the unknown-host floor)."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline.graph import pagerank, rank_quality_weights
+
+    edges = _edges(spark)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.5)
+
+    docs = spark.createDataFrame([(1, "x"), (2, "zz")], "doc_id long, source string")
+    empty = spark.createDataFrame([], "node string, rank double")
+    with pytest.raises(ValueError, match="empty"):
+        rank_quality_weights(docs, empty)
+
+    # 2-cycle: perfectly regular graph -> uniform ranks
+    cyc = spark.createDataFrame([("x", "y"), ("y", "x")], "src string, dst string")
+    uni = pagerank(cyc, iterations=5)
+    out = {r["doc_id"]: r["rank_weight"] for r in rank_quality_weights(docs, uni).collect()}
+    assert out[1] == pytest.approx(1.0)   # known host: full weight
+    assert out[2] == pytest.approx(0.1)   # unknown host: floor

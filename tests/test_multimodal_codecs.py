@@ -1023,3 +1023,18 @@ def test_progressive_jpeg_mime_decodes_in_spark(spark):
     row = extract_features(media, decoders={}).first()
     assert row["decoded"] is True
     assert row["feature"] == pytest.approx(image_features(decode_jpeg(payload)))
+
+
+def test_truncated_progressive_jpeg_raises():
+    """A progressive payload cut before its first SOS must raise like the
+    baseline path (returning all-zero planes would fabricate a solid-gray
+    image flagged decoded=true — poisoning quality features)."""
+    from enterprise_warp_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    payload = encode_jpeg_progressive(_gradient_rgb(16, 16))
+    cut = payload[: payload.find(b"\xff\xda")] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg(cut)
