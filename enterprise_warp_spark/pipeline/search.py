@@ -200,8 +200,10 @@ def write_index(index: dict, path: str) -> None:
     )
     index["doclen"].write.mode("overwrite").parquet(f"{path}/doclen")
     spark = index["postings"].sparkSession
+    total_dl = index["doclen"].agg(F.sum("dl").alias("t")).first()["t"] or 0
     spark.createDataFrame(
-        [(index["n_docs"], index["avgdl"])], "n_docs long, avgdl double"
+        [(index["n_docs"], index["avgdl"], int(total_dl))],
+        "n_docs long, avgdl double, total_dl long",
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -312,3 +314,58 @@ def phrase_match(index: dict, phrase: str) -> DataFrame:
         )
         .select("doc_id", F.size("_starts").alias("n_occurrences"))
     )
+
+
+def append_to_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally add a batch of NEW documents to a persisted index —
+    the search twin of pipeline/dedup.incremental_minhash_filter: per-batch
+    cost is O(batch tokens), the existing postings are never rewritten.
+
+    The batch's postings append into the same term-hash bucket partitions,
+    doclen appends, and the stats row is recomputed from the two scalars it
+    carries (n_docs, total_dl) — no corpus rescan. Batch doc ids MUST be
+    previously unseen: a re-ingested id would duplicate its postings rows
+    (callers dedup upstream, e.g. via the corpus keep-list); this is
+    checked against doclen and raises loudly."""
+    batch = build_index(new_docs, id_col, text_col)
+    existing_len = spark.read.parquet(f"{path}/doclen")
+    dup = (
+        batch["doclen"].join(existing_len, "doc_id", "left_semi").limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "append_to_index: batch contains doc_ids already in the index"
+        )
+    stats_row = spark.read.parquet(f"{path}/stats").first()
+    old_n = int(stats_row["n_docs"])
+    # total_dl added r5: older stats rows derive it from avgdl * n
+    old_total = (
+        int(stats_row["total_dl"])
+        if "total_dl" in stats_row.asDict()
+        else int(round(float(stats_row["avgdl"]) * old_n))
+    )
+    batch_total = batch["doclen"].agg(F.sum("dl").alias("t")).first()["t"] or 0
+    n_docs = old_n + batch["n_docs"]
+    total_dl = old_total + int(batch_total)
+
+    (
+        batch["postings"]
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    batch["doclen"].write.mode("append").parquet(f"{path}/doclen")
+    spark.createDataFrame(
+        [(n_docs, (total_dl / n_docs) if n_docs else 0.0, total_dl)],
+        "n_docs long, avgdl double, total_dl long",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    spark.catalog.refreshByPath(f"{path}/postings")
+    spark.catalog.refreshByPath(f"{path}/doclen")
+    spark.catalog.refreshByPath(f"{path}/stats")

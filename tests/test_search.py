@@ -298,3 +298,37 @@ def test_phrase_match_matches_python_reference(spark):
         for r in phrase_match(idx, " ".join(phrase)).collect()
     }
     assert got == want and len(want) >= 10
+
+
+def test_append_to_index_equals_full_rebuild(spark, tmp_path):
+    """Appending a batch to a persisted index yields EXACTLY the scores of
+    a full rebuild over the union corpus (IDF shifts with the new n_docs /
+    avgdl included), and re-ingesting a seen doc_id raises."""
+    from enterprise_warp_spark.pipeline.search import (
+        append_to_index,
+        bm25_topk,
+        build_index,
+        load_index,
+        write_index,
+    )
+
+    all_docs = _corpus(spark)
+    first = all_docs.filter("doc_id <= 4")
+    batch = all_docs.filter("doc_id > 4")
+    path = str(tmp_path / "inc")
+    write_index(build_index(first), path)
+    append_to_index(spark, path, batch)
+
+    merged = load_index(spark, path)
+    rebuilt = build_index(all_docs)
+    q = "quick brown fox lazy"
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(merged, q).collect()}
+    want = {r["doc_id"]: r["score"] for r in bm25_topk(rebuilt, q).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+    assert merged["n_docs"] == rebuilt["n_docs"]
+    assert merged["avgdl"] == pytest.approx(rebuilt["avgdl"], rel=1e-12)
+
+    with pytest.raises(ValueError, match="already in the index"):
+        append_to_index(spark, path, all_docs.filter("doc_id = 1"))
