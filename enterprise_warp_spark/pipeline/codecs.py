@@ -199,6 +199,38 @@ def decode_raw_frame(payload: bytes, width: int, height: int, frame_idx: int) ->
     return np.frombuffer(payload[start : start + fsz], dtype=np.uint8).reshape(height, width, 3)
 
 
+def mjpeg_video_features(payload: bytes) -> list[float]:
+    """video_features' 8-dim schema for an MJPEG AVI: per-frame stats come
+    from the really-decoded JPEG frames (first/last fully decoded; the
+    global mean/std from a bounded sample of up to 8 frames so a long clip
+    never decodes every frame just for features)."""
+    from enterprise_warp_spark.pipeline.jpeg import decode_jpeg
+    from enterprise_warp_spark.pipeline.mjpeg import mjpeg_frames
+
+    frames = mjpeg_frames(payload)
+    n = len(frames)
+    step = max(1, n // 8)
+    sampled = [decode_jpeg(frames[i][1]) for i in range(0, n, step)]
+    first = sampled[0]
+    last = decode_jpeg(frames[-1][1]) if n > 1 else first
+    h, w = first.shape[:2]
+    means = [float(f.mean()) for f in sampled]
+    deltas = (
+        float(np.abs(np.diff(np.asarray(means))).mean()) if len(means) > 1 else 0.0
+    )
+    allpix = np.concatenate([f.reshape(-1).astype(np.float64) for f in sampled])
+    return [
+        float(n),
+        float(h),
+        float(w),
+        float(allpix.mean()),
+        float(allpix.std()),
+        float(first.mean()),
+        float(last.mean()),
+        deltas,
+    ]
+
+
 def video_features(payload: bytes, width: int, height: int, n_frames: int) -> list[float]:
     """8-dim video features from ALL frames at once (one reshape, no loop):
     [n_frames, height, width, mean, std, first-frame mean, last-frame mean,
@@ -396,6 +428,8 @@ DECODABLE_MIMES = {
     "image/gif": "gif",
     "audio/flac": "flac",
     "video/x-raw-rgb": "rawvideo",
+    "video/x-msvideo": "mjpeg",
+    "video/avi": "mjpeg",
 }
 
 

@@ -110,6 +110,11 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
         return True, codecs.video_features(
             payload, int(row["width"]), int(row["height"]), int(row["n_frames"])
         )
+    if family == "mjpeg":
+        try:
+            return True, codecs.mjpeg_video_features(payload)
+        except Exception:
+            pass  # corrupt container: plugin below, else stub
     opt = opt or {}
     if row["mime"] in codecs.OPTIONAL_IMAGE_MIMES and opt.get("image"):
         try:
@@ -202,21 +207,42 @@ def sample_frames_decoded(media: DataFrame, every_k: int = 10) -> DataFrame:
                 "frame_mean": [], "frame_std": [],
             }
             for _, r in pdf[pdf["kind"] == "video"].iterrows():
-                n = int(r["n_frames"]) if r["n_frames"] is not None else 1
-                raw = codecs.DECODABLE_MIMES.get(r["mime"]) == "rawvideo"
+                family = codecs.DECODABLE_MIMES.get(r["mime"])
+                mj = None
+                if family == "mjpeg":
+                    try:
+                        from enterprise_warp_spark.pipeline.mjpeg import (
+                            mjpeg_frames,
+                        )
+
+                        mj = dict(mjpeg_frames(r["payload"]))
+                    except Exception:
+                        family = None  # corrupt container -> stub rows
+                n = (
+                    len(mj)
+                    if mj is not None
+                    else (int(r["n_frames"]) if r["n_frames"] is not None else 1)
+                )
                 for idx in range(0, max(n, 1), every_k):
                     rows["media_id"].append(r["media_id"])
                     rows["frame_idx"].append(idx)
-                    rows["decoded"].append(raw)
-                    if raw:
+                    if family == "rawvideo":
                         frame = codecs.decode_raw_frame(
                             r["payload"], int(r["width"]), int(r["height"]), idx
                         )
-                        rows["frame_mean"].append(float(frame.mean()))
-                        rows["frame_std"].append(float(frame.std()))
+                    elif mj is not None and idx in mj:
+                        from enterprise_warp_spark.pipeline.jpeg import decode_jpeg
+
+                        frame = decode_jpeg(mj[idx])
                     else:
-                        rows["frame_mean"].append(None)
-                        rows["frame_std"].append(None)
+                        frame = None
+                    rows["decoded"].append(frame is not None)
+                    rows["frame_mean"].append(
+                        float(frame.mean()) if frame is not None else None
+                    )
+                    rows["frame_std"].append(
+                        float(frame.std()) if frame is not None else None
+                    )
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(

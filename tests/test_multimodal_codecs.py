@@ -1038,3 +1038,70 @@ def test_truncated_progressive_jpeg_raises():
     cut = payload[: payload.find(b"\xff\xda")] + b"\xff\xd9"
     with pytest.raises(ValueError, match="no SOS"):
         decode_jpeg(cut)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG AVI (pipeline/mjpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _mjpeg_clip(n=5, w=32, h=24):
+    x = np.linspace(0, 255, w)[None, :]
+    y = np.linspace(0, 255, h)[:, None]
+    frames = []
+    for t in range(n):
+        base = np.clip(0.5 * x + 0.5 * y + 10 * t, 0, 255).astype(np.uint8)
+        frames.append(
+            np.stack([base, base[::-1], np.full_like(base, 40 + t)], axis=-1)
+        )
+    return frames
+
+
+def test_mjpeg_avi_round_trip():
+    from enterprise_warp_spark.pipeline.mjpeg import (
+        decode_mjpeg_frame,
+        encode_mjpeg,
+        mjpeg_frames,
+    )
+
+    frames = _mjpeg_clip()
+    avi = encode_mjpeg(frames, fps=10, quality=95)
+    fr = mjpeg_frames(avi)
+    assert [i for i, _ in fr] == [0, 1, 2, 3, 4]
+    for i in (0, 2, 4):
+        dec = decode_mjpeg_frame(avi, i)
+        assert dec.shape == frames[i].shape
+        assert np.abs(dec.astype(float) - frames[i].astype(float)).max() <= 6
+    with pytest.raises(ValueError, match="AVI"):
+        mjpeg_frames(b"RIFFxxxxWAVE")
+
+
+def test_mjpeg_video_rows_decode_in_spark(spark):
+    """video/x-msvideo MJPEG rows: extract_features flags decoded=true with
+    frame-derived stats, and sample_frames_decoded really decodes every
+    k-th JPEG frame (n_frames taken from the container, not metadata)."""
+    from enterprise_warp_spark.pipeline.codecs import mjpeg_video_features
+    from enterprise_warp_spark.pipeline.mjpeg import encode_mjpeg
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        sample_frames_decoded,
+    )
+
+    frames = _mjpeg_clip(n=6)
+    avi = encode_mjpeg(frames, fps=10, quality=95)
+    media = spark.createDataFrame(
+        [(81, "video", avi, "video/x-msvideo", 32, 24, None, None)], MEDIA_SCHEMA
+    )
+    row = extract_features(media, decoders={}).first()
+    assert row["decoded"] is True
+    assert row["feature"] == pytest.approx(mjpeg_video_features(avi))
+    assert row["feature"][0] == 6.0  # n_frames from the container
+
+    sampled = {
+        r["frame_idx"]: r for r in sample_frames_decoded(media, every_k=2).collect()
+    }
+    assert set(sampled) == {0, 2, 4}
+    for idx, r in sampled.items():
+        assert r["decoded"] is True
+        assert r["frame_mean"] == pytest.approx(float(frames[idx].mean()), abs=2.0)
