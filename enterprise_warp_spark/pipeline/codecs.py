@@ -209,10 +209,14 @@ def mjpeg_video_features(payload: bytes) -> list[float]:
 
     frames = mjpeg_frames(payload)
     n = len(frames)
-    step = max(1, n // 8)
+    step = -(-n // 8)  # ceil: at most 8 sampled decodes
     sampled = [decode_jpeg(frames[i][1]) for i in range(0, n, step)]
     first = sampled[0]
-    last = decode_jpeg(frames[-1][1]) if n > 1 else first
+    # reuse the sample when it already ends on the final frame
+    if n == 1 or (n - 1) % step == 0:
+        last = sampled[-1]
+    else:
+        last = decode_jpeg(frames[-1][1])
     h, w = first.shape[:2]
     means = [float(f.mean()) for f in sampled]
     deltas = (

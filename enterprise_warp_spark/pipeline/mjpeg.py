@@ -31,7 +31,10 @@ from enterprise_warp_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
 
 
 def _chunks(data: bytes, pos: int, end: int) -> Iterator[tuple[bytes, int, int]]:
-    """RIFF chunk walk: yields (fourcc, body_start, body_size)."""
+    """RIFF chunk walk: yields (fourcc, body_start, body_size). `end` is
+    clamped to the buffer so a malformed oversized LIST size raises the
+    module's ValueError downstream, never a struct.error mid-walk."""
+    end = min(end, len(data))
     while pos + 8 <= end:
         cc = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
@@ -82,10 +85,10 @@ def encode_mjpeg(
     if not frames:
         raise ValueError("no frames")
     h, w = frames[0].shape[:2]
-    blobs = [encode_jpeg(f, quality=quality) for f in frames]
-    for f in frames:
+    for f in frames:  # validate BEFORE paying for any JPEG encode
         if f.shape[:2] != (h, w):
             raise ValueError("all frames must share one size")
+    blobs = [encode_jpeg(f, quality=quality) for f in frames]
 
     def chunk(cc: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""
@@ -97,7 +100,7 @@ def encode_mjpeg(
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps,  # microseconds per frame
-        0, 0, 0x10,        # max bytes/s, padding, flags (HASINDEX off)
+        0, 0, 0,           # max bytes/s, padding, flags (no idx1 -> no HASINDEX)
         len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
     )
     strh = (

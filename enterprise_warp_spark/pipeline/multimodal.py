@@ -192,11 +192,12 @@ def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
 
 
 def sample_frames_decoded(media: DataFrame, every_k: int = 10) -> DataFrame:
-    """Frame sampling WITH real per-frame decode for raw-RGB video: every
-    k-th frame is sliced out of the concatenated payload (zero-copy
-    frombuffer) and summarized (mean/std brightness). mapInPandas,
-    partition-preserving; non-raw video rows (compressed containers) are
-    emitted with decoded=false and null stats."""
+    """Frame sampling WITH real per-frame decode for raw-RGB video (every
+    k-th frame sliced out of the concatenated payload, zero-copy
+    frombuffer) AND for MJPEG AVI (every k-th really-present JPEG frame
+    decoded via pipeline/jpeg). mapInPandas, partition-preserving;
+    other compressed containers (H.264/...) and corrupt payloads emit
+    decoded=false with null stats — one bad frame never aborts the job."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from enterprise_warp_spark.pipeline import codecs
@@ -218,24 +219,31 @@ def sample_frames_decoded(media: DataFrame, every_k: int = 10) -> DataFrame:
                         mj = dict(mjpeg_frames(r["payload"]))
                     except Exception:
                         family = None  # corrupt container -> stub rows
-                n = (
-                    len(mj)
-                    if mj is not None
-                    else (int(r["n_frames"]) if r["n_frames"] is not None else 1)
-                )
-                for idx in range(0, max(n, 1), every_k):
+                if mj is not None:
+                    # sample the frames that really exist: container dc
+                    # chunks may be sparse (non-JPEG frames interleaved),
+                    # so the index list — not a dense count — is the truth
+                    probe = sorted(mj)[::every_k]
+                else:
+                    n = int(r["n_frames"]) if r["n_frames"] is not None else 1
+                    probe = range(0, max(n, 1), every_k)
+                for idx in probe:
                     rows["media_id"].append(r["media_id"])
                     rows["frame_idx"].append(idx)
-                    if family == "rawvideo":
-                        frame = codecs.decode_raw_frame(
-                            r["payload"], int(r["width"]), int(r["height"]), idx
-                        )
-                    elif mj is not None and idx in mj:
-                        from enterprise_warp_spark.pipeline.jpeg import decode_jpeg
+                    frame = None
+                    try:
+                        if family == "rawvideo":
+                            frame = codecs.decode_raw_frame(
+                                r["payload"], int(r["width"]), int(r["height"]), idx
+                            )
+                        elif mj is not None:
+                            from enterprise_warp_spark.pipeline.jpeg import (
+                                decode_jpeg,
+                            )
 
-                        frame = decode_jpeg(mj[idx])
-                    else:
-                        frame = None
+                            frame = decode_jpeg(mj[idx])
+                    except Exception:
+                        frame = None  # corrupt frame: decoded=false row
                     rows["decoded"].append(frame is not None)
                     rows["frame_mean"].append(
                         float(frame.mean()) if frame is not None else None

@@ -42,16 +42,20 @@ def _tokens(text_col: str):
 
 
 def _index_from_postings(toks: DataFrame, postings: DataFrame) -> dict:
-    """Shared tail of both index builders: doc lengths + corpus stats."""
+    """Shared tail of both index builders: doc lengths + corpus stats.
+    total_dl rides the SAME stats aggregate (no extra corpus scan)."""
     doclen = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
     stats = doclen.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total"),
     ).first()
     return {
         "postings": postings,
         "doclen": doclen,
         "n_docs": int(stats["n"]),
         "avgdl": float(stats["avgdl"] or 0.0),
+        "total_dl": int(stats["total"] or 0),
     }
 
 
@@ -200,7 +204,14 @@ def write_index(index: dict, path: str) -> None:
     )
     index["doclen"].write.mode("overwrite").parquet(f"{path}/doclen")
     spark = index["postings"].sparkSession
-    total_dl = index["doclen"].agg(F.sum("dl").alias("t")).first()["t"] or 0
+    # total_dl was computed on the build's own stats aggregate; fall back to
+    # reading the just-written parquet (NOT the lazy corpus lineage) for
+    # index dicts from older builds
+    total_dl = index.get("total_dl")
+    if total_dl is None:
+        total_dl = (
+            spark.read.parquet(f"{path}/doclen").agg(F.sum("dl")).first()[0] or 0
+        )
     spark.createDataFrame(
         [(index["n_docs"], index["avgdl"], int(total_dl))],
         "n_docs long, avgdl double, total_dl long",
@@ -332,8 +343,23 @@ def append_to_index(
     carries (n_docs, total_dl) — no corpus rescan. Batch doc ids MUST be
     previously unseen: a re-ingested id would duplicate its postings rows
     (callers dedup upstream, e.g. via the corpus keep-list); this is
-    checked against doclen and raises loudly."""
+    checked against doclen (and within the batch) and raises loudly.
+
+    CRASH-REPLAY ORDERING (the streaming/corpus.py pattern): doclen — the
+    table the duplicate guard probes — is appended FIRST. If the job dies
+    between the doclen and postings writes, the retry's guard sees the
+    batch ids and raises instead of silently double-appending postings
+    (which would double BM25 scores); recovery is then an explicit
+    doclen cleanup, never quiet corruption."""
     batch = build_index(new_docs, id_col, text_col)
+    counts = batch["doclen"].agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("d")
+    ).first()
+    if counts["n"] != counts["d"]:
+        raise ValueError(
+            "append_to_index: batch contains duplicate doc_ids "
+            f"({counts['n']} rows, {counts['d']} distinct)"
+        )
     existing_len = spark.read.parquet(f"{path}/doclen")
     dup = (
         batch["doclen"].join(existing_len, "doc_id", "left_semi").limit(1).count()
@@ -354,6 +380,7 @@ def append_to_index(
     n_docs = old_n + batch["n_docs"]
     total_dl = old_total + int(batch_total)
 
+    batch["doclen"].write.mode("append").parquet(f"{path}/doclen")
     (
         batch["postings"]
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)))
@@ -361,7 +388,6 @@ def append_to_index(
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
-    batch["doclen"].write.mode("append").parquet(f"{path}/doclen")
     spark.createDataFrame(
         [(n_docs, (total_dl / n_docs) if n_docs else 0.0, total_dl)],
         "n_docs long, avgdl double, total_dl long",

@@ -1105,3 +1105,35 @@ def test_mjpeg_video_rows_decode_in_spark(spark):
     for idx, r in sampled.items():
         assert r["decoded"] is True
         assert r["frame_mean"] == pytest.approx(float(frames[idx].mean()), abs=2.0)
+
+
+def test_mjpeg_corrupt_frame_degrades_not_crashes(spark):
+    """A well-formed AVI with one corrupt JPEG frame: the bad frame emits a
+    decoded=false row; good frames still decode. Sparse dc chunks (non-JPEG
+    frames interleaved) sample the frames that exist, not a dense range."""
+    import struct as _s
+
+    from enterprise_warp_spark.pipeline.mjpeg import encode_mjpeg, mjpeg_frames
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames_decoded,
+    )
+
+    frames = _mjpeg_clip(n=4)
+    avi = bytearray(encode_mjpeg(frames, fps=10, quality=95))
+    # corrupt frame 2's JPEG body (keep the FFD8 magic so it stays "a frame")
+    blobs = mjpeg_frames(bytes(avi))
+    target = blobs[2][1]
+    i = avi.find(target)
+    avi[i + 6 : i + 30] = b"\x01" * 24
+
+    media = spark.createDataFrame(
+        [(91, "video", bytes(avi), "video/x-msvideo", 32, 24, None, None)],
+        MEDIA_SCHEMA,
+    )
+    out = {r["frame_idx"]: r for r in sample_frames_decoded(media, every_k=1).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["decoded"] is True and out[3]["decoded"] is True
+    assert out[2]["decoded"] is False and out[2]["frame_mean"] is None
+
+

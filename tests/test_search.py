@@ -332,3 +332,21 @@ def test_append_to_index_equals_full_rebuild(spark, tmp_path):
 
     with pytest.raises(ValueError, match="already in the index"):
         append_to_index(spark, path, all_docs.filter("doc_id = 1"))
+
+
+def test_append_to_index_rejects_intra_batch_duplicates(spark, tmp_path):
+    """Duplicate ids WITHIN a batch would silently double scores (the
+    doclen join fans out) — must raise in the same O(batch) guard pass."""
+    from enterprise_warp_spark.pipeline.search import (
+        append_to_index,
+        build_index,
+        write_index,
+    )
+
+    first = _corpus(spark).filter("doc_id <= 4")
+    write_index(build_index(first), str(tmp_path / "dup"))
+    batch = spark.createDataFrame(
+        [(100, "aa bb"), (100, "cc dd")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        append_to_index(spark, str(tmp_path / "dup"), batch)
