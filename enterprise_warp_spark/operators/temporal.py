@@ -129,3 +129,88 @@ def time_bucket(ts_us: Column | str, width_us: int) -> Column:
     fixed-width bucket (timescaledb ``time_bucket`` analogue)."""
     c = F.col(ts_us) if isinstance(ts_us, str) else ts_us
     return (F.floor(c / width_us) * width_us).cast("long")
+
+
+def gapfill(
+    df: DataFrame,
+    ts_us: str,
+    group_cols: list[str],
+    bucket_us: int,
+    value_col: str,
+    agg: str = "avg",
+    method: str = "locf",
+) -> DataFrame:
+    """Hypertable gap-filling (timescaledb ``time_bucket_gapfill`` +
+    ``locf``/``interpolate`` analogue): bucket `ts_us` at `bucket_us`,
+    aggregate `value_col` per (group, bucket), then emit ONE ROW PER
+    BUCKET of each group's [min, max] range with missing buckets filled:
+
+      method='locf'    last observation carried forward (leading gaps null)
+      method='linear'  linear interpolation between the neighboring
+                       observed buckets (edges fall back to locf/null)
+      method='null'    grid only; gaps stay null
+
+    -> (group_cols..., bucket_us, <value_col>, filled)
+
+    Scale shape: one hash aggregate to the observed buckets, one tiny
+    per-group min/max aggregate, grid generation by sequence-explode
+    (output-proportional, no driver loop), a left join back on
+    (group, bucket), and per-group ordered windows for the fills. Each
+    group's grid size is bounded by its time span / bucket_us — the
+    hypertable contract (dense-ish series); a sparse series with a vast
+    span should use a coarser bucket."""
+    if method not in ("locf", "linear", "null"):
+        raise ValueError(f"unknown gapfill method {method!r}")
+    aggfn = getattr(F, agg)
+    b = time_bucket(ts_us, bucket_us).alias("__b")
+    observed = (
+        df.select(*group_cols, b, F.col(value_col).alias("__v"))
+        .groupBy(*group_cols, "__b")
+        .agg(aggfn("__v").alias("__v"))
+    )
+    spans = observed.groupBy(*group_cols).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = spans.select(
+        *group_cols,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(bucket_us)))
+        ).alias("__b"),
+    )
+    joined = grid.join(observed, [*group_cols, "__b"], "left").withColumn(
+        "filled", F.col("__v").isNull()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__b")
+    if method == "locf":
+        filled = joined.withColumn(
+            "__v", F.last("__v", ignorenulls=True).over(w)
+        )
+    elif method == "linear":
+        wb = w.rowsBetween(Window.unboundedPreceding, 0)
+        wf = w.rowsBetween(0, Window.unboundedFollowing)
+        prev_v = F.last("__v", ignorenulls=True).over(wb)
+        prev_b = F.last(
+            F.when(F.col("__v").isNotNull(), F.col("__b")), ignorenulls=True
+        ).over(wb)
+        next_v = F.first("__v", ignorenulls=True).over(wf)
+        next_b = F.first(
+            F.when(F.col("__v").isNotNull(), F.col("__b")), ignorenulls=True
+        ).over(wf)
+        interp = prev_v + (next_v - prev_v) * (
+            (F.col("__b") - prev_b) / (next_b - prev_b)
+        )
+        filled = joined.withColumn(
+            "__v",
+            F.when(F.col("__v").isNotNull(), F.col("__v"))
+            .when(prev_b.isNull(), next_v)  # leading gap -> first observed
+            .when(next_b.isNull(), prev_v)  # trailing gap -> locf
+            .otherwise(interp),
+        )
+    else:
+        filled = joined
+    return filled.select(
+        *group_cols,
+        F.col("__b").alias("bucket_us"),
+        F.col("__v").alias(value_col),
+        "filled",
+    )

@@ -140,3 +140,76 @@ def test_salted_join_spreads_hot_key(spark):
     ]
     assert len(per_salt) > 1 and max(per_salt) < 400
     assert salted_join(left, right, "k", n_salt=8).count() == 400
+
+
+def test_gapfill_locf_linear_and_duckdb_twin(spark, sf_dir, duck):
+    """gapfill == a DuckDB twin (generate_series grid + window locf) on the
+    real events table, and linear interpolation matches hand math on a
+    known series."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.temporal import gapfill
+    from enterprise_warp_spark.tables import table
+
+    events = table(spark, sf_dir, "events")
+    hour = 3_600_000_000
+    got = gapfill(
+        events, "ts_us", ["event_type"], hour, "value", agg="avg", method="locf"
+    )
+    got_rows = {
+        (r["event_type"], r["bucket_us"]): (r["value"], r["filled"])
+        for r in got.collect()
+    }
+
+    twin = duck.sql(f"""
+        WITH obs AS (
+          SELECT event_type,
+                 (epoch_us(ts) // {hour}) * {hour} AS b,
+                 avg(value) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        spans AS (
+          SELECT event_type, min(b) lo, max(b) hi FROM obs GROUP BY 1
+        ),
+        grid AS (
+          SELECT event_type, unnest(generate_series(lo, hi, {hour})) AS b
+          FROM spans
+        ),
+        j AS (
+          SELECT g.event_type, g.b, o.v, o.v IS NULL AS filled
+          FROM grid g LEFT JOIN obs o USING (event_type, b)
+        )
+        SELECT event_type, b,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS v,
+               filled
+        FROM j
+    """).fetchall()
+    want = {(et, b): (v, f) for et, b, v, f in twin}
+    assert set(got_rows) == set(want)
+    n_filled = 0
+    for k, (v, f) in want.items():
+        assert got_rows[k][1] == f
+        if v is None:
+            assert got_rows[k][0] is None
+        else:
+            assert got_rows[k][0] == pytest.approx(v, rel=1e-12)
+        n_filled += bool(f)
+    # the synthetic events table must actually have gaps for this to test
+    assert n_filled > 0, "no gaps at this bucket width — shrink bucket"
+
+    # linear interpolation: hand-checked series 0, _, _, 9 -> 0, 3, 6, 9
+    df = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 30, 9.0), ("b", 0, 5.0)],
+        "g string, ts_us long, value double",
+    )
+    lin = {
+        (r["g"], r["bucket_us"]): r["value"]
+        for r in gapfill(df, "ts_us", ["g"], 10, "value", method="linear").collect()
+    }
+    assert lin[("a", 0)] == 0.0 and lin[("a", 30)] == 9.0
+    assert lin[("a", 10)] == pytest.approx(3.0)
+    assert lin[("a", 20)] == pytest.approx(6.0)
+    assert lin[("b", 0)] == 5.0
