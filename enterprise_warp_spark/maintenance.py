@@ -117,3 +117,79 @@ def compact(
         out = df.coalesce(files_per_partition)
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     return n
+
+
+def zorder_value(
+    df: DataFrame, cols: Sequence[str], bits: int = 12
+) -> "tuple[DataFrame, str]":
+    """Append a Morton (Z-order) key column interleaving `bits` bits of
+    each column's bucketed rank -> (df_with_key, key_col_name).
+
+    Buckets are equal-width over each column's observed [min, max] (one
+    aggregate; width_bucket is JVM-side). Equal-width is the documented
+    trade-off vs quantile buckets: heavy skew in a column degrades ITS
+    dimension's clustering but never correctness. Bit interleaving is a
+    fixed-size Catalyst expression (bits x n_cols shift/or terms) — no
+    Python in the row path."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder over 1-4 columns")
+    if not 1 <= bits * len(cols) <= 63:
+        raise ValueError("bits * n_cols must fit a long")
+    bounds = df.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).alias(f"__hi_{c}") for c in cols],
+    ).first()
+    n_buckets = 1 << bits
+    bucket_cols = []
+    for c in cols:
+        lo, hi = float(bounds[f"__lo_{c}"]), float(bounds[f"__hi_{c}"])
+        if hi <= lo:
+            bucket_cols.append(F.lit(0))
+            continue
+        # width_bucket returns 1..n+1; clamp into 0..n-1
+        bucket_cols.append(
+            F.least(
+                F.greatest(
+                    F.expr(
+                        f"width_bucket(cast({c} as double), {lo!r}, {hi!r}, {n_buckets})"
+                    )
+                    - 1,
+                    F.lit(0),
+                ),
+                F.lit(n_buckets - 1),
+            ).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, bc in enumerate(bucket_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bc, bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + j,
+                )
+            )
+    key = "__zorder"
+    return df.withColumn(key, z), key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 16,
+    bits: int = 12,
+) -> None:
+    """OPTIMIZE ... ZORDER BY analogue for plain parquet: range-partition
+    on the Morton key and sort within partitions, so every output file
+    covers a compact hyper-rectangle of the `cols` space. Parquet footer
+    min/max on EACH zorder column then prunes files for predicates on ANY
+    of them — the multi-column data-skipping a single-column sort cannot
+    give (sorting by A leaves B's per-file ranges full-width)."""
+    keyed, key = zorder_value(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

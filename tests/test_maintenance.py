@@ -564,3 +564,67 @@ def test_incremental_gram_strip_three_batches(spark, tmp_path):
     )
     out4 = {r["doc_id"]: r for r in incremental_gram_strip(b4, idx, k=6).collect()}
     assert out4[6]["n_removed_tokens"] == 6 and out4[7]["n_removed_tokens"] == 6
+
+
+def test_zorder_write_enables_multi_column_skipping(spark, tmp_path):
+    """Z-ordered files cover compact rectangles of (x, y): parquet footer
+    min/max must let a point predicate on EITHER column skip most files,
+    while an x-sorted layout can only skip on x (y spans stay full-width)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.maintenance import write_zordered
+
+    n = 40_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("x"),
+            (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)) / 10.0).alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+    write_zordered(df, zpath, ["x", "y"], n_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def spans(path, col):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                colmeta = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                los.append(colmeta.statistics.min)
+                his.append(colmeta.statistics.max)
+            out.append((min(los), max(his)))
+        return out
+
+    def skip_fraction(path, col, point):
+        sp = spans(path, col)
+        skipped = sum(1 for lo, hi in sp if not (lo <= point <= hi))
+        return skipped / len(sp)
+
+    # x-sorted layout: great on x, useless on y
+    assert skip_fraction(lpath, "x", 50.0) >= 0.8
+    assert skip_fraction(lpath, "y", 50.0) <= 0.1
+    # z-ordered: good on BOTH dimensions
+    assert skip_fraction(zpath, "x", 50.0) >= 0.5
+    assert skip_fraction(zpath, "y", 50.0) >= 0.5
+
+    # content is unchanged by the rewrite
+    assert spark.read.parquet(zpath).count() == n
+    got = spark.read.parquet(zpath).agg(F.sum("payload")).first()[0]
+    want = df.agg(F.sum("payload")).first()[0]
+    assert got == want
