@@ -48,3 +48,40 @@ def weighted_mean(
 ) -> DataFrame:
     aggs = weighted_mean_aggs(r, s, round_avg, round_err)
     return df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+
+
+def weighted_median(
+    df: DataFrame,
+    value: str,
+    weight: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Distributed weighted median: the smallest value whose cumulative
+    weight reaches half the group's total (lower weighted median — the
+    standard discrete definition) -> (group_cols..., wmedian).
+
+    Shape: one window cumulative sum over (group, value) order + one total
+    per group + a min over the qualifying values. The window partitions by
+    the GROUP key, so a hot group serializes only its own rows — same
+    contract as any grouped quantile; for a single colossal group use the
+    GK sketch in operators/sketches.py instead. Zero/negative weights are
+    excluded (they cannot carry mass)."""
+    gc = list(group_cols)
+    from pyspark.sql import Window
+
+    rows = df.filter(F.col(weight) > 0).select(
+        *gc, F.col(value).alias("__v"), F.col(weight).cast("double").alias("__w")
+    )
+    w_cum = (
+        Window.partitionBy(*gc).orderBy("__v")
+        if gc
+        else Window.partitionBy().orderBy("__v")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy(*gc) if gc else Window.partitionBy()
+    cum = rows.withColumn("__cw", F.sum("__w").over(w_cum)).withColumn(
+        "__tot", F.sum("__w").over(w_tot)
+    )
+    qualifying = cum.filter(F.col("__cw") >= F.col("__tot") / 2.0)
+    if gc:
+        return qualifying.groupBy(*gc).agg(F.min("__v").alias("wmedian"))
+    return qualifying.agg(F.min("__v").alias("wmedian"))

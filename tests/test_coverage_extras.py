@@ -637,3 +637,47 @@ def test_prepare_training_corpus_with_quality_model(spark):
     )
     ids = {r["doc_id"] for r in out["corpus"].collect()}
     assert ids == {1}
+
+
+def test_weighted_median_matches_python_reference(spark):
+    """Distributed weighted median == direct per-group Python computation
+    over random data; equal weights degrade to the plain lower median."""
+    import random
+
+    from enterprise_warp_spark.operators.weighted import weighted_median
+
+    rng = random.Random(5)
+    rows = [
+        (g, rng.uniform(-100, 100), rng.choice([0.0, 0.5, 1.0, 2.0, 5.0]))
+        for g in ("a", "b", "c")
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = {
+        r["g"]: r["wmedian"]
+        for r in weighted_median(df, "v", "w", ["g"]).collect()
+    }
+
+    def ref(pairs):
+        pairs = sorted((v, w) for _, v, w in pairs if w > 0)
+        tot = sum(w for _, w in pairs)
+        acc = 0.0
+        for v, w in pairs:
+            acc += w
+            if acc >= tot / 2.0:
+                return v
+        return pairs[-1][0]
+
+    for g in ("a", "b", "c"):
+        want = ref([r for r in rows if r[0] == g])
+        assert got[g] == want, g
+
+    # equal weights == plain lower median
+    eq = spark.createDataFrame(
+        [("x", float(v), 1.0) for v in [5, 1, 9, 3, 7]], "g string, v double, w double"
+    )
+    out = weighted_median(eq, "v", "w", ["g"]).first()
+    assert out["wmedian"] == 5.0
+
+    # ungrouped form
+    assert weighted_median(eq, "v", "w").first()["wmedian"] == 5.0
