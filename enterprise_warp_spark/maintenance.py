@@ -131,18 +131,52 @@ def zorder_value(
     dimension's clustering but never correctness. Bit interleaving is a
     fixed-size Catalyst expression (bits x n_cols shift/or terms) — no
     Python in the row path."""
+    import math
+
+    from pyspark.sql.types import NumericType
+
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder over 1-4 columns")
     if not 1 <= bits * len(cols) <= 63:
         raise ValueError("bits * n_cols must fit a long")
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"zorder column {c!r} not in schema")
+        if not isinstance(types[c], NumericType):
+            raise ValueError(
+                f"zorder column {c!r} has non-numeric type {types[c]}; cast "
+                "timestamps/dates to epoch numbers first"
+            )
+    # finite bounds only: NaN sorts above every double in Spark and would
+    # otherwise be interpolated into the width_bucket SQL as a bare 'nan'
     bounds = df.agg(
-        *[F.min(c).alias(f"__lo_{c}") for c in cols],
-        *[F.max(c).alias(f"__hi_{c}") for c in cols],
+        *[
+            F.min(F.when(~F.isnan(F.col(c).cast("double")), F.col(c))).alias(
+                f"__lo_{c}"
+            )
+            for c in cols
+        ],
+        *[
+            F.max(F.when(~F.isnan(F.col(c).cast("double")), F.col(c))).alias(
+                f"__hi_{c}"
+            )
+            for c in cols
+        ],
     ).first()
     n_buckets = 1 << bits
     bucket_cols = []
     for c in cols:
-        lo, hi = float(bounds[f"__lo_{c}"]), float(bounds[f"__hi_{c}"])
+        blo, bhi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
+        if blo is None or bhi is None:
+            raise ValueError(
+                f"zorder column {c!r} has no non-null values to bucket"
+            )
+        lo, hi = float(blo), float(bhi)
+        if not (math.isfinite(lo) and math.isfinite(hi)):
+            raise ValueError(
+                f"zorder column {c!r} bounds are not finite: [{lo}, {hi}]"
+            )
         if hi <= lo:
             bucket_cols.append(F.lit(0))
             continue
@@ -185,6 +219,10 @@ def write_zordered(
     min/max on EACH zorder column then prunes files for predicates on ANY
     of them — the multi-column data-skipping a single-column sort cannot
     give (sorting by A leaves B's per-file ranges full-width)."""
+    # materialize FIRST (same reason as compact): the in-place rewrite
+    # reads the path being overwritten, and the upstream plan would
+    # otherwise execute three times (bounds agg, range sampling, write)
+    df = df.localCheckpoint(eager=True)
     keyed, key = zorder_value(df, cols, bits)
     (
         keyed.repartitionByRange(n_files, F.col(key))

@@ -177,8 +177,17 @@ def gapfill(
             F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(bucket_us)))
         ).alias("__b"),
     )
-    joined = grid.join(observed, [*group_cols, "__b"], "left").withColumn(
-        "filled", F.col("__v").isNull()
+    # NULL group keys are legitimate groups (groupBy keeps them); the
+    # join-back must be null-SAFE or those groups silently lose every
+    # observed value (NULL != NULL under plain equality)
+    obs = observed.withColumnRenamed("__b", "__ob")
+    cond = F.col("__b") == F.col("__ob")
+    for c in group_cols:
+        cond = cond & grid[c].eqNullSafe(obs[c])
+    joined = (
+        grid.join(obs, cond, "left")
+        .select(*[grid[c] for c in group_cols], "__b", "__v")
+        .withColumn("filled", F.col("__v").isNull())
     )
     w = Window.partitionBy(*group_cols).orderBy("__b")
     if method == "locf":

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,24 +64,24 @@ def weighted_median(
     per group + a min over the qualifying values. The window partitions by
     the GROUP key, so a hot group serializes only its own rows — same
     contract as any grouped quantile; for a single colossal group use the
-    GK sketch in operators/sketches.py instead. Zero/negative weights are
-    excluded (they cannot carry mass)."""
+    GK sketch in operators/sketches.py instead. Zero/negative weights and
+    NULL values are excluded (neither can carry mass; NULLs sort first
+    and would silently bias the median low)."""
     gc = list(group_cols)
-    from pyspark.sql import Window
-
-    rows = df.filter(F.col(weight) > 0).select(
+    rows = df.filter(
+        (F.col(weight) > 0) & F.col(value).isNotNull()
+    ).select(
         *gc, F.col(value).alias("__v"), F.col(weight).cast("double").alias("__w")
     )
+    # Window.partitionBy(*[]) and groupBy(*[]) both mean "one global group"
     w_cum = (
-        Window.partitionBy(*gc).orderBy("__v")
-        if gc
-        else Window.partitionBy().orderBy("__v")
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    w_tot = Window.partitionBy(*gc) if gc else Window.partitionBy()
+        Window.partitionBy(*gc)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*gc)
     cum = rows.withColumn("__cw", F.sum("__w").over(w_cum)).withColumn(
         "__tot", F.sum("__w").over(w_tot)
     )
     qualifying = cum.filter(F.col("__cw") >= F.col("__tot") / 2.0)
-    if gc:
-        return qualifying.groupBy(*gc).agg(F.min("__v").alias("wmedian"))
-    return qualifying.agg(F.min("__v").alias("wmedian"))
+    return qualifying.groupBy(*gc).agg(F.min("__v").alias("wmedian"))

@@ -350,4 +350,3 @@ def test_append_to_index_rejects_intra_batch_duplicates(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate doc_ids"):
         append_to_index(spark, str(tmp_path / "dup"), batch)
-
