@@ -231,3 +231,85 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+SCD2_COLS = ("__valid_from", "__valid_to", "__is_current")
+
+
+def scd2_init(df: DataFrame, effective_us: int) -> DataFrame:
+    """Stamp a dimension snapshot as SCD Type-2 version rows: every row
+    becomes current from `effective_us` (open-ended validity)."""
+    return (
+        df.withColumn("__valid_from", F.lit(int(effective_us)).cast("long"))
+        .withColumn("__valid_to", F.lit(None).cast("long"))
+        .withColumn("__is_current", F.lit(True))
+    )
+
+
+def scd2_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    effective_us: int,
+) -> None:
+    """Slowly-changing-dimension Type 2 merge: for each updated key, CLOSE
+    the current version (valid_to = effective_us, is_current = false) and
+    append the new version; unchanged keys keep their open row; brand-new
+    keys insert as current. Rows whose attribute values are IDENTICAL to
+    the current version are skipped (no spurious versions).
+
+    Point-in-time reads use scd2_as_of. History is append-mostly: one
+    read + anti/semi joins on the key + one rewrite; at scale partition
+    the dimension by a stable hash of the key and merge per partition
+    (upsert_partitions), same as merge_by_key."""
+    key_cols = list(key_cols)
+    existing = spark.read.parquet(path)
+    attr_cols = [
+        c for c in existing.columns if c not in key_cols and c not in SCD2_COLS
+    ]
+    up = updates.select(*key_cols, *attr_cols)
+
+    current = existing.filter(F.col("__is_current"))
+    closed_history = existing.filter(~F.col("__is_current"))
+
+    # changed = current rows whose key matches an update with ANY differing
+    # attribute (null-safe); identical rows produce no new version
+    cond = [current[k].eqNullSafe(up[k]) for k in key_cols]
+    diff = F.lit(False)
+    for a in attr_cols:
+        diff = diff | ~current[a].eqNullSafe(up[a])
+    matched = current.alias("c").join(up.alias("n"), cond, "inner").filter(diff)
+    changed_keys = matched.select(*[F.col(f"c.{k}").alias(k) for k in key_cols])
+
+    to_close = (
+        current.join(changed_keys, key_cols, "left_semi")
+        .withColumn("__valid_to", F.lit(int(effective_us)).cast("long"))
+        .withColumn("__is_current", F.lit(False))
+    )
+    untouched_current = current.join(changed_keys, key_cols, "left_anti")
+    # new versions: changed keys + brand-new keys
+    existing_keys = current.select(*key_cols)
+    new_rows = (
+        up.join(changed_keys, key_cols, "left_semi")
+        .unionByName(up.join(existing_keys, key_cols, "left_anti"))
+    )
+    new_versions = scd2_init(new_rows, effective_us)
+
+    merged = (
+        closed_history.unionByName(to_close)
+        .unionByName(untouched_current)
+        .unionByName(new_versions.select(*existing.columns))
+    ).localCheckpoint(eager=True)  # severs lineage from the path we rewrite
+    merged.write.mode("overwrite").parquet(path)
+    spark.catalog.refreshByPath(path)
+
+
+def scd2_as_of(dim: DataFrame, ts_us: int) -> DataFrame:
+    """Point-in-time dimension view: the version of each key valid at
+    `ts_us` (valid_from <= ts < valid_to, open-ended current rows
+    included), with the bookkeeping columns dropped."""
+    return dim.filter(
+        (F.col("__valid_from") <= int(ts_us))
+        & (F.col("__valid_to").isNull() | (F.col("__valid_to") > int(ts_us)))
+    ).drop(*SCD2_COLS)

@@ -628,3 +628,59 @@ def test_zorder_write_enables_multi_column_skipping(spark, tmp_path):
     got = spark.read.parquet(zpath).agg(F.sum("payload")).first()[0]
     want = df.agg(F.sum("payload")).first()[0]
     assert got == want
+
+
+def test_scd2_merge_and_point_in_time(spark, tmp_path):
+    """SCD Type-2 lifecycle: init -> merge (changed/unchanged/new keys) ->
+    point-in-time views return the version valid at each timestamp;
+    identical re-sends create no spurious versions."""
+    from enterprise_warp_spark.maintenance import (
+        scd2_as_of,
+        scd2_init,
+        scd2_merge,
+    )
+
+    path = str(tmp_path / "dim")
+    t0, t1, t2 = 1000, 2000, 3000
+    base = spark.createDataFrame(
+        [(1, "alice", "US"), (2, "bob", "DE"), (3, "carol", "FR")],
+        "k long, name string, country string",
+    )
+    scd2_init(base, t0).write.parquet(path)
+
+    # t1: alice moves, bob unchanged (identical), dave is new
+    updates = spark.createDataFrame(
+        [(1, "alice", "JP"), (2, "bob", "DE"), (4, "dave", "BR")],
+        "k long, name string, country string",
+    )
+    scd2_merge(spark, path, updates, ["k"], t1)
+
+    dim = spark.read.parquet(path)
+    # versions: alice has 2, bob/carol 1 (identical resend made no version)
+    counts = {r["k"]: r["count"] for r in dim.groupBy("k").count().collect()}
+    assert counts == {1: 2, 2: 1, 3: 1, 4: 1}
+
+    at_t0 = {r["k"]: r["country"] for r in scd2_as_of(dim, t0).collect()}
+    assert at_t0 == {1: "US", 2: "DE", 3: "FR"}  # dave not yet born
+    at_t1 = {r["k"]: r["country"] for r in scd2_as_of(dim, t1).collect()}
+    assert at_t1 == {1: "JP", 2: "DE", 3: "FR", 4: "BR"}
+
+    # t2: second change for alice -> history chain of 3
+    scd2_merge(
+        spark,
+        path,
+        spark.createDataFrame([(1, "alice", "AU")], "k long, name string, country string"),
+        ["k"],
+        t2,
+    )
+    dim = spark.read.parquet(path)
+    alice = sorted(
+        (r["__valid_from"], r["__valid_to"], r["country"])
+        for r in dim.filter("k = 1").collect()
+    )
+    assert alice == [(t0, t1, "US"), (t1, t2, "JP"), (t2, None, "AU")]
+    assert {r["k"]: r["country"] for r in scd2_as_of(dim, t1).collect()}[1] == "JP"
+    assert {r["k"]: r["country"] for r in scd2_as_of(dim, t2 + 1).collect()}[1] == "AU"
+    # exactly one current row per key, always
+    cur = dim.filter("__is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
