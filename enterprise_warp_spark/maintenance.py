@@ -269,30 +269,65 @@ def scd2_merge(
         c for c in existing.columns if c not in key_cols and c not in SCD2_COLS
     ]
     up = updates.select(*key_cols, *attr_cols)
+    # one update row per key, or two open versions would be inserted;
+    # groupBy is null-safe (NULL keys form their own group), so this
+    # catches duplicates among NULL-keyed rows too
+    if up.groupBy(*key_cols).count().filter("count > 1").limit(1).count():
+        raise ValueError("scd2_merge: updates contain duplicate keys")
 
     current = existing.filter(F.col("__is_current"))
     closed_history = existing.filter(~F.col("__is_current"))
 
+    def _nullsafe_cond(left, right):
+        cond = F.lit(True)
+        for k in key_cols:
+            cond = cond & left[k].eqNullSafe(right[k])
+        return cond
+
     # changed = current rows whose key matches an update with ANY differing
-    # attribute (null-safe); identical rows produce no new version
-    cond = [current[k].eqNullSafe(up[k]) for k in key_cols]
+    # attribute (null-safe); identical rows produce no new version. ALL the
+    # key joins below are null-safe too: a NULL business key must close and
+    # version like any other, not leak a duplicate open row.
     diff = F.lit(False)
     for a in attr_cols:
         diff = diff | ~current[a].eqNullSafe(up[a])
-    matched = current.alias("c").join(up.alias("n"), cond, "inner").filter(diff)
-    changed_keys = matched.select(*[F.col(f"c.{k}").alias(k) for k in key_cols])
+    matched = (
+        current.alias("c")
+        .join(up.alias("n"), _nullsafe_cond(current, up), "inner")
+        .filter(diff)
+    )
+    changed_keys = matched.select(
+        *[F.col(f"c.{k}").alias(k) for k in key_cols]
+    ).localCheckpoint(eager=True)
+
+    # out-of-order feeds corrupt the validity chain invisibly — refuse them
+    latest = (
+        current.join(changed_keys, _nullsafe_cond(current, changed_keys), "left_semi")
+        .agg(F.max("__valid_from").alias("m"))
+        .first()["m"]
+    )
+    if latest is not None and int(effective_us) <= int(latest):
+        raise ValueError(
+            f"scd2_merge: effective_us={effective_us} is not after the "
+            f"latest current __valid_from={latest} for a changed key — "
+            "out-of-order merges would create impossible validity intervals"
+        )
 
     to_close = (
-        current.join(changed_keys, key_cols, "left_semi")
+        current.join(changed_keys, _nullsafe_cond(current, changed_keys), "left_semi")
         .withColumn("__valid_to", F.lit(int(effective_us)).cast("long"))
         .withColumn("__is_current", F.lit(False))
     )
-    untouched_current = current.join(changed_keys, key_cols, "left_anti")
+    untouched_current = current.join(
+        changed_keys, _nullsafe_cond(current, changed_keys), "left_anti"
+    )
     # new versions: changed keys + brand-new keys
     existing_keys = current.select(*key_cols)
     new_rows = (
-        up.join(changed_keys, key_cols, "left_semi")
-        .unionByName(up.join(existing_keys, key_cols, "left_anti"))
+        up.join(changed_keys, _nullsafe_cond(up, changed_keys), "left_semi")
+        .unionByName(
+            up.join(existing_keys, _nullsafe_cond(up, existing_keys), "left_anti")
+        )
     )
     new_versions = scd2_init(new_rows, effective_us)
 

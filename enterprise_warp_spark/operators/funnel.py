@@ -1,9 +1,11 @@
 """Event-sequence analytics: funnels and retention cohorts.
 
-The product-analytics pair every event warehouse grows (Amplitude/
-Mixpanel/ClickHouse `windowFunnel`/`retention` analogues), expressed as
+The product-analytics pair every event warehouse grows, expressed as
 plain DataFrame ops over the (user_id, event_type, ts) shape of the
-`events` table.
+`events` table. The funnel uses EARLIEST-ANCHOR semantics (each user's
+window anchors at their first step-1 event); ClickHouse windowFunnel /
+Amplitude re-anchor on window expiry and can count strictly more
+windowed conversions — documented difference, not an equivalence claim.
 
 Scale shape:
 
@@ -47,6 +49,15 @@ def funnel(
     and makes the result order-independent of event duplication."""
     if not steps:
         raise ValueError("funnel needs at least one step")
+    from pyspark.sql.types import TimestampType
+
+    ts_type = dict((f.name, f.dataType) for f in events.schema.fields).get(ts_col)
+    if isinstance(ts_type, TimestampType):
+        raise ValueError(
+            f"funnel: {ts_col!r} is a TIMESTAMP — casting it to long yields "
+            "epoch SECONDS and silently breaks the microsecond window; pass "
+            "the epoch-microsecond column (e.g. ts_us) instead"
+        )
     # step 1: each user's earliest occurrence (hash aggregate, no arrays —
     # a hot user with millions of events never materializes a giant list)
     cur = (
@@ -97,6 +108,8 @@ def retention_cohorts(
     (cohort); for each later period offset, how many of them were active
     -> (cohort_us, offset, n_users), offset 0 = the cohort period itself
     (n_users = cohort size)."""
+    if period_us <= 0:
+        raise ValueError(f"period_us must be positive, got {period_us}")
     pu = (F.floor(F.col(ts_col).cast("long") / period_us) * period_us).cast(
         "long"
     )

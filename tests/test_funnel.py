@@ -100,3 +100,15 @@ def test_retention_cohorts_matches_duckdb_twin(spark, sf_dir, duck):
     for c in cohorts:
         size = want[(c, 0)]
         assert all(n <= size for (cc, o), n in want.items() if cc == c)
+
+
+def test_funnel_and_retention_guards(spark, sf_dir):
+    """Timestamp-typed ts_col and non-positive periods raise loudly."""
+    from enterprise_warp_spark.operators.funnel import funnel, retention_cohorts
+    from enterprise_warp_spark.tables import table
+
+    events = table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="TIMESTAMP"):
+        funnel(events, ["view", "click"], ts_col="ts")
+    with pytest.raises(ValueError, match="positive"):
+        retention_cohorts(events, 0)

@@ -684,3 +684,53 @@ def test_scd2_merge_and_point_in_time(spark, tmp_path):
     # exactly one current row per key, always
     cur = dim.filter("__is_current").groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_null_keys_dups_and_ordering_guards(spark, tmp_path):
+    """Review regressions: NULL business keys version correctly through
+    the null-safe joins; duplicate update keys and out-of-order
+    effective timestamps raise instead of corrupting the chain."""
+    from enterprise_warp_spark.maintenance import scd2_as_of, scd2_init, scd2_merge
+
+    path = str(tmp_path / "dimnull")
+    base = spark.createDataFrame(
+        [(None, "ghost", "US"), (1, "alice", "DE")],
+        "k long, name string, country string",
+    )
+    scd2_init(base, 1000).write.parquet(path)
+    scd2_merge(
+        spark,
+        path,
+        spark.createDataFrame([(None, "ghost", "JP")], "k long, name string, country string"),
+        ["k"],
+        2000,
+    )
+    dim = spark.read.parquet(path)
+    # the NULL key closed its old version and has exactly one current row
+    cur = dim.filter("__is_current and k is null").collect()
+    assert len(cur) == 1 and cur[0]["country"] == "JP"
+    old = dim.filter("not __is_current and k is null").collect()
+    assert len(old) == 1 and old[0]["__valid_to"] == 2000
+    assert {r["country"] for r in scd2_as_of(dim, 1500).collect()} == {"US", "DE"}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        scd2_merge(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, "alice", "FR"), (1, "alice", "AU")],
+                "k long, name string, country string",
+            ),
+            ["k"],
+            3000,
+        )
+    with pytest.raises(ValueError, match="not after"):
+        scd2_merge(
+            spark,
+            path,
+            spark.createDataFrame([(None, "ghost", "BR")], "k long, name string, country string"),
+            ["k"],
+            1500,  # before the current version's valid_from (2000)
+        )
