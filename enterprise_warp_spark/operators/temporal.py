@@ -223,3 +223,44 @@ def gapfill(
         F.col("__v").alias(value_col),
         "filled",
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    ts_us: str,
+    value: str,
+    group_cols: list[str],
+    window_rows: int = 50,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling anomaly detection: per group, each point's z-score against
+    the mean/stddev of the PRECEDING `window_rows` observations (the point
+    itself excluded, so an outlier cannot mask itself) -> input columns +
+    (roll_mean, roll_std, zscore, is_anomaly).
+
+    Points with fewer than 3 preceding observations, or a degenerate
+    (zero/null) rolling stddev, get zscore NULL / is_anomaly false — a
+    constant series reports no anomalies rather than dividing by zero.
+    One ordered window per group; the hypertable-shaped cost model
+    (per-group serial scan) shared by gapfill."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(ts_us)
+        .rowsBetween(-window_rows, -1)
+    )
+    roll_mean = F.avg(value).over(w)
+    roll_std = F.stddev_samp(value).over(w)
+    n_prev = F.count(value).over(w)
+    z = F.when(
+        (n_prev >= 3) & roll_std.isNotNull() & (roll_std > 0),
+        (F.col(value) - roll_mean) / roll_std,
+    )
+    return (
+        df.withColumn("roll_mean", roll_mean)
+        .withColumn("roll_std", roll_std)
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(z) > F.lit(float(threshold)), F.lit(False)),
+        )
+    )

@@ -267,3 +267,28 @@ def test_gapfill_null_group_and_zorder_weighted_median_guards(spark, tmp_path):
             spark.createDataFrame([(None, 1.0)], "n double, x double"),
             str(tmp_path / "bad2"), ["n", "x"],
         )
+
+
+def test_rolling_zscore_flags_injected_spike(spark):
+    """A spike injected into a stable series is flagged; the stable points
+    and a constant series are not; the spike never masks itself (window
+    excludes the current row)."""
+    import pytest
+    from enterprise_warp_spark.operators.temporal import rolling_zscore
+
+    rows = [("a", i * 10, 100.0 + (i % 3)) for i in range(60)]
+    rows[40] = ("a", 400, 500.0)  # spike
+    rows += [("const", i * 10, 7.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, ts_us long, value double")
+    out = {
+        (r["g"], r["ts_us"]): (r["is_anomaly"], r["zscore"])
+        for r in rolling_zscore(df, "ts_us", "value", ["g"], window_rows=20).collect()
+    }
+    assert out[("a", 400)][0] is True and abs(out[("a", 400)][1]) > 3
+    # neighbors stay clean; so does the whole constant series
+    flagged = [k for k, (a, _) in out.items() if a]
+    assert flagged == [("a", 400)]
+    assert all(out[("const", i * 10)][1] is None or abs(out[("const", i * 10)][1]) < 3
+               for i in range(30))
+    # first points (insufficient history) are null-z, not anomalous
+    assert out[("a", 0)][1] is None and out[("a", 0)][0] is False
