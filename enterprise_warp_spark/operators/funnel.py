@@ -143,10 +143,13 @@ def frequent_itemsets(
     FP-Growth -> {'itemsets': DF(items, freq), 'rules': DF(antecedent,
     consequent, confidence, lift, support)}. All JVM; baskets with
     duplicate items are deduplicated first (FPGrowth requires unique
-    items per transaction)."""
+    items per transaction); NULL baskets are dropped (they would kill
+    MLlib's fit with an opaque JVM NullPointerException)."""
     from pyspark.ml.fpm import FPGrowth
 
-    clean = df.select(F.array_distinct(F.col(items_col)).alias("items"))
+    clean = df.select(F.array_distinct(F.col(items_col)).alias("items")).filter(
+        F.col("items").isNotNull()
+    )
     model = FPGrowth(
         itemsCol="items", minSupport=min_support, minConfidence=min_confidence
     ).fit(clean)

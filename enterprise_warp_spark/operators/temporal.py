@@ -243,16 +243,23 @@ def rolling_zscore(
     constant series reports no anomalies rather than dividing by zero.
     One ordered window per group; the hypertable-shaped cost model
     (per-group serial scan) shared by gapfill."""
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    # deterministic tiebreak for tied timestamps — a rows-frame over a
+    # non-total order is partition-layout-dependent (same reason asof_join
+    # carries one); the value column makes the order total enough for
+    # reproducible frames
     w = (
         Window.partitionBy(*group_cols)
-        .orderBy(ts_us)
+        .orderBy(F.col(ts_us).asc(), F.col(value).asc())
         .rowsBetween(-window_rows, -1)
     )
     roll_mean = F.avg(value).over(w)
     roll_std = F.stddev_samp(value).over(w)
     n_prev = F.count(value).over(w)
+    # (roll_std > 0) is null-safe inside when(): NULL stddev -> not matched
     z = F.when(
-        (n_prev >= 3) & roll_std.isNotNull() & (roll_std > 0),
+        (n_prev >= 3) & (roll_std > 0),
         (F.col(value) - roll_mean) / roll_std,
     )
     return (

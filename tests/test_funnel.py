@@ -128,7 +128,6 @@ def test_frequent_itemsets_on_events(spark, sf_dir):
 
     events = table(spark, sf_dir, "events")
     baskets = user_event_baskets(events)
-    n_users = baskets.count()
     out = frequent_itemsets(baskets, "items", min_support=0.1)
     singles = {
         tuple(r["items"])[0]: r["freq"]
