@@ -1,0 +1,104 @@
+"""Geospatial radius join: brute-force haversine parity on random points,
+antimeridian wrap, high-latitude reach, and plan shape."""
+
+import math
+import random
+
+import pytest
+
+
+def _hav(lat1, lng1, lat2, lng2):
+    R = 6371.0088
+    la1, lo1, la2, lo2 = map(math.radians, (lat1, lng1, lat2, lng2))
+    a = (
+        math.sin((la2 - la1) / 2) ** 2
+        + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+    )
+    return 2 * R * math.asin(min(1.0, math.sqrt(a)))
+
+
+def test_radius_join_matches_brute_force(spark):
+    """Random world points incl. clusters: the bucketed join finds EXACTLY
+    the brute-force pair set at the exact distances."""
+    from enterprise_warp_spark.operators.geo import radius_join
+
+    rng = random.Random(17)
+    pts = []
+    # clusters around three cities + global scatter
+    for cx, cy in ((48.85, 2.35), (-33.87, 151.21), (64.1, -21.9)):
+        for i in range(25):
+            pts.append((cx + rng.uniform(-0.5, 0.5), cy + rng.uniform(-0.5, 0.5)))
+    for _ in range(60):
+        pts.append((rng.uniform(-85, 85), rng.uniform(-180, 180)))
+    left = spark.createDataFrame(
+        [(i, la, ln) for i, (la, ln) in enumerate(pts)], "id long, lat double, lng double"
+    )
+    radius = 30.0
+    got = {
+        (r["id_l"], r["id_r"]): r["distance_km"]
+        for r in radius_join(left, left, radius).collect()
+        if r["id_l"] < r["id_r"]
+    }
+    want = {}
+    for i, (la1, ln1) in enumerate(pts):
+        for j in range(i + 1, len(pts)):
+            la2, ln2 = pts[j]
+            d = _hav(la1, ln1, la2, ln2)
+            if d <= radius:
+                want[(i, j)] = d
+    assert set(got) == set(want)
+    assert len(want) > 30  # clusters guarantee a real pair population
+    for k, d in want.items():
+        assert got[k] == pytest.approx(d, rel=1e-12)
+
+
+def test_radius_join_antimeridian_and_high_latitude(spark):
+    """Pairs straddling +-180 longitude are found (pmod ring wrap), and
+    high-latitude points find longitudinally-distant neighbors (per-row
+    reach widening)."""
+    from enterprise_warp_spark.operators.geo import haversine_km, radius_join
+    from pyspark.sql import functions as F
+
+    pts = [
+        (1, 0.0, 179.95), (2, 0.0, -179.95),   # ~11 km apart across the seam
+        (3, 85.0, 10.0), (4, 85.0, 12.0),      # ~19 km apart at lat 85
+        (5, 0.0, 0.0),                          # far from everything
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lng double")
+    pairs = {
+        frozenset((r["id_l"], r["id_r"]))
+        for r in radius_join(df, df, 25.0).collect()
+        if r["id_l"] != r["id_r"]
+    }
+    assert frozenset((1, 2)) in pairs
+    assert frozenset((3, 4)) in pairs
+    assert not any(5 in p for p in pairs)
+
+    # haversine sanity: Paris-London ~343 km
+    d = (
+        spark.range(1)
+        .select(
+            haversine_km(F.lit(48.8566), F.lit(2.3522), F.lit(51.5074), F.lit(-0.1278))
+        )
+        .first()[0]
+    )
+    assert d == pytest.approx(343.5, abs=2.0)
+
+
+def test_radius_join_plan_no_cartesian(spark):
+    from enterprise_warp_spark.operators.geo import radius_join
+
+    df = spark.range(100).selectExpr(
+        "id", "cast(id % 90 as double) as lat", "cast(id % 180 as double) as lng"
+    )
+    plan = (
+        radius_join(df, df, 50.0)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    with pytest.raises(ValueError, match="positive"):
+        radius_join(df, df, 0)
