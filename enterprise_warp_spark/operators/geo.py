@@ -139,3 +139,61 @@ def radius_join(
         .filter(F.col("distance_km") <= radius_km)
         .distinct()  # neighborhood overlap can produce duplicate candidates
     )
+
+
+def point_in_polygon(
+    lat: Column | str, lng: Column | str, polygon_col: Column | str
+) -> Column:
+    """Ray-casting containment test, fully in Catalyst: `polygon_col` is an
+    array<struct<lat:double, lng:double>> of vertices (closed implicitly);
+    returns true when the point is inside (edge-touching points follow the
+    half-open ray-cast convention). The whole test is one aggregate() fold
+    over the vertex array — no Python, no explode.
+
+    Planar semantics on lat/lng coordinates — correct for polygons that do
+    not cross the antimeridian or enclose a pole (split such polygons
+    upstream, the standard GIS contract for equirectangular ray casts)."""
+    la = F.col(lat) if isinstance(lat, str) else lat
+    lo = F.col(lng) if isinstance(lng, str) else lng
+    poly = F.col(polygon_col) if isinstance(polygon_col, str) else polygon_col
+    # fold over edges (v[i], v[i+1 mod n]): count ray crossings rightward
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(0, size({poly._jc.toString()}) - 1),
+          named_struct('inside', false),
+          (acc, i) -> named_struct('inside',
+            CASE WHEN (
+              (element_at({poly._jc.toString()}, i + 1).lat > {la._jc.toString()})
+                != (element_at({poly._jc.toString()},
+                      (i + 1) % size({poly._jc.toString()}) + 1).lat > {la._jc.toString()})
+              AND {lo._jc.toString()} <
+                (element_at({poly._jc.toString()},
+                   (i + 1) % size({poly._jc.toString()}) + 1).lng
+                 - element_at({poly._jc.toString()}, i + 1).lng)
+                * ({la._jc.toString()} - element_at({poly._jc.toString()}, i + 1).lat)
+                / (element_at({poly._jc.toString()},
+                     (i + 1) % size({poly._jc.toString()}) + 1).lat
+                   - element_at({poly._jc.toString()}, i + 1).lat)
+                + element_at({poly._jc.toString()}, i + 1).lng
+            ) THEN NOT acc.inside ELSE acc.inside END),
+          acc -> acc.inside
+        )
+        """
+    )
+
+
+def points_in_polygons_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    polygon_col: str = "polygon",
+) -> DataFrame:
+    """Spatial containment join: each point paired with every polygon that
+    contains it. The polygon table (with its vertex arrays) is broadcast —
+    region/geofence tables are small by nature — and the exact ray-cast
+    runs as the join predicate's filter; no shuffle of the point side."""
+    return points.crossJoin(F.broadcast(polygons)).filter(
+        point_in_polygon(lat_col, lng_col, polygon_col)
+    )

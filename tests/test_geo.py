@@ -102,3 +102,68 @@ def test_radius_join_plan_no_cartesian(spark):
     )
     with pytest.raises(ValueError, match="positive"):
         radius_join(df, df, 0)
+
+
+def test_point_in_polygon_matches_shapely_free_reference(spark):
+    """Catalyst ray-cast == a direct Python ray-cast over random points and
+    polygons (convex box, concave L-shape, triangle)."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.geo import (
+        point_in_polygon,
+        points_in_polygons_join,
+    )
+
+    def ref_pip(lat, lng, poly):
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            la1, lo1 = poly[i]
+            la2, lo2 = poly[(i + 1) % n]
+            if (la1 > lat) != (la2 > lat) and lng < (lo2 - lo1) * (
+                lat - la1
+            ) / (la2 - la1) + lo1:
+                inside = not inside
+        return inside
+
+    polys = {
+        "box": [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)],
+        "lshape": [
+            (0.0, 20.0), (6.0, 20.0), (6.0, 23.0), (2.0, 23.0),
+            (2.0, 26.0), (0.0, 26.0),
+        ],
+        "triangle": [(-10.0, -10.0), (-10.0, -2.0), (-3.0, -6.0)],
+    }
+    rng = __import__("random").Random(7)
+    pts = [
+        (i, rng.uniform(-12, 12), rng.uniform(-12, 28)) for i in range(300)
+    ]
+    points = spark.createDataFrame(pts, "id long, lat double, lng double")
+    polygons = spark.createDataFrame(
+        [
+            (name, [{"lat": a, "lng": b} for a, b in verts])
+            for name, verts in polys.items()
+        ],
+        "name string, polygon array<struct<lat:double,lng:double>>",
+    )
+    got = {
+        (r["id"], r["name"])
+        for r in points_in_polygons_join(points, polygons).collect()
+    }
+    want = {
+        (i, name)
+        for i, la, lo in pts
+        for name, verts in polys.items()
+        if ref_pip(la, lo, verts)
+    }
+    assert got == want
+    assert len(want) > 20  # the point cloud really covers the polygons
+
+    # column form composes in a select
+    one = (
+        points.limit(1)
+        .crossJoin(polygons.filter("name = 'box'"))
+        .select(point_in_polygon("lat", "lng", "polygon").alias("inside"))
+        .first()
+    )
+    assert one["inside"] in (True, False)
