@@ -8,11 +8,12 @@ exact haversine. Never an all-pairs cross join.
 
 Correctness at any latitude: a longitude degree shrinks by cos(lat), so a
 fixed-degree cell covers fewer km east-west near the poles. The probe
-side's neighborhood therefore widens per row — each point computes its
-OWN longitude cell reach from its latitude — rather than assuming the
-equator's 111 km/degree. Latitudes beyond ±89.9° fall back to a
-full-longitude-ring neighborhood cap (documented; the cells there are
-tiny slivers and the verify step keeps exactness).
+side's neighborhood widens per row, computed from the MOST POLEWARD
+latitude reachable within the radius (its own latitude would
+under-reach when the neighbor sits poleward), and degrades to the full
+longitude ring near the poles — bounded by n_ring cells, paid only by
+rows within ~a degree of a pole, and the haversine verify keeps
+exactness everywhere.
 
 All Catalyst: cell math is integer arithmetic, the neighborhood explode
 is a sequence() product, haversine is trig columns.
@@ -26,9 +27,6 @@ from pyspark.sql import functions as F
 EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
 KM_PER_DEG_LAT = 111.19492664455873  # pi * R / 180
 
-# longitude-neighbor cap: beyond this many cells per side, use the whole
-# longitude ring (only reachable within ~0.1 deg of a pole)
-_MAX_LNG_REACH = 64
 
 
 def haversine_km(
@@ -82,7 +80,7 @@ def radius_join(
     # cells handle pairs straddling the +-180 antimeridian correctly
     n_ring = max(1, int(360.0 // cell_deg))
     lng_cell_deg = 360.0 / n_ring
-    max_reach = min(_MAX_LNG_REACH, n_ring // 2 + 1)
+    full_ring = n_ring // 2 + 1  # covers every cell after pmod wrap
 
     def prefixed(df, suffix):
         return df.select([F.col(c).alias(f"{c}{suffix}") for c in df.columns])
@@ -101,17 +99,29 @@ def radius_join(
         "__latc", F.floor(rlat / cell_deg).cast("long")
     ).withColumn("__lngc", lng_cell(rlng))
 
-    # per-row longitude reach: how many cells east/west `radius_km` spans
-    # at THIS latitude (cos shrinks the km width of a lng cell); capped at
-    # half the ring (covers every cell) and guarded against the cos->0 pole
-    km_per_lng_deg = KM_PER_DEG_LAT * F.cos(F.radians(llat))
+    # per-row longitude reach from the MOST POLEWARD latitude the radius
+    # can touch (own |lat| + one radius of latitude + one cell of floor
+    # quantization): cos there lower-bounds the km width of a lng cell
+    # anywhere in the neighborhood. cos -> 0 near the pole degrades to the
+    # full ring (bounded by n_ring; the verify step keeps exactness).
+    edge_lat = F.least(F.abs(llat) + F.lit(2.0 * cell_deg), F.lit(90.0))
+    km_per_lng_deg = KM_PER_DEG_LAT * F.cos(F.radians(edge_lat))
     reach = F.least(
         F.when(
-            km_per_lng_deg * lng_cell_deg > radius_km / _MAX_LNG_REACH,
+            km_per_lng_deg * lng_cell_deg > radius_km / full_ring,
             F.ceil(radius_km / (km_per_lng_deg * lng_cell_deg)),
-        ).otherwise(F.lit(max_reach)),
-        F.lit(max_reach),
+        ).otherwise(F.lit(full_ring)),
+        F.lit(full_ring),
     ).cast("int")
+    # dedup the wrapped cell ids PER ROW (wrap overlap when 2*reach+1 >=
+    # n_ring) instead of a full-output distinct: preserves the multiplicity
+    # of genuinely duplicate input rows and skips a global dedup shuffle
+    lng_cells = F.array_distinct(
+        F.transform(
+            F.sequence(-F.col("__reach"), F.col("__reach")),
+            lambda d: F.pmod(F.col("__lngc0") + d, F.lit(n_ring)),
+        )
+    )
     l_cells = (
         l_pref.withColumn("__latc0", F.floor(llat / cell_deg).cast("long"))
         .withColumn("__lngc0", F.floor(llng / lng_cell_deg).cast("long"))
@@ -119,25 +129,17 @@ def radius_join(
         .withColumn(
             "__dlat", F.explode(F.sequence(F.lit(-lat_reach), F.lit(lat_reach)))
         )
-        .withColumn(
-            "__dlng", F.explode(F.sequence(-F.col("__reach"), F.col("__reach")))
-        )
+        .withColumn("__lngc", F.explode(lng_cells))
         .withColumn("__latc", F.col("__latc0") + F.col("__dlat"))
-        .withColumn(
-            "__lngc",
-            F.pmod(F.col("__lngc0") + F.col("__dlng"), F.lit(n_ring)),
-        )
-        .drop("__latc0", "__lngc0", "__reach", "__dlat", "__dlng")
+        .drop("__latc0", "__lngc0", "__reach", "__dlat")
     )
 
     joined = l_cells.join(r_cells, ["__latc", "__lngc"]).drop(
         "__latc", "__lngc"
     )
     dist = haversine_km(llat, llng, rlat, rlng)
-    return (
-        joined.withColumn("distance_km", dist)
-        .filter(F.col("distance_km") <= radius_km)
-        .distinct()  # neighborhood overlap can produce duplicate candidates
+    return joined.withColumn("distance_km", dist).filter(
+        F.col("distance_km") <= radius_km
     )
 
 
@@ -148,7 +150,10 @@ def point_in_polygon(
     array<struct<lat:double, lng:double>> of vertices (closed implicitly);
     returns true when the point is inside (edge-touching points follow the
     half-open ray-cast convention). The whole test is one aggregate() fold
-    over the vertex array — no Python, no explode.
+    over the vertex array — native higher-order-function API, real Column
+    objects, no Python rows, no explode. Degenerate polygons (fewer than
+    3 vertices, incl. empty/null arrays) are simply 'contains nothing',
+    never an error.
 
     Planar semantics on lat/lng coordinates — correct for polygons that do
     not cross the antimeridian or enclose a pole (split such polygons
@@ -156,31 +161,22 @@ def point_in_polygon(
     la = F.col(lat) if isinstance(lat, str) else lat
     lo = F.col(lng) if isinstance(lng, str) else lng
     poly = F.col(polygon_col) if isinstance(polygon_col, str) else polygon_col
-    # fold over edges (v[i], v[i+1 mod n]): count ray crossings rightward
-    return F.expr(
-        f"""
-        aggregate(
-          sequence(0, size({poly._jc.toString()}) - 1),
-          named_struct('inside', false),
-          (acc, i) -> named_struct('inside',
-            CASE WHEN (
-              (element_at({poly._jc.toString()}, i + 1).lat > {la._jc.toString()})
-                != (element_at({poly._jc.toString()},
-                      (i + 1) % size({poly._jc.toString()}) + 1).lat > {la._jc.toString()})
-              AND {lo._jc.toString()} <
-                (element_at({poly._jc.toString()},
-                   (i + 1) % size({poly._jc.toString()}) + 1).lng
-                 - element_at({poly._jc.toString()}, i + 1).lng)
-                * ({la._jc.toString()} - element_at({poly._jc.toString()}, i + 1).lat)
-                / (element_at({poly._jc.toString()},
-                     (i + 1) % size({poly._jc.toString()}) + 1).lat
-                   - element_at({poly._jc.toString()}, i + 1).lat)
-                + element_at({poly._jc.toString()}, i + 1).lng
-            ) THEN NOT acc.inside ELSE acc.inside END),
-          acc -> acc.inside
+    n = F.size(poly)
+
+    def edge_flip(acc: Column, i: Column) -> Column:
+        v1 = F.element_at(poly, i + 1)
+        v2 = F.element_at(poly, F.pmod(i + 1, n) + 1)
+        crosses = (v1["lat"] > la) != (v2["lat"] > la)
+        x_intersect = (
+            (v2["lng"] - v1["lng"]) * (la - v1["lat"]) / (v2["lat"] - v1["lat"])
+            + v1["lng"]
         )
-        """
-    )
+        return F.when(crosses & (lo < x_intersect), ~acc).otherwise(acc)
+
+    fold = F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(False), edge_flip)
+    # CASE evaluates only the matched branch, so the fold (and its
+    # descending sequence(0, -1)) never runs for degenerate polygons
+    return F.when(n >= 3, fold).otherwise(F.lit(False))
 
 
 def points_in_polygons_join(
@@ -189,11 +185,27 @@ def points_in_polygons_join(
     lat_col: str = "lat",
     lng_col: str = "lng",
     polygon_col: str = "polygon",
+    suffixes: tuple[str, str] = ("", "_poly"),
 ) -> DataFrame:
     """Spatial containment join: each point paired with every polygon that
     contains it. The polygon table (with its vertex arrays) is broadcast —
     region/geofence tables are small by nature — and the exact ray-cast
-    runs as the join predicate's filter; no shuffle of the point side."""
-    return points.crossJoin(F.broadcast(polygons)).filter(
-        point_in_polygon(lat_col, lng_col, polygon_col)
+    runs as the join filter; no shuffle of the point side. Column names
+    shared between the two tables get `suffixes` (polygon-side columns are
+    suffixed), so a polygon table carrying its own lat/lng centroid never
+    trips an ambiguous-reference error."""
+    clash = set(points.columns) & set(polygons.columns)
+    p = points.select(
+        [F.col(c).alias(f"{c}{suffixes[0]}" if c in clash else c) for c in points.columns]
+    )
+    g = polygons.select(
+        [F.col(c).alias(f"{c}{suffixes[1]}" if c in clash else c) for c in polygons.columns]
+    )
+    lat_name = f"{lat_col}{suffixes[0]}" if lat_col in clash else lat_col
+    lng_name = f"{lng_col}{suffixes[0]}" if lng_col in clash else lng_col
+    poly_name = (
+        f"{polygon_col}{suffixes[1]}" if polygon_col in clash else polygon_col
+    )
+    return p.crossJoin(F.broadcast(g)).filter(
+        point_in_polygon(lat_name, lng_name, poly_name)
     )

@@ -167,3 +167,64 @@ def test_point_in_polygon_matches_shapely_free_reference(spark):
         .first()
     )
     assert one["inside"] in (True, False)
+
+
+def test_geo_review_regressions(spark):
+    """Review fixes: high-latitude pairs inside the radius are found (the
+    old reach cap and own-cos reach both missed them); duplicate input
+    rows keep their multiplicity; degenerate polygons contain nothing;
+    shared column names between points and polygons disambiguate."""
+    from enterprise_warp_spark.operators.geo import (
+        point_in_polygon,
+        points_in_polygons_join,
+        radius_join,
+    )
+
+    # the reviewer's verified-miss cases
+    high = spark.createDataFrame(
+        [
+            (1, 89.5, 0.0), (2, 89.5, 40.0),          # 38 km apart near pole
+            (3, 88.636, 89.92), (4, 88.740, 109.11),  # 49.97 km, cos-edge case
+        ],
+        "id long, lat double, lng double",
+    )
+    pairs = {
+        frozenset((r["id_l"], r["id_r"]))
+        for r in radius_join(high, high, 50.0).collect()
+        if r["id_l"] != r["id_r"]
+    }
+    assert frozenset((1, 2)) in pairs
+    assert frozenset((3, 4)) in pairs
+
+    # duplicate input rows preserve multiplicity (no global distinct)
+    dup = spark.createDataFrame(
+        [(1, 10.0, 10.0), (1, 10.0, 10.0), (2, 10.1, 10.1)],
+        "id long, lat double, lng double",
+    )
+    n = radius_join(dup, dup.filter("id = 2"), 30.0).count()
+    assert n == 3  # both copies of id 1 match id 2, plus id 2 itself
+
+    # degenerate polygons: empty and 2-vertex arrays contain nothing
+    pts = spark.createDataFrame([(1, 5.0, 5.0)], "id long, lat double, lng double")
+    degen = spark.createDataFrame(
+        [
+            ("empty", []),
+            ("line", [{"lat": 0.0, "lng": 0.0}, {"lat": 10.0, "lng": 10.0}]),
+        ],
+        "name string, polygon array<struct<lat:double,lng:double>>",
+    )
+    assert points_in_polygons_join(pts, degen).count() == 0
+
+    # shared lat/lng columns on the polygon side (centroids) disambiguate
+    geof = spark.createDataFrame(
+        [
+            (
+                "box", 5.0, 5.0,
+                [{"lat": 0.0, "lng": 0.0}, {"lat": 0.0, "lng": 10.0},
+                 {"lat": 10.0, "lng": 10.0}, {"lat": 10.0, "lng": 0.0}],
+            )
+        ],
+        "name string, lat double, lng double, polygon array<struct<lat:double,lng:double>>",
+    )
+    out = points_in_polygons_join(pts, geof).collect()
+    assert len(out) == 1 and out[0]["name"] == "box"
