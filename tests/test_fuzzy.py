@@ -1,0 +1,81 @@
+"""Edit-distance threshold join: brute-force Levenshtein parity over random
+typo-injected corpora, repeated-gram strings, and the short/long bridge."""
+
+import random
+
+import pytest
+
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+def _corpus(rng, n=120):
+    vocab = ["johnson", "smithfield", "alexander", "rodriguez", "chen",
+             "ab", "abc", "x", "aaaaaa", "aaaaab", "mueller", "oconnor"]
+    out = []
+    for i in range(n):
+        base = rng.choice(vocab)
+        s = list(base)
+        for _ in range(rng.randint(0, 2)):
+            op = rng.randint(0, 2)
+            pos = rng.randrange(max(1, len(s)))
+            if op == 0 and len(s) > 1:
+                del s[pos]
+            elif op == 1:
+                s.insert(pos, rng.choice("abcdefz"))
+            else:
+                s[pos] = rng.choice("abcdefz")
+        out.append((i, "".join(s)))
+    return out
+
+
+def test_edit_distance_join_matches_brute_force(spark):
+    from enterprise_warp_spark.operators.fuzzy import edit_distance_join
+
+    rng = random.Random(11)
+    rows = _corpus(rng)
+    df = spark.createDataFrame(rows, "id long, name string")
+    for k in (1, 2):
+        got = {
+            (r["id_l"], r["id_r"]): r["distance"]
+            for r in edit_distance_join(df, df, "name", max_dist=k).collect()
+        }
+        want = {
+            (i, j): _lev(a, b)
+            for i, a in rows
+            for j, b in rows
+            if _lev(a, b) <= k
+        }
+        assert set(got) == set(want), f"k={k}"
+        for key, d in want.items():
+            assert got[key] == d
+        assert len(want) > len(rows)  # self-pairs + real fuzzy matches
+
+
+def test_edit_distance_join_repeated_grams_and_nulls(spark):
+    """'aaaaaa' vs 'aaaaab' (distance 1, distinct-gram overlap only 1) must
+    match — the multiset count filter keeps it; NULLs never match."""
+    from enterprise_warp_spark.operators.fuzzy import edit_distance_join
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaa"), (2, "aaaaab"), (3, None), (4, "zzzzzz")],
+        "id long, name string",
+    )
+    got = {
+        frozenset((r["id_l"], r["id_r"]))
+        for r in edit_distance_join(df, df, "name", max_dist=1).collect()
+        if r["id_l"] != r["id_r"]
+    }
+    assert got == {frozenset((1, 2))}
+
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_join(df, df, "name", max_dist=-1)
