@@ -79,3 +79,33 @@ def test_edit_distance_join_repeated_grams_and_nulls(spark):
 
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_join(df, df, "name", max_dist=-1)
+
+
+def test_edit_distance_join_multiplicity_and_q_sweep(spark):
+    """Duplicate input rows keep their multiplicity identically whether
+    their strings are long or short (surrogate-id architecture), and the
+    three-pass split stays exact across q and k values."""
+    from enterprise_warp_spark.operators.fuzzy import edit_distance_join
+
+    dup = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdefgh"), (3, "ab"), (4, "ab")],
+        "id long, name string",
+    )
+    out = edit_distance_join(dup, dup, "name", max_dist=2)
+    long_pairs = out.filter("name_l = 'abcdefgh' and name_r = 'abcdefgh'").count()
+    short_pairs = out.filter("name_l = 'ab' and name_r = 'ab'").count()
+    assert long_pairs == 4 and short_pairs == 4  # 2x2 each, consistently
+
+    rng = random.Random(3)
+    rows = _corpus(rng, n=80)
+    df = spark.createDataFrame(rows, "id long, name string")
+    for q in (1, 2, 3):
+        for k in (0, 1, 2):
+            got = {
+                (r["id_l"], r["id_r"])
+                for r in edit_distance_join(df, df, "name", max_dist=k, q=q).collect()
+            }
+            want = {
+                (i, j) for i, a in rows for j, b in rows if _lev(a, b) <= k
+            }
+            assert got == want, (q, k)
