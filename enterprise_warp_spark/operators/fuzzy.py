@@ -4,18 +4,22 @@ resolution / record linkage.
 The classic dedup-adjacent problem the text pipeline doesn't cover:
 "which names/titles/addresses are within k edits of each other" across
 two tables. Brute force is |L| x |R| Levenshtein — this operator blocks
-with the standard q-gram COUNT FILTER instead: two strings within edit
-distance k share at least max(|s1|, |s2|) - q + 1 - k*q q-grams counted
-as a MULTISET (each edit destroys at most q grams), and their lengths
-differ by at most k.
+with RAREST-GRAM PREFIX FILTERING (the Ed-Join family, Xiao et al.,
+PVLDB 2008 — a public algorithm): each of the k edits destroys at most
+q of a string's q-gram occurrences, so for any q*k+1 chosen occurrences
+of the left string, at least one gram VALUE must also occur in any right
+string within distance k. Choosing the q*k+1 occurrences whose gram
+values are GLOBALLY RAREST on the right side minimizes the join fan-out.
+Lengths must additionally differ by at most k.
 
 Three disjoint, complete candidate passes (let C = q * (1 + k)):
 
-  A  both lengths >= C         q-gram count filter (the main path)
-  B  min < C, max > k          1-gram count filter (each edit destroys at
-                               most ONE character, so shared unigram mass
-                               >= max_len - k > 0 — a real filter for
-                               every pair this pass owns)
+  A  both lengths >= C         q-gram prefix filter (the main path;
+                               len >= C gives len - q + 1 >= q*k + 1
+                               occurrences — exactly enough)
+  B  min < C, max > k          1-gram prefix filter (len > k gives
+                               len >= k + 1 unigram occurrences — again
+                               exactly enough)
   C  both lengths <= k         length-bucket product over the <= k-char
                                strings only — the single genuinely
                                unfilterable class ("ab" vs "cd" at k=2
@@ -23,18 +27,24 @@ Three disjoint, complete candidate passes (let C = q * (1 + k)):
                                quadratic population; it is tiny because
                                its members are at most max_dist chars
 
-Plan shape (the LSH discipline): per-row gram counts -> equi-join on the
-gram -> shared mass = sum of per-gram minima -> count + length filters ->
-Spark's banded levenshtein(l, r, threshold) only on survivors. Wide
-payloads never ride the gram shuffles: rows get internal surrogate ids
-(materialized once), the candidate passes move only (id, text, len), and
-payloads join back at the end — which also makes duplicate input rows
-keep their multiplicity identically in every pass.
+Plan shape (the LSH discipline): one linear gram pass builds the
+right-side gram document frequencies; the left side keeps only its
+q*k+1 rarest gram occurrences (per-row window over its own handful of
+grams); the candidate join is equi on the gram; survivors go through
+Spark's banded levenshtein(l, r, threshold). Wide payloads never ride
+the gram shuffles: rows get internal surrogate ids (materialized once),
+the candidate passes move only (id, text, len), and payloads join back
+at the end — which also makes duplicate input rows keep their
+multiplicity identically in every pass.
 
-Gram-frequency skew: stop-grams ('er', 'an') make the gram join hot-keyed
-on name-like data; AQE's skew-join split handles moderate skew, and
-`operators/skew.salted_join` is the documented escalation for extreme
-corpora (same trade-off as the LSH band join in pipeline/dedup.py).
+Why prefix, not the q-gram COUNT filter (the r5 design): the count
+filter joins on EVERY shared gram, which is quadratic on common-prefix
+corpora ('Customer#000...', URLs, file paths) where one hot gram bucket
+holds most of both sides — measured 106 s at sf0.1 on customer names.
+The rarest-gram prefix never joins through hot grams (a hot gram is by
+definition not among a row's rarest), so shared boilerplate costs
+nothing; corpora where the blowup is the OUTPUT itself (near-duplicate
+strings everywhere) are quadratic for any algorithm.
 """
 
 from __future__ import annotations
@@ -53,34 +63,59 @@ def _grams(col: str, q: int):
 
 
 def _gram_pass(l_slim, r_slim, q: int, max_dist: int):
-    """Candidate (id_l, id_r) pairs passing the q-gram multiset count
-    filter + length filter. Slim frames carry (__id, __t, __len) only."""
-    def counts(df, side):
-        return (
-            df.withColumn("__g", F.explode(_grams("__t", q)))
-            .groupBy(
-                F.col("__id").alias(f"__id_{side}"),
-                F.col("__t").alias(f"__t_{side}"),
-                F.col("__len").alias(f"__len_{side}"),
-                "__g",
-            )
-            .agg(F.count(F.lit(1)).alias(f"__c_{side}"))
-        )
+    """Candidate (id_l, id_r) pairs passing the rarest-gram prefix filter
+    + length filter. Slim frames carry (__id, __t, __len) only.
 
-    lg, rg = counts(l_slim, "l"), counts(r_slim, "r")
-    shared = (
-        lg.join(rg, "__g")
-        .withColumn("__m", F.least("__c_l", "__c_r"))
-        .groupBy("__id_l", "__t_l", "__len_l", "__id_r", "__t_r", "__len_r")
-        .agg(F.sum("__m").alias("__shared"))
+    Correctness: every row this pass owns has at least q*max_dist + 1
+    gram occurrences (pass A: len >= q*(1+k); pass B: q=1, len > k), and
+    max_dist edits destroy at most q*max_dist occurrences — so for ANY
+    q*max_dist + 1 chosen occurrences, a true match must contain at least
+    one chosen gram value. The choice is free; rarest-on-the-right
+    minimizes sum_g |Lprefix_g| * |R_g|.
+    """
+    from pyspark.sql import Window
+
+    k = q * max_dist + 1
+    rg = (
+        r_slim.withColumn("__g", F.explode(_grams("__t", q)))
+        .select(
+            F.col("__id").alias("__id_r"),
+            F.col("__t").alias("__t_r"),
+            F.col("__len").alias("__len_r"),
+            "__g",
+        )
+        # value-level membership is what the lemma needs; dedup per row so
+        # a repeated gram cannot emit duplicate candidate pairs
+        .dropDuplicates(["__id_r", "__g"])
     )
-    need = (
-        F.greatest("__len_l", "__len_r") - F.lit(q - 1) - F.lit(max_dist * q)
+    # right-side document frequency per gram value — one linear hash agg
+    freq = rg.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    lg = (
+        l_slim.select(
+            F.col("__id").alias("__id_l"),
+            F.col("__t").alias("__t_l"),
+            F.col("__len").alias("__len_l"),
+            F.posexplode(_grams("__t", q)).alias("__p", "__g"),
+        )
+        # left join: a gram absent from the right side has df 0 — the very
+        # rarest, and its join bucket is empty (free)
+        .join(freq, "__g", "left")
+        .withColumn("__df", F.coalesce("__df", F.lit(0)))
     )
-    return shared.filter(
-        (F.abs(F.col("__len_l") - F.col("__len_r")) <= max_dist)
-        & (F.col("__shared") >= need)
-    ).select("__id_l", "__t_l", "__id_r", "__t_r")
+    w = Window.partitionBy("__id_l").orderBy(
+        F.asc("__df"), F.asc("__g"), F.asc("__p")
+    )
+    prefix = (
+        lg.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("__id_l", "__t_l", "__len_l", "__g")
+    )
+    return (
+        prefix.join(rg, "__g")
+        .filter(F.abs(F.col("__len_l") - F.col("__len_r")) <= max_dist)
+        .select("__id_l", "__t_l", "__id_r", "__t_r")
+        .dropDuplicates(["__id_l", "__id_r"])
+    )
 
 
 def edit_distance_join(

@@ -199,43 +199,6 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "flag_substring_select",
-    """
-    SELECT 'flag' AS op, event_type, COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE), 2) AS sum_value
-    FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
-    GROUP BY event_type
-    UNION ALL
-    SELECT 'substr' AS op, event_type, COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE), 2) AS sum_value
-    FROM events
-    WHERE event_type LIKE '%ck%' OR event_type LIKE '%error%'
-    GROUP BY event_type
-    """,
-    doc="P1 flag-equality selection (open-ended per-row map / JSON props "
-    "filter) + P4 column selection by name-substring patterns "
-    "(results.py:516-524), tag-discriminated in one gate.",
-)
-def flag_substring_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    aggs = [F.count(F.lit(1)).alias("n"), _dsum("value", 14, 6).alias("sum_value")]
-    flag = (
-        ev.filter(F.get_json_object("props", "$.k").cast("int") >= 50)
-        .groupBy("event_type")
-        .agg(*aggs)
-        .select(F.lit("flag").alias("op"), "event_type", "n", "sum_value")
-    )
-    substr = (
-        ev.filter(F.col("event_type").like("%ck%") | F.col("event_type").like("%error%"))
-        .groupBy("event_type")
-        .agg(*aggs)
-        .select(F.lit("substr").alias("op"), "event_type", "n", "sum_value")
-    )
-    return flag.unionByName(substr)
-
-
-@register(
     "log_bayes_factors_events",
     """
     WITH c AS (
@@ -352,10 +315,30 @@ def hist_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SQRT(CAST(SUM(CAST(value*value AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*)), 6) AS s1,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / COUNT(*), 6) AS s2
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'wmedian_orders' AS op, grp, s1, s2 FROM (
+      WITH w AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS v,
+               CAST(o_orderkey % 7 + 1 AS DOUBLE) AS wt
+        FROM orders
+      ),
+      c AS (
+        SELECT grp, v, wt,
+               SUM(wt) OVER (PARTITION BY grp ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY grp) AS tot
+        FROM w
+      )
+      SELECT grp, MIN(v) AS s1, ANY_VALUE(tot) AS s2
+      FROM c WHERE cw >= tot / 2.0 GROUP BY grp
+    )
     """,
     doc="A7 inverse-variance weighted mean (results.py:276-284) + A10 "
-    "per-backend RMS/mean error stats (libstempo_warp.py:93-98), "
-    "tag-discriminated: (op, grp, s1, s2) = (wavg, werr) | (rms, mean).",
+    "per-backend RMS/mean error stats (libstempo_warp.py:93-98) + the r5 "
+    "distributed weighted median (operators/weighted.py weighted_median, "
+    "lower-median convention; integer weights keep the cumulative sums "
+    "exact), tag-discriminated: (op, grp, s1, s2) = (wavg, werr) | "
+    "(rms, mean) | (wmedian, total_weight).",
 )
 def weighted_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm = weighted_mean(
@@ -376,7 +359,20 @@ def weighted_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("rms_events").alias("op"), F.col("event_type").alias("grp"), "s1", "s2"
     )
-    return wm.unionByName(rms)
+    from enterprise_warp_spark.operators.weighted import weighted_median
+
+    wo = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 7 + 1).cast("double").alias("wt"),
+    )
+    med = weighted_median(wo, "v", "wt", ["grp"])
+    tot = wo.groupBy("grp").agg(F.sum("wt").alias("tot"))
+    wmed = med.join(F.broadcast(tot), "grp").select(
+        F.lit("wmedian_orders").alias("op"), "grp",
+        F.col("wmedian").alias("s1"), F.col("tot").alias("s2"),
+    )
+    return wm.unionByName(rms).unionByName(wmed)
 
 
 @register(
@@ -432,39 +428,74 @@ def range_bins_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "census_tspan_events",
+    "chain_census_ops",
     """
+    WITH t AS (SELECT event_id, CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS INTEGER) AS rn FROM events),
+    b AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY event_id) AS rn, COUNT(*) OVER () AS n
+      FROM events
+    )
     SELECT 'census' AS op, event_type AS key,
-           COUNT(*) AS n, COUNT(DISTINCT user_id) AS v
+           COUNT(*) AS n, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS v
     FROM events GROUP BY event_type
     UNION ALL
     SELECT 'tspan' AS op, CAST(user_id AS VARCHAR) AS key,
-           COUNT(*) AS n, epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS v
+           COUNT(*) AS n, CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) AS v
     FROM events GROUP BY user_id
+    UNION ALL
+    SELECT 'thin' AS op, CAST(event_id AS VARCHAR) AS key, 0 AS n,
+           CAST(rn AS DOUBLE) AS v
+    FROM t WHERE (rn - 1) % 100 = 0
+    UNION ALL
+    SELECT 'burnin' AS op, '' AS key, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / COUNT(*), 6) AS v
+    FROM b WHERE rn > FLOOR(0.25 * n)
     """,
     doc="A11 backend census (distinct flag values per group, "
     "libstempo_warp.py:60-75) + A1 observation span per group (exact int64 "
-    "microseconds), tag-discriminated in one gate.",
+    "microseconds) + P6 thinning (numpy chain[::k], results.py:670,691) + "
+    "P5 burn-in (drop first 25%, results.py:499-500), tag-discriminated in "
+    "one gate (r6 consolidation of census_tspan_events + chain_thin_burnin "
+    "to free a driver-artifact slot).",
 )
-def census_tspan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def chain_census_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     census = (
         ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").cast("double").alias("v"),
+        )
         .select(F.lit("census").alias("op"), F.col("event_type").alias("key"), "n", "v")
     )
     tspan = (
         ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("v"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("double")
+            .alias("v"),
         )
         .select(
             F.lit("tspan").alias("op"), F.col("user_id").cast("string").alias("key"),
             "n", "v",
         )
     )
-    return census.unionByName(tspan)
+    thinned = (
+        thin(ev.select("event_id"), "event_id", 100, with_rank=True)
+        .select(
+            F.lit("thin").alias("op"),
+            F.col("event_id").cast("string").alias("key"),
+            F.lit(0).cast("long").alias("n"),
+            F.col("_rn").cast("double").alias("v"),
+        )
+    )
+    kept = burnin_filter(ev.select("event_id", "value"), "event_id", 0.25)
+    burned = kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(_davg("value", 14, 6), 6).alias("v"),
+    ).select(F.lit("burnin").alias("op"), F.lit("").alias("key"), "n", "v")
+    return census.unionByName(tspan).unionByName(thinned).unionByName(burned)
 
 
 # ---------------------------------------------------------------------------
@@ -509,20 +540,35 @@ def pair_hd_orf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "string_predicate_select",
     """
-    SELECT 'token' AS op, token AS key, COUNT(*) AS n_docs
+    SELECT 'token' AS op, token AS key, COUNT(*) AS n, 0.0 AS v
     FROM documents d
     JOIN (VALUES ('spark'),('hash'),('join'),('window'),('stream')) t(token)
       ON contains(d.text, t.token)
     GROUP BY token
     UNION ALL
-    SELECT 'regex' AS op, source AS key, COUNT(*) AS n_docs
+    SELECT 'regex' AS op, source AS key, COUNT(*) AS n, 0.0 AS v
     FROM documents
     WHERE regexp_matches(source, '^src1[0-9]?$')
     GROUP BY source
+    UNION ALL
+    SELECT 'flag' AS op, event_type AS key, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE), 2) AS v
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'substr' AS op, event_type AS key, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE), 2) AS v
+    FROM events
+    WHERE event_type LIKE '%ck%' OR event_type LIKE '%error%'
+    GROUP BY event_type
     """,
     doc="J2 substring/theta join (noise-file filename contains pulsar name) + "
-    "P8/P9 regex name predicates (psr-dir / chain-segment matching), "
-    "tag-discriminated in one gate.",
+    "P8/P9 regex name predicates (psr-dir / chain-segment matching) + P1 "
+    "flag-equality selection (JSON props filter) + P4 name-substring column "
+    "selection (results.py:516-524), tag-discriminated in one gate (r6 "
+    "consolidation: absorbs the former flag_substring_select to free a "
+    "driver-artifact slot).",
 )
 def string_predicate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -535,16 +581,42 @@ def string_predicate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         docs.join(F.broadcast(tokens), F.col("text").contains(F.col("token")))
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select(F.lit("token").alias("op"), F.col("token").alias("key"), "n_docs")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("token").alias("op"), F.col("token").alias("key"), "n",
+            F.lit(0.0).alias("v"),
+        )
     )
     rex = (
         docs.filter(F.col("source").rlike("^src1[0-9]?$"))
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select(F.lit("regex").alias("op"), F.col("source").alias("key"), "n_docs")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("regex").alias("op"), F.col("source").alias("key"), "n",
+            F.lit(0.0).alias("v"),
+        )
     )
-    return tok.unionByName(rex)
+    ev = table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n"), _dsum("value", 14, 6).alias("v")]
+    flag = (
+        ev.filter(F.get_json_object("props", "$.k").cast("int") >= 50)
+        .groupBy("event_type")
+        .agg(*aggs)
+        .select(
+            F.lit("flag").alias("op"), F.col("event_type").alias("key"), "n", "v"
+        )
+    )
+    substr = (
+        ev.filter(
+            F.col("event_type").like("%ck%") | F.col("event_type").like("%error%")
+        )
+        .groupBy("event_type")
+        .agg(*aggs)
+        .select(
+            F.lit("substr").alias("op"), F.col("event_type").alias("key"), "n", "v"
+        )
+    )
+    return tok.unionByName(rex).unionByName(flag).unionByName(substr)
 
 
 @register(
@@ -595,50 +667,6 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "chain_thin_burnin",
-    """
-    WITH t AS (SELECT event_id, CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS INTEGER) AS rn FROM events),
-    b AS (
-      SELECT value, ROW_NUMBER() OVER (ORDER BY event_id) AS rn, COUNT(*) OVER () AS n
-      FROM events
-    )
-    SELECT 'thin' AS op, event_id AS k, CAST(rn AS DOUBLE) AS v
-    FROM t WHERE (rn - 1) % 100 = 0
-    UNION ALL
-    SELECT 'burnin' AS op, COUNT(*) AS k,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / COUNT(*), 6) AS v
-    FROM b WHERE rn > FLOOR(0.25 * n)
-    """,
-    doc="P6 thinning (numpy chain[::k] — first sample kept, "
-    "results.py:670,691) + P5 burn-in (drop first 25% of samples, "
-    "results.py:499-500), tag-discriminated: thin rows = (event_id, rank); "
-    "burnin row = (n_kept, avg_value).",
-)
-def chain_thin_burnin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    thinned = (
-        thin(
-            table(spark, sf_dir, "events").select("event_id"),
-            "event_id",
-            100,
-            with_rank=True,
-        )
-        .select(
-            F.lit("thin").alias("op"),
-            F.col("event_id").alias("k"),
-            F.col("_rn").cast("double").alias("v"),
-        )
-    )
-    kept = burnin_filter(
-        table(spark, sf_dir, "events").select("event_id", "value"), "event_id", 0.25
-    )
-    burned = kept.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.round(_davg("value", 14, 6), 6).alias("v"),
-    ).select(F.lit("burnin").alias("op"), "k", "v")
-    return thinned.unionByName(burned)
-
-
-@register(
     "top3_orders_per_customer",
     """
     WITH t AS (
@@ -672,3 +700,4 @@ from enterprise_warp_spark import queries_extra  # noqa: E402,F401
 from enterprise_warp_spark import queries_kernel  # noqa: E402,F401
 from enterprise_warp_spark import queries_olap  # noqa: E402,F401
 from enterprise_warp_spark import queries_temporal  # noqa: E402,F401
+from enterprise_warp_spark import queries_curation  # noqa: E402,F401

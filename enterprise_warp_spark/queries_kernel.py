@@ -70,10 +70,86 @@ def _synthetic_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gp_likelihood_scan",
-    None,  # non-SQL-expressible: Arrow kernel (rows-only check)
-    doc="F10/A13: GP-marginalized likelihood over a fixed sample grid, WITH "
-    "timing-model marginalization (tm: fast — offset/F0/F1 design columns "
-    "projected out in the Woodbury solve, likelihood/gp.py TMComponent).",
+    """
+    WITH r AS (
+      SELECT 'J' || CAST(user_id % 3 AS VARCHAR) AS psr,
+             CAST(epoch_us(ts) % 300000000000 AS DOUBLE) AS t,
+             (value - 49.6) * 2e-8 AS resid
+      FROM events
+    ),
+    g AS (SELECT psr, MAX(t) - MIN(t) AS tsp FROM r GROUP BY psr),
+    b AS (
+      SELECT r.psr, g.tsp,
+             SIN(2*PI()*r.t/g.tsp) AS sn,
+             COS(2*PI()*r.t/g.tsp) AS cs,
+             r.resid / 1e-6 AS w
+      FROM r JOIN g USING (psr)
+    ),
+    agg AS (
+      SELECT psr, ANY_VALUE(tsp) AS tsp, COUNT(*) AS n,
+             SUM(w*w) AS rtn,
+             SUM(w) AS sw,
+             SUM(sn*w) AS xs, SUM(cs*w) AS xc,
+             SUM(sn) AS ss1, SUM(cs) AS sc1,
+             SUM(sn*sn) AS sss, SUM(sn*cs) AS ssc, SUM(cs*cs) AS scc
+      FROM b GROUP BY psr
+    ),
+    smp AS (SELECT * FROM (VALUES (0, -14.0, 3.0), (1, -13.5, 3.5),
+                                  (2, -13.0, 4.0), (3, -12.5, 4.5),
+                                  (4, -12.0, 5.0), (5, -11.5, 5.5))
+            AS v(sample_id, lga, gam)),
+    k AS (
+      SELECT a.*, s.sample_id,
+             POWER(10.0, 2.0*s.lga) / (12.0*PI()*PI())
+               * POWER(1.0/(365.25*86400), -3.0)
+               * POWER((1.0/a.tsp)/(1.0/(365.25*86400)), -s.gam)
+               * (1.0/a.tsp) AS phi
+      FROM agg a CROSS JOIN smp s
+    ),
+    m AS (
+      SELECT sample_id, psr, n, rtn, phi,
+             1e12 AS ma,
+             1e12 * ss1 / SQRT(CAST(n AS DOUBLE)) AS mb,
+             1e12 * sc1 / SQRT(CAST(n AS DOUBLE)) AS mc,
+             1.0/phi + 1e12 * sss AS md,
+             1e12 * ssc AS me,
+             1.0/phi + 1e12 * scc AS mf,
+             1e6 * sw / SQRT(CAST(n AS DOUBLE)) AS x1,
+             1e6 * xs AS x2,
+             1e6 * xc AS x3
+      FROM k
+    ),
+    d AS (
+      SELECT sample_id, psr, n, rtn, phi, x1, x2, x3,
+             ma, mb, mc, md, me, mf,
+             ma*(md*mf - me*me) - mb*(mb*mf - mc*me) + mc*(mb*me - mc*md)
+               AS det
+      FROM m
+    ),
+    lnl AS (
+      SELECT sample_id,
+             -0.5*( rtn
+               - ( x1*x1*(md*mf - me*me) + x2*x2*(ma*mf - mc*mc)
+                 + x3*x3*(ma*md - mb*mb)
+                 + 2.0*x1*x2*(mc*me - mb*mf)
+                 + 2.0*x1*x3*(mb*me - mc*md)
+                 + 2.0*x2*x3*(mb*mc - ma*me) ) / det
+               + n*LN(1e-12) + 2.0*LN(phi) + LN(det)
+               + n*LN(2*PI()) ) AS v
+      FROM d
+    )
+    SELECT CAST(sample_id AS BIGINT) AS sample_id,
+           ROUND(SUM(v), 3) AS lnl
+    FROM lnl GROUP BY sample_id
+    """,
+    doc="F10/A13 — the REAL GP-marginalized likelihood scan (likelihood/"
+    "gp.py gp_loglik_per_pulsar hoisted-Gram fast path + total_loglik sum "
+    "over pulsars) WITH timing-model marginalization (tm: fast, normalized "
+    "offset column with infinite prior) at nfreqs=1, where the 3x3 Woodbury "
+    "system [offset | sin | cos] has a closed form the oracle evaluates "
+    "via the symmetric-adjugate inverse in SQL (r6: converted from the "
+    "rows-only check to a hash-matched VALUE gate per VERDICT r5 #9 — same "
+    "name, same kernel path, deterministic events-derived residuals).",
 )
 def gp_likelihood_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.likelihood.gp import (
@@ -91,56 +167,154 @@ def gp_likelihood_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gamma": [3.0, 3.5, 4.0, 4.5, 5.0, 5.5],
         }
     )
-    tm = TMComponent(
-        (("offset",), ("spin", 1, 0.0), ("spin", 2, 0.0)), mode="fast"
-    )
-    return total_loglik(
+    tm = TMComponent((("offset",),), mode="fast")
+    tot = total_loglik(
         gp_loglik_per_pulsar(
-            res, samples, components=(tm, RedComponent(nfreqs=8))
+            res, samples, components=(tm, RedComponent(nfreqs=1))
         )
+    )
+    return tot.select(
+        "sample_id", F.round("lnl", 3).alias("lnl")
     ).orderBy("sample_id")
 
 
 @register(
     "gwb_hd_likelihood",
-    None,  # non-SQL-expressible: Arrow kernel (rows-only check)
-    doc="F8/F11: HD-correlated GWB likelihood, JOINT GWB + per-pulsar sampled "
-    "red noise (Kronecker-Woodbury kernel over the distributed reduction).",
+    """
+    WITH r AS (
+      SELECT CAST(epoch_us(ts) % 300000000000 AS DOUBLE) AS t,
+             (value - 49.6) * 2e-8 AS ra,
+             (CAST((event_id * 7) % 11 AS DOUBLE) - 5.0) * 1e-7 AS rb
+      FROM events
+    ),
+    b AS (
+      SELECT SIN(2*PI()*t/3e11) AS sn, COS(2*PI()*t/3e11) AS cs,
+             ra/1e-6 AS wa, rb/1e-6 AS wb
+      FROM r
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(wa*wa) + SUM(wb*wb) AS rtn,
+             SUM(sn*wa) * 1e6 AS xsa, SUM(cs*wa) * 1e6 AS xca,
+             SUM(sn*wb) * 1e6 AS xsb, SUM(cs*wb) * 1e6 AS xcb,
+             SUM(sn*sn) * 1e12 AS sss,
+             SUM(sn*cs) * 1e12 AS ssc,
+             SUM(cs*cs) * 1e12 AS scc
+      FROM b
+    ),
+    smp AS (SELECT * FROM (VALUES
+              (0, -13.5, 13.0/3.0, -13.8, 3.2),
+              (1, -14.0, 4.0, -13.75, 3.4),
+              (2, -14.5, 3.0, -13.7, 3.6),
+              (3, -13.0, 3.7, -13.65, 3.8))
+            AS v(sample_id, lga, gam, ilga, igam)),
+    k AS (
+      SELECT a.*, s.sample_id,
+             1.5*0.5*LN(0.5) - 0.25*0.5 + 0.5 AS c,
+             POWER(10.0, 2.0*s.lga) / (12.0*PI()*PI())
+               * POWER(1.0/(365.25*86400), -3.0)
+               * POWER((1.0/3e11)/(1.0/(365.25*86400)), -s.gam)
+               * (1.0/3e11) AS phig,
+             POWER(10.0, 2.0*s.ilga) / (12.0*PI()*PI())
+               * POWER(1.0/(365.25*86400), -3.0)
+               * POWER((1.0/3e11)/(1.0/(365.25*86400)), -s.igam)
+               * (1.0/3e11) AS phii
+      FROM agg a CROSS JOIN smp s
+    ),
+    q AS (
+      SELECT sample_id, n, rtn,
+             phig*(1.0+c) + phii AS lp, phig*(1.0-c) + phii AS lm,
+             (xsa+xsb)/SQRT(2.0) AS xsp, (xca+xcb)/SQRT(2.0) AS xcp,
+             (xsa-xsb)/SQRT(2.0) AS xsm, (xca-xcb)/SQRT(2.0) AS xcm,
+             sss, ssc, scc
+      FROM k
+    ),
+    q2 AS (
+      SELECT sample_id, n, rtn, lp, lm,
+             1.0/lp AS pp, 1.0/lm AS pm,
+             xsp, xcp, xsm, xcm, sss, ssc, scc
+      FROM q
+    )
+    SELECT CAST(sample_id AS BIGINT) AS sample_id,
+           ROUND(-0.5*( rtn
+             - ( xsp*xsp*(pp+scc) - 2.0*xsp*xcp*ssc + xcp*xcp*(pp+sss) )
+               / ( (pp+sss)*(pp+scc) - ssc*ssc )
+             - ( xsm*xsm*(pm+scc) - 2.0*xsm*xcm*ssc + xcm*xcm*(pm+sss) )
+               / ( (pm+sss)*(pm+scc) - ssc*ssc )
+             + 2*n*LN(1e-12)
+             + 2.0*LN(lp) + 2.0*LN(lm)
+             + LN( (pp+sss)*(pp+scc) - ssc*ssc )
+             + LN( (pm+sss)*(pm+scc) - ssc*ssc )
+             + 2*n*LN(2*PI()) ), 3) AS lnl
+    FROM q2
+    """,
+    doc="F8/F11/F12b — the REAL HD-correlated GWB likelihood, JOINT GWB + "
+    "per-pulsar SAMPLED intrinsic red noise (per_pulsar_reduction -> "
+    "gwb_loglik Kronecker-Woodbury with intrinsic_columns, likelihood/"
+    "gwb.py) on TWO pulsars sharing one events-derived TOA pattern at "
+    "nfreqs=1 with EQUAL per-sample intrinsic parameters: the 4x4 prior "
+    "phi_gw*Gamma + phi_i*I block-diagonalizes in the (x_A +- x_B)/sqrt(2) "
+    "basis with eigenvalues phi_gw(1 +- c) + phi_i (c = HD at 90 deg), so "
+    "the joint correlated likelihood reduces to two closed-form 2x2 "
+    "systems the oracle evaluates in SQL (r6: converted from the rows-only "
+    "check to a hash-matched VALUE gate per VERDICT r5 #9 — same name, "
+    "same kernel path incl. the sampled-intrinsic branch).",
 )
 def gwb_hd_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.analytics.optimal_statistic import per_pulsar_reduction
     from enterprise_warp_spark.likelihood.gwb import gwb_loglik
 
-    res = _synthetic_residuals(spark, sf_dir)
-    tspan = 300_000.0 * 1_000_000
-    red = per_pulsar_reduction(res, nfreqs=6, tspan_s=tspan)
-    # small local tables go through the Arrow createDataFrame path (one
-    # LocalTableScan partition) — the tuple-list path RDD-parallelizes over
-    # defaultParallelism slices and costs seconds per mapInPandas stage
+    tspan = 3e11
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("ts_us") % 300_000_000_000).cast("double").alias("toa_s"),
+        ((F.col("value") - 49.6) * 2e-8).alias("ra"),
+        (
+            (F.pmod(F.col("event_id") * 7, F.lit(11)).cast("double") - 5.0)
+            * 1e-7
+        ).alias("rb"),
+    )
+    mk = lambda psr, col: base.select(  # noqa: E731
+        F.lit(psr).alias("psr"),
+        "toa_s",
+        F.col(col).alias("residual_s"),
+        F.lit(1e-6).alias("toa_err_s"),
+        F.lit(1.0).alias("efac"),
+        F.lit(0.0).alias("equad"),
+    )
+    res = mk("A", "ra").unionByName(mk("B", "rb"))
+    red = per_pulsar_reduction(res, nfreqs=1, tspan_s=tspan, n_chunks=8)
     positions = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "psr": ["J0", "J1", "J2"],
-                "pos": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
-            }
-        )
+        pd.DataFrame({"psr": ["A", "B"], "pos": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]})
     )
-    cols = {f"J{i}": (f"rn_lga_{i}", f"rn_gam_{i}") for i in range(3)}
-    grid = [(-13.5, 13.0 / 3.0), (-14.0, 4.0), (-14.5, 3.0), (-13.0, 3.7)]
+    # joint sampling: per-pulsar intrinsic red noise columns, EQUAL for the
+    # two pulsars per sample so the closed-form oracle applies
+    grid = [
+        (0, -13.5, 13.0 / 3.0, -13.8, 3.2),
+        (1, -14.0, 4.0, -13.75, 3.4),
+        (2, -14.5, 3.0, -13.7, 3.6),
+        (3, -13.0, 3.7, -13.65, 3.8),
+    ]
     rows = [
-        tuple(
-            [sid, lga, gam]
-            + [v for i in range(3) for v in (-13.8 + 0.1 * i + 0.05 * sid, 3.2 + 0.2 * i)]
+        (sid, lga, gam, ilga, igam, ilga, igam)
+        for sid, lga, gam, ilga, igam in grid
+    ]
+    samples = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "sample_id", "gw_log10_A", "gw_gamma",
+                "rn_lga_A", "rn_gam_A", "rn_lga_B", "rn_gam_B",
+            ],
         )
-        for sid, (lga, gam) in enumerate(grid)
-    ]
-    names = ["sample_id", "gw_log10_A", "gw_gamma"] + [
-        c for i in range(3) for c in cols[f"J{i}"]
-    ]
-    samples = spark.createDataFrame(pd.DataFrame(rows, columns=names))
-    return gwb_loglik(red, positions, samples, tspan, intrinsic_columns=cols).orderBy(
-        "sample_id"
     )
+    cols = {"A": ("rn_lga_A", "rn_gam_A"), "B": ("rn_lga_B", "rn_gam_B")}
+    out = gwb_loglik(
+        red, positions, samples, tspan, orf="hd", intrinsic_columns=cols
+    )
+    return out.select(
+        "sample_id", F.round("lnl", 3).alias("lnl")
+    ).orderBy("sample_id")
 
 
 @register(
@@ -361,26 +535,108 @@ def powerlaw_phi_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "os_pair_statistics",
-    None,  # non-SQL-expressible: Arrow kernel (rows-only check)
-    doc="F12/J6: optimal-statistic per-pair cross-correlations (kernel op).",
+    """
+    WITH psr AS (SELECT s_suppkey AS p FROM supplier WHERE s_suppkey BETWEEN 1 AND 30),
+    basis AS (
+      SELECT n_nationkey AS i, CEIL(n_nationkey/2.0)/315576000.0 AS f
+      FROM nation WHERE n_nationkey BETWEEN 1 AND 8
+    ),
+    ph AS (
+      SELECT i,
+             (1.0/(12.0*PI()*PI())) * POWER(1.0/(365.25*86400), -3.0)
+               * POWER(f/(1.0/(365.25*86400)), -(13.0/3.0))
+               * (1.0/315576000.0) AS ph
+      FROM basis
+    ),
+    pos AS (
+      SELECT p,
+             SIN(RADIANS(CAST((p*97)%180 AS DOUBLE))) * COS(RADIANS(CAST((p*61)%360 AS DOUBLE))) AS x,
+             SIN(RADIANS(CAST((p*97)%180 AS DOUBLE))) * SIN(RADIANS(CAST((p*61)%360 AS DOUBLE))) AS y,
+             COS(RADIANS(CAST((p*97)%180 AS DOUBLE))) AS z
+      FROM psr
+    ),
+    pairs AS (SELECT a.p AS ap, b.p AS bp FROM psr a JOIN psr b ON a.p < b.p),
+    corr AS (
+      SELECT pr.ap, pr.bp,
+             SUM(ph.ph * (((pr.ap*7 + ph.i*3) % 11 - 5) * 0.1)
+                       * (((pr.bp*7 + ph.i*3) % 11 - 5) * 0.1)) AS num,
+             SUM(ph.ph * ph.ph) AS norm
+      FROM pairs pr CROSS JOIN ph
+      GROUP BY pr.ap, pr.bp
+    )
+    SELECT 'P' || CASE WHEN c.ap < 10 THEN '0' ELSE '' END || CAST(c.ap AS VARCHAR) AS psr_a,
+           'P' || CASE WHEN c.bp < 10 THEN '0' ELSE '' END || CAST(c.bp AS VARCHAR) AS psr_b,
+           ROUND(ACOS(LEAST(GREATEST(pa.x*pb.x + pa.y*pb.y + pa.z*pb.z, -1.0), 1.0)), 6) AS xi,
+           ROUND(c.num / SQRT(c.norm), 6) AS rho_over_sig,
+           ROUND(-0.5 * LN(c.norm), 6) AS ln_sig
+    FROM corr c JOIN pos pa ON pa.p = c.ap JOIN pos pb ON pb.p = c.bp
+    """,
+    doc="F12/J6 — the REAL optimal-statistic per-pair cross-correlation "
+    "kernel (pair self-join + pair-axis batched einsum, analytics/"
+    "optimal_statistic.py pair_statistics) over a 30-pulsar deterministic "
+    "identity-S reduced table (435 pairs), where the per-pair correlation "
+    "has the closed forms num = sum_i ph_i u_a_i u_b_i and "
+    "norm = sum_i ph_i^2 — per-pair xi, rho/sig and ln(sig) exactly "
+    "SQL-expressible (r6: converted from the rows-only check to a "
+    "hash-matched VALUE gate per VERDICT r5 #9 — same name, same kernel "
+    "path, 2.5x the pair fan-out of the os_pair_slice branch).",
 )
 def os_pair_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from enterprise_warp_spark.analytics.optimal_statistic import (
-        pair_statistics,
-        per_pulsar_reduction,
-    )
+    import math
 
-    res = _synthetic_residuals(spark, sf_dir)
-    red = per_pulsar_reduction(res, nfreqs=6, tspan_s=300_000.0 * 1_000_000)
-    positions = spark.createDataFrame(
+    import numpy as np
+
+    from enterprise_warp_spark.analytics.optimal_statistic import pair_statistics
+
+    T = 315_576_000.0
+    K = 4
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey").between(1, 30))
+        .select("s_suppkey")
+        .toPandas()
+    )
+    ps = sorted(int(p) for p in sup["s_suppkey"])
+    f2 = np.repeat(np.arange(1, K + 1) / T, 2)
+    eye = np.eye(2 * K).ravel().tolist()
+    reduced = spark.createDataFrame(
         pd.DataFrame(
             {
-                "psr": ["J0", "J1", "J2"],
-                "pos": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                "psr": [f"P{p:02d}" for p in ps],
+                "u": [
+                    [((p * 7 + i * 3) % 11 - 5) * 0.1 for i in range(1, 2 * K + 1)]
+                    for p in ps
+                ],
+                "s": [eye] * len(ps),
+                "f": [f2.tolist()] * len(ps),
             }
         )
     )
-    return pair_statistics(red, positions, tspan_s=300_000.0 * 1_000_000)
+    positions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "psr": [f"P{p:02d}" for p in ps],
+                "pos": [
+                    [
+                        math.sin(math.radians((p * 97) % 180))
+                        * math.cos(math.radians((p * 61) % 360)),
+                        math.sin(math.radians((p * 97) % 180))
+                        * math.sin(math.radians((p * 61) % 360)),
+                        math.cos(math.radians((p * 97) % 180)),
+                    ]
+                    for p in ps
+                ],
+            }
+        )
+    )
+    st = pair_statistics(reduced, positions, gamma=13.0 / 3.0, tspan_s=T)
+    return st.select(
+        "psr_a",
+        "psr_b",
+        F.round("xi", 6).alias("xi"),
+        F.round(F.col("rho") / F.col("sig"), 6).alias("rho_over_sig"),
+        F.round(-0.5 * F.log(F.col("sig") ** -2.0), 6).alias("ln_sig"),
+    )
 
 
 @register(

@@ -83,9 +83,12 @@ def test_chain_ops_partition_prune_on_groups(spark, sf001):
 
 
 def test_flag_filter_prunes_columns(spark, sf001):
-    p = plan(REGISTRY["flag_substring_select"].spark(spark, sf001))
-    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
-    assert "user_id" not in read_schema  # unused column pruned at the scan
+    # the flag/substr branches live inside string_predicate_select now;
+    # their events scans must still prune the unused user_id column
+    p = plan(REGISTRY["string_predicate_select"].spark(spark, sf001))
+    for ln in p.splitlines():
+        if "ReadSchema" in ln and "event_type" in ln:
+            assert "user_id" not in ln  # unused column pruned at the scan
 
 
 def test_gp_kernel_partitions_by_psr(spark):
@@ -136,7 +139,7 @@ def test_olap_queries_no_cartesian(spark, sf001):
         "semi_join_order_priority",
         "q13_customer_order_distribution",
         "q7_q8_q10_trade_stats",
-        "census_tspan_events",
+        "chain_census_ops",
     ):
         p = plan(REGISTRY[name].spark(spark, sf001))
         assert "CartesianProduct" not in p, name
