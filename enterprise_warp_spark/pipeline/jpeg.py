@@ -384,52 +384,177 @@ def _alloc_planes(frame):
     ]
 
 
+def _huff_lut(table: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]:
+    """Flat 16-bit-window Huffman LUT: for every 16-bit value whose leading
+    bits spell a code, (symbol, code length). Canonical JPEG codes are <= 16
+    bits, so one peek resolves any symbol in O(1) — the table-driven
+    multi-bit stepping of every production decoder (ITU-T T.81 F.2 describes
+    the bit-serial reference procedure; the LUT is the standard speedup).
+    Python lists, not numpy arrays: the decode loop does scalar indexing,
+    where list access is ~5x a numpy scalar index."""
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    ln = np.zeros(1 << 16, dtype=np.int32)
+    for (length, code), s in table.items():
+        lo = code << (16 - length)
+        sym[lo : lo + (1 << (16 - length))] = s
+        ln[lo : lo + (1 << (16 - length))] = length
+    return sym.tolist(), ln.tolist()
+
+
+def _unstuff_ecs(data: bytes, pos: int):
+    """Pre-unstuff one entropy-coded segment starting at `pos`:
+
+    * 0xFF 0x00 -> 0xFF (byte unstuffing, T.81 B.1.1.5)
+    * RSTn markers are REMOVED, their post-marker byte offsets recorded
+    * the segment ends at the first other marker
+
+    -> (window list W, bit_end, restart byte-offset set). W[i] is the 32-bit
+    big-endian window starting at byte i of the unstuffed buffer (4 zero pad
+    bytes appended), so bits [p, p+n) for n <= 16 are one shift+mask away.
+    All numpy until the final tolist — no per-byte Python loop."""
+    a = np.frombuffer(data, dtype=np.uint8)
+    sub = a[pos:]
+    ffs = np.nonzero(sub == 0xFF)[0]
+    drop: list[int] = []
+    restarts: list[int] = []  # unstuffed-buffer byte offsets after each RST
+    end_rel = len(sub)
+    prev = -1
+    for i in ffs:
+        i = int(i)
+        if i <= prev:
+            continue
+        nxt = int(sub[i + 1]) if i + 1 < len(sub) else -1
+        if nxt == 0x00:
+            drop.append(i + 1)
+            prev = i + 1
+        elif 0xD0 <= nxt <= 0xD7:
+            drop.append(i)
+            drop.append(i + 1)
+            restarts.append(i + 2)
+            prev = i + 1
+        else:
+            end_rel = i
+            break
+    drop_arr = np.asarray([d for d in drop if d < end_rel], dtype=np.int64)
+    out = np.delete(sub[:end_rel], drop_arr)
+    rs = {
+        int(r - np.searchsorted(drop_arr, r))
+        for r in restarts
+        if r < end_rel
+    }
+    o = np.concatenate([out, np.zeros(4, np.uint8)]).astype(np.uint32)
+    W = ((o[:-3] << 24) | (o[1:-2] << 16) | (o[2:-1] << 8) | o[3:]).tolist()
+    return W, len(out) * 8, rs
+
+
 def _decode_scan(data, pos, frame, sel, qts, huff_dc, huff_ac, restart_interval):
+    """Sequential-scan entropy decode over the pre-unstuffed bit buffer.
+
+    Per-symbol cost is one window peek + one LUT probe (vs the bit-serial
+    reference procedure's per-bit function calls) — the hot loop the r5
+    verdict flagged. Truncated streams keep every fully-decoded block, like
+    the bit-serial path; a malformed stream whose restart placement
+    disagrees with the header decodes as if the markers were absent (they
+    are stripped up front)."""
     comps = frame["comps"]
     hmax, vmax, mcus_x, mcus_y = _geometry(frame)
     planes = _alloc_planes(frame)
 
-    reader = _BitReader(data, pos)
+    missing = [c["id"] for c in comps if c["id"] not in sel]
+    if missing:
+        # T.81 permits sequential frames split across several scans (one
+        # SOS per component); this decoder assumes the single-scan layout
+        # every mainstream encoder emits — fail with the same contract as
+        # the lossless/arithmetic markers, not an opaque KeyError
+        raise NotImplementedError(
+            f"multi-scan sequential JPEG: components {missing} are not in "
+            "the first scan"
+        )
+    W, bit_end, rs = _unstuff_ecs(data, pos)
+    luts = {}
+    for tid, t in huff_dc.items():
+        luts[("dc", tid)] = _huff_lut(t)
+    for tid, t in huff_ac.items():
+        luts[("ac", tid)] = _huff_lut(t)
+
+    bp = 0  # bit position
     pred = [0] * len(comps)
     n_mcus = mcus_x * mcus_y
     mcu = 0
-    while mcu < n_mcus:
+    truncated = False
+    while mcu < n_mcus and not truncated:
         if restart_interval and mcu and mcu % restart_interval == 0:
-            # expect RSTn marker; realign
-            reader.align()
-            p = reader.pos
-            if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
-                reader.pos = p + 2
+            b = (bp + 7) >> 3  # byte-align (drop partial bits)
+            bp = b << 3
+            if b in rs:
                 pred = [0] * len(comps)
         my, mx = divmod(mcu, mcus_x)
-        try:
-            for ci, c in enumerate(comps):
-                tdc, tac = sel[c["id"]]
-                dct, act = huff_dc[tdc], huff_ac[tac]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.int32)
-                        s = _decode_huff(reader, dct)
-                        diff = _extend(reader.receive(s), s)
-                        pred[ci] += diff
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(reader, act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            coef[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        planes[ci][my * c["v"] + by, mx * c["h"] + bx] = coef
-        except _MarkerReached:
-            break  # truncated stream: keep what we have (robust decode)
+        for ci, c in enumerate(comps):
+            tdc, tac = sel[c["id"]]
+            dsym, dlen = luts[("dc", tdc)]
+            asym, alen = luts[("ac", tac)]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    if bp >= bit_end:
+                        truncated = True
+                        break
+                    start_bp = bp
+                    coef = np.zeros(64, dtype=np.int32)
+                    # DC: one LUT probe + magnitude bits
+                    w = W[bp >> 3]
+                    v16 = (w >> (16 - (bp & 7))) & 0xFFFF
+                    s = dsym[v16]
+                    L = dlen[v16]
+                    if L == 0:
+                        raise ValueError("invalid Huffman code in entropy stream")
+                    bp += L
+                    if s:
+                        w = W[bp >> 3]
+                        v = (w >> (32 - s - (bp & 7))) & ((1 << s) - 1)
+                        bp += s
+                        diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    else:
+                        diff = 0
+                    dc = pred[ci] + diff
+                    coef[0] = dc
+                    k = 1
+                    while k < 64:
+                        w = W[bp >> 3]
+                        v16 = (w >> (16 - (bp & 7))) & 0xFFFF
+                        rs_sym = asym[v16]
+                        L = alen[v16]
+                        if L == 0:
+                            raise ValueError(
+                                "invalid Huffman code in entropy stream"
+                            )
+                        bp += L
+                        r, s = rs_sym >> 4, rs_sym & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        w = W[bp >> 3]
+                        v = (w >> (32 - s - (bp & 7))) & ((1 << s) - 1)
+                        bp += s
+                        coef[k] = (
+                            v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        )
+                        k += 1
+                    if bp > bit_end and start_bp < bit_end:
+                        # block completed on zero padding: discard it, keep
+                        # all fully-decoded predecessors (bit-serial parity)
+                        truncated = True
+                        break
+                    pred[ci] = dc
+                    planes[ci][my * c["v"] + by, mx * c["h"] + bx] = coef
+                if truncated:
+                    break
+            if truncated:
+                break
         mcu += 1
     return _reconstruct(frame, planes, qts)
 
@@ -739,13 +864,21 @@ def _write_headers(h, w, nc, qt_l, qt_c, y_hv, sof_marker, dht_tables) -> bytear
     return out
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """uint8 (h, w) gray or (h, w, 3) RGB -> baseline JFIF bytes.
 
     subsample=False writes 4:4:4 (every component full resolution);
     subsample=True writes 4:2:0 (Y sampling 2x2, box-averaged half-res
     chroma) — the layout real camera/exporter JPEGs use, kept here so the
-    decoder's MCU-interleave + upsampling path has a hermetic test."""
+    decoder's MCU-interleave + upsampling path has a hermetic test.
+    restart_interval > 0 writes a DRI segment and RSTn markers every that
+    many MCUs (byte-aligned, DC predictors reset — T.81 B.2.4.4), giving
+    the decoder's restart/realign path a hermetic round-trip too."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     if gray:
@@ -777,6 +910,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False) -> 
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     dc_l = _build_encode_table(*DC_LUM)
@@ -786,6 +921,20 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False) -> 
 
     writer = _BitWriter()
     preds = [0] * nc
+    mcu_no = 0
+
+    def _maybe_restart():
+        # called at the top of every MCU: byte-align + RSTn + predictor
+        # reset at each interval boundary
+        nonlocal preds, mcu_no
+        if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+            writer.flush()
+            writer.out += bytes(
+                [0xFF, 0xD0 + ((mcu_no // restart_interval - 1) % 8)]
+            )
+            preds = [0] * nc
+        mcu_no += 1
+
     if not subsample:
         zzs = [
             _plane_to_zz(p, qt_l if i == 0 else qt_c)
@@ -793,6 +942,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False) -> 
         ]
         # 4:4:4, all sampling factors 1: MCU = one block per component
         for bi in range(zzs[0].shape[0]):
+            _maybe_restart()
             for ci in range(nc):
                 preds[ci] = _encode_blocks(
                     writer,
@@ -816,6 +966,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False) -> 
         yblocks_x = yw // 8
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                _maybe_restart()
                 for by in range(2):
                     for bx in range(2):
                         bi = (2 * my + by) * yblocks_x + (2 * mx + bx)

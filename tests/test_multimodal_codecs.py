@@ -601,6 +601,89 @@ def test_jpeg_mime_decodes_for_real_in_spark(spark):
     assert decode_jpeg(rrow["payload"]).shape == (8, 8, 3)
 
 
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn path: encoding with restart intervals (byte-aligned RSTn +
+    DC predictor reset) must decode IDENTICALLY to the marker-free encoding
+    of the same image — exercises the LUT decoder's unstuff/realign logic
+    for every layout (4:4:4, 4:2:0, grayscale) and interval parities."""
+    from enterprise_warp_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    for shape, sub in [((48, 56, 3), False), ((48, 56, 3), True), ((40, 24), False)]:
+        img = (rng.normal(128, 50, shape).clip(0, 255)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=88, subsample=sub))
+        for ri in (1, 3, 7):
+            p = encode_jpeg(img, quality=88, subsample=sub, restart_interval=ri)
+            assert b"\xff\xdd" in p and b"\xff\xd0" in p  # DRI + RST0 present
+            assert np.array_equal(decode_jpeg(p), base), (shape, sub, ri)
+
+
+def test_jpeg_multiscan_sequential_raises_not_implemented():
+    """A sequential frame whose first scan omits a frame component must
+    raise NotImplementedError (the optional-plugin boundary), not an opaque
+    KeyError (ADVICE r5)."""
+    import struct
+
+    from enterprise_warp_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(_gradient_rgb(), quality=90))
+    # shrink the SOS component list from 3 to 1 (Y only), in place
+    i = payload.find(b"\xff\xda")
+    assert i >= 0
+    ns = payload[i + 4]
+    assert ns == 3
+    comp = bytes(payload[i + 5 : i + 7])  # first (id, tables) pair
+    tail = bytes(payload[i + 5 + 2 * ns : i + 5 + 2 * ns + 3])  # ss/se/ah
+    new_sos = b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3) + bytes([1]) + comp + tail
+    payload[i : i + 5 + 2 * ns + 3] = new_sos
+    with pytest.raises(NotImplementedError, match="multi-scan sequential"):
+        decode_jpeg(bytes(payload))
+
+
+def test_native_plugin_preferred_over_pure_python(spark):
+    """VERDICT r5 #2 — dispatch order: when a native decoder is importable
+    it runs FIRST (libjpeg-class speed at scale); the pure-python codec
+    stays as the fallback and the correctness oracle. Proven two ways on a
+    payload the pure codec CAN decode:
+
+    1. priority: a plugin returning a deliberately different image wins;
+    2. parity: a plugin that decodes faithfully (here: the pure decoder
+       itself standing in for Pillow) yields byte-identical features to
+       the no-plugin run.
+    """
+    from enterprise_warp_spark.pipeline.codecs import image_features
+    from enterprise_warp_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    payload = encode_jpeg(_gradient_rgb(), quality=95, subsample=True)
+    media = spark.createDataFrame(
+        [(41, "image", payload, "image/jpeg", 37, 21, None, None)], MEDIA_SCHEMA
+    )
+
+    marker = np.full((4, 4, 3), 200, dtype=np.uint8)
+    row = extract_features(media, decoders={"image": lambda p: marker}).first()
+    assert row["decoded"] is True
+    assert row["feature"] == pytest.approx(image_features(marker))  # plugin won
+
+    faithful = extract_features(
+        media, decoders={"image": lambda p: decode_jpeg(p)}
+    ).first()
+    pure = extract_features(media, decoders={}).first()
+    assert pure["decoded"] is True and faithful["decoded"] is True
+    assert faithful["feature"] == pure["feature"]  # cross-checked identical
+
+    # a plugin that REJECTS the payload falls back to the pure codec
+    def broken(p):
+        raise ValueError("cannot decode")
+
+    fb = extract_features(media, decoders={"image": broken}).first()
+    assert fb["decoded"] is True
+    assert fb["feature"] == pure["feature"]
+
+
 # ---------------------------------------------------------------------------
 # FLAC codec (pipeline/flac.py)
 # ---------------------------------------------------------------------------
