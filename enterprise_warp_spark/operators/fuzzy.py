@@ -118,6 +118,13 @@ def _gram_pass(l_slim, r_slim, q: int, max_dist: int):
     )
 
 
+# pass C is the provably-unfilterable class (every pair of <= max_dist-char
+# strings is within threshold by construction, so its OUTPUT is the full
+# product); a corpus with millions of 1-2-char rows would materialize it
+# silently — fail loudly past this bound instead (MAX_GWB_DIM contract)
+MAX_SHORT_PRODUCT = 25_000_000
+
+
 def edit_distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -175,14 +182,28 @@ def edit_distance_join(
         & (F.greatest(F.length("__t_l"), F.length("__t_r")) > max_dist)
     )
     # pass C: both at most max_dist chars — the only unfilterable class;
-    # its members are <= max_dist characters long, so the product is tiny
+    # its members are <= max_dist characters long, so the product is
+    # normally tiny. Its output IS the product (every such pair matches),
+    # so no algorithm avoids the cost — guard it instead of materializing
+    # a silent quadratic blowup on degenerate corpora. The two counts are
+    # cheap: the slim frames are already localCheckpoint-materialized.
+    c_l = l_s.filter(F.col("__len") <= max_dist)
+    c_r = r_s.filter(F.col("__len") <= max_dist)
+    n_cl, n_cr = c_l.count(), c_r.count()
+    if n_cl * n_cr > MAX_SHORT_PRODUCT:
+        raise ValueError(
+            f"edit_distance_join: {n_cl} x {n_cr} strings of <= {max_dist} "
+            "chars — every such pair is within threshold, so the output "
+            f"alone exceeds MAX_SHORT_PRODUCT={MAX_SHORT_PRODUCT}. "
+            "Pre-filter trivial strings (or dedupe them to distinct values "
+            "and rejoin counts) before the fuzzy join."
+        )
     pairs_c = (
-        l_s.filter(F.col("__len") <= max_dist)
-        .select(
+        c_l.select(
             F.col("__id").alias("__id_l"), F.col("__t").alias("__t_l")
         )
         .crossJoin(
-            r_s.filter(F.col("__len") <= max_dist).select(
+            c_r.select(
                 F.col("__id").alias("__id_r"), F.col("__t").alias("__t_r")
             )
         )

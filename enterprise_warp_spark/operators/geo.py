@@ -186,14 +186,33 @@ def points_in_polygons_join(
     lng_col: str = "lng",
     polygon_col: str = "polygon",
     suffixes: tuple[str, str] = ("", "_poly"),
+    cell_deg: float | None = None,
+    max_cells_per_polygon: int = 4096,
 ) -> DataFrame:
     """Spatial containment join: each point paired with every polygon that
-    contains it. The polygon table (with its vertex arrays) is broadcast —
-    region/geofence tables are small by nature — and the exact ray-cast
-    runs as the join filter; no shuffle of the point side. Column names
-    shared between the two tables get `suffixes` (polygon-side columns are
-    suffixed), so a polygon table carrying its own lat/lng centroid never
-    trips an ambiguous-reference error."""
+    contains it. Column names shared between the two tables get `suffixes`
+    (polygon-side columns are suffixed), so a polygon table carrying its
+    own lat/lng centroid never trips an ambiguous-reference error.
+
+    Two physical strategies, same results:
+
+    * cell_deg=None (default) — the polygon table (with its vertex arrays)
+      is broadcast and the exact ray-cast runs as the join filter; no
+      shuffle of the point side. Right for region/geofence tables that fit
+      in a broadcast (the common case).
+    * cell_deg=<degrees> — bbox cell-grid blocking (the radius_join
+      discipline) for LARGE polygon tables (e.g. every OSM building
+      footprint): each polygon explodes the grid cells its bounding box
+      touches, each point maps to its single cell, and a plain equi-join
+      on the cell feeds the exact ray-cast. Candidates are bounded by
+      local overlap density, never |points| x |polygons|. Pick cell_deg
+      near the typical polygon diameter; a polygon whose bbox spans more
+      than `max_cells_per_polygon` cells fails LOUDLY (a degenerate
+      world-spanning polygon would otherwise fan out the whole grid —
+      split such polygons upstream, or raise the bound deliberately).
+
+    Planar semantics either way (see point_in_polygon): polygons must not
+    cross the antimeridian or enclose a pole."""
     clash = set(points.columns) & set(polygons.columns)
     p = points.select(
         [F.col(c).alias(f"{c}{suffixes[0]}" if c in clash else c) for c in points.columns]
@@ -206,6 +225,53 @@ def points_in_polygons_join(
     poly_name = (
         f"{polygon_col}{suffixes[1]}" if polygon_col in clash else polygon_col
     )
-    return p.crossJoin(F.broadcast(g)).filter(
-        point_in_polygon(lat_name, lng_name, poly_name)
+    if cell_deg is None:
+        return p.crossJoin(F.broadcast(g)).filter(
+            point_in_polygon(lat_name, lng_name, poly_name)
+        )
+    if cell_deg <= 0:
+        raise ValueError(f"cell_deg must be positive, got {cell_deg}")
+    poly = F.col(poly_name)
+    lats = F.transform(poly, lambda v: v["lat"])
+    lngs = F.transform(poly, lambda v: v["lng"])
+    g_box = (
+        g.filter(F.size(poly) >= 3)  # degenerate polygons contain nothing
+        .withColumn("__lac0", F.floor(F.array_min(lats) / cell_deg).cast("long"))
+        .withColumn("__lac1", F.floor(F.array_max(lats) / cell_deg).cast("long"))
+        .withColumn("__loc0", F.floor(F.array_min(lngs) / cell_deg).cast("long"))
+        .withColumn("__loc1", F.floor(F.array_max(lngs) / cell_deg).cast("long"))
+        .withColumn(
+            "__ncells",
+            (F.col("__lac1") - F.col("__lac0") + 1)
+            * (F.col("__loc1") - F.col("__loc0") + 1),
+        )
+    )
+    # loud guard, evaluated once on the (already tiny per-row) bbox stats:
+    # one lightweight agg job, the merge_by_key/MAX_GWB_DIM contract shape
+    worst = g_box.agg(F.max("__ncells").alias("m")).first()["m"]
+    if worst is not None and worst > max_cells_per_polygon:
+        raise ValueError(
+            f"points_in_polygons_join: a polygon bbox spans {worst} cells "
+            f"at cell_deg={cell_deg} (> max_cells_per_polygon="
+            f"{max_cells_per_polygon}); split oversized polygons upstream, "
+            "use a coarser cell_deg, or raise the bound deliberately"
+        )
+    g_cells = (
+        g_box.withColumn(
+            "__latc",
+            F.explode(F.sequence(F.col("__lac0"), F.col("__lac1"))),
+        )
+        .withColumn(
+            "__lngc",
+            F.explode(F.sequence(F.col("__loc0"), F.col("__loc1"))),
+        )
+        .drop("__lac0", "__lac1", "__loc0", "__loc1", "__ncells")
+    )
+    p_cells = p.withColumn(
+        "__latc", F.floor(F.col(lat_name) / cell_deg).cast("long")
+    ).withColumn("__lngc", F.floor(F.col(lng_name) / cell_deg).cast("long"))
+    return (
+        p_cells.join(g_cells, ["__latc", "__lngc"])
+        .drop("__latc", "__lngc")
+        .filter(point_in_polygon(lat_name, lng_name, poly_name))
     )

@@ -183,7 +183,13 @@ def cap_per_group(
 
     Correct because the global cap smallest hashes of a group are each the
     cap smallest within their own sub-bucket (a superset survives phase 1).
-    Deterministic ties: rank orders by (hash, key)."""
+    Deterministic ties: rank orders by (hash, key) — which makes the
+    SELECTION deterministic only when `key` is unique per row (the
+    shuffle_corpus contract, ADVICE r5). Rows sharing a key value are
+    fully tied, so WHICH physical duplicate survives the cap is
+    partition-layout dependent; if duplicates differ in payload columns
+    and that matters, pre-dedupe on the key or pass a composite unique
+    key (e.g. F.concat(host, doc_id))."""
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
     if n_salt <= 0:

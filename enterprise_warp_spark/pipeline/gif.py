@@ -167,7 +167,10 @@ def decode_gif_frames(
 ) -> list[np.ndarray]:
     """Frames of a GIF as (h, w, 3) uint8 canvases, composited per the
     graphic-control disposal method: 0/1 keep the canvas, 2 restores the
-    frame rect to the background color, 3 restores the pre-frame canvas.
+    frame rect to transparent — rendered BLACK on this alpha-less RGB
+    canvas, the mainstream-decoder convention (browsers ignore the header
+    background color there; ADVICE r5) — and 3 restores the pre-frame
+    canvas.
     Transparent pixels keep the underlying canvas value. `max_frames`
     stops decoding early (decode_gif passes 1 — feature extraction never
     pays for the tail of an animation). Frame rects extending past the
@@ -251,8 +254,9 @@ def decode_gif_frames(
         if max_frames is not None and len(frames) >= max_frames:
             return frames
         # apply the frame's disposal for the NEXT frame's starting canvas
-        if disposal == 2:  # restore rect to background
-            canvas[iy : iy + ch, ix : ix + cw] = background
+        if disposal == 2:  # restore rect to transparent (black), like
+            # mainstream decoders — NOT the header background color
+            canvas[iy : iy + ch, ix : ix + cw] = 0
         elif disposal == 3 and before is not None:  # restore previous
             canvas = before
         transparent = None

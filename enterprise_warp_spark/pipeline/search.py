@@ -79,12 +79,21 @@ def build_index(
     return _index_from_postings(toks, postings)
 
 
+def _query_tokens(query: str) -> list[str]:
+    """Tokenize a query with EXACTLY the document tokenizer's semantics
+    (text.TOKENS = split on single spaces, drop empties): a tab/newline or
+    punctuation-adjacent character stays INSIDE a token, same as it would
+    in an indexed document — so query and index always agree (ADVICE r5).
+    """
+    return [t for t in query.split(" ") if t]
+
+
 def _query_terms(spark: SparkSession, query: str, index: dict) -> DataFrame:
     """Distinct query terms (tiny; broadcast). Term multiplicity in the
     query is deliberately ignored — the classic Okapi k3 weighting is a
     no-op for the short probe queries this serves. Raises if the index was
     bucket-pruned for a DIFFERENT query (see load_index)."""
-    terms = sorted({t for t in query.split() if t})
+    terms = sorted(set(_query_tokens(query)))
     if not terms:
         raise ValueError("query has no tokens")
     probe = index.get("probe_terms")
@@ -229,7 +238,7 @@ def load_index(spark: SparkSession, path: str, query: str | None = None) -> dict
     if query is not None:
         buckets = _term_buckets(spark, query)
         postings = postings.filter(F.col("bucket").isin(buckets))
-        probe_terms = {t for t in query.split() if t}
+        probe_terms = set(_query_tokens(query))
     stats = spark.read.parquet(f"{path}/stats").first()
     out = {
         "postings": postings.drop("bucket"),
@@ -246,7 +255,7 @@ def _term_buckets(spark: SparkSession, query: str) -> list[int]:
     """Bucket ids for the query's terms, evaluated with the SAME Catalyst
     expression the writer used (pmod(xxhash64(term), NB)) on a tiny local
     plan — one job, one definition of the bucket function."""
-    terms = sorted({t for t in query.split() if t})
+    terms = sorted(set(_query_tokens(query)))
     if not terms:
         raise ValueError("query has no tokens")
     rows = (
@@ -297,7 +306,7 @@ def phrase_match(index: dict, phrase: str) -> DataFrame:
     spark = index["postings"].sparkSession
     if "positions" not in index["postings"].columns:
         raise ValueError("phrase_match needs build_positional_index postings")
-    terms = [t for t in phrase.split() if t]
+    terms = _query_tokens(phrase)
     if not terms:
         raise ValueError("phrase has no tokens")
     slots = spark.createDataFrame(
@@ -347,10 +356,17 @@ def append_to_index(
 
     CRASH-REPLAY ORDERING (the streaming/corpus.py pattern): doclen — the
     table the duplicate guard probes — is appended FIRST. If the job dies
-    between the doclen and postings writes, the retry's guard sees the
-    batch ids and raises instead of silently double-appending postings
-    (which would double BM25 scores); recovery is then an explicit
-    doclen cleanup, never quiet corruption."""
+    anywhere after that write, the retry's guard sees the batch ids and
+    raises instead of silently double-appending postings (which would
+    double BM25 term frequencies); recovery is never quiet corruption.
+    Recovery after a raise is an explicit cleanup of EVERYTHING the dead
+    batch may have landed, in all three tables: delete the batch's ids
+    from doclen AND its rows from postings (anti-join both against the
+    batch id list, e.g. via maintenance.merge_by_key's rewrite path — a
+    crash between the postings append and the stats overwrite leaves
+    postings rows that doclen-only cleanup would duplicate on re-append),
+    then recompute/overwrite stats from the cleaned doclen. Only then
+    re-append the batch."""
     batch = build_index(new_docs, id_col, text_col)
     counts = batch["doclen"].agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("d")

@@ -371,3 +371,26 @@ def test_physical_basis_inject_recover_jupiter_mass(spark):
     )
     best = max(lnl, key=lambda row: row["sum(lnl)"])["sample_id"]
     assert abs(grid[best] - inject) <= 1.5e-12
+
+
+def test_keplerian_epoch_validity_guard():
+    """The public mean elements are stated valid 1800-2050; epochs outside
+    refuse loudly (pointing at ingest_basis_table) instead of silently
+    extrapolating the centennial rates (VERDICT r5 #5)."""
+    import numpy as np
+    import pytest
+
+    from enterprise_warp_spark.functions.solar_system import (
+        MJD_VALID_HI,
+        MJD_VALID_LO,
+        basis_arrays,
+        planet_position_au,
+    )
+
+    inside = np.array([MJD_VALID_LO, 51544.5, MJD_VALID_HI])
+    assert planet_position_au("jupiter", inside).shape == (3, 3)
+    for bad in ([MJD_VALID_LO - 1.0], [MJD_VALID_HI + 1.0], [1e6]):
+        with pytest.raises(ValueError, match="validity window"):
+            planet_position_au("jupiter", np.array(bad))
+        with pytest.raises(ValueError, match="validity window"):
+            basis_arrays(np.array(bad), np.array([1.0, 0.0, 0.0]))

@@ -109,3 +109,20 @@ def test_edit_distance_join_multiplicity_and_q_sweep(spark):
                 (i, j) for i, a in rows for j, b in rows if _lev(a, b) <= k
             }
             assert got == want, (q, k)
+
+
+def test_pass_c_short_string_product_guard(spark, monkeypatch):
+    """The <=max_dist-char population's pair product is the OUTPUT itself
+    (every pair matches); past MAX_SHORT_PRODUCT the join must refuse
+    loudly instead of silently materializing a quadratic result."""
+    from enterprise_warp_spark.operators import fuzzy
+
+    rows = [(i, "ab"[: 1 + i % 2]) for i in range(40)]  # all <= 2 chars
+    df = spark.createDataFrame(rows, "id long, name string")
+    monkeypatch.setattr(fuzzy, "MAX_SHORT_PRODUCT", 100)
+    with pytest.raises(ValueError, match="MAX_SHORT_PRODUCT"):
+        fuzzy.edit_distance_join(df, df, "name", max_dist=2, q=2)
+    # under the bound it still works
+    monkeypatch.setattr(fuzzy, "MAX_SHORT_PRODUCT", 10_000)
+    n = fuzzy.edit_distance_join(df, df, "name", max_dist=2, q=2).count()
+    assert n == 40 * 40  # every short pair is within 2 edits

@@ -169,6 +169,56 @@ def test_point_in_polygon_matches_shapely_free_reference(spark):
     assert one["inside"] in (True, False)
 
 
+def test_cell_blocked_polygon_join_matches_broadcast(spark):
+    """The cell_deg bbox-blocked strategy (for polygon tables too big to
+    broadcast) returns EXACTLY the broadcast path's pairs, compiles to an
+    equi-join (no cartesian / nested-loop), skips degenerate polygons, and
+    enforces the loud bbox-cell guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.geo import points_in_polygons_join
+
+    polys = {
+        "box": [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)],
+        "lshape": [
+            (0.0, 20.0), (6.0, 20.0), (6.0, 23.0), (2.0, 23.0),
+            (2.0, 26.0), (0.0, 26.0),
+        ],
+        "triangle": [(-10.0, -10.0), (-10.0, -2.0), (-3.0, -6.0)],
+        "degenerate": [(1.0, 1.0), (2.0, 2.0)],
+    }
+    rng = __import__("random").Random(11)
+    pts = [(i, rng.uniform(-12, 12), rng.uniform(-12, 28)) for i in range(400)]
+    points = spark.createDataFrame(pts, "id long, lat double, lng double")
+    polygons = spark.createDataFrame(
+        [
+            (name, [{"lat": a, "lng": b} for a, b in verts])
+            for name, verts in polys.items()
+        ],
+        "name string, polygon array<struct<lat:double,lng:double>>",
+    )
+    want = {
+        (r["id"], r["name"])
+        for r in points_in_polygons_join(points, polygons).collect()
+    }
+    assert len(want) > 20
+    for cell in (3.0, 7.5, 40.0):  # finer and coarser than the polygons
+        blocked = points_in_polygons_join(points, polygons, cell_deg=cell)
+        got = {(r["id"], r["name"]) for r in blocked.collect()}
+        assert got == want, cell
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    with pytest.raises(ValueError, match="cells"):
+        points_in_polygons_join(
+            points, polygons, cell_deg=0.05, max_cells_per_polygon=10
+        ).collect()
+    with pytest.raises(ValueError, match="cell_deg"):
+        points_in_polygons_join(points, polygons, cell_deg=-1.0)
+
+
 def test_geo_review_regressions(spark):
     """Review fixes: high-latitude pairs inside the radius are found (the
     old reach cap and own-cos reach both missed them); duplicate input
