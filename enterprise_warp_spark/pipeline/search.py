@@ -411,3 +411,216 @@ def append_to_index(
     spark.catalog.refreshByPath(f"{path}/postings")
     spark.catalog.refreshByPath(f"{path}/doclen")
     spark.catalog.refreshByPath(f"{path}/stats")
+
+
+# ---------------------------------------------------------------------------
+# Impact-ordered index + block-max early termination (VERDICT r5 #8)
+# ---------------------------------------------------------------------------
+
+# impact quantization levels: level 0 = highest impact. Quantization (not a
+# per-term sort) keeps the build fully map-side — a window over a hot
+# term's postings would serialize billions of rows into one task.
+N_IMPACT_LEVELS = 64
+
+
+def _impact_core(k1: float, b: float, avgdl: float):
+    """The df-independent BM25 factor of one posting:
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) in (0, k1+1]. The full
+    contribution is idf(t) * core, idf applied at query time."""
+    return (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+
+
+def write_impact_index(
+    index: dict, path: str, k1: float = 1.2, b: float = 0.75
+) -> None:
+    """Persist an IMPACT-ORDERED index for early-terminating top-k
+    (the impact-sorted / block-max family — Anh & Moffat impact ordering,
+    Ding & Suel block-max WAND — adapted to Spark's batch model): postings
+    carry a quantized impact `level` (0 = best) and a tiny per-(term,
+    level) metadata table stores the exact max core, so a query can read
+    ONLY the high-impact levels of each term's bucket and still prove its
+    top-k exact. Layout = write_index's term-hash buckets + the level
+    column (sorted within files for parquet row-group skipping) +
+    `impact_meta` + `term_stats` (exact df per term, frozen at build so
+    pruned and exhaustive scoring share idf)."""
+    if index["n_docs"] == 0 or index["avgdl"] <= 0:
+        raise ValueError("empty index")
+    k1, b, avgdl = float(k1), float(b), float(index["avgdl"])
+    core = _impact_core(k1, b, avgdl)
+    level = F.least(
+        F.greatest(
+            F.floor((F.lit(1.0) - core / F.lit(k1 + 1.0)) * N_IMPACT_LEVELS),
+            F.lit(0),
+        ),
+        F.lit(N_IMPACT_LEVELS - 1),
+    ).cast("int")
+    enriched = (
+        index["postings"]
+        .join(index["doclen"], "doc_id")
+        .withColumn("core", core)
+        .withColumn("level", level)
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)))
+    )
+    (
+        enriched.select("term", "doc_id", "tf", "level", "bucket")
+        .sortWithinPartitions("level")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    (
+        enriched.groupBy("term", "level")
+        .agg(F.max("core").alias("max_core"), F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/impact_meta")
+    )
+    (
+        index["postings"]
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/term_stats")
+    )
+    index["doclen"].write.mode("overwrite").parquet(f"{path}/doclen")
+    spark = index["postings"].sparkSession
+    spark.createDataFrame(
+        [(index["n_docs"], avgdl, k1, b)],
+        "n_docs long, avgdl double, k1 double, b double",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_pruned(
+    spark: SparkSession, path: str, query: str, k: int = 10,
+    debug: dict | None = None,
+) -> DataFrame:
+    """EXACT top-k BM25 over an impact-ordered index, reading only as many
+    impact levels as the proof needs.
+
+    Rounds with a doubling level horizon L (driver-coordinated over the
+    tiny impact_meta table): score the postings with level <= L (partition
+    pruning to the probe buckets + pushed-down level filter), giving every
+    doc a LOWER bound; Delta(L) = sum over terms of idf * max_core of the
+    best still-excluded level bounds what ANY doc could still gain. Once
+    the k-th best lower bound theta beats Delta, only docs with
+    partial + Delta >= theta can reach the top-k — that candidate set is
+    re-scored EXACTLY (all levels, semi-joined to candidates) with
+    bm25_topk's expression, so the result equals exhaustive scoring up to
+    float-sum reassociation (the per-doc contrib sum's add order differs
+    between plans by <= 1 ulp; Delta carries matching slack). Common
+    terms' vast low-impact tails are never read once the high-impact
+    levels establish theta."""
+    stats = spark.read.parquet(f"{path}/stats").first()
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    k1, b = float(stats["k1"]), float(stats["b"])
+    terms = sorted(set(_query_tokens(query)))
+    if not terms:
+        raise ValueError("query has no tokens")
+    buckets = _term_buckets(spark, query)
+    meta = (
+        spark.read.parquet(f"{path}/impact_meta")
+        .filter(F.col("term").isin(terms))
+        .collect()
+    )
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in spark.read.parquet(f"{path}/term_stats")
+        .filter(F.col("term").isin(terms))
+        .collect()
+    }
+    # idf through the SAME Catalyst expression bm25_topk uses (JVM log and
+    # Python math.log differ in the last ulp — bit-identity requires one
+    # engine computes it)
+    idf = {
+        r["term"]: float(r["idf"])
+        for r in spark.createDataFrame(
+            [(t, df) for t, df in df_map.items()], "term string, df long"
+        )
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+        .collect()
+    } if df_map else {}
+    # per term: {level: max_core}, driver-side (|terms| x 64 rows max)
+    by_term: dict[str, dict[int, float]] = {}
+    for r in meta:
+        by_term.setdefault(r["term"], {})[int(r["level"])] = float(r["max_core"])
+
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    doclen = spark.read.parquet(f"{path}/doclen")
+    qdf = spark.createDataFrame(
+        [(t, float(idf[t])) for t in terms if t in idf], "term string, idf double"
+    )
+
+    def exact_scores(pool: DataFrame) -> DataFrame:
+        # bm25_topk's expression verbatim -> bit-identical scores
+        return (
+            pool.join(F.broadcast(qdf), "term")
+            .join(doclen, "doc_id")
+            .withColumn(
+                "contrib",
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.count(F.lit(1)).alias("n_terms_matched"),
+            )
+        )
+
+    def delta_beyond(L: int) -> float:
+        # 1e-9 relative slack: stored max_core and the exact-scoring
+        # expression associate float ops differently by one ulp
+        return sum(
+            idf[t] * max(c for lv, c in levels.items() if lv > L) * (1.0 + 1e-9)
+            for t, levels in by_term.items()
+            if t in idf and any(lv > L for lv in levels)
+        )
+
+    max_level = max((lv for ls in by_term.values() for lv in ls), default=0)
+    L = 0
+    while True:
+        if L >= max_level:
+            if debug is not None:
+                debug.update(final_level=L, early_exit=False,
+                             max_level=max_level)
+            return exact_scores(postings).orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            ).limit(k)
+        partial = exact_scores(postings.filter(F.col("level") <= L)).cache()
+        try:
+            top = partial.orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            ).limit(k).collect()
+            theta = top[-1]["score"] if len(top) >= k else float("-inf")
+            delta = delta_beyond(L)
+            if delta < theta:
+                if debug is not None:
+                    debug.update(final_level=L, early_exit=True,
+                                 max_level=max_level, delta=delta,
+                                 theta=theta)
+                cand = partial.filter(
+                    F.col("score") + F.lit(delta) >= F.lit(theta)
+                ).select("doc_id")
+                pool = postings.join(F.broadcast(cand), "doc_id", "left_semi")
+                return exact_scores(pool).orderBy(
+                    F.col("score").desc(), F.col("doc_id").asc()
+                ).limit(k)
+        finally:
+            partial.unpersist()
+        L = max(1, L * 2)

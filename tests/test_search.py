@@ -350,3 +350,64 @@ def test_append_to_index_rejects_intra_batch_duplicates(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate doc_ids"):
         append_to_index(spark, str(tmp_path / "dup"), batch)
+
+
+def test_bm25_pruned_equals_exhaustive(spark, sf_dir, tmp_path):
+    """Impact-ordered early termination (VERDICT r5 #8): bm25_topk_pruned
+    returns the exhaustive top-k (scores equal up to <=1-ulp float-sum
+    reassociation; the final candidate re-score uses bm25_topk's
+    expression) while, on a corpus with
+    a heavy low-impact tail, terminating before reading every impact level."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline.search import (
+        bm25_topk,
+        bm25_topk_pruned,
+        build_index,
+        write_impact_index,
+    )
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = build_index(docs)
+    path = str(tmp_path / "impact_idx")
+    write_impact_index(idx, path)
+
+    import pytest as _pytest
+
+    for query in ("spark hash join", "the data of", "window stream"):
+        want = [
+            (r["doc_id"], r["score"], r["n_terms_matched"])
+            for r in bm25_topk(idx, query, k=10).collect()
+        ]
+        got = [
+            (r["doc_id"], r["score"], r["n_terms_matched"])
+            for r in bm25_topk_pruned(spark, query=query, path=path, k=10).collect()
+        ]
+        # same docs in the same order; scores equal up to the <=1-ulp
+        # float-sum reassociation between the two plans
+        assert [(d, n) for d, _, n in got] == [(d, n) for d, _, n in want], query
+        for (_, gs, _), (_, ws, _) in zip(got, want):
+            assert gs == _pytest.approx(ws, rel=1e-14), query
+
+    # heavy-tail corpus: one rare high-impact term decides the top-k; the
+    # common term's low-impact tail must never be fully read
+    rows = [(i, "common " * 200 + "filler") for i in range(400)]
+    rows += [(1000 + i, "common rareterm " + "pad " * (2 + i)) for i in range(12)]
+    heavy = spark.createDataFrame(rows, "doc_id long, text string")
+    hidx = build_index(heavy.select("doc_id", F.expr("trim(text)").alias("text")))
+    hpath = str(tmp_path / "heavy_idx")
+    write_impact_index(hidx, hpath)
+    dbg = {}
+    got = [
+        r["doc_id"]
+        for r in bm25_topk_pruned(
+            spark, query="common rareterm", path=hpath, k=5, debug=dbg
+        ).collect()
+    ]
+    want = [
+        r["doc_id"] for r in bm25_topk(hidx, "common rareterm", k=5).collect()
+    ]
+    assert got == want
+    assert dbg["early_exit"] is True
+    assert dbg["final_level"] < dbg["max_level"]  # tail levels never read
