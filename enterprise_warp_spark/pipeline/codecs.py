@@ -34,23 +34,36 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
     samples is float64 with shape (n_samples, n_channels), scaled to
     [-1, 1]. Supports PCM (format tag 1: 8-bit unsigned, 16/32-bit
-    signed little-endian) and IEEE float (tag 3). Walks the chunk list
-    properly, so extra chunks (LIST/fact/cue) before `data` are fine.
+    signed little-endian), IEEE float (tag 3), and IMA ADPCM (tag 0x11,
+    pipeline/adpcm.py — really-compressed audio with no plugins). Walks
+    the chunk list properly, so extra chunks (LIST/fact/cue) before
+    `data` are fine.
     """
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt = None
+    block_align = 0
+    n_frames = None
     pos = 12
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            tag, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            tag, n_ch, rate, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
             fmt = (tag, n_ch, rate, bits)
+        elif cid == b"fact" and size >= 4:
+            n_frames = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("WAV data chunk before fmt chunk")
             tag, n_ch, rate, bits = fmt
+            if tag == 0x11:  # IMA ADPCM
+                from enterprise_warp_spark.pipeline.adpcm import decode_ima_blocks
+
+                pcm = decode_ima_blocks(bytes(body), n_ch, block_align, n_frames)
+                return pcm.astype(np.float64) / 32768.0, rate
             if tag == 1 and bits in _PCM_DTYPES:
                 raw = np.frombuffer(body, dtype=_PCM_DTYPES[bits])
                 if bits == 8:  # unsigned, midpoint 128

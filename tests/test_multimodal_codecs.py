@@ -1220,3 +1220,73 @@ def test_mjpeg_corrupt_frame_degrades_not_crashes(spark):
     assert out[2]["decoded"] is False and out[2]["frame_mean"] is None
 
 
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM codec (pipeline/adpcm.py)
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_roundtrip_snr_and_stereo():
+    """IMA ADPCM (WAV tag 0x11) encodes 4:1 and decodes back above 30 dB
+    SNR on a tone; stereo channels stay independent (a reversed right
+    channel round-trips to a reversed right channel)."""
+    import math
+
+    from enterprise_warp_spark.pipeline.adpcm import encode_ima_wav
+    from enterprise_warp_spark.pipeline.codecs import decode_wav
+
+    rate = 16000
+    t = np.arange(12000)
+    mono = (8000 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    payload = encode_ima_wav(mono, rate)
+    assert len(payload) < len(mono.tobytes()) / 3.5  # really compressed
+    x, r = decode_wav(payload)
+    assert r == rate and x.shape == (12000, 1)
+    ref = mono.astype(np.float64) / 32768.0
+    err = np.sqrt(np.mean((x[:, 0] - ref) ** 2)) / np.sqrt(np.mean(ref**2))
+    assert 20 * math.log10(1 / err) > 30.0
+
+    st = np.stack([mono, mono[::-1].copy()], axis=1)
+    y, _ = decode_wav(encode_ima_wav(st, rate))
+    assert y.shape == (12000, 2)
+    assert np.sqrt(np.mean((y - st / 32768.0) ** 2)) < 0.02
+
+
+def test_adpcm_decodes_for_real_in_spark_and_fingerprint_invariant(spark):
+    """An ADPCM WAV media row gets decoded=true with NO plugins, its
+    features track the PCM twin's, and the perceptual audio fingerprint
+    lands within near-dup hamming range of the twin's (envelope bits at a
+    comparator threshold may flip under 4:1 ADPCM noise) — the VERDICT
+    r5 #7 acceptance shape."""
+    from enterprise_warp_spark.pipeline.adpcm import encode_ima_wav
+    from enterprise_warp_spark.pipeline.codecs import encode_wav
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprints,
+        extract_features,
+    )
+
+    rate = 16000
+    t = np.arange(32000)
+    env = 0.2 + 0.8 * (np.sin(2 * np.pi * t / 32000) ** 2)
+    sig = (7000 * env * np.sin(2 * np.pi * 330 * t / rate)).astype(np.int16)
+    adpcm = encode_ima_wav(sig, rate)
+    pcm = encode_wav(sig.astype(np.float64) / 32768.0, rate)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", adpcm, "audio/wav", None, None, None, None),
+            (2, "audio", pcm, "audio/wav", None, None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, decoders={}).collect()}
+    assert rows[1]["decoded"] is True and rows[2]["decoded"] is True
+    fa, fb = rows[1]["feature"], rows[2]["feature"]
+    assert fa[0] == fb[0] and fa[7] == fb[7]  # duration, rate exact
+    assert abs(fa[2] - fb[2]) / fb[2] < 0.02  # rms within 2%
+
+    fp = {r["media_id"]: r for r in audio_fingerprints(media).collect()}
+    assert fp[1]["decoded"] is True and fp[2]["decoded"] is True
+    hamming = bin(fp[1]["fingerprint"] ^ fp[2]["fingerprint"]).count("1")
+    assert hamming <= 6  # well inside the near-dup bucket radius
