@@ -87,8 +87,9 @@ def decode_ima_blocks(
     Block layout (the WAV 0x0011 convention): per channel a 4-byte header
     (int16 predictor, uint8 step index, reserved), then groups of 4 bytes
     PER CHANNEL of packed nibbles (low nibble first), channels
-    interleaved by 4-byte words. Trailing partial blocks are decoded for
-    the samples they contain."""
+    interleaved by 4-byte words. A trailing fragment shorter than one
+    block (not produced by conforming writers) is ignored; `n_samples`
+    (the fact-chunk count) trims the final block's padding."""
     if block_align <= 4 * n_ch:
         raise ValueError(f"block_align {block_align} too small for {n_ch} ch")
     total = len(data) // block_align

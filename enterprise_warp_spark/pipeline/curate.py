@@ -121,6 +121,12 @@ class ServingConfig:
     mixture_weights    target group mixture over `mixture_col`
                        (deterministic downsample-only resampling)
     shuffle_seed       epoch seed for the deterministic global shuffle
+    tokenizer          trained pipeline.tokenizer dict: encode the served
+                       corpus to token_ids/n_tokens (r6)
+    bpe_vocab_size     alternatively, TRAIN a byte-level BPE of this size
+                       on the served corpus itself, then encode with it
+    pack_seq_len       with token ids present, also emit `packed`: pack
+                       assignments at this token budget (pipeline.packing)
     """
 
     quality_model: object | None = None
@@ -130,6 +136,9 @@ class ServingConfig:
     mixture_weights: Mapping[str, float] | None = field(default=None)
     mixture_col: str = "lang"
     shuffle_seed: int = 0
+    tokenizer: dict | None = None
+    bpe_vocab_size: int | None = None
+    pack_seq_len: int | None = None
 
 
 def prepare_training_corpus(
@@ -174,5 +183,27 @@ def prepare_training_corpus(
         kept = mixture_resample(
             kept, serving.mixture_col, serving.mixture_weights, "doc_id"
         )
-    out["corpus"] = shuffle_corpus(kept, "doc_id", seed=serving.shuffle_seed)
+    corpus = shuffle_corpus(kept, "doc_id", seed=serving.shuffle_seed)
+    # tokenize (and optionally pack) the SERVED order (r6): token ids ride
+    # the same rows, so the byte-identical-retry guarantee extends through
+    # tokenization — BPE training and encoding are deterministic
+    if serving.tokenizer is not None or serving.bpe_vocab_size is not None:
+        from enterprise_warp_spark.pipeline.tokenizer import (
+            encode_corpus,
+            train_bpe,
+            word_counts,
+        )
+
+        tok = serving.tokenizer
+        if tok is None:
+            tok = train_bpe(word_counts(corpus), serving.bpe_vocab_size)
+        out["tokenizer"] = tok
+        corpus = encode_corpus(corpus, tok)
+        if serving.pack_seq_len is not None:
+            from enterprise_warp_spark.pipeline.packing import pack_documents
+
+            out["packed"] = pack_documents(
+                corpus, serving.pack_seq_len, order_col="doc_id"
+            )
+    out["corpus"] = corpus
     return out

@@ -1,0 +1,260 @@
+"""Distributed byte-level BPE tokenizer: train on a corpus, encode at scale.
+
+A training-data pipeline tokenizes everything it ships; this module makes
+the engine self-sufficient for that: learn a byte-level BPE vocabulary
+FROM the corpus (Sennrich et al. 2016, the public algorithm; byte-level
+alphabet per the GPT-2 tokenizer report so NO input is ever OOV) and
+encode the corpus to token ids, both Spark-shaped:
+
+* TRAIN — the corpus-sized work is ONE pre-tokenize + groupBy(word) count
+  (a single shuffle); the merge loop then runs driver-side over the
+  bounded (word, count) vocabulary exactly like mainstream tokenizer
+  trainers do (they all train on the word-frequency table, not the raw
+  corpus — the table is orders of magnitude smaller and capped here by
+  `max_words` with a loud guard).
+* ENCODE — distributed mapInPandas; each Arrow batch keeps a word -> ids
+  memo, so the merge walk runs once per DISTINCT word per batch (natural
+  corpora repeat words heavily). No shuffle; partitioning preserved.
+
+The pre-tokenizer is LOSSLESS (whitespace runs are tokens too, and a
+single leading space attaches to a following letter/digit run, the GPT-2
+convention): concatenating a document's pre-tokens reproduces it byte
+for byte, so decode(encode(text)) == text exactly — pinned by test.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# every character lands in exactly one alternative -> lossless cover:
+# optional-leading-space letter run | optional-leading-space digit run |
+# whitespace run | run of anything else (punctuation/symbols)
+PRETOKEN_RE = r"( ?[\p{L}]+| ?[\p{N}]+|\s+|[^\s\p{L}\p{N}]+)"
+
+MAX_TRAIN_WORDS = 1_000_000
+
+
+def pretokens(text_col: str = "text") -> Column:
+    """array<string> of lossless pre-tokens (concat == original text)."""
+    # Spark SQL string literals eat single backslashes — double them so the
+    # Java regex engine sees \p{L}, \s, ...
+    pat = PRETOKEN_RE.replace("\\", "\\\\")
+    return F.expr(f"regexp_extract_all({text_col}, '{pat}', 1)")
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over the corpus — the single corpus-sized shuffle of BPE
+    training. Map-side partial aggregation folds per-partition repeats
+    before the exchange."""
+    return (
+        docs.select(F.explode(pretokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _apply_merges(symbols: list[bytes], ranks: dict[tuple[bytes, bytes], int]) -> list[bytes]:
+    """Greedy lowest-rank-first merge walk (the standard BPE encode)."""
+    while len(symbols) > 1:
+        best = None
+        best_rank = None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            return symbols
+        merged = symbols[best] + symbols[best + 1]
+        out = symbols[:best] + [merged]
+        i = best + 1
+        # re-scan from the merge point (the merged symbol may chain)
+        out.extend(symbols[i + 1 :])
+        symbols = out
+    return symbols
+
+
+def train_bpe(
+    counts: DataFrame,
+    vocab_size: int,
+    max_words: int = MAX_TRAIN_WORDS,
+) -> dict:
+    """Learn BPE merges from a (word, n) table -> tokenizer dict
+    {'merges': [(hexbytes, hexbytes), ...], 'vocab_size': int}.
+
+    Ids: 0..255 are the single bytes; 256+i is merge i's result. The
+    driver holds only the top-`max_words` words by count (deterministic
+    count-desc, word-asc order) — a LOUD guard, not silent truncation,
+    when the vocabulary overflows it. Merge selection is deterministic:
+    highest pair count, ties by pair bytes ascending.
+
+    Training cost: classic incremental pair-count maintenance — each
+    merge touches only the words containing the merged pair (inverted
+    pair -> words index), so a merge costs O(occurrences), not a corpus
+    rescan."""
+    if vocab_size < 256:
+        raise ValueError(f"vocab_size must be >= 256, got {vocab_size}")
+    total = counts.count()
+    if total > max_words:
+        raise ValueError(
+            f"word vocabulary has {total} entries (> max_words={max_words}); "
+            "raise max_words deliberately or pre-filter rare words "
+            "(e.g. counts.filter('n >= 2'))"
+        )
+    rows = counts.orderBy(F.desc("n"), F.asc("word")).collect()
+    words: list[list[bytes]] = [
+        [bytes([b]) for b in r["word"].encode("utf-8")] for r in rows
+    ]
+    wcount = [int(r["n"]) for r in rows]
+
+    # pair -> total count, and pair -> set of word indices containing it
+    pair_count: dict[tuple[bytes, bytes], int] = {}
+    pair_words: dict[tuple[bytes, bytes], set[int]] = {}
+    for wi, syms in enumerate(words):
+        c = wcount[wi]
+        for a, b in zip(syms, syms[1:]):
+            pair_count[(a, b)] = pair_count.get((a, b), 0) + c
+            pair_words.setdefault((a, b), set()).add(wi)
+
+    merges: list[tuple[bytes, bytes]] = []
+    n_merges = vocab_size - 256
+    while len(merges) < n_merges and pair_count:
+        best = min(pair_count.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_count[best] <= 0:
+            break
+        merges.append(best)
+        new_sym = best[0] + best[1]
+        for wi in list(pair_words.get(best, ())):
+            syms = words[wi]
+            c = wcount[wi]
+            # remove this word's contribution to all its pairs
+            for a, b in zip(syms, syms[1:]):
+                pair_count[(a, b)] -= c
+                if pair_count[(a, b)] <= 0:
+                    pair_count.pop((a, b), None)
+                ws = pair_words.get((a, b))
+                if ws is not None:
+                    ws.discard(wi)
+                    if not ws:
+                        pair_words.pop((a, b), None)
+            # merge every occurrence of the pair in this word
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            # add back the rewritten word's pairs
+            for a, b in zip(out, out[1:]):
+                pair_count[(a, b)] = pair_count.get((a, b), 0) + c
+                pair_words.setdefault((a, b), set()).add(wi)
+    return {
+        "merges": [(a.hex(), b.hex()) for a, b in merges],
+        "vocab_size": 256 + len(merges),
+    }
+
+
+def tokenizer_tables(tok: dict):
+    """-> (ranks {pair: rank}, ids {symbol: id}, symbols [id -> bytes])."""
+    ranks: dict[tuple[bytes, bytes], int] = {}
+    symbols: list[bytes] = [bytes([i]) for i in range(256)]
+    for i, (a, b) in enumerate(tok["merges"]):
+        pa, pb = bytes.fromhex(a), bytes.fromhex(b)
+        ranks[(pa, pb)] = i
+        symbols.append(pa + pb)
+    ids = {s: i for i, s in enumerate(symbols)}
+    return ranks, ids, symbols
+
+
+def encode_text(text: str, tok: dict, _tables=None) -> list[int]:
+    """Encode one string (driver-side reference path; the Spark kernel
+    uses the same functions per batch with a word memo)."""
+    import re
+
+    ranks, ids, _ = _tables or tokenizer_tables(tok)
+    out: list[int] = []
+    for word in re.findall(_PY_PRETOKEN_RE, text):
+        syms = _apply_merges([bytes([b]) for b in word.encode("utf-8")], ranks)
+        out.extend(ids[s] for s in syms)
+    return out
+
+
+def decode_ids(ids_list, tok: dict) -> str:
+    _, _, symbols = tokenizer_tables(tok)
+    return b"".join(symbols[i] for i in ids_list).decode("utf-8")
+
+
+# Python twin of PRETOKEN_RE (\p classes via the str.isalpha/isdigit-free
+# `regex`-less route: re supports \w but not \p — use explicit unicode
+# categories through str methods inside a findall shim instead).
+import re as _re  # noqa: E402
+
+_PY_PRETOKEN_RE = _re.compile(
+    r" ?[^\W\d_]+| ?\d+|\s+|[^\s\w]+|_+", _re.UNICODE
+)
+
+
+def encode_corpus(
+    docs: DataFrame, tok: dict, text_col: str = "text"
+) -> DataFrame:
+    """Add (token_ids array<int>, n_tokens long) to every document row.
+
+    mapInPandas with a per-batch word -> ids memo: the merge walk runs
+    once per distinct pre-token per batch. No shuffle; upstream
+    partitioning preserved."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in docs.dtypes
+    ) + ", token_ids array<int>, n_tokens long"
+    tok_b = docs.sparkSession.sparkContext.broadcast(tok)
+
+    def kernel(batches):
+        ranks, ids, _ = tokenizer_tables(tok_b.value)
+        memo: dict[str, list[int]] = {}
+
+        def enc(text):
+            if text is None:
+                return []
+            out: list[int] = []
+            for word in _PY_PRETOKEN_RE.findall(text):
+                got = memo.get(word)
+                if got is None:
+                    syms = _apply_merges(
+                        [bytes([b]) for b in word.encode("utf-8")], ranks
+                    )
+                    got = [ids[s] for s in syms]
+                    memo[word] = got
+                out.extend(got)
+            return out
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            encoded = [enc(t) for t in pdf[text_col]]
+            pdf["token_ids"] = encoded
+            pdf["n_tokens"] = pd.Series(
+                [len(e) for e in encoded], index=pdf.index, dtype="int64"
+            )
+            yield pdf
+
+    return docs.mapInPandas(kernel, out_schema)
+
+
+def save_tokenizer(tok: dict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(tok, f)
+
+
+def load_tokenizer(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)

@@ -593,6 +593,56 @@ def test_prepare_training_corpus_end_to_end(spark, sf_dir):
     assert again == ids
 
 
+def test_prepare_training_corpus_tokenize_and_pack(spark, sf_dir):
+    """r6: the recipe optionally trains a BPE on the served corpus, encodes
+    it (token_ids/n_tokens ride the served rows), and emits pack
+    assignments at a token budget — all deterministic end to end."""
+    from enterprise_warp_spark.pipeline.curate import (
+        CurationConfig,
+        ServingConfig,
+        prepare_training_corpus,
+    )
+    from enterprise_warp_spark.pipeline.tokenizer import decode_ids
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = prepare_training_corpus(
+        docs,
+        CurationConfig(min_tokens=5),
+        ServingConfig(shuffle_seed=1, bpe_vocab_size=256 + 128, pack_seq_len=512),
+    )
+    tok = out["tokenizer"]
+    assert tok["vocab_size"] <= 256 + 128
+    rows = out["corpus"].collect()
+    assert rows and all(r["n_tokens"] == len(r["token_ids"]) for r in rows)
+    texts = {
+        r["doc_id"]: r["text"] for r in out["kept"].select("doc_id", "text").collect()
+    }
+    some = rows[:10]
+    for r in some:  # round-trip through the learned vocabulary
+        assert decode_ids(r["token_ids"], tok) == texts[r["doc_id"]]
+    packed = out["packed"].collect()
+    assert {r["doc_id"] for r in packed} == {r["doc_id"] for r in rows}
+    # within a pack, offsets are the running token sum and the budget only
+    # overflows via the documented never-split tail case
+    from collections import defaultdict
+
+    by_pack = defaultdict(list)
+    for r in packed:
+        by_pack[r["pack_id"]].append(r)
+    for members in by_pack.values():
+        members.sort(key=lambda r: r["pack_offset"])
+        # offsets chain contiguously; the first starts inside the pack
+        # (a doc overflowing from the previous pack shifts it past 0)
+        assert 0 <= members[0]["pack_offset"] < 512
+        off = members[0]["pack_offset"]
+        for m in members:
+            assert m["pack_offset"] == off
+            off += m["n_tokens"]
+        for m in members[:-1]:  # every non-final member STARTS in budget
+            assert m["pack_offset"] < 512
+
+
 def test_prepare_training_corpus_with_quality_model(spark):
     """The learned quality gate drops model-flagged docs from the corpus."""
     from enterprise_warp_spark.pipeline.classify import train_quality_classifier

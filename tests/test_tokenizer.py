@@ -1,0 +1,158 @@
+"""Distributed byte-level BPE: naive-reference training parity, lossless
+round-trip, memoized distributed encoding, determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _naive_bpe(word_count: dict[str, int], n_merges: int):
+    """Independent reference trainer: full pair recount every merge."""
+    words = {
+        w: [bytes([b]) for b in w.encode("utf-8")] for w in word_count
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[bytes, bytes], int] = {}
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + word_count[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] <= 0:
+            break
+        merges.append(best)
+        new = best[0] + best[1]
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_train_matches_naive_reference(spark):
+    from enterprise_warp_spark.pipeline.tokenizer import train_bpe, word_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cats sat"),
+            (3, "a catalog of the cats"),
+            (4, "mat cat the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = word_counts(docs)
+    tok = train_bpe(counts, vocab_size=256 + 12)
+    wc = {r["word"]: r["n"] for r in counts.collect()}
+    want = _naive_bpe(wc, 12)
+    got = [(bytes.fromhex(a), bytes.fromhex(b)) for a, b in tok["merges"]]
+    assert got == want
+
+
+def test_roundtrip_lossless_on_real_documents(spark, sf_dir):
+    """decode(encode(text)) == text byte-for-byte over the whole documents
+    table (the pre-tokenizer is lossless), and distributed encoding matches
+    the driver-side reference encoder row by row."""
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        decode_ids,
+        encode_corpus,
+        encode_text,
+        tokenizer_tables,
+        train_bpe,
+        word_counts,
+    )
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = train_bpe(word_counts(docs), vocab_size=256 + 300)
+    out = {r["doc_id"]: r for r in encode_corpus(docs, tok).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(out) == set(texts)
+    tables = tokenizer_tables(tok)
+    n_checked = 0
+    for did, row in out.items():
+        assert decode_ids(row["token_ids"], tok) == texts[did]
+        assert row["n_tokens"] == len(row["token_ids"])
+        if n_checked < 40:  # driver-reference parity spot check
+            assert list(row["token_ids"]) == encode_text(
+                texts[did], tok, tables
+            )
+            n_checked += 1
+    # merges actually compress: far fewer tokens than bytes
+    total_tokens = sum(r["n_tokens"] for r in out.values())
+    total_bytes = sum(len(t.encode("utf-8")) for t in texts.values())
+    assert total_tokens < 0.6 * total_bytes
+
+
+def test_unicode_and_whitespace_roundtrip(spark):
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        decode_ids,
+        encode_text,
+        train_bpe,
+        word_counts,
+    )
+
+    rows = [
+        (1, "héllo  wörld\t\ttabs\nnewlines  "),
+        (2, "mixed 123 numbers42 and _under_scores_ §¶ symbols"),
+        (3, "日本語のテキスト and emoji \U0001f600 too"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = train_bpe(word_counts(docs), vocab_size=256 + 20)
+    for _, text in rows:
+        assert decode_ids(encode_text(text, tok), tok) == text
+
+
+def test_spark_pretokens_lossless_and_guard(spark):
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        pretokens,
+        train_bpe,
+        word_counts,
+    )
+
+    rows = [
+        (1, "a b  c\t d\n"), (2, "x9y _z_ !?#"), (3, "ünïcode 12③4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(
+        "text", F.concat_ws("", pretokens("text")).alias("glued")
+    ).collect()
+    for r in got:
+        assert r["glued"] == r["text"]  # Catalyst pre-tokenizer lossless
+
+    with pytest.raises(ValueError, match="max_words"):
+        train_bpe(word_counts(df), vocab_size=300, max_words=2)
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_bpe(word_counts(df), vocab_size=100)
+
+
+def test_encoding_repartition_invariant(spark, sf_dir):
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        encode_corpus,
+        train_bpe,
+        word_counts,
+    )
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    tok = train_bpe(word_counts(docs), vocab_size=256 + 64)
+    a = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in encode_corpus(docs, tok).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in encode_corpus(docs.repartition(7), tok).collect()
+    }
+    assert a == b
