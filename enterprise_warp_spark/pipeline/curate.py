@@ -187,6 +187,13 @@ def prepare_training_corpus(
     # tokenize (and optionally pack) the SERVED order (r6): token ids ride
     # the same rows, so the byte-identical-retry guarantee extends through
     # tokenization — BPE training and encoding are deterministic
+    if serving.pack_seq_len is not None and (
+        serving.tokenizer is None and serving.bpe_vocab_size is None
+    ):
+        raise ValueError(
+            "ServingConfig.pack_seq_len needs token counts: also set "
+            "`tokenizer` (a trained dict) or `bpe_vocab_size` (train one)"
+        )
     if serving.tokenizer is not None or serving.bpe_vocab_size is not None:
         from enterprise_warp_spark.pipeline.tokenizer import (
             encode_corpus,

@@ -384,6 +384,9 @@ def _alloc_planes(frame):
     ]
 
 
+_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
 def _huff_lut(table: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]:
     """Flat 16-bit-window Huffman LUT: for every 16-bit value whose leading
     bits spell a code, (symbol, code length). Canonical JPEG codes are <= 16
@@ -391,14 +394,23 @@ def _huff_lut(table: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]:
     multi-bit stepping of every production decoder (ITU-T T.81 F.2 describes
     the bit-serial reference procedure; the LUT is the standard speedup).
     Python lists, not numpy arrays: the decode loop does scalar indexing,
-    where list access is ~5x a numpy scalar index."""
+    where list access is ~5x a numpy scalar index. Memoized on the table
+    contents: real-world files overwhelmingly carry the Annex-K tables, so
+    thumbnail-heavy corpora build each LUT once per worker, not per image."""
+    key = tuple(sorted(table.items()))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
     sym = np.zeros(1 << 16, dtype=np.int32)
     ln = np.zeros(1 << 16, dtype=np.int32)
     for (length, code), s in table.items():
         lo = code << (16 - length)
         sym[lo : lo + (1 << (16 - length))] = s
         ln[lo : lo + (1 << (16 - length))] = length
-    return sym.tolist(), ln.tolist()
+    out = (sym.tolist(), ln.tolist())
+    if len(_LUT_CACHE) < 64:  # bounded: non-standard tables cannot grow it
+        _LUT_CACHE[key] = out
+    return out
 
 
 def _unstuff_ecs(data: bytes, pos: int):
@@ -442,7 +454,10 @@ def _unstuff_ecs(data: bytes, pos: int):
         for r in restarts
         if r < end_rel
     }
-    o = np.concatenate([out, np.zeros(4, np.uint8)]).astype(np.uint32)
+    # 12 pad bytes: a truncated block may overrun bit_end by one symbol +
+    # magnitude read (<= 32 bits) between in-loop bound checks; the padding
+    # keeps W[bp >> 3] in range until the check fires
+    o = np.concatenate([out, np.zeros(12, np.uint8)]).astype(np.uint32)
     W = ((o[:-3] << 24) | (o[1:-2] << 16) | (o[2:-1] << 8) | o[3:]).tolist()
     return W, len(out) * 8, rs
 
@@ -519,6 +534,8 @@ def _decode_scan(data, pos, frame, sel, qts, huff_dc, huff_ac, restart_interval)
                     coef[0] = dc
                     k = 1
                     while k < 64:
+                        if bp > bit_end:
+                            break  # truncated mid-block; discarded below
                         w = W[bp >> 3]
                         v16 = (w >> (16 - (bp & 7))) & 0xFFFF
                         rs_sym = asym[v16]

@@ -614,9 +614,12 @@ def bm25_topk_pruned(
                     debug.update(final_level=L, early_exit=True,
                                  max_level=max_level, delta=delta,
                                  theta=theta)
+                # materialize the candidate ids BEFORE the finally-block
+                # unpersist: a lazy filter over `partial` would silently
+                # re-run the whole partial scoring pass at consumption
                 cand = partial.filter(
                     F.col("score") + F.lit(delta) >= F.lit(theta)
-                ).select("doc_id")
+                ).select("doc_id").localCheckpoint(eager=True)
                 pool = postings.join(F.broadcast(cand), "doc_id", "left_semi")
                 return exact_scores(pool).orderBy(
                     F.col("score").desc(), F.col("doc_id").asc()

@@ -47,12 +47,35 @@ def pretokens(text_col: str = "text") -> Column:
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) over the corpus — the single corpus-sized shuffle of BPE
-    training. Map-side partial aggregation folds per-partition repeats
-    before the exchange."""
+    training (map-side partial aggregation folds per-partition repeats
+    before the exchange).
+
+    Pre-tokenization runs through _PY_PRETOKEN_RE in mapInPandas — the
+    EXACT function encode_corpus uses — so training and encoding see one
+    word population by construction. (The Catalyst `pretokens` twin
+    diverges on corner classes: Java \p{N} covers superscripts the
+    Python regex treats as letters, and `_` lands in different
+    alternatives; training through Catalyst would learn merges the
+    encoder never produces.)"""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            counts: dict[str, int] = {}
+            for t in pdf[text_col]:
+                if t is None:
+                    continue
+                for w in _PY_PRETOKEN_RE.findall(t):
+                    counts[w] = counts.get(w, 0) + 1
+            yield pd.DataFrame(
+                {"word": list(counts), "n": list(counts.values())}
+            )
+
     return (
-        docs.select(F.explode(pretokens(text_col)).alias("word"))
+        docs.select(text_col)
+        .mapInPandas(kernel, "word string, n long")
         .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").alias("n"))
     )
 
 
@@ -92,7 +115,8 @@ def train_bpe(
 
     Training cost: classic incremental pair-count maintenance — each
     merge touches only the words containing the merged pair (inverted
-    pair -> words index), so a merge costs O(occurrences), not a corpus
+    pair -> words index) and selection pops a lazy-deletion max-heap, so
+    a merge costs O(occurrences x log |pairs|), never a pair-table
     rescan."""
     if vocab_size < 256:
         raise ValueError(f"vocab_size must be >= 256, got {vocab_size}")
@@ -118,18 +142,36 @@ def train_bpe(
             pair_count[(a, b)] = pair_count.get((a, b), 0) + c
             pair_words.setdefault((a, b), set()).add(wi)
 
+    import heapq
+
+    # lazy-deletion max-heap: push on every count change, pop until the
+    # entry matches the live count. Ties break by pair bytes ascending,
+    # matching the deterministic (-count, pair) order.
+    heap = [(-c, p) for p, c in pair_count.items()]
+    heapq.heapify(heap)
+
+    def push(p):
+        c = pair_count.get(p)
+        if c:
+            heapq.heappush(heap, (-c, p))
+
     merges: list[tuple[bytes, bytes]] = []
     n_merges = vocab_size - 256
-    while len(merges) < n_merges and pair_count:
-        best = min(pair_count.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_count[best] <= 0:
-            break
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        live = pair_count.get(best, 0)
+        if live <= 0 or -negc != live:
+            continue  # stale entry
         merges.append(best)
         new_sym = best[0] + best[1]
         for wi in list(pair_words.get(best, ())):
             syms = words[wi]
             c = wcount[wi]
-            # remove this word's contribution to all its pairs
+            touched = set()
+            # remove this word's contribution to all its pairs. Decreased
+            # pairs MUST be re-pushed too (lazy deletion discards their
+            # stale higher entries; without a fresh entry a decremented
+            # pair would become unreachable forever)
             for a, b in zip(syms, syms[1:]):
                 pair_count[(a, b)] -= c
                 if pair_count[(a, b)] <= 0:
@@ -139,6 +181,7 @@ def train_bpe(
                     ws.discard(wi)
                     if not ws:
                         pair_words.pop((a, b), None)
+                touched.add((a, b))
             # merge every occurrence of the pair in this word
             out = []
             i = 0
@@ -158,6 +201,9 @@ def train_bpe(
             for a, b in zip(out, out[1:]):
                 pair_count[(a, b)] = pair_count.get((a, b), 0) + c
                 pair_words.setdefault((a, b), set()).add(wi)
+                touched.add((a, b))
+            for pr in touched:
+                push(pr)
     return {
         "merges": [(a.hex(), b.hex()) for a, b in merges],
         "vocab_size": 256 + len(merges),

@@ -177,8 +177,11 @@ def _hourly_min_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scd2_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build a real SCD2 dimension (init -> merge) in a temp dir, then read
-    it back as-of two instants bracketing the merge."""
+    """Build a real SCD2 dimension (init -> merge) in a temp dir, read it
+    back as-of two instants bracketing the merge, then MATERIALIZE the two
+    (small) as-of views and delete the directory — the gate must not leak
+    one parquet dimension copy per invocation."""
+    import shutil
     import tempfile
 
     from enterprise_warp_spark.maintenance import scd2_as_of, scd2_init, scd2_merge
@@ -200,18 +203,27 @@ def _scd2_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scd2_merge(spark, path, updates, ["c_custkey"], t2)
-    dim = spark.read.parquet(path)
-    out = None
-    for label, ts in (("t1", t1 + 500_000), ("t2", t2 + 500_000)):
-        part = scd2_as_of(dim, ts).select(
-            F.lit("scd").alias("gate"),
-            F.lit(label).alias("k1"),
-            F.col("c_custkey").cast("long").alias("k2"),
-            F.col("c_acctbal").alias("v1"),
-            F.lit(0.0).alias("v2"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    try:
+        dim = spark.read.parquet(path)
+        frames = []
+        for label, ts in (("t1", t1 + 500_000), ("t2", t2 + 500_000)):
+            pdf = (
+                scd2_as_of(dim, ts)
+                .select(
+                    F.lit("scd").alias("gate"),
+                    F.lit(label).alias("k1"),
+                    F.col("c_custkey").cast("long").alias("k2"),
+                    F.col("c_acctbal").alias("v1"),
+                    F.lit(0.0).alias("v2"),
+                )
+                .toPandas()
+            )
+            frames.append(pdf)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    import pandas as pd
+
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
 
 
 @register(

@@ -156,3 +156,29 @@ def test_encoding_repartition_invariant(spark, sf_dir):
         for r in encode_corpus(docs.repartition(7), tok).collect()
     }
     assert a == b
+
+
+def test_heap_trainer_matches_naive_on_adversarial_counts(spark):
+    """Lazy-deletion heap selection == the full-rescan reference on random
+    corpora engineered so pair counts rise AND fall across merges (the
+    decreased-pair reachability case)."""
+    import random
+
+    import pandas as pd
+
+    from enterprise_warp_spark.pipeline.tokenizer import train_bpe
+
+    rng = random.Random(9)
+    for trial in range(4):
+        vocab = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(2, 7)))
+            for _ in range(40)
+        ]
+        wc = {w: rng.randint(1, 30) for w in set(vocab)}
+        counts = spark.createDataFrame(
+            pd.DataFrame({"word": list(wc), "n": list(wc.values())})
+        )
+        tok = train_bpe(counts, vocab_size=256 + 25)
+        want = _naive_bpe(wc, 25)
+        got = [(bytes.fromhex(a), bytes.fromhex(b)) for a, b in tok["merges"]]
+        assert got == want, trial
