@@ -1,0 +1,110 @@
+"""HTML extraction: tag stripping, entity decode, boilerplate-block rules,
+malformed-markup robustness, Catalyst-vs-SAX agreement on clean markup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+_PAGE = """<!DOCTYPE html><html><head>
+<title>Ignored title block</title>
+<style>body {{ color: red; }}</style>
+<script>var x = "<p>not text</p>";</script>
+</head><body>
+<nav><a href="/">Home</a> | <a href="/a">News</a> | <a href="/b">Sport</a></nav>
+<h1>Article headline</h1>
+<p>This is the first real paragraph of the article, long enough to be kept
+by the density rule and containing an <a href="x">inline link</a> only.</p>
+<p>Second paragraph with enough characters to be considered substantial
+content by any reasonable threshold &amp; an entity or two &lt;here&gt;.</p>
+<div class="share"><a href="t">Tweet</a> <a href="f">Share</a></div>
+<footer><a href="/p">Privacy</a> <a href="/i">Imprint</a> Copyright</footer>
+</body></html>"""
+
+
+def test_extract_main_text_keeps_article_drops_boilerplate(spark):
+    from enterprise_warp_spark.pipeline.html import extract_main_text
+
+    df = spark.createDataFrame([(1, _PAGE)], "doc_id long, html string")
+    row = extract_main_text(df).first()
+    text = row["text"]
+    assert "first real paragraph" in text
+    assert "Second paragraph" in text
+    assert "Article headline" in text  # rescued: adjacent to content
+    assert "&amp;" not in text and "&" in text  # entities decoded
+    assert "Home" not in text and "Tweet" not in text  # link-dense blocks
+    assert "Privacy" not in text
+    assert "Ignored title block" not in text  # head subtree skipped
+    assert "var x" not in text  # script subtree skipped
+    assert row["n_blocks_kept"] < row["n_blocks_total"]
+    assert 0.0 < row["link_density"] < 1.0
+
+
+def test_extract_malformed_and_empty_never_raise(spark):
+    from enterprise_warp_spark.pipeline.html import extract_main_text
+
+    rows = [
+        (1, "<p>unclosed <b>tags <div>everywhere"),
+        (2, "<<<>>> &#x1F600; &bogus; <a href='x'>"),
+        (3, ""),
+        (4, None),
+        (5, "plain text with no markup at all, but long enough to keep as a block"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in extract_main_text(
+            spark.createDataFrame(rows, "doc_id long, html string"),
+            min_block_chars=5,
+        ).collect()
+    }
+    assert len(out) == 5
+    assert "unclosed" in out[1]["text"]
+    assert out[3]["text"] == "" and out[4]["text"] == ""
+    assert "plain text with no markup" in out[5]["text"]
+    assert "\U0001f600" in out[2]["text"] or out[2]["text"] == ""  # charref ok
+
+
+def test_strip_tags_catalyst_matches_sax_on_clean_markup(spark):
+    """On well-formed markup with only named entities, the JVM tier and the
+    SAX extractor (density rule disabled) agree on the visible words."""
+    from enterprise_warp_spark.pipeline.html import (
+        extract_main_text,
+        strip_tags_catalyst,
+    )
+
+    page = (
+        "<html><body><p>alpha beta</p><p>gamma &amp; delta</p>"
+        "<div>epsilon</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    jvm = df.select(strip_tags_catalyst("html").alias("t")).first()["t"]
+    sax = extract_main_text(
+        df, min_block_chars=1, max_link_density=1.0
+    ).first()["text"]
+    assert jvm.split() == sax.split() == [
+        "alpha", "beta", "gamma", "&", "delta", "epsilon",
+    ]
+
+
+def test_strip_tags_catalyst_plan_is_jvm_only(spark):
+    from enterprise_warp_spark.pipeline.html import strip_tags_catalyst
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    plan = (
+        df.select(strip_tags_catalyst("html").alias("t"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_extraction_feeds_text_pipeline(spark):
+    """The extracted column drops straight into the existing text operators
+    (token counts) — the curation entry point for web crawls."""
+    from enterprise_warp_spark.pipeline.html import extract_main_text
+    from enterprise_warp_spark.pipeline.text import token_counts
+
+    df = spark.createDataFrame([(1, _PAGE)], "doc_id long, html string")
+    ex = extract_main_text(df).withColumn("text", F.lower("text"))
+    tc = token_counts(ex).first()
+    assert tc["n_ws_tokens"] > 20
