@@ -56,9 +56,10 @@ def canonical_url(col: Column | str) -> Column:
         & ~((scheme == "https") & (port == "443"))
     )
     port_part = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit(""))
-    # strip one trailing slash from non-root paths ("(.)/$" cannot match
-    # the bare root "/")
-    path = F.regexp_replace(path, r"(.)/$", "$1")
+    # strip ALL trailing slashes from non-root paths in one pass — one at
+    # a time would make "/a//" -> "/a/" -> "/a" non-idempotent (caught by
+    # the idempotence property test). "(.)/+$" cannot match the bare root.
+    path = F.regexp_replace(path, r"(.)/+$", "$1")
     # filter + sort query params
     params = F.filter(
         F.split(F.coalesce(query, F.lit("")), "&"),

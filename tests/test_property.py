@@ -494,3 +494,93 @@ def test_flac_round_trip_property(n, stereo, block, seed):
     x = rng.integers(-32768, 32767, shape).astype(np.int16)
     out, rate = decode_flac(encode_flac(x, 16000, block_size=block))
     assert rate == 16000 and np.array_equal(out, x)
+
+
+@given(
+    texts=_st.lists(
+        _st.text(
+            alphabet=_st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@FAST
+def test_bpe_roundtrip_arbitrary_unicode(texts):
+    """decode(encode(text)) == text for ARBITRARY unicode — the byte-level
+    alphabet + lossless pre-tokenizer leave no OOV and no dropped chars.
+    Driver-side twin of the Spark encoder (same functions, pinned equal in
+    test_tokenizer)."""
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        _PY_PRETOKEN_RE,
+        decode_ids,
+        encode_text,
+    )
+
+    for t in texts:  # the pre-tokenizer must cover every character
+        assert "".join(_PY_PRETOKEN_RE.findall(t)) == t
+    tok = {"merges": [], "vocab_size": 256}  # merges empty: pure byte path
+    for t in texts:
+        assert decode_ids(encode_text(t, tok), tok) == t
+
+
+@given(
+    urls=_st.lists(
+        _st.tuples(
+            _st.from_regex(r"[a-z]{1,8}(\.[a-z]{2,6}){1,3}", fullmatch=True),
+            _st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,3}/?", fullmatch=True),
+            _st.lists(
+                _st.tuples(
+                    _st.from_regex(r"[a-z]{1,6}", fullmatch=True),
+                    _st.from_regex(r"[A-Za-z0-9]{0,4}", fullmatch=True),
+                ),
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_canonical_url_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u): the canonical form is a
+    fixed point, so re-processing an already-clean corpus is a no-op.
+    Batched: one Spark job checks a whole example batch of URLs."""
+    from enterprise_warp_spark.pipeline.weburl import canonical_url
+
+    rows = []
+    for host, path, params in urls:
+        q = "&".join(f"{k}={v}" for k, v in params)
+        rows.append((f"https://{host}{path}" + (f"?{q}" if q else ""),))
+    df = spark.createDataFrame(rows, "url string")
+    got = df.select(
+        canonical_url("url").alias("c")
+    ).select("c", canonical_url("c").alias("c2")).collect()
+    for r in got:
+        assert r["c2"] == r["c"]
+
+
+@given(
+    samples=arrays(
+        np.int16,
+        _st.integers(min_value=30, max_value=400),
+        elements=_st.integers(min_value=-32768, max_value=32767),
+    )
+)
+@FAST
+def test_adpcm_roundtrip_bounded_error(samples):
+    """IMA ADPCM round-trip: shape/count exact, reconstruction error
+    bounded by the largest quantizer step (32767 ~ the table max) for any
+    int16 signal — never NaN, never out of int16 range."""
+    from enterprise_warp_spark.pipeline.adpcm import encode_ima_wav
+    from enterprise_warp_spark.pipeline.codecs import decode_wav
+
+    x, rate = decode_wav(encode_ima_wav(samples, 8000, samples_per_block=33))
+    assert x.shape == (len(samples), 1)
+    assert np.all(np.isfinite(x)) and np.all(np.abs(x) <= 1.0)
