@@ -294,3 +294,21 @@ def test_r5_pipeline_ops_plan_shapes(spark, sf001):
     for seg in p.split("Sort [")[1:]:
         head = seg[:200]
         assert "global=false" in head or "global=true" not in head
+
+
+def test_r6_union_gates_plan_shapes(spark, sf001):
+    """The two round-6 union gates keep the bucketed-equi-join discipline:
+    the ONLY cartesian/nested-loop nodes are the two documented ones — the
+    fuzzy join's bounded pass-C product and the PIP broadcast path — and
+    the radius/fuzzy candidate generators appear as plain equi-joins."""
+    p = plan(REGISTRY["matching_geo_ops"].spark(spark, sf001), "simple")
+    # documented exceptions only: pass C (guarded product over <=max_dist
+    # strings; Spark may plan the crossJoin as either node) and the
+    # broadcast polygon containment join
+    assert p.count("CartesianProduct") + p.count("BroadcastNestedLoopJoin") <= 2
+    assert "HashJoin" in p or "SortMergeJoin" in p  # cell equi-joins (any
+    # equi strategy; at sf0.01 the small sides broadcast)
+
+    p2 = plan(REGISTRY["temporal_curation_ops"].spark(spark, sf001), "simple")
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
