@@ -44,12 +44,20 @@ def dedup_corpus_stream(
     corpus_path: str,
     checkpoint_path: str,
     text_col: str = "text",
+    transform=None,
 ) -> StreamingQuery:
     """Start the streaming dedup-ingest: micro-batches of (doc_id, text, ...)
     are near-dup-filtered against everything already ingested, survivors
     written to `corpus_path` (epoch-partitioned, replay-idempotent — see the
     module docstring for the crash analysis). availableNow drains the source
-    then stops — swap the trigger for continuous ingestion."""
+    then stops — swap the trigger for continuous ingestion.
+
+    `transform` (optional, DataFrame -> DataFrame) runs on each raw batch
+    BEFORE dedup — the hook where crawl hygiene composes into the stream
+    (pipeline.html.extract_main_text, weburl.repair_mojibake,
+    tokenizer.encode_corpus, ...). It MUST be deterministic (a pure
+    function of the batch), or crash replays would write different rows
+    into the same epoch partition and break the idempotence contract."""
     from enterprise_warp_spark.maintenance import upsert_partitions
     from enterprise_warp_spark.pipeline.dedup import (
         incremental_minhash_filter,
@@ -57,6 +65,8 @@ def dedup_corpus_stream(
     )
 
     def _one_batch(batch: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch = transform(batch)
         # 1. probe, ignoring this epoch's own (possibly partially written)
         # bands — deterministic across replays by construction
         survivors = incremental_minhash_filter(

@@ -734,3 +734,73 @@ def test_scd2_null_keys_dups_and_ordering_guards(spark, tmp_path):
             ["k"],
             1500,  # before the current version's valid_from (2000)
         )
+
+
+def test_streaming_ingest_with_crawl_hygiene_transform(spark, tmp_path, sf_dir):
+    """r6: the streaming dedup-ingest composes the crawl-hygiene stack via
+    its deterministic `transform` hook — raw HTML micro-batches are
+    extracted (boilerplate dropped), mojibake-repaired, and BPE-tokenized
+    BEFORE cross-batch dedup; the corpus lands with clean text + token
+    ids, and duplicate pages (same article, different nav chrome) dedup
+    on the EXTRACTED text."""
+    from enterprise_warp_spark.pipeline.html import extract_main_text
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        encode_corpus,
+        train_bpe,
+        word_counts,
+    )
+    from enterprise_warp_spark.pipeline.weburl import repair_mojibake
+    from enterprise_warp_spark.streaming.corpus import dedup_corpus_stream
+    from enterprise_warp_spark.tables import table
+
+    def page(body: str, nav: str) -> str:
+        return (
+            f"<html><body><nav><a href='/'>{nav}</a> <a href='/x'>More</a>"
+            f"</nav><p>{body}</p></body></html>"
+        )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    texts = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    b1 = [(i, page(t, "Home")) for i, t in texts[:25]]
+    # batch 2: same articles under DIFFERENT chrome (new ids) + fresh docs
+    b2 = [(i + 5_000_000, page(t, "Start")) for i, t in texts[:10]]
+    b2 += [(i, page(t, "Home")) for i, t in texts[25:]]
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(b1, "doc_id long, html string").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(b2, "doc_id long, html string").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    tok = train_bpe(word_counts(docs), vocab_size=256 + 64)
+
+    def hygiene(batch):
+        ex = extract_main_text(batch, min_block_chars=10).select(
+            "doc_id", "text"
+        )
+        return encode_corpus(repair_mojibake(ex), tok)
+
+    stream = (
+        spark.readStream.schema("doc_id long, html string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = dedup_corpus_stream(
+        stream,
+        index_path=str(tmp_path / "bands"),
+        corpus_path=str(tmp_path / "corpus"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        transform=hygiene,
+    )
+    q.awaitTermination(300)
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    rows = {r["doc_id"]: r for r in corpus.collect()}
+    # re-chromed duplicates dedup on the EXTRACTED text
+    assert not {i for i in rows if i >= 5_000_000}
+    assert set(rows) & {i for i, _ in texts[25:]}  # fresh docs landed
+    some = next(iter(rows.values()))
+    assert "<nav>" not in some["text"] and "More" not in some["text"]
+    assert some["n_tokens"] == len(some["token_ids"]) > 0
