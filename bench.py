@@ -119,6 +119,27 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # bench-only entry (r6): full BPE tokenizer cycle over the documents
+    # table — lossless pre-tokenize + word-count shuffle, 512-merge driver
+    # train, distributed memoized encode. Tracks the corpus-tokenization
+    # throughput the training pipeline pays per epoch.
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        encode_corpus,
+        train_bpe,
+        word_counts,
+    )
+    from enterprise_warp_spark.tables import table as _table
+
+    t0 = time.perf_counter()
+    _docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    _tok = train_bpe(word_counts(_docs), vocab_size=256 + 512)
+    encode_corpus(_docs, _tok).write.format("noop").mode("overwrite").save()
+    timings["x_bpe_train_encode"] = round(time.perf_counter() - t0, 4)
+    print(
+        f"# x_bpe_train_encode: {timings['x_bpe_train_encode']:.3f}s",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
