@@ -67,3 +67,66 @@ def decontaminate(
     """Drop every training document sharing an n-gram with the eval set."""
     hits = ngram_contamination(docs, eval_docs, n, text_col, id_col, eval_id_col)
     return docs.join(hits.select(id_col).distinct(), id_col, "left_anti")
+
+
+def contaminated_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_grams): maximal TOKEN spans of each
+    training document covered by eval-set n-grams — the surgical
+    alternative to whole-document dropping: a long document quoting one
+    benchmark sentence loses the sentence, not the document.
+
+    Shape: the corpus explodes one row per gram START POSITION (linear,
+    the ExactSubstr dedup machinery in pipeline/dedup.py), the eval side
+    reduces to a distinct gram-hash set (tiny, broadcast), and matched
+    positions merge gaps-and-islands into spans — one window per doc_id,
+    no cross joins."""
+    from enterprise_warp_spark.pipeline.dedup import (
+        _gram_position_hashes,
+        _spans_from_positions,
+    )
+
+    corpus = _gram_position_hashes(
+        docs.select(F.col(id_col).alias("doc_id"), text_col), text_col, n
+    )
+    eval_gh = (
+        _gram_position_hashes(
+            eval_docs.select(
+                F.col(eval_docs.columns[0]).alias("doc_id"), text_col
+            ),
+            text_col,
+            n,
+        )
+        .select("gh")
+        .distinct()
+    )
+    hits = corpus.join(F.broadcast(eval_gh), "gh", "left_semi").select(
+        "doc_id", "pos"
+    )
+    return _spans_from_positions(hits, n)
+
+
+def strip_contaminated_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (doc_id, cleaned_text, n_removed_tokens): every eval-overlapping
+    span removed from every document, one row per input document
+    (uncontaminated docs come back with n_removed_tokens = 0). Like the
+    ExactSubstr removal step, cleaned_text is the surviving tokens
+    re-joined with single spaces — the tokenizer's whitespace
+    normalization, not the original byte layout."""
+    from enterprise_warp_spark.pipeline.dedup import _strip_spans
+
+    spans = contaminated_spans(docs, eval_docs, n, text_col, id_col)
+    return _strip_spans(
+        docs.select(F.col(id_col).alias("doc_id"), text_col), spans, text_col
+    )

@@ -206,3 +206,58 @@ def test_bigram_lm_matches_counter_reference(spark):
     assert 4 not in scored  # single-token doc has no transitions
     # fluent (in-distribution) sequence is less perplexing than unseen junk
     assert scored[1]["ppl"] < scored[3]["ppl"]
+
+
+def test_strip_contaminated_spans_is_surgical(spark):
+    """Span-level decontamination removes EXACTLY the eval-overlapping
+    token range and keeps the rest of the document; clean docs survive
+    verbatim (modulo the documented single-space rejoin) with
+    n_removed_tokens = 0 — checked against a Python reference."""
+    from enterprise_warp_spark.pipeline.decontaminate import (
+        decontaminate,
+        strip_contaminated_spans,
+    )
+
+    bench = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    pre = "this training document starts with some original prose and then quotes"
+    post = "before returning to its own original material for several more tokens"
+    docs = [
+        (1, f"{pre} {bench} {post}"),
+        (2, "a completely clean document with no benchmark overlap at all here"),
+        (3, bench),  # the benchmark verbatim: everything goes
+    ]
+    evals = [(100, bench)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    edf = spark.createDataFrame(evals, "eval_id long, text string")
+
+    out = {
+        r["doc_id"]: r
+        for r in strip_contaminated_spans(ddf, edf, n=8).collect()
+    }
+    assert set(out) == {1, 2, 3}
+
+    # python reference for doc 1: every 8-gram of the doc that appears in
+    # the eval text marks its 8 positions; remove the union
+    def ref_strip(text, ev, n=8):
+        toks, evt = text.split(), ev.split()
+        ev_grams = {tuple(evt[i : i + n]) for i in range(len(evt) - n + 1)}
+        cut = set()
+        for i in range(len(toks) - n + 1):
+            if tuple(toks[i : i + n]) in ev_grams:
+                cut.update(range(i, i + n))
+        kept = [t for i, t in enumerate(toks) if i not in cut]
+        return " ".join(kept), len(cut)
+
+    for did, (text) in [(1, docs[0][1]), (2, docs[1][1]), (3, docs[2][1])]:
+        want_text, want_cut = ref_strip(text, bench)
+        assert out[did]["cleaned_text"] == want_text, did
+        assert out[did]["n_removed_tokens"] == want_cut, did
+    assert out[2]["n_removed_tokens"] == 0
+    assert out[3]["cleaned_text"] == ""  # fully contaminated
+
+    # the drop-based decontaminate removes docs 1 and 3 entirely — the
+    # span strip keeps doc 1's original prose
+    kept_ids = {r["doc_id"] for r in decontaminate(ddf, edf, n=8).collect()}
+    assert kept_ids == {2}
+    assert "original prose" in out[1]["cleaned_text"]
+    assert "quick brown" not in out[1]["cleaned_text"]
