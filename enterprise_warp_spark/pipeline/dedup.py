@@ -707,3 +707,40 @@ def incremental_gram_strip(
             new_ghs.write.mode("append").parquet(index_path)
             spark.catalog.refreshByPath(index_path)
     return out
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test labels that near-duplicates can NEVER straddle: split
+    by the dedup CLUSTER, not the document — a benchmark-style val set is
+    worthless when a near-copy of a val document sits in train, and plain
+    per-row hashing puts ~p*q of every near-dup pair across the boundary.
+
+    Every document takes its connected component's representative id (min
+    id reachable through `pairs`; singletons are their own component) and
+    the deterministic hash-range split (operators.sampling.split_dataset)
+    is evaluated on THAT key, so whole clusters move together and a
+    rerun — or a grown corpus — never relabels an existing cluster.
+
+    -> docs + (split_col). Cost: the component propagation (one shuffle
+    per graph-diameter round, near-dup chains are shallow) + one
+    broadcast-ish join of the component labels + the map-side hash label.
+    """
+    from enterprise_warp_spark.operators.sampling import split_dataset
+
+    comp = connected_components(pairs)
+    labeled = (
+        docs.join(
+            comp.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    return split_dataset(
+        labeled, "component", weights, seed=seed, split_col=split_col
+    ).drop("component")

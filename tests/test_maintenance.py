@@ -804,3 +804,42 @@ def test_streaming_ingest_with_crawl_hygiene_transform(spark, tmp_path, sf_dir):
     some = next(iter(rows.values()))
     assert "<nav>" not in some["text"] and "More" not in some["text"]
     assert some["n_tokens"] == len(some["token_ids"]) > 0
+
+
+def test_leakage_safe_splits_keep_clusters_together(spark, sf_dir):
+    """Near-dup pairs NEVER straddle train/val/test; fractions are roughly
+    honored; labels are deterministic and stable when the corpus grows."""
+    from enterprise_warp_spark.pipeline.dedup import (
+        leakage_safe_splits,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    assert pairs.count() > 10  # the synthetic corpus really has near-dups
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_splits(docs, pairs, w, seed=3)
+    lab = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in pairs.collect():
+        assert lab[r["doc_a"]] == lab[r["doc_b"]], (r["doc_a"], r["doc_b"])
+    from collections import Counter
+
+    shares = Counter(lab.values())
+    n = sum(shares.values())
+    assert abs(shares["train"] / n - 0.8) < 0.12
+
+    # stability: adding fresh documents never relabels existing ones
+    extra = spark.createDataFrame(
+        [(9_000_000 + i, f"totally new unique document number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_splits(
+            docs.unionByName(extra), pairs, w, seed=3
+        ).collect()
+    }
+    assert all(again[d] == s for d, s in lab.items())
