@@ -182,3 +182,26 @@ def test_heap_trainer_matches_naive_on_adversarial_counts(spark):
         want = _naive_bpe(wc, 25)
         got = [(bytes.fromhex(a), bytes.fromhex(b)) for a, b in tok["merges"]]
         assert got == want, trial
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        encode_text,
+        load_tokenizer,
+        save_tokenizer,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "persist me"), (2, "persist me too please")],
+        "doc_id long, text string",
+    )
+    tok = train_bpe(word_counts(docs), vocab_size=256 + 10)
+    path = str(tmp_path / "tok.json")
+    save_tokenizer(tok, path)
+    back = load_tokenizer(path)
+    # JSON round-trips merge tuples as lists; the tables accept both
+    assert back["vocab_size"] == tok["vocab_size"]
+    text = "persist me too"
+    assert encode_text(text, back) == encode_text(text, tok)
