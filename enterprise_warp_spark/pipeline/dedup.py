@@ -725,8 +725,19 @@ def leakage_safe_splits(
     Every document takes its connected component's representative id (min
     id reachable through `pairs`; singletons are their own component) and
     the deterministic hash-range split (operators.sampling.split_dataset)
-    is evaluated on THAT key, so whole clusters move together and a
-    rerun — or a grown corpus — never relabels an existing cluster.
+    is evaluated on THAT key, so whole clusters move together and a rerun
+    over the SAME pairs table always reproduces the same labels.
+
+    Stability under growth: adding documents that introduce NO new pairs
+    never relabels anything (pinned by test). A new pair that BRIDGES two
+    existing clusters (or adds a smaller-id member) changes the merged
+    component's representative, so one side's documents relabel — together,
+    to the merged cluster's split. That is the correct semantics (documents
+    newly discovered to be near-dups of val documents must leave train) but
+    it IS a relabel; pipelines that need sticky labels across corpus
+    versions should persist the component registry and re-join it instead
+    of recomputing (the pairs-never-straddle invariant holds either way,
+    pinned by the bridging test).
 
     -> docs + (split_col). Cost: the component propagation (one shuffle
     per graph-diameter round, near-dup chains are shallow) + one

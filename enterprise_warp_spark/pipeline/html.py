@@ -32,10 +32,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# named entities the Catalyst tier decodes (the overwhelmingly common set)
+# named entities the Catalyst tier decodes (the overwhelmingly common set).
+# &amp; MUST decode LAST: decoding it first would turn the escaped text
+# "&amp;lt;" into "&lt;" and then a later pass (or downstream consumer)
+# reads it as markup — the standard entity-decoding order unescapes the
+# ampersand only after every other entity has been handled, so "&amp;lt;"
+# yields the literal text "&lt;" (matching html.unescape and the SAX tier).
 _NAMED_ENTITIES = {
-    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+    "&lt;": "<", "&gt;": ">", "&quot;": '"',
     "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
+    "&amp;": "&",  # keep last — see note above
 }
 
 _BLOCK_TAGS = (
@@ -59,6 +65,8 @@ def strip_tags_catalyst(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{2,}", "\n")
+    # F.trim strips spaces only — drop the edge newlines block tags leave
+    c = F.regexp_replace(c, r"^\n+|\n+$", "")
     return F.trim(c)
 
 

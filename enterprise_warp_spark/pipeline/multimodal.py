@@ -94,13 +94,25 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
     # decoders are ~2 orders of magnitude faster than the pure-python
     # entropy loops; the pure-python codecs below remain the no-deps
     # guarantee AND the correctness oracle (features cross-checked
-    # identical in test_multimodal_codecs).
-    if row["mime"] in codecs.OPTIONAL_IMAGE_MIMES and opt.get("image"):
+    # identical in test_multimodal_codecs). prefer_native=False flips the
+    # order — pure-python decoders first — for bit-reproducible corpora
+    # (native IDCT/rounding differs from the pure path; see
+    # extract_features' determinism caveat).
+    native_first = opt.get("prefer_native", True)
+    if (
+        native_first
+        and row["mime"] in codecs.OPTIONAL_IMAGE_MIMES
+        and opt.get("image")
+    ):
         try:
             return True, codecs.image_features(opt["image"](payload))
         except Exception:
             pass  # undecodable by the plugin: pure-python below, else stub
-    if row["mime"] in codecs.OPTIONAL_AUDIO_MIMES and opt.get("audio"):
+    if (
+        native_first
+        and row["mime"] in codecs.OPTIONAL_AUDIO_MIMES
+        and opt.get("audio")
+    ):
         try:
             return True, codecs.audio_features(*opt["audio"](payload))
         except Exception:
@@ -122,6 +134,27 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
             # through to the optional Pillow plugin below, like
             # resize_images does, instead of stubbing immediately
             pass
+    # prefer_native=False: the pure decoders had first refusal above; the
+    # plugins now only catch formats the pure path cannot decode at all
+    # (progressive JPEG, 16-bit PNG, MP3, ...)
+    if (
+        not native_first
+        and row["mime"] in codecs.OPTIONAL_IMAGE_MIMES
+        and opt.get("image")
+    ):
+        try:
+            return True, codecs.image_features(opt["image"](payload))
+        except Exception:
+            pass
+    if (
+        not native_first
+        and row["mime"] in codecs.OPTIONAL_AUDIO_MIMES
+        and opt.get("audio")
+    ):
+        try:
+            return True, codecs.audio_features(*opt["audio"](payload))
+        except Exception:
+            pass
     if family == "rawvideo":
         return True, codecs.video_features(
             payload, int(row["width"]), int(row["height"]), int(row["n_frames"])
@@ -134,7 +167,11 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
     return False, _decode_stub(payload)
 
 
-def extract_features(media: DataFrame, decoders: dict | None = None) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    decoders: dict | None = None,
+    prefer_native: bool = True,
+) -> DataFrame:
     """mapInPandas feature extraction over opaque binaries.
 
     Arrow-batched: each pandas chunk is processed vectorized; the plan keeps
@@ -143,6 +180,16 @@ def extract_features(media: DataFrame, decoders: dict | None = None) -> DataFram
     optional Pillow/soundfile plugins when those are importable on the
     workers, else get the stub and `decoded=false`. `decoders` overrides the
     per-worker codecs.optional_decoders() resolution (tests inject fakes).
+
+    DETERMINISM CAVEAT: extracted features are decoder-dependent. A native
+    decoder (libjpeg via Pillow, libsndfile) may differ from the pure-python
+    codecs in IDCT precision and rounding, so a corpus processed on workers
+    WITH the optional plugins installed can produce (slightly) different
+    feature vectors than one processed without them. For bit-reproducible
+    corpora pass ``prefer_native=False`` to force the pure-python decoders
+    for every format they support (plugins then only handle formats the
+    pure decoders cannot, e.g. progressive JPEG); the default keeps the
+    native-first dispatch because it is ~100x faster on compressed media.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -151,6 +198,8 @@ def extract_features(media: DataFrame, decoders: dict | None = None) -> DataFram
         from enterprise_warp_spark.pipeline import codecs
 
         opt = decoders if decoders is not None else codecs.optional_decoders()
+        if not prefer_native:
+            opt = dict(opt, prefer_native=False)
         for pdf in batches:
             decoded_feats = [_decode_features(row, opt) for _, row in pdf.iterrows()]
             yield pd.DataFrame(

@@ -46,7 +46,7 @@ def pretokens(text_col: str = "text") -> Column:
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, n) over the corpus — the single corpus-sized shuffle of BPE
+    r"""(word, n) over the corpus — the single corpus-sized shuffle of BPE
     training (map-side partial aggregation folds per-partition repeats
     before the exchange).
 

@@ -24,19 +24,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# query parameters that never identify content (tracking/campaign noise)
+# query parameters that never identify content (tracking/campaign noise).
+# Deliberately EXCLUDES bare 'ref': on major sites it is content-identifying
+# (GitHub ?ref=<branch> selects a different resource), so stripping it would
+# merge distinct pages into one canonical form and exact-URL dedup could
+# drop real content. ref_src (the Twitter tracking variant) stays.
 TRACKING_PARAMS = (
     "utm_source|utm_medium|utm_campaign|utm_term|utm_content|utm_id|"
-    "gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid|spm"
+    "gclid|fbclid|msclkid|mc_cid|mc_eid|ref_src|igshid|spm"
 )
 
 
-def canonical_url(col: Column | str) -> Column:
+def canonical_url(
+    col: Column | str, tracking_params: str = TRACKING_PARAMS
+) -> Column:
     """Canonical URL string: scheme+host lowercased, default :80/:443
     ports dropped, fragment dropped, tracking query params removed and
     the surviving params SORTED, trailing slash normalized off non-root
     paths. NULL-safe; a string with no '://' is returned untouched
-    (relative/garbage URLs are not guessed at)."""
+    (relative/garbage URLs are not guessed at).
+
+    tracking_params: '|'-separated param names to strip (case-insensitive,
+    exact-name match) — override per corpus when a site's 'noise' params
+    are content-identifying there (the reason bare 'ref' is not in the
+    default list)."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, r"#.*$", "")  # fragment never reaches servers
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -65,7 +76,7 @@ def canonical_url(col: Column | str) -> Column:
         F.split(F.coalesce(query, F.lit("")), "&"),
         lambda p: (p != "")
         & ~F.regexp_extract(p, r"^([^=]*)", 1).rlike(
-            f"^(?i)({TRACKING_PARAMS})$"
+            f"^(?i)({tracking_params})$"
         ),
     )
     qsorted = F.array_join(F.array_sort(params), "&")

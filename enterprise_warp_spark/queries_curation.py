@@ -205,25 +205,23 @@ def _scd2_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scd2_merge(spark, path, updates, ["c_custkey"], t2)
     try:
         dim = spark.read.parquet(path)
-        frames = []
+        out = None
         for label, ts in (("t1", t1 + 500_000), ("t2", t2 + 500_000)):
-            pdf = (
-                scd2_as_of(dim, ts)
-                .select(
-                    F.lit("scd").alias("gate"),
-                    F.lit(label).alias("k1"),
-                    F.col("c_custkey").cast("long").alias("k2"),
-                    F.col("c_acctbal").alias("v1"),
-                    F.lit(0.0).alias("v2"),
-                )
-                .toPandas()
+            view = scd2_as_of(dim, ts).select(
+                F.lit("scd").alias("gate"),
+                F.lit(label).alias("k1"),
+                F.col("c_custkey").cast("long").alias("k2"),
+                F.col("c_acctbal").alias("v1"),
+                F.lit(0.0).alias("v2"),
             )
-            frames.append(pdf)
+            out = view if out is None else out.unionByName(view)
+        # distributed materialization (NOT toPandas — the as-of views scale
+        # with the customer table): the eager checkpoint pins the data on
+        # the executors so the temp dimension dir can be deleted before the
+        # gate's plan is consumed
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    import pandas as pd
-
-    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
 
 
 @register(

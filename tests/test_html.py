@@ -108,3 +108,20 @@ def test_extraction_feeds_text_pipeline(spark):
     ex = extract_main_text(df).withColumn("text", F.lower("text"))
     tc = token_counts(ex).first()
     assert tc["n_ws_tokens"] > 20
+
+
+def test_strip_tags_escaped_entities_do_not_double_decode(spark):
+    """'&amp;lt;' is the ESCAPED text '&lt;' — decoding &amp; first would
+    double-decode it into a literal '<'; the Catalyst tier must agree with
+    html.unescape (&amp; decodes last)."""
+    import html as _html
+
+    from enterprise_warp_spark.pipeline.html import strip_tags_catalyst
+
+    body = "a &amp;lt;b&amp;gt; c &amp;amp; d &lt;real&gt; &amp; e"
+    df = spark.createDataFrame(
+        [(1, f"<p>{body}</p>")], "doc_id long, html string"
+    )
+    got = df.select(strip_tags_catalyst("html").alias("t")).first()["t"]
+    assert got == _html.unescape(body)
+    assert "&lt;b&gt;" in got and "<real>" in got and "&amp;" in got

@@ -843,3 +843,42 @@ def test_leakage_safe_splits_keep_clusters_together(spark, sf_dir):
         ).collect()
     }
     assert all(again[d] == s for d, s in lab.items())
+
+
+def test_leakage_safe_splits_bridging_pair_relabels_together(spark):
+    """A NEW pair bridging two existing clusters merges them: the merged
+    component takes ONE split (the representative's hash bucket), so one
+    side's documents relabel — but pairs still never straddle, and docs in
+    untouched components keep their labels exactly."""
+    from enterprise_warp_spark.pipeline.dedup import leakage_safe_splits
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(12)], "doc_id long, text string"
+    )
+    # two chain clusters {0,1,2} and {5,6,7}, plus singletons 3,4,8..11
+    pairs0 = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (6, 7)], "doc_a long, doc_b long"
+    )
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    before = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_splits(docs, pairs0, w, seed=7).collect()
+    }
+    # bridge the two clusters
+    pairs1 = pairs0.unionByName(
+        spark.createDataFrame([(2, 5)], "doc_a long, doc_b long")
+    )
+    after = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_splits(docs, pairs1, w, seed=7).collect()
+    }
+    merged = {0, 1, 2, 5, 6, 7}
+    # the merged component is uniform and equals the min-id (0) cluster's
+    # original label — the {5,6,7} side moves together
+    assert {after[d] for d in merged} == {before[0]}
+    # no pair straddles after the merge
+    for a, b in [(0, 1), (1, 2), (5, 6), (6, 7), (2, 5)]:
+        assert after[a] == after[b]
+    # untouched components never relabel
+    for d in set(range(12)) - merged:
+        assert after[d] == before[d]

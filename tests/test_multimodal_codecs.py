@@ -1290,3 +1290,38 @@ def test_adpcm_decodes_for_real_in_spark_and_fingerprint_invariant(spark):
     assert fp[1]["decoded"] is True and fp[2]["decoded"] is True
     hamming = bin(fp[1]["fingerprint"] ^ fp[2]["fingerprint"]).count("1")
     assert hamming <= 6  # well inside the near-dup bucket radius
+
+
+def test_prefer_native_false_uses_pure_decoder_despite_plugin(spark):
+    """Bit-reproducibility switch: with prefer_native=False the pure-python
+    JPEG decoder wins even when a (different-answer) native plugin is
+    installed; the plugin still catches formats the pure path cannot."""
+    from enterprise_warp_spark.pipeline.codecs import image_features
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    def fake_image_decoder(payload: bytes) -> np.ndarray:
+        return np.full((8, 8, 3), 200, dtype=np.uint8)  # wrong on purpose
+
+    from enterprise_warp_spark.pipeline.jpeg import encode_jpeg
+
+    payload = encode_jpeg(_gradient_rgb(), quality=95, subsample=True)
+    media = spark.createDataFrame(
+        [(77, "image", payload, "image/jpeg", 37, 21, None, None)], MEDIA_SCHEMA
+    )
+    pure = extract_features(media, decoders={}).first()
+    assert pure["decoded"] is True  # the pure JPEG decoder handles this row
+    native = extract_features(
+        media, decoders={"image": fake_image_decoder}
+    ).first()
+    assert native["feature"] == pytest.approx(
+        image_features(fake_image_decoder(b"")), abs=0
+    )
+    repro = extract_features(
+        media, decoders={"image": fake_image_decoder}, prefer_native=False
+    ).first()
+    assert repro["decoded"] is True
+    assert repro["feature"] == pytest.approx(pure["feature"], abs=0)
+    assert repro["feature"] != pytest.approx(native["feature"], abs=0)

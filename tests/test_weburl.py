@@ -89,3 +89,29 @@ def test_mojibake_repair_fixes_double_encoding_only(spark):
     if "�" not in broken:
         assert out[1]["mojibake_fixed"] is True
         assert out[1]["text"] == clean
+
+
+def test_canonical_url_keeps_content_identifying_ref_param(spark):
+    """Bare ?ref= selects different resources on major sites (GitHub
+    branches) — it must survive canonicalization by default, while the
+    tracking variant ref_src still strips; the param list is overridable."""
+    from enterprise_warp_spark.pipeline.weburl import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://github.com/o/r/tree?ref=main"),
+            (1, "https://example.com/p?ref_src=twsrc&x=1"),
+        ],
+        "i long, url string",
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url("url").alias("c")).collect()
+    }
+    assert got[0] == "https://github.com/o/r/tree?ref=main"
+    assert got[1] == "https://example.com/p?x=1"
+    # per-corpus override: caller decides ref IS noise for their crawl
+    strict = df.select(
+        "i", canonical_url("url", tracking_params="ref|ref_src").alias("c")
+    ).collect()
+    assert {r["i"]: r["c"] for r in strict}[0] == "https://github.com/o/r/tree"
