@@ -61,6 +61,7 @@ def main() -> None:
 
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
         reps: list[float] = []
         for _ in range(n_reps):
@@ -76,9 +77,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(reps), 4)
+        spreads[name] = round(max(reps) - min(reps), 4)
         print(
             f"# {name}: median {timings[name]:.3f}s "
-            f"spread {max(reps) - min(reps):.3f}s ({n_reps} reps)",
+            f"spread {spreads[name]:.3f}s ({n_reps} reps)",
             file=sys.stderr,
         )
 
@@ -141,6 +143,10 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 4)
+    # `spread` = per-query (max - min) over the n_reps timings: this VM has
+    # 2-3x wall-clock noise windows, so a regression is only real when the
+    # median delta clears the recorded spread — machine-readable so round
+    # deltas can be classified noise-vs-real without solo re-runs.
     print(
         json.dumps(
             {
@@ -148,6 +154,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

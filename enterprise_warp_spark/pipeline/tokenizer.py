@@ -80,23 +80,50 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _apply_merges(symbols: list[bytes], ranks: dict[tuple[bytes, bytes], int]) -> list[bytes]:
-    """Greedy lowest-rank-first merge walk (the standard BPE encode)."""
-    while len(symbols) > 1:
-        best = None
-        best_rank = None
-        for i in range(len(symbols) - 1):
-            r = ranks.get((symbols[i], symbols[i + 1]))
-            if r is not None and (best_rank is None or r < best_rank):
-                best, best_rank = i, r
-        if best is None:
-            return symbols
-        merged = symbols[best] + symbols[best + 1]
-        out = symbols[:best] + [merged]
-        i = best + 1
-        # re-scan from the merge point (the merged symbol may chain)
-        out.extend(symbols[i + 1 :])
-        symbols = out
-    return symbols
+    """Greedy lowest-rank-first merge walk (the standard BPE encode),
+    heap + linked-list: O(n log n) in the pre-token length instead of the
+    naive O(n^2) full-rescan loop — same output bit for bit (equal-rank
+    ties break to the leftmost occurrence, exactly like the rescan, since
+    the heap orders (rank, position) and positions never reorder). The
+    n^2 loop stalls an encode task on a pathological megabyte-long single
+    pre-token (no whitespace); this walk makes that case ~n log n."""
+    n = len(symbols)
+    if n < 2:
+        return symbols
+    import heapq
+
+    syms = list(symbols)
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    alive = [True] * n
+    heap = [
+        (r, i)
+        for i in range(n - 1)
+        if (r := ranks.get((syms[i], syms[i + 1]))) is not None
+    ]
+    heapq.heapify(heap)
+    while heap:
+        r, i = heapq.heappop(heap)
+        if not alive[i]:
+            continue
+        j = nxt[i]
+        # stale guard: the pair at this position must still exist with
+        # this rank (a matching rank implies the identical byte pair, so
+        # re-merging a re-formed pair here is by definition correct)
+        if j == -1 or ranks.get((syms[i], syms[j])) != r:
+            continue
+        syms[i] = syms[i] + syms[j]
+        alive[j] = False
+        nj = nxt[j]
+        nxt[i] = nj
+        if nj != -1:
+            prv[nj] = i
+        p = prv[i]
+        if p != -1 and (rp := ranks.get((syms[p], syms[i]))) is not None:
+            heapq.heappush(heap, (rp, p))
+        if nj != -1 and (rn := ranks.get((syms[i], syms[nj]))) is not None:
+            heapq.heappush(heap, (rn, i))
+    return [s for s, a in zip(syms, alive) if a]
 
 
 def train_bpe(
@@ -280,7 +307,11 @@ def encode_corpus(
                         [bytes([b]) for b in word.encode("utf-8")], ranks
                     )
                     got = [ids[s] for s in syms]
-                    memo[word] = got
+                    # memo only plausibly-repeating pre-tokens: a
+                    # pathological megabyte single pre-token would pin
+                    # its key+ids in every batch's memo for no reuse
+                    if len(word) <= 256:
+                        memo[word] = got
                 out.extend(got)
             return out
 

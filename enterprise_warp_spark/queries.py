@@ -640,25 +640,9 @@ def anti_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "nation_set_ops",
-    """
-    SELECT 'intersect' AS op, nationkey FROM
-      (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
-    UNION ALL
-    SELECT 'union' AS op, nationkey FROM
-      (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
-    """,
-    doc="X1 set intersection (repeated covm parameter names, results.py:563-566) "
-    "+ X2 set union with dedup (noise-term list union, enterprise_warp.py:643), "
-    "tag-discriminated in one gate.",
-)
-def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    inter = c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey")
-    uni = c.union(s).distinct().select(F.lit("union").alias("op"), "nationkey")
-    return inter.unionByName(uni)
+# (nation_set_ops was folded into queries_olap.grouping_sets_orders as the
+#  'set_intersect'/'set_union' branches — r6 verdict Next #1's 50-entry-cap
+#  consolidation; X1/X2 keep their hash coverage under the merged gate.)
 
 
 # ---------------------------------------------------------------------------
@@ -701,3 +685,4 @@ from enterprise_warp_spark import queries_kernel  # noqa: E402,F401
 from enterprise_warp_spark import queries_olap  # noqa: E402,F401
 from enterprise_warp_spark import queries_temporal  # noqa: E402,F401
 from enterprise_warp_spark import queries_curation  # noqa: E402,F401
+from enterprise_warp_spark import queries_hygiene  # noqa: E402,F401

@@ -1,0 +1,344 @@
+"""Driver-facing hash gate for the round-6 web-hygiene / curation families
+(VERDICT r6 Next #1): one tag-discriminated union gate (the
+``kernel_value_slices`` consolidation pattern) gives every round-6 module a
+hash-checked CORRECTNESS row within the driver artifact's 50-entry cap.
+
+Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
+
+* ``url`` — pipeline.weburl.canonical_url over three synthetic URL shapes
+  built from c_custkey (case/port/fragment/tracking/trailing-slash, an
+  all-tracking query, and a non-URL passthrough). The oracle constructs the
+  EXPECTED canonical string directly — it does not re-implement the parser.
+* ``dom`` — weburl.registrable_domain over two-level-suffix, deep-subdomain
+  and single-label hosts.
+* ``moj`` — weburl.repair_mojibake over a deterministically double-encoded
+  corpus (every 'a' replaced by the UTF-8-as-cp1252 'Ã©'); the oracle
+  applies the inverse substitution ('a' -> 'é') since the cp1252->utf-8
+  round trip provably restores exactly that.
+* ``tag`` — pipeline.html.strip_tags_catalyst over documents wrapped in a
+  fixed chrome (script block, comment, block tags, escaped entities); the
+  oracle builds the expected plain text from the template.
+* ``tok`` — pipeline.tokenizer.word_counts (the BPE trainer's single
+  corpus shuffle): the Python pre-tokenizer's (word, n) table vs DuckDB
+  regexp_extract_all with the ASCII-equivalent pattern (the corpus is
+  ASCII; the Python twin's unicode classes coincide there).
+* ``spl`` — pipeline.dedup.leakage_safe_splits with star-shaped pair
+  clusters per (lang, source): component = min doc_id of the cluster, so
+  the oracle reproduces the split label from the same md5 hash-range
+  arithmetic the engine uses (operators.sampling.split_dataset).
+* ``stm`` — streaming.corpus.dedup_corpus_stream with the crawl-hygiene
+  transform hook: each micro-batch is re-chromed (HTML wrapper varying by
+  source), the hook extracts text back out, and near-dup survivors land in
+  the corpus. The whole documents table arrives as ONE availableNow batch
+  (single parquet file, no maxFilesPerTrigger), so the survivor set equals
+  "docs minus within-batch LSH losers" — the same band-join SQL the
+  minhash_lsh gate pins. Replay idempotence is pinned separately in
+  tests/test_streaming.py.
+
+Determinism: every branch's values are exact (strings, counts, int-valued
+doubles) — no rounding needed anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.queries import register
+from enterprise_warp_spark.queries_pipeline import _D_SIG_CTE
+from enterprise_warp_spark.tables import table
+
+_TOK_PATTERN = r" ?[A-Za-z]+| ?[0-9]+|\s+|[^\s0-9A-Za-z_]+|_+"
+
+_HYGIENE_ORACLE = f"""
+    WITH ku AS (
+      SELECT c_custkey, c_custkey % 97 AS k, c_custkey % 7 AS k2 FROM customer
+    ),
+    words AS (
+      SELECT UNNEST(regexp_extract_all(text, '{_TOK_PATTERN}')) AS w
+      FROM documents
+    ),
+    comp AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS comp
+      FROM documents
+    ),
+    hx AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(comp AS VARCHAR) || '|7'), 1, 15)
+                  AS BIGINT) / CAST(16.0**15 AS DOUBLE) AS u
+      FROM comp
+    ),
+    {_D_SIG_CTE},
+    losers AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0
+    )
+    SELECT 'url' AS gate, 'u1' AS k1, c_custkey AS k2, 0.0 AS v1,
+           'http://www.site' || CAST(k AS VARCHAR) || '.com/Items/'
+             || CAST(k AS VARCHAR) || '?a=1&b=' || CAST(k2 AS VARCHAR) AS h
+    FROM ku
+    UNION ALL
+    SELECT 'url', 'u2', c_custkey, 0.0,
+           'https://blog.example.co.uk/post/' || CAST(k AS VARCHAR)
+    FROM ku
+    UNION ALL
+    SELECT 'url', 'u3', c_custkey, 0.0,
+           'item ' || CAST(k AS VARCHAR) || ' not a url'
+    FROM ku
+    UNION ALL
+    SELECT 'dom', 'd1', c_custkey, 0.0,
+           'site' || CAST(k AS VARCHAR) || '.co.uk'
+    FROM ku
+    UNION ALL
+    SELECT 'dom', 'd2', c_custkey, 0.0,
+           'site' || CAST(k AS VARCHAR) || '.com'
+    FROM ku
+    UNION ALL
+    SELECT 'dom', 'd3', c_custkey, 0.0, 'localhost' FROM ku
+    UNION ALL
+    SELECT 'moj', '', doc_id,
+           CASE WHEN text LIKE '%a%' THEN 1.0 ELSE 0.0 END,
+           substr(md5(replace(text, 'a', 'é')), 1, 16)
+    FROM documents
+    UNION ALL
+    SELECT 'tag', '', doc_id,
+           CAST(LENGTH('Doc ' || CAST(doc_id % 50 AS VARCHAR) || chr(10)
+                       || text || chr(10) || '& <ok>') AS DOUBLE),
+           substr(md5('Doc ' || CAST(doc_id % 50 AS VARCHAR) || chr(10)
+                      || text || chr(10) || '& <ok>'), 1, 16)
+    FROM documents
+    UNION ALL
+    SELECT 'tok', w, COUNT(*), 0.0, '' FROM words GROUP BY w
+    UNION ALL
+    SELECT 'spl',
+           CASE WHEN u < 0.1 THEN 'test'
+                WHEN u < 0.9 THEN 'train'
+                ELSE 'val' END,
+           doc_id, 0.0, ''
+    FROM hx
+    UNION ALL
+    SELECT 'stm', '', doc_id, 0.0, substr(md5(text), 1, 16)
+    FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+def _url_dom_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.pipeline.weburl import (
+        canonical_url,
+        registrable_domain,
+    )
+
+    ku = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k2"),
+        (F.col("c_custkey") % 97).cast("string").alias("k"),
+        (F.col("c_custkey") % 7).cast("string").alias("kq"),
+    )
+    raws = {
+        "u1": F.concat(
+            F.lit("HTTP://WWW.Site"), F.col("k"), F.lit(".COM:80/Items/"),
+            F.col("k"), F.lit("/?utm_source=x&b="), F.col("kq"),
+            F.lit("&a=1#frag"),
+        ),
+        "u2": F.concat(
+            F.lit("https://Blog.Example.CO.UK/post/"), F.col("k"),
+            F.lit("/?utm_campaign=c&fbclid="), F.col("k"),
+        ),
+        "u3": F.concat(F.lit("item "), F.col("k"), F.lit(" not a url")),
+    }
+    hosts = {
+        "d1": F.concat(F.lit("WWW.Site"), F.col("k"), F.lit(".CO.UK")),
+        "d2": F.concat(F.lit("a.b.site"), F.col("k"), F.lit(".com")),
+        "d3": F.lit("localhost"),
+    }
+    # ONE customer scan: the six cases ride a single explode instead of a
+    # six-branch union (six scans + six stages for identical input rows)
+    cases = [
+        F.struct(
+            F.lit("url").alias("gate"), F.lit(tag).alias("k1"),
+            canonical_url(raw).alias("h"),
+        )
+        for tag, raw in raws.items()
+    ] + [
+        F.struct(
+            F.lit("dom").alias("gate"), F.lit(tag).alias("k1"),
+            registrable_domain(host).alias("h"),
+        )
+        for tag, host in hosts.items()
+    ]
+    return ku.select(
+        "k2", F.explode(F.array(*cases)).alias("c")
+    ).select(
+        F.col("c.gate").alias("gate"), F.col("c.k1").alias("k1"), "k2",
+        F.lit(0.0).alias("v1"), F.col("c.h").alias("h"),
+    )
+
+
+def _moj_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.pipeline.weburl import repair_mojibake
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corrupted = docs.withColumn(
+        "text", F.regexp_replace("text", "a", "Ã©")
+    )
+    return repair_mojibake(corrupted).select(
+        F.lit("moj").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.col("mojibake_fixed").cast("double").alias("v1"),
+        F.substring(F.md5("text"), 1, 16).alias("h"),
+    )
+
+
+def _tag_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.pipeline.html import strip_tags_catalyst
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    markup = F.concat(
+        F.lit('<div class="a"><script type="text/javascript">ignore()'
+              "</script><h1>Doc "),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- note --><span>&amp; &lt;ok&gt;</span></div>"),
+    )
+    stripped = strip_tags_catalyst(markup)
+    return docs.select(
+        F.lit("tag").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.length(stripped).cast("double").alias("v1"),
+        F.substring(F.md5(stripped), 1, 16).alias("h"),
+    )
+
+
+def _tok_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.pipeline.tokenizer import word_counts
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return word_counts(docs).select(
+        F.lit("tok").alias("gate"),
+        F.col("word").alias("k1"),
+        F.col("n").cast("long").alias("k2"),
+        F.lit(0.0).alias("v1"),
+        F.lit("").alias("h"),
+    )
+
+
+def _spl_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from enterprise_warp_spark.pipeline.dedup import leakage_safe_splits
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source")
+    pairs = (
+        docs.select(
+            F.min("doc_id").over(w).alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    out = leakage_safe_splits(
+        docs.select("doc_id", "text"),
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7,
+    )
+    return out.select(
+        F.lit("spl").alias("gate"),
+        F.col("split").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.lit(0.0).alias("v1"),
+        F.lit("").alias("h"),
+    )
+
+
+def _stm_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the crawl-hygiene streaming composition to completion and return
+    the surviving corpus (see module docstring: single-batch availableNow,
+    so the survivor set is SQL-expressible). Temp dirs are deleted before
+    returning — the result is materialized distributed (localCheckpoint),
+    mirroring the SCD2 gate branch."""
+    import shutil
+    import tempfile
+
+    from enterprise_warp_spark.pipeline.html import strip_tags_catalyst
+    from enterprise_warp_spark.streaming.corpus import dedup_corpus_stream
+
+    root = tempfile.mkdtemp(prefix="ews_stm_gate_")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long"
+            )
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            # gate-scale subset (the even half — still thousands of docs at
+            # sf0.1 with real near-dup collisions); the oracle filters the
+            # same way
+            .filter(F.col("doc_id") % 2 == 0)
+        )
+
+        def rechrome_then_extract(batch: DataFrame) -> DataFrame:
+            markup = F.concat(
+                F.lit('<div class="'), F.col("source"), F.lit('"><p>'),
+                F.col("text"), F.lit("</p></div>"),
+            )
+            return batch.withColumn("text", strip_tags_catalyst(markup))
+
+        q = dedup_corpus_stream(
+            stream,
+            index_path=f"{root}/index",
+            corpus_path=f"{root}/corpus",
+            checkpoint_path=f"{root}/ckpt",
+            transform=rechrome_then_extract,
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(f"{root}/corpus")
+            .select(
+                F.lit("stm").alias("gate"),
+                F.lit("").alias("k1"),
+                F.col("doc_id").cast("long").alias("k2"),
+                F.lit(0.0).alias("v1"),
+                F.substring(F.md5("text"), 1, 16).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "web_hygiene_ops",
+    _HYGIENE_ORACLE,
+    doc="Union hash gate for the r6 web-hygiene/curation families: [url] "
+    "canonical_url (case/port/fragment/tracking/trailing-slash, "
+    "all-tracking query, non-URL passthrough; pipeline/weburl.py), [dom] "
+    "registrable_domain (two-level suffix, deep subdomain, single label), "
+    "[moj] repair_mojibake over a deterministically double-encoded corpus "
+    "(cp1252->utf-8 round trip restores 'a'->'Ã©' to 'é'), [tag] "
+    "strip_tags_catalyst over templated chrome incl. escaped entities "
+    "(pipeline/html.py), [tok] the BPE trainer's pre-tokenizer word-count "
+    "shuffle (pipeline/tokenizer.py word_counts) vs DuckDB "
+    "regexp_extract_all, [spl] leakage_safe_splits cluster-integrity + "
+    "hash-range labels over (lang, source) star clusters "
+    "(pipeline/dedup.py), [stm] the streaming crawl-hygiene composition "
+    "(streaming/corpus.py dedup_corpus_stream with the re-chrome->extract "
+    "transform hook): survivors == docs minus within-batch LSH losers.",
+)
+def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _url_dom_branches(spark, sf_dir)
+        .unionByName(_moj_branch(spark, sf_dir))
+        .unionByName(_tag_branch(spark, sf_dir))
+        .unionByName(_tok_branch(spark, sf_dir))
+        .unionByName(_spl_branch(spark, sf_dir))
+        .unionByName(_stm_branch(spark, sf_dir))
+    )

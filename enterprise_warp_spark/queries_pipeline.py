@@ -378,24 +378,111 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, pos,
              pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
       FROM f
+    ),
+    ev AS (
+      SELECT list_slice(tok, 5, 14) AS tok FROM t
+      WHERE doc_id % 41 = 0 AND len(tok) >= 14
+    ),
+    evp AS (
+      SELECT tok, UNNEST(range(1, len(tok) - 6 + 2)) AS pos FROM ev
+    ),
+    evg AS (
+      SELECT DISTINCT {D_H64.format(s="array_to_string(list_slice(tok, CAST(pos AS INTEGER), CAST(pos AS INTEGER) + 5), ' ')")} AS gh
+      FROM evp
+    ),
+    cf AS (SELECT p.doc_id, p.pos FROM p JOIN evg USING (gh)),
+    cn AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM cf
+    ),
+    cspans AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 5 AS span_end,
+             COUNT(*) AS n_grams
+      FROM cn GROUP BY doc_id, isl
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, UNNEST(generate_series(span_start, span_end)) AS pos
+      FROM cspans
+    ),
+    tokpos AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok[CAST(pos AS INTEGER)] AS tk
+      FROM (SELECT doc_id, tok, UNNEST(range(1, len(tok) + 1)) AS pos FROM t)
+    ),
+    cleaned AS (
+      SELECT tr.doc_id,
+             COALESCE(string_agg(tk, ' ' ORDER BY tr.pos)
+                        FILTER (cov.pos IS NULL), '') AS cleaned_text,
+             COUNT(*) FILTER (cov.pos IS NOT NULL) AS n_removed
+      FROM tokpos tr
+      LEFT JOIN cov ON tr.doc_id = cov.doc_id AND tr.pos = cov.pos
+      GROUP BY tr.doc_id
     )
-    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 5 AS span_end,
-           COUNT(*) AS n_grams
+    SELECT 'rep' AS gate, doc_id, MIN(pos) AS span_start,
+           MAX(pos) + 5 AS span_end, COUNT(*) AS n_grams, '' AS h
     FROM n GROUP BY doc_id, isl
+    UNION ALL
+    SELECT 'dcn', doc_id, span_start, span_end, n_grams, '' FROM cspans
+    UNION ALL
+    SELECT 'str', doc_id, n_removed, 0, 0, substr(md5(cleaned_text), 1, 16)
+    FROM cleaned
     """,
-    doc="Span-level repeated-substring detection (the ExactSubstr dedup "
-    "family used by published web-corpus pipelines): token positions whose "
-    "6-gram occurs >= 2 times CORPUS-WIDE, merged gaps-and-islands into "
-    "maximal per-document spans. Linear explode -> portable md5-64 gram "
-    "hash -> hash aggregate -> left-semi join back -> one per-doc window. "
-    "pipeline/dedup.py repeated_ngram_spans.",
+    doc="Span-level gate family over the ExactSubstr machinery "
+    "(pipeline/dedup.py): [rep] token positions whose 6-gram occurs >= 2 "
+    "times CORPUS-WIDE, merged gaps-and-islands into maximal per-document "
+    "spans (linear explode -> portable md5-64 gram hash -> hash aggregate "
+    "-> left-semi join back -> one per-doc window); [dcn] span-level "
+    "benchmark decontamination (pipeline/decontaminate.py "
+    "contaminated_spans) against a deterministic eval set — token slices "
+    "[5,14] of every 41st document — via broadcast eval-gram semi-join; "
+    "[str] strip_contaminated_spans: one row per document with the "
+    "surviving tokens re-joined (md5-16 fingerprint) and the removed-token "
+    "count. Columns overloaded per branch: for [str] span_start carries "
+    "n_removed_tokens and h the cleaned-text fingerprint.",
 )
 def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.pipeline.decontaminate import (
+        contaminated_spans,
+        strip_contaminated_spans,
+    )
     from enterprise_warp_spark.pipeline.dedup import repeated_ngram_spans
 
-    return repeated_ngram_spans(
-        table(spark, sf_dir, "documents"), k=6, min_count=2
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = repeated_ngram_spans(docs, k=6, min_count=2).select(
+        F.lit("rep").alias("gate"),
+        "doc_id",
+        "span_start",
+        "span_end",
+        "n_grams",
+        F.lit("").alias("h"),
     )
+    toks = F.expr("filter(split(text, ' '), x -> x != '')")
+    evals = (
+        docs.filter(F.col("doc_id") % 41 == 0)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 14)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.expr("concat_ws(' ', slice(toks, 5, 10))").alias("text"),
+        )
+    )
+    dcn = contaminated_spans(docs, evals, n=6).select(
+        F.lit("dcn").alias("gate"),
+        "doc_id",
+        "span_start",
+        "span_end",
+        "n_grams",
+        F.lit("").alias("h"),
+    )
+    stripped = strip_contaminated_spans(docs, evals, n=6).select(
+        F.lit("str").alias("gate"),
+        "doc_id",
+        F.col("n_removed_tokens").cast("long").alias("span_start"),
+        F.lit(0).cast("long").alias("span_end"),
+        F.lit(0).cast("long").alias("n_grams"),
+        F.substring(F.md5("cleaned_text"), 1, 16).alias("h"),
+    )
+    return rep.unionByName(dcn).unionByName(stripped)
 
 
 @register(

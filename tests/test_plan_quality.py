@@ -151,7 +151,10 @@ def test_rollup_is_single_expand_aggregate(spark, sf001):
     hash aggregate over one scan — not one scan per grouping level."""
     p = plan(REGISTRY["grouping_sets_orders"].spark(spark, sf001), "simple")
     assert p.count("Expand") == 2  # one per branch (rollup + cube)
-    assert p.count("Scan parquet") == 2  # one per branch, not per level
+    # one orders scan per grouping branch (never one per level) + the four
+    # tiny nation-key scans of the folded set_intersect/set_union branches
+    assert p.count("orders.parquet") == 2
+    assert p.count("Scan parquet") == 6
 
 
 def test_pivot_is_single_scan(spark, sf001):
@@ -242,9 +245,13 @@ def test_repeated_ngram_spans_plan_shape(spark, sf001):
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p
     scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    # every scan reads a subset of {doc_id, text} — never lang/source (the
+    # str branch's re-attach pass legitimately reads doc_id alone)
     assert scan and all(
-        "text" in ln and "lang" not in ln and "source" not in ln for ln in scan
+        "lang" not in ln and "source" not in ln and "n_chars" not in ln
+        for ln in scan
     ), scan
+    assert any("text" in ln for ln in scan)
 
 
 def test_mixture_resample_is_map_side_filter(spark, sf001):
@@ -312,3 +319,40 @@ def test_r6_union_gates_plan_shapes(spark, sf001):
     p2 = plan(REGISTRY["temporal_curation_ops"].spark(spark, sf001), "simple")
     assert "CartesianProduct" not in p2
     assert "BroadcastNestedLoopJoin" not in p2
+
+
+def test_web_hygiene_static_branches_are_jvm_only(spark, sf001):
+    """The url/dom/tag hygiene branches are pure Catalyst: no Python
+    workers (mapInPandas), no joins of any kind — transform-at-scan-speed
+    is their entire 100 TB value proposition. The tok branch is the BPE
+    pre-tokenizer (mapInPandas by design) but still join-free; the moj
+    branch is Arrow-batched Python (bytes round-trip) and join-free."""
+    from enterprise_warp_spark.queries_hygiene import (
+        _moj_branch,
+        _tag_branch,
+        _tok_branch,
+        _url_dom_branches,
+    )
+
+    for branch in (_url_dom_branches, _tag_branch):
+        p = plan(branch(spark, sf001), "simple")
+        assert "Join" not in p and "CartesianProduct" not in p
+        assert "InPandas" not in p and "BatchEvalPython" not in p
+        # codegen-starred projections over the scan (formatted mode marks
+        # codegen stages with '* '); no Python evaluation anywhere
+        pf = plan(branch(spark, sf001))
+        assert "* Project" in pf or "* ColumnarToRow" in pf
+        assert "ArrowEvalPython" not in pf
+    for branch in (_moj_branch, _tok_branch):
+        p = plan(branch(spark, sf001), "simple")
+        assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_web_hygiene_spl_pairs_are_equi_join(spark, sf001):
+    """The split branch's component propagation joins on ids only — never
+    a cartesian — and the final label is a map-side hash expression."""
+    from enterprise_warp_spark.queries_hygiene import _spl_branch
+
+    p = plan(_spl_branch(spark, sf001), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

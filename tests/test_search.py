@@ -411,3 +411,60 @@ def test_bm25_pruned_equals_exhaustive(spark, sf_dir, tmp_path):
     assert got == want
     assert dbg["early_exit"] is True
     assert dbg["final_level"] < dbg["max_level"]  # tail levels never read
+
+
+def test_query_tokenization_contract_all_five_paths(spark, tmp_path):
+    """ONE contract across every query entry point (r6 verdict #7): a query
+    containing a hostile token (embedded tab + punctuation — which
+    text.TOKENS keeps INSIDE a token because documents split on single
+    spaces only) must retrieve the document holding that exact token
+    through bm25_topk, tfidf_topk, phrase_match, the bucket-pruned
+    load_index path, AND the impact-ordered bm25_topk_pruned — none of the
+    five may re-tokenize differently from the document side."""
+    from enterprise_warp_spark.pipeline.search import (
+        bm25_topk,
+        bm25_topk_pruned,
+        build_index,
+        build_positional_index,
+        load_index,
+        phrase_match,
+        tfidf_topk,
+        write_impact_index,
+        write_index,
+    )
+
+    weird = "foo,bar\tbaz"  # one TOKEN: comma and tab are not separators
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {weird} omega"),
+            (2, "alpha beta omega"),
+            (3, "gamma delta " + "filler " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs)
+    q = f"{weird} omega"
+
+    hits_bm25 = {r["doc_id"] for r in bm25_topk(idx, q, k=3).collect()}
+    assert 1 in hits_bm25
+    top_bm25 = bm25_topk(idx, q, k=1).first()["doc_id"]
+    assert top_bm25 == 1  # both terms match only doc 1
+
+    hits_tfidf = {r["doc_id"] for r in tfidf_topk(idx, q, k=3).collect()}
+    assert 1 in hits_tfidf
+
+    pos = build_positional_index(docs)
+    ph = phrase_match(pos, f"alpha {weird}").collect()
+    assert {r["doc_id"] for r in ph} == {1}
+
+    path = str(tmp_path / "idx")
+    write_index(idx, path)
+    pruned_idx = load_index(spark, path, query=q)
+    hits_bucket = {r["doc_id"] for r in bm25_topk(pruned_idx, q, k=3).collect()}
+    assert hits_bucket == hits_bm25
+
+    ipath = str(tmp_path / "impact")
+    write_impact_index(idx, ipath)
+    imp = bm25_topk_pruned(spark, ipath, q, k=3).collect()
+    assert {r["doc_id"] for r in imp} == hits_bm25
+    assert imp[0]["doc_id"] == 1

@@ -205,3 +205,65 @@ def test_save_load_roundtrip(spark, tmp_path):
     assert back["vocab_size"] == tok["vocab_size"]
     text = "persist me too"
     assert encode_text(text, back) == encode_text(text, tok)
+
+
+def _apply_merges_rescan(symbols, ranks):
+    """The original O(n^2) full-rescan reference (kept test-side only) —
+    the heap walk must reproduce it bit for bit."""
+    while len(symbols) > 1:
+        best = None
+        best_rank = None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            return symbols
+        merged = symbols[best] + symbols[best + 1]
+        symbols = symbols[:best] + [merged] + symbols[best + 2 :]
+    return symbols
+
+
+def test_heap_merge_walk_equals_rescan_reference():
+    import random
+
+    from enterprise_warp_spark.pipeline.tokenizer import _apply_merges
+
+    rng = random.Random(11)
+    for trial in range(200):
+        alphabet = [bytes([c]) for c in range(97, 97 + rng.randint(2, 5))]
+        word = [rng.choice(alphabet) for _ in range(rng.randint(1, 30))]
+        # random merge table over byte-strings seen so far (chains allowed)
+        pool = list(alphabet)
+        ranks = {}
+        for r in range(rng.randint(0, 25)):
+            a, b = rng.choice(pool), rng.choice(pool)
+            if (a, b) not in ranks:
+                ranks[(a, b)] = len(ranks)
+                pool.append(a + b)
+        assert _apply_merges(list(word), ranks) == _apply_merges_rescan(
+            list(word), ranks
+        ), (trial, word, ranks)
+
+
+def test_pathological_single_pretoken_encodes_fast():
+    """A 200k-char no-whitespace 'word' must encode in seconds, not stall
+    the task (the O(n^2) rescan walk took minutes at this size)."""
+    import time
+
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        decode_ids,
+        encode_text,
+        tokenizer_tables,
+    )
+
+    # merges that chain heavily on this alphabet
+    merges = [("61", "62"), ("6162", "6162"), ("61626162", "61626162")]
+    tok = {"merges": merges, "vocab_size": 256 + len(merges)}
+    word = "ab" * 100_000  # single pre-token: letters only
+    t0 = time.perf_counter()
+    ids = encode_text(word, tok, tokenizer_tables(tok))
+    dt = time.perf_counter() - t0
+    assert dt < 10.0, f"pathological encode took {dt:.1f}s"
+    assert decode_ids(ids, tok) == word
+    assert len(ids) == 100_000 // 4  # fully merged into 8-byte symbols
