@@ -8,12 +8,13 @@ soundfile, same guarantee as FLAC. The algorithm is the public IMA
 RFC 3551 §4.5.1 (DVI4): 4-bit differential codes against an 89-entry
 step-size table with an adaptive index.
 
-MPEG audio (MP3) and Vorbis remain plugin-gated: their decoders require
-large normative data tables (Layer III Huffman code books, the 512-tap
-synthesis window, Vorbis floor/residue codebooks) that cannot be derived
-from the algorithm description, so a faithful no-deps implementation
-cannot be written from the public algorithm alone — the optional
-soundfile/audioread plugin stays the boundary there.
+MPEG audio (MP3) remains plugin-gated: its decoder requires large
+normative data tables (Layer III Huffman code books, the 512-tap
+synthesis window) that cannot be derived from the algorithm description,
+so a faithful no-deps implementation cannot be written from the public
+algorithm alone — the optional soundfile/audioread plugin stays the
+boundary there. Vorbis, whose codebooks arrive IN the stream's setup
+header, decodes for real since round 7 (pipeline/vorbis.py).
 
 Execution shape: an ADPCM stream is a sequence of INDEPENDENT blocks
 (each block header carries its own predictor + step index), so decode

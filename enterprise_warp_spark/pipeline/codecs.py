@@ -444,6 +444,8 @@ DECODABLE_MIMES = {
     "image/jpeg": "jpeg",
     "image/gif": "gif",
     "audio/flac": "flac",
+    "audio/ogg": "vorbis",
+    "application/ogg": "vorbis",
     "video/x-raw-rgb": "rawvideo",
     "video/x-msvideo": "mjpeg",
     "video/avi": "mjpeg",
@@ -466,6 +468,11 @@ def decode_audio(payload: bytes, mime: str) -> tuple[np.ndarray, int]:
         # than bps for 8/12/20/24-bit streams), so a WAV and a FLAC of the
         # same signal yield identical features/fingerprints
         return samples.astype(np.float64) / float(2 ** (bps - 1)), rate
+    if family == "vorbis":
+        from enterprise_warp_spark.pipeline.vorbis import decode_vorbis
+
+        # decode_vorbis already yields float64 (n, ch) in [-1, 1]
+        return decode_vorbis(payload)
     raise NotImplementedError(f"audio mime {mime!r} needs an external codec")
 
 

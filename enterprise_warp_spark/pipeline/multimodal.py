@@ -1,10 +1,11 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
 Decoding is REAL for container-less formats AND every dominant
-compressed image/audio format (see pipeline.codecs/jpeg/flac/gif):
-RIFF/PCM WAV, FLAC, binary PPM/PGM, raw-RGB video frames, stdlib-zlib
-PNG, baseline AND progressive JPEG, and GIF all parse inside the Arrow
-batches with no external codec. Remaining formats (MP3/H.264/...) decode
+compressed image/audio format (see pipeline.codecs/jpeg/flac/gif/vorbis):
+RIFF/PCM WAV, FLAC, Ogg/Vorbis, binary PPM/PGM, raw-RGB video frames,
+stdlib-zlib PNG, baseline AND progressive JPEG, and GIF all parse inside
+the Arrow batches with no external codec. Remaining formats
+(MP3/H.264/...) decode
 through optional Pillow/soundfile plugins when importable; otherwise
 those rows fall back to a deterministic byte-hash pseudo-feature flagged
 `decoded=false` — swap `_decode_stub` for torchaudio/pyav and nothing
@@ -117,7 +118,7 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
             return True, codecs.audio_features(*opt["audio"](payload))
         except Exception:
             pass
-    if family in ("wav", "flac"):
+    if family in ("wav", "flac", "vorbis"):
         try:
             return True, codecs.audio_features(
                 *codecs.decode_audio(payload, row["mime"])
@@ -407,7 +408,9 @@ def audio_fingerprints(media: DataFrame, n_bins: int = 32) -> DataFrame:
         from enterprise_warp_spark.pipeline import codecs
 
         def one(row: pd.Series) -> tuple[bool, int | None]:
-            if codecs.DECODABLE_MIMES.get(row["mime"]) not in ("wav", "flac"):
+            if codecs.DECODABLE_MIMES.get(row["mime"]) not in (
+                "wav", "flac", "vorbis"
+            ):
                 return False, None
             try:
                 samples, _ = codecs.decode_audio(row["payload"], row["mime"])

@@ -1,0 +1,244 @@
+"""Ogg/Vorbis codec: hermetic fixtures from the in-module minimal encoder
+(the FLAC/ADPCM pattern) — round-trip SNR, container robustness, spec
+corner cases, and the Spark-side media-kernel integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from enterprise_warp_spark.pipeline.vorbis import (
+    BitReader,
+    BitWriter,
+    INVERSE_DB,
+    assign_codewords,
+    decode_vorbis,
+    encode_vorbis,
+    float32_pack,
+    float32_unpack,
+    ogg_crc,
+    ogg_pages_to_packets,
+)
+
+
+def _sig(n=6000, rate=16000):
+    t = np.arange(n) / rate
+    return (
+        0.6 * np.sin(2 * np.pi * 440 * t)
+        + 0.25 * np.sin(2 * np.pi * 1333 * t + 0.7)
+        + 0.1 * np.sin(2 * np.pi * 3721 * t + 1.3)
+    )
+
+
+def _snr(ref, out):
+    n = min(len(ref), len(out))
+    err = out[:n] - ref[:n]
+    return 10 * np.log10(np.sum(ref[:n] ** 2) / max(np.sum(err**2), 1e-300))
+
+
+def test_bitio_round_trip():
+    bw = BitWriter()
+    vals = [(5, 3), (0, 1), (1023, 10), (0x564342, 24), (1, 1), (77, 7)]
+    for v, n in vals:
+        bw.write(v, n)
+    br = BitReader(bw.getvalue())
+    for v, n in vals:
+        assert br.read(v.bit_length() if False else n) == v
+
+
+def test_float32_pack_unpack():
+    for v in (0.0, 1.0, -1.0, 0.5, 149.9949951171875, -1124.96, 1e-6, 3e5):
+        got = float32_unpack(float32_pack(v))
+        assert got == pytest.approx(v, rel=1e-5, abs=1e-12)
+
+
+def test_codeword_assignment_canonical():
+    # lengths [2,2,2,2] -> codes 00 01 10 11 in entry order
+    codes = assign_codewords([2, 2, 2, 2])
+    assert codes == {0: (0, 2), 1: (1, 2), 2: (2, 2), 3: (3, 2)}
+    # mixed lengths (spec-style example): entry0 len1 -> 0; entry1 len2 ->
+    # 10; entry2 len2 -> 11
+    codes = assign_codewords([1, 2, 2])
+    assert codes == {0: (0, 1), 1: (2, 2), 2: (3, 2)}
+    with pytest.raises(ValueError):
+        assign_codewords([1, 1, 1])  # over-specified
+    with pytest.raises(ValueError):
+        assign_codewords([2, 2, 2])  # under-specified (incomplete tree)
+
+
+def test_inverse_db_table_matches_spec_endpoints():
+    """The computed table reproduces the spec's printed
+    floor1_inverse_dB_table: 1.0649863e-07 at index 0, 0.82788260 at 248,
+    1.0 at 255 (float32-print precision)."""
+    assert INVERSE_DB[255] == pytest.approx(1.0)
+    assert INVERSE_DB[0] == pytest.approx(1.0649863e-07, rel=1e-5)
+    assert INVERSE_DB[252] == pytest.approx(0.82788260, rel=1e-5)
+    assert INVERSE_DB[253] == pytest.approx(0.88168307, rel=1e-5)
+    assert INVERSE_DB[254] == pytest.approx(0.9389798, rel=1e-5)
+
+
+def test_round_trip_mono_snr():
+    x = _sig()
+    payload = encode_vorbis(x, 16000)
+    out, rate = decode_vorbis(payload)
+    assert rate == 16000
+    assert out.shape == (len(x), 1)
+    assert _snr(x, out[:, 0]) > 30.0
+    # really compressed vs 16-bit PCM
+    assert len(payload) < x.size * 2
+
+
+def test_round_trip_stereo_snr():
+    x = _sig()
+    st = np.stack([x, np.roll(x, 100)], axis=1)
+    out, rate = decode_vorbis(encode_vorbis(st, 16000))
+    assert out.shape == st.shape
+    assert _snr(st[:, 0], out[:, 0]) > 30.0
+    assert _snr(st[:, 1], out[:, 1]) > 30.0
+
+
+def test_round_trip_noise_and_quant_depth():
+    rng = np.random.default_rng(3)
+    x = np.clip(rng.standard_normal(4000) * 0.25, -1, 1)
+    coarse = _snr(x, decode_vorbis(encode_vorbis(x, 8000, two_pass=False))[0][:, 0])
+    fine = _snr(x, decode_vorbis(encode_vorbis(x, 8000, two_pass=True))[0][:, 0])
+    assert fine > coarse + 15  # the refinement pass buys real bits
+    assert fine > 25.0
+
+
+def test_blocksize_variants():
+    x = _sig(5000)
+    for bs in (128, 256, 1024):
+        out, _ = decode_vorbis(encode_vorbis(x, 16000, blocksize=bs))
+        assert out.shape[0] == len(x)
+        assert _snr(x, out[:, 0]) > 25.0, bs
+
+
+def test_ogg_crc_detects_corruption():
+    payload = bytearray(encode_vorbis(_sig(2000), 16000))
+    # flip one bit inside the first page body
+    payload[40] ^= 0x10
+    with pytest.raises(ValueError, match="CRC"):
+        list(ogg_pages_to_packets(bytes(payload)))
+
+
+def test_ogg_lost_sync_raises():
+    with pytest.raises(ValueError):
+        list(ogg_pages_to_packets(b"NotAnOggStream" + b"\x00" * 40))
+
+
+def test_truncated_stream_and_granule_clamp():
+    x = _sig(3000)
+    out, _ = decode_vorbis(encode_vorbis(x, 16000))
+    # decoded length equals the true sample count (the encoder's padding
+    # is clamped away by the final granule position)
+    assert out.shape[0] == 3000
+
+
+def test_floor0_raises_not_implemented():
+    """A setup header declaring floor type 0 (LSP) hits the documented
+    NotImplementedError boundary, not a silent wrong answer."""
+    import enterprise_warp_spark.pipeline.vorbis as V
+
+    bw = V.BitWriter()
+    bw.write(0, 8)  # one codebook
+    V._write_codebook(bw, 1, [1, 1], 0, 0, 0, 0, [])
+    bw.write(0, 6)
+    bw.write(0, 16)  # one time transform, type 0
+    bw.write(0, 6)
+    bw.write(0, 16)  # one floor, type 0 (LSP)
+    with pytest.raises(NotImplementedError, match="floor type 0"):
+        V.parse_setup_header(b"\x05vorbis" + bw.getvalue(), 1)
+
+
+def test_vorbis_mime_decodes_for_real_in_spark(spark):
+    """audio/ogg rows get decoded=true with NO optional plugins, and the
+    spectral fingerprint matches the WAV twin of the same signal (the
+    FLAC invariance contract, loosened to the lossy codec's tolerance)."""
+    from enterprise_warp_spark.pipeline.codecs import (
+        audio_features,
+        decode_audio,
+        encode_wav,
+    )
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    x = _sig(4000)
+    ogg = encode_vorbis(x, 16000)
+    wav = encode_wav(x[:, None], 16000)  # encode_wav takes floats in [-1, 1]
+    media = spark.createDataFrame(
+        [
+            (1, "audio", ogg, "audio/ogg", None, None, 16000, None),
+            (2, "audio", wav, "audio/wav", None, None, 16000, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, decoders={}).collect()}
+    assert rows[1]["decoded"] is True and rows[2]["decoded"] is True
+    f_ogg = np.array(rows[1]["feature"])
+    f_wav = np.array(rows[2]["feature"])
+    # same signal -> same spectral shape within lossy tolerance
+    assert np.allclose(f_ogg, f_wav, rtol=0.1, atol=0.05), (f_ogg, f_wav)
+    # and the in-process decode agrees with the Spark kernel
+    samples, rate = decode_audio(ogg, "audio/ogg")
+    assert rate == 16000
+    assert rows[1]["feature"] == pytest.approx(
+        audio_features(samples, rate)
+    )
+
+
+def test_vorbis_plugin_fallback_kept(spark):
+    """When a native audio plugin IS importable it still gets first
+    refusal for audio/ogg (the plugin-first contract), and
+    prefer_native=False flips to the pure decoder."""
+    from enterprise_warp_spark.pipeline.codecs import audio_features
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    x = _sig(2000)
+    ogg = encode_vorbis(x, 16000)
+
+    def fake_audio_decoder(payload: bytes):
+        return np.full((100, 1), 0.123), 16000
+
+    media = spark.createDataFrame(
+        [(1, "audio", ogg, "audio/ogg", None, None, 16000, None)],
+        MEDIA_SCHEMA,
+    )
+    native = extract_features(
+        media, decoders={"audio": fake_audio_decoder}
+    ).first()
+    assert native["feature"] == pytest.approx(
+        audio_features(*fake_audio_decoder(b""))
+    )
+    pure = extract_features(
+        media, decoders={"audio": fake_audio_decoder}, prefer_native=False
+    ).first()
+    no_plugin = extract_features(media, decoders={}).first()
+    assert pure["feature"] == pytest.approx(no_plugin["feature"])
+
+
+def test_premature_end_of_packet_is_not_an_error():
+    """Spec §4.3: running out of bits mid-audio-packet keeps the partial
+    decode (zeros beyond) instead of raising — exercised by re-paging a
+    stream with its final audio packet cut in half."""
+    from enterprise_warp_spark.pipeline.vorbis import ogg_write_pages
+
+    x = _sig(3000)
+    payload = encode_vorbis(x, 16000)
+    pkts = list(ogg_pages_to_packets(payload))
+    cut = [(p[: max(3, len(p) // 2)] if i == len(pkts) - 1 else p)
+           for i, (p, _) in enumerate(pkts)]
+    grans = [g for _, g in pkts]
+    repaged = ogg_write_pages(
+        [(p, g if g is not None else 0, True) for p, g in zip(cut, grans)]
+    )
+    out, rate = decode_vorbis(repaged)
+    assert rate == 16000
+    assert out.shape[0] == 3000  # granule clamp still applies
+    # everything before the truncated packet round-trips fine
+    assert _snr(x[:2000], out[:2000, 0]) > 25.0
