@@ -804,6 +804,27 @@ def imdct_matrix(n: int) -> np.ndarray:
     return m
 
 
+def frame_window(n: int, bs0: int, blockflag: int,
+                 long_prev: bool, long_next: bool) -> np.ndarray:
+    """The placed window for one frame (spec §4.3.1): a long block next to
+    a short one carries the SHORT slope on that side, offset so it aligns
+    with the neighbor's slope; zeros outside, flat 1.0 between slopes.
+    Short blocks (blockflag 0) always use their full window."""
+    win = np.zeros(n)
+    if blockflag and not long_prev:
+        ls, ln = n // 4 - bs0 // 4, bs0
+    else:
+        ls, ln = 0, n
+    if blockflag and not long_next:
+        rs, rn = 3 * n // 4 - bs0 // 4, bs0
+    else:
+        rs, rn = n // 2, n
+    win[ls:ls + ln // 2] = vorbis_window(ln)[: ln // 2]
+    win[ls + ln // 2:rs] = 1.0
+    win[rs:rs + rn // 2] = vorbis_window(rn)[rn // 2:]
+    return win
+
+
 def vorbis_window(n: int) -> np.ndarray:
     w = _WINDOW_CACHE.get(n)
     if w is None:
@@ -834,9 +855,15 @@ def decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
     books = setup.codebooks
 
     mode_bits = ilog(len(setup.modes) - 1)
-    prev_right: np.ndarray | None = None
-    chunks: list[np.ndarray] = []
-    total = 0
+    # absolute-offset overlap-add: frame f's windowed output is added into
+    # the stream buffer at start offset s_f, with s_{f+1} = s_f + 3n_f/4 -
+    # n_{f+1}/4 (centers spaced (n_f + n_{f+1})/4 — the spec's lapping for
+    # mixed long/short blocks; equal sizes reduce to the familiar n/2 hop).
+    # Stream audio sample 0 sits at the FIRST frame's center (its left
+    # half is the primer the spec discards).
+    placed: list[tuple[int, np.ndarray]] = []
+    pos = 0
+    first_center = None
     final_granule = None
     for pkt, granule in zip(packets[3:], granules[3:]):
         if not pkt:
@@ -904,44 +931,27 @@ def decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
                 continue
             spec = residue_vec[c] * floors[c]
             frame[c] = M @ spec
-        # window shape (general long/short transitions)
-        win = np.zeros(n)
-        n0 = bs0
-        if blockflag and not long_prev:
-            ls, ln = n // 4 - n0 // 4, n0
-        else:
-            ls, ln = 0, n
-        if blockflag and not long_next:
-            rs, rn = 3 * n // 4 - n0 // 4, n0
-        else:
-            rs, rn = n // 2, n
-        half_l = vorbis_window(ln)[: ln // 2]
-        half_r = vorbis_window(rn)[rn // 2:]
-        win[ls:ls + ln // 2] = half_l
-        win[ls + ln // 2:rs] = 1.0
-        win[rs:rs + rn // 2] = half_r
-        frame *= win
+        frame *= frame_window(n, bs0, blockflag, long_prev, long_next)
 
-        # overlap-add with the previous frame's right half
-        center = n // 2
-        if prev_right is not None:
-            pr_n = prev_right.shape[1]
-            # lapped region length = min(pr_n, center) around the join
-            lap = min(pr_n, center)
-            out = frame[:, :center].copy()
-            out[:, :lap] += prev_right[:, :lap]
-            # spec: returned samples = prev right half overlapped into
-            # current left half; short-into-long offsets handled by the
-            # window placement above (zeros outside the slope)
-            chunks.append(out)
-            total += center
-        prev_right = frame[:, center:]
+        # place the windowed frame at its absolute offset
+        if first_center is None:
+            first_center = n // 2
+        else:
+            prev_n = placed[-1][1].shape[1]
+            pos += 3 * prev_n // 4 - n // 4
+        placed.append((pos, frame))
         if granule is not None:
             final_granule = granule
 
-    if not chunks:
+    if len(placed) < 2:
         return np.zeros((0, channels)), rate
-    pcm = np.concatenate(chunks, axis=1).T
+    total_len = placed[-1][0] + placed[-1][1].shape[1]
+    buf = np.zeros((channels, total_len))
+    for off, frame in placed:
+        buf[:, off:off + frame.shape[1]] += frame
+    # valid PCM: from the first frame's center to the last frame's center
+    last_center = placed[-1][0] + placed[-1][1].shape[1] // 2
+    pcm = buf[:, first_center:last_center].T
     if final_granule is not None and 0 <= final_granule < pcm.shape[0]:
         pcm = pcm[:final_granule]
     return np.clip(pcm, -1.0, 1.0), rate
@@ -978,56 +988,92 @@ def encode_vorbis(
     blocksize: int = 512,
     q_levels: int = 16,
     two_pass: bool = True,
+    mixed_blocks: bool = False,
+    short_blocksize: int | None = None,
 ) -> bytes:
     """Encode float samples (n,) or (n, ch) in [-1, 1] -> Ogg/Vorbis bytes.
 
-    Deliberately minimal but fully spec-compliant: one blocksize (so every
-    window is the same), a flat floor1 line, and a per-stream-designed VQ
-    residue (lookup-type-1 lattice books with complete power-of-two prefix
-    trees; a second refinement pass at delta/q for ~q^2 effective levels).
-    Decoders other than ours accept the output — everything is inside the
-    Vorbis I baseline."""
+    Deliberately minimal but fully spec-compliant: a flat floor1 line and
+    a per-stream-designed VQ residue (lookup-type-1 lattice books with
+    complete power-of-two prefix trees; a second refinement pass at
+    delta/(q-1) for ~q^2 effective levels). With ``mixed_blocks`` the
+    stream carries TWO modes (short blockflag-0 / long blockflag-1) on a
+    deterministic schedule, exercising every long-window transition shape
+    (long-long, short-prev, short-next, short-both) — the decoder's
+    general overlap-add path. Decoders other than ours accept the output —
+    everything is inside the Vorbis I baseline."""
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 1:
         x = x[:, None]
     n_samples, ch = x.shape
-    n = blocksize
-    n2 = n // 2
     if q_levels & (q_levels - 1) or q_levels < 4:
         raise ValueError("q_levels must be a power of two >= 4")
+    n1 = blocksize
+    n0 = (short_blocksize or blocksize // 4) if mixed_blocks else blocksize
+    if n1 % 4 or n0 % 4 or n0 > n1:
+        raise ValueError("blocksizes must be multiples of 4 with short <= long")
 
-    # ---- forward MDCT over all frames (adjoint of the spec IMDCT) ----
-    win = vorbis_window(n)
-    M = imdct_matrix(n)
-    # pad with silence: one primer half-block before, tail after
-    pad = np.zeros((n2, ch))
-    xp = np.concatenate([pad, x, np.zeros((n, ch))], axis=0)
-    n_frames = (xp.shape[0] - n2) // n2
-    coeffs = np.zeros((n_frames, ch, n2))
-    for fidx in range(n_frames):
-        seg = xp[fidx * n2: fidx * n2 + n, :]
-        if seg.shape[0] < n:
-            seg = np.vstack([seg, np.zeros((n - seg.shape[0], ch))])
-        wx = seg.T * win[None, :]
-        coeffs[fidx] = (4.0 / n) * (wx @ M)  # 4/N: the spec IMDCT's adjoint scale (PR-tested)
+    # ---- frame schedule (sizes + window flags + absolute starts) ----
+    # centers spaced (n_f + n_{f+1})/4; stream sample 0 at the first
+    # frame's center. The mixed pattern cycles L L S L S S, hitting every
+    # long-window transition shape.
+    pattern = [n1, n1, n0, n1, n0, n0] if mixed_blocks else [n1]
+    sizes: list[int] = []
+    starts: list[int] = []
+    pos = 0
+    while True:
+        size = pattern[len(sizes) % len(pattern)]
+        if sizes:
+            pos += 3 * sizes[-1] // 4 - size // 4
+        sizes.append(size)
+        starts.append(pos)
+        center = pos + size // 2
+        if len(sizes) >= 2 and center - sizes[0] // 2 >= n_samples:
+            break
+    n_frames = len(sizes)
+    first_center = sizes[0] // 2
+
+    def flags(f: int) -> tuple[int, bool, bool]:
+        if sizes[f] == n0 and mixed_blocks:
+            return 0, True, True
+        lp = f == 0 or sizes[f - 1] == n1
+        ln = f == n_frames - 1 or sizes[f + 1] == n1
+        return (1 if mixed_blocks else 0), lp, ln
+
+    # ---- forward MDCT per frame (adjoint of the spec IMDCT, PR-tested) --
+    coeffs: list[np.ndarray] = []
+    for f in range(n_frames):
+        nf = sizes[f]
+        bf, lp, ln = flags(f)
+        w = frame_window(nf, n0, bf, lp, ln)
+        lo = starts[f] - first_center
+        seg = np.zeros((nf, ch))
+        a, b = max(0, lo), min(n_samples, lo + nf)
+        if a < b:
+            seg[a - lo:b - lo] = x[a:b]
+        coeffs.append((4.0 / nf) * ((seg.T * w[None, :]) @ imdct_matrix(nf)))
 
     # ---- flat floor at line value L (multiplier 1, range 256) ----
     floor_line = 136
     t = INVERSE_DB[floor_line]
-    resid = coeffs / t
+    resid = [c / t for c in coeffs]
 
     # ---- residue quantization: coarse + optional fine pass ----
-    peak = np.abs(resid).max()
+    peak = max(float(np.abs(r).max()) for r in resid)
     # lattice values are min + delta*j, j in 0..q-1, symmetric around zero
     delta = (2.0 * peak) / (q_levels - 1) if peak > 0 else 1.0
     min_v = -delta * (q_levels - 1) / 2.0
-    q0 = np.clip(np.round((resid - min_v) / delta), 0, q_levels - 1)
-    recon0 = min_v + q0 * delta
-    err = resid - recon0
+    q0 = [np.clip(np.round((r - min_v) / delta), 0, q_levels - 1) for r in resid]
     if two_pass:
         delta2 = delta / (q_levels - 1) if q_levels > 1 else delta
         min2 = -delta2 * (q_levels - 1) / 2.0
-        q1 = np.clip(np.round((err - min2) / delta2), 0, q_levels - 1)
+        q1 = [
+            np.clip(
+                np.round((r - (min_v + qq * delta) - min2) / delta2),
+                0, q_levels - 1,
+            )
+            for r, qq in zip(resid, q0)
+        ]
     else:
         q1 = None
 
@@ -1043,10 +1089,11 @@ def encode_vorbis(
     elen = int(math.log2(entries))
     psize = 8
     setup_pkt = _build_setup(
-        ch, n2, q_levels, dim, entries, elen, vbits,
+        ch, n1 // 2, q_levels, dim, entries, elen, vbits,
         min_v, delta,
         (min2, delta2) if two_pass else None,
         psize,
+        two_modes=mixed_blocks,
     )
 
     # ---- id + comment headers ----
@@ -1057,9 +1104,8 @@ def encode_vorbis(
     bw.write(0, 32)
     bw.write(0, 32)
     bw.write(0, 32)
-    bs_log = int(math.log2(n))
-    bw.write(bs_log, 4)
-    bw.write(bs_log, 4)
+    bw.write(int(math.log2(n0)), 4)
+    bw.write(int(math.log2(n1)), 4)
     bw.write(1, 1)
     id_pkt = b"\x01vorbis" + bw.getvalue()
     vendor = b"enterprise_warp_spark minimal vorbis"
@@ -1073,23 +1119,26 @@ def encode_vorbis(
 
     # ---- audio packets ----
     audio_pkts = []
-    vq_index0 = q0[:, :, :].astype(np.int64)
-    for fidx in range(n_frames):
+    for f in range(n_frames):
+        nf2 = sizes[f] // 2
+        bf, lp, ln = flags(f)
         bw = BitWriter()
-        bw.write(0, 1)        # audio packet
-        # mode number: ilog(modes-1)=ilog(0)=0 bits -> nothing
+        bw.write(0, 1)  # audio packet
+        if mixed_blocks:
+            bw.write(bf, 1)  # mode number (mode 0 short / mode 1 long)
+            if bf:
+                bw.write(1 if lp else 0, 1)
+                bw.write(1 if ln else 0, 1)
         # floor per channel: nonzero=1, y0, y1 (8 bits each, range 256)
         for c in range(ch):
             bw.write(1, 1)
             bw.write(floor_line, 8)
             bw.write(floor_line, 8)
         # residue type 2: interleave channels
-        inter0 = vq_index0[fidx].T.reshape(-1)  # (n2*ch,) coarse indices
-        if two_pass:
-            inter1 = q1[fidx].T.reshape(-1).astype(np.int64)
-        partvals = (n2 * ch) // psize
-        # classifications: all partitions class 1 (everything coded)
-        classif = np.ones(partvals, dtype=np.int64)
+        inter0 = q0[f].astype(np.int64).T.reshape(-1)  # (nf2*ch,)
+        inter1 = q1[f].astype(np.int64).T.reshape(-1) if two_pass else None
+        partvals = (nf2 * ch) // psize
+        classif = np.ones(partvals, dtype=np.int64)  # everything coded
         _write_residue_pass(
             bw, classif, partvals, psize,
             [None, (inter0, entries, elen, q_levels),
@@ -1097,17 +1146,14 @@ def encode_vorbis(
         )
         audio_pkts.append(bw.getvalue())
 
-    # granule positions: cumulative decoded samples; each frame after the
-    # first emits n2 samples
+    # granule positions: cumulative decodable samples = current frame's
+    # center minus the first frame's center; the FINAL granule clamps to
+    # the true sample count (truncating the encoder's padding on decode)
     flagged = [(id_pkt, 0, True), (comment_pkt, 0, True),
                (setup_pkt, 0, False)]
-    gran = 0
-    for i, pkt in enumerate(audio_pkts):
-        if i > 0:
-            gran += n2
-        # clamp the final granule to the true sample count (truncates the
-        # encoder's zero padding on decode)
-        if i == len(audio_pkts) - 1:
+    for f, pkt in enumerate(audio_pkts):
+        gran = (starts[f] + sizes[f] // 2) - first_center
+        if f == len(audio_pkts) - 1:
             gran = n_samples
         flagged.append((pkt, gran, True))
     return ogg_write_pages(flagged)
@@ -1155,11 +1201,13 @@ def _CODE_CACHE_GET(entries: int, elen: int, e: int) -> tuple[int, int]:
 
 
 def _build_setup(ch, n2, q, dim, entries, elen, vbits,
-                 min_v, delta, fine, psize) -> bytes:
+                 min_v, delta, fine, psize, two_modes=False) -> bytes:
     """Setup-header writer for the minimal layout: classbook + coarse VQ
     book (+ fine VQ book when `fine` is given), one 2-post floor1 (a flat
     line), one type-2 residue with cascade 0b01 or 0b011, one uncoupled
-    mapping, one mode."""
+    mapping, and one mode (or two — short blockflag-0 + long blockflag-1 —
+    when ``two_modes``). `n2` is the LONG half-blocksize (the residue
+    `end`; shorter frames clamp to their actual vector size per spec)."""
     bw = BitWriter()
     n_books = 3 if fine else 2
     bw.write(n_books - 1, 8)
@@ -1205,11 +1253,19 @@ def _build_setup(ch, n2, q, dim, entries, elen, vbits,
     bw.write(0, 8)  # time config placeholder
     bw.write(0, 8)  # floor 0
     bw.write(0, 8)  # residue 0
-    # modes: one, blockflag 0
-    bw.write(0, 6)
-    bw.write(0, 1)
-    bw.write(0, 16)
-    bw.write(0, 16)
-    bw.write(0, 8)
+    # modes
+    if two_modes:
+        bw.write(1, 6)  # 2 modes - 1
+        for blockflag in (0, 1):
+            bw.write(blockflag, 1)
+            bw.write(0, 16)
+            bw.write(0, 16)
+            bw.write(0, 8)
+    else:
+        bw.write(0, 6)
+        bw.write(0, 1)
+        bw.write(0, 16)
+        bw.write(0, 16)
+        bw.write(0, 8)
     bw.write(1, 1)  # framing
     return b"\x05vorbis" + bw.getvalue()

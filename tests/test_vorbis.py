@@ -242,3 +242,56 @@ def test_premature_end_of_packet_is_not_an_error():
     assert out.shape[0] == 3000  # granule clamp still applies
     # everything before the truncated packet round-trips fine
     assert _snr(x[:2000], out[:2000, 0]) > 25.0
+
+
+def test_mixed_blocksize_round_trip():
+    """Two-mode stream (short blockflag-0 + long blockflag-1 on the
+    L L S L S S schedule): every long-window transition shape — long-long,
+    short-prev, short-next, short-both — plus the general offset
+    overlap-add ((n_prev + n_cur)/4 centers) round-trips."""
+    x = _sig(6000)
+    payload = encode_vorbis(x, 16000, blocksize=1024, mixed_blocks=True)
+    out, rate = decode_vorbis(payload)
+    assert rate == 16000
+    assert out.shape == (len(x), 1)
+    assert _snr(x, out[:, 0]) > 28.0
+    st = np.stack([x, np.roll(x, 64)], axis=1)
+    o2, _ = decode_vorbis(
+        encode_vorbis(st, 16000, blocksize=512, mixed_blocks=True,
+                      short_blocksize=256)
+    )
+    assert o2.shape == st.shape
+    assert _snr(st[:, 0], o2[:, 0]) > 28.0
+    assert _snr(st[:, 1], o2[:, 1]) > 28.0
+
+
+def test_mixed_window_overlap_is_perfect_reconstruction():
+    """The decoder's window placement + absolute-offset overlap-add is the
+    exact adjoint of the analysis transform for EVERY transition shape:
+    machine-precision PR on an unquantized synthetic frame chain."""
+    from enterprise_warp_spark.pipeline.vorbis import (
+        frame_window,
+        imdct_matrix,
+    )
+
+    n0, n1 = 8, 32
+    sizes = [n1, n1, n0, n0, n1, n0, n1, n1]
+    starts = [0]
+    for f in range(1, len(sizes)):
+        starts.append(starts[-1] + 3 * sizes[f - 1] // 4 - sizes[f] // 4)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(starts[-1] + sizes[-1])
+    buf = np.zeros_like(x)
+    for f, nf in enumerate(sizes):
+        if nf == n0:
+            bf, lp, ln = 0, True, True
+        else:
+            bf = 1
+            lp = f == 0 or sizes[f - 1] == n1
+            ln = f == len(sizes) - 1 or sizes[f + 1] == n1
+        w = frame_window(nf, n0, bf, lp, ln)
+        seg = x[starts[f]:starts[f] + nf]
+        M = imdct_matrix(nf)
+        buf[starts[f]:starts[f] + nf] += (M @ ((4.0 / nf) * (w * seg) @ M)) * w
+    c0, cl = sizes[0] // 2, starts[-1] + sizes[-1] // 2
+    assert np.abs(buf[c0:cl] - x[c0:cl]).max() < 1e-10
