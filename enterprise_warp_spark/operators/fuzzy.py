@@ -163,6 +163,9 @@ def edit_distance_join(
         )
 
     l_s, r_s = slim(l_full, tl), slim(r_full, tr)
+    empty_pairs = l_s.sparkSession.createDataFrame(
+        [], "__id_l long, __t_l string, __id_r long, __t_r string"
+    )
 
     # pass A: both long -> q-gram filter
     pairs_a = _gram_pass(
@@ -174,13 +177,19 @@ def edit_distance_join(
     # pass B: at least one short (but not both trivial) -> 1-gram filter;
     # population bounded to lengths < cutoff + max_dist (a longer partner
     # cannot be within max_dist of a short string). The min(<cutoff) and
-    # max(>k) pair filters keep A/B/C disjoint.
+    # max(>k) pair filters keep A/B/C disjoint. Most corpora (names,
+    # titles, URLs) have NO short strings at all — the population counts
+    # are nearly free on the localCheckpoint-materialized slims, and
+    # skipping the pass drops its ~6-stage pipeline from the plan.
     b_pop_l = l_s.filter(F.col("__len") < cutoff + max_dist)
     b_pop_r = r_s.filter(F.col("__len") < cutoff + max_dist)
-    pairs_b = _gram_pass(b_pop_l, b_pop_r, 1, max_dist).filter(
-        (F.least(F.length("__t_l"), F.length("__t_r")) < cutoff)
-        & (F.greatest(F.length("__t_l"), F.length("__t_r")) > max_dist)
-    )
+    if b_pop_l.count() == 0 or b_pop_r.count() == 0:
+        pairs_b = empty_pairs
+    else:
+        pairs_b = _gram_pass(b_pop_l, b_pop_r, 1, max_dist).filter(
+            (F.least(F.length("__t_l"), F.length("__t_r")) < cutoff)
+            & (F.greatest(F.length("__t_l"), F.length("__t_r")) > max_dist)
+        )
     # pass C: both at most max_dist chars — the only unfilterable class;
     # its members are <= max_dist characters long, so the product is
     # normally tiny. Its output IS the product (every such pair matches),
@@ -198,16 +207,19 @@ def edit_distance_join(
             "Pre-filter trivial strings (or dedupe them to distinct values "
             "and rejoin counts) before the fuzzy join."
         )
-    pairs_c = (
-        c_l.select(
-            F.col("__id").alias("__id_l"), F.col("__t").alias("__t_l")
-        )
-        .crossJoin(
-            c_r.select(
-                F.col("__id").alias("__id_r"), F.col("__t").alias("__t_r")
+    if n_cl == 0 or n_cr == 0:
+        pairs_c = empty_pairs
+    else:
+        pairs_c = (
+            c_l.select(
+                F.col("__id").alias("__id_l"), F.col("__t").alias("__t_l")
+            )
+            .crossJoin(
+                c_r.select(
+                    F.col("__id").alias("__id_r"), F.col("__t").alias("__t_r")
+                )
             )
         )
-    )
 
     candidates = pairs_a.unionByName(pairs_b).unionByName(pairs_c)
     # banded verify: levenshtein(l, r, threshold) early-exits past the
