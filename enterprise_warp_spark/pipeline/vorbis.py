@@ -910,16 +910,24 @@ def decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
         except EndOfPacket:
             pass
 
-        # inverse coupling (magnitude/angle), in reverse order
+        # inverse coupling (square polar, spec §4.3.5), in reverse order.
+        # The assignment TARGETS swap in the A<=0 branches: there the
+        # angle channel receives M and the magnitude channel M+/-A.
         for mag, ang in reversed(mapping["coupling"]):
             m = residue_vec[mag].copy()
             a = residue_vec[ang].copy()
-            new_a = np.where(m > 0, np.where(a > 0, m - a, m + a),
-                             np.where(a > 0, m + a, m - a))
-            new_m = m
-            # spec: for M>0: A>0 -> (M, M-A); A<=0 -> (M, M+A)... the
-            # magnitude channel keeps its value, the angle channel becomes
-            # the +/- combination above
+            pos_m = m > 0
+            pos_a = a > 0
+            new_m = np.where(
+                pos_m,
+                np.where(pos_a, m, m + a),
+                np.where(pos_a, m, m - a),
+            )
+            new_a = np.where(
+                pos_m,
+                np.where(pos_a, m - a, m),
+                np.where(pos_a, m + a, m),
+            )
             residue_vec[mag] = new_m
             residue_vec[ang] = new_a
 
@@ -990,6 +998,7 @@ def encode_vorbis(
     two_pass: bool = True,
     mixed_blocks: bool = False,
     short_blocksize: int | None = None,
+    coupled: bool = False,
 ) -> bytes:
     """Encode float samples (n,) or (n, ch) in [-1, 1] -> Ogg/Vorbis bytes.
 
@@ -1058,6 +1067,24 @@ def encode_vorbis(
     t = INVERSE_DB[floor_line]
     resid = [c / t for c in coeffs]
 
+    # ---- forward square-polar coupling (stereo): channel 0 becomes the
+    # magnitude vector, channel 1 the angle vector; the decoder's inverse
+    # (spec §4.3.5) restores (L, R) exactly — quantization error then
+    # lives in the coupled domain, the point of the transform ----
+    if coupled:
+        if ch != 2:
+            raise ValueError("coupled=True requires exactly 2 channels")
+        coupled_resid = []
+        for r in resid:
+            L, R = r[0], r[1]
+            c1 = (L > 0) & (L > R)
+            c2 = ~c1 & (R > 0) & (L <= R)
+            c3 = ~c1 & ~c2 & (L <= 0) & (R > L)
+            m = np.select([c1, c2, c3], [L, R, L], default=R)
+            a = np.select([c1, c2, c3], [L - R, L - R, R - L], default=R - L)
+            coupled_resid.append(np.stack([m, a]))
+        resid = coupled_resid
+
     # ---- residue quantization: coarse + optional fine pass ----
     peak = max(float(np.abs(r).max()) for r in resid)
     # lattice values are min + delta*j, j in 0..q-1, symmetric around zero
@@ -1094,6 +1121,7 @@ def encode_vorbis(
         (min2, delta2) if two_pass else None,
         psize,
         two_modes=mixed_blocks,
+        coupled=coupled,
     )
 
     # ---- id + comment headers ----
@@ -1201,7 +1229,8 @@ def _CODE_CACHE_GET(entries: int, elen: int, e: int) -> tuple[int, int]:
 
 
 def _build_setup(ch, n2, q, dim, entries, elen, vbits,
-                 min_v, delta, fine, psize, two_modes=False) -> bytes:
+                 min_v, delta, fine, psize, two_modes=False,
+                 coupled=False) -> bytes:
     """Setup-header writer for the minimal layout: classbook + coarse VQ
     book (+ fine VQ book when `fine` is given), one 2-post floor1 (a flat
     line), one type-2 residue with cascade 0b01 or 0b011, one uncoupled
@@ -1244,11 +1273,19 @@ def _build_setup(ch, n2, q, dim, entries, elen, vbits,
     bw.write(1, 8)  # class 1 pass 0 -> book 1
     if fine:
         bw.write(2, 8)  # class 1 pass 1 -> book 2
-    # mappings: one, type 0, 1 submap, no coupling
+    # mappings: one, type 0, 1 submap; square-polar coupling of the
+    # stereo pair when `coupled`
     bw.write(0, 6)
     bw.write(0, 16)
     bw.write(0, 1)
-    bw.write(0, 1)
+    if coupled:
+        bw.write(1, 1)   # coupling flag
+        bw.write(0, 8)   # steps - 1
+        bits = ilog(ch - 1)
+        bw.write(0, bits)  # magnitude channel
+        bw.write(1, bits)  # angle channel
+    else:
+        bw.write(0, 1)
     bw.write(0, 2)
     bw.write(0, 8)  # time config placeholder
     bw.write(0, 8)  # floor 0

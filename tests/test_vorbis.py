@@ -295,3 +295,53 @@ def test_mixed_window_overlap_is_perfect_reconstruction():
         buf[starts[f]:starts[f] + nf] += (M @ ((4.0 / nf) * (w * seg) @ M)) * w
     c0, cl = sizes[0] // 2, starts[-1] + sizes[-1] // 2
     assert np.abs(buf[c0:cl] - x[c0:cl]).max() < 1e-10
+
+
+def test_coupled_stereo_round_trip():
+    """Square-polar channel coupling: the encoder emits a coupling step
+    (magnitude ch0 / angle ch1) and the decoder's spec inverse — whose
+    assignment targets SWAP in the A<=0 branches — restores both
+    channels. This exercises all four sign branches of §4.3.5."""
+    x = _sig(6000)
+    t = np.arange(6000) / 16000.0
+    st = np.stack(
+        [x, 0.9 * x + 0.05 * np.sin(2 * np.pi * 997 * t)], axis=1
+    )
+    out, rate = decode_vorbis(encode_vorbis(st, 16000, coupled=True))
+    assert rate == 16000 and out.shape == st.shape
+    assert _snr(st[:, 0], out[:, 0]) > 28.0
+    assert _snr(st[:, 1], out[:, 1]) > 20.0
+    # the coupled stream really declares a coupling step in its setup
+    from enterprise_warp_spark.pipeline.vorbis import (
+        parse_id_header,
+        parse_setup_header,
+    )
+
+    pkts = [p for p, _ in ogg_pages_to_packets(
+        encode_vorbis(st, 16000, coupled=True)
+    )]
+    ch, *_ = parse_id_header(pkts[0])
+    setup = parse_setup_header(pkts[2], ch)
+    assert setup.mappings[0]["coupling"] == [(0, 1)]
+
+
+def test_coupling_forward_inverse_exact():
+    """The encoder's vectorized forward coupling composed with the spec
+    inverse is the identity on every sign combination."""
+    rng = np.random.default_rng(5)
+    L = rng.uniform(-5, 5, 4096)
+    R = rng.uniform(-5, 5, 4096)
+    # include exact zeros and ties
+    L[:8] = [0, 0, 1, -1, 2, -2, 0, 3]
+    R[:8] = [0, 1, 1, -1, -2, 2, -3, 0]
+    c1 = (L > 0) & (L > R)
+    c2 = ~c1 & (R > 0) & (L <= R)
+    c3 = ~c1 & ~c2 & (L <= 0) & (R > L)
+    m = np.select([c1, c2, c3], [L, R, L], default=R)
+    a = np.select([c1, c2, c3], [L - R, L - R, R - L], default=R - L)
+    pos_m, pos_a = m > 0, a > 0
+    new_m = np.where(pos_m, np.where(pos_a, m, m + a),
+                     np.where(pos_a, m, m - a))
+    new_a = np.where(pos_m, np.where(pos_a, m - a, m),
+                     np.where(pos_a, m + a, m))
+    assert np.allclose(new_m, L, atol=0) and np.allclose(new_a, R, atol=0)
