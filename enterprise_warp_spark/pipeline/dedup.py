@@ -379,12 +379,15 @@ def connected_components(
     clustering keeps exactly one representative per component, which is the
     semantics corpus dedup actually wants.
 
-    Algorithm: iterative min-label propagation — each round every vertex
-    takes the min label among itself and its neighbors, via one groupBy over
-    the symmetrized edge list. Rounds needed = graph diameter (near-dup
-    components are shallow: chains of near-copies), each round one shuffle;
-    lineage is cut per round (localCheckpoint) so plans stay flat. Converges
-    early when a round changes nothing.
+    Algorithm: min-label propagation WITH pointer doubling — each round
+    every vertex takes the min label among itself and its neighbors (one
+    groupBy over the symmetrized edge list), then shortcuts through its
+    label's own label (labels self-join). The shortcut step gives
+    O(log diameter) convergence instead of O(diameter): a 1000-hop chain
+    of near-copies finishes in ~12 rounds, not 1000. Each round is two
+    shuffles; lineage is cut per round (localCheckpoint) so plans stay
+    flat. Converges early when a round changes nothing; raises loudly if
+    max_iter rounds pass without a fixpoint.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -404,12 +407,32 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_min"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["u"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer doubling: follow the label's own label (component ids ARE
+        # vertex ids, so this is a labels self-join) — halves the distance
+        # to each component's minimum every round
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("id").alias("cid"),
+                    F.col("component").alias("ccomp"),
+                ),
+                F.col("s.component") == F.col("cid"),
+                "left",
+            )
             .select(
-                "id",
+                F.col("s.id").alias("id"),
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("s.component"),
+                    F.coalesce(F.col("ccomp"), F.col("s.component")),
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
