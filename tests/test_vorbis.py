@@ -345,3 +345,34 @@ def test_coupling_forward_inverse_exact():
     new_a = np.where(pos_m, np.where(pos_a, m - a, m),
                      np.where(pos_a, m + a, m))
     assert np.allclose(new_m, L, atol=0) and np.allclose(new_a, R, atol=0)
+
+
+def test_vorbis_audio_fingerprint(spark):
+    """The perceptual-fingerprint kernel treats audio/ogg as a real
+    decodable mime (decoded=true, non-null fingerprint), and the Vorbis
+    fingerprint lands within near-dup hamming distance of the WAV twin's
+    — the FLAC/ADPCM invariance contract."""
+    from enterprise_warp_spark.pipeline.codecs import encode_wav
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprints,
+    )
+
+    x = _sig(4000)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", encode_vorbis(x, 16000), "audio/ogg",
+             None, None, 16000, None),
+            (2, "audio", encode_wav(x[:, None], 16000), "audio/wav",
+             None, None, 16000, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in audio_fingerprints(media).collect()}
+    assert rows[1]["decoded"] is True and rows[1]["fingerprint"] is not None
+    ham = bin((rows[1]["fingerprint"] ^ rows[2]["fingerprint"])
+              & 0xFFFFFFFFFFFFFFFF).count("1")
+    # lossy codec: envelope-derivative bits near their thresholds can flip
+    # (measured 9 of 64); anything far under half the bits is the same
+    # track, a different track sits near 32
+    assert ham <= 16, ham
