@@ -999,6 +999,7 @@ def encode_vorbis(
     mixed_blocks: bool = False,
     short_blocksize: int | None = None,
     coupled: bool = False,
+    residue_type: int = 2,
 ) -> bytes:
     """Encode float samples (n,) or (n, ch) in [-1, 1] -> Ogg/Vorbis bytes.
 
@@ -1017,6 +1018,8 @@ def encode_vorbis(
     n_samples, ch = x.shape
     if q_levels & (q_levels - 1) or q_levels < 4:
         raise ValueError("q_levels must be a power of two >= 4")
+    if residue_type not in (0, 1, 2):
+        raise ValueError(f"residue_type must be 0, 1 or 2, got {residue_type}")
     n1 = blocksize
     n0 = (short_blocksize or blocksize // 4) if mixed_blocks else blocksize
     if n1 % 4 or n0 % 4 or n0 > n1:
@@ -1122,7 +1125,14 @@ def encode_vorbis(
         psize,
         two_modes=mixed_blocks,
         coupled=coupled,
+        residue_type=residue_type,
     )
+    if residue_type != 2 and ch != 1:
+        raise ValueError(
+            "the minimal encoder emits residue types 0/1 for MONO streams "
+            "only (they exist to exercise the decoder's per-channel and "
+            "stride paths; type 2 is the real-world layout)"
+        )
 
     # ---- id + comment headers ----
     bw = BitWriter()
@@ -1162,15 +1172,19 @@ def encode_vorbis(
             bw.write(1, 1)
             bw.write(floor_line, 8)
             bw.write(floor_line, 8)
-        # residue type 2: interleave channels
+        # data layout per residue type: type 2 interleaves channels into
+        # one vector; types 0/1 (mono here) use the channel vector itself,
+        # with type 0 additionally stride-interleaved WITHIN each
+        # partition at decode (handled in _write_residue_pass)
         inter0 = q0[f].astype(np.int64).T.reshape(-1)  # (nf2*ch,)
         inter1 = q1[f].astype(np.int64).T.reshape(-1) if two_pass else None
-        partvals = (nf2 * ch) // psize
+        partvals = (nf2 * ch if residue_type == 2 else nf2) // psize
         classif = np.ones(partvals, dtype=np.int64)  # everything coded
         _write_residue_pass(
             bw, classif, partvals, psize,
             [None, (inter0, entries, elen, q_levels),
              (inter1, entries, elen, q_levels) if two_pass else None],
+            rtype=residue_type,
         )
         audio_pkts.append(bw.getvalue())
 
@@ -1187,12 +1201,15 @@ def encode_vorbis(
     return ogg_write_pages(flagged)
 
 
-def _write_residue_pass(bw, classif, partvals, psize, passes):
-    """Write the residue-2 bitstream: pass 0 emits classwords (classbook
+def _write_residue_pass(bw, classif, partvals, psize, passes, rtype=2):
+    """Write the residue bitstream: pass 0 emits classwords (classbook
     dim 1 -> one codeword per partition: entry==class, length 1) then the
     coarse vectors; pass 1 (if present) re-walks partitions with the fine
-    vectors."""
+    vectors. Types 1/2 read dim-2 vectors sequentially; type 0 reads them
+    stride-interleaved (vector k covers positions k, k+step, ...)."""
     n_passes = sum(1 for p in passes[1:] if p is not None)
+    dim = 2
+    step = psize // dim
     for pas in range(n_passes):
         data, entries, elen, q = passes[1 + pas]
         pcount = 0
@@ -1205,10 +1222,15 @@ def _write_residue_pass(bw, classif, partvals, psize, passes):
             if vq == 1:
                 off = pcount * psize
                 part = data[off:off + psize]
-                for k in range(0, psize, 2):
+                if rtype == 0:
+                    vecs = [(part[k], part[k + step]) for k in range(step)]
+                else:
+                    vecs = [(part[k], part[k + 1])
+                            for k in range(0, psize, 2)]
+                for a, b in vecs:
                     # lookup-type-1 lattice: dimension 0 is the LOW digit
                     # (spec's index_divisor order)
-                    e = int(part[k]) + int(part[k + 1]) * q
+                    e = int(a) + int(b) * q
                     code, l = _CODE_CACHE_GET(entries, elen, e)
                     # write MSB-first
                     for i in range(l - 1, -1, -1):
@@ -1230,7 +1252,7 @@ def _CODE_CACHE_GET(entries: int, elen: int, e: int) -> tuple[int, int]:
 
 def _build_setup(ch, n2, q, dim, entries, elen, vbits,
                  min_v, delta, fine, psize, two_modes=False,
-                 coupled=False) -> bytes:
+                 coupled=False, residue_type=2) -> bytes:
     """Setup-header writer for the minimal layout: classbook + coarse VQ
     book (+ fine VQ book when `fine` is given), one 2-post floor1 (a flat
     line), one type-2 residue with cascade 0b01 or 0b011, one uncoupled
@@ -1257,12 +1279,13 @@ def _build_setup(ch, n2, q, dim, entries, elen, vbits,
     bw.write(0, 5)
     bw.write(0, 2)
     bw.write(6, 4)
-    # residues: one, type 2, full interleaved vector, partition size 8,
-    # 2 classifications (class 0 silent, class 1 carries the passes)
+    # residues: one (type 2 interleaved by default; 0/1 selectable for
+    # mono streams), partition size 8, 2 classifications (class 0 silent,
+    # class 1 carries the passes)
     bw.write(0, 6)
-    bw.write(2, 16)
+    bw.write(residue_type, 16)
     bw.write(0, 24)
-    bw.write(n2 * ch, 24)
+    bw.write(n2 * ch if residue_type == 2 else n2, 24)
     bw.write(psize - 1, 24)
     bw.write(1, 6)
     bw.write(0, 8)  # classbook = book 0

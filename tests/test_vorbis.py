@@ -376,3 +376,100 @@ def test_vorbis_audio_fingerprint(spark):
     # (measured 9 of 64); anything far under half the bits is the same
     # track, a different track sits near 32
     assert ham <= 16, ham
+
+
+@pytest.mark.parametrize("rtype", [0, 1, 2])
+def test_residue_types_all_round_trip(rtype):
+    """Residue type 0 (stride-interleaved partitions), 1 (sequential
+    per-channel) and 2 (channel-interleaved) all decode; the encoder can
+    emit each, so the three decode layouts are pinned end-to-end."""
+    x = _sig(5000)
+    out, _ = decode_vorbis(encode_vorbis(x, 16000, residue_type=rtype))
+    assert out.shape[0] == len(x)
+    assert _snr(x, out[:, 0]) > 30.0
+
+
+def test_residue_type_01_stereo_rejected():
+    x = np.stack([_sig(2000), _sig(2000)], axis=1)
+    with pytest.raises(ValueError, match="MONO"):
+        encode_vorbis(x, 16000, residue_type=1)
+
+
+def test_ordered_codebook_parse():
+    """Ordered length lists (run-length coded ascending) parse to the
+    same codebook as the unordered spelling."""
+    from enterprise_warp_spark.pipeline.vorbis import (
+        BitReader,
+        BitWriter,
+        ilog,
+        parse_codebook,
+    )
+
+    # lengths: entry0 -> 1, entries 1..2 -> 2  (complete tree)
+    bw = BitWriter()
+    bw.write(0x564342, 24)
+    bw.write(1, 16)   # dims
+    bw.write(3, 24)   # entries
+    bw.write(1, 1)    # ordered
+    bw.write(0, 5)    # initial length 1 (-1 coded)
+    # count of entries at length 1: ilog(3 - 0) = 2 bits
+    bw.write(1, ilog(3))
+    # count at length 2: ilog(3 - 1) = 2 bits
+    bw.write(2, ilog(2))
+    bw.write(0, 4)    # lookup 0
+    cb = parse_codebook(BitReader(bw.getvalue()))
+    assert cb.lengths == [1, 2, 2]
+    # decode round trip: codes 0 / 10 / 11
+    dec = BitWriter()
+    for bits in ([0], [1, 0], [1, 1]):
+        for b in bits:
+            dec.write(b, 1)
+    br = BitReader(dec.getvalue())
+    assert [cb.decode_scalar(br) for _ in range(3)] == [0, 1, 2]
+
+
+def test_sparse_codebook_parse_and_single_entry():
+    """Sparse flag: unused entries carry no length bits; a single USED
+    entry decodes by consuming its coded length and returning it."""
+    from enterprise_warp_spark.pipeline.vorbis import (
+        BitReader,
+        BitWriter,
+        parse_codebook,
+    )
+
+    bw = BitWriter()
+    bw.write(0x564342, 24)
+    bw.write(1, 16)
+    bw.write(4, 24)   # 4 entries
+    bw.write(0, 1)    # unordered
+    bw.write(1, 1)    # sparse
+    for e in range(4):
+        used = 1 if e == 2 else 0
+        bw.write(used, 1)
+        if used:
+            bw.write(3 - 1, 5)  # length 3
+    bw.write(0, 4)
+    cb = parse_codebook(BitReader(bw.getvalue()))
+    assert cb.lengths == [0, 0, 3, 0]
+    assert cb.single == 2
+    br = BitReader(b"\x00")  # any 3 bits
+    assert cb.decode_scalar(br) == 2
+    assert br.pos == 3  # the bits are consumed
+
+
+def test_lookup_type2_and_sequence_p_tables():
+    """Lookup type 2 reads entries*dims explicit multiplicands; the
+    sequence_p flag makes each dimension accumulate the previous value."""
+    from enterprise_warp_spark.pipeline.vorbis import Codebook
+
+    # type 2: entries=2, dims=2, multiplicands laid out per entry
+    cb = Codebook(2, 2, [1, 1], 2, 10.0, 0.5, 0, [1, 2, 3, 4], 4)
+    tab = cb.vq_table()
+    assert tab[0].tolist() == [10.5, 11.0]   # 10 + 1*.5, 10 + 2*.5
+    assert tab[1].tolist() == [11.5, 12.0]
+    # sequence_p on a type-1 lattice: dim j adds the previous value
+    cb2 = Codebook(2, 4, [2, 2, 2, 2], 1, 0.0, 1.0, 1, [0, 1], 2)
+    tab2 = cb2.vq_table()
+    # entry 3 -> digits (1, 1) -> v0 = 1, v1 = 1 + v0 = 2
+    assert tab2[3].tolist() == [1.0, 2.0]
+    assert tab2[1].tolist() == [1.0, 1.0]  # digits (1, 0): v1 = 0 + v0
