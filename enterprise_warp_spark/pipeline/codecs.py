@@ -272,11 +272,15 @@ def video_features(payload: bytes, width: int, height: int, n_frames: int) -> li
 
 # ---------------------------------------------------------------------------
 # PNG — pure stdlib-zlib decode/encode (VERDICT r5 #3: a COMPRESSED format
-# whose decoded=true path really executes in this container). 8-bit depth,
-# color types 0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) /
-# 6 (RGBA), interlace 0. Spec: the public PNG standard (RFC 2083 / ISO
-# 15948) — signature, length-type-data-CRC chunks, zlib-deflated scanlines
-# with one per-row filter byte (None/Sub/Up/Average/Paeth).
+# whose decoded=true path really executes in this container). Bit depths
+# 1/2/4/8/16, color types 0 (gray) / 2 (RGB) / 3 (palette) / 4
+# (gray+alpha) / 6 (RGBA), interlace 0 AND Adam7. Spec: the public PNG
+# standard (RFC 2083 / ISO 15948) — signature, length-type-data-CRC
+# chunks, zlib-deflated scanlines with one per-row filter byte
+# (None/Sub/Up/Average/Paeth; byte-wise with the left reference one
+# PIXEL-WIDTH of bytes back), sub-byte packing MSB-first, 16-bit samples
+# big-endian (folded to 8 bits like PIL's convert), and the seven Adam7
+# reduced images each filtered independently.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -309,58 +313,114 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError(
-            f"PNG depth={depth} interlace={interlace} needs an external codec"
+            f"PNG comp={comp} filt={filt} interlace={interlace} is outside "
+            "the spec's defined values"
         )
+    if depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"PNG depth={depth} is not a spec depth")
     if color not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color} not supported")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError("sub-byte depth is only valid for gray/palette")
     ch = _PNG_CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG scanline data")
-    lines = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8).reshape(
-        h, stride + 1
-    )
-    filters = lines[:, 0]
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f, row = int(filters[y]), lines[y, 1:]
-        if f == 0:
-            rec = row.copy()
-        elif f == 1:  # Sub: cumulative sum per channel lane, mod 256
-            rec = (
-                np.cumsum(row.reshape(w, ch).astype(np.int64), axis=0) % 256
-            ).astype(np.uint8).reshape(stride)
-        elif f == 2:  # Up
-            rec = row + prev  # uint8 wraparound is the spec's mod-256
-        elif f in (3, 4):  # Average / Paeth: sequential left-dependency
-            rec = np.zeros(stride, dtype=np.uint8)
-            rowi = row.astype(np.int64)
-            previ = prev.astype(np.int64)
-            for x in range(w):
-                s = slice(x * ch, (x + 1) * ch)
-                left = rec[x * ch - ch : x * ch].astype(np.int64) if x else np.zeros(ch, np.int64)
-                up = previ[s]
-                if f == 3:
-                    rec[s] = ((rowi[s] + (left + up) // 2) % 256).astype(np.uint8)
-                else:
-                    ul = (
-                        previ[x * ch - ch : x * ch] if x else np.zeros(ch, np.int64)
+
+    def samples(sub_w, sub_h, data_rows):
+        """Unfiltered byte rows -> (sub_h, sub_w, ch) uint8 samples."""
+        if depth == 8:
+            return data_rows.reshape(sub_h, sub_w, ch)
+        if depth == 16:
+            u16 = data_rows.reshape(sub_h, sub_w * ch, 2)
+            # big-endian; fold to 8 bits by the high byte (PIL's convert)
+            return u16[:, :, 0].reshape(sub_h, sub_w, ch)
+        bits = np.unpackbits(data_rows, axis=1)[:, : sub_w * depth]
+        vals = bits.reshape(sub_h, sub_w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        v = (vals * weights).sum(axis=2).astype(np.uint8)
+        if color == 0:  # scale 1/2/4-bit gray to full 8-bit range
+            v = (v * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return v[:, :, None]
+
+    def unfilter(sub_w, sub_h, data):
+        """One reduced image's filtered scanlines -> sample array."""
+        bpp = max(1, (ch * depth) // 8)
+        row_bytes = (sub_w * ch * depth + 7) // 8
+        need = sub_h * (row_bytes + 1)
+        if len(data) < need:
+            raise ValueError("truncated PNG scanline data")
+        lines = np.frombuffer(data[:need], dtype=np.uint8).reshape(
+            sub_h, row_bytes + 1
+        )
+        out = np.zeros((sub_h, row_bytes), dtype=np.uint8)
+        prev = np.zeros(row_bytes, dtype=np.uint8)
+        groups = row_bytes // bpp
+        for y in range(sub_h):
+            f, row = int(lines[y, 0]), lines[y, 1:]
+            if f == 0:
+                rec = row.copy()
+            elif f == 1:  # Sub: cumulative sum per bpp byte lane, mod 256
+                rec = (
+                    np.cumsum(row.reshape(groups, bpp).astype(np.int64), axis=0)
+                    % 256
+                ).astype(np.uint8).reshape(row_bytes)
+            elif f == 2:  # Up
+                rec = row + prev  # uint8 wraparound is the spec's mod-256
+            elif f in (3, 4):  # Average / Paeth: sequential left-dependency
+                rec = np.zeros(row_bytes, dtype=np.uint8)
+                rowi = row.astype(np.int64)
+                previ = prev.astype(np.int64)
+                zero = np.zeros(bpp, np.int64)
+                for x in range(groups):
+                    sl = slice(x * bpp, (x + 1) * bpp)
+                    left = (
+                        rec[x * bpp - bpp : x * bpp].astype(np.int64)
+                        if x else zero
                     )
-                    p = left + up - ul
-                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
-                    )
-                    rec[s] = ((rowi[s] + pred) % 256).astype(np.uint8)
-        else:
-            raise ValueError(f"invalid PNG filter {f}")
-        out[y] = rec
-        prev = rec
-    img = out.reshape(h, w, ch)
+                    up = previ[sl]
+                    if f == 3:
+                        rec[sl] = ((rowi[sl] + (left + up) // 2) % 256).astype(
+                            np.uint8
+                        )
+                    else:
+                        ul = (
+                            previ[x * bpp - bpp : x * bpp].astype(np.int64)
+                            if x else zero
+                        )
+                        p = left + up - ul
+                        pa, pb, pc = (
+                            np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                        )
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, ul),
+                        )
+                        rec[sl] = ((rowi[sl] + pred) % 256).astype(np.uint8)
+            else:
+                raise ValueError(f"invalid PNG filter {f}")
+            out[y] = rec
+            prev = rec
+        return samples(sub_w, sub_h, out), need
+
+    if interlace == 0:
+        img, _ = unfilter(w, h, raw)
+    else:
+        # Adam7: seven independently-filtered reduced images
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        passes = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+        off = 0
+        for x0, y0, xs, ys in passes:
+            sub_w = (w - x0 + xs - 1) // xs
+            sub_h = (h - y0 + ys - 1) // ys
+            if sub_w <= 0 or sub_h <= 0:
+                continue  # empty pass has no scanlines at all
+            sub, used = unfilter(sub_w, sub_h, raw[off:])
+            off += used
+            img[y0::ys, x0::xs] = sub
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")

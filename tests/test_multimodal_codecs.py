@@ -1325,3 +1325,119 @@ def test_prefer_native_false_uses_pure_decoder_despite_plugin(spark):
     assert repro["decoded"] is True
     assert repro["feature"] == pytest.approx(pure["feature"], abs=0)
     assert repro["feature"] != pytest.approx(native["feature"], abs=0)
+
+
+def _png_raw(w, h, depth, color, body_rows, plte=None, interlace=0):
+    """Hand-build a PNG from pre-filtered scanline bytes (test helper for
+    the shapes encode_png doesn't emit: sub-byte depths, 16-bit, Adam7)."""
+    import struct as _struct
+    import zlib
+
+    from enterprise_warp_spark.pipeline.codecs import _png_chunk
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    out += _png_chunk(b"IDAT", zlib.compress(body_rows))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_png_16bit_gray_and_rgb():
+    from enterprise_warp_spark.pipeline.codecs import decode_png
+
+    rng = np.random.default_rng(0)
+    g16 = rng.integers(0, 65536, (5, 7), dtype=np.uint16)
+    rows = b"".join(b"\x00" + g16[y].astype(">u2").tobytes() for y in range(5))
+    out = decode_png(_png_raw(7, 5, 16, 0, rows))
+    assert out.shape == (5, 7)
+    assert np.array_equal(out, (g16 >> 8).astype(np.uint8))
+
+    c16 = rng.integers(0, 65536, (4, 3, 3), dtype=np.uint16)
+    rows = b"".join(
+        b"\x00" + c16[y].astype(">u2").tobytes() for y in range(4)
+    )
+    out = decode_png(_png_raw(3, 4, 16, 2, rows))
+    assert out.shape == (4, 3, 3)
+    assert np.array_equal(out, (c16 >> 8).astype(np.uint8))
+
+
+def test_png_16bit_sub_filter_uses_pixel_width_bytes():
+    """Filter type 1 (Sub) references one PIXEL of bytes back — 6 bytes
+    for 16-bit RGB, not 3; a byte-lane bug would corrupt every pixel
+    after the first."""
+    from enterprise_warp_spark.pipeline.codecs import decode_png
+
+    rng = np.random.default_rng(1)
+    c16 = rng.integers(0, 65536, (3, 5, 3), dtype=np.uint16)
+    rows = b""
+    for y in range(3):
+        raw = np.frombuffer(c16[y].astype(">u2").tobytes(), dtype=np.uint8)
+        filt = raw.astype(np.int64).copy()
+        filt[6:] = (raw[6:].astype(np.int64) - raw[:-6]) % 256
+        rows += b"\x01" + filt.astype(np.uint8).tobytes()
+    out = decode_png(_png_raw(5, 3, 16, 2, rows))
+    assert np.array_equal(out, (c16 >> 8).astype(np.uint8))
+
+
+def test_png_subbyte_depths():
+    from enterprise_warp_spark.pipeline.codecs import decode_png
+
+    # 1-bit gray, width 10 (crosses a byte boundary; spec pads rows)
+    bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1, 1],
+                     [0, 1, 0, 0, 1, 1, 0, 1, 0, 0]], dtype=np.uint8)
+    packed = np.packbits(bits, axis=1)
+    rows = b"".join(b"\x00" + packed[y].tobytes() for y in range(2))
+    out = decode_png(_png_raw(10, 2, 1, 0, rows))
+    assert np.array_equal(out, bits * 255)
+
+    # 4-bit palette
+    idx = np.array([[0, 1, 2, 3, 2], [3, 2, 1, 0, 1]], dtype=np.uint8)
+    plte = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    nib = np.zeros((2, 3), dtype=np.uint8)
+    for y in range(2):
+        padded = np.append(idx[y], 0)
+        nib[y] = (padded[0::2] << 4) | padded[1::2]
+    rows = b"".join(b"\x00" + nib[y].tobytes() for y in range(2))
+    out = decode_png(_png_raw(5, 2, 4, 3, rows, plte=plte))
+    assert np.array_equal(out, plte[idx])
+
+    # 2-bit gray scales 0..3 -> 0..255 by x85
+    g2 = np.array([[0, 1, 2, 3]], dtype=np.uint8)
+    rows = b"\x00" + np.packbits(
+        np.unpackbits(g2[:, :, None] << 6, axis=2)[:, :, :2].reshape(1, -1),
+        axis=1,
+    ).tobytes()
+    out = decode_png(_png_raw(4, 1, 2, 0, rows))
+    assert np.array_equal(out, g2 * 85)
+
+
+def test_png_adam7_interlace_round_trip():
+    """Adam7: the seven reduced images (each independently filtered, here
+    with a mix of None and Up filters) reassemble to the original."""
+    from enterprise_warp_spark.pipeline.codecs import decode_png
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)  # odd dims
+    passes = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    body = b""
+    for pi, (x0, y0, xs, ys) in enumerate(passes):
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw = sub[y].reshape(-1)
+            if pi % 2 == 1 and y > 0:  # Up filter on odd passes
+                prev = sub[y - 1].reshape(-1)
+                body += b"\x02" + ((raw.astype(np.int64) - prev) % 256).astype(
+                    np.uint8
+                ).tobytes()
+            else:
+                body += b"\x00" + raw.tobytes()
+    out = decode_png(_png_raw(11, 13, 8, 2, body, interlace=1))
+    assert np.array_equal(out, img)
