@@ -64,6 +64,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
                 pcm = decode_ima_blocks(bytes(body), n_ch, block_align, n_frames)
                 return pcm.astype(np.float64) / 32768.0, rate
+            if tag in (6, 7) and bits == 8:
+                # ITU-T G.711 A-law (6) / mu-law (7): 256-entry decode
+                # tables computed from the public companding formulas
+                table = _alaw_table() if tag == 6 else _ulaw_table()
+                x = table[np.frombuffer(body, dtype=np.uint8)]
+                n = (len(x) // n_ch) * n_ch
+                return x[:n].reshape(-1, n_ch), rate
             if tag == 1 and bits in _PCM_DTYPES:
                 raw = np.frombuffer(body, dtype=_PCM_DTYPES[bits])
                 if bits == 8:  # unsigned, midpoint 128
@@ -80,6 +87,54 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             return x[:n].reshape(-1, n_ch), rate
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     raise ValueError("WAV payload has no data chunk")
+
+
+_G711_CACHE: dict = {}
+
+
+def _ulaw_table() -> np.ndarray:
+    """mu-law byte -> float in [-1, 1] (ITU-T G.711: complemented byte,
+    3-bit exponent, 4-bit mantissa, bias 0x84)."""
+    t = _G711_CACHE.get("u")
+    if t is None:
+        y = ~np.arange(256, dtype=np.int64) & 0xFF
+        exp = (y >> 4) & 7
+        mant = y & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        t = np.where(y & 0x80, -mag, mag).astype(np.float64) / 32768.0
+        _G711_CACHE["u"] = t
+    return t
+
+
+def _alaw_table() -> np.ndarray:
+    """A-law byte -> float in [-1, 1] (G.711: XOR 0x55, 3-bit exponent
+    with the exp==0 special case)."""
+    t = _G711_CACHE.get("a")
+    if t is None:
+        y = np.arange(256, dtype=np.int64) ^ 0x55
+        exp = (y >> 4) & 7
+        mant = y & 0x0F
+        mag = np.where(
+            exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1)
+        )
+        t = np.where(y & 0x80, mag, -mag).astype(np.float64) / 32768.0
+        _G711_CACHE["a"] = t
+    return t
+
+
+def encode_g711(samples: np.ndarray, law: str) -> bytes:
+    """Float [-1, 1] -> G.711 bytes (test-side twin): nearest table entry
+    per sample — exact inverse of the decode table by construction."""
+    table = _ulaw_table() if law == "ulaw" else _alaw_table()
+    x = np.asarray(samples, dtype=np.float64).reshape(-1)
+    order = np.argsort(table)
+    pos = np.searchsorted(table[order], x)
+    pos = np.clip(pos, 1, 255)
+    lo, hi = order[pos - 1], order[pos]
+    pick = np.where(
+        np.abs(table[lo] - x) <= np.abs(table[hi] - x), lo, hi
+    )
+    return pick.astype(np.uint8).tobytes()
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -432,6 +487,87 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img[:, :, :3]  # RGB / RGBA -> RGB
 
 
+# ---------------------------------------------------------------------------
+# BMP — uncompressed BI_RGB Windows bitmaps (the public BITMAPINFOHEADER
+# layout): 8-bit palette, 24-bit BGR and 32-bit BGRA, bottom-up or
+# top-down rows, 4-byte row padding.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a BMP payload to uint8 (h, w, 3) RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h_raw = struct.unpack_from("<iI", payload, 18)[0], struct.unpack_from(
+        "<i", payload, 22
+    )[0]
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or compression != 0:
+        raise NotImplementedError(
+            f"BMP compression={compression} needs an external codec"
+        )
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} not supported")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ValueError("invalid BMP dimensions")
+    palette = None
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(n_colors, 4)
+        palette = pal[:, [2, 1, 0]].copy()  # BGRA entries -> RGB
+    row_bytes = ((w * bpp // 8) + 3) & ~3  # rows pad to 4 bytes
+    need = row_bytes * h
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=need, offset=data_off
+    ).reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        return palette[rows[:, :w]]
+    step = bpp // 8
+    px = rows[:, : w * step].reshape(h, w, step)
+    return px[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB, alpha dropped
+
+
+def encode_bmp(arr: np.ndarray, bpp: int = 24, top_down: bool = False) -> bytes:
+    """Encode uint8 (h, w, 3) RGB as an uncompressed BMP (test-side twin;
+    bpp 24 or 32)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3 or bpp not in (24, 32):
+        raise ValueError("encode_bmp takes (h, w, 3) RGB at bpp 24/32")
+    h, w, _ = a.shape
+    step = bpp // 8
+    row_bytes = ((w * step) + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = a[:, :, [2, 1, 0]]
+    if bpp == 32:
+        bgra = np.concatenate(
+            [bgr, np.full((h, w, 1), 255, np.uint8)], axis=2
+        )
+        body[:, : w * 4] = bgra.reshape(h, w * 4)
+    else:
+        body[:, : w * 3] = bgr.reshape(h, w * 3)
+    if not top_down:
+        body = body[::-1]
+    data = body.tobytes()
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    hdr += struct.pack(
+        "<IiiHHIIiiII", 40, w, h if not top_down else -h, 1, bpp, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    return hdr + data
+
+
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     import zlib
 
@@ -503,6 +639,8 @@ DECODABLE_MIMES = {
     "image/png": "png",
     "image/jpeg": "jpeg",
     "image/gif": "gif",
+    "image/bmp": "bmp",
+    "image/x-ms-bmp": "bmp",
     "audio/flac": "flac",
     "audio/ogg": "vorbis",
     "application/ogg": "vorbis",
@@ -552,6 +690,8 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         from enterprise_warp_spark.pipeline.gif import decode_gif
 
         return decode_gif(payload)
+    if family == "bmp":
+        return decode_bmp(payload)
     raise NotImplementedError(f"image mime {mime!r} needs an external codec")
 
 

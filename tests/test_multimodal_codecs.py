@@ -1441,3 +1441,91 @@ def test_png_adam7_interlace_round_trip():
                 body += b"\x00" + raw.tobytes()
     out = decode_png(_png_raw(11, 13, 8, 2, body, interlace=1))
     assert np.array_equal(out, img)
+
+
+def test_wav_g711_ulaw_alaw_decode():
+    """G.711 companded WAV (format tags 7/6) decodes from the public
+    ITU-T formulas: spec anchor values, and an encode->decode round trip
+    at the codec's ~38 dB design SNR for speech-band signals."""
+    import struct as _struct
+
+    from enterprise_warp_spark.pipeline.codecs import (
+        _alaw_table,
+        _ulaw_table,
+        decode_wav,
+        encode_g711,
+    )
+
+    u = _ulaw_table()
+    # 0xFF is +0 (complement of 0x00 pattern); 0x7F is -0
+    assert u[0xFF] == 0.0 and u[0x7F] == 0.0
+    assert u.max() > 0.97 and u.min() < -0.97  # +/-32124 full scale
+    a = _alaw_table()
+    assert abs(a[0xD5]) <= 8 / 32768.0  # 0x55^0xD5: minimal magnitude
+    assert a.max() > 0.98 and a.min() < -0.98  # +/-32256
+
+    t = np.arange(4000) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 997 * t)
+    for tag, law in ((7, "ulaw"), (6, "alaw")):
+        body = encode_g711(x, law)
+        hdr = b"RIFF" + _struct.pack("<I", 36 + len(body)) + b"WAVE"
+        hdr += b"fmt " + _struct.pack(
+            "<IHHIIHH", 16, tag, 1, 8000, 8000, 1, 8
+        )
+        hdr += b"data" + _struct.pack("<I", len(body))
+        out, rate = decode_wav(hdr + body)
+        assert rate == 8000 and out.shape == (4000, 1)
+        err = out[:, 0] - x
+        snr = 10 * np.log10(np.sum(x**2) / np.sum(err**2))
+        assert snr > 30.0, (law, snr)
+
+
+def test_bmp_decode_shapes(spark):
+    """Uncompressed BMP: 24-bit bottom-up, 32-bit top-down, 8-bit palette
+    with row padding; image/bmp rows get decoded=true in the media kernel."""
+    from enterprise_warp_spark.pipeline.codecs import (
+        decode_bmp,
+        encode_bmp,
+        image_features,
+    )
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)  # w=7: padded rows
+    assert np.array_equal(decode_bmp(encode_bmp(img, bpp=24)), img)
+    assert np.array_equal(
+        decode_bmp(encode_bmp(img, bpp=32, top_down=True)), img
+    )
+
+    # 8-bit palette built by hand
+    import struct as _struct
+
+    idx = rng.integers(0, 4, (3, 5), dtype=np.uint8)
+    pal_rgb = np.array(
+        [[250, 0, 0], [0, 250, 0], [0, 0, 250], [10, 20, 30]], np.uint8
+    )
+    pal_bgra = b"".join(
+        bytes([b, g, r, 0]) for r, g, b in pal_rgb.tolist()
+    )
+    row_bytes = (5 + 3) & ~3
+    body = b""
+    for y in range(2, -1, -1):  # bottom-up
+        body += idx[y].tobytes() + b"\x00" * (row_bytes - 5)
+    off = 54 + len(pal_bgra)
+    hdr = b"BM" + _struct.pack("<IHHI", off + len(body), 0, 0, off)
+    hdr += _struct.pack(
+        "<IiiHHIIiiII", 40, 5, 3, 1, 8, 0, len(body), 0, 0, 4, 0
+    )
+    out = decode_bmp(hdr + pal_bgra + body)
+    assert np.array_equal(out, pal_rgb[idx])
+
+    media = spark.createDataFrame(
+        [(1, "image", encode_bmp(img), "image/bmp", 7, 5, None, None)],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media, decoders={}).first()
+    assert row["decoded"] is True
+    assert row["feature"] == pytest.approx(image_features(img))
