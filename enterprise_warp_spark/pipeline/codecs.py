@@ -641,6 +641,7 @@ DECODABLE_MIMES = {
     "image/gif": "gif",
     "image/bmp": "bmp",
     "image/x-ms-bmp": "bmp",
+    "image/tiff": "tiff",
     "audio/flac": "flac",
     "audio/ogg": "vorbis",
     "application/ogg": "vorbis",
@@ -692,6 +693,10 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         return decode_gif(payload)
     if family == "bmp":
         return decode_bmp(payload)
+    if family == "tiff":
+        from enterprise_warp_spark.pipeline.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(f"image mime {mime!r} needs an external codec")
 
 

@@ -125,7 +125,7 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
             )
         except Exception:
             pass  # unsupported variant: optional plugin below, else stub
-    if family in ("pnm", "png", "jpeg", "gif", "bmp"):
+    if family in ("pnm", "png", "jpeg", "gif", "bmp", "tiff"):
         try:
             return True, codecs.image_features(
                 codecs.decode_image(payload, row["mime"])
@@ -342,7 +342,7 @@ def resize_images(
                     return opt["image_resize"](payload, width, height), width, height, True
                 except Exception:
                     pass  # undecodable by the plugin: pure python below
-            if family in ("pnm", "png", "jpeg", "gif", "bmp"):
+            if family in ("pnm", "png", "jpeg", "gif", "bmp", "tiff"):
                 try:
                     resized = codecs.resize_nearest(
                         codecs.decode_image(payload, row["mime"]), width, height

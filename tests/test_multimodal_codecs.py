@@ -1529,3 +1529,80 @@ def test_bmp_decode_shapes(spark):
     row = extract_features(media, decoders={}).first()
     assert row["decoded"] is True
     assert row["feature"] == pytest.approx(image_features(img))
+
+
+def test_tiff_round_trips_all_variants(spark):
+    """Baseline TIFF: none/LZW compression x predictor x strip splits x
+    byte orders round-trip; PackBits and WhiteIsZero decode from
+    hand-built streams; image/tiff rows get decoded=true in the media
+    kernel."""
+    import struct as _struct
+
+    from enterprise_warp_spark.pipeline.codecs import image_features
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+    from enterprise_warp_spark.pipeline.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (9, 17), dtype=np.uint8)
+    for kw in (
+        dict(),
+        dict(compression=5),
+        dict(compression=5, predictor=2),
+        dict(predictor=2),
+        dict(rows_per_strip=4),
+        dict(compression=5, rows_per_strip=4, predictor=2),
+        dict(big_endian=True),
+        dict(big_endian=True, compression=5, predictor=2, rows_per_strip=3),
+    ):
+        assert np.array_equal(decode_tiff(encode_tiff(img, **kw)), img), kw
+        assert np.array_equal(decode_tiff(encode_tiff(gray, **kw)), gray), kw
+
+    # LZW + predictor really compresses a smooth scan-like image
+    smooth = (np.arange(64)[:, None] + np.arange(64)[None, :]).astype(np.uint8)
+    p = encode_tiff(smooth, compression=5, predictor=2)
+    assert len(p) < smooth.size // 4
+    assert np.array_equal(decode_tiff(p), smooth)
+
+    media = spark.createDataFrame(
+        [(1, "image", encode_tiff(img, compression=5), "image/tiff",
+          11, 13, None, None)],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media, decoders={}).first()
+    assert row["decoded"] is True
+    assert row["feature"] == pytest.approx(image_features(img))
+
+
+def test_tiff_packbits_and_white_is_zero():
+    """Hand-built stream: PackBits (literal + run + no-op codes) and
+    PhotometricInterpretation 0 (white-is-zero inverts)."""
+    import struct as _struct
+
+    from enterprise_warp_spark.pipeline.tiff import decode_tiff
+
+    # 1 row, 8 px gray: literal(3) 10 20 30 | run(5x) 7  -> PackBits
+    strip = bytes([2, 10, 20, 30, 128, 257 - 5, 7])
+    row = [10, 20, 30, 7, 7, 7, 7, 7]
+    end = "<"
+    entries = [
+        (256, 3, 1, 8), (257, 3, 1, 1), (258, 3, 1, 8 << 0),
+        (259, 3, 1, 32773), (262, 3, 1, 0), (277, 3, 1, 1),
+        (278, 3, 1, 1),
+    ]
+    ifd_off = 8
+    n = len(entries) + 2  # + strip offset/count tags
+    data_off = ifd_off + 2 + 12 * n + 4
+    entries += [(273, 4, 1, data_off), (279, 4, 1, len(strip))]
+    entries.sort()
+    out = b"II" + _struct.pack("<H", 42) + _struct.pack("<I", ifd_off)
+    out += _struct.pack("<H", n)
+    for tag, tt, cnt, val in entries:
+        out += _struct.pack("<HHII", tag, tt, cnt, val)
+    out += _struct.pack("<I", 0) + strip
+    got = decode_tiff(out)
+    assert got.shape == (1, 8)
+    assert got[0].tolist() == [255 - v for v in row]  # white-is-zero
