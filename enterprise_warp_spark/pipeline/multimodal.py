@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
 Decoding is REAL for container-less formats AND every dominant
-compressed image/audio format (see pipeline.codecs/jpeg/flac/gif/vorbis):
-RIFF/PCM WAV, FLAC, Ogg/Vorbis, binary PPM/PGM, raw-RGB video frames,
-stdlib-zlib PNG, baseline AND progressive JPEG, and GIF all parse inside
-the Arrow batches with no external codec. Remaining formats
-(MP3/H.264/...) decode
+compressed image/audio format (see pipeline
+codecs/jpeg/flac/gif/vorbis/tiff): RIFF WAV (PCM, IMA ADPCM, G.711
+mu-law/A-law), FLAC, Ogg/Vorbis, binary PPM/PGM, raw-RGB video frames,
+PNG (all spec depths incl. 16-bit and Adam7 interlace), baseline AND
+progressive JPEG, GIF, BMP, and baseline TIFF (LZW/PackBits/predictor)
+all parse inside the Arrow batches with no external codec. Remaining
+formats (MP3/H.264/...) decode
 through optional Pillow/soundfile plugins when importable; otherwise
 those rows fall back to a deterministic byte-hash pseudo-feature flagged
 `decoded=false` — swap `_decode_stub` for torchaudio/pyav and nothing
@@ -232,6 +234,50 @@ def binary_meta(df: DataFrame, payload_expr: str = "cast(text as binary)") -> Da
         F.expr(f"octet_length({payload_expr})").alias("n_bytes"),
         F.expr(f"md5({payload_expr})").alias("payload_md5"),
     )
+
+
+# magic-byte prefixes -> mime (hex-encoded prefix, offset 0 unless noted)
+_MAGIC_PREFIXES: list[tuple[str, str]] = [
+    ("89504e470d0a1a0a", "image/png"),
+    ("ffd8ff", "image/jpeg"),
+    ("474946383761", "image/gif"),  # GIF87a
+    ("474946383961", "image/gif"),  # GIF89a
+    ("424d", "image/bmp"),
+    ("49492a00", "image/tiff"),  # II little-endian
+    ("4d4d002a", "image/tiff"),  # MM big-endian
+    ("664c6143", "audio/flac"),  # fLaC
+    ("4f676753", "audio/ogg"),  # OggS
+    ("494433", "audio/mpeg"),  # ID3 tag
+    ("fffb", "audio/mpeg"),  # bare MPEG-1 layer III frame sync
+    ("fff3", "audio/mpeg"),
+    ("255044462d", "application/pdf"),  # %PDF-
+    ("504b0304", "application/zip"),
+    ("1f8b", "application/gzip"),
+    ("5035", "image/x-portable-graymap"),  # P5
+    ("5036", "image/x-portable-pixmap"),  # P6
+]
+
+
+def sniff_mime(payload_col: str = "payload"):
+    """Pure-Catalyst magic-byte MIME detection over a BINARY column — the
+    declared-content-type-vs-actual check every crawl pipeline needs
+    (mislabeled media is endemic in web archives). RIFF containers
+    disambiguate on the format field at offset 8 (WAVE/AVI); everything
+    else matches a hex prefix. Returns NULL for unknown magic. JVM-side
+    and codegen-friendly: one hex() of the first 12 bytes per row."""
+    hexpfx = F.lower(F.hex(F.expr(f"substring({payload_col}, 1, 12)")))
+    riff_fmt = F.expr(f"substring({payload_col}, 9, 4)")
+    expr = (
+        F.when(
+            hexpfx.startswith("52494646"),  # RIFF
+            F.when(riff_fmt == F.lit(b"WAVE"), F.lit("audio/wav"))
+            .when(riff_fmt == F.lit(b"AVI "), F.lit("video/x-msvideo"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+    )
+    for pfx, mime in _MAGIC_PREFIXES:
+        expr = expr.when(hexpfx.startswith(pfx), F.lit(mime))
+    return expr.otherwise(F.lit(None).cast("string"))
 
 
 def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:

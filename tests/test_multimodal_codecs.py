@@ -1606,3 +1606,53 @@ def test_tiff_packbits_and_white_is_zero():
     got = decode_tiff(out)
     assert got.shape == (1, 8)
     assert got[0].tolist() == [255 - v for v in row]  # white-is-zero
+
+
+def test_sniff_mime_magic_bytes(spark):
+    """Pure-Catalyst magic sniffing recognizes every format the engine
+    decodes (and the common ones it deliberately plugin-gates), and
+    disambiguates RIFF containers; unknown magic -> NULL; the plan stays
+    JVM-only."""
+    import contextlib
+    import io as _io
+
+    from enterprise_warp_spark.pipeline.codecs import encode_png, encode_wav
+    from enterprise_warp_spark.pipeline.multimodal import sniff_mime
+    from enterprise_warp_spark.pipeline.tiff import encode_tiff
+    from enterprise_warp_spark.pipeline.vorbis import encode_vorbis
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    sig = np.zeros(600)
+    from enterprise_warp_spark.pipeline.codecs import encode_bmp
+
+    rows = [
+        (1, encode_png(img), "image/png"),
+        (2, b"\xff\xd8\xff\xe0junk", "image/jpeg"),
+        (3, b"GIF89a" + bytes(8), "image/gif"),
+        (4, encode_bmp(img), "image/bmp"),
+        (5, encode_tiff(img), "image/tiff"),
+        (6, encode_tiff(img, big_endian=True), "image/tiff"),
+        (7, encode_wav(sig, 8000), "audio/wav"),
+        (8, b"RIFF\x00\x00\x00\x00AVI " + bytes(4), "video/x-msvideo"),
+        (9, encode_vorbis(sig, 8000), "audio/ogg"),
+        (10, b"fLaC" + bytes(8), "audio/flac"),
+        (11, b"ID3\x04" + bytes(8), "audio/mpeg"),
+        (12, b"%PDF-1.7 ...", "application/pdf"),
+        (13, b"P6\n2 2\n255\n" + bytes(12), "image/x-portable-pixmap"),
+        (14, b"\x00\x01\x02random", None),
+        (15, b"RIFF\x00\x00\x00\x00XXXX", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], "i long, payload binary"
+    )
+    got = {
+        r["i"]: r["mime"]
+        for r in df.select("i", sniff_mime().alias("mime")).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.select(sniff_mime().alias("m")).explain("simple")
+    p = buf.getvalue()
+    assert "InPandas" not in p and "BatchEvalPython" not in p
