@@ -280,6 +280,27 @@ def sniff_mime(payload_col: str = "payload"):
     return expr.otherwise(F.lit(None).cast("string"))
 
 
+def media_census(
+    media: DataFrame,
+    payload_col: str = "payload",
+    declared_col: str = "mime",
+) -> DataFrame:
+    """-> (declared, actual, n): declared-content-type vs magic-sniffed
+    format counts — the first QA query over any crawled media corpus
+    (mislabels are endemic; a NULL actual is unknown magic). One scan +
+    one small aggregate, all JVM-side."""
+    return (
+        media.select(
+            F.coalesce(F.col(declared_col), F.lit("(none)")).alias("declared"),
+            F.coalesce(sniff_mime(payload_col), F.lit("(unknown)")).alias(
+                "actual"
+            ),
+        )
+        .groupBy("declared", "actual")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: explodes frame indices 0..n_frames-1
     with stride k, keeping the payload reference. Pure Catalyst — the

@@ -158,7 +158,12 @@ def registrable_domain_psl(
 
     Scale shape: explode (map-side, ~5 rows per host) -> broadcast hash
     join on the suffix string -> one groupBy(host row) argmax. The rules
-    table is ~10k rows — always broadcast."""
+    table is ~10k rows — always broadcast.
+
+    Rows are keyed internally with monotonically_increasing_id, which is
+    deterministic for a fixed partition layout (the id ties the argmax
+    back to its row); if the input is itself nondeterministic (e.g. a
+    fresh sample per action), materialize it first."""
     from pyspark.sql import Window
 
     h = F.lower(F.col(host_col))

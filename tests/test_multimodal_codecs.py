@@ -1656,3 +1656,25 @@ def test_sniff_mime_magic_bytes(spark):
         df.select(sniff_mime().alias("m")).explain("simple")
     p = buf.getvalue()
     assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_media_census_flags_mislabeled_rows(spark):
+    from enterprise_warp_spark.pipeline.codecs import encode_png
+    from enterprise_warp_spark.pipeline.multimodal import media_census
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    rows = [
+        (encode_png(img), "image/png"),     # correct
+        (encode_png(img), "image/jpeg"),    # mislabeled
+        (b"\x00\x01garbage", "image/png"),  # unknown magic
+        (b"\xff\xd8\xffjunk", None),        # undeclared JPEG
+    ]
+    df = spark.createDataFrame(rows, "payload binary, mime string")
+    got = {
+        (r["declared"], r["actual"]): r["n"]
+        for r in media_census(df).collect()
+    }
+    assert got[("image/png", "image/png")] == 1
+    assert got[("image/jpeg", "image/png")] == 1
+    assert got[("image/png", "(unknown)")] == 1
+    assert got[("(none)", "image/jpeg")] == 1
