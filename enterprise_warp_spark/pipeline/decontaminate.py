@@ -75,6 +75,7 @@ def contaminated_spans(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_grams): maximal TOKEN spans of each
     training document covered by eval-set n-grams — the surgical
@@ -91,7 +92,9 @@ def contaminated_spans(
         _spans_from_positions,
     )
 
-    corpus = _gram_position_hashes(
+    # grams: optional precomputed corpus (doc_id, pos, gh) table, shared
+    # with other span analyses over the same corpus (one explode+hash)
+    corpus = grams if grams is not None else _gram_position_hashes(
         docs.select(F.col(id_col).alias("doc_id"), text_col), text_col, n
     )
     eval_gh = (
@@ -117,6 +120,7 @@ def strip_contaminated_spans(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """-> (doc_id, cleaned_text, n_removed_tokens): every eval-overlapping
     span removed from every document, one row per input document
@@ -126,7 +130,8 @@ def strip_contaminated_spans(
     normalization, not the original byte layout."""
     from enterprise_warp_spark.pipeline.dedup import _strip_spans
 
-    spans = contaminated_spans(docs, eval_docs, n, text_col, id_col)
+    spans = contaminated_spans(docs, eval_docs, n, text_col, id_col,
+                               grams=grams)
     return _strip_spans(
         docs.select(F.col(id_col).alias("doc_id"), text_col), spans, text_col
     )

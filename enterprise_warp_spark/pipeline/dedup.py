@@ -551,7 +551,8 @@ def _gram_position_hashes(df: DataFrame, text_col: str, k: int) -> DataFrame:
 
 
 def repeated_ngram_positions(
-    df: DataFrame, text_col: str = "text", k: int = 8, min_count: int = 2
+    df: DataFrame, text_col: str = "text", k: int = 8, min_count: int = 2,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, pos) token positions (1-based) whose k-token gram occurs at
     least min_count times CORPUS-WIDE.
@@ -561,8 +562,13 @@ def repeated_ngram_positions(
     aggregation, left-semi join the duplicated hashes back. No cross joins;
     a boilerplate gram repeated millions of times is just a hot aggregate
     key (partial agg) and a hot semi-join key whose probe rows are distinct
-    (doc, pos) pairs — both AQE-splittable."""
-    hashed = _gram_position_hashes(df, text_col, k)
+    (doc, pos) pairs — both AQE-splittable.
+
+    grams: optionally a precomputed (doc_id, pos, gh) table from
+    _gram_position_hashes(df, text_col, k) — callers running several
+    span analyses over one corpus (e.g. repeated-span dedup AND
+    decontamination) share one explode+hash pass this way."""
+    hashed = grams if grams is not None else _gram_position_hashes(df, text_col, k)
     dup = (
         hashed.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -592,7 +598,8 @@ def _spans_from_positions(flagged: DataFrame, k: int) -> DataFrame:
 
 
 def repeated_ngram_spans(
-    df: DataFrame, text_col: str = "text", k: int = 8, min_count: int = 2
+    df: DataFrame, text_col: str = "text", k: int = 8, min_count: int = 2,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans per document: consecutive duplicated gram
     positions merged gaps-and-islands style -> (doc_id, span_start,
@@ -601,7 +608,7 @@ def repeated_ngram_spans(
     partitioned by doc_id — per-document state only, shuffles once on
     doc_id."""
     return _spans_from_positions(
-        repeated_ngram_positions(df, text_col, k, min_count), k
+        repeated_ngram_positions(df, text_col, k, min_count, grams=grams), k
     )
 
 

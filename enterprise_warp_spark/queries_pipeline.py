@@ -445,10 +445,16 @@ def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         contaminated_spans,
         strip_contaminated_spans,
     )
-    from enterprise_warp_spark.pipeline.dedup import repeated_ngram_spans
+    from enterprise_warp_spark.pipeline.dedup import (
+        _gram_position_hashes,
+        repeated_ngram_spans,
+    )
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    rep = repeated_ngram_spans(docs, k=6, min_count=2).select(
+    # ONE corpus gram explode+hash pass shared by all three branches
+    # (rep / dcn / str each consume the same (doc_id, pos, gh) table)
+    grams = _gram_position_hashes(docs, "text", 6).localCheckpoint(eager=True)
+    rep = repeated_ngram_spans(docs, k=6, min_count=2, grams=grams).select(
         F.lit("rep").alias("gate"),
         "doc_id",
         "span_start",
@@ -466,7 +472,7 @@ def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("concat_ws(' ', slice(toks, 5, 10))").alias("text"),
         )
     )
-    dcn = contaminated_spans(docs, evals, n=6).select(
+    dcn = contaminated_spans(docs, evals, n=6, grams=grams).select(
         F.lit("dcn").alias("gate"),
         "doc_id",
         "span_start",
@@ -474,7 +480,7 @@ def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         F.lit("").alias("h"),
     )
-    stripped = strip_contaminated_spans(docs, evals, n=6).select(
+    stripped = strip_contaminated_spans(docs, evals, n=6, grams=grams).select(
         F.lit("str").alias("gate"),
         "doc_id",
         F.col("n_removed_tokens").cast("long").alias("span_start"),
