@@ -57,34 +57,79 @@ class EndOfPacket(Exception):
 
 
 class BitReader:
+    """LSB-first bit reader over one packet: a small sliding bit buffer
+    refilled byte-by-byte (every operation is small-int arithmetic;
+    ~5x the naive per-bit loop). `peek`/`skip` support the table-driven
+    Huffman decode; peeking past the packet end yields zero bits (the
+    caller checks code lengths), reading past it raises EndOfPacket."""
+
+    __slots__ = ("data", "n", "byte_i", "buf", "navail")
+
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0  # bit position
-        self.nbits = 8 * len(data)
+        self.n = len(data)
+        self.byte_i = 0
+        self.buf = 0
+        self.navail = 0
+
+    @property
+    def pos(self) -> int:
+        return self.byte_i * 8 - self.navail
+
+    @property
+    def nbits(self) -> int:
+        return self.n * 8
+
+    def _fill(self, need: int) -> None:
+        data, i = self.data, self.byte_i
+        buf, avail = self.buf, self.navail
+        n = self.n
+        while avail < need and i < n:
+            buf |= data[i] << avail
+            i += 1
+            avail += 8
+        self.byte_i, self.buf, self.navail = i, buf, avail
 
     def read(self, n: int) -> int:
-        v = 0
-        p = self.pos
-        if p + n > self.nbits:
-            self.pos = self.nbits
-            raise EndOfPacket
-        data = self.data
-        for i in range(n):
-            byte = data[(p + i) >> 3]
-            v |= ((byte >> ((p + i) & 7)) & 1) << i
-        self.pos = p + n
+        if self.navail < n:
+            self._fill(n)
+            if self.navail < n:
+                self.buf = 0
+                self.navail = 0
+                self.byte_i = self.n
+                raise EndOfPacket
+        v = self.buf & ((1 << n) - 1)
+        self.buf >>= n
+        self.navail -= n
         return v
 
     def read_bit(self) -> int:
-        p = self.pos
-        if p >= self.nbits:
+        if not self.navail:
+            self._fill(1)
+            if not self.navail:
+                raise EndOfPacket
+        v = self.buf & 1
+        self.buf >>= 1
+        self.navail -= 1
+        return v
+
+    def peek(self, n: int) -> int:
+        if self.navail < n:
+            self._fill(n)
+        return self.buf & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        # only valid after peek(n); peek filled what the packet still had
+        if n > self.navail:
+            self.buf = 0
+            self.navail = 0
+            self.byte_i = self.n
             raise EndOfPacket
-        b = (self.data[p >> 3] >> (p & 7)) & 1
-        self.pos = p + 1
-        return b
+        self.buf >>= n
+        self.navail -= n
 
     def eof(self) -> bool:
-        return self.pos >= self.nbits
+        return self.navail == 0 and self.byte_i >= self.n
 
 
 class BitWriter:
@@ -139,6 +184,8 @@ def float32_pack(v: float) -> int:
 
 
 # ---------------------------------------------------------------------------
+_FAST_BITS = 10  # table-decode width: covers every codeword our books use
+
 # codeword assignment — entries take, in order, the leftmost available leaf
 # at their depth (the unique assignment the spec defines); decode walks the
 # resulting binary tree MSB-of-codeword-first
@@ -212,11 +259,46 @@ class Codebook:
                         self.tree[node][bit] = nxt
                     node = nxt
         self._vq_cache = None
+        # table-driven fast decode: all codewords of length <= _FAST_BITS
+        # resolve with one peek+skip (codeword bits arrive in read order,
+        # so the table is indexed by the REVERSED codeword in the low
+        # bits); longer codes fall back to the tree walk
+        codes_items = codes.items()
+        L = min(_FAST_BITS, max((l for _, (_, l) in codes_items), default=1))
+        self.fast_bits = L
+        fast = [(-1, 0)] * (1 << L)
+        for entry, (code, l) in codes_items:
+            if l > L:
+                continue
+            rev = 0
+            for j in range(l):
+                rev |= ((code >> (l - 1 - j)) & 1) << j
+            for hi in range(1 << (L - l)):
+                fast[rev | (hi << l)] = (entry, l)
+        self.fast = fast
+        # fixed-length complete books (every VQ book our encoder designs,
+        # and common in real streams) decode in BATCHES: one read of
+        # n*len bits, split, and a reversed-codeword -> entry gather
+        lens = {l for _, (_, l) in codes_items}
+        if len(lens) == 1 and len(codes) == (1 << next(iter(lens))):
+            self.fixed_len = next(iter(lens))
+            self.rev_entry = np.array(
+                [self.fast[i & ((1 << self.fixed_len) - 1)][0]
+                 for i in range(1 << self.fixed_len)],
+                dtype=np.int64,
+            )
+        else:
+            self.fixed_len = None
+            self.rev_entry = None
 
     def decode_scalar(self, br: BitReader) -> int:
         if self.single is not None:
             br.read(self.single_len)  # spec: the bits are still consumed
             return self.single
+        entry, l = self.fast[br.peek(self.fast_bits)]
+        if l:
+            br.skip(l)
+            return entry
         node = 0
         while True:
             nxt = self.tree[node][br.read_bit()]
@@ -338,12 +420,42 @@ def _ogg_crc_table():
     return _OGG_CRC_TABLE
 
 
+_OGG_CRC_SLICE = None
+
+
+def _ogg_crc_slice_tables():
+    """Slice-by-4 tables for the unreflected Ogg CRC (the standard
+    table-extension identity T_{k+1}[i] = (T_k[i] << 8) ^ T0[T_k[i] >> 24])."""
+    global _OGG_CRC_SLICE
+    if _OGG_CRC_SLICE is None:
+        t0 = [int(v) for v in _ogg_crc_table()]
+        tabs = [t0]
+        for _ in range(3):
+            prev = tabs[-1]
+            tabs.append(
+                [((v << 8) & 0xFFFFFFFF) ^ t0[(v >> 24) & 0xFF] for v in prev]
+            )
+        _OGG_CRC_SLICE = tabs
+    return _OGG_CRC_SLICE
+
+
 def ogg_crc(data: bytes) -> int:
-    tbl = _ogg_crc_table()
-    r = np.uint32(0)
-    for b in data:
-        r = np.uint32((r << 8) ^ tbl[((int(r) >> 24) ^ b) & 0xFF])
-    return int(r)
+    t0, t1, t2, t3 = _ogg_crc_slice_tables()
+    r = 0
+    n = len(data)
+    i = 0
+    # 4 bytes per loop iteration (slice-by-4); pure small-int arithmetic
+    for i in range(0, n - 3, 4):
+        r ^= (data[i] << 24) | (data[i + 1] << 16) | (data[i + 2] << 8) | data[i + 3]
+        r = (
+            t3[(r >> 24) & 0xFF]
+            ^ t2[(r >> 16) & 0xFF]
+            ^ t1[(r >> 8) & 0xFF]
+            ^ t0[r & 0xFF]
+        )
+    for j in range(n - (n & 3), n):
+        r = ((r << 8) & 0xFFFFFFFF) ^ t0[((r >> 24) ^ data[j]) & 0xFF]
+    return r
 
 
 def ogg_pages_to_packets(payload: bytes):
@@ -731,7 +843,9 @@ def decode_residue(br: BitReader, r: dict, books: list[Codebook],
     classbook = books[r["classbook"]]
     cwords = classbook.dims
     ncls = r["classifications"]
-    classifs = np.zeros((vec_ch, partvals + cwords), dtype=np.int64)
+    # plain lists: the loop reads one scalar per (channel, partition) and
+    # numpy scalar indexing costs ~5x a list index here
+    classifs = [[0] * (partvals + cwords) for _ in range(vec_ch)]
     try:
         _residue_passes(br, r, books, vec_ch, dnd, out, begin, psize,
                         partvals, classbook, cwords, ncls, classifs, rtype)
@@ -765,18 +879,43 @@ def _residue_passes(br, r, books, vec_ch, dnd, out, begin, psize,
                         continue
                     book = books[book_no]
                     offset = begin + pcount * psize
-                    if rtype == 0:
-                        step = psize // book.dims
+                    dims = book.dims
+                    if book.fixed_len is not None and psize % dims == 0:
+                        # fixed-length complete book: ONE bit-read for the
+                        # whole partition, then a vectorized gather+add
+                        n_vec = psize // dims
+                        fl = book.fixed_len
+                        bits = br.read(fl * n_vec)
+                        mask = (1 << fl) - 1
+                        ids = [
+                            (bits >> (fl * i)) & mask for i in range(n_vec)
+                        ]
+                        block = book.vq_table()[book.rev_entry[ids]]
+                        if rtype == 0:
+                            block = block.T
+                        out[j][offset:offset + psize] += block.reshape(-1)
+                    elif psize % dims == 0:
+                        # decode the partition's entry ids, then ONE
+                        # numpy gather+add (vs a slice-add per vector)
+                        n_vec = psize // dims
+                        dec = book.decode_scalar
+                        ids = [dec(br) for _ in range(n_vec)]
+                        block = book.vq_table()[ids]
+                        if rtype == 0:  # stride interleave within part
+                            block = block.T
+                        out[j][offset:offset + psize] += block.reshape(-1)
+                    elif rtype == 0:
+                        step = psize // dims
                         for k in range(step):
                             vec = book.decode_vq(br)
                             out[j][offset + k:offset + k
-                                   + step * book.dims:step] += vec
+                                   + step * dims:step] += vec
                     else:  # types 1 and 2: sequential
                         k = 0
                         while k < psize:
                             vec = book.decode_vq(br)
-                            out[j][offset + k:offset + k + book.dims] += vec
-                            k += book.dims
+                            out[j][offset + k:offset + k + dims] += vec
+                            k += dims
                 pcount += 1
 
 
