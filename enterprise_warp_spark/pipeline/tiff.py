@@ -107,6 +107,8 @@ def _lzw_decode(data: bytes, expect: int) -> bytes:
             nbits += 8
         code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        bitbuf &= (1 << nbits) - 1  # drop consumed high bits (else the
+        # accumulator grows without bound and every shift goes O(stream))
         if code == CLEAR:
             reset()
             prev = None
@@ -209,6 +211,7 @@ def _lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             out.append((bitbuf >> (nbits - 8)) & 0xFF)
             nbits -= 8
+            bitbuf &= (1 << nbits) - 1  # same unbounded-accumulator guard
 
     table = {bytes([i]): i for i in range(256)}
     next_code = 258
