@@ -211,7 +211,9 @@ class _BitReader:
                 raise _MarkerReached(self.pos)
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # keep only the live bits: an unmasked accumulator grows without
+        # bound and turns every shift O(bytes consumed)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def read_bit(self) -> int:
