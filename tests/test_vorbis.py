@@ -473,3 +473,26 @@ def test_lookup_type2_and_sequence_p_tables():
     # entry 3 -> digits (1, 1) -> v0 = 1, v1 = 1 + v0 = 2
     assert tab2[3].tolist() == [1.0, 2.0]
     assert tab2[1].tolist() == [1.0, 1.0]  # digits (1, 0): v1 = 0 + v0
+
+
+def test_long_codeword_fallback_walk():
+    """Codewords longer than the fast-table width (10) decode through the
+    tree-walk fallback; a complete 12-deep book round-trips every entry."""
+    from enterprise_warp_spark.pipeline.vorbis import (
+        BitReader,
+        BitWriter,
+        Codebook,
+        assign_codewords,
+    )
+
+    lengths = list(range(1, 12)) + [12, 12]  # Kraft-complete chain
+    cb = Codebook(1, len(lengths), lengths, 0, 0, 0, 0, [], 0)
+    codes = assign_codewords(lengths)
+    bw = BitWriter()
+    order = [3, 12, 0, 11, 7, 10, 1]
+    for e in order:
+        code, l = codes[e]
+        for i in range(l - 1, -1, -1):  # MSB-first on the wire
+            bw.write((code >> i) & 1, 1)
+    br = BitReader(bw.getvalue())
+    assert [cb.decode_scalar(br) for _ in range(len(order))] == order
