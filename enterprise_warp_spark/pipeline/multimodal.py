@@ -248,8 +248,10 @@ _MAGIC_PREFIXES: list[tuple[str, str]] = [
     ("664c6143", "audio/flac"),  # fLaC
     ("4f676753", "audio/ogg"),  # OggS
     ("494433", "audio/mpeg"),  # ID3 tag
-    ("fffb", "audio/mpeg"),  # bare MPEG-1 layer III frame sync
+    ("fffb", "audio/mpeg"),  # bare MPEG frame sync (v1/v2, w/ and w/o CRC)
+    ("fffa", "audio/mpeg"),
     ("fff3", "audio/mpeg"),
+    ("fff2", "audio/mpeg"),
     ("255044462d", "application/pdf"),  # %PDF-
     ("504b0304", "application/zip"),
     ("1f8b", "application/gzip"),

@@ -134,7 +134,9 @@ def _lzw_decode(data: bytes, expect: int) -> bytes:
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode a baseline TIFF payload to uint8 (h, w) gray or (h, w, 3)."""
+    """Decode a baseline TIFF payload to uint8 (h, w) gray or (h, w, 3).
+    Multi-page files decode their FIRST IFD (the convention of every
+    image library's default page)."""
     if payload[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF payload")
     end = "<" if payload[:2] == b"II" else ">"
