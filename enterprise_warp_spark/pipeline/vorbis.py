@@ -206,12 +206,22 @@ def assign_codewords(lengths: list[int]) -> dict[int, tuple[int, int]]:
     # 32 bits so heap order == leaf order
     avail: list[tuple[int, int]] = [(0, 0)]
     for entry, l in used:
+        # leftmost available subtree SHALLOW enough to host a depth-l
+        # leaf; deeper subtrees to its left are skipped but RETAINED —
+        # they host later longer codewords (length sequences are not
+        # sorted in real streams: [2, 1, 2] is a legal book)
+        skipped: list[tuple[int, int]] = []
         while avail:
             code, depth = heapq.heappop(avail)
             if depth <= l:
                 break
+            skipped.append((code, depth))
         else:
+            for sl in skipped:
+                heapq.heappush(avail, sl)
             raise ValueError("over-specified codebook (no room for entry)")
+        for sl in skipped:
+            heapq.heappush(avail, sl)
         # descend left to depth l, freeing right siblings
         for d in range(depth + 1, l + 1):
             heapq.heappush(avail, (code | (1 << (32 - d)), d))

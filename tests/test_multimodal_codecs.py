@@ -1678,3 +1678,65 @@ def test_media_census_flags_mislabeled_rows(spark):
     assert got[("image/jpeg", "image/png")] == 1
     assert got[("image/png", "(unknown)")] == 1
     assert got[("(none)", "image/jpeg")] == 1
+
+
+def test_tiff_lzw_property_round_trip_with_table_resets():
+    """Random and structured byte streams round-trip through the TIFF LZW
+    pair, including streams long enough to force dictionary resets
+    (>4094 codes)."""
+    import random
+
+    from enterprise_warp_spark.pipeline.tiff import _lzw_decode, _lzw_encode
+
+    rng = random.Random(9)
+    cases = [
+        b"",
+        b"\x00" * 10000,                      # maximal-run chaining
+        bytes(rng.randrange(256) for _ in range(257)),
+        bytes(rng.randrange(4) for _ in range(30000)),   # resets, small alphabet
+        bytes(rng.randrange(256) for _ in range(20000)), # resets, full alphabet
+        bytes(range(256)) * 40,
+    ]
+    for data in cases:
+        enc = _lzw_encode(data)
+        assert _lzw_decode(enc, len(data)) == data, len(data)
+
+
+def test_tiff_packbits_property_round_trip():
+    """A reference PackBits encoder (runs -> repeat codes, literals
+    otherwise) round-trips through _unpackbits on random run-heavy data."""
+    import random
+
+    from enterprise_warp_spark.pipeline.tiff import _unpackbits
+
+    def packbits_encode(data: bytes) -> bytes:
+        out = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 2:
+                out += bytes([257 - run, data[i]])
+                i += run
+            else:
+                lit = i
+                while (
+                    i < n and i - lit < 128
+                    and not (i + 1 < n and data[i + 1] == data[i])
+                ):
+                    i += 1
+                out += bytes([i - lit - 1]) + data[lit:i]
+        return bytes(out)
+
+    rng = random.Random(10)
+    for trial in range(50):
+        chunks = []
+        for _ in range(rng.randrange(1, 20)):
+            if rng.random() < 0.5:
+                chunks.append(bytes([rng.randrange(256)]) * rng.randrange(1, 300))
+            else:
+                chunks.append(bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40))))
+        data = b"".join(chunks)
+        enc = packbits_encode(data)
+        assert _unpackbits(enc, len(data)) == data, trial

@@ -496,3 +496,52 @@ def test_long_codeword_fallback_walk():
             bw.write((code >> i) & 1, 1)
     br = BitReader(bw.getvalue())
     assert [cb.decode_scalar(br) for _ in range(len(order))] == order
+
+
+def test_codeword_assignment_random_complete_trees():
+    """Random complete prefix trees (generated by repeatedly splitting a
+    leaf) assign without error, satisfy Kraft exactly, stay prefix-free,
+    and decode every entry back through the Codebook (mix of fast-table
+    and fallback paths)."""
+    import random
+
+    from enterprise_warp_spark.pipeline.vorbis import (
+        BitReader,
+        BitWriter,
+        Codebook,
+        assign_codewords,
+    )
+
+    rng = random.Random(12)
+    for trial in range(30):
+        depths = [0]
+        for _ in range(rng.randrange(1, 40)):
+            i = rng.randrange(len(depths))
+            d = depths.pop(i)
+            if d >= 14:
+                depths.append(d)
+                continue
+            depths += [d + 1, d + 1]
+        if len(depths) < 2:
+            continue
+        rng.shuffle(depths)
+        lengths = depths
+        codes = assign_codewords(lengths)
+        assert sum(2.0 ** -l for l in lengths) == 1.0  # Kraft-complete
+        vals = list(codes.values())
+        for i, (c1, l1) in enumerate(vals):  # prefix-free, all pairs
+            for c2, l2 in vals[i + 1:]:
+                if l1 <= l2:
+                    assert (c2 >> (l2 - l1)) != c1
+                else:
+                    assert (c1 >> (l1 - l2)) != c2
+        cb = Codebook(1, len(lengths), lengths, 0, 0, 0, 0, [], 0)
+        order = list(range(len(lengths)))
+        rng.shuffle(order)
+        bw = BitWriter()
+        for e in order:
+            code, l = codes[e]
+            for i in range(l - 1, -1, -1):
+                bw.write((code >> i) & 1, 1)
+        br = BitReader(bw.getvalue())
+        assert [cb.decode_scalar(br) for _ in range(len(order))] == order
