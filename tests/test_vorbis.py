@@ -545,3 +545,120 @@ def test_codeword_assignment_random_complete_trees():
                 bw.write((code >> i) & 1, 1)
         br = BitReader(bw.getvalue())
         assert [cb.decode_scalar(br) for _ in range(len(order))] == order
+
+
+def test_floor1_multi_post_decode_matches_spec_reference():
+    """The multi-post floor1 path (partition classes, neighbor prediction,
+    the four val/room branches, Bresenham render) — which the minimal
+    encoder's 2-post flat floors never exercise — decodes identically to
+    an independent transcription of the spec pseudocode (§7.2.3/§9.2.6)."""
+    import enterprise_warp_spark.pipeline.vorbis as V
+
+    # config: 1 partition of class 0 (dim 2, no subclasses, book 1);
+    # X list = [0, 64, 16, 48]; multiplier 1 (range 256)
+    f = {
+        "partition_classes": [0],
+        "class_dims": [2],
+        "class_subs": [0],
+        "class_master": [0],
+        "class_books": [[1]],
+        "multiplier": 1,
+        "x_list": [0, 64, 16, 48],
+    }
+    # books: dummy classbook + a 256-entry 8-bit scalar book (entry==value
+    # after bit reversal is handled inside the codebook machinery)
+    books = [
+        V.Codebook(1, 2, [1, 1], 0, 0, 0, 0, [], 0),
+        V.Codebook(1, 256, [8] * 256, 0, 0, 0, 0, [], 0),
+    ]
+    codes = V.assign_codewords([8] * 256)
+
+    def spec_reference(y0, y1, vals, n2):
+        """Independent transcription of floor-curve synthesis."""
+        xs = f["x_list"]
+        rng = 256
+        fy = [y0, y1] + [0] * (len(xs) - 2)
+        step2 = [True, True] + [False] * (len(xs) - 2)
+        for i in range(2, len(xs)):
+            lo = max((j for j in range(i) if xs[j] < xs[i]),
+                     key=lambda j: xs[j])
+            hi = min((j for j in range(i) if xs[j] > xs[i]),
+                     key=lambda j: xs[j])
+            # render_point
+            dy = fy[hi] - fy[lo]
+            adx = xs[hi] - xs[lo]
+            err = abs(dy) * (xs[i] - xs[lo])
+            off = err // adx
+            pred = fy[lo] - off if dy < 0 else fy[lo] + off
+            val = vals[i - 2]
+            if val:
+                low_room = pred
+                high_room = rng - pred
+                room = 2 * min(high_room, low_room)
+                step2[lo] = step2[hi] = step2[i] = True
+                if val >= room:
+                    # spec: highroom > lowroom -> val - lowroom + pred
+                    #       else               -> pred - val + highroom - 1
+                    if high_room > low_room:
+                        fy[i] = val - low_room + pred
+                    else:
+                        fy[i] = pred - val + high_room - 1
+                else:
+                    fy[i] = (pred - ((val + 1) // 2) if val % 2
+                             else pred + val // 2)
+            else:
+                fy[i] = pred
+            fy[i] = max(0, min(rng - 1, fy[i]))
+        # render
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        out = [0.0] * n2
+        lx, ly = 0, fy[order[0]]
+        hx = 0
+        for i in order[1:]:
+            if not step2[i]:
+                continue
+            hx, hy = xs[i], fy[i]
+            # Bresenham (trunc toward zero)
+            dy = hy - ly
+            adx = hx - lx
+            ady = abs(dy)
+            base = -((-dy) // adx) if dy < 0 else dy // adx
+            sy = base - 1 if dy < 0 else base + 1
+            ady -= abs(base) * adx
+            err = 0
+            y = ly
+            if lx < n2:
+                out[lx] = y
+            for x in range(lx + 1, min(hx, n2)):
+                err += ady
+                if err >= adx:
+                    err -= adx
+                    y += sy
+                else:
+                    y += base
+                out[x] = y
+            lx, ly = hx, hy
+        for x in range(hx, n2):
+            out[x] = ly
+        if hx < n2 and hx >= 0:
+            out[hx] = ly
+        return np.array(
+            [V.INVERSE_DB[min(int(v), 255)] for v in out]
+        )
+
+    rng_ = np.random.default_rng(3)
+    n2 = 80
+    for trial in range(40):
+        y0, y1 = int(rng_.integers(0, 256)), int(rng_.integers(0, 256))
+        vals = [int(rng_.integers(0, 256)) for _ in range(2)]
+        bw = V.BitWriter()
+        bw.write(1, 1)  # nonzero
+        bw.write(y0, 8)
+        bw.write(y1, 8)
+        for v in vals:
+            code, l = codes[v]
+            for i in range(l - 1, -1, -1):
+                bw.write((code >> i) & 1, 1)
+        got = V.decode_floor1(V.BitReader(bw.getvalue()), f, books, n2)
+        want = spec_reference(y0, y1, vals, n2)
+        assert np.array_equal(got, want), (trial, y0, y1, vals)
