@@ -1740,3 +1740,61 @@ def test_tiff_packbits_property_round_trip():
         data = b"".join(chunks)
         enc = packbits_encode(data)
         assert _unpackbits(enc, len(data)) == data, trial
+
+
+def test_decoders_survive_corrupt_inputs():
+    """Truncations and bit-flips of valid payloads either decode or raise
+    cleanly within a time budget — no decoder may hang or crash the
+    worker (the media kernel catches exceptions; it cannot catch loops)."""
+    import signal
+
+    from enterprise_warp_spark.pipeline.codecs import (
+        decode_bmp,
+        decode_png,
+        decode_wav,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+    )
+    from enterprise_warp_spark.pipeline.gif import decode_gif
+    from enterprise_warp_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from enterprise_warp_spark.pipeline.tiff import decode_tiff, encode_tiff
+    from enterprise_warp_spark.pipeline.vorbis import decode_vorbis, encode_vorbis
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    sig = 0.3 * np.sin(2 * np.pi * 440 * np.arange(2000) / 8000)
+    corpus = [
+        (decode_png, encode_png(img)),
+        (decode_bmp, encode_bmp(img)),
+        (decode_tiff, encode_tiff(img, compression=5)),
+        (decode_jpeg, encode_jpeg(img, quality=90)),
+        (decode_wav, encode_wav(sig, 8000)),
+        (decode_vorbis, encode_vorbis(sig, 8000)),
+    ]
+
+    def with_alarm(fn, payload, seconds=20):
+        def handler(signum, frame):
+            raise TimeoutError(f"{fn.__name__} hung on corrupt input")
+
+        old = signal.signal(signal.SIGALRM, handler)
+        signal.alarm(seconds)
+        try:
+            try:
+                fn(payload)
+            except TimeoutError:
+                raise
+            except Exception:
+                pass  # clean refusal is the contract
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    for fn, good in corpus:
+        for cut in (1, len(good) // 3, len(good) // 2, len(good) - 2):
+            with_alarm(fn, good[:cut])
+        for trial in range(24):
+            bad = bytearray(good)
+            for _ in range(rng.integers(1, 6)):
+                bad[rng.integers(0, len(bad))] ^= 1 << rng.integers(0, 8)
+            with_alarm(fn, bytes(bad))
