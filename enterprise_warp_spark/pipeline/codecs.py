@@ -533,7 +533,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]
     if bpp == 8:
-        return palette[rows[:, :w]]
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            # indices past biClrUsed: malformed payload — keep the module's
+            # ValueError contract instead of leaking numpy IndexError
+            raise ValueError("corrupt BMP palette index")
+        return palette[idx]
     step = bpp // 8
     px = rows[:, : w * step].reshape(h, w, step)
     return px[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB, alpha dropped

@@ -342,10 +342,9 @@ def encode_tiff(
     out += struct.pack(end + "H", len(entries))
     for tag, ttype, count, val in entries:
         out += struct.pack(end + "HHI", tag, ttype, count)
-        if ttype == 3 and count <= 2:
-            out += struct.pack(end + "I", val)
-        else:
-            out += struct.pack(end + "I", val)
+        # `val` is always a pre-packed 4-byte LONG here: inline SHORT
+        # left-justification already happened in short()/shorts()
+        out += struct.pack(end + "I", val)
     out += struct.pack(end + "I", 0)  # next IFD
     out += overflow
     for sdat in strips:

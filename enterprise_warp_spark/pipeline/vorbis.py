@@ -864,6 +864,34 @@ def decode_residue(br: BitReader, r: dict, books: list[Codebook],
     return _deinterleave(out, rtype, ch, n2)
 
 
+def _add_decoded_vectors(book, ids, n_vec, outj, offset, rtype):
+    """Add `len(ids)` fully-decoded codebook vectors of a partially-read
+    partition with the same placement the per-vector slow paths use
+    (rtype 0 = stride-interleaved, 1/2 = sequential)."""
+    if not ids:
+        return
+    vq = book.vq_table()[ids]
+    dims = book.dims
+    for k in range(len(ids)):
+        if rtype == 0:
+            outj[offset + k:offset + k + n_vec * dims:n_vec] += vq[k]
+        else:
+            outj[offset + k * dims:offset + (k + 1) * dims] += vq[k]
+
+
+def _add_partial_vectors(book, br, fl, n_ok, n_vec, dims, outj, offset,
+                         rtype):
+    """Fixed-length-book tail partition: read the bits the packet still
+    holds, decode the complete vectors they contain, and add them."""
+    if n_ok <= 0:
+        return
+    bits = br.read(fl * n_ok)
+    mask = (1 << fl) - 1
+    raw = [(bits >> (fl * i)) & mask for i in range(n_ok)]
+    _add_decoded_vectors(book, list(book.rev_entry[raw]), n_vec, outj,
+                         offset, rtype)
+
+
 def _residue_passes(br, r, books, vec_ch, dnd, out, begin, psize,
                     partvals, classbook, cwords, ncls, classifs, rtype):
     for pas in range(8):
@@ -895,6 +923,18 @@ def _residue_passes(br, r, books, vec_ch, dnd, out, begin, psize,
                         # whole partition, then a vectorized gather+add
                         n_vec = psize // dims
                         fl = book.fixed_len
+                        avail = br.navail + (br.n - br.byte_i) * 8
+                        if avail < fl * n_vec:
+                            # packet truncates mid-partition: the bulk read
+                            # would discard vectors that fully decoded, but
+                            # the spec (and the per-vector paths below) keep
+                            # everything up to the last complete vector —
+                            # decode those, add them, then stop.
+                            _add_partial_vectors(
+                                book, br, fl, avail // fl, n_vec, dims,
+                                out[j], offset, rtype,
+                            )
+                            raise EndOfPacket
                         bits = br.read(fl * n_vec)
                         mask = (1 << fl) - 1
                         ids = [
@@ -909,7 +949,17 @@ def _residue_passes(br, r, books, vec_ch, dnd, out, begin, psize,
                         # numpy gather+add (vs a slice-add per vector)
                         n_vec = psize // dims
                         dec = book.decode_scalar
-                        ids = [dec(br) for _ in range(n_vec)]
+                        ids = []
+                        try:
+                            for _ in range(n_vec):
+                                ids.append(dec(br))
+                        except EndOfPacket:
+                            # keep the vectors that fully decoded (same
+                            # partial-packet semantics as the paths below)
+                            _add_decoded_vectors(
+                                book, ids, n_vec, out[j], offset, rtype
+                            )
+                            raise
                         block = book.vq_table()[ids]
                         if rtype == 0:  # stride interleave within part
                             block = block.T

@@ -662,3 +662,49 @@ def test_floor1_multi_post_decode_matches_spec_reference():
         got = V.decode_floor1(V.BitReader(bw.getvalue()), f, books, n2)
         want = spec_reference(y0, y1, vals, n2)
         assert np.array_equal(got, want), (trial, y0, y1, vals)
+
+
+def test_truncated_partition_fast_and_slow_paths_agree(monkeypatch):
+    """The fixed-length-book bulk read must keep the vectors that fully
+    decoded when a packet truncates mid-partition — i.e. decode truncated
+    streams bit-identically to the per-vector tree-walk fallback (spec
+    keeps everything up to the last available bit)."""
+    from enterprise_warp_spark.pipeline import vorbis
+
+    x = _sig(4000)
+    payload = encode_vorbis(x, 16000)
+    pkts = list(ogg_pages_to_packets(payload))
+    grans = [g for _, g in pkts]
+
+    def decode_cut(cut_bytes, force_slow):
+        cut = [
+            (p[: max(3, len(p) - cut_bytes)] if i == len(pkts) - 1 else p)
+            for i, (p, _) in enumerate(pkts)
+        ]
+        repaged = vorbis.ogg_write_pages(
+            [(p, g if g is not None else 0, True) for p, g in zip(cut, grans)]
+        )
+        if force_slow:
+            orig = vorbis.Codebook.__init__
+
+            def patched(self, *a, **k):
+                orig(self, *a, **k)
+                self.fixed_len = None
+                self.rev_entry = None
+
+            monkeypatch.setattr(vorbis.Codebook, "__init__", patched)
+            try:
+                out, _ = decode_vorbis(repaged)
+            finally:
+                monkeypatch.setattr(vorbis.Codebook, "__init__", orig)
+        else:
+            out, _ = decode_vorbis(repaged)
+        return out
+
+    # sweep cut points so the truncation lands at several different spots
+    # inside the final packet's residue partitions
+    for cut_bytes in (1, 2, 3, 5, 8, 13, 21):
+        fast = decode_cut(cut_bytes, force_slow=False)
+        slow = decode_cut(cut_bytes, force_slow=True)
+        assert fast.shape == slow.shape
+        assert np.array_equal(fast, slow), f"paths diverge at cut={cut_bytes}"
