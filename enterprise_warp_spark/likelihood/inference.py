@@ -162,6 +162,35 @@ def compile_model(
     return list(priors.values()), tuple(comps)
 
 
+# The sample-parallel design intentionally materializes the samples table
+# (n_samples x n_params) on the DRIVER: it ships whole into every
+# per-pulsar kernel invocation, so the bound scales with posterior draws
+# and model width — NEVER with TOA data volume. That makes it safe at
+# 100 TB of residuals, but it is still a real driver-memory contract, so
+# make it loud (VERDICT r7 #4) instead of letting a 10^9-cell request OOM.
+MAX_DRIVER_SAMPLE_CELLS = 10_000_000
+
+
+def check_sample_table_bound(n_rows: int, n_cols: int, where: str) -> None:
+    """Refuse sample tables past MAX_DRIVER_SAMPLE_CELLS cells (~80 MB of
+    float64 — far below driver limits, far above any real sampling run).
+    Escape hatch: score in chunks — split the draw range into k calls of
+    n_samples/k (seeded distinctly), run gp_loglik_per_pulsar/total_loglik
+    per chunk, and union the scored outputs; every downstream op
+    (posterior_summary, log_bayes_factors) is an aggregate over sample
+    rows, so chunk unions compose exactly."""
+    cells = n_rows * max(1, n_cols)
+    if cells > MAX_DRIVER_SAMPLE_CELLS:
+        raise ValueError(
+            f"{where}: sample table would be {n_rows} draws x {n_cols} "
+            f"params = {cells} cells, past the driver-side bound "
+            f"({MAX_DRIVER_SAMPLE_CELLS}). Score in chunks instead: split "
+            "the draws into several smaller runs (distinct seeds) and "
+            "union the scored sample tables — posterior aggregates "
+            "compose exactly across chunks."
+        )
+
+
 def run_inference(
     spark: SparkSession,
     residuals: DataFrame,
@@ -185,6 +214,7 @@ def run_inference(
     """
     priors, comps = compile_priors_and_components(model_rows, fixed, nfreqs, backends)
     priors, comps = _wire_tm(priors, comps, tm, nfreqs)
+    check_sample_table_bound(n_samples, len(priors) + 1, "run_inference")
     samples_df = sample_priors(spark, priors, n_samples, seed)
     samples_pd: pd.DataFrame = samples_df.toPandas()
     lnl = total_loglik(
@@ -247,6 +277,9 @@ def run_adaptive_inference(
 
     priors, comps = compile_priors_and_components(model_rows, fixed, nfreqs, backends)
     priors, comps = _wire_tm(priors, comps, tm, nfreqs)
+    check_sample_table_bound(
+        n_per_round, len(priors) + 1, "run_adaptive_inference"
+    )
 
     def score(samples_df: DataFrame) -> DataFrame:
         pdf = samples_df.toPandas()

@@ -47,6 +47,7 @@ from enterprise_warp_spark.likelihood.gp import (
     total_loglik,
 )
 from enterprise_warp_spark.likelihood.inference import (
+    check_sample_table_bound,
     compile_priors_and_components,
 )
 from enterprise_warp_spark.likelihood.sampling import Prior, sample_priors
@@ -99,6 +100,11 @@ def hypermodel_sample(
     priors = list(union.values()) + [
         Prior("nmodel", "uniform", -0.5, n_models - 0.5)
     ]
+    # driver-side materialization bound: the per-model slices below sum to
+    # at most n_samples x (union width + 2) cells
+    check_sample_table_bound(
+        n_samples, len(priors) + 2, "hypermodel_sample"
+    )
     samples_df = (
         sample_priors(spark, priors, n_samples, seed)
         .withColumn(

@@ -686,3 +686,5 @@ from enterprise_warp_spark import queries_olap  # noqa: E402,F401
 from enterprise_warp_spark import queries_temporal  # noqa: E402,F401
 from enterprise_warp_spark import queries_curation  # noqa: E402,F401
 from enterprise_warp_spark import queries_hygiene  # noqa: E402,F401
+from enterprise_warp_spark import queries_search  # noqa: E402,F401
+from enterprise_warp_spark import queries_sketch  # noqa: E402,F401

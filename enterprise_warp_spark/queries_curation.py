@@ -158,6 +158,27 @@ _TEMPORAL_ORACLE = f"""
     FROM customer
     UNION ALL
     SELECT 'scd', 't2', 9999999, 42.0, 0.0
+    UNION ALL
+    SELECT 'mix', r.lang, COUNT(*), ROUND(r.rate, 9), 0.0
+    FROM documents d JOIN (
+      SELECT lang, LEAST(w / 1.0 * (
+               SELECT MIN(n * 1.0 / w) FROM (
+                 SELECT c.lang, c.n, CAST(wt.w AS DOUBLE) AS w
+                 FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) c
+                 JOIN (VALUES ('en', 0.5), ('zh', 0.25), ('de', 0.125),
+                              ('fr', 0.125)) wt(lang, w) USING (lang)
+               )
+             ) / n, 1.0) AS rate
+      FROM (
+        SELECT c.lang, c.n, CAST(wt.w AS DOUBLE) AS w
+        FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) c
+        JOIN (VALUES ('en', 0.5), ('zh', 0.25), ('de', 0.125),
+                     ('fr', 0.125)) wt(lang, w) USING (lang)
+      )
+    ) r ON d.lang = r.lang
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|11'), 1, 15)
+               AS BIGINT) / CAST(16.0**15 AS DOUBLE) < r.rate
+    GROUP BY r.lang, r.rate
 """
 
 
@@ -224,6 +245,37 @@ def _scd2_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _mix_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resample toward a target language mix (folded in from the
+    r2-era mixture_resample_by_lang gate, r8): deterministic hash
+    downsampling with exact binary weights (en .5 / zh .25 / de .125 /
+    fr .125; es carries weight 0 and drops out). One tiny count aggregate
+    -> broadcast rates -> map-side hash filter; operators/sampling.py."""
+    from enterprise_warp_spark.operators.sampling import (
+        mixture_rates,
+        mixture_resample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    weights = {"en": 0.5, "zh": 0.25, "de": 0.125, "fr": 0.125}
+    rates = mixture_rates(docs, "lang", weights)
+    kept = mixture_resample(docs, "lang", weights, key="doc_id", seed=11)
+    rate_col = F.lit(None).cast("double")
+    for g, r in sorted(rates.items()):
+        rate_col = F.when(F.col("lang") == g, F.lit(float(r))).otherwise(rate_col)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select(
+            F.lit("mix").alias("gate"),
+            F.col("lang").alias("k1"),
+            F.col("n_kept").cast("long").alias("k2"),
+            F.round(rate_col, 9).alias("v1"),
+            F.lit(0.0).alias("v2"),
+        )
+    )
+
+
 @register(
     "temporal_curation_ops",
     _TEMPORAL_ORACLE,
@@ -236,7 +288,9 @@ def _scd2_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weekly retention cohorts (funnel.py retention_cohorts); [scd] SCD "
     "Type-2 init+merge+as-of validity chain (maintenance.py scd2_*) built "
     "in a temp dir from the customer table with updated, unchanged and "
-    "brand-new keys.",
+    "brand-new keys; [mix] mixture resample toward a target language mix "
+    "(operators/sampling.py, deterministic hash downsampling, r8 fold of "
+    "the mixture_resample_by_lang gate).",
 )
 def temporal_curation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.operators.funnel import funnel, retention_cohorts
@@ -283,6 +337,7 @@ def temporal_curation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("v2"),
     )
     scd = _scd2_branch(spark, sf_dir)
+    mix = _mix_branch(spark, sf_dir)
     return (
         gf("locf", "gfl", rounded=False)
         .unionByName(gf("linear", "gfi", rounded=True))
@@ -290,6 +345,7 @@ def temporal_curation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fnl)
         .unionByName(ret)
         .unionByName(scd)
+        .unionByName(mix)
     )
 
 
@@ -372,9 +428,21 @@ _MATCHING_ORACLE = f"""
 """
 
 
-def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer")
-    return c.select(
+def _customer_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE materialized slim customer projection shared by every branch
+    (VERDICT r7 Next #3, the repeated_ngram_spans `grams=` pattern): the
+    rad branch reads it twice (self-join sides), pip once, fuz twice —
+    without the checkpoint that is five parquet scans + five projection
+    stages for identical rows."""
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _points(base: DataFrame) -> DataFrame:
+    return base.select(
         F.col("c_custkey").alias("id"),
         (((F.col("c_custkey") * 7919) % 17000) / 100.0 - 85.0).alias("lat"),
         (((F.col("c_custkey") * 104729) % 36000) / 100.0 - 180.0).alias("lng"),
@@ -402,7 +470,8 @@ def matching_geo_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         radius_join,
     )
 
-    pts = _points(spark, sf_dir)
+    base = _customer_slim(spark, sf_dir)
+    pts = _points(base)
     rad = (
         radius_join(pts, pts, _RADIUS_KM, lat_col="lat", lng_col="lng")
         .filter(F.col("id_l") < F.col("id_r"))
@@ -442,7 +511,7 @@ def matching_geo_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("v1"),
         F.lit(0.0).alias("v2"),
     )
-    names = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    names = base
     fuz = edit_distance_join(
         names.filter(F.col("c_custkey") % 20 == 0),
         names,

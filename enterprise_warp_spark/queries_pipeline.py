@@ -79,20 +79,39 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_lsh",
     f"""
-    WITH {_D_SIG_CTE}
+    WITH {_D_SIG_CTE},
+    h AS (SELECT doc_id, list_transform(tok, tk -> {D_H64.format(s="tk")}) AS hs FROM t),
+    s AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), i ->
+      CASE WHEN list_sum(list_transform(hs, hv -> CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM h)
     SELECT 'band' AS op, doc_id AS a, CAST(band_id AS BIGINT) AS b, band_key AS key
     FROM bands
     UNION ALL
     SELECT DISTINCT 'pair' AS op, a.doc_id AS a, b.doc_id AS b, '' AS key
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT 'ssig' AS op, doc_id AS a, CAST(-1 AS BIGINT) AS b,
+           CAST(simhash AS VARCHAR) AS key
+    FROM s
+    UNION ALL
+    SELECT 'spair' AS op, a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS VARCHAR) AS key
+    FROM s a JOIN s b
+      ON (a.simhash >> 26) = (b.simhash >> 26) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
     """,
-    doc="MinHash signature -> LSH band table (shingle->minhash->band) + "
-    "candidate pairs via band-key equi-join (100TB-safe plan), "
-    "tag-discriminated in one gate.",
+    doc="Hash-based near-dup families, tag-discriminated in one gate: "
+    "[band/pair] MinHash signature -> LSH band table (shingle->minhash->"
+    "band) + candidate pairs via band-key equi-join (100TB-safe plan); "
+    "[ssig/spair] SimHash fingerprint (32-bit sign-of-weighted-bits) per "
+    "document + near-dup pairs (top-6-bit bucket equi-join + hamming "
+    "verify) — folded in from the r2-era simhash_near_dups gate (r8, "
+    "freeing a 50-cap slot for learned_sketch_ops).",
 )
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = dedup.minhash_bands(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
+    bands = dedup.minhash_bands(docs)
     band_rows = bands.select(
         F.lit("band").alias("op"),
         F.col("doc_id").alias("a"),
@@ -105,44 +124,21 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("b"),
         F.lit("").alias("key"),
     )
-    return band_rows.unionByName(pair_rows)
-
-
-@register(
-    "simhash_near_dups",
-    f"""
-    WITH t AS (SELECT doc_id, {D_TOK} AS tok FROM documents),
-    h AS (SELECT doc_id, list_transform(tok, tk -> {D_H64.format(s="tk")}) AS hs FROM t),
-    s AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), i ->
-      CASE WHEN list_sum(list_transform(hs, hv -> CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM h)
-    SELECT 'sig' AS op, doc_id AS a, CAST(-1 AS BIGINT) AS b, simhash AS v FROM s
-    UNION ALL
-    SELECT 'pair' AS op, a.doc_id AS a, b.doc_id AS b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS v
-    FROM s a JOIN s b
-      ON (a.simhash >> 26) = (b.simhash >> 26) AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
-    """,
-    doc="SimHash fingerprint (32-bit sign-of-weighted-bits) per document + "
-    "near-dup pairs (top-6-bit bucket equi-join + hamming verify), "
-    "tag-discriminated in one gate.",
-)
-def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
     sig = dedup.simhash(docs).select(
-        F.lit("sig").alias("op"),
+        F.lit("ssig").alias("op"),
         F.col("doc_id").alias("a"),
         F.lit(-1).cast("bigint").alias("b"),
-        F.col("simhash").alias("v"),
+        F.col("simhash").cast("string").alias("key"),
     )
-    pairs = dedup.simhash_pairs(docs, bucket_bits=26, max_hamming=10).select(
-        F.lit("pair").alias("op"),
+    spairs = dedup.simhash_pairs(docs, bucket_bits=26, max_hamming=10).select(
+        F.lit("spair").alias("op"),
         F.col("doc_a").alias("a"),
         F.col("doc_b").alias("b"),
-        F.col("hamming").cast("bigint").alias("v"),
+        F.col("hamming").cast("string").alias("key"),
     )
-    return sig.unionByName(pairs)
+    return (
+        band_rows.unionByName(pair_rows).unionByName(sig).unionByName(spairs)
+    )
 
 
 @register(
@@ -491,47 +487,8 @@ def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.unionByName(dcn).unionByName(stripped)
 
 
-@register(
-    "mixture_resample_by_lang",
-    """
-    WITH w(lang, w) AS (VALUES ('en', 0.5), ('zh', 0.25), ('de', 0.125), ('fr', 0.125)),
-    c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
-    j AS (SELECT c.lang, c.n, CAST(w.w AS DOUBLE) AS w FROM c JOIN w USING (lang)),
-    m AS (SELECT MIN(n * 1.0 / w) AS n_out FROM j),
-    r AS (
-      SELECT lang, n,
-             LEAST(w / 1.0 * (SELECT n_out FROM m) / n, 1.0) AS rate
-      FROM j
-    )
-    SELECT r.lang, ROUND(r.rate, 9) AS rate, COUNT(*) AS n_kept
-    FROM documents d JOIN r ON d.lang = r.lang
-    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|11'), 1, 15) AS BIGINT)
-          / CAST(16.0**15 AS DOUBLE) < r.rate
-    GROUP BY r.lang, r.rate
-    """,
-    doc="Data-mixing resample: deterministic hash downsampling toward a "
-    "TARGET language mixture (en .5 / zh .25 / de .125 / fr .125, exact "
-    "binary weights so the rate arithmetic is bit-reproducible across "
-    "engines; es carries weight 0 and drops out). Rates = "
-    "(w/sum w) * N_out / n_g with N_out the largest total achievable "
-    "without upsampling. operators/sampling.py mixture_resample — one tiny "
-    "count aggregate, then a pure map-side filter.",
-)
-def mixture_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from enterprise_warp_spark.operators.sampling import (
-        mixture_rates,
-        mixture_resample,
-    )
-
-    docs = table(spark, sf_dir, "documents")
-    weights = {"en": 0.5, "zh": 0.25, "de": 0.125, "fr": 0.125}
-    rates = mixture_rates(docs, "lang", weights)
-    kept = mixture_resample(docs, "lang", weights, key="doc_id", seed=11)
-    rate_col = F.lit(None).cast("double")
-    for g, r in sorted(rates.items()):
-        rate_col = F.when(F.col("lang") == g, F.lit(float(r))).otherwise(rate_col)
-    return (
-        kept.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-        .withColumn("rate", F.round(rate_col, 9))
-    )
+# mixture_resample_by_lang was folded into queries_curation.temporal_
+# curation_ops as the [mix] branch (r8 fold, freeing a 50-cap slot for
+# search_rank_ops — the nation_set_ops -> grouping_sets_orders pattern);
+# the operators live on in operators/sampling.py (mixture_rates /
+# mixture_resample) and keep their pytest coverage in test_sampling.py.

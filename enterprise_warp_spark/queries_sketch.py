@@ -1,0 +1,212 @@
+"""Driver-facing hash gate for the sketch / semantic-dedup families
+(VERDICT r7 Next #6): the remaining pytest-only operators with expressible
+oracles get CORRECTNESS rows.
+
+Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
+
+* ``semd`` — pipeline.similarity.semdedup_pairs (Abbas et al. 2023):
+  within-cell semantic near-dup pairs over the embeddings table. Fully
+  SQL-expressible because the coarse quantizer is deterministic_centroids
+  (first n_cells vectors BY ID) and both the cell-assignment distance and
+  the pair cosine are ROUND()ed before any comparison. Threshold 0.35 is
+  gate-scale (the synthetic embeddings are near-orthogonal; production
+  default 0.95 would select nothing) — the SQL shape is identical.
+* ``hh`` — operators.sketches.heavy_hitters (Misra-Gries merge) over
+  events with col = user_id % 200: the value domain (200) is below the
+  sketch capacity (256), so NO decrement ever fires, eps_tot == 0, and
+  the sketch's [n_lower, n_upper] interval COLLAPSES to the exact count —
+  the oracle is plain GROUP BY + HAVING. min_share = 1/256 is binary-
+  exact, so the threshold comparison is bit-identical across engines.
+  (With a larger-than-capacity domain the output is a provable interval,
+  not a point — that contract stays pytest-gated in test_sketches.py.)
+* ``hll`` — operators.sketches.approx_distinct_by (HyperLogLog++,
+  rsd=0.02) per event_type: HLL register layouts are engine-specific, so
+  the ESTIMATE has no SQL twin; the gate instead hash-checks the error
+  CONTRACT — v1 = 1.0 iff |est - exact| <= 3*rsd*exact (computed
+  engine-side with exact countDistinct), k2 = the exact distinct count
+  (SQL-checkable). A drifted estimate flips v1 to 0.0 and fails the hash.
+* ``gkq`` — operators.sketches.approx_quantiles_by (Greenwald-Khanna,
+  accuracy=10000) median per event_type: same contract shape — v1 = 1.0
+  iff the approximate median lies within the exact [p40, p60] envelope
+  (GK guarantees rank error <= n/accuracy ~ 0.01% of n, vastly inside
+  that envelope), k2 = the group row count.
+
+The learned quality classifier (pipeline/classify.py) stays OUT of this
+gate by design: LogisticRegression training is an iterative L-BFGS fit
+with no SQL twin; its correctness surface is pytest (separability,
+deterministic refit, JVM-only scoring plan) — documented exclusion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.queries import register
+from enterprise_warp_spark.queries_pipeline import _D_DOT
+from enterprise_warp_spark.tables import table
+
+_SEMD_THRESHOLD = 0.35
+_SEMD_CELLS = 16
+_HH_DOMAIN = 200
+_HH_SHARE = 1.0 / 256.0  # binary-exact: threshold compare is bit-identical
+_HLL_RSD = 0.02
+_GK_ACCURACY = 10_000
+
+_SKETCH_ORACLE = f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {_D_DOT.format(a="embedding", b="embedding")} AS nsq
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cell_id, embedding AS c_emb, nsq AS c_nsq
+      FROM n WHERE vec_id < {_SEMD_CELLS}
+    ),
+    d AS (
+      SELECT n.vec_id, n.embedding, n.nsq, cent.cell_id,
+             ROUND(n.nsq - 2 * {_D_DOT.format(a="n.embedding", b="cent.c_emb")}
+                   + cent.c_nsq, 6) AS dist
+      FROM n CROSS JOIN cent
+    ),
+    a AS (
+      SELECT vec_id, embedding, nsq, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    hv AS (
+      SELECT event_type, CAST(user_id % {_HH_DOMAIN} AS VARCHAR) AS v
+      FROM events
+    ),
+    hht AS (SELECT event_type, COUNT(*) AS total FROM hv GROUP BY 1),
+    hhc AS (SELECT event_type, v, COUNT(*) AS n FROM hv GROUP BY 1, 2)
+    SELECT 'semd' AS gate, CAST(a1.vec_id AS VARCHAR) AS k1,
+           a2.vec_id AS k2,
+           ROUND({_D_DOT.format(a="a1.embedding", b="a2.embedding")}
+                 / SQRT(a1.nsq * a2.nsq), 6) AS v1,
+           '' AS h
+    FROM a a1 JOIN a a2
+      ON a1.cell_id = a2.cell_id AND a1.vec_id < a2.vec_id
+    WHERE ROUND({_D_DOT.format(a="a1.embedding", b="a2.embedding")}
+                / SQRT(a1.nsq * a2.nsq), 6) >= {_SEMD_THRESHOLD}
+    UNION ALL
+    SELECT 'hh', hhc.event_type || '|' || hhc.v, hhc.n,
+           ROUND(hhc.n / hht.total, 6), CAST(hhc.n AS VARCHAR)
+    FROM hhc JOIN hht USING (event_type)
+    WHERE hhc.n >= CAST(hht.total AS DOUBLE) / 256
+    UNION ALL
+    SELECT 'hll', event_type, COUNT(DISTINCT user_id), 1.0, ''
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'gkq', event_type, COUNT(*), 1.0, ''
+    FROM events GROUP BY event_type
+"""
+
+
+def _semd_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.pipeline.similarity import semdedup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semdedup_pairs(
+        emb, threshold=_SEMD_THRESHOLD, n_cells=_SEMD_CELLS
+    ).select(
+        F.lit("semd").alias("gate"),
+        F.col("vec_a").cast("string").alias("k1"),
+        F.col("vec_b").cast("long").alias("k2"),
+        F.col("cosine").alias("v1"),
+        F.lit("").alias("h"),
+    )
+
+
+def _hh_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.operators.sketches import heavy_hitters
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % _HH_DOMAIN).alias("hv")
+    )
+    out = heavy_hitters(
+        ev, "event_type", "hv", min_share=_HH_SHARE, capacity=256
+    )
+    return out.select(
+        F.lit("hh").alias("gate"),
+        F.concat_ws("|", "event_type", "hv").alias("k1"),
+        F.col("n_lower").cast("long").alias("k2"),
+        F.col("share_lower").alias("v1"),
+        # n_upper == n_lower here (domain < capacity => eps_tot == 0); the
+        # oracle pins that collapse by writing n into BOTH k2 and h
+        F.col("n_upper").cast("string").alias("h"),
+    )
+
+
+def _hll_gk_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_warp_spark.operators.sketches import (
+        approx_distinct_by,
+        approx_quantiles_by,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_d"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, array(0.4, 0.6))").alias("env"),
+    )
+    hll = (
+        approx_distinct_by(ev, "event_type", "user_id", rsd=_HLL_RSD)
+        .join(exact, "event_type")
+        .select(
+            F.lit("hll").alias("gate"),
+            F.col("event_type").alias("k1"),
+            F.col("exact_d").cast("long").alias("k2"),
+            F.when(
+                F.abs(F.col("approx_distinct") - F.col("exact_d"))
+                <= F.lit(3.0 * _HLL_RSD) * F.col("exact_d"),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("v1"),
+            F.lit("").alias("h"),
+        )
+    )
+    gk = (
+        approx_quantiles_by(
+            ev, "event_type", "value", probs=(0.5,), accuracy=_GK_ACCURACY
+        )
+        .join(exact, "event_type")
+        .select(
+            F.lit("gkq").alias("gate"),
+            F.col("event_type").alias("k1"),
+            F.col("n").cast("long").alias("k2"),
+            F.when(
+                (F.col("approx_q")[0] >= F.col("env")[0])
+                & (F.col("approx_q")[0] <= F.col("env")[1]),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("v1"),
+            F.lit("").alias("h"),
+        )
+    )
+    return hll.unionByName(gk)
+
+
+@register(
+    "learned_sketch_ops",
+    _SKETCH_ORACLE,
+    doc="Union hash gate for the sketch/semantic-dedup families: [semd] "
+    "SemDeDup within-cell cosine pairs (pipeline/similarity.py "
+    "semdedup_pairs; deterministic centroids, rounded distances/cosines), "
+    "[hh] Misra-Gries heavy hitters (operators/sketches.py) on a domain "
+    "below capacity so the MG interval provably collapses to the exact "
+    "count, [hll] HyperLogLog++ distinct estimate gated on its 3*rsd "
+    "error contract vs the exact count, [gkq] Greenwald-Khanna approx "
+    "median gated on the exact [p40, p60] envelope. The learned quality "
+    "classifier stays pytest-gated (iterative L-BFGS has no SQL twin) — "
+    "see module docstring.",
+)
+def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _semd_branch(spark, sf_dir)
+        .unionByName(_hh_branch(spark, sf_dir))
+        .unionByName(_hll_gk_branches(spark, sf_dir))
+    )

@@ -702,3 +702,34 @@ def test_golden_noise_file_parity_j1832(spark, tmp_path):
     assert len(paths) == 1 and paths[0].endswith(f"{PSR}_noise.json")
     written = json.load(open(paths[0]))
     assert {f"{PSR}_{k}" for k in written} == set(golden.keys())
+
+
+def test_sample_table_driver_bound_guard(spark, injected):
+    """The sample-parallel design ships the (n_samples x n_params) table
+    through the driver by contract — past MAX_DRIVER_SAMPLE_CELLS the run
+    must refuse loudly and name the chunked escape hatch, never OOM
+    (VERDICT r7 #4)."""
+    import pytest
+
+    from enterprise_warp_spark.likelihood.inference import (
+        MAX_DRIVER_SAMPLE_CELLS,
+        check_sample_table_bound,
+        run_inference,
+    )
+    from enterprise_warp_spark.plans.noisemodel import normalize_noise_model
+
+    model = {
+        "model_name": "mvp",
+        "universal": {"spin_noise": "powerlaw"},
+        "common_signals": {},
+    }
+    rows = normalize_noise_model(model)
+    with pytest.raises(ValueError, match="chunks"):
+        run_inference(
+            spark, injected, rows,
+            n_samples=MAX_DRIVER_SAMPLE_CELLS, nfreqs=4, seed=5,
+        )
+    # the helper itself: boundary is inclusive below, exclusive above
+    check_sample_table_bound(MAX_DRIVER_SAMPLE_CELLS, 1, "edge")
+    with pytest.raises(ValueError, match="edge"):
+        check_sample_table_bound(MAX_DRIVER_SAMPLE_CELLS + 1, 1, "edge")

@@ -126,3 +126,31 @@ def test_pass_c_short_string_product_guard(spark, monkeypatch):
     monkeypatch.setattr(fuzzy, "MAX_SHORT_PRODUCT", 10_000)
     n = fuzzy.edit_distance_join(df, df, "name", max_dist=2, q=2).count()
     assert n == 40 * 40  # every short pair is within 2 edits
+
+
+def test_deletion_neighborhood_path_edges(spark):
+    """max_dist <= 1 routes through the FastSS deletion-neighborhood join
+    (r8): verify the length-class edges the old pass A/B/C split handled —
+    empty strings, 1-char strings, and k=0 exact matching."""
+    from enterprise_warp_spark.operators.fuzzy import edit_distance_join
+
+    rows = [
+        (0, ""), (1, "a"), (2, "b"), (3, "ab"), (4, "ba"),
+        (5, "abc"), (6, "abd"), (7, "xyz"), (8, "a"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    for k in (0, 1):
+        got = {
+            (r["id_l"], r["id_r"], r["distance"])
+            for r in edit_distance_join(df, df, "name", max_dist=k).collect()
+        }
+        want = {
+            (i, j, _lev(a, b))
+            for i, a in rows
+            for j, b in rows
+            if _lev(a, b) <= k
+        }
+        assert got == want, k
+    # 'ab' vs 'ba' share deletion variants {'a','b'} but sit at distance 2
+    # — the verify step must discard them at k=1
+    assert (3, 4, 2) not in got and (3, 4, 1) not in got

@@ -356,3 +356,31 @@ def test_web_hygiene_spl_pairs_are_equi_join(spark, sf001):
     p = plan(_spl_branch(spark, sf001), "simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_search_rank_ops_plan_shape(spark, sf001):
+    """[bm25]/[tfidf]: all scoring joins broadcast the (tiny) query-term /
+    df tables; the top-k cut is TakeOrderedAndProject (per-partition heap +
+    one merge, never a global single-partition sort of all matched docs);
+    the rank window runs AFTER the cut (<=50 rows). [pr]: the rank-flow
+    join is an equi-join. No cartesian anywhere, everything JVM-side."""
+    p = plan(REGISTRY["search_rank_ops"].spark(spark, sf001))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("TakeOrderedAndProject") >= 4  # inner k + rank cut, x2
+    assert p.count("BroadcastHashJoin") >= 6
+
+
+def test_learned_sketch_ops_plan_shape(spark, sf001):
+    """[semd] the only non-equi joins are the tiny centroid broadcast
+    fan-outs (corpus x n_cells, the IVF shape — never corpus x corpus);
+    the within-cell pair join is an equi-join on cell_id. [hh] the only
+    Python stages are the Misra-Gries partial summaries (Arrow-batched
+    mapInPandas by design). No row-at-a-time Python anywhere."""
+    p = plan(REGISTRY["learned_sketch_ops"].spark(spark, sf001))
+    assert "CartesianProduct" not in p
+    # formatted mode prints each node twice (tree + details): 2 nodes = 4
+    assert p.count("BroadcastNestedLoopJoin") <= 4  # centroid fan-outs only
+    assert p.count("MapInPandas") <= 4  # MG partials (totals + merged)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
