@@ -653,6 +653,10 @@ DECODABLE_MIMES = {
     "video/x-raw-rgb": "rawvideo",
     "video/x-msvideo": "mjpeg",
     "video/avi": "mjpeg",
+    # lossless (VP8L) only — lossy VP8/VP8X raise NotImplementedError
+    # inside the decoder (the plugin boundary), same contract as the
+    # unsupported TIFF compressions
+    "image/webp": "webp",
 }
 
 
@@ -702,6 +706,10 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         from enterprise_warp_spark.pipeline.tiff import decode_tiff
 
         return decode_tiff(payload)
+    if family == "webp":
+        from enterprise_warp_spark.pipeline.vp8l import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(f"image mime {mime!r} needs an external codec")
 
 

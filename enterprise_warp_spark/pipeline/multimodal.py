@@ -2,12 +2,13 @@
 
 Decoding is REAL for container-less formats AND every dominant
 compressed image/audio format (see pipeline
-codecs/jpeg/flac/gif/vorbis/tiff): RIFF WAV (PCM, IMA ADPCM, G.711
+codecs/jpeg/flac/gif/vorbis/tiff/vp8l): RIFF WAV (PCM, IMA ADPCM, G.711
 mu-law/A-law), FLAC, Ogg/Vorbis, binary PPM/PGM, raw-RGB video frames,
 PNG (all spec depths incl. 16-bit and Adam7 interlace), baseline AND
-progressive JPEG, GIF, BMP, and baseline TIFF (LZW/PackBits/predictor)
+progressive JPEG, GIF, BMP, baseline TIFF (LZW/PackBits/predictor), and
+lossless WebP (VP8L: all four transforms, color cache, meta codes, LZ77)
 all parse inside the Arrow batches with no external codec. Remaining
-formats (MP3/H.264/...) decode
+formats (MP3/H.264, lossy WebP, ...) decode
 through optional Pillow/soundfile plugins when importable; otherwise
 those rows fall back to a deterministic byte-hash pseudo-feature flagged
 `decoded=false` — swap `_decode_stub` for torchaudio/pyav and nothing
@@ -127,7 +128,7 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
             )
         except Exception:
             pass  # unsupported variant: optional plugin below, else stub
-    if family in ("pnm", "png", "jpeg", "gif", "bmp", "tiff"):
+    if family in ("pnm", "png", "jpeg", "gif", "bmp", "tiff", "webp"):
         try:
             return True, codecs.image_features(
                 codecs.decode_image(payload, row["mime"])
@@ -274,6 +275,7 @@ def sniff_mime(payload_col: str = "payload"):
             hexpfx.startswith("52494646"),  # RIFF
             F.when(riff_fmt == F.lit(b"WAVE"), F.lit("audio/wav"))
             .when(riff_fmt == F.lit(b"AVI "), F.lit("video/x-msvideo"))
+            .when(riff_fmt == F.lit(b"WEBP"), F.lit("image/webp"))
             .otherwise(F.lit(None).cast("string")),
         )
     )
@@ -411,7 +413,7 @@ def resize_images(
                     return opt["image_resize"](payload, width, height), width, height, True
                 except Exception:
                     pass  # undecodable by the plugin: pure python below
-            if family in ("pnm", "png", "jpeg", "gif", "bmp", "tiff"):
+            if family in ("pnm", "png", "jpeg", "gif", "bmp", "tiff", "webp"):
                 try:
                     resized = codecs.resize_nearest(
                         codecs.decode_image(payload, row["mime"]), width, height
@@ -424,6 +426,18 @@ def resize_images(
                         from enterprise_warp_spark.pipeline.jpeg import encode_jpeg
 
                         enc = encode_jpeg
+                    elif family == "bmp":
+                        enc = codecs.encode_bmp
+                    elif family == "tiff":
+                        from enterprise_warp_spark.pipeline.tiff import encode_tiff
+
+                        enc = encode_tiff
+                    elif family == "webp":
+                        from enterprise_warp_spark.pipeline.vp8l import (
+                            encode_webp_lossless,
+                        )
+
+                        enc = encode_webp_lossless
                     else:
                         from enterprise_warp_spark.pipeline.gif import encode_gif
 

@@ -1,0 +1,309 @@
+"""WebP-lossless (VP8L) codec: hermetic round trips over every encoder
+path (literals, runs, palette incl. bundling widths, subtract-green),
+prefix-code machinery properties, container robustness, fuzz under a time
+budget, an env-gated Pillow/libwebp interop differential, and the
+Spark-side media-kernel integration — the FLAC/Vorbis test pattern."""
+
+from __future__ import annotations
+
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from enterprise_warp_spark.pipeline.vp8l import (
+    BitReader,
+    BitWriter,
+    PrefixCode,
+    VP8LError,
+    canonical_codes,
+    decode_webp,
+    encode_webp_lossless,
+    limited_lengths,
+    prefix_value_decode,
+    prefix_value_encode,
+    read_prefix_code,
+    write_prefix_code,
+)
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------------------
+# bit / prefix-code machinery
+# ---------------------------------------------------------------------------
+
+
+def test_bit_io_round_trip():
+    bw = BitWriter()
+    vals = [(5, 3), (0, 1), (16383, 14), (1, 1), (255, 8), (0, 7), (9, 4)]
+    for v, n in vals:
+        bw.write(v, n)
+    br = BitReader(bw.getvalue())
+    for v, n in vals:
+        assert br.read(n) == v
+
+
+def test_prefix_value_codes_are_inverse():
+    for v in list(range(1, 300)) + [1000, 4095, 100_000]:
+        code, extra, nbits = prefix_value_encode(v)
+        bw = BitWriter()
+        bw.write(extra, nbits)
+        br = BitReader(bw.getvalue() or b"\x00")
+        assert prefix_value_decode(code, br) == v, v
+
+
+def test_limited_lengths_kraft_complete():
+    rng = _rng(3)
+    for trial in range(50):
+        n = int(rng.integers(2, 60))
+        counts = {s: int(rng.integers(1, 1000)) for s in range(n)}
+        lens = limited_lengths(counts)
+        assert max(lens.values()) <= 15
+        kraft = sum(2 ** (15 - ln) for ln in lens.values())
+        assert kraft == 2**15, trial  # complete code, always decodable
+
+
+def test_prefix_code_serialization_round_trip():
+    rng = _rng(11)
+    for trial in range(60):
+        alphabet = int(rng.integers(2, 300))
+        n_used = int(rng.integers(1, min(alphabet, 40) + 1))
+        syms = sorted(rng.choice(alphabet, size=n_used, replace=False))
+        counts = {int(s): int(rng.integers(1, 500)) for s in syms}
+        lens = limited_lengths(counts)
+        bw = BitWriter()
+        enc = write_prefix_code(bw, lens, alphabet)
+        # decode the serialized code and re-encode every symbol through it
+        br = BitReader(bw.getvalue())
+        code = read_prefix_code(br, alphabet)
+        for s, (cw, ln) in enc.items():
+            b2 = BitWriter()
+            b2.write_code(cw, ln)
+            assert code.decode(BitReader(b2.getvalue() or b"\x00")) == s
+
+
+def test_prefix_code_rejects_incomplete():
+    lens = [0] * 8
+    lens[0], lens[1], lens[2] = 2, 2, 2  # kraft 3/4 — incomplete
+    with pytest.raises(VP8LError, match="incomplete"):
+        PrefixCode(lens)
+
+
+def test_canonical_codes_deflate_convention():
+    codes = canonical_codes({0: 2, 1: 1, 2: 3, 3: 3})
+    # increasing length, ties by symbol: 1(len1)=0, 0(len2)=10, 2=110, 3=111
+    assert codes == {1: (0, 1), 0: (2, 2), 2: (6, 3), 3: (7, 3)}
+
+
+# ---------------------------------------------------------------------------
+# encoder-path round trips
+# ---------------------------------------------------------------------------
+
+
+def test_round_trip_gradient_and_noise():
+    rng = _rng(1)
+    h, w = 23, 37
+    x = np.linspace(0, 255, w)[None, :].repeat(h, axis=0)
+    y = np.linspace(0, 128, h)[:, None].repeat(w, axis=1)
+    img = np.stack([x, y, (x + y) / 2], axis=2).astype(np.uint8)
+    payload = encode_webp_lossless(img)
+    assert np.array_equal(decode_webp(payload), img)
+    assert len(payload) < img.size  # entropy coding really compresses
+
+    noise = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_webp(encode_webp_lossless(noise, use_palette=False)), noise
+    )
+
+
+@pytest.mark.parametrize("n_colors", [1, 2, 3, 4, 5, 16, 17, 200])
+def test_round_trip_palette_all_bundling_widths(n_colors):
+    """n<=2 -> 8 px/byte, <=4 -> 4, <=16 -> 2, else unbundled — all four
+    widths plus the 1-color degenerate palette."""
+    rng = _rng(n_colors)
+    lut = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, (13, 29))
+    img = lut[idx]
+    payload = encode_webp_lossless(img, use_palette=True)
+    assert np.array_equal(decode_webp(payload), img)
+
+
+def test_round_trip_runs_and_subtract_green():
+    runs = np.zeros((10, 50, 3), np.uint8)
+    runs[:, 25:] = 200
+    p = encode_webp_lossless(runs, use_palette=False)
+    assert np.array_equal(decode_webp(p), runs)
+    assert len(p) < 200  # LZ77 runs really fire
+
+    rng = _rng(5)
+    img = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    p2 = encode_webp_lossless(img, subtract_green=True, use_palette=False)
+    assert np.array_equal(decode_webp(p2), img)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 64), (64, 1), (2, 3)])
+def test_round_trip_extreme_shapes(shape):
+    rng = _rng(shape[0] * 100 + shape[1])
+    img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    for pal in (False, True) if img.size // 3 <= 16 else (False,):
+        payload = encode_webp_lossless(img, use_palette=pal)
+        assert np.array_equal(decode_webp(payload), img), (shape, pal)
+
+
+def test_round_trip_alpha_and_gray_inputs():
+    rng = _rng(9)
+    argb = rng.integers(0, 256, (7, 11, 4), dtype=np.uint8)
+    # decode_webp drops alpha by convention; RGB must survive exactly
+    assert np.array_equal(
+        decode_webp(encode_webp_lossless(argb, use_palette=False)),
+        argb[:, :, 1:4],
+    )
+    gray = rng.integers(0, 256, (7, 11), dtype=np.uint8)
+    out = decode_webp(encode_webp_lossless(gray, use_palette=False))
+    assert np.array_equal(out, np.stack([gray] * 3, axis=2))
+
+
+def test_property_random_images_round_trip():
+    rng = _rng(42)
+    for trial in range(25):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        n_colors = int(rng.integers(1, 300))
+        lut = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        img = lut[rng.integers(0, n_colors, (h, w))]
+        pal = bool(rng.integers(0, 2)) and n_colors <= 256
+        sg = bool(rng.integers(0, 2))
+        payload = encode_webp_lossless(
+            img, use_palette=pal, subtract_green=sg and not pal
+        )
+        assert np.array_equal(decode_webp(payload), img), (trial, h, w)
+
+
+# ---------------------------------------------------------------------------
+# container + robustness
+# ---------------------------------------------------------------------------
+
+
+def test_container_rejects_non_webp_and_lossy():
+    with pytest.raises(VP8LError):
+        decode_webp(b"RIFF\x00\x00\x00\x00WAVEdata")
+    with pytest.raises(VP8LError):
+        decode_webp(b"not even riff at all.....")
+    # a VP8 (lossy) chunk is the documented plugin boundary
+    lossy = b"RIFF" + struct.pack("<I", 16) + b"WEBPVP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(NotImplementedError, match="plugin"):
+        decode_webp(lossy)
+
+
+def test_fuzz_truncation_and_bitflips_never_hang():
+    """Malformed payloads must raise (VP8LError / ValueError family), never
+    hang or corrupt memory — bounded by a wall-clock budget like the other
+    codec fuzzers."""
+    rng = _rng(77)
+    img = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
+    payload = bytearray(encode_webp_lossless(img, use_palette=False))
+    t0 = time.monotonic()
+    n_cases = 0
+    for cut in range(1, len(payload), 7):
+        if time.monotonic() - t0 > 20:
+            break
+        n_cases += 1
+        try:
+            decode_webp(bytes(payload[:cut]))
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+    for trial in range(200):
+        if time.monotonic() - t0 > 40:
+            break
+        n_cases += 1
+        mutated = bytearray(payload)
+        for _ in range(int(rng.integers(1, 4))):
+            i = int(rng.integers(12, len(mutated)))  # keep RIFF magic
+            mutated[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = decode_webp(bytes(mutated))
+            assert out.dtype == np.uint8  # decoded despite the flip: fine
+        except (ValueError, NotImplementedError, struct.error, IndexError):
+            pass
+    assert n_cases > 50
+
+
+def test_fingerprint_invariance_vs_png():
+    """The same pixels through PNG and lossless WebP must yield identical
+    image features (codec-independent content fingerprinting — the
+    multimodal kernels' core invariant)."""
+    from enterprise_warp_spark.pipeline.codecs import (
+        decode_image,
+        encode_png,
+        image_features,
+    )
+
+    rng = _rng(13)
+    img = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    f_png = image_features(decode_image(encode_png(img), "image/png"))
+    f_webp = image_features(
+        decode_image(encode_webp_lossless(img), "image/webp")
+    )
+    assert f_png == pytest.approx(f_webp)
+
+
+def test_interop_with_libwebp_when_available():
+    """Env-gated differential against real libwebp output (via Pillow):
+    encoder streams from the reference implementation — which use the
+    short-distance map, color cache, predictor/color transforms and meta
+    codes this module's own encoder deliberately avoids — must decode
+    bit-exactly. Skipped when Pillow is absent (this container)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = _rng(21)
+    for trial in range(6):
+        h = int(rng.integers(8, 64))
+        w = int(rng.integers(8, 64))
+        if trial % 2:
+            base = np.cumsum(rng.integers(-3, 4, (h, w, 3)), axis=1)
+            img = (base % 256).astype(np.uint8)  # smooth: transforms fire
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        PIL.fromarray(img).save(buf, format="WEBP", lossless=True, quality=100)
+        out = decode_webp(buf.getvalue())
+        assert np.array_equal(out, img), trial
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+
+def test_webp_mime_decodes_for_real_in_spark(spark):
+    from enterprise_warp_spark.pipeline.codecs import image_features
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+        sniff_mime,
+    )
+
+    rng = _rng(8)
+    img = rng.integers(0, 5, (24, 33), dtype=np.uint8) * 50
+    img = np.stack([img, 255 - img, img // 2], axis=-1)
+    payload = encode_webp_lossless(img)
+    media = spark.createDataFrame(
+        [(71, "image", payload, "image/webp", 33, 24, None, None)],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media, decoders={}).first()
+    assert row["decoded"] is True
+    assert row["feature"] == pytest.approx(image_features(img))
+
+    rrow = resize_images(media, 8, 8, decoders={}).first()
+    assert rrow["resized"] is True
+    assert decode_webp(rrow["payload"]).shape == (8, 8, 3)
+
+    srow = media.select(sniff_mime("payload").alias("m")).first()
+    assert srow["m"] == "image/webp"
