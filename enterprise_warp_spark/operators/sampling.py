@@ -258,3 +258,161 @@ def shuffle_corpus(
         .sortWithinPartitions(F.col("__ord"), keyc.cast("string"))
         .drop("__ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023, arXiv:2302.03169, public method): select raw documents whose
+# hashed-n-gram distribution looks like a target corpus, by importance
+# weights under bag-of-hashed-ngrams models of target and raw.
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+) -> DataFrame:
+    """(id, bucket, cnt): DSIR's feature map — unigrams + adjacent bigrams
+    hashed into `dim` buckets. Portable hash (md5 prefix, the module's
+    _unit_hash family) so the whole pipeline has an exact SQL twin.
+    Map-side explode + one (id, bucket) aggregate; no corpus-wide state."""
+    toks = f"filter(split({text_col}, ' '), x -> x != '')"
+    grams = (
+        f"concat({toks}, CASE WHEN size({toks}) < 2 THEN "
+        f"cast(array() as array<string>) ELSE "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', "
+        f"element_at({toks}, i + 1))) END)"
+    )
+    g = df.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(grams)).alias("g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+        % dim
+    )
+    return (
+        g.withColumn("bucket", bucket)
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _dsir_smoothed_dist(spark, counts: DataFrame, name: str, dim: int,
+                        smoothing: float) -> DataFrame:
+    total = counts.agg(F.sum("c")).first()[0] or 0
+    full = spark.range(dim).select(F.col("id").alias("bucket"))
+    return full.join(counts, "bucket", "left").select(
+        "bucket",
+        F.log(
+            (F.coalesce("c", F.lit(0)).cast("double") + F.lit(smoothing))
+            / F.lit(float(total) + smoothing * dim)
+        ).alias(name),
+    )
+
+
+def dsir_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(bucket, log_ratio): ln p_target(bucket) - ln q_raw(bucket) under
+    Laplace-smoothed bag-of-hashed-ngrams models. Two dim-bounded
+    aggregates (one per corpus); the result is a `dim`-row broadcastable
+    table."""
+    spark = raw.sparkSession
+
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            hashed_ngram_buckets(df, text_col, id_col, dim)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("c"))
+        )
+
+    p = _dsir_smoothed_dist(spark, counts(target), "lp", dim, smoothing)
+    q = _dsir_smoothed_dist(spark, counts(raw), "lq", dim, smoothing)
+    return p.join(q, "bucket").select(
+        "bucket", (F.col("lp") - F.col("lq")).alias("log_ratio")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """raw + `dsir_logw` column: per-document importance log-weight
+    sum_b cnt_b * log_ratio_b. The dim-row ratio table broadcasts; the
+    only data-scale shuffles are the two (id/bucket) aggregates — the
+    raw corpus is gram-exploded ONCE (its per-doc bucket table is
+    materialized and re-aggregated for the q distribution, instead of a
+    second full-corpus pass). Documents with no tokens get weight 0."""
+    spark = raw.sparkSession
+    raw_buckets = hashed_ngram_buckets(
+        raw, text_col, id_col, dim
+    ).localCheckpoint(eager=True)
+    q = _dsir_smoothed_dist(
+        spark,
+        raw_buckets.groupBy("bucket").agg(F.sum("cnt").alias("c")),
+        "lq", dim, smoothing,
+    )
+    p = _dsir_smoothed_dist(
+        spark,
+        hashed_ngram_buckets(target, text_col, id_col, dim)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("c")),
+        "lp", dim, smoothing,
+    )
+    ratios = p.join(q, "bucket").select(
+        "bucket", (F.col("lp") - F.col("lq")).alias("log_ratio")
+    )
+    per_doc = (
+        raw_buckets.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("dsir_logw"))
+    )
+    return raw.join(
+        per_doc, raw[id_col] == per_doc["id"], "left"
+    ).drop("id").withColumn(
+        "dsir_logw", F.coalesce("dsir_logw", F.lit(0.0))
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    smoothing: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Top-k DSIR selection with Gumbel-top-k resampling (the paper's
+    sampling-without-replacement): key = logw + Gumbel(hash(id, seed)) —
+    deterministic (hash noise, not rand()), distributed (TakeOrdered
+    per-partition heaps, no global sort). seed=None semantics are NOT
+    offered: reproducibility is the point of this module."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = dsir_weights(raw, target, text_col, id_col, dim, smoothing)
+    u = _unit_hash(F.col(id_col), seed)
+    # clamp away 0/1 so ln never sees them (Spark ln(0) -> null)
+    u = F.least(F.greatest(u, F.lit(1e-15)), F.lit(1.0 - 1e-15))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.withColumn("__key", F.col("dsir_logw") + gumbel)
+        .orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__key")
+    )

@@ -116,6 +116,11 @@ def heavy_hitters(
     summaries = df.select(
         F.col(group).cast("string").alias(group), F.col(col).alias(col)
     ).mapInPandas(partials, schema)
+    # the summaries feed TWO consumers (marker totals + counter merge);
+    # without materialization each would re-run the full-data partials
+    # pass — at 100 TB that doubles the scan. The checkpoint pins at most
+    # `capacity` + 1 rows per (group, input partition).
+    summaries = summaries.localCheckpoint(eager=True)
 
     # group-level constants from the marker rows (tiny: one per partition)
     totals = (

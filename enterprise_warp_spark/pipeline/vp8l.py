@@ -373,10 +373,6 @@ def write_prefix_code(bw: BitWriter, lengths: dict[int, int],
                 chunk = min(run, 138)
                 seq.append((18, chunk - 11))
                 run -= chunk
-    # trailing zero tokens are unnecessary — the reader stops at the
-    # alphabet end anyway, but they are harmless; trim for size
-    while seq and seq[-1][0] in (0, 17, 18) and seq[-1][0] != 0:
-        break
     cl_counts: dict[int, int] = {}
     for s, _ in seq:
         cl_counts[s] = cl_counts.get(s, 0) + 1
@@ -677,10 +673,10 @@ def _apply_transforms(argb: np.ndarray, xsize: int, h: int,
             px[:, 1] = (px[:, 1] + g) & 255
             px[:, 3] = (px[:, 3] + g) & 255
         elif t[0] == "predictor":
-            _, size_bits, modes, tw = t
+            _, size_bits, modes, _tw = t
             px = _apply_predictor_inverse(px, w, h, size_bits, modes)
         elif t[0] == "color":
-            _, size_bits, elems, tw = t
+            _, size_bits, elems, _tw = t
             px = _apply_color_inverse(px, w, h, size_bits, elems)
     return px.astype(np.uint8), w
 

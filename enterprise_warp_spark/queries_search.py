@@ -13,6 +13,10 @@ Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
   engines reproduce exactly. h carries rank|n_terms_matched.
 * ``tfidf`` — same shape through tfidf_topk (ln(1+tf)*ln(N/df)/sqrt(dl))
   for a different query.
+* ``phr`` — exact phrase query (r8): pipeline.search.phrase_match over
+  build_positional_index, the classical position-list-intersection plan;
+  the oracle shifts each slot's positions and GROUPs starts having all
+  slots present. Occurrence counts are exact integers — no rounding.
 * ``pr`` — pipeline.graph.pagerank, 5 damped iterations with uniform
   dangling-mass redistribution, over a deterministic 25-node link table
   derived from nation (two arithmetic out-edges per non-dangling node;
@@ -38,6 +42,7 @@ from enterprise_warp_spark.tables import table
 
 _BM25_QUERY = "spark hash window"
 _TFIDF_QUERY = "merge sort batch"
+_PHRASE = "fast table"
 _TOPK = 50
 _PR_ITERS = 5
 _PR_DAMPING = 0.85
@@ -167,6 +172,26 @@ _SEARCH_ORACLE = f"""
         "tfidf", _TFIDF_QUERY)}
     UNION ALL
     SELECT * FROM pr_out
+    UNION ALL
+    SELECT 'phr' AS gate, '' AS k1, doc_id AS k2,
+           CAST(n_occ AS DOUBLE) AS v1, '' AS h
+    FROM (
+      SELECT doc_id, COUNT(*) AS n_occ FROM (
+        SELECT p.doc_id, p.pos - ph.slot AS start
+        FROM (
+          SELECT t.doc_id, t.tok[u.i] AS term, u.i AS pos
+          FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS tok
+            FROM documents
+          ) t, unnest(range(1, len(t.tok) + 1)) AS u(i)
+        ) p JOIN (VALUES {", ".join(
+            f"('{t}', {i})" for i, t in enumerate(_PHRASE.split())
+        )}) ph(term, slot) USING (term)
+        GROUP BY p.doc_id, p.pos - ph.slot
+        HAVING COUNT(DISTINCT ph.slot) = {len(_PHRASE.split())}
+      ) GROUP BY doc_id
+    )
 """
 
 
@@ -229,15 +254,19 @@ def _pr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "[bm25] Okapi BM25 over the inverted index (pipeline/search.py "
     "build_index + bm25_topk; k above corpus size, rank over ROUNDed "
     "scores cut at 50), [tfidf] ln(1+tf)*ln(N/df)/sqrt(dl) via "
-    "tfidf_topk, [pr] 5-iteration damped PageRank with dangling-mass "
-    "redistribution (pipeline/graph.py pagerank) on a deterministic "
-    "nation-derived 25-node link table vs an unrolled per-iteration SQL "
-    "oracle.",
+    "tfidf_topk, [phr] exact phrase query via position-list intersection "
+    "over the positional index (build_positional_index + phrase_match) vs "
+    "a shifted-position GROUP BY twin, [pr] 5-iteration damped PageRank "
+    "with dangling-mass redistribution (pipeline/graph.py pagerank) on a "
+    "deterministic nation-derived 25-node link table vs an unrolled "
+    "per-iteration SQL oracle.",
 )
 def search_rank_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.pipeline.search import (
         bm25_topk,
         build_index,
+        build_positional_index,
+        phrase_match,
         tfidf_topk,
     )
 
@@ -249,4 +278,17 @@ def search_rank_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = 1 << 30
     bm25 = _ranked(bm25_topk(idx, _BM25_QUERY, k=big), "bm25")
     tfidf = _ranked(tfidf_topk(idx, _TFIDF_QUERY, k=big), "tfidf")
-    return bm25.unionByName(tfidf).unionByName(_pr_branch(spark, sf_dir))
+    phr = phrase_match(
+        build_positional_index(docs), _PHRASE
+    ).select(
+        F.lit("phr").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.col("n_occurrences").cast("double").alias("v1"),
+        F.lit("").alias("h"),
+    )
+    return (
+        bm25.unionByName(tfidf)
+        .unionByName(phr)
+        .unionByName(_pr_branch(spark, sf_dir))
+    )

@@ -52,6 +52,7 @@ _HH_DOMAIN = 200
 _HH_SHARE = 1.0 / 256.0  # binary-exact: threshold compare is bit-identical
 _HLL_RSD = 0.02
 _GK_ACCURACY = 10_000
+_DSIR_DIM = 256
 
 _SKETCH_ORACLE = f"""
     WITH n AS (
@@ -101,6 +102,97 @@ _SKETCH_ORACLE = f"""
     UNION ALL
     SELECT 'gkq', event_type, COUNT(*), 1.0, ''
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'dsr' AS gate, '' AS k1, d.doc_id AS k2,
+           ROUND(COALESCE(w.logw, CAST(0 AS DOUBLE)), 6) + 0.0 AS v1, '' AS h
+    FROM documents d LEFT JOIN (
+      SELECT db.doc_id, SUM(db.cnt * lr.log_ratio) AS logw
+      FROM (
+        SELECT doc_id, bucket, COUNT(*) AS cnt FROM (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+                   % {_DSIR_DIM} AS bucket
+          FROM (
+            SELECT doc_id, unnest(list_concat(tok,
+              CASE WHEN len(tok) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+                list_transform(range(1, len(tok)),
+                               i -> tok[i] || ' ' || tok[i + 1]) END)) AS g
+            FROM (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS tok
+              FROM documents
+            )
+          )
+        ) GROUP BY doc_id, bucket
+      ) db
+      JOIN (
+        SELECT b.bucket,
+               ln((CAST(COALESCE(tc.c, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+                  / ((SELECT CAST(COUNT(*) AS DOUBLE) FROM (
+                        SELECT doc_id,
+                               CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hh
+                        FROM (
+                          SELECT doc_id, unnest(list_concat(tok,
+                            CASE WHEN len(tok) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+                              list_transform(range(1, len(tok)),
+                                             i -> tok[i] || ' ' || tok[i + 1]) END)) AS g
+                          FROM (
+                            SELECT d2.doc_id,
+                                   list_filter(string_split(d2.text, ' '),
+                                               x -> x <> '') AS tok
+                            FROM documents d2 WHERE d2.lang = 'en'
+                          )
+                        )
+                      )) + CAST({_DSIR_DIM} AS DOUBLE)))
+               - ln((CAST(COALESCE(qc.c, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+                  / ((SELECT CAST(COUNT(*) AS DOUBLE) FROM (
+                        SELECT doc_id,
+                               CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hh
+                        FROM (
+                          SELECT doc_id, unnest(list_concat(tok,
+                            CASE WHEN len(tok) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+                              list_transform(range(1, len(tok)),
+                                             i -> tok[i] || ' ' || tok[i + 1]) END)) AS g
+                          FROM (
+                            SELECT d3.doc_id,
+                                   list_filter(string_split(d3.text, ' '),
+                                               x -> x <> '') AS tok
+                            FROM documents d3
+                          )
+                        )
+                      )) + CAST({_DSIR_DIM} AS DOUBLE))) AS log_ratio
+        FROM (SELECT unnest(range(0, {_DSIR_DIM})) AS bucket) b
+        LEFT JOIN (
+          SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+                   % {_DSIR_DIM} AS bucket, COUNT(*) AS c
+          FROM (
+            SELECT unnest(list_concat(tok,
+              CASE WHEN len(tok) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+                list_transform(range(1, len(tok)),
+                               i -> tok[i] || ' ' || tok[i + 1]) END)) AS g
+            FROM (
+              SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tok
+              FROM documents WHERE lang = 'en'
+            )
+          ) GROUP BY 1
+        ) tc ON b.bucket = tc.bucket
+        LEFT JOIN (
+          SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+                   % {_DSIR_DIM} AS bucket, COUNT(*) AS c
+          FROM (
+            SELECT unnest(list_concat(tok,
+              CASE WHEN len(tok) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+                list_transform(range(1, len(tok)),
+                               i -> tok[i] || ' ' || tok[i + 1]) END)) AS g
+            FROM (
+              SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tok
+              FROM documents
+            )
+          ) GROUP BY 1
+        ) qc ON b.bucket = qc.bucket
+      ) lr ON db.bucket = lr.bucket
+      GROUP BY db.doc_id
+    ) w ON d.doc_id = w.doc_id
 """
 
 
@@ -190,6 +282,28 @@ def _hll_gk_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.unionByName(gk)
 
 
+def _dsr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (r8, operators/sampling.py
+    dsir_weights): raw = the documents table, target = its lang='en'
+    slice, hashed unigram+bigram features in _DSIR_DIM buckets with the
+    module's portable md5 hash — the oracle reproduces the whole
+    pipeline (feature hash, Laplace-smoothed bucket models, per-doc
+    cnt * log-ratio sums) in SQL. ROUND at 6 absorbs the <=1-ulp ln()
+    and summation-order differences."""
+    from enterprise_warp_spark.operators.sampling import dsir_weights
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, dim=_DSIR_DIM)
+    return w.select(
+        F.lit("dsr").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        (F.round("dsir_logw", 6) + F.lit(0.0)).alias("v1"),
+        F.lit("").alias("h"),
+    )
+
+
 @register(
     "learned_sketch_ops",
     _SKETCH_ORACLE,
@@ -209,4 +323,5 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         _semd_branch(spark, sf_dir)
         .unionByName(_hh_branch(spark, sf_dir))
         .unionByName(_hll_gk_branches(spark, sf_dir))
+        .unionByName(_dsr_branch(spark, sf_dir))
     )

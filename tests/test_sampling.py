@@ -260,3 +260,120 @@ def test_adaptive_posterior_n_per_round_contract(spark):
             lambda df: df.select("sample_id", F.lit(0.0).alias("lnl")),
             n_per_round=MAX_ADAPTIVE_N_PER_ROUND + 1,
         )
+
+
+# ---------------------------------------------------------------------------
+# DSIR (r8)
+# ---------------------------------------------------------------------------
+
+
+def _py_dsir_weights(raw_texts, target_texts, dim=64, smoothing=1.0):
+    """Exact python twin of the portable-hash DSIR pipeline."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def grams(t):
+        tok = [x for x in t.split(" ") if x]
+        return tok + [f"{a} {b}" for a, b in zip(tok, tok[1:])]
+
+    def bucket(g):
+        h = hashlib.md5(g.encode()).hexdigest()[:15]
+        return int(h, 16) % dim
+
+    def dist(texts):
+        c = Counter(bucket(g) for t in texts for g in grams(t))
+        total = sum(c.values())
+        return {
+            b: math.log((c.get(b, 0) + smoothing) / (total + smoothing * dim))
+            for b in range(dim)
+        }
+
+    lp, lq = dist(target_texts), dist(raw_texts)
+    out = []
+    for t in raw_texts:
+        c = Counter(bucket(g) for g in grams(t))
+        out.append(sum(n * (lp[b] - lq[b]) for b, n in c.items()))
+    return out
+
+
+def test_dsir_weights_match_python_twin(spark):
+    from enterprise_warp_spark.operators.sampling import dsir_weights
+
+    raw_texts = [
+        "the quick brown fox", "spark shuffles data fast", "a b a b a",
+        "slow scan of the table", "", "quick quick quick",
+    ]
+    target_texts = ["the quick fox jumps", "quick brown animals run"]
+    raw = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(raw_texts)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(target_texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_weights(raw, target, dim=64).collect()
+    }
+    want = _py_dsir_weights(raw_texts, target_texts, dim=64)
+    for i, w in enumerate(want):
+        assert got[i] == pytest.approx(w, rel=1e-9, abs=1e-9), i
+    assert got[4] == 0.0  # empty text -> weight 0 by contract
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Two stylistically distinct sub-corpora in raw; target drawn from one
+    style: the top-k selection must be dominated by that style (the
+    paper's headline behavior), deterministically across repartitions."""
+    import random
+
+    from enterprise_warp_spark.operators.sampling import dsir_select
+
+    rng = random.Random(5)
+    sci = ["energy flux spectrum detector noise model likelihood posterior"]
+    web = ["click here buy now free offer deal sale discount shop"]
+
+    def doc(words, n=8):
+        return " ".join(rng.choice(words[0].split()) for _ in range(n))
+
+    raw_rows = [(i, doc(sci)) for i in range(100)] + [
+        (100 + i, doc(web)) for i in range(100)
+    ]
+    target_rows = [(i, doc(sci)) for i in range(40)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    picked = dsir_select(raw, target, k=50, dim=256, seed=3)
+    ids = [r["doc_id"] for r in picked.collect()]
+    assert len(ids) == 50
+    sci_share = sum(1 for i in ids if i < 100) / 50
+    assert sci_share > 0.9, sci_share
+    # deterministic under repartitioning (hash noise, not rand())
+    ids2 = [
+        r["doc_id"]
+        for r in dsir_select(
+            raw.repartition(13), target.repartition(7), k=50, dim=256, seed=3
+        ).collect()
+    ]
+    assert sorted(ids) == sorted(ids2)
+
+
+def test_dsir_select_plan_is_topk_not_global_sort(spark):
+    """The selection must be TakeOrderedAndProject (per-partition heaps),
+    never a global Sort, and the ratio table must broadcast."""
+    import contextlib
+    import io
+
+    from enterprise_warp_spark.operators.sampling import dsir_select
+
+    raw = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    target = raw.filter("doc_id % 2 = 0")
+    df = dsir_select(raw, target, k=10, dim=64)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
