@@ -278,17 +278,22 @@ def hashed_ngram_buckets(
     hashed into `dim` buckets. Portable hash (md5 prefix, the module's
     _unit_hash family) so the whole pipeline has an exact SQL twin.
     Map-side explode + one (id, bucket) aggregate; no corpus-wide state."""
+    # STAGE the token array before the bigram lambda references it:
+    # lambda subexpressions are not deduplicated (SPARK-35410), so an
+    # inlined split() re-tokenizes the document inside EVERY element_at —
+    # O(n_tokens^2) per document (measured 3s -> 0.4s on 5k docs at
+    # sf0.1). Same staging pattern as pipeline/classify.featurize.
     toks = f"filter(split({text_col}, ' '), x -> x != '')"
     grams = (
-        f"concat({toks}, CASE WHEN size({toks}) < 2 THEN "
-        f"cast(array() as array<string>) ELSE "
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat(element_at({toks}, i), ' ', "
-        f"element_at({toks}, i + 1))) END)"
+        "concat(__tok, CASE WHEN size(__tok) < 2 THEN "
+        "cast(array() as array<string>) ELSE "
+        "transform(sequence(1, size(__tok) - 1), "
+        "i -> concat(element_at(__tok, i), ' ', "
+        "element_at(__tok, i + 1))) END)"
     )
     g = df.select(
-        F.col(id_col).alias("id"), F.explode(F.expr(grams)).alias("g")
-    )
+        F.col(id_col).alias("id"), F.expr(toks).alias("__tok")
+    ).select("id", F.explode(F.expr(grams)).alias("g"))
     bucket = (
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
         .cast("decimal(20,0)")

@@ -264,23 +264,27 @@ def _pr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def search_rank_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.pipeline.search import (
         bm25_topk,
-        build_index,
         build_positional_index,
         phrase_match,
         tfidf_topk,
     )
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = build_index(docs)
+    # ONE corpus explode+shuffle serves all four branches: the positional
+    # postings are a strict superset of build_index's (term, doc_id, tf),
+    # so bm25/tfidf score straight off them and phrase_match gets its
+    # position lists — no second index build. Materialize so the three
+    # consumers read the aggregated postings, not three corpus scans.
+    idx = build_positional_index(docs)
+    idx["postings"] = idx["postings"].localCheckpoint(eager=True)
+    idx["doclen"] = idx["doclen"].localCheckpoint(eager=True)
     # k far above corpus size: every matched doc is scored, so the gate's
     # own rank window (over ROUNDED scores) is the only ordering that
     # matters — bm25_topk's internal unrounded orderBy can't cut anything
     big = 1 << 30
     bm25 = _ranked(bm25_topk(idx, _BM25_QUERY, k=big), "bm25")
     tfidf = _ranked(tfidf_topk(idx, _TFIDF_QUERY, k=big), "tfidf")
-    phr = phrase_match(
-        build_positional_index(docs), _PHRASE
-    ).select(
+    phr = phrase_match(idx, _PHRASE).select(
         F.lit("phr").alias("gate"),
         F.lit("").alias("k1"),
         F.col("doc_id").cast("long").alias("k2"),

@@ -8,7 +8,8 @@ Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
   within-cell semantic near-dup pairs over the embeddings table. Fully
   SQL-expressible because the coarse quantizer is deterministic_centroids
   (first n_cells vectors BY ID) and both the cell-assignment distance and
-  the pair cosine are ROUND()ed before any comparison. Threshold 0.35 is
+  the pair cosine are ROUND()ed before any comparison. n_cells=32 keeps
+  the sum-of-cell^2 pair count at gate scale. Threshold 0.35 is
   gate-scale (the synthetic embeddings are near-orthogonal; production
   default 0.95 would select nothing) — the SQL shape is identical.
 * ``hh`` — operators.sketches.heavy_hitters (Misra-Gries merge) over
@@ -47,7 +48,7 @@ from enterprise_warp_spark.queries_pipeline import _D_DOT
 from enterprise_warp_spark.tables import table
 
 _SEMD_THRESHOLD = 0.35
-_SEMD_CELLS = 16
+_SEMD_CELLS = 32
 _HH_DOMAIN = 200
 _HH_SHARE = 1.0 / 256.0  # binary-exact: threshold compare is bit-identical
 _HLL_RSD = 0.02
