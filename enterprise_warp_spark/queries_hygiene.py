@@ -26,6 +26,9 @@ Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
   clusters per (lang, source): component = min doc_id of the cluster, so
   the oracle reproduces the split label from the same md5 hash-range
   arithmetic the engine uses (operators.sampling.split_dataset).
+* ``pii`` — pipeline.redact over documents carrying a deterministic
+  doc_id-derived PII suffix (one email, URL, IP, long digit run each);
+  the oracle builds the EXPECTED scrubbed text from the template (r8).
 * ``stm`` — streaming.corpus.dedup_corpus_stream with the crawl-hygiene
   transform hook: each micro-batch is re-chromed (HTML wrapper varying by
   source), the hook extracts text back out, and near-dup survivors land in
@@ -123,6 +126,11 @@ _HYGIENE_ORACLE = f"""
     SELECT 'stm', '', doc_id, 0.0, substr(md5(text), 1, 16)
     FROM documents
     WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM losers)
+    UNION ALL
+    SELECT 'pii', '', doc_id, 1111.0,
+           substr(md5(text ||
+             ' mail <EMAIL> see <URL> ip <IP> acct <NUMBER>'), 1, 16)
+    FROM documents
 """
 
 
@@ -315,6 +323,38 @@ def _stm_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _pii_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.redact over documents with a deterministic PII suffix
+    built from doc_id (one email, URL, IP and long digit run each). The
+    oracle constructs the EXPECTED scrubbed text directly — placeholders
+    substituted in the template — so engine regex semantics are really
+    checked without re-implementing Java regex in DuckDB (the [url]
+    branch's pattern). v1 packs the four audit counts as
+    n_email*1000 + n_url*100 + n_ip*10 + n_digits = 1111."""
+    from enterprise_warp_spark.pipeline.redact import redact
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(" mail bob"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"), F.lit(".com"),
+        F.lit(" see https://ex"), d.cast("string"), F.lit(".com/a"),
+        F.lit(" ip 10.1.2."), (d % 200).cast("string"),
+        F.lit(" acct 1234567"), (d % 100).cast("string"),
+    )
+    out = redact(docs.withColumn("text", F.concat("text", suffix)))
+    return out.select(
+        F.lit("pii").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        (
+            F.col("n_email") * 1000 + F.col("n_url") * 100
+            + F.col("n_ip") * 10 + F.col("n_digits")
+        ).cast("double").alias("v1"),
+        F.substring(F.md5("text_redacted"), 1, 16).alias("h"),
+    )
+
+
 @register(
     "web_hygiene_ops",
     _HYGIENE_ORACLE,
@@ -331,7 +371,10 @@ def _stm_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-range labels over (lang, source) star clusters "
     "(pipeline/dedup.py), [stm] the streaming crawl-hygiene composition "
     "(streaming/corpus.py dedup_corpus_stream with the re-chrome->extract "
-    "transform hook): survivors == docs minus within-batch LSH losers.",
+    "transform hook): survivors == docs minus within-batch LSH losers, "
+    "[pii] pipeline/redact.py pattern redaction (email/URL/IP/digit-run "
+    "placeholders + audit counts) over a deterministic PII suffix, the "
+    "oracle constructing the expected scrubbed text directly (r8).",
 )
 def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -341,4 +384,5 @@ def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_tok_branch(spark, sf_dir))
         .unionByName(_spl_branch(spark, sf_dir))
         .unionByName(_stm_branch(spark, sf_dir))
+        .unionByName(_pii_branch(spark, sf_dir))
     )

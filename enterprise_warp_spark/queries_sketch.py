@@ -31,6 +31,13 @@ Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
   iff the approximate median lies within the exact [p40, p60] envelope
   (GK guarantees rank error <= n/accuracy ~ 0.01% of n, vastly inside
   that envelope), k2 = the group row count.
+* ``lmp`` — pipeline.lm bigram perplexity (r8): add-1 bigram LM trained
+  on the lang='en' slice scores every document through the
+  pair -> context-floor -> unseen-floor fallback chain; per-doc mean NLL
+  rounded at 6 vs the same joins in SQL.
+* ``dsr`` — operators.sampling DSIR importance log-weights (r8): hashed
+  unigram+bigram bucket models, target = the lang='en' slice; per-doc
+  cnt * log-ratio sums rounded at 6 vs a full SQL reproduction.
 
 The learned quality classifier (pipeline/classify.py) stays OUT of this
 gate by design: LogisticRegression training is an iterative L-BFGS fit
@@ -103,6 +110,52 @@ _SKETCH_ORACLE = f"""
     UNION ALL
     SELECT 'gkq', event_type, COUNT(*), 1.0, ''
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'lmp' AS gate, '' AS k1, doc_id AS k2,
+           ROUND(-AVG(lp), 6) + 0.0 AS v1,
+           CAST(COUNT(*) AS VARCHAR) AS h
+    FROM (
+      SELECT tr.doc_id,
+             COALESCE(
+               ln((CAST(pc.cpt AS DOUBLE) + CAST(1 AS DOUBLE))
+                  / (CAST(cc.cp AS DOUBLE) + vv.v + CAST(1 AS DOUBLE))),
+               ln(CAST(1 AS DOUBLE)
+                  / (CAST(cc.cp AS DOUBLE) + vv.v + CAST(1 AS DOUBLE))),
+               ln(CAST(1 AS DOUBLE) / (vv.v + CAST(1 AS DOUBLE)))
+             ) AS lp
+      FROM (
+        SELECT doc_id, lang, tok[i] AS prev, tok[i + 1] AS token
+        FROM (
+          SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS tok
+          FROM documents
+        ), unnest(range(1, len(tok))) AS u(i)
+      ) tr
+      LEFT JOIN (
+        SELECT prev, token, COUNT(*) AS cpt FROM (
+          SELECT tok[i] AS prev, tok[i + 1] AS token
+          FROM (
+            SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+            FROM documents WHERE lang = 'en'
+          ), unnest(range(1, len(tok))) AS u(i)
+        ) GROUP BY 1, 2
+      ) pc ON tr.prev = pc.prev AND tr.token = pc.token
+      LEFT JOIN (
+        SELECT prev, COUNT(*) AS cp FROM (
+          SELECT tok[i] AS prev
+          FROM (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tok
+            FROM documents WHERE lang = 'en'
+          ), unnest(range(1, len(tok))) AS u(i)
+        ) GROUP BY 1
+      ) cc ON tr.prev = cc.prev
+      CROSS JOIN (
+        SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v FROM (
+          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+          FROM documents WHERE lang = 'en'
+        )
+      ) vv
+    ) GROUP BY doc_id
     UNION ALL
     SELECT 'dsr' AS gate, '' AS k1, d.doc_id AS k2,
            ROUND(COALESCE(w.logw, CAST(0 AS DOUBLE)), 6) + 0.0 AS v1, '' AS h
@@ -283,6 +336,32 @@ def _hll_gk_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.unionByName(gk)
 
 
+def _lmp_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (r8, pipeline/lm.py): train add-1
+    bigram counts on the lang='en' slice, score EVERY document's
+    transitions through the observed-pair -> seen-context-floor ->
+    unseen-context-floor fallback chain (bigram_perplexity). v1 = the
+    per-doc mean negative log-likelihood ROUNDed at 6 (the ~160-term
+    average leaves >=8 orders below the rounding grain); h carries the
+    transition count; docs with < 2 tokens have no transitions and no
+    row, matching the SQL GROUP BY."""
+    from enterprise_warp_spark.pipeline.lm import (
+        bigram_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    bi, ctx, vocab = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    out = bigram_perplexity(docs, bi, ctx, vocab)
+    return out.select(
+        F.lit("lmp").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        (F.round("mean_nll", 6) + F.lit(0.0)).alias("v1"),
+        F.col("n_transitions").cast("string").alias("h"),
+    )
+
+
 def _dsr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights (r8, operators/sampling.py
     dsir_weights): raw = the documents table, target = its lang='en'
@@ -315,7 +394,11 @@ def _dsr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "below capacity so the MG interval provably collapses to the exact "
     "count, [hll] HyperLogLog++ distinct estimate gated on its 3*rsd "
     "error contract vs the exact count, [gkq] Greenwald-Khanna approx "
-    "median gated on the exact [p40, p60] envelope. The learned quality "
+    "median gated on the exact [p40, p60] envelope, [lmp] bigram-LM "
+    "perplexity scoring (pipeline/lm.py, trained on the en slice, full "
+    "fallback chain) vs its SQL twin, [dsr] DSIR importance log-weights "
+    "(operators/sampling.py, Xie et al. 2023) vs a full SQL "
+    "reproduction. The learned quality "
     "classifier stays pytest-gated (iterative L-BFGS has no SQL twin) — "
     "see module docstring.",
 )
@@ -324,5 +407,6 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         _semd_branch(spark, sf_dir)
         .unionByName(_hh_branch(spark, sf_dir))
         .unionByName(_hll_gk_branches(spark, sf_dir))
+        .unionByName(_lmp_branch(spark, sf_dir))
         .unionByName(_dsr_branch(spark, sf_dir))
     )
