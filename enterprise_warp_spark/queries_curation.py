@@ -6,7 +6,8 @@ within the driver artifact's 50-entry capacity:
 
 * ``temporal_curation_ops`` — gapfill LOCF + linear interpolation, rolling
   z-score anomaly detection, SCD Type-2 point-in-time reads, funnel
-  conversion, retention cohorts.
+  conversion, retention cohorts; r8 adds [mix] mixture resampling,
+  [pak] token-budget packing and [chk] fixed-window chunking.
 * ``matching_geo_ops`` — geo radius join, point-in-polygon containment join,
   fuzzy edit-distance join.
 
@@ -159,6 +160,37 @@ _TEMPORAL_ORACLE = f"""
     UNION ALL
     SELECT 'scd', 't2', 9999999, 42.0, 0.0
     UNION ALL
+    SELECT 'pak', '', doc_id,
+           CAST(FLOOR(CAST(start AS DOUBLE) / 512) AS DOUBLE),
+           CAST(start % 512 AS DOUBLE)
+    FROM (
+      SELECT doc_id,
+             COALESCE(SUM(nt) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+        FROM documents
+      )
+    )
+    UNION ALL
+    SELECT 'chk', substr(md5(array_to_string(piece, ' ')), 1, 16), doc_id,
+           CAST(ci AS DOUBLE), CAST(len(piece) AS DOUBLE)
+    FROM (
+      SELECT doc_id, u.i AS ci,
+             list_slice(tok, 1 + u.i * 48, 1 + u.i * 48 + 63) AS piece
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tok
+        FROM documents
+      ), unnest(
+        CASE WHEN len(tok) = 0 THEN CAST([] AS BIGINT[])
+             WHEN len(tok) <= 64 THEN [CAST(0 AS BIGINT)]
+             ELSE range(0, CAST(ceil((len(tok) - 64)
+                                     / CAST(48 AS DOUBLE)) AS BIGINT) + 1)
+        END) AS u(i)
+    )
+    UNION ALL
     SELECT 'mix', r.lang, COUNT(*), ROUND(r.rate, 9), 0.0
     FROM documents d JOIN (
       SELECT lang, LEAST(w / 1.0 * (
@@ -245,6 +277,40 @@ def _scd2_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _pack_chunk_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-layout operators (r8, pipeline/packing.py): [pak]
+    pack_documents at budget 512 — the two-phase distributed prefix sum
+    vs a plain SQL running sum (pack ids/offsets are exact integers);
+    [chk] chunk_documents at 64 tokens / 16 overlap — fixed-size token
+    windows vs the same starts arithmetic + list_slice in SQL (k1 hashes
+    the chunk text, so window CONTENT is checked, not just shape)."""
+    from enterprise_warp_spark.pipeline.packing import (
+        chunk_documents,
+        pack_documents,
+    )
+    from enterprise_warp_spark.pipeline.text import TOKENS
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_nt = docs.withColumn(
+        "n_tokens", F.expr(f"size({TOKENS.format(s='text')})")
+    )
+    pak = pack_documents(with_nt, budget=512).select(
+        F.lit("pak").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.col("pack_id").cast("double").alias("v1"),
+        F.col("pack_offset").cast("double").alias("v2"),
+    )
+    chk = chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+        F.lit("chk").alias("gate"),
+        F.substring(F.md5("chunk_text"), 1, 16).alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.col("chunk_idx").cast("double").alias("v1"),
+        F.col("n_chunk_tokens").cast("double").alias("v2"),
+    )
+    return pak.unionByName(chk)
+
+
 def _mix_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture resample toward a target language mix (folded in from the
     r2-era mixture_resample_by_lang gate, r8): deterministic hash
@@ -290,7 +356,10 @@ def _mix_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in a temp dir from the customer table with updated, unchanged and "
     "brand-new keys; [mix] mixture resample toward a target language mix "
     "(operators/sampling.py, deterministic hash downsampling, r8 fold of "
-    "the mixture_resample_by_lang gate).",
+    "the mixture_resample_by_lang gate); [pak] token-budget sequence "
+    "packing (pipeline/packing.py pack_documents, two-phase distributed "
+    "prefix sum) and [chk] fixed-window document chunking with overlap "
+    "(chunk_documents) vs their exact SQL twins (r8).",
 )
 def temporal_curation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.operators.funnel import funnel, retention_cohorts
@@ -346,6 +415,7 @@ def temporal_curation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ret)
         .unionByName(scd)
         .unionByName(mix)
+        .unionByName(_pack_chunk_branches(spark, sf_dir))
     )
 
 
