@@ -83,6 +83,36 @@ def reservoir_sample(df: DataFrame, k: int, key: Column | str, seed: int = 0) ->
     )
 
 
+def weighted_topk_sample(
+    df: DataFrame, k: int, weight: Column | str, key: Column | str, seed: int = 0
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows (Efraimidis-Spirakis
+    A-ES, 2006): keep the k smallest exponential keys e_i = -ln(u_i)/w_i —
+    equivalent to drawing k rows sequentially with probability proportional
+    to weight, without replacement. u_i is the module's deterministic
+    md5-unit-hash of `key` (UNIQUE per row — the same tie-free contract as
+    reservoir_sample), so the sample is stable across runs, retries and
+    partitionings. ln(e_i) = ln(-ln u_i) - ln w_i = -(ln w_i + Gumbel), so
+    this selects EXACTLY the same rows as Gumbel-top-k over log-weights
+    (dsir_select's resampler) — pinned by test_sampling.
+
+    Rows with weight <= 0 or null are excluded (they can never be drawn).
+    Physical plan is TakeOrderedAndProject: per-partition size-k heaps, one
+    driver merge — O(n) scan, O(k) memory, no shuffle of the data."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = _unit_hash(key, seed)
+    u = F.least(F.greatest(u, F.lit(1e-15)), F.lit(1.0 - 1e-15))
+    return (
+        df.filter(w.cast("double") > 0)
+        .withColumn("__e", -F.log(u) / w.cast("double"))
+        .orderBy("__e")
+        .limit(k)
+        .drop("__e")
+    )
+
+
 def split_dataset(
     df: DataFrame,
     key: Column | str,
@@ -273,11 +303,18 @@ def hashed_ngram_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 1024,
+    flag_col: str | None = None,
 ) -> DataFrame:
-    """(id, bucket, cnt): DSIR's feature map — unigrams + adjacent bigrams
-    hashed into `dim` buckets. Portable hash (md5 prefix, the module's
-    _unit_hash family) so the whole pipeline has an exact SQL twin.
-    Map-side explode + one (id, bucket) aggregate; no corpus-wide state."""
+    """(id, bucket, cnt[, flag]): DSIR's feature map — unigrams + adjacent
+    bigrams hashed into `dim` buckets. Portable hash (md5 prefix, the
+    module's _unit_hash family) so the whole pipeline has an exact SQL twin.
+    Map-side explode + one (id, bucket) aggregate; no corpus-wide state.
+
+    `flag_col` (a boolean column of `df`, constant per document) rides
+    through the aggregate so a caller can split one featurization pass into
+    sub-corpus distributions (dsir_weights' target-subset fast path) —
+    grouping by (id, bucket, flag) equals grouping by (id, bucket) when the
+    flag is per-document."""
     # STAGE the token array before the bigram lambda references it:
     # lambda subexpressions are not deduplicated (SPARK-35410), so an
     # inlined split() re-tokenizes the document inside EVERY element_at —
@@ -291,18 +328,20 @@ def hashed_ngram_buckets(
         "i -> concat(element_at(__tok, i), ' ', "
         "element_at(__tok, i + 1))) END)"
     )
+    carry = [F.col(flag_col).alias("flag")] if flag_col else []
     g = df.select(
-        F.col(id_col).alias("id"), F.expr(toks).alias("__tok")
-    ).select("id", F.explode(F.expr(grams)).alias("g"))
+        F.col(id_col).alias("id"), *carry, F.expr(toks).alias("__tok")
+    ).select("id", *(["flag"] if flag_col else []), F.explode(F.expr(grams)).alias("g"))
     bucket = (
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
         .cast("decimal(20,0)")
         .cast("long")
         % dim
     )
+    keys = ["id", "bucket"] + (["flag"] if flag_col else [])
     return (
         g.withColumn("bucket", bucket)
-        .groupBy("id", "bucket")
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -350,34 +389,53 @@ def dsir_log_ratios(
 
 def dsir_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 1024,
     smoothing: float = 1.0,
+    target_flag=None,
 ) -> DataFrame:
     """raw + `dsir_logw` column: per-document importance log-weight
     sum_b cnt_b * log_ratio_b. The dim-row ratio table broadcasts; the
     only data-scale shuffles are the two (id/bucket) aggregates — the
     raw corpus is gram-exploded ONCE (its per-doc bucket table is
     materialized and re-aggregated for the q distribution, instead of a
-    second full-corpus pass). Documents with no tokens get weight 0."""
+    second full-corpus pass). Documents with no tokens get weight 0.
+
+    When the target is a SUBSET of raw, pass `target_flag` (a boolean
+    Column over raw, e.g. ``F.col("lang") == "en"``) instead of a `target`
+    DataFrame: the target corpus is then NOT featurized separately — the
+    flag rides through the single featurization pass and the p
+    distribution sums the flagged slice of the same bucket table, saving
+    a full tokenize+hash+shuffle pass over the target."""
     spark = raw.sparkSession
-    raw_buckets = hashed_ngram_buckets(
-        raw, text_col, id_col, dim
-    ).localCheckpoint(eager=True)
+    if target_flag is not None:
+        flagged = hashed_ngram_buckets(
+            raw.withColumn("__tflag", target_flag), text_col, id_col, dim,
+            flag_col="__tflag",
+        ).localCheckpoint(eager=True)
+        raw_buckets = flagged.drop("flag")
+        p_counts = (
+            flagged.filter(F.col("flag"))
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("c"))
+        )
+    else:
+        raw_buckets = hashed_ngram_buckets(
+            raw, text_col, id_col, dim
+        ).localCheckpoint(eager=True)
+        p_counts = (
+            hashed_ngram_buckets(target, text_col, id_col, dim)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("c"))
+        )
     q = _dsir_smoothed_dist(
         spark,
         raw_buckets.groupBy("bucket").agg(F.sum("cnt").alias("c")),
         "lq", dim, smoothing,
     )
-    p = _dsir_smoothed_dist(
-        spark,
-        hashed_ngram_buckets(target, text_col, id_col, dim)
-        .groupBy("bucket")
-        .agg(F.sum("cnt").alias("c")),
-        "lp", dim, smoothing,
-    )
+    p = _dsir_smoothed_dist(spark, p_counts, "lp", dim, smoothing)
     ratios = p.join(q, "bucket").select(
         "bucket", (F.col("lp") - F.col("lq")).alias("log_ratio")
     )

@@ -162,3 +162,95 @@ def frequent_values_exact(
         .filter(F.col("n") >= F.col("total") * min_share)
         .select(group, col, "n", F.round(F.col("n") / F.col("total"), 6).alias("share"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: compact set membership for decontamination-style probes.
+# A 100 TB eval-set decontamination doesn't need a corpus-vs-evalset join:
+# build a filter over the (small) eval side once, broadcast the <= m/64-row
+# word table, and probe the corpus map-side. False positives only — a
+# flagged row may be re-checked exactly; a clean row never needs the join.
+# The hash family is the module-portable md5 double-hash (Kirsch-
+# Mitzenmacher: pos_j = (h1 + j*h2) mod m), so build and probe have an
+# exact SQL twin and the filter is engine-independent — unlike Spark's own
+# fs.BloomFilter (private murmur layout), this one can be persisted and
+# probed by any engine that has md5.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_h1_h2(col):
+    """Two independent 60-bit hashes from one md5: hex chars 1-15 and
+    16-30. Non-negative, so modular arithmetic stays in [0, m)."""
+    hx = F.md5(col.cast("string"))
+    def _i(start):
+        return (
+            F.conv(F.substring(hx, start, 15), 16, 10)
+            .cast("decimal(20,0)")
+            .cast("long")
+        )
+    return _i(1), _i(16)
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 1 << 16, k: int = 5
+) -> DataFrame:
+    """-> (word_idx long, word long): the filter as a sparse table of 64-bit
+    words (at most m_bits/64 rows regardless of input size). One explode of
+    k positions per item + one bit_or aggregate; filters built over shards
+    merge by unioning the tables and re-aggregating bit_or (mergeable, like
+    every sketch in this module)."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if not 1 <= k <= 8:
+        # k*h2 must stay under 2^63: h1 + 7*h2 < 8*2^60 = 2^63 exactly
+        raise ValueError(f"k must be in [1, 8], got {k}")
+    h1, h2 = _bloom_h1_h2(F.col(col))
+    items = df.select(h1.alias("__h1"), h2.alias("__h2"))
+    pos = items.select(
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j"), "__h1", "__h2"
+    ).select(
+        ((F.col("__h1") + F.col("__j") * F.col("__h2")) % m_bits).alias("__pos")
+    )
+    return (
+        pos.groupBy(F.expr("__pos div 64").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(__pos % 64 as int))")
+            ).alias("word")
+        )
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """df + `out_col` boolean: true iff ALL k bits for df[col] are set in
+    the filter (maybe-in-set); false is definite. The word table is
+    collected into an array LITERAL (bounded by m_bits/64 longs — 1024 at
+    the default m, well under plan-size limits; raise m_bits past ~2^22 and
+    a broadcast join would be the better shape) and the probe is a pure
+    map-side Catalyst fold over the k positions: no join, no explode, no
+    shuffle — the corpus plan is untouched."""
+    if m_bits > (1 << 22):
+        raise ValueError(
+            f"m_bits={m_bits} would inline a {m_bits // 64}-element literal "
+            "into the plan; for filters this large use a broadcast join on "
+            "bloom's (word_idx, word) table instead"
+        )
+    words = [0] * (m_bits // 64)
+    for r in bloom.collect():
+        words[int(r["word_idx"])] = int(r["word"])
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    h1, h2 = _bloom_h1_h2(F.col(col))
+    probed = df.withColumn("__bw", arr).withColumn("__h1", h1).withColumn("__h2", h2)
+    hit = (
+        f"forall(sequence(0, {k - 1}), j -> "
+        f"((element_at(__bw, cast(cast((__h1 + j * __h2) % {m_bits} as int) div 64 + 1 as int)) "
+        f">> cast((__h1 + j * __h2) % 64 as int)) & 1) = 1)"
+    )
+    return probed.withColumn(out_col, F.expr(hit)).drop("__bw", "__h1", "__h2")

@@ -186,3 +186,127 @@ def extract_main_text(
         "link_density double"
     )
     return docs.select(base).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# Link extraction: markup -> the outgoing-link edge list. The web-graph
+# half of crawl processing (feeds pipeline/graph.pagerank and the
+# rank_quality_weights curation prior). Fully JVM-side: anchor hrefs by
+# regexp_extract_all, entity decode by the module's ordered table, and
+# RFC 3986 reference resolution — including remove_dot_segments — as a
+# Catalyst array fold. No Python in the path at any scale.
+# ---------------------------------------------------------------------------
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 as a Catalyst fold: split the absolute path, fold
+    '.'/'..' against an array accumulator ('..' clamps at root), rejoin.
+    A trailing '.' or '..' re-grows the trailing slash, matching urljoin."""
+    segs = F.expr(
+        "aggregate(slice(split(__p, '/'), 2, 1000000), "
+        "cast(array() as array<string>), "
+        "(acc, s) -> CASE WHEN s = '.' THEN acc "
+        "WHEN s = '..' THEN slice(acc, 1, greatest(size(acc) - 1, 0)) "
+        "ELSE concat(acc, array(s)) END)"
+    )
+    out = F.concat(F.lit("/"), F.array_join(segs, "/"))
+    needs_slash = F.col("__p").rlike(r"(^|/)\.{1,2}$") & ~out.rlike("/$")
+    return F.when(needs_slash, F.concat(out, F.lit("/"))).otherwise(out)
+
+
+def _href_parts(
+    base: Column, ref: Column
+) -> tuple[Column, Column, Column, Column, Column, Column]:
+    """The column pieces of RFC 3986 §5 reference resolution against a page
+    URL: (cleaned ref, merged path, ref scheme, base scheme, base origin,
+    ref query). The final when-chain lives in extract_links because the
+    merged path must be STAGED in its own projection before the dot-segment
+    fold references it (lambda subexpressions are not deduplicated —
+    SPARK-35410, same staging rule as the tokenizer sites)."""
+    r = F.trim(ref)
+    r = F.regexp_replace(r, r"#.*$", "")  # fragments are not edges
+    scheme = F.regexp_extract(r, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    b_scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    origin = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    b_path = F.regexp_extract(
+        base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    b_dir = F.regexp_replace(b_path, r"[^/]*$", "")
+    b_dir = F.when(b_dir == "", F.lit("/")).otherwise(b_dir)
+    r_path = F.regexp_extract(r, r"^([^?#]*)", 1)
+    r_query = F.regexp_extract(r, r"(\?[^#]*)", 1)
+    merged = (
+        F.when(r_path == "", b_path)  # '?q=2' keeps the base's full path
+        .when(r_path.startswith("/"), r_path)
+        .otherwise(F.concat(b_dir, r_path))
+    )
+    return r, merged, scheme, b_scheme, origin, r_query
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    out_col: str = "href",
+) -> DataFrame:
+    """One row per resolved anchor: every df column + `out_col` (absolute
+    http/https URL). Drops fragment-only, mailto:/javascript:/data: and
+    unresolvable refs. Map-only explode — no shuffle, no Python."""
+    pat = r"""(?i)<a\s[^>]*?href\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)"""
+    raw = F.regexp_extract_all(F.col(html_col), F.lit(pat), F.lit(1))
+    exploded = df.withColumn("__raw", F.explode(raw))
+    href = F.regexp_replace(F.col("__raw"), "^[\"']|[\"']$", "")
+    for ent, ch in _NAMED_ENTITIES.items():  # hrefs arrive HTML-escaped
+        href = F.regexp_replace(href, ent, ch)
+    r, merged, scheme, b_scheme, origin, r_query = _href_parts(
+        F.col(base_col), href
+    )
+    staged = exploded.withColumn("__r", r).withColumn("__p", merged)
+    folded = _remove_dot_segments(F.col("__p"))
+    resolved = (
+        F.when(F.col("__r") == "", F.lit(None).cast("string"))
+        .when(scheme.rlike("^https?$"), F.col("__r"))
+        .when(scheme != "", F.lit(None).cast("string"))
+        .when(origin == "", F.lit(None).cast("string"))
+        .when(
+            F.col("__r").startswith("//"),
+            F.concat(b_scheme, F.lit(":"), F.col("__r")),
+        )
+        .otherwise(F.concat(origin, folded, r_query))
+    )
+    return (
+        staged.withColumn(out_col, resolved)
+        .filter(F.col(out_col).isNotNull())
+        .drop("__raw", "__r", "__p")
+    )
+
+
+def link_edges(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    by_domain: bool = True,
+) -> DataFrame:
+    """Markup -> the web-graph edge list (src, dst) feeding
+    pipeline/graph.pagerank and rank_quality_weights: extract + resolve
+    every anchor, canonicalize both endpoints (pipeline/weburl), optionally
+    collapse to registrable domains (the usual PageRank granularity —
+    page-level graphs are ~100x larger), drop self-loops and duplicates.
+    One map-only extraction pass + one dedup aggregate; no Python."""
+    from enterprise_warp_spark.pipeline.weburl import (
+        canonical_url,
+        registrable_domain,
+    )
+
+    links = extract_links(df, html_col, base_col, out_col="__dst")
+    src = canonical_url(F.col(base_col))
+    dst = canonical_url(F.col("__dst"))
+    if by_domain:
+        src = registrable_domain(F.parse_url(src, F.lit("HOST")))
+        dst = registrable_domain(F.parse_url(dst, F.lit("HOST")))
+    return (
+        links.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )

@@ -63,16 +63,23 @@ def perplexity(
     unseen: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """-> (doc_id, n_tokens, mean_nll, ppl): per-document mean negative
-    log-probability and perplexity under the unigram LM. Empty documents get
-    null scores (no tokens to judge)."""
-    toks = spread(docs.select(id_col, F.expr(TOKENS.format(s=text_col)).alias("toks")))
-    per_tok = explode_nonnull(toks, F.col("toks"), "token", id_col).join(
+    """-> (doc_id, *carry_cols, n_tokens, mean_nll, ppl): per-document mean
+    negative log-probability and perplexity under the unigram LM. Empty
+    documents score no row (no tokens to judge). `carry_cols` are
+    per-document attributes (constant per id) that ride through the
+    aggregate — grouping by (id, carry) equals grouping by id, and carrying
+    beats a join-back-to-docs shuffle."""
+    keep = [id_col, *carry_cols]
+    toks = spread(
+        docs.select(*keep, F.expr(TOKENS.format(s=text_col)).alias("toks"))
+    )
+    per_tok = explode_nonnull(toks, F.col("toks"), "token", *keep).join(
         lm, "token", "left"
     )
     return (
-        per_tok.groupBy(id_col)
+        per_tok.groupBy(*keep)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             (-F.avg(F.coalesce(F.col("logp"), F.lit(float(unseen))))).alias("mean_nll"),
@@ -93,8 +100,15 @@ def train_bigram_lm(
     vocab    observed vocabulary size (for the unseen-context floor
              log(1/(vocab+1)), computed by the caller via unseen_context_logp)
 
-    Same two-aggregate shape as the unigram trainer; both tables are
-    mergeable across corpus shards.
+    One corpus-scale pass: c(prev) = sum_t c(prev, t) exactly (every pair
+    occurrence contributes once), so context counts re-aggregate the
+    already-shuffled pair table instead of exploding the corpus a second
+    time. The vocabulary is likewise recoverable without another explode:
+    in a document with >= 2 tokens every token appears in some adjacent
+    pair (as prev if not last, as token if not first), so
+    vocab = distinct(prev) ∪ distinct(token) ∪ {tokens of 1-token docs} —
+    the first two read the small aggregated table, the last is a no-explode
+    projection over the rare single-token documents.
     """
     toks = spread(docs.select(F.expr(TOKENS.format(s=text_col)).alias("toks")))
     pair_arr = (
@@ -103,10 +117,19 @@ def train_bigram_lm(
         "ELSE cast(array() as array<struct<prev:string,token:string>>) END"
     )
     pairs = explode_nonnull(toks, pair_arr, "p").select("p.prev", "p.token")
-    pair_counts = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c_pt"))
-    ctx_counts = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("c_p"))
+    pair_counts = pairs.groupBy("prev", "token").agg(
+        F.count(F.lit(1)).alias("c_pt")
+    ).localCheckpoint(eager=False)
+    ctx_counts = pair_counts.groupBy("prev").agg(F.sum("c_pt").alias("c_p"))
+    singles = toks.filter(F.expr("size(toks) = 1")).select(
+        F.expr("toks[0]").alias("token")
+    )
     vocab = (
-        explode_nonnull(toks, F.col("toks"), "token").select("token").distinct().count()
+        pair_counts.select(F.col("prev").alias("token"))
+        .unionByName(pair_counts.select("token"))
+        .unionByName(singles)
+        .distinct()
+        .count()
     )
     denom_k = k * (vocab + 1)
     bigrams = pair_counts.join(ctx_counts, "prev").select(
@@ -167,3 +190,83 @@ def bigram_perplexity(
         )
         .withColumn("ppl", F.exp("mean_nll"))
     )
+
+
+def unigram_lm_components(
+    docs: DataFrame, text_col: str = "text", k: float = 1.0
+) -> tuple[DataFrame, float]:
+    """(lm, unseen): the unigram model AND its unseen-token floor from ONE
+    token aggregate (train_unigram_lm + a separate totals pass would scan
+    the reference corpus twice). The totals collect is two scalars."""
+    toks = spread(docs.select(F.expr(TOKENS.format(s=text_col)).alias("toks")))
+    counts = (
+        explode_nonnull(toks, F.col("toks"), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    row = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("vocab")
+    ).first()
+    total, vocab = int(row["total"] or 0), int(row["vocab"] or 0)
+    denom = total + k * (vocab + 1)
+    lm = counts.select(
+        "token", F.log((F.col("n") + F.lit(k)) / F.lit(denom)).alias("logp")
+    )
+    return lm, math.log(k / denom)
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    lm: DataFrame,
+    unseen: float,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document against a reference unigram LM, then split EACH LANGUAGE into
+    `n_buckets` quality tiers by perplexity rank (bucket 1 = most fluent =
+    CCNet's "head"; 3 = "tail"). -> (id_col, lang_col, n_tokens, mean_nll,
+    bucket). Documents with no tokens score no row (CCNet drops them too).
+
+    Deterministic and tie-aware: ranks order by ROUND(mean_nll, 6) alone —
+    the rounding absorbs float-summation wiggle, and equal scores always
+    share a bucket (CCNet assigns by perplexity THRESHOLD, so identical
+    documents can never straddle a tier edge the way an id-tiebroken
+    ntile would split them).
+
+    `exact=True` is a per-language percent_rank threshold
+    (bucket = floor(pr * n) + 1, clamped) — identical to ntile on
+    distinct scores, tie-sharing on ties; a distributed sort within each
+    language (range-partitioned; fine in batch). `exact=False` is the
+    100 TB shape: per-language GK cutoff quantiles (one sketch aggregate),
+    then a broadcast join + map-side comparison — no sort at all, at the
+    cost of sketch-accuracy bucket edges."""
+    from pyspark.sql import Window
+
+    scored = perplexity(
+        docs, lm, unseen, text_col, id_col, carry_cols=(lang_col,)
+    )
+    r = F.round("mean_nll", 6)
+    if exact:
+        w = Window.partitionBy(lang_col).orderBy(r.asc())
+        bucket = F.least(
+            F.lit(n_buckets),
+            (F.floor(F.percent_rank().over(w) * n_buckets) + 1).cast("int"),
+        )
+        return scored.withColumn("bucket", bucket)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.groupBy(lang_col).agg(
+        F.percentile_approx(r, F.array(*[F.lit(p) for p in probs]), F.lit(10_000))
+        .alias("__cuts")
+    )
+    joined = scored.join(F.broadcast(cuts), lang_col, "left")
+    bucket = F.lit(1) + F.aggregate(
+        "__cuts",
+        F.lit(0),
+        lambda acc, c: acc + F.when(r > c, 1).otherwise(0),
+    )
+    return joined.withColumn("bucket", bucket).drop("__cuts")

@@ -12,6 +12,7 @@ upper/mixed-case input skews language-ID hits and token counts.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -308,3 +309,38 @@ def normalize_text(
             )
         ),
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "zlib_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """df + `out_col`: len(zlib(text)) / len(utf8(text)) — the classic
+    cheap redundancy signal (Gopher / RefinedWeb-style filters drop the
+    extremes: near-0 ratios are boilerplate/repetition, ratios ~>1 are
+    already-compressed or random bytes pretending to be text). Spark has
+    no JVM-side deflate expression, so this is the one text metric that
+    rides an Arrow-batched pandas UDF — map-only, no shuffle, ~100 MB/s
+    per core. Empty/null text scores null (nothing to judge).
+
+    The VALUE is a heuristic: deflate output length at a given level is
+    stable for a given zlib build but not contractually identical across
+    zlib versions — treat thresholds as tunable, don't hash-gate the raw
+    ratio across engines."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

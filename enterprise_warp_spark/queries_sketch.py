@@ -38,6 +38,16 @@ Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
 * ``dsr`` — operators.sampling DSIR importance log-weights (r8): hashed
   unigram+bigram bucket models, target = the lang='en' slice; per-doc
   cnt * log-ratio sums rounded at 6 vs a full SQL reproduction.
+* ``ccn`` — pipeline.lm ccnet_buckets (r8, Wenzek et al. 2020): CCNet
+  perplexity bucketing — unigram LM trained on the en slice in one
+  token aggregate, per-language 3-tier tie-aware percent_rank threshold over rounded NLL;
+  tier AND score are both hash-checked vs the SQL model + window.
+* ``blm`` — operators.sketches Bloom filter (r8): build over the
+  doc_id % 23 == 0 keys into a deliberately under-sized filter (256
+  bits, 2 md5 double-hashes) and probe every document map-only (filter
+  as array literal, zero shuffle); the oracle replays the position
+  arithmetic as SQL set membership, so the exact bit-collision pattern —
+  including real false positives — is hash-checked.
 
 The learned quality classifier (pipeline/classify.py) stays OUT of this
 gate by design: LogisticRegression training is an iterative L-BFGS fit
@@ -61,6 +71,12 @@ _HH_SHARE = 1.0 / 256.0  # binary-exact: threshold compare is bit-identical
 _HLL_RSD = 0.02
 _GK_ACCURACY = 10_000
 _DSIR_DIM = 256
+# Bloom gate: m deliberately TINY (256 bits vs ~20+ inserted keys at sf0.01)
+# so real false positives occur and the oracle checks the exact FP pattern,
+# not just the no-false-negative contract.
+_BLM_M = 256
+_BLM_K = 2
+_BLM_MOD = 23
 
 _SKETCH_ORACLE = f"""
     WITH n AS (
@@ -247,6 +263,69 @@ _SKETCH_ORACLE = f"""
       ) lr ON db.bucket = lr.bucket
       GROUP BY db.doc_id
     ) w ON d.doc_id = w.doc_id
+    UNION ALL
+    SELECT 'ccn' AS gate,
+           lang || '|' || CAST(LEAST(3, CAST(FLOOR(PERCENT_RANK() OVER (
+             PARTITION BY lang ORDER BY r) * 3) AS INT) + 1) AS VARCHAR)
+             AS k1,
+           doc_id AS k2, r + 0.0 AS v1, '' AS h
+    FROM (
+      SELECT t.doc_id, t.lang,
+             ROUND(-AVG(COALESCE(u.logp, ln(1.0 / cd.denom))), 6) AS r
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        FROM documents
+      ) t
+      LEFT JOIN (
+        SELECT c.token,
+               ln((CAST(c.n AS DOUBLE) + 1.0) / d.denom) AS logp
+        FROM (
+          SELECT token, COUNT(*) AS n FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+            FROM documents WHERE lang = 'en'
+          ) GROUP BY 1
+        ) c CROSS JOIN (
+          SELECT CAST(SUM(n) + COUNT(*) + 1 AS DOUBLE) AS denom FROM (
+            SELECT token, COUNT(*) AS n FROM (
+              SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+              FROM documents WHERE lang = 'en'
+            ) GROUP BY 1
+          )
+        ) d
+      ) u ON t.token = u.token
+      CROSS JOIN (
+        SELECT CAST(SUM(n) + COUNT(*) + 1 AS DOUBLE) AS denom FROM (
+          SELECT token, COUNT(*) AS n FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+            FROM documents WHERE lang = 'en'
+          ) GROUP BY 1
+        )
+      ) cd
+      GROUP BY t.doc_id, t.lang
+    )
+    UNION ALL
+    SELECT 'blm' AS gate, '' AS k1, doc_id AS k2,
+           CASE WHEN flagged THEN 1.0 ELSE 0.0 END + 0.0 AS v1, '' AS h
+    FROM (
+      SELECT ph.doc_id,
+             BOOL_AND((ph.h1 + u.j * ph.h2) % {_BLM_M} IN
+                      (SELECT p FROM (
+                        SELECT DISTINCT (bh.h1 + t.j * bh.h2) % {_BLM_M} AS p
+                        FROM (
+                          SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h1,
+                                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 16, 15) AS BIGINT) AS h2
+                          FROM documents WHERE doc_id % {_BLM_MOD} = 0
+                        ) bh, unnest(range(0, {_BLM_K})) AS t(j)
+                      ))) AS flagged
+      FROM (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 16, 15) AS BIGINT) AS h2
+        FROM documents
+      ) ph, unnest(range(0, {_BLM_K})) AS u(j)
+      GROUP BY ph.doc_id
+    )
 """
 
 
@@ -362,6 +441,60 @@ def _lmp_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ccn_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (r8, pipeline/lm.py ccnet_buckets,
+    Wenzek et al. 2020): unigram LM trained on the lang='en' slice
+    (unigram_lm_components — ONE token aggregate), every document scored,
+    each language split into 3 quality tiers by a tie-aware percent_rank
+    threshold over the rounded NLL (equal scores share a tier).
+    k1 = lang|bucket and v1 = the rounded mean NLL, so BOTH the tier
+    assignment and the underlying score are hash-checked. The oracle
+    replays model + percent_rank threshold in SQL."""
+    from enterprise_warp_spark.pipeline.lm import (
+        ccnet_buckets,
+        unigram_lm_components,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    lm, unseen = unigram_lm_components(docs.filter(F.col("lang") == "en"))
+    b = ccnet_buckets(docs, lm, unseen, n_buckets=3)
+    return b.select(
+        F.lit("ccn").alias("gate"),
+        F.concat("lang", F.lit("|"), F.col("bucket").cast("string")).alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        (F.round("mean_nll", 6) + F.lit(0.0)).alias("v1"),
+        F.lit("").alias("h"),
+    )
+
+
+def _blm_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination probe (r8, operators/sketches.py
+    bloom_build/bloom_probe): insert the doc_id % _BLM_MOD == 0 keys into a
+    deliberately under-sized filter (_BLM_M bits, _BLM_K md5 double-hashes)
+    and probe EVERY document — v1 flags maybe-membership, so the oracle
+    (the same position arithmetic as a DuckDB set-membership check) verifies
+    the exact bit-collision pattern including real false positives, not just
+    the no-false-negative contract. The probe plan is map-only: the filter
+    rides as an array literal, no join, no shuffle."""
+    from enterprise_warp_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").cast("string").alias("x")
+    )
+    bl = bloom_build(
+        docs.filter(F.col("doc_id") % _BLM_MOD == 0).select("x"),
+        "x", m_bits=_BLM_M, k=_BLM_K,
+    )
+    out = bloom_probe(docs, "x", bl, m_bits=_BLM_M, k=_BLM_K)
+    return out.select(
+        F.lit("blm").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        (F.when(F.col("maybe_member"), 1.0).otherwise(0.0) + F.lit(0.0)).alias("v1"),
+        F.lit("").alias("h"),
+    )
+
+
 def _dsr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights (r8, operators/sampling.py
     dsir_weights): raw = the documents table, target = its lang='en'
@@ -373,8 +506,11 @@ def _dsr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.operators.sampling import dsir_weights
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    target = docs.filter(F.col("lang") == "en")
-    w = dsir_weights(docs, target, dim=_DSIR_DIM)
+    # target ⊆ raw: the flag fast path featurizes the corpus ONCE (the en
+    # slice's p-distribution sums the flagged rows of the same bucket table)
+    w = dsir_weights(
+        docs, None, dim=_DSIR_DIM, target_flag=F.col("lang") == "en"
+    )
     return w.select(
         F.lit("dsr").alias("gate"),
         F.lit("").alias("k1"),
@@ -398,7 +534,12 @@ def _dsr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "perplexity scoring (pipeline/lm.py, trained on the en slice, full "
     "fallback chain) vs its SQL twin, [dsr] DSIR importance log-weights "
     "(operators/sampling.py, Xie et al. 2023) vs a full SQL "
-    "reproduction. The learned quality "
+    "reproduction, [blm] Bloom-filter decontamination probe "
+    "(operators/sketches.py, md5 double-hash, map-only zero-shuffle "
+    "probe) vs SQL position-set membership incl. real false positives "
+    "(r8), [ccn] CCNet perplexity bucketing (pipeline/lm.py "
+    "ccnet_buckets: en-trained unigram LM, per-language tie-aware 3-tier) "
+    "vs the same model + window in SQL (r8). The learned quality "
     "classifier stays pytest-gated (iterative L-BFGS has no SQL twin) — "
     "see module docstring.",
 )
@@ -409,4 +550,6 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_hll_gk_branches(spark, sf_dir))
         .unionByName(_lmp_branch(spark, sf_dir))
         .unionByName(_dsr_branch(spark, sf_dir))
+        .unionByName(_blm_branch(spark, sf_dir))
+        .unionByName(_ccn_branch(spark, sf_dir))
     )

@@ -83,3 +83,34 @@ def test_scoring_plan_has_no_python_eval(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """pipeline/text.py compression_ratio: repetitive text compresses far
+    below fluent text, which compresses below high-entropy noise; empty
+    and null score null; plan is map-only (ArrowEvalPython, no shuffle)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline.text import compression_ratio
+
+    rng = random.Random(11)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(2000))
+    rows = [
+        ("rep", "spam ham " * 250),
+        ("flu", ("the quick brown fox jumps over the lazy dog and then "
+                 "discusses compression ratios at considerable length ") * 5),
+        ("rnd", noise),
+        ("emp", ""),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, text string")
+    got = {r["k"]: r["zlib_ratio"] for r in compression_ratio(df).collect()}
+    assert got["emp"] is None and got["nul"] is None
+    assert got["rep"] < 0.05 < got["flu"] < got["rnd"]
+    assert got["rnd"] > 0.6
+    plan = (
+        compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -261,3 +261,53 @@ def test_strip_contaminated_spans_is_surgical(spark):
     assert kept_ids == {2}
     assert "original prose" in out[1]["cleaned_text"]
     assert "quick brown" not in out[1]["cleaned_text"]
+
+
+def test_ccnet_buckets_exact_and_sketch_modes(spark):
+    """pipeline/lm.py ccnet_buckets: per-language tiers rank fluent text
+    into bucket 1 and gibberish into the top bucket; the sketch mode
+    (percentile_approx cutoffs, no sort) agrees with the exact NTILE on
+    well-separated scores; empty docs produce no row."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline.lm import (
+        ccnet_buckets,
+        unigram_lm_components,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the cat"
+    rows = []
+    for i in range(12):
+        rows.append((i, fluent, "en"))                    # matches the LM
+    for i in range(12, 24):
+        rows.append((i, f"zzq{i} xvw{i} qqj{i} kkp{i}", "en"))  # OOV noise
+    rows.append((100, "", "en"))                          # empty: no row
+    rows.append((200, fluent, "fr"))                      # own partition
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    lm, unseen = unigram_lm_components(docs.filter(F.col("lang") == "en"))
+    exact = ccnet_buckets(docs, lm, unseen, n_buckets=3).toPandas()
+    assert 100 not in set(exact["doc_id"])
+    by_id = exact.set_index("doc_id")
+    # every fluent en doc ranks strictly below every noise doc
+    assert by_id.loc[range(0, 12), "bucket"].max() < by_id.loc[
+        range(12, 24), "bucket"
+    ].min()
+    assert by_id.loc[200, "bucket"] == 1  # sole fr doc: its own tier 1
+    # sketch mode: same buckets here (scores are far apart vs GK error)
+    approx = (
+        ccnet_buckets(docs, lm, unseen, n_buckets=3, exact=False)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert (approx["bucket"].reindex(by_id.index) == by_id["bucket"]).all()
+    # the sketch path must not sort: no rank Window in the plan (only the
+    # percentile_approx AGGREGATE — careful: "percentile" contains "ntile")
+    plan = (
+        ccnet_buckets(docs, lm, unseen, n_buckets=3, exact=False)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "percent_rank" not in plan.lower()
+    assert "specifiedwindowframe" not in plan.lower()

@@ -125,3 +125,76 @@ def test_strip_tags_escaped_entities_do_not_double_decode(spark):
     got = df.select(strip_tags_catalyst("html").alias("t")).first()["t"]
     assert got == _html.unescape(body)
     assert "&lt;b&gt;" in got and "<real>" in got and "&amp;" in got
+
+
+class TestLinkExtraction:
+    """pipeline/html.py extract_links / link_edges: anchor scan + RFC 3986
+    resolution as pure Catalyst (dot-segment removal is an array fold)."""
+
+    BASE = "https://ex.com/a/b/page.html?x=1"
+
+    def test_resolution_matches_urljoin_battery(self, spark):
+        from urllib.parse import urljoin
+
+        from enterprise_warp_spark.pipeline.html import extract_links
+
+        hrefs = [
+            "https://other.com/z", "//cdn.com/lib.js", "/root/x",
+            "rel/y.html", "bare.html", "../up.html",
+            "../../../../clamp.html", "./same.html", ".", "..", "?q=2",
+            "a/b/../c/./d.html", "x.html?a=1&amp;b=2", "/abs/../top.html",
+            "dir/", "../../other/deep/../file.txt",
+        ]
+        quoted = (
+            [f'<a href="{h}">t</a>' for h in hrefs]
+            + ["<a href='sq.html'>t</a>", "<a href=bare2.html>t</a>"]
+        )
+        df = spark.createDataFrame(
+            [(self.BASE, "".join(quoted))], "url string, html string"
+        )
+        got = [r["href"] for r in extract_links(df).collect()]
+        want = [
+            urljoin(self.BASE, h.replace("&amp;", "&")) for h in hrefs
+        ] + [urljoin(self.BASE, "sq.html"), urljoin(self.BASE, "bare2.html")]
+        assert got == want
+
+    def test_non_edges_dropped(self, spark):
+        from enterprise_warp_spark.pipeline.html import extract_links
+
+        html = (
+            '<a href="#top">t</a><a href="mailto:a@b.c">t</a>'
+            '<a href="javascript:void(0)">t</a><a href="data:text/plain,x">t</a>'
+            '<a href="tel:+123">t</a><a href="">t</a><a href="ok.html">t</a>'
+        )
+        df = spark.createDataFrame(
+            [(self.BASE, html)], "url string, html string"
+        )
+        got = [r["href"] for r in extract_links(df).collect()]
+        assert got == ["https://ex.com/a/b/ok.html"]
+
+    def test_plan_is_jvm_only_map(self, spark):
+        from enterprise_warp_spark.pipeline.html import extract_links
+
+        df = spark.createDataFrame(
+            [(self.BASE, '<a href="x">t</a>')], "url string, html string"
+        )
+        plan = (
+            extract_links(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # no BatchEvalPython / ArrowEval
+
+    def test_link_edges_domain_graph(self, spark):
+        from enterprise_warp_spark.pipeline.html import link_edges
+
+        rows = [
+            ("https://news.ex.com/p1",
+             '<a href="https://blog.other.org/x">t</a>'
+             '<a href="/local">t</a>'                 # same domain: self-loop
+             '<a href="https://blog.other.org/y?utm_source=a">t</a>'),  # dup
+            ("https://blog.other.org/x",
+             '<a href="https://news.ex.com/p2">t</a>'),
+        ]
+        df = spark.createDataFrame(rows, "url string, html string")
+        got = {(r["src"], r["dst"]) for r in link_edges(df).collect()}
+        assert got == {("ex.com", "other.org"), ("other.org", "ex.com")}

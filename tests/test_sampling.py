@@ -377,3 +377,101 @@ def test_dsir_select_plan_is_topk_not_global_sort(spark):
     p = buf.getvalue()
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_weighted_topk_sample_matches_gumbel_topk(spark):
+    """A-ES exponential keys and Gumbel-top-k over log-weights are the same
+    sampler: ln(-ln(u)/w) = -(ln w + Gumbel(u)), so with the SAME unit
+    hash per row the two orderings are exact mirrors — the selected sets
+    must be identical."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.sampling import (
+        _unit_hash,
+        weighted_topk_sample,
+    )
+
+    df = spark.range(0, 2_000).select(
+        F.col("id"), ((F.col("id") % 17) + 1).cast("double").alias("w")
+    )
+    got = {
+        r["id"] for r in weighted_topk_sample(df, 100, "w", F.col("id"), seed=3).collect()
+    }
+    # Gumbel-top-k over ln(w) with the same u
+    u = F.least(F.greatest(_unit_hash(F.col("id"), 3), F.lit(1e-15)), F.lit(1 - 1e-15))
+    gk = (
+        df.withColumn("__g", F.log("w") - F.log(-F.log(u)))
+        .orderBy(F.col("__g").desc())
+        .limit(100)
+    )
+    want = {r["id"] for r in gk.collect()}
+    assert got == want
+
+
+def test_weighted_topk_sample_favors_heavy_rows_and_is_stable(spark):
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.sampling import weighted_topk_sample
+
+    # two strata: weight 50 vs weight 1, equal counts — the heavy stratum
+    # must dominate the sample, and zero/negative weights never appear
+    df = spark.range(0, 2_000).select(
+        F.col("id"),
+        F.when(F.col("id") < 1_000, 50.0)
+        .when(F.col("id") < 1_900, 1.0)
+        .otherwise(-1.0)
+        .alias("w"),
+    )
+    s1 = weighted_topk_sample(df, 200, "w", F.col("id"), seed=1).toPandas()
+    s2 = weighted_topk_sample(df, 200, "w", F.col("id"), seed=1).toPandas()
+    assert sorted(s1["id"]) == sorted(s2["id"])  # deterministic
+    assert len(s1) == 200
+    assert (s1["w"] > 0).all()
+    heavy = int((s1["id"] < 1_000).sum())
+    assert heavy > 170  # E[heavy] ~ 196 of 200; far from uniform's ~105
+
+
+def test_weighted_topk_sample_plan_is_take_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.sampling import weighted_topk_sample
+
+    df = spark.range(0, 100).select(F.col("id"), F.lit(1.0).alias("w"))
+    plan = (
+        weighted_topk_sample(df, 5, "w", F.col("id"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_topk_sample_matches_duckdb_twin(spark):
+    """The whole sampler is portable arithmetic — DuckDB picks the same
+    rows from the same table."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.sampling import weighted_topk_sample
+
+    df = spark.range(0, 500).select(
+        F.col("id"), ((F.col("id") % 7) + 1).cast("double").alias("w")
+    )
+    got = sorted(
+        r["id"] for r in weighted_topk_sample(df, 40, "w", F.col("id"), seed=5).collect()
+    )
+    denom = float(16**15)
+    sql = f"""
+        SELECT id FROM (
+          SELECT id,
+                 -ln(LEAST(GREATEST(
+                     CAST('0x' || substr(md5(CAST(id AS VARCHAR) || '|5'), 1, 15) AS BIGINT)
+                       / {denom}, 1e-15), 1 - 1e-15))
+                 / ((id % 7) + 1) AS e
+          FROM range(0, 500) t(id)
+        ) ORDER BY e LIMIT 40
+    """
+    want = sorted(r[0] for r in duckdb.sql(sql).fetchall())
+    assert got == want

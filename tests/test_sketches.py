@@ -181,3 +181,113 @@ def test_heavy_hitters_adversarial_zipf_skew(spark):
     for (g, v), r in by_gv.items():
         true_cnt = exact.get((int(g), int(v)), 0)
         assert true_cnt >= (min_share - 1.0 / (capacity + 1)) * n_g[int(g)] - 1
+
+
+class TestBloom:
+    """operators/sketches.py bloom_build/bloom_probe: portable md5
+    double-hash Bloom filter for decontamination-style membership probes."""
+
+    def test_no_false_negatives_and_fpr_bound(self, spark):
+        from pyspark.sql import functions as F
+
+        from enterprise_warp_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        n, m, k = 2_000, 1 << 16, 5
+        items = spark.range(0, n).select(
+            F.concat(F.lit("key-"), F.col("id")).alias("x")
+        )
+        bl = bloom_build(items, "x", m_bits=m, k=k)
+        probe = spark.range(0, 20_000).select(
+            F.col("id"), F.concat(F.lit("key-"), F.col("id")).alias("x")
+        )
+        out = bloom_probe(probe, "x", bl, m_bits=m, k=k).toPandas()
+        members = out[out["id"] < n]
+        rest = out[out["id"] >= n]
+        assert bool(members["maybe_member"].all())  # NEVER a false negative
+        # theory: (1 - e^{-kn/m})^k ~ 2.2e-4 at these params; allow 10x
+        import math
+
+        fpr = float(rest["maybe_member"].mean())
+        bound = 10 * (1 - math.exp(-k * n / m)) ** k
+        assert fpr <= max(bound, 5e-3), fpr
+
+    def test_sharded_build_merges_to_same_filter(self, spark):
+        from pyspark.sql import functions as F
+
+        from enterprise_warp_spark.operators.sketches import bloom_build
+
+        items = spark.range(0, 1_000).select(F.col("id").cast("string").alias("x"))
+        whole = {
+            (r["word_idx"], r["word"])
+            for r in bloom_build(items, "x", m_bits=4096, k=3).collect()
+        }
+        sh1 = bloom_build(items.filter("cast(x as int) % 2 = 0"), "x", m_bits=4096, k=3)
+        sh2 = bloom_build(items.filter("cast(x as int) % 2 = 1"), "x", m_bits=4096, k=3)
+        merged = {
+            (r["word_idx"], r["word"])
+            for r in sh1.unionByName(sh2)
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+            .collect()
+        }
+        assert merged == whole
+
+    def test_probe_plan_is_map_only(self, spark):
+        from pyspark.sql import functions as F
+
+        from enterprise_warp_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        items = spark.range(0, 100).select(F.col("id").cast("string").alias("x"))
+        bl = bloom_build(items, "x", m_bits=1024, k=3)
+        out = bloom_probe(
+            spark.range(0, 100).select(F.col("id").cast("string").alias("x")),
+            "x",
+            bl,
+            m_bits=1024,
+            k=3,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # the corpus is never shuffled
+
+    def test_parameter_guards(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from enterprise_warp_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        items = spark.range(0, 4).select(F.col("id").cast("string").alias("x"))
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bloom_build(items, "x", m_bits=100)
+        with pytest.raises(ValueError, match=r"k must be in \[1, 8\]"):
+            bloom_build(items, "x", k=9)  # k*h2 would overflow int64
+        bl = bloom_build(items, "x", m_bits=64, k=1)
+        with pytest.raises(ValueError, match="broadcast join"):
+            bloom_probe(items, "x", bl, m_bits=1 << 23, k=1)
+
+    def test_empty_build_rejects_everything(self, spark):
+        from pyspark.sql import functions as F
+
+        from enterprise_warp_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        empty = spark.range(0, 0).select(F.col("id").cast("string").alias("x"))
+        bl = bloom_build(empty, "x", m_bits=256, k=2)
+        out = bloom_probe(
+            spark.range(0, 50).select(F.col("id").cast("string").alias("x")),
+            "x",
+            bl,
+            m_bits=256,
+            k=2,
+        ).toPandas()
+        assert not out["maybe_member"].any()

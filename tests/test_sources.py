@@ -362,3 +362,102 @@ def test_apply_noise_dict_requires_backend_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="backend"):
         apply_noise_dict(res, noise)
+
+
+class TestWarcSource:
+    """sources/warc.py: WARC/WET crawl-archive ingestion (no reference
+    counterpart — training-pipeline extension surface)."""
+
+    def _sample(self):
+        return [
+            {
+                "warc_type": "warcinfo",
+                "content": "software: test-crawler/1.0",
+                "content_type": "application/warc-fields",
+            },
+            {
+                "warc_type": "response",
+                "target_uri": "https://example.com/a",
+                "content": b"HTTP/1.1 200 OK\r\n\r\n<html>A body \xe2\x9c\x93</html>",
+                "content_type": "application/http; msgtype=response",
+            },
+            {
+                "warc_type": "conversion",
+                "target_uri": "https://example.com/a",
+                "content": "A body ✓ extracted text",
+                "content_type": "text/plain",
+            },
+            {
+                "warc_type": "conversion",
+                "target_uri": "https://example.org/b",
+                "content": "second doc text with tokens",
+                "content_type": "text/plain",
+            },
+        ]
+
+    def test_round_trip_plain_and_gzip_members(self, spark, tmp_path):
+        from enterprise_warp_spark.sources.warc import (
+            encode_warc,
+            parse_warc_bytes,
+            read_warc,
+            wet_documents,
+        )
+
+        recs = self._sample()
+        for gz, name in [(False, "f.warc"), (True, "f.warc.gz")]:
+            data = encode_warc(recs, gzip_per_record=gz)
+            got = parse_warc_bytes(data)
+            assert [r["warc_type"] for r in got] == [
+                "warcinfo", "response", "conversion", "conversion",
+            ]
+            assert got[1]["content"].endswith("\xe2\x9c\x93</html>".encode("latin1"))
+            assert not any(r["truncated"] for r in got)
+            (tmp_path / name).write_bytes(data)
+        df = read_warc(spark, str(tmp_path / "*.warc*"))
+        rows = df.collect()
+        assert len(rows) == 8  # 4 records x 2 files
+        docs = wet_documents(df).orderBy("url").collect()
+        assert len(docs) == 4
+        assert docs[0]["text"] == "A body ✓ extracted text"
+        assert len({r["doc_id"] for r in docs}) == 2  # stable per record-id
+
+    def test_truncated_tail_keeps_complete_records(self):
+        from enterprise_warp_spark.sources.warc import (
+            encode_warc,
+            parse_warc_bytes,
+        )
+
+        data = encode_warc(self._sample())
+        for cut in (len(data) - 7, len(data) - 40):
+            got = parse_warc_bytes(data[:cut])
+            assert len(got) == 3  # last record incomplete
+            assert got[-1]["truncated"] is True
+            assert not any(r["truncated"] for r in got[:-1])
+        # garbage-only file: one all-null marker row
+        got = parse_warc_bytes(b"NOT A WARC FILE AT ALL")
+        assert len(got) == 1 and got[0]["truncated"] and got[0]["content"] is None
+
+    def test_binary_payload_with_embedded_crlf(self):
+        from enterprise_warp_spark.sources.warc import (
+            encode_warc,
+            parse_warc_bytes,
+        )
+
+        payload = b"\r\n\r\nWARC/1.0\r\n\x00\xff" * 9  # adversarial body
+        data = encode_warc(
+            [{"warc_type": "resource", "content": payload}]
+        )
+        got = parse_warc_bytes(data)
+        assert len(got) == 1 and got[0]["content"] == payload
+
+    def test_whole_file_gzip(self):
+        import gzip as _gzip
+
+        from enterprise_warp_spark.sources.warc import (
+            encode_warc,
+            parse_warc_bytes,
+        )
+
+        data = _gzip.compress(encode_warc(self._sample()))
+        got = parse_warc_bytes(data)
+        assert len(got) == 4 and not any(r["truncated"] for r in got)
