@@ -320,7 +320,16 @@ def hashed_ngram_buckets(
     # inlined split() re-tokenizes the document inside EVERY element_at —
     # O(n_tokens^2) per document (measured 3s -> 0.4s on 5k docs at
     # sf0.1). Same staging pattern as pipeline/classify.featurize.
-    toks = f"filter(split({text_col}, ' '), x -> x != '')"
+    # `text_col` may already be a pre-tokenized array<string> (a caller
+    # sharing ONE tokenization across several featurizers, pipeline.lm._toks
+    # convention) — then it passes through untouched.
+    from pyspark.sql import types as T
+
+    pretok = any(
+        fld.name == text_col and isinstance(fld.dataType, T.ArrayType)
+        for fld in df.schema.fields
+    )
+    toks = text_col if pretok else f"filter(split({text_col}, ' '), x -> x != '')"
     grams = (
         "concat(__tok, CASE WHEN size(__tok) < 2 THEN "
         "cast(array() as array<string>) ELSE "
@@ -416,10 +425,33 @@ def dsir_weights(
             flag_col="__tflag",
         ).localCheckpoint(eager=True)
         raw_buckets = flagged.drop("flag")
-        p_counts = (
-            flagged.filter(F.col("flag"))
-            .groupBy("bucket")
-            .agg(F.sum("cnt").alias("c"))
+        # ONE per-bucket aggregate carries BOTH distributions (q over all
+        # rows, p over the flagged slice) and ONE scalar job reads both
+        # totals — vs the general path's two aggregates + two totals.
+        per_bucket = flagged.groupBy("bucket").agg(
+            F.sum("cnt").alias("c_q"),
+            F.sum(
+                F.when(F.col("flag"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("c_p"),
+        )
+        tot = per_bucket.agg(F.sum("c_q"), F.sum("c_p")).first()
+        tq, tp = float(tot[0] or 0), float(tot[1] or 0)
+        full = spark.range(dim).select(F.col("id").alias("bucket"))
+        # the two F.log terms are the exact expressions _dsir_smoothed_dist
+        # builds for lp and lq — the fast path must stay bit-identical to
+        # the general path (and to the SQL oracle)
+        ratios = full.join(per_bucket, "bucket", "left").select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("c_p", F.lit(0)).cast("double") + F.lit(smoothing))
+                    / F.lit(tp + smoothing * dim)
+                )
+                - F.log(
+                    (F.coalesce("c_q", F.lit(0)).cast("double") + F.lit(smoothing))
+                    / F.lit(tq + smoothing * dim)
+                )
+            ).alias("log_ratio"),
         )
     else:
         raw_buckets = hashed_ngram_buckets(
@@ -430,15 +462,15 @@ def dsir_weights(
             .groupBy("bucket")
             .agg(F.sum("cnt").alias("c"))
         )
-    q = _dsir_smoothed_dist(
-        spark,
-        raw_buckets.groupBy("bucket").agg(F.sum("cnt").alias("c")),
-        "lq", dim, smoothing,
-    )
-    p = _dsir_smoothed_dist(spark, p_counts, "lp", dim, smoothing)
-    ratios = p.join(q, "bucket").select(
-        "bucket", (F.col("lp") - F.col("lq")).alias("log_ratio")
-    )
+        q = _dsir_smoothed_dist(
+            spark,
+            raw_buckets.groupBy("bucket").agg(F.sum("cnt").alias("c")),
+            "lq", dim, smoothing,
+        )
+        p = _dsir_smoothed_dist(spark, p_counts, "lp", dim, smoothing)
+        ratios = p.join(q, "bucket").select(
+            "bucket", (F.col("lp") - F.col("lq")).alias("log_ratio")
+        )
     per_doc = (
         raw_buckets.join(F.broadcast(ratios), "bucket")
         .groupBy("id")

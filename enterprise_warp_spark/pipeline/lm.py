@@ -30,10 +30,24 @@ from enterprise_warp_spark.functions.arrays import explode_nonnull, spread
 from enterprise_warp_spark.pipeline.text import TOKENS
 
 
+def _toks(docs: DataFrame, text_col: str):
+    """Tokenize `text_col`, or pass it through untouched when it is already
+    an array<string> — so a caller scoring several models over one corpus
+    can tokenize ONCE (materialize the token arrays) and hand the same
+    column to every train/score entry point."""
+    from pyspark.sql import types as T
+
+    for fld in docs.schema.fields:
+        if fld.name == text_col and isinstance(fld.dataType, T.ArrayType):
+            return F.col(text_col)
+    return F.expr(TOKENS.format(s=text_col))
+
+
 def train_unigram_lm(docs: DataFrame, text_col: str = "text", k: float = 1.0) -> DataFrame:
     """-> (token, logp) with add-k smoothing over the observed vocabulary.
-    Deterministic: logp depends only on corpus counts."""
-    toks = spread(docs.select(F.expr(TOKENS.format(s=text_col)).alias("toks")))
+    Deterministic: logp depends only on corpus counts. `text_col` may be a
+    pre-tokenized array<string> column (see _toks)."""
+    toks = spread(docs.select(_toks(docs, text_col).alias("toks")))
     counts = (
         explode_nonnull(toks, F.col("toks"), "token")
         .groupBy("token")
@@ -73,7 +87,7 @@ def perplexity(
     beats a join-back-to-docs shuffle."""
     keep = [id_col, *carry_cols]
     toks = spread(
-        docs.select(*keep, F.expr(TOKENS.format(s=text_col)).alias("toks"))
+        docs.select(*keep, _toks(docs, text_col).alias("toks"))
     )
     per_tok = explode_nonnull(toks, F.col("toks"), "token", *keep).join(
         lm, "token", "left"
@@ -110,7 +124,7 @@ def train_bigram_lm(
     the first two read the small aggregated table, the last is a no-explode
     projection over the rare single-token documents.
     """
-    toks = spread(docs.select(F.expr(TOKENS.format(s=text_col)).alias("toks")))
+    toks = spread(docs.select(_toks(docs, text_col).alias("toks")))
     pair_arr = (
         "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
         "i -> struct(element_at(toks, i) as prev, element_at(toks, i + 1) as token)) "
@@ -161,7 +175,7 @@ def bigram_perplexity(
     transitions. Fallback chain per transition: observed pair logp ->
     seen-context floor -> unseen-context floor. Docs with < 2 tokens score
     null (no transitions). Two equi-joins + one doc aggregate."""
-    toks = spread(docs.select(id_col, F.expr(TOKENS.format(s=text_col)).alias("toks")))
+    toks = spread(docs.select(id_col, _toks(docs, text_col).alias("toks")))
     pair_arr = (
         "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
         "i -> struct(element_at(toks, i) as prev, element_at(toks, i + 1) as token)) "
@@ -198,7 +212,7 @@ def unigram_lm_components(
     """(lm, unseen): the unigram model AND its unseen-token floor from ONE
     token aggregate (train_unigram_lm + a separate totals pass would scan
     the reference corpus twice). The totals collect is two scalars."""
-    toks = spread(docs.select(F.expr(TOKENS.format(s=text_col)).alias("toks")))
+    toks = spread(docs.select(_toks(docs, text_col).alias("toks")))
     counts = (
         explode_nonnull(toks, F.col("toks"), "token")
         .groupBy("token")

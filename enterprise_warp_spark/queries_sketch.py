@@ -415,7 +415,26 @@ def _hll_gk_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.unionByName(gk)
 
 
-def _lmp_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tokdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE tokenized-documents table (doc_id, lang, toks) shared by the
+    lmp / dsr / ccn branches (the matching_geo_ops `_customer_slim` /
+    repeated_ngram_spans `grams=` pattern): each of those branches
+    otherwise re-scans documents.parquet and re-runs the same
+    split+filter tokenization 1-2 times. Materialized once
+    (localCheckpoint), consumed as a pre-tokenized array column via the
+    featurizers' _toks convention."""
+    from enterprise_warp_spark.pipeline.text import TOKENS
+
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", F.expr(TOKENS.format(s="text")).alias("toks")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _lmp_branch(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     """Bigram-LM perplexity scoring (r8, pipeline/lm.py): train add-1
     bigram counts on the lang='en' slice, score EVERY document's
     transitions through the observed-pair -> seen-context-floor ->
@@ -429,9 +448,10 @@ def _lmp_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bigram_lm,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    bi, ctx, vocab = train_bigram_lm(docs.filter(F.col("lang") == "en"))
-    out = bigram_perplexity(docs, bi, ctx, vocab)
+    bi, ctx, vocab = train_bigram_lm(
+        docs.filter(F.col("lang") == "en"), text_col="toks"
+    )
+    out = bigram_perplexity(docs, bi, ctx, vocab, text_col="toks")
     return out.select(
         F.lit("lmp").alias("gate"),
         F.lit("").alias("k1"),
@@ -441,7 +461,7 @@ def _lmp_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ccn_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ccn_branch(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     """CCNet-style perplexity bucketing (r8, pipeline/lm.py ccnet_buckets,
     Wenzek et al. 2020): unigram LM trained on the lang='en' slice
     (unigram_lm_components — ONE token aggregate), every document scored,
@@ -455,9 +475,10 @@ def _ccn_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_lm_components,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    lm, unseen = unigram_lm_components(docs.filter(F.col("lang") == "en"))
-    b = ccnet_buckets(docs, lm, unseen, n_buckets=3)
+    lm, unseen = unigram_lm_components(
+        docs.filter(F.col("lang") == "en"), text_col="toks"
+    )
+    b = ccnet_buckets(docs, lm, unseen, n_buckets=3, text_col="toks")
     return b.select(
         F.lit("ccn").alias("gate"),
         F.concat("lang", F.lit("|"), F.col("bucket").cast("string")).alias("k1"),
@@ -495,7 +516,7 @@ def _blm_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsr_branch(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     """DSIR importance log-weights (r8, operators/sampling.py
     dsir_weights): raw = the documents table, target = its lang='en'
     slice, hashed unigram+bigram features in _DSIR_DIM buckets with the
@@ -505,11 +526,11 @@ def _dsr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     and summation-order differences."""
     from enterprise_warp_spark.operators.sampling import dsir_weights
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     # target ⊆ raw: the flag fast path featurizes the corpus ONCE (the en
     # slice's p-distribution sums the flagged rows of the same bucket table)
     w = dsir_weights(
-        docs, None, dim=_DSIR_DIM, target_flag=F.col("lang") == "en"
+        docs, None, text_col="toks", dim=_DSIR_DIM,
+        target_flag=F.col("lang") == "en",
     )
     return w.select(
         F.lit("dsr").alias("gate"),
@@ -544,12 +565,13 @@ def _dsr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "see module docstring.",
 )
 def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = _tokdocs(spark, sf_dir)
     return (
         _semd_branch(spark, sf_dir)
         .unionByName(_hh_branch(spark, sf_dir))
         .unionByName(_hll_gk_branches(spark, sf_dir))
-        .unionByName(_lmp_branch(spark, sf_dir))
-        .unionByName(_dsr_branch(spark, sf_dir))
+        .unionByName(_lmp_branch(spark, sf_dir, td))
+        .unionByName(_dsr_branch(spark, sf_dir, td))
         .unionByName(_blm_branch(spark, sf_dir))
-        .unionByName(_ccn_branch(spark, sf_dir))
+        .unionByName(_ccn_branch(spark, sf_dir, td))
     )
