@@ -279,6 +279,106 @@ def kmeans_centroids(
     )
 
 
+def lloyd_kmeans(
+    emb: DataFrame,
+    k: int,
+    n_iter: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic fixed-iteration Lloyd k-means -> (assignments,
+    centroids): assignments = (id, cell_id, dist) labeling every vector
+    with its nearest FINAL centroid; centroids = (cell_id, c_emb).
+
+    The reproducible flavor of kmeans_centroids (which delegates to MLlib
+    and is the production quality path): init = the k lowest-id vectors,
+    every distance and every centroid coordinate ROUNDed at `decimals`
+    before any comparison or reuse, ties broken by cell_id — so the whole
+    trajectory is bit-reproducible across runs AND replayable by a plain
+    SQL twin (curation pipelines pin cluster-balanced sampling and
+    SemDeDup cells on exactly this property).
+
+    Distributed shape: each iteration is ONE pass over the corpus — a
+    map-side distance against a BROADCAST centroid table, a per-id argmin,
+    and a per-(cell, dim) mean; between iterations only the k x dim
+    centroid matrix crosses the driver, bounded by the definition of
+    k-means, never by data volume. Empty cells keep their previous
+    centroid (the deterministic analogue of MLlib's no-reseed behavior).
+    Distance is the nsq + c_nsq - 2*dot expansion with the module's
+    sequential-fold DOT, the exact shape the SQL twins use."""
+    from enterprise_warp_spark.pipeline.dedup import spread
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    spark = emb.sparkSession
+    base = spread(
+        emb.select(id_col, F.col(emb_col).cast("array<double>").alias("__e")),
+        id_col,
+    ).withColumn("nsq", F.expr(DOT.format(a="__e", b="__e")))
+    init = (
+        base.select(id_col, "__e").orderBy(id_col).limit(k).collect()
+    )
+    if not init:
+        raise ValueError("lloyd_kmeans: empty input")
+    # init coordinates rounded too, so iteration 1 sees the same numbers
+    # a SQL replay of the rounded-centroid trajectory sees
+    cents = [
+        [round(float(v), decimals) for v in r["__e"]] for r in init
+    ]
+    dim = len(cents[0])
+
+    def assign(cs: list[list[float]]) -> DataFrame:
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(ci, c) for ci, c in enumerate(cs)],
+                "cell_id int, __c array<double>",
+            ).withColumn("c_nsq", F.expr(DOT.format(a="__c", b="__c")))
+        )
+        d = base.crossJoin(cdf).withColumn(
+            "dist",
+            F.round(
+                F.col("nsq") + F.col("c_nsq")
+                - 2 * F.expr(DOT.format(a="__e", b="__c")),
+                decimals,
+            ),
+        )
+        w = Window.partitionBy(id_col).orderBy("dist", "cell_id")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "__c", "c_nsq")
+        )
+
+    for _ in range(n_iter):
+        new = (
+            assign(cents)
+            .groupBy("cell_id")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("__e")[i]), decimals).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        got = {
+            int(r["cell_id"]): [float(r[f"c{i}"]) for i in range(dim)]
+            for r in new
+        }
+        cents = [got.get(ci, c) for ci, c in enumerate(cents)]
+    assignments = assign(cents).select(
+        id_col, "cell_id", "dist"
+    )
+    centroids = spark.createDataFrame(
+        [(ci, c) for ci, c in enumerate(cents)],
+        "cell_id int, c_emb array<double>",
+    )
+    return assignments, centroids
+
+
 def build_ivf_index(
     emb: DataFrame,
     centroids: DataFrame,

@@ -42,6 +42,14 @@ Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
   perplexity bucketing — unigram LM trained on the en slice in one
   token aggregate, per-language 3-tier tie-aware percent_rank threshold over rounded NLL;
   tier AND score are both hash-checked vs the SQL model + window.
+* ``kmc`` — pipeline.similarity.lloyd_kmeans (r8): deterministic
+  fixed-iteration Lloyd k-means (k=8, 2 iterations, lowest-id init,
+  every distance and centroid coordinate rounded at 6 before reuse).
+  Both the final per-vector assignment (cell, rounded distance) and the
+  final centroid coordinates are hash-checked against an unrolled
+  kmc0 -> kmc1 -> kmc2 SQL CTE chain — the trajectory, not just the end
+  state, is pinned (a flipped argmin in iteration 1 moves a mean in
+  iteration 2 and fails the hash).
 * ``blm`` — operators.sketches Bloom filter (r8): build over the
   doc_id % 23 == 0 keys into a deliberately under-sized filter (256
   bits, 2 md5 double-hashes) and probe every document map-only (filter
@@ -75,6 +83,8 @@ _DSIR_DIM = 256
 # so real false positives occur and the oracle checks the exact FP pattern,
 # not just the no-false-negative contract.
 _BLM_M = 256
+_KMC_K = 8
+_KMC_ITER = 2
 _BLM_K = 2
 _BLM_MOD = 23
 
@@ -105,7 +115,63 @@ _SKETCH_ORACLE = f"""
       FROM events
     ),
     hht AS (SELECT event_type, COUNT(*) AS total FROM hv GROUP BY 1),
-    hhc AS (SELECT event_type, v, COUNT(*) AS n FROM hv GROUP BY 1, 2)
+    hhc AS (SELECT event_type, v, COUNT(*) AS n FROM hv GROUP BY 1, 2),
+    kme AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    kme_n AS (SELECT vec_id, e, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(e) + 1), i -> CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))), (acc, x) -> acc + x) AS nsq FROM kme),
+    kmc0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id,
+             list_transform(e, x -> ROUND(x, 6) + 0.0) AS c
+      FROM (SELECT * FROM kme ORDER BY vec_id LIMIT 8)
+    ),
+    kma1_d AS (
+      SELECT kme_n.vec_id, kme_n.e, kmc0.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY kme_n.vec_id ORDER BY
+               ROUND(kme_n.nsq + list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kmc0.c) + 1), i -> CAST(kmc0.c[i] AS DOUBLE) * CAST(kmc0.c[i] AS DOUBLE))), (acc, x) -> acc + x) - 2 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kme_n.e) + 1), i -> CAST(kme_n.e[i] AS DOUBLE) * CAST(kmc0.c[i] AS DOUBLE))), (acc, x) -> acc + x), 6), kmc0.cell_id) AS rn,
+             ROUND(kme_n.nsq + list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kmc0.c) + 1), i -> CAST(kmc0.c[i] AS DOUBLE) * CAST(kmc0.c[i] AS DOUBLE))), (acc, x) -> acc + x) - 2 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kme_n.e) + 1), i -> CAST(kme_n.e[i] AS DOUBLE) * CAST(kmc0.c[i] AS DOUBLE))), (acc, x) -> acc + x), 6) AS dist
+      FROM kme_n CROSS JOIN kmc0
+    ),
+    kma1 AS (SELECT vec_id, e, cell_id, dist FROM kma1_d WHERE rn = 1),
+    kmc1 AS (
+      SELECT kmc0.cell_id, COALESCE(m.c, kmc0.c) AS c
+      FROM kmc0 LEFT JOIN (
+        SELECT cell_id, list(ROUND(av, 6) + 0.0 ORDER BY i) AS c
+        FROM (
+          SELECT cell_id, u.i AS i, AVG(e[u.i]) AS av
+          FROM kma1, unnest(range(1, len(e) + 1)) AS u(i)
+          GROUP BY cell_id, u.i
+        ) GROUP BY cell_id
+      ) m USING (cell_id)
+    ),
+    kma2_d AS (
+      SELECT kme_n.vec_id, kme_n.e, kmc1.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY kme_n.vec_id ORDER BY
+               ROUND(kme_n.nsq + list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kmc1.c) + 1), i -> CAST(kmc1.c[i] AS DOUBLE) * CAST(kmc1.c[i] AS DOUBLE))), (acc, x) -> acc + x) - 2 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kme_n.e) + 1), i -> CAST(kme_n.e[i] AS DOUBLE) * CAST(kmc1.c[i] AS DOUBLE))), (acc, x) -> acc + x), 6), kmc1.cell_id) AS rn,
+             ROUND(kme_n.nsq + list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kmc1.c) + 1), i -> CAST(kmc1.c[i] AS DOUBLE) * CAST(kmc1.c[i] AS DOUBLE))), (acc, x) -> acc + x) - 2 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kme_n.e) + 1), i -> CAST(kme_n.e[i] AS DOUBLE) * CAST(kmc1.c[i] AS DOUBLE))), (acc, x) -> acc + x), 6) AS dist
+      FROM kme_n CROSS JOIN kmc1
+    ),
+    kma2 AS (SELECT vec_id, e, cell_id, dist FROM kma2_d WHERE rn = 1),
+    kmc2 AS (
+      SELECT kmc1.cell_id, COALESCE(m.c, kmc1.c) AS c
+      FROM kmc1 LEFT JOIN (
+        SELECT cell_id, list(ROUND(av, 6) + 0.0 ORDER BY i) AS c
+        FROM (
+          SELECT cell_id, u.i AS i, AVG(e[u.i]) AS av
+          FROM kma2, unnest(range(1, len(e) + 1)) AS u(i)
+          GROUP BY cell_id, u.i
+        ) GROUP BY cell_id
+      ) m USING (cell_id)
+    ),
+    kmaf_d AS (
+      SELECT kme_n.vec_id, kme_n.e, kmc2.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY kme_n.vec_id ORDER BY
+               ROUND(kme_n.nsq + list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kmc2.c) + 1), i -> CAST(kmc2.c[i] AS DOUBLE) * CAST(kmc2.c[i] AS DOUBLE))), (acc, x) -> acc + x) - 2 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kme_n.e) + 1), i -> CAST(kme_n.e[i] AS DOUBLE) * CAST(kmc2.c[i] AS DOUBLE))), (acc, x) -> acc + x), 6), kmc2.cell_id) AS rn,
+             ROUND(kme_n.nsq + list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kmc2.c) + 1), i -> CAST(kmc2.c[i] AS DOUBLE) * CAST(kmc2.c[i] AS DOUBLE))), (acc, x) -> acc + x) - 2 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kme_n.e) + 1), i -> CAST(kme_n.e[i] AS DOUBLE) * CAST(kmc2.c[i] AS DOUBLE))), (acc, x) -> acc + x), 6) AS dist
+      FROM kme_n CROSS JOIN kmc2
+    ),
+    kmaf AS (SELECT vec_id, e, cell_id, dist FROM kmaf_d WHERE rn = 1)
     SELECT 'semd' AS gate, CAST(a1.vec_id AS VARCHAR) AS k1,
            a2.vec_id AS k2,
            ROUND({_D_DOT.format(a="a1.embedding", b="a2.embedding")}
@@ -326,6 +392,13 @@ _SKETCH_ORACLE = f"""
       ) ph, unnest(range(0, {_BLM_K})) AS u(j)
       GROUP BY ph.doc_id
     )
+    UNION ALL
+    SELECT 'kmc' AS gate, CAST(cell_id AS VARCHAR) AS k1, vec_id AS k2,
+           dist + 0.0 AS v1, '' AS h
+    FROM kmaf
+    UNION ALL
+    SELECT 'kmc', 'c|' || CAST(cell_id AS VARCHAR), u.i, c[u.i] + 0.0, ''
+    FROM kmc2, unnest(range(1, len(c) + 1)) AS u(i)
 """
 
 
@@ -516,6 +589,40 @@ def _blm_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means (r8,
+    pipeline/similarity.py lloyd_kmeans): k=8 centroids seeded from the 8
+    lowest vec_ids, 2 full Lloyd iterations with every distance and every
+    centroid coordinate ROUNDed at 6 before reuse — so the whole
+    trajectory is replayable by the unrolled kmc0->kmc1->kmc2 SQL CTE
+    chain. TWO row families are hash-checked: the final assignment of
+    every vector (k1=cell, k2=vec_id, v1=rounded distance) AND the final
+    centroid coordinates themselves (k1='c|'||cell, k2=1-based dim,
+    v1=coordinate), so a drifted mean or a flipped argmin in EITHER
+    iteration fails the gate."""
+    from enterprise_warp_spark.pipeline.similarity import lloyd_kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    assignments, centroids = lloyd_kmeans(emb, k=_KMC_K, n_iter=_KMC_ITER)
+    a = assignments.select(
+        F.lit("kmc").alias("gate"),
+        F.col("cell_id").cast("string").alias("k1"),
+        F.col("vec_id").cast("long").alias("k2"),
+        (F.col("dist") + F.lit(0.0)).alias("v1"),
+        F.lit("").alias("h"),
+    )
+    c = centroids.select(
+        "cell_id", F.posexplode("c_emb").alias("pos", "cv")
+    ).select(
+        F.lit("kmc").alias("gate"),
+        F.concat(F.lit("c|"), F.col("cell_id").cast("string")).alias("k1"),
+        (F.col("pos") + 1).cast("long").alias("k2"),
+        (F.col("cv") + F.lit(0.0)).alias("v1"),
+        F.lit("").alias("h"),
+    )
+    return a.unionByName(c)
+
+
 def _dsr_branch(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     """DSIR importance log-weights (r8, operators/sampling.py
     dsir_weights): raw = the documents table, target = its lang='en'
@@ -558,7 +665,11 @@ def _dsr_branch(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     "reproduction, [blm] Bloom-filter decontamination probe "
     "(operators/sketches.py, md5 double-hash, map-only zero-shuffle "
     "probe) vs SQL position-set membership incl. real false positives "
-    "(r8), [ccn] CCNet perplexity bucketing (pipeline/lm.py "
+    "(r8), [kmc] deterministic fixed-iteration Lloyd k-means "
+    "(pipeline/similarity.py lloyd_kmeans: lowest-id init, rounded "
+    "trajectory) — final assignments AND centroid coordinates vs the "
+    "unrolled 2-iteration SQL CTE chain (r8), [ccn] CCNet perplexity "
+    "bucketing (pipeline/lm.py "
     "ccnet_buckets: en-trained unigram LM, per-language tie-aware 3-tier) "
     "vs the same model + window in SQL (r8). The learned quality "
     "classifier stays pytest-gated (iterative L-BFGS has no SQL twin) — "
@@ -574,4 +685,5 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_dsr_branch(spark, sf_dir, td))
         .unionByName(_blm_branch(spark, sf_dir))
         .unionByName(_ccn_branch(spark, sf_dir, td))
+        .unionByName(_kmc_branch(spark, sf_dir))
     )

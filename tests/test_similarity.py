@@ -180,3 +180,85 @@ def test_pq_rerank_beats_raw_adc(spark, emb):
     rr = recall(similarity.pq_topk_reranked(emb, cb, 16, "vec_id < 10", k=5, rerank=40))
     assert rr >= raw
     assert rr >= 0.6  # wide-candidate exact re-rank recovers most of exact
+
+
+def test_lloyd_kmeans_numpy_twin(spark, emb):
+    """The deterministic Lloyd trajectory (lowest-id init, rounded
+    distances/centroids, cell_id tiebreak, empty-cell retention) replayed
+    step for step in plain Python must reproduce BOTH the final
+    assignments and the final centroid coordinates exactly."""
+    import numpy as np
+
+    X = {
+        int(r["vec_id"]): [float(v) for v in r["embedding"]]
+        for r in emb.collect()
+    }
+    ids = sorted(X)
+    k, n_iter = 5, 2
+    cents = [[round(v, 6) for v in X[i]] for i in ids[:k]]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def assign(cs):
+        out = {}
+        for i in ids:
+            e = X[i]
+            nsq = dot(e, e)
+            best = None
+            for ci, c in enumerate(cs):
+                d = round(nsq + dot(c, c) - 2 * dot(e, c), 6)
+                if best is None or (d, ci) < best:
+                    best = (d, ci)
+            out[i] = best
+        return out
+
+    for _ in range(n_iter):
+        a = assign(cents)
+        nxt = []
+        for ci, c in enumerate(cents):
+            members = [X[i] for i in ids if a[i][1] == ci]
+            if members:
+                nxt.append(
+                    [
+                        round(float(np.mean([m[j] for m in members])), 6)
+                        for j in range(len(c))
+                    ]
+                )
+            else:
+                nxt.append(c)  # empty cell keeps its centroid
+        cents = nxt
+    want = assign(cents)
+
+    asg, cdf = similarity.lloyd_kmeans(emb, k=k, n_iter=n_iter)
+    got = {
+        int(r["vec_id"]): (float(r["dist"]), int(r["cell_id"]))
+        for r in asg.collect()
+    }
+    assert got == want
+    got_c = {
+        int(r["cell_id"]): [float(v) for v in r["c_emb"]]
+        for r in cdf.collect()
+    }
+    assert got_c == dict(enumerate(cents))
+
+
+def test_lloyd_kmeans_zero_iter_is_rounded_init(spark, emb):
+    """n_iter=0 assigns against the rounded lowest-id seeds unchanged —
+    the base case the SQL twin's kmc0 CTE pins."""
+    asg, cdf = similarity.lloyd_kmeans(emb, k=3, n_iter=0)
+    seeds = {
+        int(r["cell_id"]): [float(v) for v in r["c_emb"]]
+        for r in cdf.collect()
+    }
+    first = [
+        [round(float(v), 6) for v in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(3).collect()
+    ]
+    assert seeds == dict(enumerate(first))
+    n = emb.count()
+    assert asg.count() == n
+    assert asg.select("vec_id").distinct().count() == n
