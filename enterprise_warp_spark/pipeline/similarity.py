@@ -299,14 +299,20 @@ def lloyd_kmeans(
     SQL twin (curation pipelines pin cluster-balanced sampling and
     SemDeDup cells on exactly this property).
 
-    Distributed shape: each iteration is ONE pass over the corpus — a
-    map-side distance against a BROADCAST centroid table, a per-id argmin,
-    and a per-(cell, dim) mean; between iterations only the k x dim
+    Distributed shape: the centroid matrix is INLINED into the plan as
+    literal expressions (k x dim doubles — the same bound that crosses
+    the driver anyway), so assignment is map-only: per row, an
+    array_min over k distance structs — no join, no window, ZERO
+    shuffle. Each iteration is then one corpus scan + one k-group
+    partial-aggregated mean; between iterations only the k x dim
     centroid matrix crosses the driver, bounded by the definition of
     k-means, never by data volume. Empty cells keep their previous
     centroid (the deterministic analogue of MLlib's no-reseed behavior).
-    Distance is the nsq + c_nsq - 2*dot expansion with the module's
-    sequential-fold DOT, the exact shape the SQL twins use."""
+    Distance is the nsq + c_nsq - 2*dot expansion; dot is
+    zip_with-multiply + sequential fold-add — operation-for-operation
+    the module's DOT macro (and the SQL twins' list_reduce), so the
+    rounded trajectory is bit-identical to the broadcast-join shape it
+    replaced."""
     from enterprise_warp_spark.pipeline.dedup import spread
 
     if k < 1:
@@ -314,10 +320,20 @@ def lloyd_kmeans(
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     spark = emb.sparkSession
-    base = spread(
-        emb.select(id_col, F.col(emb_col).cast("array<double>").alias("__e")),
-        id_col,
-    ).withColumn("nsq", F.expr(DOT.format(a="__e", b="__e")))
+    # materialize the slim (id, e, nsq) projection ONCE (MLlib KMeans'
+    # cache-the-input pattern): every iteration and the final assignment
+    # re-read these partitions instead of re-scanning the source and
+    # re-folding nsq n_iter+1 times
+    base = (
+        spread(
+            emb.select(
+                id_col, F.col(emb_col).cast("array<double>").alias("__e")
+            ),
+            id_col,
+        )
+        .withColumn("nsq", F.expr(DOT.format(a="__e", b="__e")))
+        .localCheckpoint(eager=True)
+    )
     init = (
         base.select(id_col, "__e").orderBy(id_col).limit(k).collect()
     )
@@ -331,25 +347,42 @@ def lloyd_kmeans(
     dim = len(cents[0])
 
     def assign(cs: list[list[float]]) -> DataFrame:
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(ci, c) for ci, c in enumerate(cs)],
-                "cell_id int, __c array<double>",
-            ).withColumn("c_nsq", F.expr(DOT.format(a="__c", b="__c")))
-        )
-        d = base.crossJoin(cdf).withColumn(
-            "dist",
-            F.round(
-                F.col("nsq") + F.col("c_nsq")
-                - 2 * F.expr(DOT.format(a="__e", b="__c")),
-                decimals,
-            ),
-        )
-        w = Window.partitionBy(id_col).orderBy("dist", "cell_id")
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn", "__c", "c_nsq")
+        # struct comparison is field-order lexicographic, so
+        # array_min(struct(dist, cell_id)) IS "ORDER BY dist, cell_id
+        # LIMIT 1" — computed map-side, no shuffle
+        structs = []
+        for ci, c in enumerate(cs):
+            c_nsq = 0.0
+            for v in c:  # same sequential fold as DOT over the centroid
+                c_nsq += v * v
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("__e"),
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            structs.append(
+                F.struct(
+                    F.round(
+                        F.col("nsq") + F.lit(c_nsq) - 2 * dot, decimals
+                    ).alias("dist"),
+                    F.lit(ci).alias("cell_id"),
+                )
+            )
+        # two projections: CollapseProject keeps the non-cheap array_min
+        # on its own line, so the 8 dot folds run ONCE per row (higher-
+        # order functions get no codegen subexpression elimination —
+        # same class as the SPARK-35410 featurizer fix)
+        return base.select(
+            id_col, "__e", F.array_min(F.array(*structs)).alias("__b")
+        ).select(
+            id_col,
+            "__e",
+            F.col("__b")["cell_id"].alias("cell_id"),
+            F.col("__b")["dist"].alias("dist"),
         )
 
     for _ in range(n_iter):
