@@ -412,6 +412,39 @@ def lloyd_kmeans(
     return assignments, centroids
 
 
+def prototype_prune(
+    assignments: DataFrame,
+    keep_per_cell: int,
+    hardest: bool = True,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): given per-vector cluster assignments
+    (id, cell_id, dist) — e.g. lloyd_kmeans's first return — keep the
+    `keep_per_cell` examples per cell ranked by distance to their
+    centroid. hardest=True keeps the FARTHEST (the paper's
+    recommendation on large corpora: prune easy/prototypical examples);
+    hardest=False keeps the most prototypical (their small-data regime).
+    Returns the kept rows + `proto_rank` (1 = first kept).
+
+    Ties break on (dist, id): with lloyd_kmeans's rounded distances the
+    ordering — and therefore the kept SET — is deterministic and
+    SQL-replayable. One window over data already partitioned by the
+    caller's clustering; no extra corpus scan."""
+    if keep_per_cell < 1:
+        raise ValueError(f"keep_per_cell must be >= 1, got {keep_per_cell}")
+    order = (
+        [F.col("dist").desc(), F.col(id_col)]
+        if hardest
+        else [F.col("dist").asc(), F.col(id_col)]
+    )
+    w = Window.partitionBy("cell_id").orderBy(*order)
+    return (
+        assignments.withColumn("proto_rank", F.row_number().over(w))
+        .filter(F.col("proto_rank") <= keep_per_cell)
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     centroids: DataFrame,

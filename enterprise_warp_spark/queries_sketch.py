@@ -50,6 +50,11 @@ Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
   kmc0 -> kmc1 -> kmc2 SQL CTE chain — the trajectory, not just the end
   state, is pinned (a flipped argmin in iteration 1 moves a mean in
   iteration 2 and fails the hash).
+* ``kbs`` — pipeline.similarity.prototype_prune (r8, Sorscher et al.
+  2022 "Beyond neural scaling laws"): keep the 3 hardest
+  (farthest-from-centroid) vectors per lloyd_kmeans cell; rides the
+  same clustering call, and the oracle replays the DESC rank window
+  over its final-assignment CTE — kept set AND rank order hash-checked.
 * ``blm`` — operators.sketches Bloom filter (r8): build over the
   doc_id % 23 == 0 keys into a deliberately under-sized filter (256
   bits, 2 md5 double-hashes) and probe every document map-only (filter
@@ -85,6 +90,7 @@ _DSIR_DIM = 256
 _BLM_M = 256
 _KMC_K = 8
 _KMC_ITER = 2
+_KBS_KEEP = 3
 _BLM_K = 2
 _BLM_MOD = 23
 
@@ -399,6 +405,14 @@ _SKETCH_ORACLE = f"""
     UNION ALL
     SELECT 'kmc', 'c|' || CAST(cell_id AS VARCHAR), u.i, c[u.i] + 0.0, ''
     FROM kmc2, unnest(range(1, len(c) + 1)) AS u(i)
+    UNION ALL
+    SELECT 'kbs', CAST(cell_id AS VARCHAR), vec_id, dist + 0.0,
+           CAST(rn AS VARCHAR)
+    FROM (
+      SELECT cell_id, vec_id, dist, ROW_NUMBER() OVER (
+        PARTITION BY cell_id ORDER BY dist DESC, vec_id) AS rn
+      FROM kmaf
+    ) WHERE rn <= {_KBS_KEEP}
 """
 
 
@@ -599,11 +613,28 @@ def _kmc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector (k1=cell, k2=vec_id, v1=rounded distance) AND the final
     centroid coordinates themselves (k1='c|'||cell, k2=1-based dim,
     v1=coordinate), so a drifted mean or a flipped argmin in EITHER
-    iteration fails the gate."""
-    from enterprise_warp_spark.pipeline.similarity import lloyd_kmeans
+    iteration fails the gate.
+
+    [kbs] rides the SAME lloyd_kmeans call (no extra clustering jobs):
+    prototype_prune keeps the _KBS_KEEP hardest (farthest-from-centroid)
+    vectors per cell — Sorscher et al. 2022 pruning — and the oracle
+    replays the rank window over its own final-assignment CTE, so the
+    kept SET and the rank ORDER are both hash-checked."""
+    from enterprise_warp_spark.pipeline.similarity import (
+        lloyd_kmeans,
+        prototype_prune,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
     assignments, centroids = lloyd_kmeans(emb, k=_KMC_K, n_iter=_KMC_ITER)
+    kept = prototype_prune(assignments, _KBS_KEEP, hardest=True)
+    b = kept.select(
+        F.lit("kbs").alias("gate"),
+        F.col("cell_id").cast("string").alias("k1"),
+        F.col("vec_id").cast("long").alias("k2"),
+        (F.col("dist") + F.lit(0.0)).alias("v1"),
+        F.col("proto_rank").cast("string").alias("h"),
+    )
     a = assignments.select(
         F.lit("kmc").alias("gate"),
         F.col("cell_id").cast("string").alias("k1"),
@@ -620,7 +651,7 @@ def _kmc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cv") + F.lit(0.0)).alias("v1"),
         F.lit("").alias("h"),
     )
-    return a.unionByName(c)
+    return a.unionByName(c).unionByName(b)
 
 
 def _dsr_branch(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
@@ -668,7 +699,10 @@ def _dsr_branch(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     "(r8), [kmc] deterministic fixed-iteration Lloyd k-means "
     "(pipeline/similarity.py lloyd_kmeans: lowest-id init, rounded "
     "trajectory) — final assignments AND centroid coordinates vs the "
-    "unrolled 2-iteration SQL CTE chain (r8), [ccn] CCNet perplexity "
+    "unrolled 2-iteration SQL CTE chain (r8), [kbs] prototypicality "
+    "pruning (pipeline/similarity.py prototype_prune, Sorscher et al. "
+    "2022: hardest-per-cell keep over the same lloyd_kmeans assignments) "
+    "vs the rank window in SQL (r8), [ccn] CCNet perplexity "
     "bucketing (pipeline/lm.py "
     "ccnet_buckets: en-trained unigram LM, per-language tie-aware 3-tier) "
     "vs the same model + window in SQL (r8). The learned quality "

@@ -262,3 +262,31 @@ def test_lloyd_kmeans_zero_iter_is_rounded_init(spark, emb):
     n = emb.count()
     assert asg.count() == n
     assert asg.select("vec_id").distinct().count() == n
+
+
+def test_prototype_prune_hardest_and_easiest(spark, emb):
+    """Per-cell cap respected; hardest keeps the max-dist rows, easiest
+    the min-dist rows; ranks are 1..n within each cell."""
+    asg, _ = similarity.lloyd_kmeans(emb, k=4, n_iter=1)
+    all_rows = asg.collect()
+    by_cell = {}
+    for r in all_rows:
+        by_cell.setdefault(r["cell_id"], []).append((r["dist"], r["vec_id"]))
+    hard = similarity.prototype_prune(asg, 2, hardest=True).collect()
+    easy = similarity.prototype_prune(asg, 2, hardest=False).collect()
+    for kept, rev in ((hard, True), (easy, False)):
+        got = {}
+        for r in kept:
+            got.setdefault(r["cell_id"], []).append(
+                (r["proto_rank"], r["dist"], r["vec_id"])
+            )
+        for cell, rows in got.items():
+            rows.sort()
+            assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
+            want = sorted(
+                by_cell[cell],
+                key=lambda t: (-t[0], t[1]) if rev else (t[0], t[1]),
+            )[: len(rows)]
+            assert [(d, v) for _, d, v in rows] == want
+    with pytest.raises(ValueError):
+        similarity.prototype_prune(asg, 0)
