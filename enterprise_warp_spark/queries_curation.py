@@ -367,12 +367,18 @@ def temporal_curation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
 
+    # ONE hourly-MIN aggregate shared by gfl/gfi/zsc (the _customer_slim /
+    # grams= pattern): min is idempotent under re-aggregation, so gapfill
+    # over the pre-bucketed series (ts=b, agg=min) is value-identical to
+    # gapfill over raw events — three corpus scans+aggregates become one
+    hm = _hourly_min_series(spark, sf_dir).localCheckpoint(eager=True)
+
     def gf(method: str, tag: str, rounded: bool) -> DataFrame:
         g = gapfill(
-            ev, "ts_us", ["event_type"], HOUR_US, "value",
+            hm, "b", ["event_type"], HOUR_US, "v",
             agg="min", method=method,
         )
-        v1 = (F.round("value", 6) + F.lit(0.0)) if rounded else F.col("value")
+        v1 = (F.round("v", 6) + F.lit(0.0)) if rounded else F.col("v")
         return g.select(
             F.lit(tag).alias("gate"),
             F.col("event_type").alias("k1"),
@@ -382,7 +388,7 @@ def temporal_curation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     z = rolling_zscore(
-        _hourly_min_series(spark, sf_dir), "b", "v", ["event_type"],
+        hm, "b", "v", ["event_type"],
         window_rows=24, threshold=2.0,
     ).select(
         F.lit("zsc").alias("gate"),

@@ -28,8 +28,14 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
-REPLICATED = {"customer", "events", "documents"}
-GATES = ("matching_geo_ops", "web_hygiene_ops", "temporal_curation_ops")
+REPLICATED = {"customer", "events", "documents", "embeddings"}
+GATES = (
+    "matching_geo_ops",
+    "web_hygiene_ops",
+    "temporal_curation_ops",
+    "learned_sketch_ops",
+    "search_rank_ops",
+)
 
 
 def build_mirror(spark):
@@ -62,6 +68,10 @@ def build_mirror(spark):
             elif t == "documents":
                 p = p.withColumn(
                     "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+                )
+            elif t == "embeddings":
+                p = p.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
                 )
             parts.append(p)
         out = parts[0]
