@@ -412,6 +412,60 @@ def lloyd_kmeans(
     return assignments, centroids
 
 
+def random_projection(
+    emb: DataFrame,
+    out_dim: int,
+    seed: int = 0,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Sparse random projection (Achlioptas 2003 JL transform): append
+    `proj` = R @ e where R is the deterministic out_dim x in_dim sign
+    matrix with entries +s / -s / 0 at probabilities 1/6, 1/6, 2/3 and
+    s = sqrt(3 / out_dim). The JL lemma bounds pairwise-distance
+    distortion, so `proj` is a drop-in cheaper column for the ANN /
+    near-dup bucketing stages (LSH over 16 dims instead of 1024).
+
+    R is derived row-by-row from md5(seed|i|j) — reproducible across
+    runs, engines and languages, never stored. The matrix is INLINED as
+    literal coefficient arrays (the lloyd_kmeans pattern), so the
+    projection is map-only: out_dim zip_with/fold dots per row, no
+    join, no shuffle, nothing driver-side but the out_dim x in_dim
+    literals the plan carries anyway. in_dim is read from the first row
+    (one tiny job)."""
+    import hashlib
+    import math
+
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    first = emb.select(emb_col).first()
+    if first is None:
+        raise ValueError("random_projection: empty input")
+    in_dim = len(first[0])
+    s = math.sqrt(3.0 / out_dim)
+
+    def entry(i: int, j: int) -> float:
+        h = hashlib.md5(f"{seed}|{i}|{j}".encode()).digest()
+        u = int.from_bytes(h[:8], "big") % 6
+        return s if u == 0 else (-s if u == 1 else 0.0)
+
+    rows = [
+        F.array(*[F.lit(entry(i, j)) for j in range(in_dim)])
+        for i in range(out_dim)
+    ]
+    e = F.col(emb_col).cast("array<double>")
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(e, r, lambda x, y: x * y),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            for r in rows
+        ]
+    )
+    return emb.withColumn("proj", proj)
+
+
 def prototype_prune(
     assignments: DataFrame,
     keep_per_cell: int,

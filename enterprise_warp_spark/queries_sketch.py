@@ -55,6 +55,9 @@ Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
   (farthest-from-centroid) vectors per lloyd_kmeans cell; rides the
   same clustering call, and the oracle replays the DESC rank window
   over its final-assignment CTE — kept set AND rank order hash-checked.
+* ``rpj`` — pipeline.similarity.random_projection (r8, Achlioptas
+  2003 sparse JL transform): every projected coordinate vs the same
+  md5-derived literal matrix folded in SQL; map-only on both engines.
 * ``blm`` — operators.sketches Bloom filter (r8): build over the
   doc_id % 23 == 0 keys into a deliberately under-sized filter (256
   bits, 2 md5 double-hashes) and probe every document map-only (filter
@@ -91,6 +94,35 @@ _BLM_M = 256
 _KMC_K = 8
 _KMC_ITER = 2
 _KBS_KEEP = 3
+# [rpj] sparse random projection: the SAME deterministic Achlioptas
+# matrix random_projection derives from md5(seed|i|j), regenerated here
+# and embedded in the oracle as array literals (shortest-roundtrip repr
+# parses back to the identical double in DuckDB)
+_RPJ_DIM = 16
+_RPJ_SEED = 7
+_RPJ_IN_DIM = 64  # the testdata embeddings width; the operator itself sniffs
+
+
+def _rpj_matrix() -> list[list[float]]:
+    import hashlib
+    import math
+
+    s = math.sqrt(3.0 / _RPJ_DIM)
+    out = []
+    for i in range(_RPJ_DIM):
+        row = []
+        for j in range(_RPJ_IN_DIM):
+            h = hashlib.md5(f"{_RPJ_SEED}|{i}|{j}".encode()).digest()
+            u = int.from_bytes(h[:8], "big") % 6
+            row.append(s if u == 0 else (-s if u == 1 else 0.0))
+        out.append(row)
+    return out
+
+
+_RPJ_ROWS_SQL = ", ".join(
+    f"({i}, [{', '.join(repr(v) for v in row)}])"
+    for i, row in enumerate(_rpj_matrix())
+)
 _BLM_K = 2
 _BLM_MOD = 23
 
@@ -413,6 +445,14 @@ _SKETCH_ORACLE = f"""
         PARTITION BY cell_id ORDER BY dist DESC, vec_id) AS rn
       FROM kmaf
     ) WHERE rn <= {_KBS_KEEP}
+    UNION ALL
+    SELECT 'rpj', CAST(m.i AS VARCHAR), kme.vec_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(kme.e) + 1),
+                            k -> kme.e[k] * m.r[k])),
+             (acc, x) -> acc + x) + 0.0 AS v1,
+           '' AS h
+    FROM kme CROSS JOIN (VALUES {_RPJ_ROWS_SQL}) m(i, r)
 """
 
 
@@ -654,6 +694,28 @@ def _kmc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(c).unionByName(b)
 
 
+def _rpj_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection (r8, pipeline/similarity.py
+    random_projection, Achlioptas 2003): every output coordinate of
+    every vector is hash-checked against the identical md5-derived
+    literal matrix folded in SQL — map-only on BOTH engines, so any
+    drift in matrix derivation, literal fidelity, or fold order fails
+    the gate."""
+    from enterprise_warp_spark.pipeline.similarity import random_projection
+
+    emb = table(spark, sf_dir, "embeddings")
+    p = random_projection(emb, _RPJ_DIM, seed=_RPJ_SEED)
+    return p.select(
+        "vec_id", F.posexplode("proj").alias("pos", "pv")
+    ).select(
+        F.lit("rpj").alias("gate"),
+        F.col("pos").cast("string").alias("k1"),
+        F.col("vec_id").cast("long").alias("k2"),
+        (F.col("pv") + F.lit(0.0)).alias("v1"),
+        F.lit("").alias("h"),
+    )
+
+
 def _dsr_branch(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     """DSIR importance log-weights (r8, operators/sampling.py
     dsir_weights): raw = the documents table, target = its lang='en'
@@ -702,7 +764,10 @@ def _dsr_branch(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     "unrolled 2-iteration SQL CTE chain (r8), [kbs] prototypicality "
     "pruning (pipeline/similarity.py prototype_prune, Sorscher et al. "
     "2022: hardest-per-cell keep over the same lloyd_kmeans assignments) "
-    "vs the rank window in SQL (r8), [ccn] CCNet perplexity "
+    "vs the rank window in SQL (r8), [rpj] Achlioptas sparse random "
+    "projection (pipeline/similarity.py random_projection: md5-derived "
+    "inlined sign matrix, map-only) — every projected coordinate vs the "
+    "same literal matrix folded in SQL (r8), [ccn] CCNet perplexity "
     "bucketing (pipeline/lm.py "
     "ccnet_buckets: en-trained unigram LM, per-language tie-aware 3-tier) "
     "vs the same model + window in SQL (r8). The learned quality "
@@ -720,4 +785,5 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_blm_branch(spark, sf_dir))
         .unionByName(_ccn_branch(spark, sf_dir, td))
         .unionByName(_kmc_branch(spark, sf_dir))
+        .unionByName(_rpj_branch(spark, sf_dir))
     )

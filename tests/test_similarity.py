@@ -290,3 +290,67 @@ def test_prototype_prune_hardest_and_easiest(spark, emb):
             assert [(d, v) for _, d, v in rows] == want
     with pytest.raises(ValueError):
         similarity.prototype_prune(asg, 0)
+
+
+def test_random_projection_python_twin_and_jl(spark, emb):
+    """The inlined-literal projection must equal a sequential-fold python
+    replay exactly (same matrix derivation, same operation order), the
+    plan must be shuffle-free, and the JL contract must hold in
+    aggregate: median pairwise-distance distortion bounded."""
+    import hashlib
+    import math
+
+    out_dim, seed = 16, 7
+    got = {
+        int(r["vec_id"]): list(r["proj"])
+        for r in similarity.random_projection(emb, out_dim, seed=seed)
+        .select("vec_id", "proj")
+        .collect()
+    }
+    X = {
+        int(r["vec_id"]): [float(v) for v in r["embedding"]]
+        for r in emb.collect()
+    }
+    in_dim = len(next(iter(X.values())))
+    s = math.sqrt(3.0 / out_dim)
+
+    def entry(i, j):
+        h = hashlib.md5(f"{seed}|{i}|{j}".encode()).digest()
+        u = int.from_bytes(h[:8], "big") % 6
+        return s if u == 0 else (-s if u == 1 else 0.0)
+
+    R = [[entry(i, j) for j in range(in_dim)] for i in range(out_dim)]
+    for vid, e in X.items():
+        for i in range(out_dim):
+            acc = 0.0
+            for x, y in zip(e, R[i]):
+                acc += x * y
+            assert got[vid][i] == acc, (vid, i)
+
+    # map-only: no Exchange in the executed plan
+    plan = (
+        similarity.random_projection(emb, out_dim, seed=seed)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+    # JL distortion sanity on a sample of pairs (aggregate, not per-pair)
+    ids = sorted(X)[:30]
+    ratios = []
+    for a in range(0, len(ids) - 1, 2):
+        va, vb = ids[a], ids[a + 1]
+        d_in = sum((x - y) ** 2 for x, y in zip(X[va], X[vb]))
+        d_out = sum((x - y) ** 2 for x, y in zip(got[va], got[vb]))
+        if d_in > 0:
+            ratios.append(d_out / d_in)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.5 < med < 2.0, med
+
+
+def test_random_projection_seed_changes_matrix(spark, emb):
+    a = similarity.random_projection(emb, 8, seed=1).select("proj").first()[0]
+    b = similarity.random_projection(emb, 8, seed=2).select("proj").first()[0]
+    assert list(a) != list(b)
+    with pytest.raises(ValueError):
+        similarity.random_projection(emb, 0)
