@@ -354,3 +354,13 @@ def test_random_projection_seed_changes_matrix(spark, emb):
     assert list(a) != list(b)
     with pytest.raises(ValueError):
         similarity.random_projection(emb, 0)
+
+
+def test_lloyd_assignment_plan_is_shuffle_free(spark, emb):
+    """The final k-means assignment must be map-only: inlined-literal
+    centroids over the checkpointed base, no Exchange, no Window, no
+    Join in the executed plan."""
+    asg, _ = similarity.lloyd_kmeans(emb, k=4, n_iter=1)
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    for node in ("Exchange", "Window", "Join"):
+        assert node not in plan, node
