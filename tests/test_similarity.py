@@ -364,3 +364,25 @@ def test_lloyd_assignment_plan_is_shuffle_free(spark, emb):
     plan = asg._jdf.queryExecution().executedPlan().toString()
     for node in ("Exchange", "Window", "Join"):
         assert node not in plan, node
+
+
+def test_random_projection_feeds_ann(spark, emb):
+    """Composability: JL-projected vectors drive the existing exact/ANN
+    operators unchanged (emb_col='proj'). The corpus's synthetic
+    embeddings are near-orthogonal (top-k among them is noise, which no
+    distance-preserving map keeps), so plant REAL neighbors — an exact
+    copy of each vector under a shifted id — and require the projected
+    search to rank every query's copy first: identical inputs project
+    identically, cosine 1 survives any projection."""
+    from pyspark.sql import functions as F
+
+    planted = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(100_000))
+    )
+    p = similarity.random_projection(planted, 16, seed=3)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk(p, "vec_id < 10", 1, emb_col="proj")
+        .collect()
+    }
+    assert top1 == {q: q + 100_000 for q in range(10)}
