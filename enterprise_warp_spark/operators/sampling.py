@@ -191,6 +191,29 @@ def mixture_rates(
     }
 
 
+def temperature_weights(
+    df: DataFrame, group_col: str, alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-scaled (alpha-sampling) mixture weights: w_g
+    proportional to n_g ** alpha — the multilingual rebalancing scheme of
+    mBERT / XLM-R (Conneau et al. 2020): alpha=1 keeps the empirical
+    mix, alpha=0 is uniform, the usual 0.2-0.7 range upweights tail
+    groups without drowning the head. Returns a weights mapping for
+    mixture_rates / mixture_resample, normalized to sum 1. One tiny
+    per-group count aggregate (n_groups rows collected)."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        raise ValueError("temperature_weights: empty input")
+    raw = {g: float(n) ** alpha for g, n in counts.items()}
+    total = sum(raw.values())
+    return {g: v / total for g, v in raw.items()}
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -475,3 +475,44 @@ def test_weighted_topk_sample_matches_duckdb_twin(spark):
     """
     want = sorted(r[0] for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_temperature_weights(spark, sf_dir):
+    from enterprise_warp_spark.operators.sampling import (
+        mixture_rates,
+        mixture_resample,
+        temperature_weights,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # alpha=1 reproduces the empirical mix; alpha=0 is uniform
+    w1 = temperature_weights(docs, "lang", alpha=1.0)
+    total = sum(counts.values())
+    for g, n in counts.items():
+        assert abs(w1[g] - n / total) < 1e-12
+    w0 = temperature_weights(docs, "lang", alpha=0.0)
+    assert all(abs(v - 1.0 / len(counts)) < 1e-12 for v in w0.values())
+    # 0 < alpha < 1 upweights tail groups relative to their empirical share
+    wa = temperature_weights(docs, "lang", alpha=0.3)
+    tail = min(counts, key=counts.get)
+    head = max(counts, key=counts.get)
+    if counts[tail] < counts[head]:
+        assert wa[tail] > w1[tail]
+        assert wa[head] < w1[head]
+    # the weights feed the existing mixture machinery end to end
+    kept = mixture_resample(docs, "lang", wa, key="doc_id", seed=5)
+    rates = mixture_rates(docs, "lang", wa)
+    got = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for g, n in got.items():
+        assert n <= counts[g]
+        # kept count tracks rate * n within a loose hash-variance bound
+        assert abs(n - rates[g] * counts[g]) <= 6 * (counts[g] ** 0.5) + 3
+    with pytest.raises(ValueError):
+        temperature_weights(docs, "lang", alpha=-0.1)
