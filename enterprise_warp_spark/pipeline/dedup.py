@@ -469,6 +469,43 @@ def cluster_keep_list(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id")
     )
 
 
+def cluster_best_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs surviving transitive dedup keeping the BEST-scoring member of
+    each connected component (highest `score_col`, ties to the lowest
+    id), plus every doc in no pair at all — the production variant of
+    cluster_keep_list (pipelines keep the longest / highest-quality
+    duplicate, not the lowest-id one; `score_col` is any column of
+    `docs`: quality_score, n_tokens, ...).
+
+    Shape: the same O(log diameter) component propagation, then ONE rank
+    window partitioned by component over only the paired docs (component
+    tables are pair-bounded, not corpus-bounded) and a broadcast-able
+    anti-join of the losers back against the corpus."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs)
+    scored = comp.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("__s")),
+        "doc_id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__s").desc(), F.col("doc_id")
+    )
+    losers = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select("doc_id")
+    )
+    return docs.join(
+        losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
 def simhash_pairs_multiprobe(
     df: DataFrame,
     text_col: str = "text",

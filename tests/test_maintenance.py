@@ -903,3 +903,29 @@ def test_connected_components_long_chain_converges_fast(spark):
             for r in connected_components(pairs, max_iter=25).collect()}
     assert len(comp) == n + 1
     assert set(comp.values()) == {0}
+
+
+def test_cluster_best_keep_list(spark):
+    """Keep the HIGHEST-scoring member of each component (ties -> lowest
+    id), unpaired docs untouched — the production 'keep best duplicate'
+    variant of cluster_keep_list."""
+    from enterprise_warp_spark.pipeline.dedup import cluster_best_keep_list
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 2), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.5),   # comp 1: best = 2
+            (10, 0.7), (11, 0.7),           # comp 10: tie -> lowest id 10
+            (20, 0.1), (21, 0.8),           # comp 20: best = 21
+            (99, 0.0),                      # unpaired: kept regardless
+        ],
+        "doc_id long, quality double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in cluster_best_keep_list(docs, pairs, "quality").collect()
+    }
+    assert kept == {2, 10, 21, 99}
