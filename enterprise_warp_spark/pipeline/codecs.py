@@ -342,9 +342,10 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a PNG payload to uint8 (h, w, 3) for color images (alpha
-    dropped, matching PIL's convert('RGB')) or (h, w) for grayscale."""
+def _decode_png_raw(payload: bytes) -> tuple[np.ndarray, int, np.ndarray, np.ndarray]:
+    """Shared PNG reconstruction -> (samples (h, w, ch) uint8, color_type,
+    palette or None, tRNS bytes or None). decode_png / decode_png_alpha
+    apply their own color-type tails."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -353,6 +354,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     ihdr = None
     idat = []
     plte = None
+    trns = None
     while pos + 8 <= len(payload):
         size, ctype = struct.unpack_from(">I4s", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
@@ -362,6 +364,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             idat.append(body)
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif ctype == b"IEND":
             break
         pos += 12 + size  # length + type + data + CRC
@@ -476,6 +480,13 @@ def decode_png(payload: bytes) -> np.ndarray:
             sub, used = unfilter(sub_w, sub_h, raw[off:])
             off += used
             img[y0::ys, x0::xs] = sub
+    return img, color, plte, trns
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG payload to uint8 (h, w, 3) for color images (alpha
+    dropped, matching PIL's convert('RGB')) or (h, w) for grayscale."""
+    img, color, plte, _trns = _decode_png_raw(payload)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -485,6 +496,24 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color == 4:
         return img[:, :, 0]  # gray + alpha -> gray (alpha dropped)
     return img[:, :, :3]  # RGB / RGBA -> RGB
+
+
+def decode_png_alpha(payload: bytes) -> np.ndarray:
+    """Decode a PNG payload's ALPHA plane to uint8 (h, w): tRNS-expanded
+    for palette images (entries past the tRNS table are opaque, per the
+    PNG spec), the alpha channel for gray+alpha / RGBA, all-255 otherwise.
+    Independent ground truth for the WebP ALPH interop test."""
+    img, color, _plte, trns = _decode_png_raw(payload)
+    h, w = img.shape[:2]
+    if color == 3 and trns is not None:
+        table = np.full(256, 255, dtype=np.uint8)
+        table[: len(trns)] = trns
+        return table[img[:, :, 0]]
+    if color == 4:
+        return img[:, :, 1]
+    if color == 6:
+        return img[:, :, 3]
+    return np.full((h, w), 255, dtype=np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -333,6 +333,15 @@ def write_prefix_code(bw: BitWriter, lengths: dict[int, int],
     <=2 symbols that fit 8 bits; otherwise the normal form with 17/18
     zero-run codes and no token cap."""
     used = sorted(lengths)
+    if used and (used[0] < 0 or used[-1] >= alphabet_size):
+        # a symbol outside the alphabet would be silently dropped from the
+        # serialized code-length table (the emit loop stops at
+        # alphabet_size) while its codeword still lands in the payload —
+        # an undecodable stream; fail loudly instead
+        raise ValueError(
+            f"prefix-code symbol {used[0] if used[0] < 0 else used[-1]} "
+            f"outside alphabet of size {alphabet_size}"
+        )
     if 1 <= len(used) <= 2 and used[-1] < 256:
         bw.write(1, 1)  # simple
         bw.write(len(used) - 1, 1)
@@ -727,6 +736,86 @@ def decode_webp(payload: bytes) -> np.ndarray:
     raise VP8LError("no VP8L chunk found")
 
 
+def decode_vp8l_alpha(alph: bytes, w: int, h: int) -> np.ndarray:
+    """Decode a WebP ALPH chunk payload -> uint8 (h, w) alpha plane.
+
+    Per the WebP container spec, byte 0 carries (compression_method,
+    filtering_method, pre_processing) in 2-bit fields. Compression 1 is a
+    HEADERLESS VP8L image stream (no signature / size / version — decoding
+    starts at the level-0 transform bits, dimensions come from the
+    container) whose GREEN channel holds the alpha values; compression 0
+    is w*h raw bytes. The optional alpha filter (horizontal / vertical /
+    gradient) is inverted afterwards. This is the one place a REAL
+    libwebp-encoded VP8L bitstream exists in common containers, so it
+    doubles as the decoder's interop surface (tests/test_vp8l.py)."""
+    if not alph:
+        raise VP8LError("empty ALPH payload")
+    b0 = alph[0]
+    compression = b0 & 3
+    filtering = (b0 >> 2) & 3
+    if compression == 0:
+        flat = np.frombuffer(alph[1:1 + w * h], dtype=np.uint8)
+        if flat.size != w * h:
+            raise VP8LError("raw ALPH payload shorter than w*h")
+        plane = flat.astype(np.int64)
+    elif compression == 1:
+        br = BitReader(alph[1:])
+        argb, xsize, transforms = decode_image_stream(br, w, h, True)
+        px, final_w = _apply_transforms(argb, xsize, h, transforms)
+        if final_w != w:
+            raise VP8LError("ALPH width mismatch after transforms")
+        plane = px.reshape(h, w, 4)[:, :, 2].astype(np.int64).reshape(-1)
+    else:
+        raise VP8LError(f"reserved ALPH compression method {compression}")
+    if filtering:
+        out = np.zeros(w * h, dtype=np.int64)
+        for i in range(w * h):
+            x, y = i % w, i // w
+            if x == 0 and y == 0:
+                pred = 0
+            elif y == 0:
+                pred = int(out[i - 1])  # top row always predicts left
+            elif x == 0:
+                pred = int(out[i - w])  # left column always predicts top
+            elif filtering == 1:  # horizontal
+                pred = int(out[i - 1])
+            elif filtering == 2:  # vertical
+                pred = int(out[i - w])
+            else:  # gradient
+                g = int(out[i - 1]) + int(out[i - w]) - int(out[i - w - 1])
+                pred = max(0, min(255, g))
+            out[i] = (int(plane[i]) + pred) & 255
+        plane = out
+    return plane.astype(np.uint8).reshape(h, w)
+
+
+def decode_webp_alpha(payload: bytes) -> np.ndarray | None:
+    """Extract the (h, w) alpha plane from an extended (VP8X) WebP's ALPH
+    chunk, or the 4th channel of a bare VP8L image. Returns None when the
+    container carries no alpha. The RGB of a lossy VP8X file still needs
+    the external-codec plugin; the alpha side-channel is fully native."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise VP8LError("not a WebP RIFF container")
+    pos = 12
+    dims = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"VP8X":
+            cw = 1 + int.from_bytes(body[4:7], "little")
+            ch_ = 1 + int.from_bytes(body[7:10], "little")
+            dims = (cw, ch_)
+        elif tag == b"ALPH":
+            if dims is None:
+                raise VP8LError("ALPH chunk before VP8X dimensions")
+            return decode_vp8l_alpha(bytes(body), dims[0], dims[1])
+        elif tag == b"VP8L":
+            return decode_vp8l(body)[:, :, 0]
+        pos += 8 + size + (size & 1)
+    return None
+
+
 def encode_webp_lossless(
     arr: np.ndarray,
     subtract_green: bool = False,
@@ -840,6 +929,10 @@ def _write_literal_stream(bw: BitWriter, px: np.ndarray,
             while i + run < n and tuple(flat[i + run]) == tuple(flat[i - 1]):
                 run += 1
             if run >= min_run:
+                # VP8L's length alphabet (24 prefix codes) tops out at
+                # 4096; longer runs must be split into multiple copies or
+                # the green-channel symbol overflows the serialized code
+                run = min(run, 4096)
                 tokens.append(("copy", run))
                 i += run
                 continue

@@ -47,20 +47,32 @@ WARC_SCHEMA = (
 _CRLF = b"\r\n"
 
 
-def _gunzip_all(data: bytes) -> bytes:
+def _gunzip_all(data: bytes) -> tuple[bytes, bool]:
     """Decompress ALL gzip members of `data` (per-record members or one
     whole-file member). zlib with wbits=47 auto-detects the gzip header;
-    looping the decompressobj over unused_data walks member boundaries."""
+    looping the decompressobj over unused_data walks member boundaries.
+    Returns (decoded_bytes, clean) — clean=False when a member was
+    truncated or corrupt (bad CRC / deflate data), in which case the bytes
+    already decoded are kept."""
     out = []
     buf = data
+    clean = True
     while buf:
         d = zlib.decompressobj(47)
-        out.append(d.decompress(buf))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(buf))
+            out.append(d.flush())
+        except zlib.error:
+            # corrupt member: keep the bytes already decoded and stop,
+            # same as a truncated member, so the file surfaces as
+            # truncated=True instead of killing the ingest task
+            clean = False
+            break
         if not d.eof:  # truncated member: keep what decoded
+            clean = False
             break
         buf = d.unused_data
-    return b"".join(out)
+    return b"".join(out), clean
 
 
 def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
@@ -70,11 +82,14 @@ def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
     file with truncated=True on the LAST COMPLETE record — or, if nothing
     parsed, a single all-null truncated marker row — so a 100 TB ingest
     never dies on one corrupt shard."""
+    truncated = False
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_all(data)
+        data, clean = _gunzip_all(data)
+        # a corrupt/short member can still end on a record boundary, so
+        # the flag must come from the decompressor, not just the parse
+        truncated = not clean
     records: list[dict] = []
     pos = 0
-    truncated = False
     n = len(data)
     while pos < n:
         # skip inter-record blank lines

@@ -461,3 +461,39 @@ class TestWarcSource:
         data = _gzip.compress(encode_warc(self._sample()))
         got = parse_warc_bytes(data)
         assert len(got) == 4 and not any(r["truncated"] for r in got)
+
+    def test_corrupt_gzip_member_surfaces_as_truncated(self):
+        """ADVICE r8: a corrupt member (bad deflate data / CRC, not merely
+        truncated) must keep the already-decoded records and mark the file
+        truncated instead of raising zlib.error and killing the task."""
+        from enterprise_warp_spark.sources.warc import (
+            encode_warc,
+            parse_warc_bytes,
+        )
+
+        recs = self._sample()
+        data = bytearray(encode_warc(recs, gzip_per_record=True))
+        # flip bits in the deflate payload of the LAST member (past its
+        # 10-byte gzip header) so earlier members still decode
+        import gzip as _gzip
+
+        # locate the start of the final gzip member
+        starts = [
+            i for i in range(len(data) - 1)
+            if data[i] == 0x1F and data[i + 1] == 0x8B
+        ]
+        last = starts[-1]
+        for off in range(last + 12, min(last + 20, len(data))):
+            data[off] ^= 0xFF
+        got = parse_warc_bytes(bytes(data))
+        # the three leading records decode; the file is flagged truncated
+        assert len(got) >= 3
+        assert got[-1]["truncated"] is True
+        assert [r["warc_type"] for r in got[:3]] == [
+            "warcinfo", "response", "conversion",
+        ]
+        # bad-CRC-only corruption (flip a CRC byte at the member tail)
+        data2 = bytearray(encode_warc(recs, gzip_per_record=True))
+        data2[-8] ^= 0xFF  # CRC32 field of the last member
+        got2 = parse_warc_bytes(bytes(data2))
+        assert got2[-1]["truncated"] is True or len(got2) == 4
