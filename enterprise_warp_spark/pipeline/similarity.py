@@ -349,35 +349,50 @@ def lloyd_kmeans(
     def assign(cs: list[list[float]]) -> DataFrame:
         # struct comparison is field-order lexicographic, so
         # array_min(struct(dist, cell_id)) IS "ORDER BY dist, cell_id
-        # LIMIT 1" — computed map-side, no shuffle
-        structs = []
-        for ci, c in enumerate(cs):
+        # LIMIT 1" — computed map-side, no shuffle. The centroid matrix
+        # and its norms ride as ONE array-of-arrays literal walked by a
+        # transform lambda, not k separate expression subtrees: the
+        # arithmetic per (row, cell) is identical (element_at is pure
+        # indexing), but analysis/codegen sees one tree instead of k —
+        # this is pure planning-time cost on tiny-but-wide literal plans
+        # (3 assign() calls per 2-iteration run used to dominate the
+        # gate's build phase).
+        m_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in cs]
+        )
+        nsq_vals = []
+        for c in cs:
             c_nsq = 0.0
             for v in c:  # same sequential fold as DOT over the centroid
                 c_nsq += v * v
+            nsq_vals.append(c_nsq)
+        nsq_lit = F.array(*[F.lit(v) for v in nsq_vals])
+
+        def one(ci):
             dot = F.aggregate(
                 F.zip_with(
                     F.col("__e"),
-                    F.array(*[F.lit(float(v)) for v in c]),
+                    F.element_at(m_lit, ci + 1),
                     lambda x, y: x * y,
                 ),
                 F.lit(0.0).cast("double"),
                 lambda acc, x: acc + x,
             )
-            structs.append(
-                F.struct(
-                    F.round(
-                        F.col("nsq") + F.lit(c_nsq) - 2 * dot, decimals
-                    ).alias("dist"),
-                    F.lit(ci).alias("cell_id"),
-                )
+            return F.struct(
+                F.round(
+                    F.col("nsq") + F.element_at(nsq_lit, ci + 1) - 2 * dot,
+                    decimals,
+                ).alias("dist"),
+                ci.alias("cell_id"),
             )
+
+        structs = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), one)
         # two projections: CollapseProject keeps the non-cheap array_min
-        # on its own line, so the 8 dot folds run ONCE per row (higher-
+        # on its own line, so the k dot folds run ONCE per row (higher-
         # order functions get no codegen subexpression elimination —
         # same class as the SPARK-35410 featurizer fix)
         return base.select(
-            id_col, "__e", F.array_min(F.array(*structs)).alias("__b")
+            id_col, "__e", F.array_min(structs).alias("__b")
         ).select(
             id_col,
             "__e",
@@ -844,6 +859,11 @@ def semdedup_pairs(
         d.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select(id_col, emb_col, "nsq", "cell_id")
+        # materialize ONCE before the self-join: both pair sides otherwise
+        # re-run the centroid fan-out + assignment window (the
+        # heavy_hitters two-consumer pattern); SemDeDup materializes the
+        # cell assignment at scale anyway
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         F.col(id_col).alias("vec_a"), F.col(emb_col).alias("a_emb"),

@@ -131,6 +131,11 @@ _HYGIENE_ORACLE = f"""
            substr(md5(text ||
              ' mail <EMAIL> see <URL> ip <IP> acct <NUMBER>'), 1, 16)
     FROM documents
+    UNION ALL
+    SELECT 'wrc', 'conversion', doc_id,
+           CAST(octet_length(encode(text)) AS DOUBLE),
+           substr(md5(text), 1, 16)
+    FROM documents WHERE doc_id % 5 = 0
 """
 
 
@@ -323,6 +328,59 @@ def _stm_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _wrc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET source round-trip gate (VERDICT r8 Next #7, the [pii]
+    constructed-expected pattern): spell a deterministic documents subset
+    as a real .warc.gz via the hermetic encode_warc twin (driver-side by
+    design; the subset is bounded at 1/5 of the docs table), ingest it
+    through the REAL read_warc source — binaryFile + gzip member walk +
+    Arrow-batched header/payload parse — and hash-check type, URI-derived
+    id, byte length and content md5 against SQL rows built directly from
+    the same documents slice. DuckDB cannot parse WARC; it never has to:
+    the expected rows are constructed, the PARSER is what's under test."""
+    import shutil
+    import tempfile
+
+    from enterprise_warp_spark.sources.warc import encode_warc, read_warc
+
+    rows = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    recs = [
+        {
+            "warc_type": "conversion",
+            "target_uri": f"https://ex{r['doc_id']}.com/{r['lang']}",
+            "content": r["text"],
+            "content_type": "text/plain",
+        }
+        for r in rows
+    ]
+    root = tempfile.mkdtemp(prefix="ews_wrc_gate_")
+    try:
+        with open(f"{root}/part0.warc.gz", "wb") as fh:
+            fh.write(encode_warc(recs, gzip_per_record=True))
+        out = (
+            read_warc(spark, f"{root}/part0.warc.gz")
+            .select(
+                F.lit("wrc").alias("gate"),
+                F.col("warc_type").alias("k1"),
+                F.regexp_extract("target_uri", r"ex(\d+)\.com", 1)
+                .cast("long")
+                .alias("k2"),
+                F.col("content_length").cast("double").alias("v1"),
+                F.substring(F.md5("content"), 1, 16).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _pii_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline.redact over documents with a deterministic PII suffix
     built from doc_id (one email, URL, IP and long digit run each). The
@@ -374,7 +432,12 @@ def _pii_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "transform hook): survivors == docs minus within-batch LSH losers, "
     "[pii] pipeline/redact.py pattern redaction (email/URL/IP/digit-run "
     "placeholders + audit counts) over a deterministic PII suffix, the "
-    "oracle constructing the expected scrubbed text directly (r8).",
+    "oracle constructing the expected scrubbed text directly (r8), [wrc] "
+    "the WARC/WET crawl source (sources/warc.py): a deterministic doc "
+    "subset encoded to a real gzip-per-record .warc.gz by the hermetic "
+    "twin, ingested through the real binaryFile+mapInPandas parser, "
+    "type/uri-id/byte-length/content-md5 hash-checked against "
+    "SQL-constructed expected rows (r9).",
 )
 def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -385,4 +448,5 @@ def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_spl_branch(spark, sf_dir))
         .unionByName(_stm_branch(spark, sf_dir))
         .unionByName(_pii_branch(spark, sf_dir))
+        .unionByName(_wrc_branch(spark, sf_dir))
     )

@@ -187,6 +187,19 @@ _D_BUCKET = (
 )
 
 
+# PQ gate constants: M subspaces over dim-64 embeddings, K codes per
+# subspace (deterministic codebooks = first K vectors' subvectors), ADC
+# candidate width before the exact rerank.
+_PQ_M, _PQ_K, _PQ_RERANK = 4, 16, 25
+
+# DuckDB twin of pipeline.similarity._subvectors' slice: contiguous
+# sub-slices of the embedding, 1-based inclusive list_slice bounds.
+_D_SUB = (
+    "list_slice(embedding, s * (len(embedding) // {m}) + 1, "
+    "(s + 1) * (len(embedding) // {m}))"
+)
+
+
 @register(
     "embedding_ann_methods",
     f"""
@@ -221,18 +234,67 @@ _D_BUCKET = (
     ivf AS (SELECT probe.query_id, a.vec_id AS neighbor_id,
                  ROUND({_D_DOT.format(a="probe.q_emb", b="a.embedding")} / SQRT(probe.q_nsq * a.nsq), 6) AS cosine
           FROM probe JOIN a ON a.cell_id = probe.cell_id AND a.vec_id <> probe.query_id),
-    ivfr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk FROM ivf)
+    ivfr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk FROM ivf),
+    sv AS (SELECT vec_id, s AS subspace, {_D_SUB.format(m=_PQ_M)} AS sub
+           FROM n CROSS JOIN (SELECT UNNEST([{", ".join(str(s) for s in range(_PQ_M))}]) AS s)),
+    cb AS (SELECT subspace, CAST(vec_id AS INTEGER) AS code, sub AS c_sub
+           FROM sv WHERE vec_id < {_PQ_K}),
+    encd AS (SELECT sv.vec_id, sv.subspace, cb.code,
+                    ROUND(({_D_DOT.format(a="sv.sub", b="sv.sub")}
+                           - 2.0 * {_D_DOT.format(a="sv.sub", b="cb.c_sub")})
+                          + {_D_DOT.format(a="cb.c_sub", b="cb.c_sub")}, 6) AS dist
+             FROM sv JOIN cb USING (subspace)),
+    best AS (SELECT vec_id, subspace, code FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+               FROM encd) WHERE rn = 1),
+    qsv AS (SELECT vec_id AS query_id, subspace, sub FROM sv WHERE vec_id < 10),
+    lut AS (SELECT qsv.query_id, qsv.subspace, cb.code,
+                   {_D_DOT.format(a="qsv.sub", b="cb.c_sub")} AS part_dot,
+                   {_D_DOT.format(a="cb.c_sub", b="cb.c_sub")} AS c_nsq_part
+            FROM qsv JOIN cb USING (subspace)),
+    adc AS (SELECT l.query_id, b.vec_id AS neighbor_id,
+                   ROUND(SUM(l.part_dot), 4) AS approx_dot,
+                   SUM(l.c_nsq_part) AS rnsq
+            FROM best b JOIN lut l ON l.subspace = b.subspace AND l.code = b.code
+            WHERE b.vec_id <> l.query_id
+            GROUP BY l.query_id, b.vec_id),
+    qn AS (SELECT vec_id AS query_id, embedding AS q_emb, nsq AS q_nsq FROM n WHERE vec_id < 10),
+    cand AS (SELECT query_id, neighbor_id FROM (
+               SELECT a.query_id, a.neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+                        ROUND(a.approx_dot / SQRT(q.q_nsq * GREATEST(a.rnsq, 1e-30)), 6) DESC,
+                        a.neighbor_id) AS crn
+               FROM adc a JOIN qn q USING (query_id))
+             WHERE crn <= {_PQ_RERANK}),
+    pqr AS (SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+            FROM (SELECT c.query_id, c.neighbor_id,
+                         ROUND({_D_DOT.format(a="q.q_emb", b="m.embedding")} / SQRT(q.q_nsq * m.nsq), 6) AS cosine
+                  FROM cand c JOIN qn q USING (query_id) JOIN n m ON m.vec_id = c.neighbor_id))
     SELECT 'brute' AS method, query_id, neighbor_id, cosine, rnk FROM bfr WHERE rnk <= 5
     UNION ALL
     SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rnk FROM lshr WHERE rnk <= 5
     UNION ALL
     SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rnk FROM ivfr WHERE rnk <= 5
+    UNION ALL
+    SELECT 'pqc' AS method, vec_id AS query_id, CAST(subspace AS BIGINT) AS neighbor_id,
+           CAST(code AS DOUBLE) AS cosine, CAST(subspace + 1 AS INTEGER) AS rnk
+    FROM best
+    UNION ALL
+    SELECT 'pq' AS method, query_id, neighbor_id, cosine, rnk FROM pqr WHERE rnk <= 5
     """,
-    doc="ANN over the embedding column, three methods tag-discriminated in one "
+    doc="ANN over the embedding column, five methods tag-discriminated in one "
     "gate: brute-force cosine top-k (exact baseline), hyperplane-sign LSH "
-    "bucket equi-join (scale path), and IVF nearest-centroid inverted lists "
+    "bucket equi-join (scale path), IVF nearest-centroid inverted lists "
     "with nprobe=4 of 16 cells (centroids = deterministic dataset pick; "
-    "KMeans-pluggable).",
+    "KMeans-pluggable), [pqc] product-quantization code assignment of EVERY "
+    "vector (pipeline/similarity.py pq_codebooks + pq_encode: deterministic "
+    "per-subspace codebooks, rounded L2 argmin), and [pq] the two-stage "
+    "PQ/ADC search (pq_topk_reranked: LUT of per-subspace partial dots, "
+    "approximate-cosine candidate cut with reconstructed norms, exact "
+    "cosine rerank of only the candidates) — the r8 VERDICT's last "
+    "pytest-only ANN surface, driver-gated via the [rpj]-style exact "
+    "arithmetic twin (r9).",
 )
 def embedding_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
@@ -245,7 +307,30 @@ def embedding_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.ivf_topk(emb, "vec_id < 10", 5, n_cells=16, nprobe=4).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
     )
-    return brute.unionByName(lsh).unionByName(ivf)
+    # PQ: codebooks (M*K rows) and the code table are each built ONCE and
+    # checkpointed — the codes feed both the [pqc] rows and the [pq]
+    # search (encoded=), the codebooks feed encode + LUT + norms.
+    cbs = similarity.pq_codebooks(emb, _PQ_M, _PQ_K).localCheckpoint(eager=True)
+    codes = similarity.pq_encode(emb, cbs, _PQ_M).localCheckpoint(eager=True)
+    pqc = codes.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    ).select(
+        F.lit("pqc").alias("method"),
+        "query_id",
+        F.col("subspace").cast("long").alias("neighbor_id"),
+        F.col("code").cast("double").alias("cosine"),
+        (F.col("subspace") + 1).cast("int").alias("rnk"),
+    )
+    pq = similarity.pq_topk_reranked(
+        emb, cbs, _PQ_M, "vec_id < 10", k=5, rerank=_PQ_RERANK, encoded=codes
+    ).select(
+        F.lit("pq").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
+    )
+    return (
+        brute.unionByName(lsh).unionByName(ivf)
+        .unionByName(pqc).unionByName(pq)
+    )
 
 
 # ---------------------------------------------------------------------------
