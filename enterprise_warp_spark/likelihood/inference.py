@@ -135,7 +135,13 @@ def compile_model(
                             if p.name in fixed
                             else p
                         )
-            elif s.kind == "red" and row["signal"] in RED_CHROM_IDX:
+            elif s.kind == "red":
+                # standard signals carry a chromatic index (spin 0 / DM 2 /
+                # scattering 4); a REGISTERED CUSTOM red signal (the
+                # reference's StandardModels-subclass plugin path,
+                # examples/custom_models.py:11-53) compiles to an
+                # achromatic GP with its registered priors — previously it
+                # fell through every elif and was silently dropped
                 nf = s.nfreqs or default_nfreqs
                 if s.psd == "free_spectrum":
                     # F3 — per-bin amplitudes sampled (gwb_lgrho default range)
@@ -151,7 +157,14 @@ def compile_model(
                 comps.append(
                     RedComponent(
                         name=row["signal"],
-                        chrom_idx=None if vary_idx else RED_CHROM_IDX[row["signal"]],
+                        # unknown (custom plugin) red signals are
+                        # achromatic (0.0); None is reserved for a SAMPLED
+                        # '{name}_idx' (vary_idx)
+                        chrom_idx=(
+                            None
+                            if vary_idx
+                            else RED_CHROM_IDX.get(row["signal"], 0.0)
+                        ),
                         psd=psd,
                         nfreqs=nf,
                     )

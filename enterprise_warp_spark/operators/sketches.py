@@ -254,3 +254,61 @@ def bloom_probe(
         f">> cast((__h1 + j * __h2) % 64 as int)) & 1) = 1)"
     )
     return probed.withColumn(out_col, F.expr(hit)).drop("__bw", "__h1", "__h2")
+
+
+def kmv_distinct_by(
+    df: DataFrame, group: str, col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
+    unbiased estimator form of Beyer et al., SIGMOD 2007) of `col` per
+    `group` -> (group, n_kept, kth_hash, kmv_distinct).
+
+    Each distinct value hashes to a 60-bit integer (the module-standard
+    portable md5 prefix, same twin as pipeline.text.H64); the k smallest
+    distinct hashes per group survive a per-group top-k; with u_(k) =
+    kth_hash / 2^60 the estimate is (k-1) / u_(k), or the exact kept
+    count when the group has fewer than k distinct hashes.
+
+    Unlike HLL (whose register layout is engine-specific, so its gate row
+    is an error CONTRACT), every step here — md5, integer compare, one
+    multiply, one divide, round — is exactly reproducible in ANSI SQL, so
+    the ESTIMATE ITSELF is hash-gateable across engines. Scale shape: the
+    distinct + per-group top-k shuffles only (group, hash) pairs; the
+    sketch is mergeable by construction (union the hash sets, re-take the
+    k smallest)."""
+    if k < 2:
+        raise ValueError(f"kmv_distinct_by needs k >= 2, got {k}")
+    from pyspark.sql import Window
+
+    h = (
+        f"cast(conv(substr(md5(cast({col} as string)), 1, 15), 16, 10) "
+        "as bigint)"
+    )
+    dh = (
+        df.select(group, F.expr(h).alias("__h"))
+        .distinct()  # distinct VALUES collapse to distinct hashes
+    )
+    w = Window.partitionBy(group).orderBy("__h")
+    kept = dh.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    two60 = float(1 << 60)
+    return kept.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("__h").alias("kth_hash"),
+    ).select(
+        group,
+        "n_kept",
+        "kth_hash",
+        F.when(
+            F.col("n_kept") < k, F.col("n_kept").cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1)) * F.lit(two60)
+                / F.col("kth_hash").cast("double"),
+                6,
+            )
+        )
+        .alias("kmv_distinct"),
+    )

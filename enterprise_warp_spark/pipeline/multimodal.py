@@ -600,11 +600,20 @@ def image_fingerprints(media: DataFrame) -> DataFrame:
 
 
 def image_near_dup_pairs(
-    media: DataFrame, max_hamming: int = 10, bucket_shift: int = 32
+    media: DataFrame,
+    max_hamming: int = 10,
+    bucket_shift: int = 32,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs: same hamming-bucket equi-join + verify
-    shape as audio_near_dup_pairs, over dHash fingerprints."""
-    fp = image_fingerprints(media).filter(F.col("decoded"))
+    shape as audio_near_dup_pairs, over dHash fingerprints. Pass
+    `fingerprints` (an image_fingerprints result, e.g. checkpointed) to
+    reuse an existing hash table instead of re-decoding the corpus."""
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else image_fingerprints(media)
+    ).filter(F.col("decoded"))
     a = fp.select(F.col("media_id").alias("media_a"), F.col("fingerprint").alias("fp_a"))
     b = fp.select(F.col("media_id").alias("media_b"), F.col("fingerprint").alias("fp_b"))
     return (

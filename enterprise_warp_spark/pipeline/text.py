@@ -344,3 +344,30 @@ def compression_ratio(
         return s.map(one)
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+def normalize_nfc(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Unicode NFC normalization (canonical composition) of a text
+    column — the standard first hygiene pass before tokenization /
+    hashing, so that 'e' + COMBINING ACUTE and the precomposed 'é' hash,
+    dedup and tokenize identically across crawl sources.
+
+    Arrow-batched pandas UDF over stdlib unicodedata (no third-party
+    dep); the SQL twin is DuckDB's nfc_normalize(), verified character-
+    identical on combining sequences, multi-diacritics, Hangul jamo and
+    ligature/superscript NFC-invariants (web_hygiene_ops[nfc] gate +
+    tests). Map-only: no shuffle, no driver data."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return df.withColumn(out_col or text_col, _nfc(F.col(text_col)))

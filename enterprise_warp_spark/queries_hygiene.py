@@ -53,6 +53,18 @@ from enterprise_warp_spark.tables import table
 
 _TOK_PATTERN = r" ?[A-Za-z]+| ?[0-9]+|\s+|[^\s0-9A-Za-z_]+|_+"
 
+# [nfc]: deterministic DECOMPOSED suffix appended to every document —
+# combining acute / ring / double diacritic / dot-below+above / Hangul
+# jamo, plus NFC-invariant ligature and superscript. Written as escapes so
+# no tool can silently re-compose the source file. ONE python constant
+# feeds both engines (F.lit on the Spark side, a SQL literal in the
+# oracle), so the gate pins the normalization itself, not the fixture.
+_NFC_SUFFIX = (
+    " nfc e\u0301 A\u030A o\u0308\u0304 s\u0323\u0307"
+    " \u1100\u1161 \uFB01 2\u2075 fin"
+)
+_NFC_SUFFIX_SQL = "'" + _NFC_SUFFIX + "'"
+
 _HYGIENE_ORACLE = f"""
     WITH ku AS (
       SELECT c_custkey, c_custkey % 97 AS k, c_custkey % 7 AS k2 FROM customer
@@ -136,6 +148,11 @@ _HYGIENE_ORACLE = f"""
            CAST(octet_length(encode(text)) AS DOUBLE),
            substr(md5(text), 1, 16)
     FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT 'nfc', '', doc_id,
+           CAST(length(nfc_normalize(text || {_NFC_SUFFIX_SQL})) AS DOUBLE),
+           substr(md5(nfc_normalize(text || {_NFC_SUFFIX_SQL})), 1, 16)
+    FROM documents
 """
 
 
@@ -381,6 +398,29 @@ def _wrc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _nfc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization gate (pipeline/text.py normalize_nfc):
+    every document gets the DECOMPOSED _NFC_SUFFIX (combining marks,
+    Hangul jamo, NFC-invariant ligature/superscript); the Arrow kernel's
+    stdlib-unicodedata composition is hash-checked against DuckDB's
+    ICU-backed nfc_normalize — a genuine two-library interop pin of the
+    normalization semantics, not a constructed-expected template. v1 =
+    post-normalization codepoint count (composition shrinks it), h = md5
+    of the composed text."""
+    from enterprise_warp_spark.pipeline.text import normalize_nfc
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.withColumn("text", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)))
+    out = normalize_nfc(d)
+    return out.select(
+        F.lit("nfc").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.length("text").cast("double").alias("v1"),
+        F.substring(F.md5("text"), 1, 16).alias("h"),
+    )
+
+
 def _pii_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline.redact over documents with a deterministic PII suffix
     built from doc_id (one email, URL, IP and long digit run each). The
@@ -437,16 +477,32 @@ def _pii_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subset encoded to a real gzip-per-record .warc.gz by the hermetic "
     "twin, ingested through the real binaryFile+mapInPandas parser, "
     "type/uri-id/byte-length/content-md5 hash-checked against "
-    "SQL-constructed expected rows (r9).",
+    "SQL-constructed expected rows (r9), [nfc] Unicode NFC normalization "
+    "(pipeline/text.py normalize_nfc, Arrow kernel over stdlib "
+    "unicodedata) vs DuckDB's ICU nfc_normalize over a decomposed "
+    "combining-mark/jamo suffix — a two-library interop pin (r9).",
 )
 def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # [stm] runs a full availableNow streaming query to completion and
+    # [wrc] collects + encodes + re-ingests a WARC file — both BLOCK the
+    # build phase for seconds while every other branch is a lazy plan.
+    # Build them on threads (the learned_sketch_ops pattern) so their
+    # wall-clock overlaps; union order stays fixed by code.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    f_stm = pool.submit(_stm_branch, spark, sf_dir)
+    f_wrc = pool.submit(_wrc_branch, spark, sf_dir)
+    out = (
         _url_dom_branches(spark, sf_dir)
         .unionByName(_moj_branch(spark, sf_dir))
         .unionByName(_tag_branch(spark, sf_dir))
         .unionByName(_tok_branch(spark, sf_dir))
         .unionByName(_spl_branch(spark, sf_dir))
-        .unionByName(_stm_branch(spark, sf_dir))
+        .unionByName(f_stm.result())
         .unionByName(_pii_branch(spark, sf_dir))
-        .unionByName(_wrc_branch(spark, sf_dir))
+        .unionByName(f_wrc.result())
+        .unionByName(_nfc_branch(spark, sf_dir))
     )
+    pool.shutdown(wait=True)
+    return out

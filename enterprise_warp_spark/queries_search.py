@@ -270,6 +270,16 @@ def search_rank_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # [pr] never touches the text index, and pagerank's per-iteration
+    # dangling-mass aggregates are blocking driver jobs — run the whole
+    # branch on a thread so its iterations overlap the index build (the
+    # learned_sketch_ops pattern; union order below stays fixed).
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    f_pr = pool.submit(_pr_branch, spark, sf_dir)
+
     # ONE corpus explode+shuffle serves all four branches: the positional
     # postings are a strict superset of build_index's (term, doc_id, tf),
     # so bm25/tfidf score straight off them and phrase_match gets its
@@ -291,8 +301,10 @@ def search_rank_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_occurrences").cast("double").alias("v1"),
         F.lit("").alias("h"),
     )
+    pr = f_pr.result()
+    pool.shutdown(wait=True)
     return (
         bm25.unionByName(tfidf)
         .unionByName(phr)
-        .unionByName(_pr_branch(spark, sf_dir))
+        .unionByName(pr)
     )

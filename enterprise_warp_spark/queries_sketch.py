@@ -86,6 +86,7 @@ _HH_DOMAIN = 200
 _HH_SHARE = 1.0 / 256.0  # binary-exact: threshold compare is bit-identical
 _HLL_RSD = 0.02
 _GK_ACCURACY = 10_000
+_KMV_K = 64  # KMV sketch size; estimate = (k-1)/u_(k), rel err ~ 1/sqrt(k-2)
 _DSIR_DIM = 256
 # Bloom gate: m deliberately TINY (256 bits vs ~20+ inserted keys at sf0.01)
 # so real false positives occur and the oracle checks the exact FP pattern,
@@ -230,6 +231,29 @@ _SKETCH_ORACLE = f"""
     UNION ALL
     SELECT 'gkq', event_type, COUNT(*), 1.0, ''
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'kmv', kk.event_type, kx.exact_d,
+           CASE WHEN kk.n_kept < {_KMV_K} THEN CAST(kk.n_kept AS DOUBLE)
+                ELSE ROUND(CAST({_KMV_K - 1} AS DOUBLE)
+                           * CAST(1152921504606846976 AS DOUBLE)
+                           / CAST(kk.kth AS DOUBLE), 6) END,
+           CAST(kk.kth AS VARCHAR)
+    FROM (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(__h) AS kth
+      FROM (
+        SELECT event_type, __h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY __h) AS rn
+        FROM (
+          SELECT DISTINCT event_type,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS __h
+          FROM events
+        )
+      ) WHERE rn <= {_KMV_K} GROUP BY event_type
+    ) kk JOIN (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_d
+      FROM events GROUP BY event_type
+    ) kx USING (event_type)
     UNION ALL
     SELECT 'lmp' AS gate, '' AS k1, doc_id AS k2,
            ROUND(-AVG(lp), 6) + 0.0 AS v1,
@@ -549,6 +573,25 @@ def _hll_gk_branches(
             F.lit("").alias("h"),
         )
     )
+    from enterprise_warp_spark.operators.sketches import kmv_distinct_by
+
+    kmv = (
+        kmv_distinct_by(
+            ev.select("event_type", "user_id"), "event_type", "user_id",
+            k=_KMV_K,
+        )
+        .join(exact, "event_type")
+        .select(
+            F.lit("kmv").alias("gate"),
+            F.col("event_type").alias("k1"),
+            F.col("exact_d").cast("long").alias("k2"),
+            # the KMV ESTIMATE itself is hash-gated (exact md5 + integer
+            # order + one multiply/divide on both engines) — stronger
+            # than the hll/gkq error-contract rows
+            (F.col("kmv_distinct") + F.lit(0.0)).alias("v1"),
+            F.col("kth_hash").cast("string").alias("h"),
+        )
+    )
     gk = (
         approx_quantiles_by(
             ev, "event_type", "value", probs=(0.5,), accuracy=_GK_ACCURACY
@@ -568,7 +611,7 @@ def _hll_gk_branches(
             F.lit("").alias("h"),
         )
     )
-    return hll.unionByName(gk)
+    return hll.unionByName(gk).unionByName(kmv)
 
 
 def _tokdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,7 +821,12 @@ def _dsr_branch(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     "below capacity so the MG interval provably collapses to the exact "
     "count, [hll] HyperLogLog++ distinct estimate gated on its 3*rsd "
     "error contract vs the exact count, [gkq] Greenwald-Khanna approx "
-    "median gated on the exact [p40, p60] envelope, [lmp] bigram-LM "
+    "median gated on the exact [p40, p60] envelope, [kmv] k-minimum-values "
+    "distinct sketch (operators/sketches.py kmv_distinct_by, Bar-Yossef et "
+    "al. 2002 / Beyer et al. 2007) whose ESTIMATE is itself hash-gated — "
+    "portable md5-prefix hash, k smallest per group, (k-1)/u_(k) — the "
+    "exactly-SQL-replayable sketch alongside the hll/gkq contract rows "
+    "(r9), [lmp] bigram-LM "
     "perplexity scoring (pipeline/lm.py, trained on the en slice, full "
     "fallback chain) vs its SQL twin, [dsr] DSIR importance log-weights "
     "(operators/sampling.py, Xie et al. 2023) vs a full SQL "

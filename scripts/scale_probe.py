@@ -35,6 +35,14 @@ GATES = (
     "temporal_curation_ops",
     "learned_sketch_ops",
     "search_rank_ops",
+    # r9 (VERDICT r8 Next #5): the heavy non-union gates — the physics
+    # kernel slices (events-driven), MinHash LSH now carrying the simhash
+    # branches, span-level n-gram dedup, and the ANN gate now carrying
+    # PQ/ADC (embeddings-driven).
+    "kernel_value_slices",
+    "minhash_lsh",
+    "repeated_ngram_spans",
+    "embedding_ann_methods",
 )
 
 

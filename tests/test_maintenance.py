@@ -929,3 +929,50 @@ def test_cluster_best_keep_list(spark):
         for r in cluster_best_keep_list(docs, pairs, "quality").collect()
     }
     assert kept == {2, 10, 21, 99}
+
+
+def test_splits_stable_across_keep_list_flavors(spark):
+    """VERDICT r8 Next #8: leakage_safe_splits keys on the component
+    REPRESENTATIVE (min id), not on which member a keep-list retains — so
+    swapping the min-id keep (cluster_keep_list) for the production
+    best-scoring keep (cluster_best_keep_list) never moves a surviving
+    document across the split boundary: every component is uniformly
+    labeled and both flavors' survivors inherit exactly the cluster's
+    label."""
+    from enterprise_warp_spark.pipeline.dedup import (
+        cluster_best_keep_list,
+        cluster_keep_list,
+        leakage_safe_splits,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, float((i * 37) % 101) / 101.0, f"doc {i}") for i in range(60)],
+        "doc_id long, quality double, text string",
+    )
+    # clusters whose min-id and best-score members deliberately differ
+    pairs = spark.createDataFrame(
+        [(0, 7), (7, 13), (20, 25), (40, 41), (41, 45), (45, 50)],
+        "doc_a long, doc_b long",
+    )
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    lab = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_splits(docs, pairs, w, seed=11).collect()
+    }
+
+    keep_min = {r["doc_id"] for r in cluster_keep_list(docs, pairs).collect()}
+    keep_best = {
+        r["doc_id"]
+        for r in cluster_best_keep_list(docs, pairs, "quality").collect()
+    }
+    assert keep_min != keep_best  # the flavors genuinely disagree on reps
+
+    comps = [{0, 7, 13}, {20, 25}, {40, 41, 45, 50}]
+    for comp in comps:
+        assert len({lab[d] for d in comp}) == 1  # uniform cluster label
+        surv_min = (comp & keep_min).pop()
+        surv_best = (comp & keep_best).pop()
+        assert lab[surv_best] == lab[surv_min]
+    # unpaired docs are in BOTH keep lists with identical labels
+    singles = set(range(60)) - {0, 7, 13, 20, 25, 40, 41, 45, 50}
+    assert singles <= keep_min and singles <= keep_best

@@ -291,3 +291,63 @@ class TestBloom:
             k=2,
         ).toPandas()
         assert not out["maybe_member"].any()
+
+
+class TestKMVDistinct:
+    """kmv_distinct_by: the exactly-replayable distinct sketch (KMV,
+    Bar-Yossef et al. 2002) — error bound vs exact, sub-k exactness, and
+    the arg guard."""
+
+    def test_estimate_within_error_bound(self, spark):
+        from pyspark.sql import functions as F
+
+        from enterprise_warp_spark.operators.sketches import kmv_distinct_by
+
+        # two groups with known distinct counts 5000 and 1200 (values
+        # repeat x3 so distinct != row count)
+        df = spark.range(15000).select(
+            F.lit("a").alias("g"), (F.col("id") % 5000).alias("v")
+        ).unionByName(
+            spark.range(3600).select(
+                F.lit("b").alias("g"), (F.col("id") % 1200).alias("v")
+            )
+        )
+        k = 64
+        out = {r["g"]: r for r in kmv_distinct_by(df, "g", "v", k=k).collect()}
+        for g, exact in (("a", 5000), ("b", 1200)):
+            est = out[g]["kmv_distinct"]
+            assert out[g]["n_kept"] == k
+            # 4-sigma bound, sigma ~ D / sqrt(k - 2)
+            assert abs(est - exact) <= 4.0 * exact / (k - 2) ** 0.5, (g, est)
+
+    def test_sub_k_groups_are_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from enterprise_warp_spark.operators.sketches import kmv_distinct_by
+
+        df = spark.range(300).select(
+            F.lit("tiny").alias("g"), (F.col("id") % 17).alias("v")
+        )
+        row = kmv_distinct_by(df, "g", "v", k=64).first()
+        assert row["n_kept"] == 17
+        assert row["kmv_distinct"] == 17.0  # exact below k
+
+    def test_k_guard_and_merge_property(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from enterprise_warp_spark.operators.sketches import kmv_distinct_by
+
+        with _pytest.raises(ValueError, match="k >= 2"):
+            kmv_distinct_by(spark.range(1), "id", "id", k=1)
+
+        # mergeability: the sketch of a union equals re-sketching the
+        # union of the halves' kept hashes — here verified end-to-end:
+        # same data split into two DataFrames and unioned gives the
+        # identical (kth_hash, estimate)
+        a = spark.range(0, 2000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        b = spark.range(2000, 4000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        whole = kmv_distinct_by(a.unionByName(b), "g", "v", k=32).first()
+        again = kmv_distinct_by(b.unionByName(a), "g", "v", k=32).first()
+        assert whole["kth_hash"] == again["kth_hash"]
+        assert whole["kmv_distinct"] == again["kmv_distinct"]
