@@ -186,23 +186,29 @@ def main() -> None:
         # driver) can tell a contended window from a real regression
         # without a manual solo re-run: the reprobe median is the number
         # to trust when it disagrees with the in-sweep median.
-        reprobe: dict[str, float] = {}
-        for _, q in ratios[:3]:
-            probes: list[float] = []
-            for _ in range(5):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                REGISTRY[q].spark(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                probes.append(time.perf_counter() - t0)
-            reprobe[q] = round(statistics.median(probes), 4)
-            print(
-                f"# reprobe {q}: median {reprobe[q]:.3f}s "
-                f"(reps {[round(p, 3) for p in probes]})",
-                file=sys.stderr,
-            )
-        summary["reprobe"] = reprobe
+        # own broad try: the reprobe launches 15 real Spark jobs, and a
+        # transient failure there must never cost the guaranteed summary
+        # line below (the one the driver's stdout tail always captures)
+        try:
+            reprobe: dict[str, float] = {}
+            for _, q in ratios[:3]:
+                probes: list[float] = []
+                for _ in range(5):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    REGISTRY[q].spark(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    probes.append(time.perf_counter() - t0)
+                reprobe[q] = round(statistics.median(probes), 4)
+                print(
+                    f"# reprobe {q}: median {reprobe[q]:.3f}s "
+                    f"(reps {[round(p, 3) for p in probes]})",
+                    file=sys.stderr,
+                )
+            summary["reprobe"] = reprobe
+        except Exception as ex:  # noqa: BLE001 — summary must still print
+            summary["reprobe_error"] = f"{type(ex).__name__}"
     except (OSError, ValueError, ZeroDivisionError):
         pass
     print(json.dumps(summary))

@@ -286,6 +286,11 @@ def kmv_distinct_by(
     )
     dh = (
         df.select(group, F.expr(h).alias("__h"))
+        # NULL values don't count toward COUNT(DISTINCT) semantics — and a
+        # null hash would sort NULLS FIRST into a kept slot in Spark while
+        # MAX ignores it (and DuckDB sorts NULLS LAST), corrupting the
+        # estimate and the cross-engine twin
+        .filter(F.col("__h").isNotNull())
         .distinct()  # distinct VALUES collapse to distinct hashes
     )
     w = Window.partitionBy(group).orderBy("__h")

@@ -342,10 +342,12 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _decode_png_raw(payload: bytes) -> tuple[np.ndarray, int, np.ndarray, np.ndarray]:
+def _decode_png_raw(
+    payload: bytes,
+) -> tuple[np.ndarray, int, np.ndarray, np.ndarray, int]:
     """Shared PNG reconstruction -> (samples (h, w, ch) uint8, color_type,
-    palette or None, tRNS bytes or None). decode_png / decode_png_alpha
-    apply their own color-type tails."""
+    palette or None, tRNS bytes or None, bit depth). decode_png /
+    decode_png_alpha apply their own color-type tails."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -480,13 +482,13 @@ def _decode_png_raw(payload: bytes) -> tuple[np.ndarray, int, np.ndarray, np.nda
             sub, used = unfilter(sub_w, sub_h, raw[off:])
             off += used
             img[y0::ys, x0::xs] = sub
-    return img, color, plte, trns
+    return img, color, plte, trns, depth
 
 
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG payload to uint8 (h, w, 3) for color images (alpha
     dropped, matching PIL's convert('RGB')) or (h, w) for grayscale."""
-    img, color, plte, _trns = _decode_png_raw(payload)
+    img, color, plte, _trns, _depth = _decode_png_raw(payload)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -501,9 +503,12 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_png_alpha(payload: bytes) -> np.ndarray:
     """Decode a PNG payload's ALPHA plane to uint8 (h, w): tRNS-expanded
     for palette images (entries past the tRNS table are opaque, per the
-    PNG spec), the alpha channel for gray+alpha / RGBA, all-255 otherwise.
+    PNG spec), the alpha channel for gray+alpha / RGBA, single-key binary
+    transparency for gray / truecolor carrying a tRNS chunk, all-255
+    otherwise. For 16-bit images the key compare folds to the high byte —
+    the same 16->8 fold _decode_png_raw applies to the samples.
     Independent ground truth for the WebP ALPH interop test."""
-    img, color, _plte, trns = _decode_png_raw(payload)
+    img, color, _plte, trns, depth = _decode_png_raw(payload)
     h, w = img.shape[:2]
     if color == 3 and trns is not None:
         table = np.full(256, 255, dtype=np.uint8)
@@ -513,6 +518,27 @@ def decode_png_alpha(payload: bytes) -> np.ndarray:
         return img[:, :, 1]
     if color == 6:
         return img[:, :, 3]
+    if color == 0 and trns is not None and len(trns) >= 2:
+        # 2-byte big-endian gray key; samples were high-byte-folded (16)
+        # or range-scaled (sub-byte), so fold/scale the key the same way
+        key = (int(trns[0]) << 8) | int(trns[1])
+        if depth == 16:
+            key >>= 8
+        elif depth < 8:
+            key *= 255 // ((1 << depth) - 1)
+        return np.where(img[:, :, 0] == key, 0, 255).astype(np.uint8)
+    if color == 2 and trns is not None and len(trns) >= 6:
+        keys = [
+            (int(trns[i]) << 8) | int(trns[i + 1]) for i in (0, 2, 4)
+        ]
+        if depth == 16:
+            keys = [k >> 8 for k in keys]
+        hit = (
+            (img[:, :, 0] == keys[0])
+            & (img[:, :, 1] == keys[1])
+            & (img[:, :, 2] == keys[2])
+        )
+        return np.where(hit, 0, 255).astype(np.uint8)
     return np.full((h, w), 255, dtype=np.uint8)
 
 

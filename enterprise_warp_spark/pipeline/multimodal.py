@@ -607,13 +607,19 @@ def image_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate image pairs: same hamming-bucket equi-join + verify
     shape as audio_near_dup_pairs, over dHash fingerprints. Pass
-    `fingerprints` (an image_fingerprints result, e.g. checkpointed) to
-    reuse an existing hash table instead of re-decoding the corpus."""
-    fp = (
-        fingerprints
-        if fingerprints is not None
-        else image_fingerprints(media)
-    ).filter(F.col("decoded"))
+    `fingerprints` (rows of (media_id, fingerprint), e.g. a checkpointed
+    image_fingerprints result already filtered to decoded rows) to reuse
+    an existing hash table instead of re-decoding the corpus — the
+    decoded filter is applied only on the self-computed path, so a slim
+    two-column projection works."""
+    if fingerprints is not None:
+        fp = (
+            fingerprints.filter(F.col("decoded"))
+            if "decoded" in fingerprints.columns
+            else fingerprints
+        )
+    else:
+        fp = image_fingerprints(media).filter(F.col("decoded"))
     a = fp.select(F.col("media_id").alias("media_a"), F.col("fingerprint").alias("fp_a"))
     b = fp.select(F.col("media_id").alias("media_b"), F.col("fingerprint").alias("fp_b"))
     return (

@@ -767,7 +767,31 @@ def decode_vp8l_alpha(alph: bytes, w: int, h: int) -> np.ndarray:
         plane = px.reshape(h, w, 4)[:, :, 2].astype(np.int64).reshape(-1)
     else:
         raise VP8LError(f"reserved ALPH compression method {compression}")
-    if filtering:
+    if filtering in (1, 2):
+        # horizontal/vertical are linear mod-256 prefix sums — vectorize
+        # (a 1M-px plane would cost seconds as a scalar loop). Boundary
+        # rules: top row always predicts LEFT, left column always
+        # predicts TOP, (0,0) predicts 0.
+        p2 = plane.reshape(h, w)
+        out2 = np.zeros((h, w), dtype=np.int64)
+        if filtering == 1:  # horizontal
+            # left column accumulates down (top rule), rows accumulate right
+            out2[:, 0] = np.cumsum(p2[:, 0]) & 255
+            if w > 1:
+                row_base = out2[:, 0][:, None]
+                out2[:, 1:] = (
+                    np.cumsum(p2[:, 1:], axis=1) + row_base
+                ) & 255
+        else:  # vertical
+            # top row accumulates right (left rule), columns accumulate down
+            out2[0, :] = np.cumsum(p2[0, :]) & 255
+            if h > 1:
+                col_base = out2[0, :][None, :]
+                out2[1:, :] = (
+                    np.cumsum(p2[1:, :], axis=0) + col_base
+                ) & 255
+        plane = out2.reshape(-1)
+    elif filtering == 3:  # gradient: clamped, non-linear -> scalar loop
         out = np.zeros(w * h, dtype=np.int64)
         for i in range(w * h):
             x, y = i % w, i // w
@@ -777,11 +801,7 @@ def decode_vp8l_alpha(alph: bytes, w: int, h: int) -> np.ndarray:
                 pred = int(out[i - 1])  # top row always predicts left
             elif x == 0:
                 pred = int(out[i - w])  # left column always predicts top
-            elif filtering == 1:  # horizontal
-                pred = int(out[i - 1])
-            elif filtering == 2:  # vertical
-                pred = int(out[i - w])
-            else:  # gradient
+            else:
                 g = int(out[i - 1]) + int(out[i - w]) - int(out[i - w - 1])
                 pred = max(0, min(255, g))
             out[i] = (int(plane[i]) + pred) & 255

@@ -376,17 +376,28 @@ def temporal_curation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=4)
-    # ONE hourly-MIN aggregate shared by gfl/gfi/zsc (the _customer_slim /
-    # grams= pattern): min is idempotent under re-aggregation, so gapfill
-    # over the pre-bucketed series (ts=b, agg=min) is value-identical to
-    # gapfill over raw events — three corpus scans+aggregates become one
-    f_hm = pool.submit(
-        lambda: _hourly_min_series(spark, sf_dir).localCheckpoint(eager=True)
-    )
-    f_scd = pool.submit(_scd2_branch, spark, sf_dir)
-    f_mix = pool.submit(_mix_branch, spark, sf_dir)
-    f_pak = pool.submit(_pack_chunk_branches, spark, sf_dir)
-    hm = f_hm.result()
+    try:
+        # ONE hourly-MIN aggregate shared by gfl/gfi/zsc (the
+        # _customer_slim / grams= pattern): min is idempotent under
+        # re-aggregation, so gapfill over the pre-bucketed series (ts=b,
+        # agg=min) is value-identical to gapfill over raw events — three
+        # corpus scans+aggregates become one
+        f_hm = pool.submit(
+            lambda: _hourly_min_series(spark, sf_dir).localCheckpoint(
+                eager=True
+            )
+        )
+        f_scd = pool.submit(_scd2_branch, spark, sf_dir)
+        f_mix = pool.submit(_mix_branch, spark, sf_dir)
+        f_pak = pool.submit(_pack_chunk_branches, spark, sf_dir)
+        hm = f_hm.result()
+        scd = f_scd.result()
+        mix = f_mix.result()
+        pak = f_pak.result()
+    finally:
+        # exceptions between submit and result must not leak in-flight
+        # branch builds on non-daemon threads
+        pool.shutdown(wait=True, cancel_futures=True)
 
     def gf(method: str, tag: str, rounded: bool) -> DataFrame:
         g = gapfill(
@@ -426,10 +437,6 @@ def temporal_curation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("double").alias("v1"),
         F.lit(0.0).alias("v2"),
     )
-    scd = f_scd.result()
-    mix = f_mix.result()
-    pak = f_pak.result()
-    pool.shutdown(wait=True)
     return (
         gf("locf", "gfl", rounded=False)
         .unionByName(gf("linear", "gfi", rounded=True))

@@ -491,18 +491,22 @@ def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=2)
-    f_stm = pool.submit(_stm_branch, spark, sf_dir)
-    f_wrc = pool.submit(_wrc_branch, spark, sf_dir)
-    out = (
-        _url_dom_branches(spark, sf_dir)
-        .unionByName(_moj_branch(spark, sf_dir))
-        .unionByName(_tag_branch(spark, sf_dir))
-        .unionByName(_tok_branch(spark, sf_dir))
-        .unionByName(_spl_branch(spark, sf_dir))
-        .unionByName(f_stm.result())
-        .unionByName(_pii_branch(spark, sf_dir))
-        .unionByName(f_wrc.result())
-        .unionByName(_nfc_branch(spark, sf_dir))
-    )
-    pool.shutdown(wait=True)
+    try:
+        f_stm = pool.submit(_stm_branch, spark, sf_dir)
+        f_wrc = pool.submit(_wrc_branch, spark, sf_dir)
+        out = (
+            _url_dom_branches(spark, sf_dir)
+            .unionByName(_moj_branch(spark, sf_dir))
+            .unionByName(_tag_branch(spark, sf_dir))
+            .unionByName(_tok_branch(spark, sf_dir))
+            .unionByName(_spl_branch(spark, sf_dir))
+            .unionByName(f_stm.result())
+            .unionByName(_pii_branch(spark, sf_dir))
+            .unionByName(f_wrc.result())
+            .unionByName(_nfc_branch(spark, sf_dir))
+        )
+    finally:
+        # a lazy-branch exception must not leak the in-flight stm/wrc
+        # builds on non-daemon threads
+        pool.shutdown(wait=True, cancel_futures=True)
     return out

@@ -278,16 +278,23 @@ def search_rank_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=1)
-    f_pr = pool.submit(_pr_branch, spark, sf_dir)
+    try:
+        f_pr = pool.submit(_pr_branch, spark, sf_dir)
 
-    # ONE corpus explode+shuffle serves all four branches: the positional
-    # postings are a strict superset of build_index's (term, doc_id, tf),
-    # so bm25/tfidf score straight off them and phrase_match gets its
-    # position lists — no second index build. Materialize so the three
-    # consumers read the aggregated postings, not three corpus scans.
-    idx = build_positional_index(docs)
-    idx["postings"] = idx["postings"].localCheckpoint(eager=True)
-    idx["doclen"] = idx["doclen"].localCheckpoint(eager=True)
+        # ONE corpus explode+shuffle serves all four branches: the
+        # positional postings are a strict superset of build_index's
+        # (term, doc_id, tf), so bm25/tfidf score straight off them and
+        # phrase_match gets its position lists — no second index build.
+        # Materialize so the three consumers read the aggregated
+        # postings, not three corpus scans.
+        idx = build_positional_index(docs)
+        idx["postings"] = idx["postings"].localCheckpoint(eager=True)
+        idx["doclen"] = idx["doclen"].localCheckpoint(eager=True)
+        pr = f_pr.result()
+    finally:
+        # an index-build exception must not leak the in-flight pagerank
+        # iterations on a non-daemon thread
+        pool.shutdown(wait=True, cancel_futures=True)
     # k far above corpus size: every matched doc is scored, so the gate's
     # own rank window (over ROUNDED scores) is the only ordering that
     # matters — bm25_topk's internal unrounded orderBy can't cut anything
@@ -301,8 +308,6 @@ def search_rank_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_occurrences").cast("double").alias("v1"),
         F.lit("").alias("h"),
     )
-    pr = f_pr.result()
-    pool.shutdown(wait=True)
     return (
         bm25.unionByName(tfidf)
         .unionByName(phr)

@@ -731,3 +731,83 @@ def test_weighted_median_matches_python_reference(spark):
 
     # ungrouped form
     assert weighted_median(eq, "v", "w").first()["wmedian"] == 5.0
+
+
+def test_normalize_nfc_composes_and_is_idempotent(spark):
+    """pipeline/text.normalize_nfc: decomposed combining sequences and
+    Hangul jamo compose to their canonical forms; NFC-invariant ligatures
+    and superscripts pass through; nulls survive; the map is idempotent.
+    (Cross-engine agreement with DuckDB's ICU nfc_normalize is pinned by
+    the web_hygiene_ops[nfc] driver gate.)"""
+    import unicodedata
+
+    from enterprise_warp_spark.pipeline.text import normalize_nfc
+
+    rows = [
+        (1, "éclair"),             # e + acute -> precomposed
+        (2, "Ångström"),     # ring + diaeresis
+        (3, "ȫ"),            # stacked diacritics
+        (4, "가"),             # Hangul jamo -> syllable
+        (5, "ﬁle 2⁵"),         # NFC-invariant ligature/superscript
+        (6, None),
+        (7, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in normalize_nfc(df).collect()}
+    for i, raw in rows:
+        want = None if raw is None else unicodedata.normalize("NFC", raw)
+        assert got[i] == want, i
+    assert got[1] == "éclair" and got[4] == "가"
+    assert got[5] == "ﬁle 2⁵"  # NFC leaves compatibility forms
+    # idempotent: a second pass changes nothing
+    twice = {
+        r["doc_id"]: r["text"]
+        for r in normalize_nfc(normalize_nfc(df)).collect()
+    }
+    assert twice == got
+
+
+def test_image_near_dup_pairs_reuses_precomputed_fingerprints(spark):
+    """image_near_dup_pairs(fingerprints=): passing a precomputed
+    fingerprint table must yield exactly the pairs of the self-computed
+    path — and a doctored fingerprint table proves the parameter is
+    actually honored (not silently recomputed)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline import codecs
+    from enterprise_warp_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        image_fingerprints,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+    rows = []
+    for mid in range(6):
+        img = base.copy()
+        img[7, mid % 9] ^= 0x80  # tiny per-image perturbation
+        rows.append(
+            (mid, "image", codecs.encode_png(img), "image/png", 9, 8,
+             None, None)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fp = image_fingerprints(media).filter(F.col("decoded"))
+    auto = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in image_near_dup_pairs(media, max_hamming=64).collect()
+    }
+    reused = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in image_near_dup_pairs(
+            media, max_hamming=64, fingerprints=fp
+        ).collect()
+    }
+    assert auto == reused and len(auto) > 0
+    doctored = fp.withColumn(
+        "fingerprint", F.lit(0).cast("long")
+    )
+    forced = image_near_dup_pairs(media, max_hamming=0, fingerprints=doctored)
+    # all-zero fingerprints -> every pair collides at hamming 0
+    assert forced.count() == 15  # C(6,2)
