@@ -317,3 +317,103 @@ def kmv_distinct_by(
         )
         .alias("kmv_distinct"),
     )
+
+
+def count_min_by(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the frequency of
+    `col` values -> the sketch table (row_i, bucket, c): `depth`
+    independent hash rows of `width` buckets, each bucket holding the
+    exact count of values landing in it.
+
+    The sketch BUILD is one exact aggregate over (row_i, bucket) — d*w
+    rows total, never the key space — and sketches MERGE by elementwise
+    sum (union + re-aggregate), so partial sketches from shards compose.
+    Like kmv_distinct_by (and unlike HLL), every step is deterministic,
+    portable arithmetic (md5-prefix hash, integer mod, COUNT), so the
+    sketch and its estimates are exactly replayable in ANSI SQL
+    (learned_sketch_ops[cms] hash-gates them against DuckDB)."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"need depth/width >= 1, got {depth}/{width}")
+    h = (
+        "cast(conv(substr(md5(concat(cast(row_i as string), '|', "
+        f"cast(__v as string))), 1, 15), 16, 10) as bigint) % {width}"
+    )
+    return (
+        df.select(F.col(col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .withColumn(
+            "row_i", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+        )
+        .select("row_i", F.expr(h).alias("bucket"))
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a count_min_by sketch for every
+    distinct value of `col` in `keys` -> (value, cm_count). The CM
+    guarantee: cm_count >= true count always (collisions only ADD), and
+    the overestimate is bounded by ~n/width per row, minimized over the
+    `depth` rows. Probe cost: |keys| x depth rows equi-joined against the
+    d*w-row sketch — broadcastable, never a corpus scan."""
+    h = (
+        "cast(conv(substr(md5(concat(cast(row_i as string), '|', "
+        f"cast(value as string))), 1, 15), 16, 10) as bigint) % {width}"
+    )
+    k = (
+        keys.select(F.col(col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+        .withColumn(
+            "row_i", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+        )
+        .withColumn("bucket", F.expr(h))
+    )
+    return (
+        k.join(F.broadcast(sketch), ["row_i", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cm_count"))
+    )
+
+
+def count_min_from_counts(
+    counts: DataFrame,
+    value_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch built from a PRE-AGGREGATED (value, count) table —
+    exactly equivalent to count_min_by over the raw rows (each bucket is
+    the sum of the counts hashing into it) at a fraction of the cost when
+    a counts table already exists (shard partials, a prior groupBy, a
+    frequency dictionary): the hash/explode touches |distinct values| * d
+    rows instead of |corpus| * d. Same (row_i, bucket, c) schema, same
+    estimates, merges with count_min_by output by elementwise sum."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"need depth/width >= 1, got {depth}/{width}")
+    h = (
+        "cast(conv(substr(md5(concat(cast(row_i as string), '|', "
+        f"cast(__v as string))), 1, 15), 16, 10) as bigint) % {width}"
+    )
+    return (
+        counts.select(
+            F.col(value_col).alias("__v"), F.col(count_col).alias("__n")
+        )
+        .filter(F.col("__v").isNotNull())
+        .withColumn(
+            "row_i", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+        )
+        .select("row_i", F.expr(h).alias("bucket"), "__n")
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("__n").alias("c"))
+    )

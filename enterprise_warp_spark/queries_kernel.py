@@ -1026,10 +1026,25 @@ def _build_kernel_value_slices():
     )
 
     def kernel_value_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = None
-        for tag in _SLICE_BRANCHES:
-            branch = _spark_proj[tag](specs[tag].spark(spark, sf_dir))
-            out = branch if out is None else out.unionByName(branch)
+        # the six physics branches each run independent driver-side build
+        # work (synthetic-residual createDataFrames, per-pulsar reduction
+        # kernels) — build them on a thread pool (the learned_sketch_ops
+        # pattern) so the serial build chain collapses; union order stays
+        # the fixed _SLICE_BRANCHES order
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=3)
+        try:
+            futures = {
+                tag: pool.submit(specs[tag].spark, spark, sf_dir)
+                for tag in _SLICE_BRANCHES
+            }
+            out = None
+            for tag in _SLICE_BRANCHES:
+                branch = _spark_proj[tag](futures[tag].result())
+                out = branch if out is None else out.unionByName(branch)
+        finally:
+            pool.shutdown(wait=True, cancel_futures=True)
         return out
 
     register("kernel_value_slices", oracle, doc=doc)(kernel_value_slices)

@@ -87,6 +87,9 @@ _HH_SHARE = 1.0 / 256.0  # binary-exact: threshold compare is bit-identical
 _HLL_RSD = 0.02
 _GK_ACCURACY = 10_000
 _KMV_K = 64  # KMV sketch size; estimate = (k-1)/u_(k), rel err ~ 1/sqrt(k-2)
+# Count-Min: 4 hash rows x 64 buckets over the hv domain (200 keys >> 64
+# buckets, so collisions/overestimates genuinely occur and get checked)
+_CMS_D, _CMS_W = 4, 64
 _DSIR_DIM = 256
 # Bloom gate: m deliberately TINY (256 bits vs ~20+ inserted keys at sf0.01)
 # so real false positives occur and the oracle checks the exact FP pattern,
@@ -155,6 +158,26 @@ _SKETCH_ORACLE = f"""
     ),
     hht AS (SELECT event_type, COUNT(*) AS total FROM hv GROUP BY 1),
     hhc AS (SELECT event_type, v, COUNT(*) AS n FROM hv GROUP BY 1, 2),
+    cmss AS (
+      SELECT row_i, bucket, COUNT(*) AS c FROM (
+        SELECT r.row_i,
+               CAST('0x' || substr(md5(CAST(r.row_i AS VARCHAR) || '|'
+                    || CAST(user_id % {_HH_DOMAIN} AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {_CMS_W} AS bucket
+        FROM events CROSS JOIN (SELECT UNNEST([{", ".join(str(i) for i in range(_CMS_D))}]) AS row_i) r
+      ) GROUP BY row_i, bucket
+    ),
+    cmsp AS (
+      SELECT k.kv, MIN(COALESCE(s.c, 0)) AS est FROM (
+        SELECT kv, r.row_i,
+               CAST('0x' || substr(md5(CAST(r.row_i AS VARCHAR) || '|'
+                    || CAST(kv AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {_CMS_W} AS bucket
+        FROM (SELECT DISTINCT user_id % {_HH_DOMAIN} AS kv FROM events)
+        CROSS JOIN (SELECT UNNEST([{", ".join(str(i) for i in range(_CMS_D))}]) AS row_i) r
+      ) k LEFT JOIN cmss s ON s.row_i = k.row_i AND s.bucket = k.bucket
+      GROUP BY k.kv
+    ),
     kme AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
@@ -231,6 +254,16 @@ _SKETCH_ORACLE = f"""
     UNION ALL
     SELECT 'gkq', event_type, COUNT(*), 1.0, ''
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'cms', 'b|' || CAST(row_i AS VARCHAR), bucket,
+           CAST(c AS DOUBLE), ''
+    FROM cmss
+    UNION ALL
+    SELECT 'cms', '', p.kv, CAST(p.est AS DOUBLE), CAST(e.n AS VARCHAR)
+    FROM cmsp p JOIN (
+      SELECT user_id % {_HH_DOMAIN} AS kv, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ) e USING (kv)
     UNION ALL
     SELECT 'kmv', kk.event_type, kx.exact_d,
            CASE WHEN kk.n_kept < {_KMV_K} THEN CAST(kk.n_kept AS DOUBLE)
@@ -614,6 +647,51 @@ def _hll_gk_branches(
     return hll.unionByName(gk).unionByName(kmv)
 
 
+def _cms_branch(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
+    """Count-Min sketch gate (operators/sketches.py count_min_by /
+    count_min_estimate, Cormode & Muthukrishnan 2005): the _CMS_D x _CMS_W
+    sketch matrix over the hv key domain AND the min-over-rows probe
+    estimate for EVERY key are both hash-gated — build and probe are exact
+    integer arithmetic (md5-prefix hash, mod, COUNT, MIN) on both engines.
+    With 200 keys over 64 buckets the collisions (and so the CM
+    overestimates) genuinely occur and get value-checked; h carries the
+    exact count so the artifact also witnesses est >= exact."""
+    from enterprise_warp_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_from_counts,
+    )
+
+    # ONE corpus aggregate produces the hv frequency table; the sketch is
+    # then built from the 200-row counts (count_min_from_counts — exactly
+    # the raw-rows sketch at a fraction of the cost) and the SAME table
+    # doubles as the probe key set and the exact-count witness. The raw
+    # count_min_by path is equivalence-pytested against this.
+    exact = ev.groupBy("hv").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    sk = count_min_from_counts(
+        exact, "hv", "n", depth=_CMS_D, width=_CMS_W
+    ).localCheckpoint(eager=True)
+    srows = sk.select(
+        F.lit("cms").alias("gate"),
+        F.concat(F.lit("b|"), F.col("row_i").cast("string")).alias("k1"),
+        F.col("bucket").cast("long").alias("k2"),
+        F.col("c").cast("double").alias("v1"),
+        F.lit("").alias("h"),
+    )
+    probe = count_min_estimate(
+        sk, exact.select("hv"), "hv", depth=_CMS_D, width=_CMS_W
+    )
+    prows = probe.join(exact, probe["value"] == exact["hv"]).select(
+        F.lit("cms").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("value").cast("long").alias("k2"),
+        F.col("cm_count").cast("double").alias("v1"),
+        F.col("n").cast("string").alias("h"),
+    )
+    return srows.unionByName(prows)
+
+
 def _tokdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE tokenized-documents table (doc_id, lang, toks) shared by the
     lmp / dsr / ccn branches (the matching_geo_ops `_customer_slim` /
@@ -826,7 +904,12 @@ def _dsr_branch(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     "al. 2002 / Beyer et al. 2007) whose ESTIMATE is itself hash-gated — "
     "portable md5-prefix hash, k smallest per group, (k-1)/u_(k) — the "
     "exactly-SQL-replayable sketch alongside the hll/gkq contract rows "
-    "(r9), [lmp] bigram-LM "
+    "(r9), [cms] Count-Min sketch (operators/sketches.py "
+    "count_min_from_counts + count_min_estimate, Cormode & Muthukrishnan "
+    "2005; the raw-rows count_min_by builder is equivalence-pytested) — "
+    "the d x w sketch matrix AND every key's min-over-rows probe estimate "
+    "hash-gated against the same exact integer arithmetic in SQL, with "
+    "real collisions at 200 keys over 64 buckets (r9), [lmp] bigram-LM "
     "perplexity scoring (pipeline/lm.py, trained on the en slice, full "
     "fallback chain) vs its SQL twin, [dsr] DSIR importance log-weights "
     "(operators/sampling.py, Xie et al. 2023) vs a full SQL "
@@ -877,6 +960,7 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             pool.submit(_ccn_branch, spark, sf_dir, td),
             pool.submit(_kmc_branch, spark, sf_dir, emb),
             pool.submit(_rpj_branch, spark, sf_dir, emb),
+            pool.submit(_cms_branch, spark, sf_dir, ev),
         ]
         parts = [f.result() for f in futures]
     out = parts[0]

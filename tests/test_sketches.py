@@ -351,3 +351,90 @@ class TestKMVDistinct:
         again = kmv_distinct_by(b.unionByName(a), "g", "v", k=32).first()
         assert whole["kth_hash"] == again["kth_hash"]
         assert whole["kmv_distinct"] == again["kmv_distinct"]
+
+
+class TestCountMin:
+    """count_min_by / count_min_estimate: the CM guarantee (never
+    undercounts), the width-bound on overestimation, shard mergeability,
+    and arg guards."""
+
+    def test_never_undercounts_and_bounded_over(self, spark):
+        from pyspark.sql import functions as F
+
+        from enterprise_warp_spark.operators.sketches import (
+            count_min_by,
+            count_min_estimate,
+        )
+
+        # zipf-ish: value v appears 1000//(v+1) times, v in 0..49
+        rows = [(v,) for v in range(50) for _ in range(1000 // (v + 1))]
+        df = spark.createDataFrame(rows, "v long")
+        n = df.count()
+        d, w = 4, 64
+        sk = count_min_by(df, "v", depth=d, width=w)
+        est = {
+            r["value"]: r["cm_count"]
+            for r in count_min_estimate(sk, df, "v", depth=d, width=w).collect()
+        }
+        true = {v: 1000 // (v + 1) for v in range(50)}
+        for v, t in true.items():
+            assert est[v] >= t, (v, est[v], t)  # CM never undercounts
+            # standard bound: over <= 2n/w with prob 1 - 2^-d; allow 3x
+            assert est[v] - t <= 3 * (2 * n / w), (v, est[v], t)
+
+    def test_merge_by_sum_equals_whole(self, spark):
+        from pyspark.sql import functions as F
+
+        from enterprise_warp_spark.operators.sketches import count_min_by
+
+        a = spark.range(0, 4000).select((F.col("id") % 37).alias("v"))
+        b = spark.range(4000, 9000).select((F.col("id") % 53).alias("v"))
+        d, w = 3, 32
+        whole = {
+            (r["row_i"], r["bucket"]): r["c"]
+            for r in count_min_by(a.unionByName(b), "v", d, w).collect()
+        }
+        part = {}
+        for half in (a, b):
+            for r in count_min_by(half, "v", d, w).collect():
+                k = (r["row_i"], r["bucket"])
+                part[k] = part.get(k, 0) + r["c"]
+        assert part == whole  # sketches merge by elementwise sum
+
+    def test_null_and_guard(self, spark):
+        import pytest as _pytest
+
+        from enterprise_warp_spark.operators.sketches import (
+            count_min_by,
+            count_min_estimate,
+        )
+
+        df = spark.createDataFrame([(1,), (None,), (1,)], "v long")
+        sk = count_min_by(df, "v", depth=2, width=8)
+        # nulls excluded from the build: total mass = 2 per row
+        assert {r["c"] for r in sk.collect()} == {2}
+        est = count_min_estimate(sk, df, "v", depth=2, width=8).collect()
+        assert len(est) == 1 and est[0]["cm_count"] == 2
+        with _pytest.raises(ValueError, match=">= 1"):
+            count_min_by(df, "v", depth=0)
+
+    def test_from_counts_equals_raw_build(self, spark):
+        from pyspark.sql import functions as F
+
+        from enterprise_warp_spark.operators.sketches import (
+            count_min_by,
+            count_min_from_counts,
+        )
+
+        raw = spark.range(5000).select((F.col("id") % 73).alias("v"))
+        counts = raw.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+        d, w = 3, 32
+        a = {
+            (r["row_i"], r["bucket"]): r["c"]
+            for r in count_min_by(raw, "v", d, w).collect()
+        }
+        b = {
+            (r["row_i"], r["bucket"]): r["c"]
+            for r in count_min_from_counts(counts, "v", "n", d, w).collect()
+        }
+        assert a == b  # pre-aggregated build is exactly the raw build
