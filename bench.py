@@ -17,6 +17,41 @@ import sys
 import time
 
 
+def reprobe_worst(
+    spark, sf_dir: str, registry, worst_queries, summary: dict, n_probes: int = 5
+) -> dict:
+    """Self-adjudication (r9): re-time the given queries ISOLATED (after the
+    sweep), median-of-n each, so a judge or the driver can tell a contended
+    window from a real regression without a manual solo re-run. Writes
+    summary['reprobe'] = {query: median_sec}; any failure is swallowed into
+    summary['reprobe_error'] instead — the guaranteed final summary line
+    (the one the driver's stdout tail always captures) must never be lost
+    to a transient reprobe error."""
+    import statistics
+
+    try:
+        reprobe: dict[str, float] = {}
+        for q in worst_queries:
+            probes: list[float] = []
+            for _ in range(n_probes):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                registry[q].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                probes.append(time.perf_counter() - t0)
+            reprobe[q] = round(statistics.median(probes), 4)
+            print(
+                f"# reprobe {q}: median {reprobe[q]:.3f}s "
+                f"(reps {[round(p, 3) for p in probes]})",
+                file=sys.stderr,
+            )
+        summary["reprobe"] = reprobe
+    except Exception as ex:  # noqa: BLE001 — summary must still print
+        summary["reprobe_error"] = f"{type(ex).__name__}"
+    return summary
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -181,34 +216,10 @@ def main() -> None:
         summary["worst"] = [
             [q, r, spreads.get(q, 0.0)] for r, q in ratios[:3]
         ]
-        # Self-adjudication (r9): the 3 worst basket offenders get 5
-        # ISOLATED reps each, after everything else, so a judge (or the
-        # driver) can tell a contended window from a real regression
-        # without a manual solo re-run: the reprobe median is the number
-        # to trust when it disagrees with the in-sweep median.
-        # own broad try: the reprobe launches 15 real Spark jobs, and a
-        # transient failure there must never cost the guaranteed summary
-        # line below (the one the driver's stdout tail always captures)
-        try:
-            reprobe: dict[str, float] = {}
-            for _, q in ratios[:3]:
-                probes: list[float] = []
-                for _ in range(5):
-                    spark.catalog.clearCache()
-                    t0 = time.perf_counter()
-                    REGISTRY[q].spark(spark, sf_dir).write.format(
-                        "noop"
-                    ).mode("overwrite").save()
-                    probes.append(time.perf_counter() - t0)
-                reprobe[q] = round(statistics.median(probes), 4)
-                print(
-                    f"# reprobe {q}: median {reprobe[q]:.3f}s "
-                    f"(reps {[round(p, 3) for p in probes]})",
-                    file=sys.stderr,
-                )
-            summary["reprobe"] = reprobe
-        except Exception as ex:  # noqa: BLE001 — summary must still print
-            summary["reprobe_error"] = f"{type(ex).__name__}"
+        # the 3 worst basket offenders get isolated reps (reprobe_worst):
+        # the reprobe median is the number to trust when it disagrees with
+        # the in-sweep median
+        reprobe_worst(spark, sf_dir, REGISTRY, [q for _, q in ratios[:3]], summary)
     except (OSError, ValueError, ZeroDivisionError):
         pass
     print(json.dumps(summary))

@@ -1,0 +1,195 @@
+"""CLI front-ends (§3 entry points as console mains).
+
+The reference's documented smoke commands (docs/index.rst:24-34) are
+
+    $ python run_example_paramfile.py --prfile example_params/default_model_dynesty.dat --num 0
+    $ python -m enterprise_warp.results --result example_params/default_model_dynesty.dat --info 1 --corner 1
+
+These tests run both mains (modulo package name) against the SHIPPED
+reference example tree (J1832-0836 .par/.tim + noise models/files), staged
+into a writable tmp dir because the paramfile's `out:` is relative and
+/root/reference is read-only. Asserts the reference run-dir layout
+(chain_1.txt/pars.txt — K1), the K2 noise-file key set, and the flag-gated
+results stages."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+EX = "/root/reference/examples"
+
+
+@pytest.fixture(scope="module")
+def example_tree(tmp_path_factory):
+    """Writable copy of the reference examples tree (data + configs)."""
+    base = tmp_path_factory.mktemp("example_tree")
+    for sub in ("data", "example_params", "example_noisemodels", "example_noisefiles"):
+        shutil.copytree(os.path.join(EX, sub), base / sub)
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def completed_run(spark, example_tree):
+    """One full run_paramfile main on the docs smoke command."""
+    from enterprise_warp_spark.run_paramfile import main
+
+    prfile = os.path.join(example_tree, "example_params", "default_model_dynesty.dat")
+    out = main(["--prfile", prfile, "--num", "0"], spark=spark)
+    return prfile, out
+
+
+def test_run_paramfile_smoke_layout(completed_run, example_tree):
+    """K1 layout: out/<model>_<label>/<num>_<psr>/{chain_1.txt,pars.txt},
+    reference par-name convention, chain columns = pars + 4 PTMCMC aux."""
+    prfile, out = completed_run
+    d = out["output_dir"]
+    # enterprise_warp.py:403-415 layout: out/examp_1_v1/0_J1832-0836/
+    assert d == os.path.join(example_tree, "out", "examp_1_v1", "0_J1832-0836")
+    assert os.path.isfile(os.path.join(d, "chain_1.txt"))
+    assert os.path.isfile(os.path.join(d, "pars.txt"))
+    pars = open(os.path.join(d, "pars.txt")).read().split()
+    assert pars == out["pars"]
+    # the 12-dim examp_1 plan for J1832-0836 in reference naming
+    assert "J1832-0836_CASPSR_40CM_efac" in pars
+    assert "J1832-0836_red_noise_log10_A" in pars
+    assert "J1832-0836_dm_gp_gamma" in pars
+    assert len(pars) == 12
+    chain = np.loadtxt(os.path.join(d, "chain_1.txt"))
+    assert chain.shape[1] == len(pars) + 4  # results.py:499 strips 4 aux
+    assert np.isfinite(chain).all()
+    # sampled values stay inside the compiled prior box (efac ~ U(0, 10))
+    efac_col = pars.index("J1832-0836_PDFB_20CM_efac")
+    assert 0.0 <= chain[:, efac_col].min() <= chain[:, efac_col].max() <= 10.0
+
+
+def test_run_paramfile_drop_and_array(spark, example_tree):
+    """--drop 1: leave pulsar --num out of a full-array run (EWParser -d).
+    The 2-pulsar example tree minus index 0 runs fake_psr_0 alone."""
+    from enterprise_warp_spark.run_paramfile import main
+
+    prfile = os.path.join(example_tree, "example_params", "default_model_dynesty.dat")
+    out = main(["--prfile", prfile, "--num", "0", "--drop", "1"], spark=spark)
+    # reference layout: .../<num>/<num>_<DROPPEDpsr>/ (enterprise_warp.py:415)
+    assert out["output_dir"].endswith(os.path.join("0", "0_J1832-0836"))
+    assert os.path.isfile(os.path.join(out["output_dir"], "chain_1.txt"))
+    # the dropped pulsar's per-backend white noise is NOT in the plan
+    assert not any("CASPSR" in p for p in out["pars"])
+
+
+def test_results_main_info_corner(spark, completed_run, capsys):
+    """The second docs smoke command verbatim: --info 1 --corner 1 against
+    the PARAMFILE (interpret_opts_result resolves the output dir)."""
+    from enterprise_warp_spark.results import main
+
+    prfile, out = completed_run
+    res = main(["--result", prfile, "--info", "1", "--corner", "1"], spark=spark)
+    assert res["run_ids"] == ["0_J1832-0836"]
+    captured = capsys.readouterr().out
+    assert "Processing 0_J1832-0836" in captured
+    assert "J1832-0836_red_noise_gamma" in captured
+    # corner DATA artifact (K7 feeding aggregation; PNG out of scope)
+    corner = os.path.join(
+        res["outdir_all"], "0_J1832-0836", "0_J1832-0836_corner.json"
+    )
+    doc = json.load(open(corner))
+    assert "J1832-0836_red_noise_log10_A" in doc
+    assert all(np.isfinite(v) for v in doc.values())
+
+
+def test_results_main_noisefiles_credlevels_logbf(spark, completed_run):
+    """-f/-l/-b flag-gated stages: K2 noise files carry EXACTLY the
+    reference key set for this model, credible levels are ordered, logbf on
+    a single-model run yields no pairs (and no crash)."""
+    from enterprise_warp_spark.results import main
+
+    prfile, out = completed_run
+    res = main(
+        ["--result", prfile, "--noisefiles", "1", "--credlevels", "1",
+         "--logbf", "1"],
+        spark=spark,
+    )
+    [noise_path] = res["noisefiles"]
+    assert os.path.basename(noise_path) == "0_J1832-0836_noise.json"
+    doc = json.load(open(noise_path))
+    golden = json.load(open(f"{EX}/example_noisefiles/J1832-0836_noise.json"))
+    assert set(doc) == set(golden)  # the reference's exact key set
+    [cred_path] = res["credlevels"]
+    cdoc = json.load(open(cred_path))
+    assert set(cdoc) == set(golden)
+    assert all(v["p16"] <= v["p50"] <= v["p84"] for v in cdoc.values())
+
+
+def test_results_main_directory_and_name_filter(spark, completed_run):
+    """--result can be the output DIRECTORY (results.py:400-403) and
+    --name filters runs by substring."""
+    from enterprise_warp_spark.results import main
+
+    prfile, out = completed_run
+    outdir_all = os.path.dirname(out["output_dir"])
+    res = main(["--result", outdir_all, "--name", "J1832"], spark=spark)
+    assert res["run_ids"] == ["0_J1832-0836"]
+    res2 = main(["--result", outdir_all, "--name", "J0437"], spark=spark)
+    assert res2["run_ids"] == []
+
+
+def test_cli_modules_run_as_main():
+    """`python -m enterprise_warp_spark.results -h` / run_paramfile -h —
+    the documented invocation shape — exit 0 and print their options."""
+    import subprocess
+    import sys
+
+    for mod in ("enterprise_warp_spark.results", "enterprise_warp_spark.run_paramfile"):
+        p = subprocess.run(
+            [sys.executable, "-m", mod, "-h"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=120,
+        )
+        assert p.returncode == 0, p.stderr
+        assert "--result" in p.stdout or "--prfile" in p.stdout
+
+
+def test_parse_commandline_defaults():
+    """Option surface parity with results.py:38-135 / enterprise_warp.py:30-56."""
+    from enterprise_warp_spark.results import parse_commandline as rc
+    from enterprise_warp_spark.run_paramfile import parse_commandline as pc
+
+    o = rc(["-r", "x", "-b", "1"])
+    assert o.result == "x" and o.logbf == 1 and o.name == "all"
+    assert o.optimal_statistic_orfs == "hd,dipole,monopole"
+    assert o.optimal_statistic_nsamples == 1000
+    o2 = pc(["-p", "f.dat", "-n", "3", "-d", "1"])
+    assert o2.prfile == "f.dat" and o2.num == 3 and o2.drop == 1
+
+
+def test_results_main_covm_and_os(spark, completed_run):
+    """-m: cov.npy per run dir -> covm_all.csv/pkl (K4). -o: the §3.3 OS
+    pipeline rebuilt from the paramfile, per requested ORF, persisted as
+    parquet (K6) — the reference's OptimalStatisticWarp flow."""
+    from enterprise_warp_spark.results import main
+
+    prfile, out = completed_run
+    run_dir = out["output_dir"]
+    # synthesize a PTMCMC covariance for the run's 12 sampled params
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(12, 12))
+    np.save(os.path.join(run_dir, "cov.npy"), a @ a.T)
+    res = main(
+        ["--result", prfile, "--covm", "1", "--optimal_statistic", "1",
+         "--optimal_statistic_orfs", "hd"],
+        spark=spark,
+    )
+    outdir_all = res["outdir_all"]
+    assert os.path.isfile(os.path.join(outdir_all, "covm_all.csv"))
+    assert os.path.isfile(os.path.join(outdir_all, "covm_all.pkl"))
+    import pandas as pd
+
+    dense = pd.read_csv(os.path.join(outdir_all, "covm_all.csv"))
+    assert len(dense) == 12  # 12x12 block for the single run
+    os_row = res["os"]["hd"]["os"].first()
+    assert np.isfinite(os_row["a2_hat"]) and os_row["sig_os"] > 0
+    saved = spark.read.parquet(
+        os.path.join(outdir_all, "os_results", "hd", "os")
+    )
+    assert saved.count() == 1

@@ -811,3 +811,40 @@ def test_image_near_dup_pairs_reuses_precomputed_fingerprints(spark):
     forced = image_near_dup_pairs(media, max_hamming=0, fingerprints=doctored)
     # all-zero fingerprints -> every pair collides at hamming 0
     assert forced.count() == 15  # C(6,2)
+
+
+def test_bench_reprobe_helper(spark, tmp_path):
+    """bench.reprobe_worst (the judge's noise-adjudication signal): the
+    'reprobe' key must land in the summary dict with one median per query,
+    and a broken registry must degrade to 'reprobe_error' — never raise
+    (the final summary line must always print)."""
+    import sys
+    import types
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        from bench import reprobe_worst
+    finally:
+        sys.path.pop(0)
+
+    def q1(s, d):
+        return s.range(3)
+
+    def q2(s, d):
+        return s.range(5).selectExpr("id * 2 as v")
+
+    registry = {
+        "a": types.SimpleNamespace(spark=q1),
+        "b": types.SimpleNamespace(spark=q2),
+    }
+    summary = {"value": 1.0}
+    out = reprobe_worst(spark, str(tmp_path), registry, ["a", "b"], summary,
+                        n_probes=2)
+    assert out is summary
+    assert set(summary["reprobe"]) == {"a", "b"}
+    assert all(v >= 0 for v in summary["reprobe"].values())
+
+    bad = {"a": types.SimpleNamespace(spark=lambda s, d: 1 / 0)}
+    summary2: dict = {}
+    reprobe_worst(spark, str(tmp_path), bad, ["a"], summary2, n_probes=1)
+    assert summary2 == {"reprobe_error": "ZeroDivisionError"}
