@@ -828,10 +828,17 @@ def pq_topk_reranked(
     )
 
 
+# production cell-sizing contract: n_cells defaults to corpus_rows /
+# SEMDEDUP_TARGET_CELL_ROWS, keeping EXPECTED cell size constant so the
+# within-cell pair cost sum(|cell|^2) grows ~linearly with the corpus
+# (Abbas et al. 2023 scale n_cells with corpus size for the same reason)
+SEMDEDUP_TARGET_CELL_ROWS = 500
+
+
 def semdedup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
@@ -848,7 +855,18 @@ def semdedup_pairs(
     is AQE-splittable because the join key is the small int cell_id.
     Cross-cell duplicates are missed by construction (the documented
     SemDeDup recall trade-off); lower `threshold`/raise `n_cells` per the
-    paper's ablations."""
+    paper's ablations.
+
+    n_cells=None (production default) derives the cell count from a corpus
+    count() so expected cell size stays ~SEMDEDUP_TARGET_CELL_ROWS and the
+    pair cost scales linearly with the corpus (one scalar count on the
+    driver — metadata-scale coordination, not a data collect). Callers
+    needing a deterministic oracle contract (the [semd] gate) pass an
+    explicit n_cells."""
+    if n_cells is None:
+        import math as _math
+
+        n_cells = max(4, _math.ceil(emb.count() / SEMDEDUP_TARGET_CELL_ROWS))
     n = _with_norm_sq(emb, emb_col, id_col)
     cents = centroids if centroids is not None else deterministic_centroids(
         emb, n_cells, emb_col, id_col
@@ -886,7 +904,7 @@ def semdedup_pairs(
 def semdedup_keep_list(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,

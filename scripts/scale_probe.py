@@ -109,22 +109,131 @@ def time_gate(spark, name, sf_dir, reps=3):
     return round(statistics.median(times), 2), rows
 
 
+def _timed(fn, reps=3):
+    times, rows = [], None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rows = fn()
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 2), rows
+
+
+def semdedup_contract_probe(spark):
+    """VERDICT r9 Next #2 — measure SemDeDup under its PRODUCTION contract
+    (n_cells scales with the corpus so expected cell size is constant ->
+    sum(|cell|^2) ~ linear) vs the gate's fixed-cells oracle contract
+    (cells fixed for determinism -> cell size grows with the corpus ->
+    quadratic within-cell pair cost). Rows through semdedup_pairs at 1x
+    (sf0.1 embeddings, 2k rows) and the 10x mirror (20k rows)."""
+    from enterprise_warp_spark.pipeline.similarity import semdedup_pairs
+
+    emb1 = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    emb10 = spark.read.parquet(f"{DST}/embeddings.parquet")
+    thr = 0.35  # the gate's threshold: dense-enough output to be honest
+
+    print()
+    print("SemDeDup contract probe (threshold 0.35):")
+    print("| contract | n_cells | t(1x) s | t(10x) s | time ratio | rows 1x | rows 10x |")
+    print("|---|---|---|---|---|---|---|")
+    for label, cells1, cells10 in (
+        ("fixed-cells (gate oracle)", 32, 32),
+        ("scaling-cells (production, n_cells ~ corpus)", None, None),
+    ):
+        t1, r1 = _timed(lambda: semdedup_pairs(emb1, thr, cells1).count())
+        t10, r10 = _timed(lambda: semdedup_pairs(emb10, thr, cells10).count())
+        c1 = cells1 if cells1 is not None else "auto"
+        print(
+            f"| {label} | {c1} | {t1} | {t10} | {round(t10 / t1, 2)} "
+            f"| {r1} | {r10} |"
+        )
+
+
+def ann_recall_probe(spark):
+    """VERDICT r9 Next #6 — measured recall@k curves at 10x scale (20k
+    vectors): IVF across an nprobe sweep and PQ/ADC reranked across rerank
+    depths, each against the brute-force exact top-k ground truth on the
+    same 10 queries. Demonstrates the recall-vs-cost dial the ANN claim
+    rests on, as a curve rather than a point."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline import similarity
+
+    # the plain x10 mirror replicates vectors VERBATIM (ids shifted), which
+    # makes every query's true neighbors its own exact copies — any method
+    # that lands in the right cell scores recall 1.0 trivially. Perturb each
+    # replica with deterministic per-(vec, dim, copy) jitter so the top-k
+    # structure is non-degenerate and recall actually discriminates.
+    emb = (
+        spark.read.parquet(f"{DST}/embeddings.parquet")
+        .withColumn("_copy", (F.col("vec_id") / 10_000_000).cast("int"))
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, j) -> x + float(0.15 * "
+                "sin(0.7718 * (vec_id % 10000000) + 1.237 * j + 2.9 * _copy)))"
+            ),
+        )
+        .drop("_copy")
+        .localCheckpoint(eager=True)
+    )
+    qf = "vec_id < 10"
+    k = 5
+
+    def recall_vs(truth, approx):
+        t = {(r["query_id"], r["neighbor_id"]) for r in truth}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        return round(len(t & a) / len(t), 3) if t else 1.0
+
+    t_exact, truth = _timed(
+        lambda: similarity.cosine_topk(emb, qf, k).collect(), reps=1
+    )
+    print()
+    print(f"ANN recall@{k} at 10x (20k vectors, 10 queries; brute-force "
+          f"exact = {t_exact}s):")
+    print("| method | param | recall@5 | t(s) |")
+    print("|---|---|---|---|")
+    for nprobe in (1, 2, 4, 8, 16):
+        t, rows = _timed(
+            lambda: similarity.ivf_topk(
+                emb, qf, k, n_cells=16, nprobe=nprobe
+            ).collect(),
+            reps=1,
+        )
+        print(f"| ivf (n_cells=16) | nprobe={nprobe} | {recall_vs(truth, rows)} | {t} |")
+    cbs = similarity.pq_codebooks(emb, 4, 16).localCheckpoint(eager=True)
+    codes = similarity.pq_encode(emb, cbs, 4).localCheckpoint(eager=True)
+    for rerank in (10, 25, 50, 100):
+        t, rows = _timed(
+            lambda: similarity.pq_topk_reranked(
+                emb, cbs, 4, qf, k=k, rerank=rerank, encoded=codes
+            ).collect(),
+            reps=1,
+        )
+        print(f"| pq_reranked (M=4,K=16) | rerank={rerank} | {recall_vs(truth, rows)} | {t} |")
+
+
 def main():
     from enterprise_warp_spark.session import get_spark
 
+    which = set(sys.argv[1:])
     spark = get_spark(app_name="ews-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(f"{SRC}/region.parquet").count()  # warm JVM
     build_mirror(spark)
-    print("| gate | t(1x) s | t(10x) s | ratio | rows 1x | rows 10x | rows ratio |")
-    print("|---|---|---|---|---|---|---|")
-    for g in GATES:
-        t1, r1 = time_gate(spark, g, SRC)
-        t10, r10 = time_gate(spark, g, DST)
-        print(
-            f"| `{g}` | {t1} | {t10} | {round(t10 / t1, 2)} "
-            f"| {r1} | {r10} | {round(r10 / r1, 2)} |"
-        )
+    if not which or "--gates" in which:
+        print("| gate | t(1x) s | t(10x) s | ratio | rows 1x | rows 10x | rows ratio |")
+        print("|---|---|---|---|---|---|---|")
+        for g in GATES:
+            t1, r1 = time_gate(spark, g, SRC)
+            t10, r10 = time_gate(spark, g, DST)
+            print(
+                f"| `{g}` | {t1} | {t10} | {round(t10 / t1, 2)} "
+                f"| {r1} | {r10} | {round(r10 / r1, 2)} |"
+            )
+    if not which or "--semd" in which:
+        semdedup_contract_probe(spark)
+    if not which or "--ann" in which:
+        ann_recall_probe(spark)
     shutil.rmtree(DST, ignore_errors=True)
     spark.stop()
 

