@@ -53,17 +53,23 @@ def discover_run_dirs(base_dir: str, pattern: re.Pattern = PSR_DIR_RE) -> list[s
     return out
 
 
-def read_run_dir(spark: SparkSession, run_dir: str):
+def read_run_dir(spark: SparkSession, run_dir: str, separated: bool = False):
     """Resolve ONE run directory with the right source: bilby result JSON
     (S6b) when `*_result.json` is present, else PTMCMC chain files (S6).
     Both return (chain, pars) in the same wide schema, so every downstream
-    analytics stage is source-agnostic."""
+    analytics stage is source-agnostic. separated=True loads timestamped
+    chain segments instead (the --load_separated flag, results.py:479-495),
+    falling back per-dir when none exist."""
     import glob as _glob
 
     if _glob.glob(os.path.join(run_dir, "*_result.json")):
         from enterprise_warp_spark.sources.bilby import read_bilby_dir
 
         return read_bilby_dir(spark, run_dir)
+    if separated:
+        from enterprise_warp_spark.sources.chains import read_separated_chain_dir
+
+        return read_separated_chain_dir(spark, run_dir)
     return read_chain_dir(spark, run_dir)
 
 
@@ -71,6 +77,7 @@ def run_results_pipeline(
     spark: SparkSession,
     base_dir: str,
     burn_frac: float = 0.25,
+    load_separated: bool = False,
 ) -> dict[str, DataFrame]:
     """-> {'chains_long', 'model_counts', 'log_bf', 'credible_levels',
     'modes', 'noise'} — every stage of the reference pipeline as a DataFrame,
@@ -80,7 +87,7 @@ def run_results_pipeline(
         raise FileNotFoundError(f"no run directories under {base_dir}")
     long_parts = []
     for d in dirs:
-        chain, pars = read_run_dir(spark, d)
+        chain, pars = read_run_dir(spark, d, separated=load_separated)
         long_parts.append(chains_long(chain, pars))
     all_long = long_parts[0]
     for part in long_parts[1:]:

@@ -53,6 +53,39 @@ from enterprise_warp_spark.tables import table
 
 _TOK_PATTERN = r" ?[A-Za-z]+| ?[0-9]+|\s+|[^\s0-9A-Za-z_]+|_+"
 
+# [bpe]: FIXED byte-BPE vocabulary (24 merges), trained ONCE on the sf0.01
+# documents word table (pipeline.tokenizer.train_bpe, vocab 256+24) and
+# inlined as a literal so both engines replay one merge table at every sf.
+# The oracle replays encode as a rank-ordered replace() chain over a
+# (hex)-delimited token rendering — exactly equivalent to the tokenizer's
+# lowest-rank-first merge walk because BPE training guarantees each rule's
+# constituents are base bytes or products of STRICTLY earlier rules (so a
+# later merge can never create a pair an earlier rank would have eaten),
+# and a single non-overlapping left-to-right replace per rank cannot form
+# new occurrences of its own rule (the product is strictly longer than
+# either constituent). Equality with the real heap-walk encoder is pinned
+# corpus-wide in tests/test_tokenizer.py.
+_BPE_MERGES = [
+    ("20", "73"), ("65", "72"), ("69", "6e"), ("6f", "77"), ("6f", "72"),
+    ("6d", "6572"), ("61", "74"), ("6c", "75"), ("20", "63"), ("61", "73"),
+    ("20", "62"), ("20", "76"), ("61", "72"), ("70", "6172"), ("20", "66"),
+    ("20", "61"), ("20", "74"), ("6a", "6f"), ("6a6f", "696e"),
+    ("6173", "68"), ("68", "617368"), ("20", "6a6f696e"), ("73", "74"),
+    ("72", "6f77"),
+]
+_BPE_TOK = {
+    "merges": [list(p) for p in _BPE_MERGES],
+    "vocab_size": 256 + len(_BPE_MERGES),
+}
+# token rendering is SELF-DELIMITING — '(hex)' per token, words joined by
+# '/' so no merge can cross a pre-token boundary. A '|t1|t2|' rendering
+# would be WRONG: adjacent matches share the boundary pipe, so forward
+# non-overlapping replace misses every second back-to-back occurrence
+# (caught by the equivalence test on 'hash hashhash'-class inputs).
+_BPE_CHAIN_SQL = "s"
+for _a, _b in _BPE_MERGES:
+    _BPE_CHAIN_SQL = f"replace({_BPE_CHAIN_SQL}, '({_a})({_b})', '({_a}{_b})')"
+
 # [nfc]: deterministic DECOMPOSED suffix appended to every document —
 # combining acute / ring / double diacritic / dot-below+above / Hangul
 # jamo, plus NFC-invariant ligature and superscript. Written as escapes so
@@ -153,6 +186,20 @@ _HYGIENE_ORACLE = f"""
            CAST(length(nfc_normalize(text || {_NFC_SUFFIX_SQL})) AS DOUBLE),
            substr(md5(nfc_normalize(text || {_NFC_SUFFIX_SQL})), 1, 16)
     FROM documents
+    UNION ALL
+    SELECT 'bpe', '', doc_id,
+           CAST(length(canon) - length(replace(canon, '(', '')) AS DOUBLE),
+           substr(md5(canon), 1, 16)
+    FROM (
+      SELECT doc_id, replace({_BPE_CHAIN_SQL}, '/', '') AS canon
+      FROM (
+        SELECT doc_id, array_to_string(list_transform(
+          regexp_extract_all(text, '{_TOK_PATTERN}'),
+          w -> regexp_replace(lower(hex(encode(w))), '(..)', '(\\1)', 'g')
+        ), '/') AS s
+        FROM documents
+      )
+    )
 """
 
 
@@ -255,6 +302,34 @@ def _tok_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("k2"),
         F.lit(0.0).alias("v1"),
         F.lit("").alias("h"),
+    )
+
+
+def _bpe_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[bpe] — the REAL distributed encode path (encode_corpus: mapInPandas
+    heap-walk merges with a per-batch word memo) under the fixed literal
+    vocabulary; rows carry n_tokens and a hash of the FULL token sequence
+    ('(hex)' rendering) so any id, ordering, or merge drift breaks the
+    gate."""
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        encode_corpus,
+        tokenizer_tables,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = encode_corpus(docs, _BPE_TOK)
+    _, _, symbols = tokenizer_tables(_BPE_TOK)
+    hex_list = ",".join(f"'{s.hex()}'" for s in symbols)
+    canon = F.expr(
+        f"array_join(transform(token_ids, "
+        f"i -> concat('(', element_at(array({hex_list}), i + 1), ')')), '')"
+    )
+    return enc.select(
+        F.lit("bpe").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.col("n_tokens").cast("double").alias("v1"),
+        F.substring(F.md5(canon), 1, 16).alias("h"),
     )
 
 
@@ -480,7 +555,12 @@ def _pii_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SQL-constructed expected rows (r9), [nfc] Unicode NFC normalization "
     "(pipeline/text.py normalize_nfc, Arrow kernel over stdlib "
     "unicodedata) vs DuckDB's ICU nfc_normalize over a decomposed "
-    "combining-mark/jamo suffix — a two-library interop pin (r9).",
+    "combining-mark/jamo suffix — a two-library interop pin (r9), [bpe] "
+    "the distributed BPE ENCODE itself (pipeline/tokenizer.py "
+    "encode_corpus under a fixed literal 24-merge vocabulary): per-doc "
+    "n_tokens + a hash of the full token sequence, the oracle replaying "
+    "encode as a rank-ordered replace() chain over pipe-delimited hex — "
+    "provably equivalent to the heap merge walk (r10).",
 )
 def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # [stm] runs a full availableNow streaming query to completion and
@@ -504,6 +584,7 @@ def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(_pii_branch(spark, sf_dir))
             .unionByName(f_wrc.result())
             .unionByName(_nfc_branch(spark, sf_dir))
+            .unionByName(_bpe_branch(spark, sf_dir))
         )
     finally:
         # a lazy-branch exception must not leak the in-flight stm/wrc

@@ -224,7 +224,9 @@ def _main_pipeline(spark, opts, outdir_all: str, params):
     )
     from enterprise_warp_spark.sinks import write_covm_csv, write_noise_json_files
 
-    out = run_results_pipeline(spark, outdir_all)
+    out = run_results_pipeline(
+        spark, outdir_all, load_separated=bool(opts.load_separated)
+    )
     chains = _filter_pars(
         _filter_runs(out["chains_long"], opts.name), opts.par
     ).persist()

@@ -17,6 +17,7 @@ join against the pars sidecar (J5).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -36,10 +37,15 @@ def read_pars(spark: SparkSession, pars_path: str) -> DataFrame:
     )
 
 
-def read_chain(spark: SparkSession, chain_path: str, run_id: str | None = None) -> DataFrame:
+def read_chain(
+    spark: SparkSession, chain_path: str | list[str], run_id: str | None = None
+) -> DataFrame:
     """chain file(s) -> (run_id, step, values ARRAY<DOUBLE>, lnpost, lnlike,
-    accept, pt); the 4 trailing sampler columns are split off."""
-    run_id = run_id or os.path.basename(os.path.dirname(chain_path)) or "run"
+    accept, pt); the 4 trailing sampler columns are split off. A list of
+    paths concatenates segments in filename order (the W2 sorted-file-order
+    contract: the step window orders by file, then line)."""
+    first = chain_path[0] if isinstance(chain_path, list) else chain_path
+    run_id = run_id or os.path.basename(os.path.dirname(first)) or "run"
     w = Window.partitionBy("run_id").orderBy("file", "mid")
     raw = (
         spark.read.text(chain_path)
@@ -91,4 +97,26 @@ def read_chain_dir(spark: SparkSession, run_dir: str) -> tuple[DataFrame, DataFr
 
         existing = sorted(_glob.glob(os.path.join(run_dir, "chain_[0-9]" * 1 + "*.txt")))
     chain = read_chain(spark, existing[0], run_id=os.path.basename(run_dir.rstrip("/")))
+    return chain, pars
+
+
+SEPARATED_RE = re.compile(r"chain_\d{14}(_.*)?\.txt$")
+
+
+def read_separated_chain_dir(spark: SparkSession, run_dir: str):
+    """--load_separated (results.py:479-495): load the timestamped segment
+    files chain_DATETIME(14)[_PARS].txt, concatenated in filename
+    (= timestamp) order, as one chain. Falls back to the regular chain
+    file when a directory has no separated segments (mirrors the
+    reference's could-not-load tolerance)."""
+    import glob as _glob
+
+    segs = sorted(
+        p for p in _glob.glob(os.path.join(run_dir, "chain_*.txt"))
+        if SEPARATED_RE.search(p)
+    )
+    if not segs:
+        return read_chain_dir(spark, run_dir)
+    pars = read_pars(spark, os.path.join(run_dir, "pars.txt"))
+    chain = read_chain(spark, segs, run_id=os.path.basename(run_dir.rstrip("/")))
     return chain, pars

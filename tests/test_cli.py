@@ -193,3 +193,40 @@ def test_results_main_covm_and_os(spark, completed_run):
         os.path.join(outdir_all, "os_results", "hd", "os")
     )
     assert saved.count() == 1
+
+
+def test_results_separate_then_load_separated(spark, example_tree):
+    """-u then -s round-trip (results.py:556-618 / 479-495): -u 0.3 moves
+    the first 30% of chain_1.txt into a timestamped segment file; -s 1
+    then loads segments + falls back to chain_1.txt in dirs without any —
+    and the segment steps are exactly the separated head."""
+    import numpy as np
+
+    from enterprise_warp_spark.results import main
+    from enterprise_warp_spark.run_paramfile import main as run_main
+
+    # fresh run so -u surgery doesn't disturb the shared completed_run
+    prfile = os.path.join(example_tree, "example_params", "default_model_dynesty.dat")
+    out = run_main(["--prfile", prfile, "--num", "0", "--wipe_old_output", "1"],
+                   spark=spark)
+    run_dir = out["output_dir"]
+    n_before = np.loadtxt(os.path.join(run_dir, "chain_1.txt")).shape[0]
+    main(["--result", prfile, "--separate_earliest", "0.3"], spark=spark)
+    import glob as _glob
+
+    segs = [p for p in _glob.glob(os.path.join(run_dir, "chain_*.txt"))
+            if "chain_1.txt" not in p]
+    assert len(segs) == 1
+    n_seg = np.loadtxt(segs[0]).shape[0]
+    n_rest = np.loadtxt(os.path.join(run_dir, "chain_1.txt")).shape[0]
+    assert n_seg == int(0.3 * n_before) and n_seg + n_rest == n_before
+    # -s loads ONLY the separated segment for this dir
+    res = main(["--result", prfile, "--load_separated", "1", "--info", "1"],
+               spark=spark)
+    from enterprise_warp_spark.analytics.results_pipeline import run_results_pipeline
+
+    sep = run_results_pipeline(spark, os.path.dirname(run_dir),
+                               burn_frac=0.0, load_separated=True)
+    steps = sep["chains_long"].selectExpr("max(step) as m").first()["m"]
+    assert steps == n_seg - 1
+    assert res["run_ids"] == ["0_J1832-0836"]

@@ -267,3 +267,53 @@ def test_pathological_single_pretoken_encodes_fast():
     assert dt < 10.0, f"pathological encode took {dt:.1f}s"
     assert decode_ids(ids, tok) == word
     assert len(ids) == 100_000 // 4  # fully merged into 8-byte symbols
+
+
+def test_gate_vocab_replace_chain_equals_real_encoder(spark, sf_dir):
+    """The [bpe] gate's oracle replays encode as a rank-ordered replace()
+    chain (queries_hygiene._BPE_CHAIN_SQL); that is equivalent to the real
+    lowest-rank-first heap walk ONLY under the BPE training invariant
+    (each rule's constituents come from strictly earlier rules). Pin both:
+    (a) the invariant holds structurally for the inlined vocabulary,
+    (b) chain replay == encode_text token-for-token over the test corpus
+    plus adversarial strings."""
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        _PY_PRETOKEN_RE,
+        encode_text,
+        tokenizer_tables,
+    )
+    from enterprise_warp_spark.queries_hygiene import _BPE_MERGES, _BPE_TOK
+
+    # (a) structural invariant: every constituent is a base byte or the
+    # product of a strictly earlier merge
+    products = set()
+    for a, b in _BPE_MERGES:
+        for side in (a, b):
+            assert len(side) == 2 or side in products, (a, b)
+        products.add(a + b)
+
+    _, _, symbols = tokenizer_tables(_BPE_TOK)
+    sym_hex = [s.hex() for s in symbols]
+
+    def replay(text):
+        import re
+
+        chunks = []
+        for w in _PY_PRETOKEN_RE.findall(text):
+            bs = w.encode("utf-8")
+            chunks.append("".join(f"({x:02x})" for x in bs))
+        s = "/".join(chunks)  # '/' blocks cross-word merges
+        for a, b in _BPE_MERGES:
+            s = s.replace(f"({a})({b})", f"({a}{b})")
+        s = s.replace("/", "")
+        return re.findall(r"\(([0-9a-f]+)\)", s)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    texts += [
+        "", " ", "hash hash hashhash", "join join s", "aast t t",
+        "  spark  row row  ", "atatat", "parpar part", "xyz_123_abc",
+        "ttttt", "as as asas hashash", "shash",  # back-to-back merges
+    ]
+    for t in texts:
+        assert [sym_hex[i] for i in encode_text(t, _BPE_TOK)] == replay(t), t
