@@ -52,6 +52,39 @@ def histogram_mode(df: DataFrame, value: str, bins: int = 50) -> DataFrame:
     )
 
 
+def grouped_histogram(
+    df: DataFrame, keys: Sequence[str], value: str, bins: int = 50
+) -> DataFrame:
+    """A5 grouped form — (keys..., bucket, cnt, lo, hi): per-group 50-bin
+    histogram counts, the K7 plot-sink feeding aggregation. Two passes like
+    histogram_mode (per-group min/max, then bucket+count); the stats join is
+    broadcast (one row per group) and output is bounded by groups x bins,
+    never by sample count — the property that makes the plot sink safe at
+    100 TB."""
+    keys = list(keys)
+    v = F.col(value)
+    stats = df.groupBy(*keys).agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+    w = (F.col("_hi") - F.col("_lo")) / bins
+    bucket = F.when(
+        F.col("_hi") == F.col("_lo"), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.least(F.floor((v - F.col("_lo")) / w).cast("bigint"), F.lit(bins - 1))
+    )
+    return (
+        df.join(F.broadcast(stats), keys)
+        .select(*keys, bucket.alias("bucket"), "_lo", "_hi")
+        .groupBy(*keys, "bucket", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *keys,
+            "bucket",
+            "cnt",
+            F.col("_lo").alias("lo"),
+            F.col("_hi").alias("hi"),
+        )
+    )
+
+
 def ntile_bins(
     df: DataFrame,
     order_by: Sequence[str],

@@ -43,6 +43,9 @@ _LABELS: dict[str, type] = {
     "tm": str,
     "noisefiles": str,
     "noise_model_file": str,
+    # S8 — declared in the reference label map (enterprise_warp.py:130)
+    # but never consumed there; here it resolves to sources/xlsx.py
+    "job_config_xlsx": str,
 }
 
 _SECTION = re.compile(r"^\{(\d+)\}$")

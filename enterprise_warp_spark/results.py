@@ -147,11 +147,13 @@ def separate_earliest(run_dir: str, frac: float, pars: list[str]) -> str:
 
 
 def run_optimal_statistic(spark, opts, params, prfile: str, outdir_all: str,
-                          noise_df) -> dict:
+                          noise_df, chains=None) -> dict:
     """§3.3 from the CLI: rebuild the array's TOA setup from the paramfile
     (standalone-residual mode), positions from .par RAJ/DECJ, apply THIS
     run's noise summary, then run_os_pipeline per requested ORF. Results
-    land as parquet under <outdir_all>/os_results/<orf>/ (K6)."""
+    land as parquet under <outdir_all>/os_results/<orf>/ (K6). When the
+    posterior chain is supplied and -N > 0, the noise-marginalised OS (A12)
+    runs over -N gamma draws from the chain (results.py:819-844)."""
     from enterprise_warp_spark.analytics.optimal_statistic import run_os_pipeline
     from enterprise_warp_spark.run_paramfile import (
         _resolve,
@@ -176,12 +178,31 @@ def run_optimal_statistic(spark, opts, params, prfile: str, outdir_all: str,
 
     b = res.agg(F.max("toa_s").alias("hi"), F.min("toa_s").alias("lo")).first()
     tspan = float(b["hi"] - b["lo"])
+    draws = None
+    if chains is not None and opts.optimal_statistic_nsamples > 0:
+        from enterprise_warp_spark.analytics.optimal_statistic import (
+            draws_from_chain,
+        )
+
+        gamma_pars = sorted(
+            r["par"]
+            for r in chains.select("par").distinct().collect()
+            if r["par"].endswith("_gamma")
+        )
+        pick = [p for p in gamma_pars if "gw" in p] or gamma_pars
+        if pick:
+            draws = draws_from_chain(
+                chains.filter(F.col("par") == pick[0]),
+                "value",
+                n_draws=opts.optimal_statistic_nsamples,
+            )
     out = {}
     for orf in [o.strip() for o in opts.optimal_statistic_orfs.split(",") if o.strip()]:
         if orf == "all":
             continue
         r = run_os_pipeline(
-            res, positions, nfreqs=8, tspan_s=tspan, noise=noise_df, orf=orf
+            res, positions, nfreqs=8, tspan_s=tspan, noise=noise_df, orf=orf,
+            draws=draws,
         )
         dest = os.path.join(outdir_all, "os_results", orf)
         r["os"].write.mode("overwrite").parquet(os.path.join(dest, "os"))
@@ -284,9 +305,8 @@ def _main_pipeline(spark, opts, outdir_all: str, params):
             os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "w") as fh:
                 json.dump(doc, fh, sort_keys=True, indent=4)
-        print("corner/hist/chain data written per run dir "
-              "(PNG rendering out of engine scope, SURVEY K7)")
         results["modes"] = docs
+        results["plots"] = render_plots(spark, opts, outdir_all, chains)
 
     if opts.separate_earliest > 0:
         for d in discover_run_dirs(outdir_all):
@@ -319,11 +339,75 @@ def _main_pipeline(spark, opts, outdir_all: str, params):
             "psr", F.regexp_extract("key", r"^(\d+_)?([JB][\d+-]+[AB]?)", 2)
         )
         results["os"] = run_optimal_statistic(
-            spark, opts, params, opts.result, outdir_all, noise_df
+            spark, opts, params, opts.result, outdir_all, noise_df,
+            chains=chains,
         )
+        # K7 OS plots (plot_os_orf / plot_noisemarg_os)
+        from enterprise_warp_spark import plotting
+
+        tag = opts.name
+        os_plots = [plotting.make_os_orf_plot(
+            results["os"], os.path.join(outdir_all, f"{tag}_os_orf_.png")
+        )]
+        os_plots += plotting.make_noisemarg_os_plots(
+            results["os"],
+            os.path.join(outdir_all, f"{tag}_os_SNR_.png"),
+            os.path.join(outdir_all, f"{tag}_os_A2_.png"),
+        )
+        results["os_plots"] = os_plots
 
     chains.unpersist()
     return results
+
+
+def render_plots(spark, opts, outdir_all: str, chains) -> list[str]:
+    """K7 — PNG plot sinks for the -c/-a/-H flags, reference filenames
+    (results.py:634-636, 677-679, 697-699): per-run corner (one per nmodel
+    value, over the burned chain), hist grid, and trace grid. Spark bins,
+    the driver rasterizes (see plotting.py module docstring)."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark import plotting
+    from enterprise_warp_spark.analytics.chains import burn_in
+
+    truths = None
+    if opts.truths:
+        with open(opts.truths) as fh:
+            truths = json.load(fh)
+    paths: list[str] = []
+    run_ids = [r["run_id"] for r in chains.select("run_id").distinct().collect()]
+    for rid in sorted(run_ids):
+        ch = chains.filter(F.col("run_id") == rid)
+        if opts.hists:
+            paths.append(plotting.make_histogram_grid(
+                ch, os.path.join(outdir_all, f"{rid}_hist_pars_.png")
+            ))
+        if opts.chains:
+            paths.append(plotting.make_chain_trace_grid(
+                ch, os.path.join(outdir_all, f"{rid}_samples_trace_.png")
+            ))
+        if opts.corner:
+            burned = burn_in(ch)
+            pars = sorted(
+                r["par"] for r in ch.select("par").distinct().collect()
+            )
+            if "nmodel" in pars:  # one corner per model (results.py:621-627)
+                models = sorted(
+                    r["m"] for r in burned.filter(F.col("par") == "nmodel")
+                    .select(F.round("value").alias("m")).distinct().collect()
+                )
+            else:
+                models = [None]
+            for jj in models:
+                tag = "" if jj is None else str(int(jj))
+                p = plotting.make_corner_plot(
+                    burned, pars,
+                    os.path.join(outdir_all, f"{rid}_corner_{tag}_.png"),
+                    model=jj, truths=truths,
+                )
+                if p:
+                    paths.append(p)
+    return paths
 
 
 def collect_covariances(spark, outdir_all: str):

@@ -328,6 +328,14 @@ def run_from_paramfile(
 
     p = parse_paramfile(prfile)
     base = anchor_dir(p, prfile)
+    # S8 — job_config_xlsx: the reference declares this label
+    # (enterprise_warp.py:130) but never reads it; here it loads through
+    # the stdlib OOXML source so the key is functional
+    job_config = None
+    if p.values.get("job_config_xlsx"):
+        from enterprise_warp_spark.sources.xlsx import read_xlsx
+
+        job_config = read_xlsx(spark, _resolve(p.job_config_xlsx, base))
     datadir = _resolve(p.datadir, base)
     pairs = paired_data_files(datadir)
     if not 0 <= num < len(pairs):
@@ -429,7 +437,7 @@ def run_from_paramfile(
             par_names = [rename[k] for k in par_names]
         write_chain_dir(chain, par_names, out_dir)
         return {"output_dir": out_dir, "pars": par_names, "chain": chain,
-                "summary": summary}
+                "summary": summary, "job_config": job_config}
 
     posterior, log_bf = hypermodel_sample(
         spark, res, models, n_samples=n_samples, seed=seed,
@@ -443,7 +451,7 @@ def run_from_paramfile(
         par_names = [rename[k] for k in par_names]
     write_chain_dir(pdf, par_names, out_dir)
     return {"output_dir": out_dir, "pars": par_names, "chain": pdf,
-            "log_bf": log_bf}
+            "log_bf": log_bf, "job_config": job_config}
 
 
 def main(argv=None, spark=None):

@@ -90,13 +90,42 @@ def test_results_main_info_corner(spark, completed_run, capsys):
     captured = capsys.readouterr().out
     assert "Processing 0_J1832-0836" in captured
     assert "J1832-0836_red_noise_gamma" in captured
-    # corner DATA artifact (K7 feeding aggregation; PNG out of scope)
+    # corner DATA artifact (K7 feeding aggregation)
     corner = os.path.join(
         res["outdir_all"], "0_J1832-0836", "0_J1832-0836_corner.json"
     )
     doc = json.load(open(corner))
     assert "J1832-0836_red_noise_log10_A" in doc
     assert all(np.isfinite(v) for v in doc.values())
+    # K7 corner PNG (reference filename shape results.py:634-636),
+    # decodable by the repo's own decoder
+    from enterprise_warp_spark.pipeline.codecs import decode_png
+
+    assert res["plots"], "corner flag must render a PNG"
+    png = [p for p in res["plots"] if p.endswith("_corner__.png")]
+    assert len(png) == 1 and os.path.isfile(png[0])
+    img = decode_png(open(png[0], "rb").read())
+    assert img.ndim == 3 and img.shape[0] == img.shape[1] > 500
+
+
+def test_results_main_hist_and_trace_pngs(spark, completed_run):
+    """-H/-a render the tiled histogram and trace grids (K7,
+    results.py:660-700) with the reference tiling for 12 parameters."""
+    from enterprise_warp_spark.pipeline.codecs import decode_png
+    from enterprise_warp_spark.plotting import SUB_H, SUB_W, tile_grid
+    from enterprise_warp_spark.results import main
+
+    prfile, out = completed_run
+    res = main(["--result", prfile, "--hists", "1", "--chains", "1"],
+               spark=spark)
+    hist = [p for p in res["plots"] if p.endswith("_hist_pars_.png")]
+    trace = [p for p in res["plots"] if p.endswith("_samples_trace_.png")]
+    assert len(hist) == 1 and len(trace) == 1
+    xt, yt = tile_grid(12)
+    assert (xt, yt) == (3, 4)
+    for p in hist + trace:
+        img = decode_png(open(p, "rb").read())
+        assert img.shape == (xt * SUB_H, yt * SUB_W, 3)
 
 
 def test_results_main_noisefiles_credlevels_logbf(spark, completed_run):
@@ -177,7 +206,8 @@ def test_results_main_covm_and_os(spark, completed_run):
     np.save(os.path.join(run_dir, "cov.npy"), a @ a.T)
     res = main(
         ["--result", prfile, "--covm", "1", "--optimal_statistic", "1",
-         "--optimal_statistic_orfs", "hd"],
+         "--optimal_statistic_orfs", "hd",
+         "--optimal_statistic_nsamples", "40"],
         spark=spark,
     )
     outdir_all = res["outdir_all"]
@@ -193,6 +223,18 @@ def test_results_main_covm_and_os(spark, completed_run):
         os.path.join(outdir_all, "os_results", "hd", "os")
     )
     assert saved.count() == 1
+    # A12 ran over the 40 chain draws and the K7 OS plots rendered
+    # (plot_os_orf + plot_noisemarg_os, results.py:850-1010)
+    from enterprise_warp_spark.pipeline.codecs import decode_png
+
+    marg = res["os"]["hd"]["marginalised"]
+    assert marg.count() == 40
+    assert len(res["os_plots"]) == 3
+    names = {os.path.basename(p) for p in res["os_plots"]}
+    assert names == {"all_os_orf_.png", "all_os_SNR_.png", "all_os_A2_.png"}
+    for p in res["os_plots"]:
+        img = decode_png(open(p, "rb").read())
+        assert img.shape == (400, 650, 3)
 
 
 def test_results_separate_then_load_separated(spark, example_tree):

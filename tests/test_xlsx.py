@@ -1,0 +1,151 @@
+"""S8 — xlsx job-config source (sources/xlsx.py). The fixture workbook is
+built with stdlib zipfile/XML too, covering shared strings (plain and
+rich-text runs), inline strings, numbers, booleans, missing cells, and
+multi-sheet resolution. Reference: enterprise_warp.py:130 declares the
+``job_config_xlsx:`` label without ever consuming it; here it loads."""
+
+import os
+import zipfile
+
+import pytest
+
+from enterprise_warp_spark.sources.xlsx import (
+    _col_index,
+    _col_letters,
+    read_xlsx,
+    read_xlsx_rows,
+)
+
+_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+_RNS = ('xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships"')
+
+
+def _write_xlsx(path, sheets: dict[str, str], shared: list[str]):
+    """sheets: {name: sheetData XML}. Minimal-but-valid OOXML package."""
+    sheet_tags = "".join(
+        f'<sheet name="{n}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, n in enumerate(sheets)
+    )
+    rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.'
+        f'org/officeDocument/2006/relationships/worksheet" '
+        f'Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(sheets))
+    )
+    sst = "".join(shared)
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+            'content-types"/>',
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook {_NS} {_RNS}><sheets>{sheet_tags}</sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            f'package/2006/relationships">{rels}</Relationships>',
+        )
+        zf.writestr(f"xl/sharedStrings.xml", f"<sst {_NS}>{sst}</sst>")
+        for i, body in enumerate(sheets.values()):
+            zf.writestr(
+                f"xl/worksheets/sheet{i + 1}.xml",
+                f"<worksheet {_NS}><sheetData>{body}</sheetData></worksheet>",
+            )
+
+
+@pytest.fixture()
+def workbook(tmp_path):
+    p = str(tmp_path / "job.xlsx")
+    shared = [
+        "<si><t>psr</t></si>",
+        "<si><t>nsamp</t></si>",
+        # rich-text runs concatenate: 'red_noise'
+        "<si><r><t>red_</t></r><r><t>noise</t></r></si>",
+        "<si><t>J1832-0836</t></si>",
+    ]
+    main = (
+        '<row r="1">'
+        '<c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c><c r="D1" t="inlineStr">'
+        "<is><t>use_gwb</t></is></c></row>"
+        '<row r="2">'
+        '<c r="A2" t="s"><v>3</v></c><c r="B2"><v>5000</v></c>'
+        '<c r="C2"><v>1.5</v></c><c r="D2" t="b"><v>1</v></c></row>'
+        # sparse row: only column B present
+        '<row r="3"><c r="B3"><v>250</v></c></row>'
+    )
+    other = '<row r="1"><c r="A1" t="inlineStr"><is><t>alt</t></is></c></row>'
+    _write_xlsx(p, {"jobs": main, "misc": other}, shared)
+    return p
+
+
+def test_col_letters_roundtrip():
+    for i in (0, 1, 25, 26, 27, 51, 52, 701, 702):
+        assert _col_index(_col_letters(i)) == i
+    assert _col_letters(0) == "A" and _col_letters(26) == "AA"
+    assert _col_letters(701) == "ZZ" and _col_letters(702) == "AAA"
+
+
+def test_read_rows_types_and_sparsity(workbook):
+    rows = read_xlsx_rows(workbook)
+    assert rows[0] == {"A": "psr", "B": "nsamp", "C": "red_noise",
+                       "D": "use_gwb"}
+    assert rows[1] == {"A": "J1832-0836", "B": "5000", "C": "1.5",
+                       "D": "true"}
+    assert rows[2] == {"B": "250"}
+
+
+def test_read_xlsx_dataframe(spark, workbook):
+    df = read_xlsx(spark, workbook)
+    assert df.columns == ["psr", "nsamp", "red_noise", "use_gwb"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 4
+    got = [r.asDict() for r in df.collect()]
+    assert got[0] == {"psr": "J1832-0836", "nsamp": "5000",
+                      "red_noise": "1.5", "use_gwb": "true"}
+    assert got[1] == {"psr": None, "nsamp": "250", "red_noise": None,
+                      "use_gwb": None}
+
+
+def test_read_xlsx_sheet_selection_and_no_header(spark, workbook):
+    df = read_xlsx(spark, workbook, sheet="misc", header=False)
+    assert df.columns == ["A"]
+    assert df.first()["A"] == "alt"
+    with pytest.raises(ValueError, match="not found"):
+        read_xlsx_rows(workbook, sheet="nope")
+
+
+def test_paramfile_label_and_run_integration(spark, tmp_path, workbook):
+    """job_config_xlsx: is a TYPED paramfile label (not extra) and
+    run_from_paramfile surfaces the loaded DataFrame."""
+    from enterprise_warp_spark.plans import parse_paramfile
+
+    dat = tmp_path / "x.dat"
+    dat.write_text("job_config_xlsx: job.xlsx\ndatadir: d\n")
+    p = parse_paramfile(str(dat))
+    assert p.job_config_xlsx == "job.xlsx"
+    assert "job_config_xlsx" not in p.extra
+    # CLI path: reference example tree + the key appended
+    import shutil
+
+    base = tmp_path / "tree"
+    for sub in ("data", "example_params", "example_noisemodels",
+                "example_noisefiles"):
+        shutil.copytree(os.path.join("/root/reference/examples", sub),
+                        base / sub)
+    prfile = base / "example_params" / "default_model_dynesty.dat"
+    # relative paramfile paths resolve against the anchor dir (the tree
+    # root, where datadir: resolves) — not the prfile's own directory
+    shutil.copy(workbook, base / "job.xlsx")
+    # global labels live BEFORE the first {N} model-scope header
+    orig = prfile.read_text()
+    prfile.write_text("job_config_xlsx: job.xlsx\n" + orig)
+    from enterprise_warp_spark.run_paramfile import main
+
+    out = main(["--prfile", str(prfile), "--num", "0"], spark=spark)
+    jc = out["job_config"]
+    assert jc is not None and jc.count() == 2
+    assert jc.columns == ["psr", "nsamp", "red_noise", "use_gwb"]
