@@ -212,6 +212,40 @@ def ann_recall_probe(spark):
         print(f"| pq_reranked (M=4,K=16) | rerank={rerank} | {recall_vs(truth, rows)} | {t} |")
 
 
+def plot_aggregation_probe(spark):
+    """K7 scale check: the plot-sink feeding aggregations must be
+    sample-count-linear with bins-bounded output (the property that makes
+    a corner plot safe to ask for on a 100 TB chain table). Synthetic
+    8-parameter chain at 1x = 2.5e5 steps and 10x = 2.5e6 steps (2e6 /
+    2e7 long rows)."""
+    from enterprise_warp_spark.operators.binning import grouped_histogram
+    from enterprise_warp_spark.plotting import pair_histograms_2d
+
+    pars = [f"p{i}" for i in range(8)]
+
+    def chains(n_steps):
+        return spark.range(n_steps * 8).selectExpr(
+            "'r' as run_id",
+            "cast(id / 8 as int) as step",
+            "concat('p', pmod(id, 8)) as par",
+            "sin(id) * (1 + pmod(id, 8)) as value",
+        )
+
+    print("\n## K7 plot-aggregation scale probe (8 pars)")
+    print("| op | t(1x) s | t(10x) s | ratio | out rows 1x | out rows 10x |")
+    print("|---|---|---|---|---|---|")
+    for label, fn in (
+        ("grouped_histogram(50)", lambda df: grouped_histogram(
+            df, ["run_id", "par"], "value", bins=50).count()),
+        ("pair_histograms_2d(30)", lambda df: pair_histograms_2d(
+            df, pars, bins=30)[0].count()),
+    ):
+        t1, r1 = _timed(lambda: fn(chains(250_000)))
+        t10, r10 = _timed(lambda: fn(chains(2_500_000)))
+        print(f"| {label} | {t1} | {t10} | {round(t10 / max(t1, 1e-9), 2)} "
+              f"| {r1} | {r10} |")
+
+
 def main():
     from enterprise_warp_spark.session import get_spark
 
@@ -234,6 +268,8 @@ def main():
         semdedup_contract_probe(spark)
     if not which or "--ann" in which:
         ann_recall_probe(spark)
+    if "--plots" in which:
+        plot_aggregation_probe(spark)
     shutil.rmtree(DST, ignore_errors=True)
     spark.stop()
 

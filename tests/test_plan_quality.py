@@ -384,3 +384,33 @@ def test_learned_sketch_ops_plan_shape(spark, sf001):
     assert p.count("BroadcastNestedLoopJoin") <= 4  # centroid fan-outs only
     assert p.count("MapInPandas") <= 4  # MG partials (totals + merged)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_k7_feeding_aggregation_plans(spark):
+    """K7 plot-sink aggregations: grouped_histogram's per-group stats join
+    is a BROADCAST (one row per group), pair_histograms_2d's corner plan is
+    pivot + explode + hash aggregate — pure JVM, partial-aggregated
+    map-side, no cartesian, no Python eval. These are the only stages that
+    ever see the sample table; the rasterizer sees bins only."""
+    from enterprise_warp_spark.operators.binning import grouped_histogram
+    from enterprise_warp_spark.plotting import pair_histograms_2d
+
+    chains = (
+        spark.range(20000)
+        .selectExpr(
+            "'r' as run_id",
+            "cast(id / 4 as int) as step",
+            "concat('p', pmod(id, 4)) as par",
+            "sin(id) as value",
+        )
+    )
+    p = plan(grouped_histogram(chains, ["run_id", "par"], "value"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    counts, _ = pair_histograms_2d(chains, ["p0", "p1", "p2", "p3"], bins=30)
+    p2 = plan(counts)
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "BatchEvalPython" not in p2 and "ArrowEvalPython" not in p2
+    assert "HashAggregate" in p2  # partial map-side combine before exchange
