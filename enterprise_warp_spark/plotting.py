@@ -306,6 +306,17 @@ def thinned_traces(chains_long, max_points: int = 200):
 # ---------------------------------------------------------------------------
 
 
+def _single_run(rows, what: str):
+    """The per-run plot functions must not silently merge runs: each run
+    has its own bin edges, so cross-run count merging would be wrong."""
+    runs = {r["run_id"] for r in rows}
+    if len(runs) > 1:
+        raise ValueError(
+            f"{what} renders ONE run per figure; got {sorted(runs)} — "
+            "filter chains_long to a single run_id first"
+        )
+
+
 def make_histogram_grid(chains_long, out_path: str, bins: int = 50) -> str:
     """_make_histograms (results.py:660-680): tiled per-parameter
     histograms; Spark bins, the driver rasterizes bins x P cells."""
@@ -314,6 +325,7 @@ def make_histogram_grid(chains_long, out_path: str, bins: int = 50) -> str:
     rows = grouped_histogram(
         chains_long, ["run_id", "par"], "value", bins=bins
     ).collect()
+    _single_run(rows, "make_histogram_grid")
     by_par: dict[str, np.ndarray] = {}
     for r in rows:
         arr = by_par.setdefault(r["par"], np.zeros(bins))
@@ -331,6 +343,7 @@ def make_chain_trace_grid(chains_long, out_path: str,
                           max_points: int = 200) -> str:
     """_make_chain_plot (results.py:683-700): thinned sample traces."""
     rows = thinned_traces(chains_long, max_points).collect()
+    _single_run(rows, "make_chain_trace_grid")
     by_par: dict[str, list] = {}
     for r in rows:
         by_par.setdefault(r["par"], []).append((r["step"], r["value"]))
@@ -354,6 +367,7 @@ def make_corner_plot(chains_long, pars: list[str], out_path: str,
 
     counts, edges = pair_histograms_2d(chains_long, pars, bins, model)
     rows = counts.collect() if counts is not None else []
+    _single_run(rows, "make_corner_plot")
     # diagonal 1D hists from the same bucket edges so panels line up
     h2d: dict[str, np.ndarray] = {}
     h1d: dict[str, np.ndarray] = {p: np.zeros(bins) for p in pars}
@@ -448,9 +462,10 @@ def make_os_orf_plot(os_results: dict, out_path: str) -> str:
     W, H = 650, 400
     L, R, T, B = 60, 15, 12, 40
     cv = Canvas(W, H)
-    xi = np.array([r["xi_mean"] for r in binned])
-    rho = np.array([r["wavg"] for r in binned])
-    sig = np.array([r["werr"] for r in binned])
+    # null weighted stats (a bin whose sigmas were all zero) render at 0
+    xi = np.array([r["xi_mean"] for r in binned], dtype=float)
+    rho = np.array([r["wavg"] or 0.0 for r in binned], dtype=float)
+    sig = np.array([r["werr"] or 0.0 for r in binned], dtype=float)
     xerr = np.array([
         (r["xi_std"] if r["xi_std"] is not None else 0.0) for r in binned
     ])

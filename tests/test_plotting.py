@@ -240,3 +240,16 @@ def test_os_plot_no_marginalised_is_noop(tmp_path, spark):
     assert make_noisemarg_os_plots(
         res, str(tmp_path / "s.png"), str(tmp_path / "a.png")
     ) == []
+
+
+def test_per_run_guard(tmp_path, spark):
+    """Per-run plot functions refuse multi-run input loudly — each run has
+    its own bin edges, so silent cross-run count merging would be wrong."""
+    rows = [(rid, s, "x", float(s)) for rid in ("a", "b") for s in range(20)]
+    df = spark.createDataFrame(
+        rows, "run_id string, step int, par string, value double"
+    )
+    with pytest.raises(ValueError, match="ONE run"):
+        make_histogram_grid(df, str(tmp_path / "h.png"))
+    with pytest.raises(ValueError, match="ONE run"):
+        make_chain_trace_grid(df, str(tmp_path / "t.png"))
