@@ -523,11 +523,11 @@ def make_noisemarg_os_plots(os_results: dict, snr_path: str,
             (F.col("a2_hat") / F.col("sig_os")).alias("snr"),
             F.col("a2_hat").alias("a2"),
         ).persist()
+        row = r["os"].first()  # hoisted: one OS evaluation per ORF
         for key in ("snr", "a2"):
             hist = grouped_histogram(per, ["orf"], key, bins=bins).collect()
             mean = per.agg(F.avg(key)).first()[0]
             panels[key].append((orf, hist))
-            row = r["os"].first()
             fixed = (row["a2_hat"] / row["sig_os"]) if key == "snr" else row["a2_hat"]
             vlines[key].append((orf, float(mean), float(fixed)))
         per.unpersist()

@@ -137,13 +137,22 @@ def separate_earliest(run_dir: str, frac: float, pars: list[str]) -> str:
     chain file chain_<14-digit-stamp>_<PARS>.txt (results.py:556-618)."""
     import datetime
 
-    chain = np.loadtxt(os.path.join(run_dir, "chain_1.txt"))
+    # atleast_2d: a single-sample chain loads 1-D and row slicing would
+    # silently split COLUMNS, corrupting the rewritten files
+    chain = np.atleast_2d(np.loadtxt(os.path.join(run_dir, "chain_1.txt")))
     n_head = int(frac * chain.shape[0])
     stamp = datetime.datetime.now().strftime("%Y%m%d%H%M%S")
     path = os.path.join(run_dir, f"chain_{stamp}.txt")
     np.savetxt(path, chain[:n_head])
     np.savetxt(os.path.join(run_dir, "chain_1.txt"), chain[n_head:])
     return path
+
+
+def expand_orfs(spec: str) -> list[str]:
+    """-g value -> ORF list; 'all' means every supported ORF (an 'all'
+    that silently computed NOTHING would crash the OS plots on {})."""
+    orfs = [o.strip() for o in spec.split(",") if o.strip()]
+    return ["hd", "dipole", "monopole"] if "all" in orfs else orfs
 
 
 def run_optimal_statistic(spark, opts, params, prfile: str, outdir_all: str,
@@ -166,11 +175,25 @@ def run_optimal_statistic(spark, opts, params, prfile: str, outdir_all: str,
 
     base = anchor_dir(params, prfile)
     pairs = paired_data_files(_resolve(params.datadir, base))
+    if len(pairs) < 2:
+        raise SystemExit(
+            f"--optimal_statistic needs >= 2 pulsars (cross-correlations); "
+            f"datadir has {len(pairs)}"
+        )
+    # ONE time origin for the whole array: per-pulsar PEPOCH-relative
+    # toa_s would misalign the common GW Fourier basis across pulsars
+    # (and miscompute tspan) whenever .par PEPOCHs differ
+    from enterprise_warp_spark.run_paramfile import _par_value
+
+    peps = [_par_value(par, "PEPOCH", 0.0) for _, par, _ in pairs]
+    common_mjd0 = next((v for v in peps if v), 50000.0)
     res = None
     pos_rows = []
     tspan = 0.0
     for psr, par, tim in pairs:
-        df, _, _ = build_standalone_residuals(spark, psr, par, tim)
+        df, _, _ = build_standalone_residuals(
+            spark, psr, par, tim, mjd0=common_mjd0
+        )
         res = df if res is None else res.unionByName(df)
         pos_rows.append((psr, psr_position(par)))
     positions = spark.createDataFrame(pos_rows, "psr string, pos array<double>")
@@ -197,9 +220,7 @@ def run_optimal_statistic(spark, opts, params, prfile: str, outdir_all: str,
                 n_draws=opts.optimal_statistic_nsamples,
             )
     out = {}
-    for orf in [o.strip() for o in opts.optimal_statistic_orfs.split(",") if o.strip()]:
-        if orf == "all":
-            continue
+    for orf in expand_orfs(opts.optimal_statistic_orfs):
         r = run_os_pipeline(
             res, positions, nfreqs=8, tspan_s=tspan, noise=noise_df, orf=orf,
             draws=draws,
@@ -243,7 +264,19 @@ def _main_pipeline(spark, opts, outdir_all: str, params):
         discover_run_dirs,
         run_results_pipeline,
     )
-    from enterprise_warp_spark.sinks import write_covm_csv, write_noise_json_files
+    from enterprise_warp_spark.sinks import write_noise_json_files
+
+    if opts.separate_earliest > 0:
+        # the reference separates and exits immediately (results.py:600-602)
+        # — doing this FIRST also guarantees no lazy DataFrame built over
+        # the chain files is later re-evaluated against the truncated files
+        seps = []
+        for d in discover_run_dirs(outdir_all):
+            if os.path.exists(os.path.join(d, "chain_1.txt")):
+                seps.append(separate_earliest(d, opts.separate_earliest, []))
+        print(f"Earlier chain fraction ({opts.separate_earliest * 100} %) "
+              "is separated, exiting.")
+        return {"outdir_all": outdir_all, "separated": seps}
 
     out = run_results_pipeline(
         spark, outdir_all, load_separated=bool(opts.load_separated)
@@ -294,8 +327,8 @@ def _main_pipeline(spark, opts, outdir_all: str, params):
             paths.append(p)
         results["credlevels"] = paths
 
-    if opts.corner or opts.hists or opts.chains:
-        # K7 feeding aggregations as JSON data artifacts
+    if opts.corner:
+        # corner's feeding aggregation as a JSON data artifact
         modes = mode_positions_by_par(chains).collect()
         docs = {}
         for r in modes:
@@ -306,12 +339,9 @@ def _main_pipeline(spark, opts, outdir_all: str, params):
             with open(path, "w") as fh:
                 json.dump(doc, fh, sort_keys=True, indent=4)
         results["modes"] = docs
-        results["plots"] = render_plots(spark, opts, outdir_all, chains)
 
-    if opts.separate_earliest > 0:
-        for d in discover_run_dirs(outdir_all):
-            if os.path.exists(os.path.join(d, "chain_1.txt")):
-                separate_earliest(d, opts.separate_earliest, [])
+    if opts.corner or opts.hists or opts.chains:
+        results["plots"] = render_plots(spark, opts, outdir_all, chains)
 
     if opts.covm:
         results["covm"] = collect_covariances(spark, outdir_all)

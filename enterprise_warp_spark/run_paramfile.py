@@ -191,7 +191,7 @@ def psr_position(par_path: str) -> list[float]:
 
 def build_standalone_residuals(
     spark, psr: str, par_path: str, tim_path: str, noise: dict | None = None,
-    nfreqs: int = 8, seed: int | None = None,
+    nfreqs: int = 8, seed: int | None = None, mjd0: float | None = None,
 ):
     """-> (residuals DF, TMSpec, backends). Real observing setup (cadence,
     uncertainties, backends, flags, TM spec) + noise injected per the noise
@@ -209,7 +209,11 @@ def build_standalone_residuals(
     noise = noise or {}
     seed = zlib.crc32(psr.encode()) if seed is None else seed
     toas = read_tim(spark, tim_path).toPandas()
-    pepoch = _par_value(par_path, "PEPOCH", 0.0)
+    # mjd0 overrides the time origin — array-level callers (the OS CLI)
+    # must put EVERY pulsar on one origin or the shared GW Fourier basis
+    # phases misalign across pulsars (the TM projector subspace is
+    # epoch-invariant, so the override is otherwise free)
+    pepoch = mjd0 if mjd0 is not None else _par_value(par_path, "PEPOCH", 0.0)
     if pepoch == 0.0:
         pepoch = float(np.floor(toas["toa_mjd"].astype(float).mean()))
     spec = tm_spec_from_par_file(par_path, mjd0=pepoch)
@@ -336,7 +340,8 @@ def run_from_paramfile(
         from enterprise_warp_spark.sources.xlsx import read_xlsx
 
         job_config = read_xlsx(spark, _resolve(p.job_config_xlsx, base))
-    datadir = _resolve(p.datadir, base)
+    # same default anchor_dir probes with — a paramfile may omit datadir:
+    datadir = _resolve(p.values.get("datadir", "data/"), base)
     pairs = paired_data_files(datadir)
     if not 0 <= num < len(pairs):
         raise IndexError(f"--num {num} out of range for {len(pairs)} pulsars")
@@ -356,12 +361,19 @@ def run_from_paramfile(
                 with open(path) as fh:
                     noise_docs[psr] = json.load(fh)
 
+    # multi-pulsar runs share ONE time origin so any common (array-level)
+    # basis stays phase-aligned across pulsars; single runs keep their own
+    # PEPOCH (bit-identical to previous behavior)
+    common_mjd0 = None
+    if len(selected) > 1:
+        peps = [_par_value(par, "PEPOCH", 0.0) for _, par, _ in selected]
+        common_mjd0 = next((v for v in peps if v), 50000.0)
     res = None
     specs: dict[str, tuple] = {}
     backends: set[str] = set()
     for psr, par, tim in selected:
         df, spec, bks = build_standalone_residuals(
-            spark, psr, par, tim, noise=noise_docs.get(psr)
+            spark, psr, par, tim, noise=noise_docs.get(psr), mjd0=common_mjd0
         )
         specs[psr] = spec
         backends.update(bks)

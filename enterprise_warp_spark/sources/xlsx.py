@@ -136,6 +136,8 @@ def read_xlsx(
     semantics: no type guessing; cast downstream). ``header=True`` takes
     the first row as column names; otherwise Excel letters name the
     columns."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     rows = read_xlsx_rows(path, sheet)
     if not rows:
         return spark.createDataFrame([], "value string").limit(0)
@@ -147,6 +149,15 @@ def read_xlsx(
         names = [head.get(c, c) for c in letters_used]
     else:
         body, names = rows, letters_used
+    # user-authored headers: empty cells fall back to the column letter,
+    # duplicates get _2/_3 suffixes (a duplicate column name would make
+    # every later select ambiguous); StructType avoids DDL-string escaping
+    seen: dict[str, int] = {}
+    uniq = []
+    for letter, n in zip(letters_used, names):
+        n = n.strip() or letter
+        seen[n] = seen.get(n, 0) + 1
+        uniq.append(n if seen[n] == 1 else f"{n}_{seen[n]}")
     data = [tuple(r.get(c) for c in letters_used) for r in body]
-    schema = ", ".join(f"`{n}` string" for n in names)
+    schema = StructType([StructField(n, StringType()) for n in uniq])
     return spark.createDataFrame(data, schema)

@@ -272,3 +272,39 @@ def test_results_separate_then_load_separated(spark, example_tree):
     steps = sep["chains_long"].selectExpr("max(step) as m").first()["m"]
     assert steps == n_seg - 1
     assert res["run_ids"] == ["0_J1832-0836"]
+
+
+def test_expand_orfs_and_single_row_separate(tmp_path):
+    """Review fixes: -g all expands to every ORF (a silent no-op would
+    crash the OS plots on an empty dict), and separate_earliest on a
+    single-sample chain must not slice COLUMNS (np.loadtxt 1-D)."""
+    from enterprise_warp_spark.results import expand_orfs, separate_earliest
+
+    assert expand_orfs("all") == ["hd", "dipole", "monopole"]
+    assert expand_orfs("hd, monopole") == ["hd", "monopole"]
+    d = tmp_path / "run"
+    d.mkdir()
+    row = np.arange(16.0)
+    np.savetxt(d / "chain_1.txt", row[None, :])
+    separate_earliest(str(d), 0.3, [])
+    rest = np.atleast_2d(np.loadtxt(d / "chain_1.txt"))
+    assert rest.shape == (1, 16)  # full row intact, no column split
+    assert np.allclose(rest[0], row)
+
+
+def test_separate_earliest_returns_before_other_stages(spark, example_tree,
+                                                       capsys):
+    """-u mirrors the reference's separate-then-exit (results.py:600-602):
+    no other stage runs, so no lazy plan can re-read truncated files."""
+    from enterprise_warp_spark.results import main
+    from enterprise_warp_spark.run_paramfile import main as run_main
+
+    prfile = os.path.join(example_tree, "example_params",
+                          "default_model_dynesty.dat")
+    run_main(["--prfile", prfile, "--num", "0", "--wipe_old_output", "1"],
+             spark=spark)
+    res = main(["--result", prfile, "--separate_earliest", "0.2",
+                "--info", "1"], spark=spark)
+    assert "separated" in res and len(res["separated"]) == 1
+    assert "run_ids" not in res  # -i did NOT run
+    assert "is separated, exiting." in capsys.readouterr().out

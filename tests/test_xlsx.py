@@ -149,3 +149,24 @@ def test_paramfile_label_and_run_integration(spark, tmp_path, workbook):
     jc = out["job_config"]
     assert jc is not None and jc.count() == 2
     assert jc.columns == ["psr", "nsamp", "red_noise", "use_gwb"]
+
+
+def test_hostile_headers(spark, tmp_path):
+    """Review fix: backtick headers must not break schema construction,
+    duplicate headers get _N suffixes, empty headers fall back to the
+    column letter."""
+    p = str(tmp_path / "h.xlsx")
+    body = (
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>a`b</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>psr</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>psr</t></is></c>'
+        '<c r="D1" t="inlineStr"><is><t> </t></is></c></row>'
+        '<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c>'
+        '<c r="C2"><v>3</v></c><c r="D2"><v>4</v></c></row>'
+    )
+    _write_xlsx(p, {"s": body}, [])
+    df = read_xlsx(spark, p)
+    assert df.columns == ["a`b", "psr", "psr_2", "D"]
+    r = df.first()
+    assert (r["a`b"], r["psr"], r["psr_2"], r["D"]) == ("1", "2", "3", "4")
