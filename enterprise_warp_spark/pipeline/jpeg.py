@@ -578,6 +578,37 @@ def _decode_scan(data, pos, frame, sel, qts, huff_dc, huff_ac, restart_interval)
     return _reconstruct(frame, planes, qts)
 
 
+def _fancy_upsample_2x(p: np.ndarray, ry: int, rx: int) -> np.ndarray:
+    """libjpeg's triangle "fancy" upsampling (jdsample.c h2v1/h2v2),
+    bit-exact including the first/last row-column special cases — with
+    edge-replicated padding the general 3:1 formulas reduce to exactly
+    libjpeg's edge expressions ((4*s+1)>>2 == s, (4*cs+8)>>4, ...), so no
+    separate edge code is needed. Input is 8-bit integer samples (libjpeg
+    range-limits after the IDCT, before upsampling); mainstream decoders
+    (libjpeg, and the JDK's ImageIO which wraps it) all produce this
+    output, which the interop tests pin within the IDCT conformance
+    bound."""
+    p = p.astype(np.int64)
+    if ry == 2:  # h2v2: vertical 3:1 column sums, one per output row parity
+        up = np.vstack([p[:1], p[:-1]])
+        down = np.vstack([p[1:], p[-1:]])
+        h, w = p.shape
+        out = np.empty((2 * h, 2 * w), np.int64)
+        for v, cs in ((0, 3 * p + up), (1, 3 * p + down)):
+            left = np.hstack([cs[:, :1], cs[:, :-1]])
+            right = np.hstack([cs[:, 1:], cs[:, -1:]])
+            out[v::2, 0::2] = (3 * cs + left + 8) >> 4
+            out[v::2, 1::2] = (3 * cs + right + 7) >> 4
+        return out.astype(np.float64)
+    # h2v1: horizontal-only triangle filter
+    left = np.hstack([p[:, :1], p[:, :-1]])
+    right = np.hstack([p[:, 1:], p[:, -1:]])
+    out = np.empty((p.shape[0], 2 * p.shape[1]), np.int64)
+    out[:, 0::2] = (3 * p + left + 1) >> 2
+    out[:, 1::2] = (3 * p + right + 2) >> 2
+    return out.astype(np.float64)
+
+
 def _reconstruct(frame, planes, qts):
     """Shared tail: dequantize + inverse zigzag + IDCT + upsample + color."""
     comps = frame["comps"]
@@ -594,9 +625,21 @@ def _reconstruct(frame, planes, qts):
         pix = _idct2(blocks) + 128.0
         # tile blocks back into a (bh*8, bw*8) plane
         full = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        # upsample to full resolution (nearest, per sampling factors)
+        # upsample to full resolution, matching libjpeg: the fancy triangle
+        # filter for the common 2x factors (h2v1/h2v2), plain replication
+        # for anything else (libjpeg's int_upsample fallback). The plane is
+        # cropped to the component's TRUE downsampled dims first — the 8x8
+        # block padding is garbage, and libjpeg's filter replicates the
+        # real edge sample instead of reading the pad (without the crop
+        # every right/bottom-edge pixel is polluted)
         ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
+        comp_h = -(-h * c["v"] // vmax)
+        comp_w = -(-w * c["h"] // hmax)
+        full = full[:comp_h, :comp_w]
+        if rx == 2 and ry in (1, 2):
+            samp = np.clip(np.round(full), 0.0, 255.0)  # 8-bit like libjpeg
+            full = _fancy_upsample_2x(samp, ry, rx)
+        elif ry > 1 or rx > 1:
             full = np.repeat(np.repeat(full, ry, axis=0), rx, axis=1)
         out_planes.append(full[:h, :w])
 
