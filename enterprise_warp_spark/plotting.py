@@ -227,8 +227,19 @@ def pair_histograms_2d(chains_long, pars: list[str], bins: int = 30,
     At cluster scale this is the corner-plot contract: O(n * P^2) explode
     rows, one hash aggregation keyed by pair x bins^2 (bounded output).
     ``model`` filters rounded nmodel first (reference model_mask,
-    results.py:622-627)."""
+    results.py:622-627).
+
+    P is bounded loudly: the explode factor is P(P-1)/2 per sample row and
+    a corner plot beyond ~40 parameters is unreadable anyway — slice the
+    parameter list (-p) instead of paying a 100x row blow-up."""
     from pyspark.sql import functions as F
+
+    if len(pars) > 40:
+        raise ValueError(
+            f"corner over {len(pars)} parameters explodes "
+            f"{len(pars) * (len(pars) - 1) // 2} pairs per sample row; "
+            "select <= 40 parameters (the -p filter)"
+        )
 
     wide = (
         chains_long.groupBy("run_id", "step")

@@ -246,6 +246,34 @@ def plot_aggregation_probe(spark):
               f"| {r1} | {r10} |")
 
 
+def bpe_encode_probe(spark):
+    """r10 [bpe] gate contract: the distributed encode path must be
+    doc-count-linear (mapInPandas heap-walk with a per-batch word memo;
+    no shuffle, no driver coordination). Timed over the documents table
+    at 1x and the 10x mirror under the gate's fixed 24-merge vocab."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline.tokenizer import encode_corpus
+    from enterprise_warp_spark.queries_hygiene import _BPE_TOK
+
+    def run(sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        enc = encode_corpus(docs, _BPE_TOK).select(
+            F.sum("n_tokens").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        row = enc.first()
+        return int(row["n"]), int(row["s"])
+
+    print("\n## r10 BPE encode scale probe (fixed 24-merge vocab)")
+    print("| corpus | t s | docs | tokens |")
+    print("|---|---|---|---|")
+    for label, d in (("1x", SRC), ("10x", DST)):
+        (t, (n, s)) = _timed(lambda: run(d))
+        print(f"| {label} | {t} | {n} | {s} |")
+
+
 def main():
     from enterprise_warp_spark.session import get_spark
 
@@ -270,6 +298,8 @@ def main():
         ann_recall_probe(spark)
     if "--plots" in which:
         plot_aggregation_probe(spark)
+    if "--bpe" in which:
+        bpe_encode_probe(spark)
     shutil.rmtree(DST, ignore_errors=True)
     spark.stop()
 

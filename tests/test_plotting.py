@@ -253,3 +253,44 @@ def test_per_run_guard(tmp_path, spark):
         make_histogram_grid(df, str(tmp_path / "h.png"))
     with pytest.raises(ValueError, match="ONE run"):
         make_chain_trace_grid(df, str(tmp_path / "t.png"))
+
+
+def test_corner_par_count_guard(spark):
+    rows = [("r", 0, f"p{i}", float(i)) for i in range(41)]
+    df = spark.createDataFrame(
+        rows, "run_id string, step int, par string, value double"
+    )
+    with pytest.raises(ValueError, match="explodes"):
+        pair_histograms_2d(df, [f"p{i}" for i in range(41)])
+
+
+def test_bar_geometry_properties():
+    """Geometry invariants under arbitrary counts (hypothesis): bars tile
+    the plot width without overlap, heights stay in [0, ph-1], the max
+    count always reaches full height, zeros stay at zero."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                 max_size=80),
+        st.integers(min_value=2, max_value=400),
+        st.integers(min_value=2, max_value=300),
+    )
+    def check(counts, pw, ph):
+        geo = bar_geometry(pw, ph, counts)
+        assert len(geo) == len(counts)
+        prev_end = -1
+        for (xl, xr, hpx), c in zip(geo, counts):
+            assert 0 <= xl <= xr < pw
+            if pw >= len(counts):  # >=1 px per bin: bars tile, no overlap
+                assert xl > prev_end
+            prev_end = xr
+            assert 0 <= hpx <= ph - 1
+            if c == 0:
+                assert hpx == 0
+        if max(counts) > 0:
+            assert max(h for _, _, h in geo) == ph - 1
+
+    check()

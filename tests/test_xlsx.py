@@ -170,3 +170,52 @@ def test_hostile_headers(spark, tmp_path):
     assert df.columns == ["a`b", "psr", "psr_2", "D"]
     r = df.first()
     assert (r["a`b"], r["psr"], r["psr_2"], r["D"]) == ("1", "2", "3", "4")
+
+
+def test_xlsx_random_table_roundtrip():
+    """Property: arbitrary small tables (mixed shared-string and numeric
+    cells, ragged rows) survive write -> read_xlsx_rows byte-exactly."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cell = st.one_of(
+        st.text(alphabet="abcXYZ 0-_", min_size=0, max_size=8),
+        st.integers(min_value=-10**9, max_value=10**9),
+        st.none(),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.lists(cell, min_size=1, max_size=6), min_size=1,
+                    max_size=8))
+    def check(table):
+        shared, sindex = [], {}
+        rows_xml = []
+        for ri, row in enumerate(table):
+            cells = []
+            for ci, v in enumerate(row):
+                ref = f"{_col_letters(ci)}{ri + 1}"
+                if v is None:
+                    continue
+                if isinstance(v, str):
+                    if v not in sindex:
+                        sindex[v] = len(shared)
+                        shared.append(f"<si><t>{v}</t></si>")
+                    cells.append(f'<c r="{ref}" t="s"><v>{sindex[v]}</v></c>')
+                else:
+                    cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+            rows_xml.append(f'<row r="{ri + 1}">{"".join(cells)}</row>')
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "t.xlsx")
+            _write_xlsx(p, {"s": "".join(rows_xml)}, shared)
+            got = read_xlsx_rows(p)
+        assert len(got) == len(table)
+        for row, rec in zip(table, got):
+            expect = {
+                _col_letters(ci): (v if isinstance(v, str) else str(v))
+                for ci, v in enumerate(row) if v is not None
+            }
+            assert rec == expect
+
+    check()
