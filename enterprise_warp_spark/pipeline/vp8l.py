@@ -713,11 +713,47 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     return px.reshape(h, w, 4)
 
 
+def _system_libwebp_decode_rgb(payload: bytes) -> np.ndarray:
+    """OPTIONAL system-library plugin for lossy VP8: decode the whole WebP
+    container with libwebp.so via ctypes (WebPDecodeRGBA handles simple
+    and extended files, alpha included). This is the plugin boundary the
+    stub documented — made functional where the system ships libwebp;
+    absence still raises NotImplementedError so environments without the
+    library keep the decoded=false fallback."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError as e:
+        raise NotImplementedError(
+            "lossy WebP needs the system libwebp plugin (libwebp.so.7 "
+            "not found); only VP8L lossless decodes natively"
+        ) from e
+    w, h = ctypes.c_int(0), ctypes.c_int(0)
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    out = lib.WebPDecodeRGBA(
+        payload, ctypes.c_size_t(len(payload)), ctypes.byref(w), ctypes.byref(h)
+    )
+    if not out:
+        raise VP8LError("libwebp could not decode the lossy payload")
+    try:
+        n = w.value * h.value * 4
+        arr = np.frombuffer(
+            bytes(bytearray(ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8 * n)).contents)),
+            dtype=np.uint8,
+        ).reshape(h.value, w.value, 4)
+    finally:
+        lib.WebPFree(out)
+    return arr[:, :, :3].copy()
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a lossless WebP file -> uint8 (h, w, 3) RGB (alpha dropped,
-    matching the other image decoders' convention). Lossy (VP8) and
-    extended (VP8X) payloads raise NotImplementedError — that is the
-    optional-plugin boundary, same as MP3/H.264."""
+    """Decode a WebP file -> uint8 (h, w, 3) RGB (alpha dropped, matching
+    the other image decoders' convention). Lossless (VP8L) decodes
+    natively, including inside a VP8X extended container; lossy (VP8)
+    routes through the optional system-libwebp plugin and raises
+    NotImplementedError when the library is absent — the same plugin
+    boundary as MP3/H.264."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise VP8LError("not a WebP RIFF container")
     pos = 12
@@ -727,13 +763,13 @@ def decode_webp(payload: bytes) -> np.ndarray:
         body = payload[pos + 8:pos + 8 + size]
         if tag == b"VP8L":
             return decode_vp8l(body)[:, :, 1:4]
-        if tag in (b"VP8 ", b"VP8X"):
-            raise NotImplementedError(
-                "lossy/extended WebP needs an external codec (plugin "
-                "boundary); only VP8L lossless decodes natively"
-            )
+        if tag == b"VP8 ":
+            return _system_libwebp_decode_rgb(payload)
+        # VP8X: extended header chunk — keep scanning; a lossless file's
+        # VP8L chunk follows (raising here made extended-lossless files
+        # undecodable for no reason)
         pos += 8 + size + (size & 1)
-    raise VP8LError("no VP8L chunk found")
+    raise VP8LError("no VP8L or VP8 chunk found")
 
 
 def decode_vp8l_alpha(alph: bytes, w: int, h: int) -> np.ndarray:

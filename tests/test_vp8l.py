@@ -215,10 +215,67 @@ def test_container_rejects_non_webp_and_lossy():
         decode_webp(b"RIFF\x00\x00\x00\x00WAVEdata")
     with pytest.raises(VP8LError):
         decode_webp(b"not even riff at all.....")
-    # a VP8 (lossy) chunk is the documented plugin boundary
+    # a GARBAGE lossy chunk: with the system libwebp plugin present it
+    # fails decode (VP8LError); without it the plugin boundary raises
+    # NotImplementedError
     lossy = b"RIFF" + struct.pack("<I", 16) + b"WEBPVP8 " + struct.pack("<I", 4) + b"\x00" * 4
-    with pytest.raises(NotImplementedError, match="plugin"):
+    with pytest.raises((NotImplementedError, VP8LError)):
         decode_webp(lossy)
+
+
+def test_lossy_webp_decodes_through_system_plugin():
+    """Lossy VP8 (the former decoded=false stub) now decodes through the
+    optional system-libwebp plugin: encode lossy with the real library,
+    decode through OUR entry point, and require closeness to the source
+    (lossy: generous tolerance) plus exact agreement with libwebp's own
+    pixels."""
+    import ctypes
+
+    lib = _libwebp()
+    rng = _rng(5)
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.clip(np.stack(
+        [(xx * 3 + yy) % 256, (xx + yy * 2) % 256, (xx // 2 + yy) % 256],
+        axis=-1,
+    ) + rng.integers(-4, 5, (32, 48, 3)), 0, 255).astype(np.uint8)
+    rgba = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+    buf = np.ascontiguousarray(rgba)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    size = lib.WebPEncodeRGBA(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(48), ctypes.c_int(32), ctypes.c_int(48 * 4),
+        ctypes.c_float(85.0), ctypes.byref(out),
+    )
+    assert size > 0
+    payload = bytes(bytearray(ctypes.cast(
+        out, ctypes.POINTER(ctypes.c_uint8 * size)).contents))
+    lib.WebPFree(out)
+    assert b"VP8 " in payload[:24]  # actually lossy
+    got = decode_webp(payload)
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 12.0
+
+
+def test_vp8x_wrapped_lossless_decodes_natively():
+    """A VP8X extended container around a VP8L chunk must decode through
+    the NATIVE lossless path (previously raised at the VP8X header)."""
+    yy, xx = np.mgrid[0:24, 0:17]
+    img = np.stack(
+        [(xx * 7 + yy) % 256, (xx + yy * 5) % 256, (xx * 2 + yy * 3) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    plain = encode_webp_lossless(img, use_palette=False)
+    # extract the VP8L chunk and re-wrap in a VP8X container
+    assert plain[12:16] == b"VP8L"
+    vp8l_size = struct.unpack_from("<I", plain, 16)[0]
+    vp8l_chunk = plain[12 : 20 + vp8l_size + (vp8l_size & 1)]
+    h, w = img.shape[:2]
+    vp8x_body = bytes([0, 0, 0, 0]) + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+    vp8x = b"VP8X" + struct.pack("<I", len(vp8x_body)) + vp8x_body
+    inner = vp8x + vp8l_chunk
+    payload = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+    assert np.array_equal(decode_webp(payload), img)
 
 
 def test_fuzz_truncation_and_bitflips_never_hang():
