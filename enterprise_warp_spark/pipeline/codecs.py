@@ -708,8 +708,10 @@ DECODABLE_MIMES = {
     "video/x-raw-rgb": "rawvideo",
     "video/x-msvideo": "mjpeg",
     "video/avi": "mjpeg",
-    # lossless (VP8L) only — lossy VP8/VP8X raise NotImplementedError
-    # inside the decoder (the plugin boundary), same contract as the
+    # VP8L lossless decodes natively (incl. VP8X-wrapped); lossy VP8
+    # routes through the optional system-libwebp ctypes plugin and raises
+    # NotImplementedError only when no libwebp shared library exists —
+    # that absence is the plugin boundary, same contract as the
     # unsupported TIFF compressions
     "image/webp": "webp",
 }

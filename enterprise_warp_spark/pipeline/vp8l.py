@@ -713,24 +713,45 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     return px.reshape(h, w, 4)
 
 
+_LIBWEBP_CACHE: list = []  # [lib] once loaded; [None] once known-absent
+
+
+def _system_libwebp():
+    """dlopen the system libwebp ONCE per process (decode_image calls this
+    per media row inside mapInPandas kernels) across the usual sonames."""
+    import ctypes
+
+    if not _LIBWEBP_CACHE:
+        lib = None
+        for name in ("libwebp.so.7", "libwebp.so", "libwebp.7.dylib",
+                     "libwebp.dylib"):
+            try:
+                lib = ctypes.CDLL(name)
+                break
+            except OSError:
+                continue
+        if lib is not None:
+            lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        _LIBWEBP_CACHE.append(lib)
+    return _LIBWEBP_CACHE[0]
+
+
 def _system_libwebp_decode_rgb(payload: bytes) -> np.ndarray:
     """OPTIONAL system-library plugin for lossy VP8: decode the whole WebP
-    container with libwebp.so via ctypes (WebPDecodeRGBA handles simple
+    container with libwebp via ctypes (WebPDecodeRGBA handles simple
     and extended files, alpha included). This is the plugin boundary the
     stub documented — made functional where the system ships libwebp;
     absence still raises NotImplementedError so environments without the
     library keep the decoded=false fallback."""
     import ctypes
 
-    try:
-        lib = ctypes.CDLL("libwebp.so.7")
-    except OSError as e:
+    lib = _system_libwebp()
+    if lib is None:
         raise NotImplementedError(
-            "lossy WebP needs the system libwebp plugin (libwebp.so.7 "
-            "not found); only VP8L lossless decodes natively"
-        ) from e
+            "lossy WebP needs the system libwebp plugin (no libwebp "
+            "shared library found); only VP8L lossless decodes natively"
+        )
     w, h = ctypes.c_int(0), ctypes.c_int(0)
-    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
     out = lib.WebPDecodeRGBA(
         payload, ctypes.c_size_t(len(payload)), ctypes.byref(w), ctypes.byref(h)
     )

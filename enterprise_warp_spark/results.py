@@ -430,11 +430,17 @@ def render_plots(spark, opts, outdir_all: str, chains) -> list[str]:
                 models = [None]
             for jj in models:
                 tag = "" if jj is None else str(int(jj))
-                p = plotting.make_corner_plot(
-                    burned, pars,
-                    os.path.join(outdir_all, f"{rid}_corner_{tag}_.png"),
-                    model=jj, truths=truths,
-                )
+                try:
+                    p = plotting.make_corner_plot(
+                        burned, pars,
+                        os.path.join(outdir_all, f"{rid}_corner_{tag}_.png"),
+                        model=jj, truths=truths,
+                    )
+                except ValueError as e:
+                    # e.g. the >40-parameter guard: skip THIS corner but
+                    # keep every other run/stage of the CLI alive
+                    print(f"corner skipped for {rid}: {e}")
+                    continue
                 if p:
                     paths.append(p)
     return paths

@@ -12,7 +12,18 @@ Generate a self-contained input tree with examples/make_example_data.py.
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(_HERE)
+# make both the sibling custom_models module AND the (not-pip-installed)
+# package importable no matter where the script is launched from
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, _HERE)
+# Spark PYTHON WORKERS inherit PYTHONPATH from the environment, not the
+# driver's sys.path — export it BEFORE the SparkSession exists or every
+# pickled kernel referencing the package fails to unpickle on executors
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_ROOT] + [p for p in [os.environ.get("PYTHONPATH", "")] if p]
+)
 
 import custom_models  # noqa: F401 — registers the example plugin signals
 

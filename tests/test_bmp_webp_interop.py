@@ -75,8 +75,6 @@ def test_our_vp8l_encoder_decodes_in_libwebp(kwargs):
 @pytest.mark.parametrize("bpp,top_down", [(24, False), (24, True),
                                           (32, False)])
 def test_our_bmp_decodes_in_imageio(spark, bpp, top_down):
-    from tests.test_jpeg_interop import imageio_decode_jpeg  # noqa: F401
-
     jvm = _imageio(spark)
     img = _rgb()
     payload = encode_bmp(img, bpp=bpp, top_down=top_down)
@@ -95,8 +93,6 @@ def test_our_bmp_decodes_in_imageio(spark, bpp, top_down):
 
 
 def test_imageio_bmp_decodes_in_ours(spark):
-    from tests.test_jpeg_interop import imageio_encode_jpeg  # noqa: F401
-
     jvm = _imageio(spark)
     img = _rgb()
     h, w, _ = img.shape

@@ -38,12 +38,13 @@ def test_run_example_paramfile_subprocess(demo_tree):
     """The documented command, verbatim, from the tree root."""
     dest, prfile = demo_tree
     script = os.path.abspath(os.path.join(EXAMPLES, "run_example_paramfile.py"))
+    # NO PYTHONPATH injection: the shim itself must make the package
+    # importable on the driver AND export it to Spark's python workers
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     p = subprocess.run(
         [sys.executable, script,
          "--prfile", "example_params/demo_model.dat", "--num", "0"],
-        cwd=dest, capture_output=True, text=True, timeout=420,
-        env={**os.environ, "PYTHONPATH": os.path.abspath(
-            os.path.join(EXAMPLES, ".."))},
+        cwd=dest, capture_output=True, text=True, timeout=420, env=env,
     )
     assert p.returncode == 0, p.stderr[-3000:]
     run_dir = os.path.join(dest, "out", "demo_1_demo", "0_J0101+0101")

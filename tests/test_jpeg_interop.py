@@ -38,7 +38,8 @@ def imageio_encode_jpeg(spark, rgb: np.ndarray, quality: float = 0.9,
         | (rgb[:, :, 1].astype(np.int64) << 8)
         | rgb[:, :, 2].astype(np.int64)
     ).ravel()
-    # int[] transfer in one py4j call (per-pixel setRGB would be minutes)
+    # one py4j element-set round trip per pixel — fine at these test
+    # sizes (~2k pixels); use ByteBuffer bulk transfer for anything big
     arr = spark.sparkContext._gateway.new_array(jvm.int, len(packed))
     for i, v in enumerate(packed.tolist()):
         arr[i] = v if v < (1 << 31) else v - (1 << 32)

@@ -255,6 +255,11 @@ def test_lossy_webp_decodes_through_system_plugin():
     got = decode_webp(payload)
     assert got.shape == img.shape
     assert np.abs(got.astype(int) - img.astype(int)).mean() < 12.0
+    # and the plugin's RGBA->RGB slicing matches libwebp's own pixels
+    # exactly (independent decode of the same stream)
+    from tests.test_bmp_webp_interop import libwebp_decode_rgba
+
+    assert np.array_equal(got, libwebp_decode_rgba(payload)[:, :, :3])
 
 
 def test_vp8x_wrapped_lossless_decodes_natively():
