@@ -91,3 +91,20 @@ def test_custom_models_plugin_registers():
         assert [p.name for p in spec.priors] == ["my_amp", "my_cc"]
     finally:
         SIGNAL_REGISTRY.pop("my_powerlaw", None)
+
+
+def test_bilby_example_in_process(spark, demo_tree):
+    """bilby_example: inference -> bilby-style result JSON -> the SAME
+    analytics pipeline over the S6b source (read_run_dir dispatch)."""
+    from examples_loader import load_module
+
+    dest, prfile = demo_tree
+    mod = load_module("bilby_example")
+    out = mod.main(["--prfile", prfile, "--num", "0"], spark=spark)
+    assert os.path.basename(out["result_path"]) == "dynesty_result.json"
+    doc = json.load(open(out["result_path"]))
+    assert doc["posterior"]["__dataframe__"] is True
+    names = {r["par"] for r in out["levels"]}
+    assert any("red_noise_log10_A" in n for n in names)
+    for r in out["levels"]:
+        assert r["p16"] <= r["p50"] <= r["p84"]
