@@ -89,6 +89,15 @@ def encode_mjpeg(
         if f.shape[:2] != (h, w):
             raise ValueError("all frames must share one size")
     blobs = [encode_jpeg(f, quality=quality) for f in frames]
+    return build_mjpeg_avi(blobs, w, h, fps)
+
+
+def build_mjpeg_avi(blobs: list[bytes], w: int, h: int,
+                    fps: int = 25) -> bytes:
+    """Container-only builder: wrap PRE-ENCODED JPEG frame payloads in an
+    MJPEG AVI (hdrl + movi, no idx1). Lets externally-encoded frames ride
+    the same container path encode_mjpeg uses."""
+    frames = blobs  # header fields below count frames
 
     def chunk(cc: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""

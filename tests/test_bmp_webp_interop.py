@@ -112,3 +112,36 @@ def test_imageio_bmp_decodes_in_ours(spark):
     assert jvm.javax.imageio.ImageIO.write(bi, "bmp", bos)
     ours = decode_bmp(bytes(bos.toByteArray()))
     assert np.array_equal(ours, img)
+
+
+def test_mjpeg_avi_with_imageio_frames(spark):
+    """MJPEG-AVI carrying REAL ImageIO-encoded JPEG frames: the container
+    walk + per-frame JPEG decode must agree with ImageIO's own decode of
+    each frame within the JPEG conformance bound (the frames are streams
+    our encoder did not produce)."""
+    from enterprise_warp_spark.pipeline.mjpeg import (
+        build_mjpeg_avi,
+        decode_mjpeg_frame,
+        mjpeg_frames,
+    )
+    from tests.test_jpeg_interop import (
+        imageio_decode_jpeg,
+        imageio_encode_jpeg,
+    )
+
+    rng = np.random.default_rng(4)
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = []
+    for k in range(3):
+        img = np.clip(np.stack(
+            [(xx * (k + 2) + yy) % 256, (xx + yy * (k + 1)) % 256,
+             (xx + yy + 40 * k) % 256], axis=-1,
+        ) + rng.integers(-3, 4, (24, 32, 3)), 0, 255).astype(np.uint8)
+        frames.append(img)
+    blobs = [imageio_encode_jpeg(spark, f, quality=0.92) for f in frames]
+    avi = build_mjpeg_avi(blobs, w=32, h=24)
+    assert len(mjpeg_frames(avi)) == 3
+    for k in range(3):
+        ours = decode_mjpeg_frame(avi, k)
+        theirs = imageio_decode_jpeg(spark, blobs[k])
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2, k
