@@ -228,10 +228,43 @@ def run_optimal_statistic(spark, opts, params, prfile: str, outdir_all: str,
         dest = os.path.join(outdir_all, "os_results", orf)
         r["os"].write.mode("overwrite").parquet(os.path.join(dest, "os"))
         r["binned"].write.mode("overwrite").parquet(os.path.join(dest, "binned"))
+        if "marginalised" in r:  # persisted so -L can re-plot A12 later
+            r["marginalised"].write.mode("overwrite").parquet(
+                os.path.join(dest, "marginalised")
+            )
         row = r["os"].first()
         print(f"OS[{orf}]: a2_hat={row['a2_hat']:.3e} sig={row['sig_os']:.3e} "
               f"snr={row['a2_hat'] / row['sig_os']:.2f}")
         out[orf] = r
+    return out
+
+
+def load_os_results(spark, outdir_all: str, orfs: list[str]) -> dict:
+    """-L/--load_optimal_statistic_results (results.py:744-760): read the
+    K6 parquet written by a previous -o run instead of recomputing —
+    plotting and reporting then run over the saved frames."""
+    out = {}
+    for orf in orfs:
+        dest = os.path.join(outdir_all, "os_results", orf)
+        if not os.path.isdir(os.path.join(dest, "os")):
+            continue
+        r = {
+            "os": spark.read.parquet(os.path.join(dest, "os")),
+            "binned": spark.read.parquet(os.path.join(dest, "binned")),
+        }
+        if os.path.isdir(os.path.join(dest, "marginalised")):
+            r["marginalised"] = spark.read.parquet(
+                os.path.join(dest, "marginalised")
+            )
+        row = r["os"].first()
+        print(f"OS[{orf}] (loaded): a2_hat={row['a2_hat']:.3e} "
+              f"sig={row['sig_os']:.3e}")
+        out[orf] = r
+    if not out:
+        raise SystemExit(
+            f"-L found no saved OS results under {outdir_all}/os_results "
+            f"for ORFs {orfs}; run -o 1 first"
+        )
     return out
 
 
@@ -346,7 +379,25 @@ def _main_pipeline(spark, opts, outdir_all: str, params):
     if opts.covm:
         results["covm"] = collect_covariances(spark, outdir_all)
 
-    if opts.optimal_statistic:
+    if opts.optimal_statistic and opts.load_optimal_statistic_results:
+        # -L: reuse the persisted K6 parquet, no TOA rebuild (so --result
+        # may be a plain directory), then render the same plots
+        from enterprise_warp_spark import plotting
+
+        results["os"] = load_os_results(
+            spark, outdir_all, expand_orfs(opts.optimal_statistic_orfs)
+        )
+        tag = opts.name
+        os_plots = [plotting.make_os_orf_plot(
+            results["os"], os.path.join(outdir_all, f"{tag}_os_orf_.png")
+        )]
+        os_plots += plotting.make_noisemarg_os_plots(
+            results["os"],
+            os.path.join(outdir_all, f"{tag}_os_SNR_.png"),
+            os.path.join(outdir_all, f"{tag}_os_A2_.png"),
+        )
+        results["os_plots"] = os_plots
+    elif opts.optimal_statistic:
         if params is None:
             raise SystemExit(
                 "--optimal_statistic needs --result to be a parameter file "

@@ -308,3 +308,30 @@ def test_separate_earliest_returns_before_other_stages(spark, example_tree,
     assert "separated" in res and len(res["separated"]) == 1
     assert "run_ids" not in res  # -i did NOT run
     assert "is separated, exiting." in capsys.readouterr().out
+
+
+def test_results_load_saved_os_results(spark, completed_run):
+    """-o 1 -L 1: reuse the persisted K6 parquet (no TOA rebuild — the
+    --result may be the plain output DIRECTORY) and re-render the OS
+    plots, including the A12 noisemarg panels from the saved draws."""
+    from enterprise_warp_spark.results import main
+
+    prfile, out = completed_run
+    outdir_all = os.path.dirname(out["output_dir"])
+    if not os.path.isdir(os.path.join(outdir_all, "os_results", "hd", "os")):
+        pytest.skip("needs test_results_main_covm_and_os to have run first")
+    res = main(
+        ["--result", outdir_all, "--optimal_statistic", "1",
+         "--load_optimal_statistic_results", "1",
+         "--optimal_statistic_orfs", "hd"],
+        spark=spark,
+    )
+    row = res["os"]["hd"]["os"].first()
+    assert row["sig_os"] > 0
+    assert res["os"]["hd"]["marginalised"].count() == 40  # saved draws
+    assert len(res["os_plots"]) == 3
+    # -L on a directory with no saved results fails loudly
+    with pytest.raises(SystemExit, match="no saved OS results"):
+        main(["--result", outdir_all, "--optimal_statistic", "1",
+              "--load_optimal_statistic_results", "1",
+              "--optimal_statistic_orfs", "dipole"], spark=spark)
