@@ -48,7 +48,8 @@ def parse_commandline(argv=None):
     ap.add_argument("-p", "--par", action="append", default=None,
                     help='Include only parameters that contain "par"')
     ap.add_argument("-t", "--truths", type=str, default=None,
-                    help="Truths for corner data (accepted for parity)")
+                    help="JSON file of par->value truths drawn as red "
+                    "lines on the corner plot diagonals")
     ap.add_argument("-a", "--chains", type=int, default=0,
                     help="Chain data (1/0)")
     ap.add_argument("-H", "--hists", type=int, default=0,
