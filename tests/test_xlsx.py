@@ -219,3 +219,41 @@ def test_xlsx_random_table_roundtrip():
             assert rec == expect
 
     check()
+
+
+def test_malformed_xlsx_raise_cleanly(tmp_path, workbook):
+    """Corrupt packages must raise the zipfile/XML/ValueError family with
+    a useful message — never hang or return partial garbage."""
+    import xml.etree.ElementTree as ET
+
+    # truncated zip
+    data = open(workbook, "rb").read()
+    trunc = tmp_path / "t.xlsx"
+    trunc.write_bytes(data[: len(data) // 3])
+    with pytest.raises((zipfile.BadZipFile, KeyError, ET.ParseError,
+                        ValueError)):
+        read_xlsx_rows(str(trunc))
+    # not a zip at all
+    notzip = tmp_path / "n.xlsx"
+    notzip.write_bytes(b"this is not a zip file at all" * 10)
+    with pytest.raises(zipfile.BadZipFile):
+        read_xlsx_rows(str(notzip))
+    # zip missing the workbook part
+    empty = tmp_path / "e.xlsx"
+    with zipfile.ZipFile(empty, "w") as zf:
+        zf.writestr("unrelated.txt", "x")
+    with pytest.raises(KeyError):
+        read_xlsx_rows(str(empty))
+    # shared-string index out of range
+    bad = tmp_path / "b.xlsx"
+    _write_xlsx(str(bad),
+                {"s": '<row r="1"><c r="A1" t="s"><v>99</v></c></row>'}, [])
+    with pytest.raises(IndexError):
+        read_xlsx_rows(str(bad))
+
+
+def test_empty_sheet_returns_empty_frame(spark, tmp_path):
+    p = str(tmp_path / "z.xlsx")
+    _write_xlsx(p, {"s": ""}, [])
+    df = read_xlsx(spark, p)
+    assert df.count() == 0
