@@ -53,7 +53,8 @@ def discover_run_dirs(base_dir: str, pattern: re.Pattern = PSR_DIR_RE) -> list[s
     return out
 
 
-def read_run_dir(spark: SparkSession, run_dir: str, separated: bool = False):
+def read_run_dir(spark: SparkSession, run_dir: str, separated: bool = False,
+                 par_label: str | None = None):
     """Resolve ONE run directory with the right source: bilby result JSON
     (S6b) when `*_result.json` is present, else PTMCMC chain files (S6).
     Both return (chain, pars) in the same wide schema, so every downstream
@@ -69,7 +70,7 @@ def read_run_dir(spark: SparkSession, run_dir: str, separated: bool = False):
     if separated:
         from enterprise_warp_spark.sources.chains import read_separated_chain_dir
 
-        return read_separated_chain_dir(spark, run_dir)
+        return read_separated_chain_dir(spark, run_dir, par_label=par_label)
     return read_chain_dir(spark, run_dir)
 
 
@@ -78,6 +79,7 @@ def run_results_pipeline(
     base_dir: str,
     burn_frac: float = 0.25,
     load_separated: bool = False,
+    par_label: str | None = None,
 ) -> dict[str, DataFrame]:
     """-> {'chains_long', 'model_counts', 'log_bf', 'credible_levels',
     'modes', 'noise'} — every stage of the reference pipeline as a DataFrame,
@@ -87,7 +89,9 @@ def run_results_pipeline(
         raise FileNotFoundError(f"no run directories under {base_dir}")
     long_parts = []
     for d in dirs:
-        chain, pars = read_run_dir(spark, d, separated=load_separated)
+        chain, pars = read_run_dir(
+            spark, d, separated=load_separated, par_label=par_label
+        )
         long_parts.append(chains_long(chain, pars))
     all_long = long_parts[0]
     for part in long_parts[1:]:

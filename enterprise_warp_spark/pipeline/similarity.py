@@ -863,14 +863,19 @@ def semdedup_pairs(
     driver — metadata-scale coordination, not a data collect). Callers
     needing a deterministic oracle contract (the [semd] gate) pass an
     explicit n_cells."""
-    if n_cells is None:
-        import math as _math
-
-        n_cells = max(4, _math.ceil(emb.count() / SEMDEDUP_TARGET_CELL_ROWS))
     n = _with_norm_sq(emb, emb_col, id_col)
-    cents = centroids if centroids is not None else deterministic_centroids(
-        emb, n_cells, emb_col, id_col
-    )
+    if centroids is not None:
+        # n_cells only sizes the centroid build — with explicit centroids
+        # the count() scan would be paid for a value that's never used
+        cents = centroids
+    else:
+        if n_cells is None:
+            import math as _math
+
+            n_cells = max(
+                4, _math.ceil(emb.count() / SEMDEDUP_TARGET_CELL_ROWS)
+            )
+        cents = deterministic_centroids(emb, n_cells, emb_col, id_col)
     d = _cell_distances(n, cents, emb_col)
     w_assign = Window.partitionBy(id_col).orderBy("dist", "cell_id")
     assigned = (

@@ -20,8 +20,9 @@ Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
   oracle builds the expected plain text from the template.
 * ``tok`` — pipeline.tokenizer.word_counts (the BPE trainer's single
   corpus shuffle): the Python pre-tokenizer's (word, n) table vs DuckDB
-  regexp_extract_all with the ASCII-equivalent pattern (the corpus is
-  ASCII; the Python twin's unicode classes coincide there).
+  regexp_extract_all with the RE2 spelling of the SAME Unicode classes
+  (_TOK_PATTERN below), so non-ASCII text pre-tokenizes identically in
+  both engines.
 * ``spl`` — pipeline.dedup.leakage_safe_splits with star-shaped pair
   clusters per (lang, source): component = min doc_id of the cluster, so
   the oracle reproduces the split label from the same md5 hash-range
@@ -51,7 +52,17 @@ from enterprise_warp_spark.queries import register
 from enterprise_warp_spark.queries_pipeline import _D_SIG_CTE
 from enterprise_warp_spark.tables import table
 
-_TOK_PATTERN = r" ?[A-Za-z]+| ?[0-9]+|\s+|[^\s0-9A-Za-z_]+|_+"
+# RE2 twin of the tokenizer's _PY_PRETOKEN_RE (" ?[^\W\d_]+| ?\d+|\s+|
+# [^\s\w]+|_+"): Python's str-mode classes expand to Unicode categories —
+# \w = L* u Nd u Nl u No u {_}, so [^\W\d_] = [\p{L}\p{Nl}\p{No}]; \d =
+# \p{Nd}; \s = {\t\n\x0B\f\r\x1C-\x1F\x85} u Z* — spelled out here in RE2
+# syntax so the DuckDB oracle pre-tokenizes non-ASCII text identically
+# (parity pinned corpus-wide in tests/test_tokenizer.py).
+_RE2_WS = r"\t\n\x0B\f\r\x1C-\x1F\x85\p{Z}"
+_TOK_PATTERN = (
+    r" ?[\p{L}\p{Nl}\p{No}]+| ?\p{Nd}+|[" + _RE2_WS + r"]+|[^"
+    + _RE2_WS + r"\p{L}\p{N}_]+|_+"
+)
 
 # [bpe]: FIXED byte-BPE vocabulary (24 merges), trained ONCE on the sf0.01
 # documents word table (pipeline.tokenizer.train_bpe, vocab 256+24) and

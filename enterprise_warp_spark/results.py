@@ -135,25 +135,65 @@ def _filter_pars(df, par_substrings):
 
 def separate_earliest(run_dir: str, frac: float, pars: list[str]) -> str:
     """W3 head-fraction split of chain_1.txt written back as a separated
-    chain file chain_<14-digit-stamp>_<PARS>.txt (results.py:556-618)."""
+    chain file chain_<14-digit-stamp>.txt (reference _separate_earliest,
+    results.py:579-602). With --par substrings given, additionally writes
+    the par-masked family chain_<stamp>_<label>.txt (masked columns + the
+    4 sampler columns) and pars_<label>.txt. The remaining chain_1.txt is
+    backed up to chain_1.txt.bckp BEFORE the truncating overwrite — a
+    crash or accidental re-run must not lose samples irrecoverably."""
     import datetime
+    import shutil
 
+    chain_path = os.path.join(run_dir, "chain_1.txt")
     # atleast_2d: a single-sample chain loads 1-D and row slicing would
     # silently split COLUMNS, corrupting the rewritten files
-    chain = np.atleast_2d(np.loadtxt(os.path.join(run_dir, "chain_1.txt")))
-    n_head = int(frac * chain.shape[0])
+    chain = np.atleast_2d(np.loadtxt(chain_path))
+    n_head = int(round(frac * chain.shape[0]))
     stamp = datetime.datetime.now().strftime("%Y%m%d%H%M%S")
     path = os.path.join(run_dir, f"chain_{stamp}.txt")
     np.savetxt(path, chain[:n_head])
-    np.savetxt(os.path.join(run_dir, "chain_1.txt"), chain[n_head:])
+    if pars:
+        labels = np.loadtxt(
+            os.path.join(run_dir, "pars.txt"), dtype=str, ndmin=1
+        )
+        par_mask = np.array(
+            [any(p in lab for p in pars) for lab in labels], dtype=bool
+        )
+        label = "_".join(pars)
+        mask_full = np.append(par_mask, [True, True, True, True])
+        np.savetxt(
+            os.path.join(run_dir, f"chain_{stamp}_{label}.txt"),
+            chain[:n_head, mask_full],
+        )
+        np.savetxt(
+            os.path.join(run_dir, f"pars_{label}.txt"),
+            labels[par_mask], fmt="%s",
+        )
+    shutil.copyfile(chain_path, chain_path + ".bckp")
+    np.savetxt(chain_path, chain[n_head:])
     return path
+
+
+SUPPORTED_ORFS = ("hd", "dipole", "monopole")
 
 
 def expand_orfs(spec: str) -> list[str]:
     """-g value -> ORF list; 'all' means every supported ORF (an 'all'
-    that silently computed NOTHING would crash the OS plots on {})."""
+    that silently computed NOTHING would crash the OS plots on {}).
+    Unsupported names (the reference's docs also mention 'quadrupole',
+    which this engine has no curve for) fail loudly HERE instead of as a
+    bare KeyError deep in run_os_pipeline or an empty-max ValueError in
+    the ORF plot."""
     orfs = [o.strip() for o in spec.split(",") if o.strip()]
-    return ["hd", "dipole", "monopole"] if "all" in orfs else orfs
+    if "all" in orfs:
+        return list(SUPPORTED_ORFS)
+    bad = [o for o in orfs if o not in SUPPORTED_ORFS]
+    if bad:
+        raise SystemExit(
+            f"unsupported ORF name(s) {bad} for -g/--orf; "
+            f"supported: {', '.join(SUPPORTED_ORFS)} (or 'all')"
+        )
+    return orfs
 
 
 def run_optimal_statistic(spark, opts, params, prfile: str, outdir_all: str,
@@ -307,13 +347,21 @@ def _main_pipeline(spark, opts, outdir_all: str, params):
         seps = []
         for d in discover_run_dirs(outdir_all):
             if os.path.exists(os.path.join(d, "chain_1.txt")):
-                seps.append(separate_earliest(d, opts.separate_earliest, []))
+                seps.append(
+                    separate_earliest(
+                        d, opts.separate_earliest, opts.par or []
+                    )
+                )
         print(f"Earlier chain fraction ({opts.separate_earliest * 100} %) "
               "is separated, exiting.")
         return {"outdir_all": outdir_all, "separated": seps}
 
     out = run_results_pipeline(
-        spark, outdir_all, load_separated=bool(opts.load_separated)
+        spark, outdir_all, load_separated=bool(opts.load_separated),
+        # with --load_separated + --par the reference selects the
+        # par-masked segment family (get_chain_file_name/get_pars,
+        # results.py:427-470)
+        par_label="_".join(opts.par) if opts.par else None,
     )
     chains = _filter_pars(
         _filter_runs(out["chains_long"], opts.name), opts.par

@@ -100,23 +100,45 @@ def read_chain_dir(spark: SparkSession, run_dir: str) -> tuple[DataFrame, DataFr
     return chain, pars
 
 
-SEPARATED_RE = re.compile(r"chain_\d{14}(_.*)?\.txt$")
+# the full-width (suffix-free) segment family only: chain_STAMP.txt.
+# The par-masked family chain_STAMP_PARS.txt has FEWER columns, so mixing
+# the two would misalign par/value pairs (reference get_chain_file_name,
+# results.py:427-448, loads exactly one family depending on --par).
+SEPARATED_RE = re.compile(r"chain_\d{14}\.txt$")
 
 
-def read_separated_chain_dir(spark: SparkSession, run_dir: str):
-    """--load_separated (results.py:479-495): load the timestamped segment
-    files chain_DATETIME(14)[_PARS].txt, concatenated in filename
-    (= timestamp) order, as one chain. Falls back to the regular chain
-    file when a directory has no separated segments (mirrors the
-    reference's could-not-load tolerance)."""
+def read_separated_chain_dir(
+    spark: SparkSession, run_dir: str, par_label: str | None = None
+):
+    """--load_separated (results.py:427-495): load the timestamped segment
+    files of ONE family, concatenated in filename (= timestamp) order, as
+    one chain. par_label None/'' selects the full-width chain_STAMP.txt
+    segments against pars.txt; a non-empty par_label selects the par-masked
+    chain_STAMP_<label>.txt segments against pars_<label>.txt. Like the
+    reference's get_pars (results.py:467-470), a par_label whose
+    pars_<label>.txt does not exist falls back to the full-width family.
+    Falls back to the regular chain file when a directory has no separated
+    segments (mirrors the reference's could-not-load tolerance)."""
     import glob as _glob
 
+    if par_label and not os.path.exists(
+        os.path.join(run_dir, f"pars_{par_label}.txt")
+    ):
+        par_label = None
+    if par_label:
+        seg_re = re.compile(
+            r"chain_\d{14}_" + re.escape(par_label) + r"\.txt$"
+        )
+        pars_name = f"pars_{par_label}.txt"
+    else:
+        seg_re = SEPARATED_RE
+        pars_name = "pars.txt"
     segs = sorted(
         p for p in _glob.glob(os.path.join(run_dir, "chain_*.txt"))
-        if SEPARATED_RE.search(p)
+        if seg_re.search(p)
     )
     if not segs:
         return read_chain_dir(spark, run_dir)
-    pars = read_pars(spark, os.path.join(run_dir, "pars.txt"))
+    pars = read_pars(spark, os.path.join(run_dir, pars_name))
     chain = read_chain(spark, segs, run_id=os.path.basename(run_dir.rstrip("/")))
     return chain, pars

@@ -335,3 +335,96 @@ def test_results_load_saved_os_results(spark, completed_run):
         main(["--result", outdir_all, "--optimal_statistic", "1",
               "--load_optimal_statistic_results", "1",
               "--optimal_statistic_orfs", "dipole"], spark=spark)
+
+
+def test_separate_earliest_backup_and_par_masked_family(tmp_path):
+    """ADVICE r10 (results.py separate_earliest): chain_1.txt is backed up
+    to .bckp BEFORE the truncating overwrite (reference results.py:598),
+    and --par additionally writes the par-masked segment family
+    chain_<stamp>_<label>.txt + pars_<label>.txt (results.py:589-596)."""
+    import glob
+
+    from enterprise_warp_spark.results import separate_earliest
+
+    d = tmp_path / "0_J0000+0000"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    full = rng.normal(size=(10, 7))  # 3 pars + 4 sampler cols
+    np.savetxt(d / "chain_1.txt", full)
+    (d / "pars.txt").write_text(
+        "red_noise_gamma\nred_noise_log10_A\nefac\n"
+    )
+    separate_earliest(str(d), 0.4, ["red_noise"])
+
+    bckp = np.atleast_2d(np.loadtxt(d / "chain_1.txt.bckp"))
+    assert bckp.shape == (10, 7) and np.allclose(bckp, full)
+
+    segs = sorted(glob.glob(str(d / "chain_??????????????.txt")))
+    assert len(segs) == 1
+    head = np.atleast_2d(np.loadtxt(segs[0]))
+    assert head.shape == (4, 7) and np.allclose(head, full[:4])
+
+    masked = sorted(glob.glob(str(d / "chain_*_red_noise.txt")))
+    assert len(masked) == 1
+    mh = np.atleast_2d(np.loadtxt(masked[0]))
+    # 2 matching pars + the 4 sampler columns
+    assert mh.shape == (4, 6)
+    assert np.allclose(mh, full[:4][:, [0, 1, 3, 4, 5, 6]])
+    assert (d / "pars_red_noise.txt").read_text().split() == [
+        "red_noise_gamma", "red_noise_log10_A",
+    ]
+    rest = np.atleast_2d(np.loadtxt(d / "chain_1.txt"))
+    assert rest.shape == (6, 7) and np.allclose(rest, full[4:])
+
+
+def test_read_separated_selects_one_family(spark, tmp_path):
+    """ADVICE r10 (sources/chains.py SEPARATED_RE): the par-masked
+    chain_STAMP_PARS.txt family has FEWER columns than chain_STAMP.txt —
+    loading both would misalign par/value pairs. Default selects only the
+    full-width family; par_label selects the masked one against
+    pars_<label>.txt; a label with no pars file falls back (reference
+    get_chain_file_name/get_pars, results.py:427-470)."""
+    from enterprise_warp_spark.sources.chains import read_separated_chain_dir
+
+    d = tmp_path / "0_J0001+0001"
+    d.mkdir()
+    (d / "pars.txt").write_text("alpha\nbeta\ngamma\n")
+    (d / "pars_beta.txt").write_text("beta\n")
+    rng = np.random.default_rng(11)
+    full = rng.normal(size=(5, 7))
+    np.savetxt(d / "chain_20260815000000.txt", full)
+    np.savetxt(d / "chain_20260815000000_beta.txt", full[:, [1, 3, 4, 5, 6]])
+    # fallback chain_1.txt would only be read if NO segments matched
+    np.savetxt(d / "chain_1.txt", np.zeros((2, 7)))
+
+    chain, pars = read_separated_chain_dir(spark, str(d))
+    assert chain.count() == 5
+    assert chain.selectExpr("max(size(values)) m").first()["m"] == 3
+    assert [r["par"] for r in pars.orderBy("idx").collect()] == [
+        "alpha", "beta", "gamma",
+    ]
+
+    chain_b, pars_b = read_separated_chain_dir(spark, str(d), par_label="beta")
+    assert chain_b.count() == 5
+    assert chain_b.selectExpr("max(size(values)) m").first()["m"] == 1
+    assert [r["par"] for r in pars_b.collect()] == ["beta"]
+
+    # label without a pars_<label>.txt -> full-width family (reference
+    # get_pars existence fallback)
+    chain_f, pars_f = read_separated_chain_dir(
+        spark, str(d), par_label="nonexistent"
+    )
+    assert chain_f.selectExpr("max(size(values)) m").first()["m"] == 3
+    assert pars_f.count() == 3
+
+
+def test_expand_orfs_rejects_unsupported():
+    """ADVICE r10: -g quadrupole (documented by the reference but without
+    a curve here) must die with a clear SystemExit naming the ORF, not a
+    bare KeyError in run_os_pipeline."""
+    import pytest
+
+    from enterprise_warp_spark.results import expand_orfs
+
+    with pytest.raises(SystemExit, match="quadrupole"):
+        expand_orfs("hd,quadrupole")

@@ -317,3 +317,42 @@ def test_gate_vocab_replace_chain_equals_real_encoder(spark, sf_dir):
     ]
     for t in texts:
         assert [sym_hex[i] for i in encode_text(t, _BPE_TOK)] == replay(t), t
+
+
+def test_oracle_pretoken_pattern_matches_python_on_unicode():
+    """ADVICE r10: the [bpe]/[tok] oracle's RE2 _TOK_PATTERN must
+    pre-tokenize exactly like the engine's _PY_PRETOKEN_RE on NON-ASCII
+    text too — a divergence would be a false-positive gate failure the
+    moment a document grows an accented letter. Pin the category mapping
+    (\\w = L*+Nd+Nl+No+_, \\d = Nd, \\s = {\\t\\n\\x0B\\f\\r\\x1C-\\x1F
+    \\x85}+Z*) empirically across scripts, number forms, and every Python
+    whitespace code point."""
+    import duckdb
+
+    from enterprise_warp_spark.pipeline.tokenizer import _PY_PRETOKEN_RE
+    from enterprise_warp_spark.queries_hygiene import _TOK_PATTERN
+
+    texts = [
+        "hello world_42  foo-bar!",
+        "café naïve Zürich",
+        "日本語テキストと漢字123",
+        "٣٤٥ arabic digits, Ⅻ roman, ½ frac,"
+        " ² sup",
+        "a\xa0b c d e",  # NBSP, Zl, Zp, em-space
+        "mixed_под_черта"
+        " кириллица",
+        "emoji \U0001f600\U0001f389 and ∑∫ math",
+        "tab\tnl\nvt\x0bff\x0ccr\rfs\x1cgs\x1drs\x1eus\x1fnel\x85",
+        "ＦＵＬＬ０１２",  # fullwidth
+        "ʰsuper ᵐodifier letters",  # Lm
+        "ⅠⅡⅢ_①②",  # Nl and No circled
+        "", " ", "_",
+    ]
+    con = duckdb.connect()
+    for t in texts:
+        py = _PY_PRETOKEN_RE.findall(t)
+        dk = con.execute(
+            "select regexp_extract_all(?, ?)", [t, _TOK_PATTERN]
+        ).fetchone()[0]
+        assert py == dk, (t, py, dk)
+    con.close()
