@@ -27,6 +27,13 @@ DOT = (
 )
 
 
+# NOTE on the fold: an unrolled 64-term sum was probed as a codegen-able
+# replacement and measured 3x SLOWER — Catalyst refuses whole-stage codegen
+# on the giant Add tree and interprets it node-by-node. The fold stays; the
+# genuinely hot all-pairs path (SemDeDup) uses the grouped Arrow gram
+# kernel below instead.
+
+
 def _with_norm_sq(
     df: DataFrame, emb: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -848,14 +855,28 @@ def semdedup_pairs(
     embeddings, then compare pairs inside each cell. -> (vec_a, vec_b,
     cosine) with vec_a < vec_b and cosine >= threshold.
 
-    Scale shape: the all-pairs comparison is confined to one cell
-    (equi-join on cell_id), so total work is sum over cells of |cell|^2
-    instead of corpus^2 — the published recipe's exact cost model. Cell
-    assignment is the IVF broadcast fan-out (corpus x n_cells); a hot cell
-    is AQE-splittable because the join key is the small int cell_id.
-    Cross-cell duplicates are missed by construction (the documented
-    SemDeDup recall trade-off); lower `threshold`/raise `n_cells` per the
-    paper's ablations.
+    Scale shape: the all-pairs comparison is confined to one cell — ONE
+    shuffle on cell_id, then a grouped Arrow kernel (applyInPandas)
+    computes each cell's gram matrix with BLAS and emits only the pairs
+    above threshold. Total work is sum over cells of |cell|^2 * d FLOPs
+    instead of corpus^2 — the published recipe's exact cost model — and
+    the |cell|^2 candidate pairs NEVER materialize as Spark rows (the r10
+    equi-join shape shipped 12.5M joined rows each carrying two embedding
+    arrays through an interpreted per-element dot; the kernel is ~10x
+    faster at 10x rows and parallelizes one task per cell, which AQE's
+    byte-based coalescing got wrong for this compute-bound stage). Kernel
+    memory is O(|cell| * d + chunk * |cell|) doubles, bounded by the
+    production contract's ~constant cell size; a pathologically hot cell
+    degrades to one long task, not an OOM (chunked gram). Cell assignment
+    is the IVF broadcast fan-out (corpus x n_cells). Cross-cell duplicates
+    are missed by construction (the documented SemDeDup recall trade-off);
+    lower `threshold`/raise `n_cells` per the paper's ablations.
+
+    Determinism: cosine = round(dot / sqrt(nsq_a * nsq_b), 6) where both
+    nsq factors are the carried SQL left-fold values; the BLAS dot's
+    summation order differs from the SQL fold by ~1e-15 relative, which
+    ROUND at 6 absorbs (the lmp/dsr doctrine — equality with the SQL
+    pair join is pinned exactly in tests/test_semdedup_shuffle.py).
 
     n_cells=None (production default) derives the cell count from a corpus
     count() so expected cell size stays ~SEMDEDUP_TARGET_CELL_ROWS and the
@@ -882,28 +903,43 @@ def semdedup_pairs(
         d.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select(id_col, emb_col, "nsq", "cell_id")
-        # materialize ONCE before the self-join: both pair sides otherwise
-        # re-run the centroid fan-out + assignment window (the
-        # heavy_hitters two-consumer pattern); SemDeDup materializes the
-        # cell assignment at scale anyway
-        .localCheckpoint(eager=True)
     )
-    a = assigned.select(
-        F.col(id_col).alias("vec_a"), F.col(emb_col).alias("a_emb"),
-        F.col("nsq").alias("a_nsq"), "cell_id",
-    )
-    b = assigned.select(
-        F.col(id_col).alias("vec_b"), F.col(emb_col).alias("b_emb"),
-        F.col("nsq").alias("b_nsq"), "cell_id",
-    )
-    dot = DOT.format(a="a_emb", b="b_emb")
-    return (
-        a.join(b, "cell_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(F.expr(f"{dot} / sqrt(a_nsq * b_nsq)"), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    id_type = dict(assigned.dtypes)[id_col]
+    out_schema = f"vec_a {id_type}, vec_b {id_type}, cosine double"
+
+    def cell_gram(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        nsq = pdf["nsq"].to_numpy(dtype=np.float64)
+        E = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        m = len(ids)
+        outs = []
+        # chunk the gram so memory stays ~<=256 MB even on a hot cell
+        chunk = max(64, min(m, int(3.2e7 // max(m, 1)) or 64))
+        for s in range(0, m, chunk):
+            g = E[s : s + chunk] @ E.T
+            c = np.round(
+                g / np.sqrt(nsq[s : s + chunk, None] * nsq[None, :]), 6
+            )
+            ia, ib = np.nonzero(c >= threshold)
+            va, vb = ids[s + ia], ids[ib]
+            keep = va < vb  # dedups (i,j)/(j,i) and drops the diagonal
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": va[keep],
+                        "vec_b": vb[keep],
+                        "cosine": c[ia[keep], ib[keep]],
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        return pd.concat(outs, ignore_index=True)
+
+    return assigned.groupBy("cell_id").applyInPandas(cell_gram, out_schema)
 
 
 def semdedup_keep_list(

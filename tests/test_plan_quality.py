@@ -375,14 +375,19 @@ def test_search_rank_ops_plan_shape(spark, sf001):
 def test_learned_sketch_ops_plan_shape(spark, sf001):
     """[semd] the only non-equi joins are the tiny centroid broadcast
     fan-outs (corpus x n_cells, the IVF shape — never corpus x corpus);
-    the within-cell pair join is an equi-join on cell_id. [hh] the only
-    Python stages are the Misra-Gries partial summaries (Arrow-batched
-    mapInPandas by design). No row-at-a-time Python anywhere."""
+    the within-cell comparison is the grouped Arrow gram kernel
+    (FlatMapGroupsInPandas over cell_id — candidate pairs never
+    materialize as Spark rows). [hh] the other Python stages are the
+    Misra-Gries partial summaries (Arrow-batched mapInPandas by design).
+    No row-at-a-time Python anywhere."""
     p = plan(REGISTRY["learned_sketch_ops"].spark(spark, sf001))
     assert "CartesianProduct" not in p
     # formatted mode prints each node twice (tree + details): 2 nodes = 4
     assert p.count("BroadcastNestedLoopJoin") <= 4  # centroid fan-outs only
-    assert p.count("MapInPandas") <= 4  # MG partials (totals + merged)
+    assert p.count("FlatMapGroupsInPandas") <= 2  # the semd gram kernel
+    # count MG's MapInPandas without catching FlatMapGroupsInPandas'
+    # substring
+    assert p.replace("FlatMapGroupsInPandas", "").count("MapInPandas") <= 4
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 

@@ -92,10 +92,11 @@ def test_semdedup_keep_list_one_rep_per_family(spark):
 
 
 def test_semdedup_plan_no_cartesian(spark):
-    """Candidate generation must stay an equi-join on cell_id — no
-    CartesianProduct anywhere. (BroadcastNestedLoopJoin IS allowed: the
-    centroid cell-assignment fan-out is corpus x n_cells against a broadcast
-    table, same as the IVF paths in test_plan_quality.)"""
+    """Candidate generation: ONE shuffle on cell_id feeding the grouped
+    Arrow gram kernel (FlatMapGroupsInPandas) — no CartesianProduct, no
+    per-pair join materialization. (BroadcastNestedLoopJoin IS allowed:
+    the centroid cell-assignment fan-out is corpus x n_cells against a
+    broadcast table, same as the IVF paths in test_plan_quality.)"""
     from enterprise_warp_spark.pipeline.similarity import semdedup_pairs
 
     emb = _emb_corpus(spark)
@@ -106,12 +107,71 @@ def test_semdedup_plan_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
-    # the within-cell pair join itself is a hash or sort-merge equi-join
-    assert (
-        "SortMergeJoin" in plan
-        or "ShuffledHashJoin" in plan
-        or "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # the candidate pairs never exist as joined Spark rows
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_semdedup_gram_kernel_equals_sql_pair_join(spark, sf_dir):
+    """The Arrow gram kernel must reproduce the r10 SQL equi-join pair set
+    and cosines EXACTLY (the [semd] gate hashes these values): rebuild the
+    join shape from the same assignment and compare row-for-row on the
+    real embeddings table plus the synthetic families."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline.similarity import (
+        DOT,
+        _cell_distances,
+        _with_norm_sq,
+        deterministic_centroids,
+        semdedup_pairs,
     )
+
+    def sql_twin(emb, threshold, n_cells):
+        from pyspark.sql import Window
+
+        n = _with_norm_sq(emb)
+        cents = deterministic_centroids(emb, n_cells)
+        d = _cell_distances(n, cents, "embedding")
+        w = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+        assigned = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "nsq", "cell_id")
+            .localCheckpoint(eager=True)
+        )
+        a = assigned.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"),
+            F.col("nsq").alias("a_nsq"), "cell_id",
+        )
+        b = assigned.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"),
+            F.col("nsq").alias("b_nsq"), "cell_id",
+        )
+        dot = DOT.format(a="a_emb", b="b_emb")
+        return (
+            a.join(b, "cell_id")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn(
+                "cosine", F.round(F.expr(f"{dot} / sqrt(a_nsq * b_nsq)"), 6)
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine")
+        )
+
+    for emb, thr, cells in (
+        (spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 0.35, 8),
+        (_emb_corpus(spark), 0.999, 4),
+    ):
+        want = {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in sql_twin(emb, thr, cells).collect()
+        }
+        got = {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in semdedup_pairs(emb, thr, cells).collect()
+        }
+        assert got == want and len(want) > 0
 
 
 def test_shuffle_corpus_deterministic_and_mixing(spark):
