@@ -216,10 +216,42 @@ def main() -> None:
         summary["worst"] = [
             [q, r, spreads.get(q, 0.0)] for r, q in ratios[:3]
         ]
-        # the 3 worst basket offenders get isolated reps (reprobe_worst):
-        # the reprobe median is the number to trust when it disagrees with
+        to_reprobe = [q for _, q in ratios[:3]]
+        # r11 all-gate baseline (VERDICT r10 #2): the r1 basket covers only
+        # 32 queries, so the heavy union gates (temporal/web_hygiene/
+        # learned_sketch/search_rank/matching_geo) had no recorded per-gate
+        # bound and a genuine 3x regression there would pass every gate.
+        # r11_baseline_queries.json records a quiet-window solo median for
+        # EVERY gate; flag + isolate-reprobe anything >=1.5x over it.
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(__file__), "r11_baseline_queries.json"
+                )
+            ) as fh:
+                r11 = json.load(fh)["queries"]
+            common = sorted(set(r11) & set(timings))
+            summary["all_ratio_vs_r11"] = round(
+                sum(timings[q] for q in common)
+                / sum(r11[q] for q in common),
+                4,
+            )
+            ratios11 = sorted(
+                ((round(timings[q] / r11[q], 2), q) for q in common),
+                reverse=True,
+            )
+            summary["worst_vs_r11"] = [[q, r] for r, q in ratios11[:3]]
+            to_reprobe += [
+                q
+                for r, q in ratios11[:3]
+                if r >= 1.5 and q not in to_reprobe
+            ]
+        except (OSError, ValueError, KeyError, ZeroDivisionError):
+            pass
+        # the worst offenders get isolated reps (reprobe_worst): the
+        # reprobe median is the number to trust when it disagrees with
         # the in-sweep median
-        reprobe_worst(spark, sf_dir, REGISTRY, [q for _, q in ratios[:3]], summary)
+        reprobe_worst(spark, sf_dir, REGISTRY, to_reprobe, summary)
     except (OSError, ValueError, ZeroDivisionError):
         pass
     print(json.dumps(summary))
