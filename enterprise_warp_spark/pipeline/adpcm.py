@@ -16,6 +16,13 @@ algorithm alone — the optional soundfile/audioread plugin stays the
 boundary there. Vorbis, whose codebooks arrive IN the stream's setup
 header, decodes for real since round 7 (pipeline/vorbis.py).
 
+Canonical pin (r11): CPython's `audioop` module carries the IMA/DVI
+reference codec in C (Jack Jansen's adpcm.c, the implementation the IMA
+spec circulated) — tests/test_adpcm_audioop.py pins decode over the full
+4-bit code space, the encoder's code stream, and the stereo WAV word
+interleave bit-exactly against it, so this codec is no longer
+hermetic-twin-only.
+
 Execution shape: an ADPCM stream is a sequence of INDEPENDENT blocks
 (each block header carries its own predictor + step index), so decode
 vectorizes ACROSS blocks with numpy — the per-sample loop runs

@@ -24,6 +24,16 @@ called inside the Arrow-batched media kernels (pipeline/multimodal.py).
 Decoding is bit-serial Python and sized for media *features* (metadata,
 fingerprints, short clips), not bulk transcoding — the documented plugin
 point (soundfile) remains the fast path when installed.
+
+Oracle boundary (r11 audit): decode correctness rests on hermetic twins +
+spec structure checks (CRC-8/16 polynomials, UTF-8 frame numbers,
+STREAMINFO MD5) because this container has NO canonical counterpart: no
+libFLAC/libogg in ldconfig, no flac/ffmpeg/sox binaries, no *.flac file
+anywhere on the filesystem, no JVM sound SPI for FLAC, and no network to
+fetch the xiph.org / RFC 9639 test streams. If soundfile or libFLAC is
+ever present, tests/test_multimodal_codecs.py's plugin-gated paths pin
+against it automatically. (ADPCM left this list in r11 — CPython's
+audioop IS the IMA reference codec; see tests/test_adpcm_audioop.py.)
 """
 
 from __future__ import annotations

@@ -36,6 +36,15 @@ matrix product per blocksize across all frames of a packet run).
 
 Reference surface: none — the reference engine has no media pipeline at
 all; this extends the training-data side (SURVEY §2.8 multimodal).
+
+Oracle boundary (r11 audit): decode correctness rests on hermetic twins —
+this container has NO canonical Vorbis counterpart (no libvorbis/libogg in
+ldconfig, no oggenc/oggdec/ffmpeg/sox binaries, no *.ogg/*.webm/*.mka file
+anywhere on the filesystem, no JVM SPI, no network for xiph.org test
+vectors). soundfile, when installed, reads Ogg/Vorbis and becomes the
+canonical pin via the import-gated test in tests/test_multimodal_codecs.py
+pattern. (ADPCM left this list in r11 — CPython's audioop IS the IMA
+reference codec, pinned in tests/test_adpcm_audioop.py.)
 """
 
 from __future__ import annotations
