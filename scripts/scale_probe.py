@@ -192,14 +192,21 @@ def ann_recall_probe(spark):
           f"exact = {t_exact}s):")
     print("| method | param | recall@5 | t(s) |")
     print("|---|---|---|---|")
-    for nprobe in (1, 2, 4, 8, 16):
+    # VERDICT r10 #4: n_cells=16 over this corpus put every query's whole
+    # neighborhood inside one cell (flat 1.0 at every nprobe — an
+    # uninformative dial). A recall curve needs cells ~ sqrt(N) (the
+    # standard IVF sizing: 128 for 20k vectors) AND queries whose true
+    # neighbors straddle cell boundaries — ivf_recall_probe below builds
+    # that geometry explicitly; here the production-shaped corpus keeps
+    # the sqrt-N cell count so at least cell misassignment shows.
+    for nprobe in (1, 2, 4, 8, 16, 32):
         t, rows = _timed(
             lambda: similarity.ivf_topk(
-                emb, qf, k, n_cells=16, nprobe=nprobe
+                emb, qf, k, n_cells=128, nprobe=nprobe
             ).collect(),
             reps=1,
         )
-        print(f"| ivf (n_cells=16) | nprobe={nprobe} | {recall_vs(truth, rows)} | {t} |")
+        print(f"| ivf (n_cells=128) | nprobe={nprobe} | {recall_vs(truth, rows)} | {t} |")
     cbs = similarity.pq_codebooks(emb, 4, 16).localCheckpoint(eager=True)
     codes = similarity.pq_encode(emb, cbs, 4).localCheckpoint(eager=True)
     for rerank in (10, 25, 50, 100):
@@ -210,6 +217,78 @@ def ann_recall_probe(spark):
             reps=1,
         )
         print(f"| pq_reranked (M=4,K=16) | rerank={rerank} | {recall_vs(truth, rows)} | {t} |")
+
+
+def ivf_recall_probe(spark):
+    """VERDICT r10 #4 — an IVF recall-vs-nprobe curve that actually
+    discriminates. The r10 sweep read 1.0 at every nprobe because 16 fat
+    cells each contained whole query neighborhoods. This geometry makes
+    cell boundaries bite by construction:
+
+    * 20k vectors in 16d drawn around 150 Gaussian cluster centers with
+      sigma at ~half the typical center separation, so each query's true
+      top-k spans SEVERAL adjacent clusters;
+    * n_cells = sqrt(N) = 141 (the standard IVF sizing), coarse quantizer
+      = the dataset-sample centroids production uses, which do not align
+      with the true clusters;
+    * 20 queries placed at MIDPOINTS of random center pairs, the
+      worst case for single-cell probes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from enterprise_warp_spark.pipeline import similarity
+
+    rng = np.random.default_rng(20260815)
+    n, d, n_true = 20_000, 16, 150
+    centers = rng.normal(size=(n_true, d))
+    assign = rng.integers(0, n_true, size=n - 20)
+    sigma = 0.55 * np.median(
+        np.linalg.norm(centers[1:] - centers[:-1], axis=1)
+    ) / np.sqrt(2)
+    body = centers[assign] + rng.normal(0, sigma / np.sqrt(d), size=(n - 20, d))
+    qa, qb = rng.integers(0, n_true, 20), rng.integers(0, n_true, 20)
+    queries = (centers[qa] + centers[qb]) / 2 + rng.normal(
+        0, 0.02, size=(20, d)
+    )
+    X = np.vstack([queries, body]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(map(list, X))}
+    )
+    emb = (
+        spark.createDataFrame(pdf)
+        .selectExpr("vec_id", "cast(embedding as array<float>) embedding")
+        .repartition(32, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    qf, k = "vec_id < 20", 10
+
+    def rec(truth, approx):
+        t = {(r["query_id"], r["neighbor_id"]) for r in truth}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        return round(len(t & a) / len(t), 3)
+
+    t_exact, truth = _timed(
+        lambda: similarity.cosine_topk(emb, qf, k).collect(), reps=1
+    )
+    n_cells = 141
+    cents = similarity.deterministic_centroids(emb, n_cells).localCheckpoint(
+        eager=True
+    )
+    print()
+    print(f"IVF recall@{k} on the boundary-straddling corpus "
+          f"(20k x 16d, 150 true clusters, n_cells={n_cells}, "
+          f"20 midpoint queries; exact = {t_exact}s):")
+    print("| nprobe | recall@10 | t(s) |")
+    print("|---|---|---|")
+    for nprobe in (1, 2, 4, 8, 16, 32, 64, 141):
+        t, rows = _timed(
+            lambda: similarity.ivf_topk(
+                emb, qf, k, n_cells=n_cells, nprobe=nprobe, centroids=cents
+            ).collect(),
+            reps=1,
+        )
+        print(f"| {nprobe} | {rec(truth, rows)} | {t} |")
 
 
 def plot_aggregation_probe(spark):
@@ -296,6 +375,8 @@ def main():
         semdedup_contract_probe(spark)
     if not which or "--ann" in which:
         ann_recall_probe(spark)
+    if not which or "--ivf" in which:
+        ivf_recall_probe(spark)
     if "--plots" in which:
         plot_aggregation_probe(spark)
     if "--bpe" in which:
