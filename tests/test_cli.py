@@ -428,3 +428,64 @@ def test_expand_orfs_rejects_unsupported():
 
     with pytest.raises(SystemExit, match="quadrupole"):
         expand_orfs("hd,quadrupole")
+
+
+def test_cross_flag_separate_load_and_saved_os_compose(spark, example_tree):
+    """VERDICT r10 #8 — the flag composition the reference README implies,
+    end-to-end on one tree: compute + persist the OS (-o), separate the
+    chain head (-u 0.2), then run -s 1 -o 1 -L 1: the chain stages load
+    the separated segments while -L returns the SAVED OS results
+    bit-for-bit — chain surgery must not perturb loaded OS artifacts."""
+    from enterprise_warp_spark.analytics.results_pipeline import (
+        run_results_pipeline,
+    )
+    from enterprise_warp_spark.results import main
+    from enterprise_warp_spark.run_paramfile import main as run_main
+
+    prfile = os.path.join(example_tree, "example_params",
+                          "default_model_dynesty.dat")
+    out = run_main(
+        ["--prfile", prfile, "--num", "0", "--wipe_old_output", "1"],
+        spark=spark,
+    )
+    run_dir = out["output_dir"]
+    n_full = np.loadtxt(os.path.join(run_dir, "chain_1.txt")).shape[0]
+
+    res_a = main(
+        ["--result", prfile, "--optimal_statistic", "1",
+         "--optimal_statistic_orfs", "hd",
+         "--optimal_statistic_nsamples", "12"],
+        spark=spark,
+    )
+    want = [r.asDict() for r in res_a["os"]["hd"]["os"].collect()]
+    want_marg = sorted(
+        tuple(sorted(r.asDict().items()))
+        for r in res_a["os"]["hd"]["marginalised"].collect()
+    )
+
+    main(["--result", prfile, "--separate_earliest", "0.2"], spark=spark)
+
+    res_b = main(
+        ["--result", prfile, "--load_separated", "1",
+         "--optimal_statistic", "1",
+         "--load_optimal_statistic_results", "1",
+         "--optimal_statistic_orfs", "hd", "--info", "1"],
+        spark=spark,
+    )
+    got = [r.asDict() for r in res_b["os"]["hd"]["os"].collect()]
+    assert got == want  # -L: loaded == computed, to the last bit
+    got_marg = sorted(
+        tuple(sorted(r.asDict().items()))
+        for r in res_b["os"]["hd"]["marginalised"].collect()
+    )
+    assert got_marg == want_marg and len(got_marg) == 12
+
+    # the chain stages really ran on the separated head only
+    sep = run_results_pipeline(
+        spark, os.path.dirname(run_dir), burn_frac=0.0, load_separated=True
+    )
+    steps = sep["chains_long"].selectExpr("max(step) AS m").first()["m"]
+    assert steps == int(round(0.2 * n_full)) - 1
+    # -u's backup preserved the full pre-surgery chain
+    bckp = np.loadtxt(os.path.join(run_dir, "chain_1.txt.bckp"))
+    assert bckp.shape[0] == n_full
