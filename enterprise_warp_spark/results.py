@@ -43,8 +43,9 @@ def parse_commandline(argv=None):
     ap.add_argument("-n", "--name", type=str, default="all",
                     help='Pulsar name or number (or "all")')
     ap.add_argument("-c", "--corner", type=int, default=0,
-                    help="Corner data (0 - no, 1+ - write corner JSON data; "
-                    "PNG rendering is out of engine scope, SURVEY K7)")
+                    help="Corner plot (1/0): per-run corner PNG (K7 plot "
+                    "sink: Spark computes the 2-D histogram bins, the "
+                    "driver rasterizes) plus mode-position JSON")
     ap.add_argument("-p", "--par", action="append", default=None,
                     help='Include only parameters that contain "par"')
     ap.add_argument("-t", "--truths", type=str, default=None,
