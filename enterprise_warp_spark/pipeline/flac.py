@@ -144,6 +144,21 @@ class _Writer:
 # ---------------------------------------------------------------------------
 
 
+def _samples_md5(x: np.ndarray, bps: int) -> bytes:
+    """MD5 of the unencoded audio per the FLAC spec (RFC 9639 STREAMINFO):
+    signed little-endian samples, channel-interleaved, sample size rounded
+    up to whole bytes. `x` is the (n, ch) int array."""
+    import hashlib
+
+    nbytes = (bps + 7) // 8
+    flat = np.ascontiguousarray(x.astype(np.int64)).reshape(-1)
+    v = flat & ((1 << (8 * nbytes)) - 1)  # two's-complement truncation
+    b = np.empty((flat.size, nbytes), np.uint8)
+    for i in range(nbytes):
+        b[:, i] = (v >> (8 * i)) & 0xFF
+    return hashlib.md5(b.tobytes()).digest()
+
+
 def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     """FLAC bytes -> (samples (n,) mono or (n, ch), sample_rate). Output
     dtype int16 for bps<=16 else int32."""
@@ -151,11 +166,20 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
-def decode_flac_info(payload: bytes) -> tuple[np.ndarray, int, int]:
+def decode_flac_info(
+    payload: bytes, verify_md5: bool = True
+) -> tuple[np.ndarray, int, int]:
     """decode_flac plus the stream's STREAMINFO bits-per-sample — needed by
     callers that scale to full-range floats (the numpy container dtype is
     wider than bps for 8/12/20/24-bit streams, so dtype alone cannot give
-    the right full-scale divisor)."""
+    the right full-scale divisor).
+
+    verify_md5 (default on): when STREAMINFO carries a non-zero MD5 — every
+    canonical encoder (libFLAC, ffmpeg) writes one — the decoded samples
+    are hashed per the spec serialization and a mismatch raises. This
+    makes any real-world FLAC file a SELF-VALIDATING canonical pin: our
+    decoder's output provably equals what the canonical encoder hashed
+    (r11 — the strongest check available in a container with no libFLAC)."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -174,7 +198,8 @@ def decode_flac_info(payload: bytes) -> tuple[np.ndarray, int, int]:
             nch = r.read(3) + 1
             bps = r.read(5) + 1
             total = r.read(36)
-            streaminfo = {"rate": rate, "nch": nch, "bps": bps, "total": total}
+            streaminfo = {"rate": rate, "nch": nch, "bps": bps,
+                          "total": total, "md5": bytes(body[18:34])}
         pos += 4 + blen
         if last:
             break
@@ -277,7 +302,16 @@ def decode_flac_info(payload: bytes) -> tuple[np.ndarray, int, int]:
     total = streaminfo["total"] or len(chans_out[0])
     dtype = np.int16 if streaminfo["bps"] <= 16 else np.int32
     arrs = [np.asarray(c[:total], dtype=dtype) for c in chans_out]
-    out = arrs[0] if streaminfo["nch"] == 1 else np.stack(arrs, axis=-1)
+    stacked = np.stack(arrs, axis=-1)
+    if verify_md5 and streaminfo["md5"] != b"\x00" * 16:
+        got = _samples_md5(stacked, streaminfo["bps"])
+        if got != streaminfo["md5"]:
+            raise ValueError(
+                "decoded-audio MD5 mismatch vs STREAMINFO "
+                f"(got {got.hex()}, header {streaminfo['md5'].hex()}) — "
+                "corrupt stream or decoder defect"
+            )
+    out = arrs[0] if streaminfo["nch"] == 1 else stacked
     return out, streaminfo["rate"], streaminfo["bps"]
 
 
@@ -457,7 +491,9 @@ def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096) -
     si.write(bps - 1, 5)
     si.write(total, 36)
     si.align()
-    body = bytes(si.out) + b"\x00" * 16  # md5 unset (spec-legal)
+    # real MD5 (canonical encoders always write one): lets ANY spec
+    # decoder — including ours — verify the round trip end-to-end
+    body = bytes(si.out) + _samples_md5(samples, bps)
     out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
 
     frame_idx = 0

@@ -1843,3 +1843,43 @@ def test_vorbis_encode_read_by_libvorbis_when_available():
         float(np.sum(mono[:n] ** 2)) / max(float(np.sum(err**2)), 1e-30)
     )
     assert snr > 15.0  # lossy codec: decoded-by-libvorbis must track input
+
+
+def test_flac_streaminfo_md5_written_and_verified():
+    """r11: encode_flac writes the spec's decoded-audio MD5 into
+    STREAMINFO (independent hashlib twin here) and decode_flac verifies
+    it — so any REAL FLAC file (canonical encoders always write the MD5)
+    self-validates our decoder's output at runtime, and corruption can
+    never round-trip silently."""
+    import hashlib
+
+    from enterprise_warp_spark.pipeline.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(9)
+    t = np.arange(3000)
+    st = np.stack(
+        [(6000 * np.sin(2 * np.pi * 330 * t / 16000) + rng.normal(0, 30, t.size)),
+         (4000 * np.sin(2 * np.pi * 660 * t / 16000) + rng.normal(0, 30, t.size))],
+        axis=1,
+    ).astype(np.int16)
+    payload = bytearray(encode_flac(st, 16000))
+    # STREAMINFO md5 lives at bytes 8+18 .. 8+34 of the first metadata
+    # block (4 magic + 4 block header + 18 fixed fields)
+    want = hashlib.md5(st.astype("<i2").tobytes()).digest()
+    assert bytes(payload[26:42]) == want
+
+    out, rate = decode_flac(bytes(payload))
+    assert np.array_equal(out, st) and rate == 16000
+
+    # tampered header MD5 -> loud failure (proves verification runs)
+    payload[30] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5 mismatch"):
+        decode_flac(bytes(payload))
+    payload[30] ^= 0xFF
+
+    # corrupt one byte mid-payload: must fail LOUDLY one way or another
+    # (lost sync / reserved code / CRC-region garbage / MD5 mismatch) —
+    # never silently return wrong samples
+    payload[len(payload) // 2] ^= 0x5A
+    with pytest.raises(ValueError):
+        decode_flac(bytes(payload))
