@@ -842,6 +842,63 @@ def pq_topk_reranked(
 SEMDEDUP_TARGET_CELL_ROWS = 500
 
 
+def _assign_cells_arrow(
+    n: DataFrame, cents: DataFrame, emb_col: str, id_col: str
+) -> DataFrame:
+    """FAISS-shape coarse assignment: the centroid table is collected
+    ONCE (n_cells x dim — the bound that crosses the driver in any IVF
+    build) and broadcast as one matrix; a batched Arrow kernel computes
+    every vector's rounded distance row in BLAS and emits ONE row per
+    vector. The corpus x n_cells fan-out never materializes as Spark
+    rows — the 100x probe measured the SQL fan-out shape (explode +
+    interpreted fold + row_number window over N*cells rows) as
+    SemDeDup's dominant production-contract cost, because with n_cells
+    ~ N/target the fan-out is O(N^2/target) ROWS even though the argmin
+    output is O(N).
+
+    Determinism: dist = round(nsq + c_nsq - 2*dot, 6) with BOTH norms
+    carried from the SQL fold (input columns); only the dot is BLAS
+    (~1e-15 relative vs the fold — the round-6 doctrine, same as the
+    gram kernel). np.argmin takes the FIRST minimum and the matrix is
+    ordered by ascending cell_id, so ties break to the lowest cell_id —
+    exactly the SQL ORDER BY dist, cell_id."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cents.collect(), key=lambda r: r["cell_id"])
+    if not rows:
+        raise ValueError("semdedup: no centroids")
+    C = np.stack([np.asarray(r["c_emb"], dtype=np.float64) for r in rows])
+    cnsq = np.array([float(r["c_nsq"]) for r in rows], dtype=np.float64)
+    cell_ids = np.array([int(r["cell_id"]) for r in rows], dtype=np.int64)
+    b = n.sparkSession.sparkContext.broadcast((C, cnsq, cell_ids))
+    fields = dict(n.dtypes)
+    out_schema = (
+        f"{id_col} {fields[id_col]}, {emb_col} {fields[emb_col]}, "
+        "nsq double, cell_id int"
+    )
+
+    def kernel(batches):
+        Cm, cn, cids = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            nsq = pdf["nsq"].to_numpy(dtype=np.float64)
+            d = np.round(nsq[:, None] + cn[None, :] - 2.0 * (E @ Cm.T), 6)
+            idx = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    emb_col: pdf[emb_col],
+                    "nsq": nsq,
+                    "cell_id": cids[idx].astype(np.int32),
+                }
+            )
+
+    return n.select(id_col, emb_col, "nsq").mapInPandas(kernel, out_schema)
+
+
 def semdedup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -868,7 +925,11 @@ def semdedup_pairs(
     memory is O(|cell| * d + chunk * |cell|) doubles, bounded by the
     production contract's ~constant cell size; a pathologically hot cell
     degrades to one long task, not an OOM (chunked gram). Cell assignment
-    is the IVF broadcast fan-out (corpus x n_cells). Cross-cell duplicates
+    is the batched Arrow argmin kernel (_assign_cells_arrow): broadcast
+    centroid matrix, one output row per vector — under the production
+    contract (n_cells ~ corpus/target) the SQL fan-out shape would
+    materialize O(N^2/target) rows just to argmin them (the r11 100x
+    probe's dominant cost). Cross-cell duplicates
     are missed by construction (the documented SemDeDup recall trade-off);
     lower `threshold`/raise `n_cells` per the paper's ablations.
 
@@ -897,13 +958,7 @@ def semdedup_pairs(
                 4, _math.ceil(emb.count() / SEMDEDUP_TARGET_CELL_ROWS)
             )
         cents = deterministic_centroids(emb, n_cells, emb_col, id_col)
-    d = _cell_distances(n, cents, emb_col)
-    w_assign = Window.partitionBy(id_col).orderBy("dist", "cell_id")
-    assigned = (
-        d.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(id_col, emb_col, "nsq", "cell_id")
-    )
+    assigned = _assign_cells_arrow(n, cents, emb_col, id_col)
     id_type = dict(assigned.dtypes)[id_col]
     out_schema = f"vec_a {id_type}, vec_b {id_type}, cosine double"
 

@@ -219,6 +219,86 @@ def ann_recall_probe(spark):
         print(f"| pq_reranked (M=4,K=16) | rerank={rerank} | {recall_vs(truth, rows)} | {t} |")
 
 
+def hundredx_probe(spark):
+    """r11 — the 100x question asked directly of the linear-path pipeline
+    ops. Unlike the x10 mirror (verbatim replicas, single file), the 100x
+    corpus (500k docs / 200k vectors) MUTATES each copy — every replica
+    gets a copy-salted token and jittered embedding — so near-dup output
+    stays bounded and time ratios measure PROCESSING, not quadratic
+    output growth; it is also written multi-file so scan parallelism is
+    the production shape. Ops probed end-to-end on both corpora:
+    MinHash-LSH candidate pairs (signature -> banded equi-join), exact
+    dedup groups, quality scoring, distributed BPE encode (fixed gate
+    vocab), and SemDeDup under its production contract (n_cells ~
+    corpus)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline import dedup, similarity, text
+    from enterprise_warp_spark.pipeline.tokenizer import encode_corpus
+    from enterprise_warp_spark.queries_hygiene import _BPE_TOK
+
+    docs1 = spark.read.parquet(f"{SRC}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    emb1 = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    copies = spark.range(100).select(F.col("id").alias("_copy"))
+    docs100 = (
+        docs1.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("_copy") * 10_000_000).alias("doc_id"),
+            # copy-salted token bounds cross-copy near-dups
+            F.concat_ws(" ", "text", F.concat(F.lit("cp"), "_copy")).alias("text"),
+            "lang", "source",
+        )
+        .repartition(64)
+        .localCheckpoint(eager=True)
+    )
+    emb100 = (
+        emb1.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("_copy") * 10_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, j) -> x + float(0.2 * "
+                "sin(0.7718 * vec_id + 1.237 * j + 2.9 * _copy)))"
+            ).alias("embedding"),
+        )
+        .repartition(64)
+        .localCheckpoint(eager=True)
+    )
+    n1d, n100d = docs1.count(), docs100.count()
+    n1e, n100e = emb1.count(), emb100.count()
+    print()
+    print(f"100x probe (docs {n1d} -> {n100d}, vecs {n1e} -> {n100e}):")
+    print("| op | t(1x) s | t(100x) s | time ratio | rows 1x | rows 100x |")
+    print("|---|---|---|---|---|---|")
+
+    def run(name, fn1, fn100):
+        t0 = _time.perf_counter(); r1 = fn1(); t1 = _time.perf_counter() - t0
+        t0 = _time.perf_counter(); r100 = fn100(); t100 = _time.perf_counter() - t0
+        print(f"| {name} | {round(t1, 2)} | {round(t100, 2)} "
+              f"| {round(t100 / t1, 2)} | {r1} | {r100} |")
+
+    run("minhash_lsh pairs",
+        lambda: dedup.lsh_candidate_pairs(dedup.minhash_bands(docs1)).count(),
+        lambda: dedup.lsh_candidate_pairs(dedup.minhash_bands(docs100)).count())
+    run("exact dedup groups",
+        lambda: dedup.exact_groups(docs1, "md5(text)").count(),
+        lambda: dedup.exact_groups(docs100, "md5(text)").count())
+    run("quality scores",
+        lambda: text.quality_scores(docs1).count(),
+        lambda: text.quality_scores(docs100).count())
+    run("bpe encode (24-merge vocab)",
+        lambda: encode_corpus(docs1, _BPE_TOK).selectExpr(
+            "sum(n_tokens)").first()[0],
+        lambda: encode_corpus(docs100, _BPE_TOK).selectExpr(
+            "sum(n_tokens)").first()[0])
+    run("semdedup pairs (production n_cells)",
+        lambda: similarity.semdedup_pairs(emb1, 0.35, None).count(),
+        lambda: similarity.semdedup_pairs(emb100, 0.35, None).count())
+
+
 def ivf_recall_probe(spark):
     """VERDICT r10 #4 — an IVF recall-vs-nprobe curve that actually
     discriminates. The r10 sweep read 1.0 at every nprobe because 16 fat
@@ -377,6 +457,8 @@ def main():
         ann_recall_probe(spark)
     if not which or "--ivf" in which:
         ivf_recall_probe(spark)
+    if "--x100" in which:
+        hundredx_probe(spark)
     if "--plots" in which:
         plot_aggregation_probe(spark)
     if "--bpe" in which:
