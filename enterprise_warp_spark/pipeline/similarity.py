@@ -183,21 +183,21 @@ def ivf_topk(
     cents = centroids if centroids is not None else deterministic_centroids(
         emb, n_cells, emb_col, id_col
     )
-    d = _cell_distances(n, cents, emb_col)
-    w_assign = Window.partitionBy(id_col).orderBy("dist", "cell_id")
-    assigned = (
-        d.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(emb_col).alias("c_vec"),
-            F.col("nsq").alias("c_nsq2"),
-            "cell_id",
-        )
+    # corpus-side assignment: batched Arrow argmin (one row per vector —
+    # the corpus x n_cells fan-out never materializes; see
+    # _assign_cells_arrow). Query-side keeps the SQL fan-out: it is
+    # queries x n_cells (search-request-sized) and needs top-nprobe
+    # cells, not argmin-1.
+    assigned = _assign_cells_arrow(n, cents, emb_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_vec"),
+        F.col("nsq").alias("c_nsq2"),
+        "cell_id",
     )
+    qd = _cell_distances(n.filter(F.expr(query_filter)), cents, emb_col)
+    w_assign = Window.partitionBy(id_col).orderBy("dist", "cell_id")
     probes = (
-        d.filter(F.expr(query_filter))
-        .withColumn("prn", F.row_number().over(w_assign))
+        qd.withColumn("prn", F.row_number().over(w_assign))
         .filter(F.col("prn") <= nprobe)
         .select(
             F.col(id_col).alias("query_id"),
@@ -535,17 +535,13 @@ def build_ivf_index(
     of scanning the corpus. Rebuild = re-run after centroids change; append
     new vectors by writing their assignments with mode append."""
     n = _with_norm_sq(emb, emb_col, id_col)
-    d = _cell_distances(n, centroids, emb_col)
-    w_assign = Window.partitionBy(id_col).orderBy("dist", "cell_id")
-    assigned = (
-        d.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(emb_col).alias("c_vec"),
-            F.col("nsq").alias("c_nsq2"),
-            "cell_id",
-        )
+    # the index BUILD is the 100 TB-critical path: Arrow argmin assignment
+    # (one row per vector) instead of the corpus x n_cells SQL fan-out
+    assigned = _assign_cells_arrow(n, centroids, emb_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_vec"),
+        F.col("nsq").alias("c_nsq2"),
+        "cell_id",
     )
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(index_path)
 
