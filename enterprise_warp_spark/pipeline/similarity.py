@@ -227,28 +227,18 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     n_planes: int = 2,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates from the hyperplane
-    bucket equi-join (coarse buckets for recall), verified by exact cosine
-    against the threshold. The dedup counterpart of bucketed_topk."""
+    """Embedding-cosine near-duplicate pairs: candidates from hyperplane
+    buckets (coarse buckets for recall), verified by exact cosine against
+    the threshold. The dedup counterpart of bucketed_topk. r11: the
+    within-bucket comparison is the shared grouped Arrow gram kernel —
+    same values as the former bucket equi-join (round-6 cosines on
+    carried SQL-fold norms), but candidate pairs never materialize as
+    Spark rows and one task per bucket parallelizes the compute-bound
+    stage AQE's byte-based coalescing misjudges."""
     n = _with_norm_sq(emb, emb_col, id_col).withColumn(
         "bucket", F.expr(hyperplane_bucket(emb_col, n_planes))
     )
-    a = n.select(
-        F.col(id_col).alias("vec_a"), F.col(emb_col).alias("q_emb"),
-        F.col("nsq").alias("q_nsq"), "bucket",
-    )
-    b = n.select(
-        F.col(id_col).alias("vec_b"), F.col(emb_col).alias("c_emb"),
-        F.col("nsq").alias("c_nsq"), "bucket",
-    )
-    dot = DOT.format(a="q_emb", b="c_emb")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(F.expr(f"{dot} / sqrt(q_nsq * c_nsq)"), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    return _group_gram_pairs(n, "bucket", threshold, emb_col, id_col)
 
 
 def kmeans_centroids(
@@ -955,10 +945,28 @@ def semdedup_pairs(
             )
         cents = deterministic_centroids(emb, n_cells, emb_col, id_col)
     assigned = _assign_cells_arrow(n, cents, emb_col, id_col)
-    id_type = dict(assigned.dtypes)[id_col]
+    return _group_gram_pairs(assigned, "cell_id", threshold, emb_col, id_col)
+
+
+def _group_gram_pairs(
+    grouped: DataFrame,
+    group_col: str,
+    threshold: float,
+    emb_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Within-group all-pairs cosine >= threshold via the grouped Arrow
+    gram kernel: `grouped` carries (id, emb, nsq, group_col); each group's
+    gram matrix runs in chunked BLAS and only pairs above threshold are
+    emitted -> (vec_a, vec_b, cosine) with vec_a < vec_b. Candidate pairs
+    never materialize as Spark rows; kernel memory is O(|group| * d +
+    chunk * |group|) doubles. Cosine = round(dot / sqrt(nsq_a * nsq_b), 6)
+    with both norms carried from the SQL fold (round-6 doctrine); shared
+    by SemDeDup cells and the hyperplane-bucket near-dup path."""
+    id_type = dict(grouped.dtypes)[id_col]
     out_schema = f"vec_a {id_type}, vec_b {id_type}, cosine double"
 
-    def cell_gram(pdf):
+    def group_gram(pdf):
         import numpy as np
         import pandas as pd
 
@@ -967,7 +975,7 @@ def semdedup_pairs(
         E = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
         m = len(ids)
         outs = []
-        # chunk the gram so memory stays ~<=256 MB even on a hot cell
+        # chunk the gram so memory stays ~<=256 MB even on a hot group
         chunk = max(64, min(m, int(3.2e7 // max(m, 1)) or 64))
         for s in range(0, m, chunk):
             g = E[s : s + chunk] @ E.T
@@ -990,7 +998,7 @@ def semdedup_pairs(
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         return pd.concat(outs, ignore_index=True)
 
-    return assigned.groupBy("cell_id").applyInPandas(cell_gram, out_schema)
+    return grouped.groupBy(group_col).applyInPandas(group_gram, out_schema)
 
 
 def semdedup_keep_list(
