@@ -231,3 +231,50 @@ def test_semdedup_auto_cells_production_default(spark):
     # centroid assignment is deterministic on identical vectors)
     assert {(i, i + 30) for i in range(30)} <= auto
     assert SEMDEDUP_TARGET_CELL_ROWS >= 60  # floor engaged for this corpus
+
+
+def test_assign_cells_arrow_tie_breaks_to_lowest_cell(spark):
+    """The kernel's np.argmin-first-minimum must reproduce the SQL
+    window's ORDER BY dist, cell_id on EXACT rounded-distance ties —
+    crafted here: vectors equidistant between two centroids (and one
+    exactly ON a centroid) must land in the LOWER cell_id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline.similarity import (
+        _assign_cells_arrow,
+        _cell_distances,
+        _with_norm_sq,
+    )
+
+    # centroids at +/-1 on axis 0; vectors on the perpendicular bisector
+    # (axis-0 coord 0) are EXACTLY equidistant at any axis-1 offset
+    rows = [
+        (0, [1.0, 0.0]), (1, [-1.0, 0.0]),       # the two centroids
+        (10, [0.0, 0.0]), (11, [0.0, 2.5]), (12, [0.0, -7.0]),  # ties
+        (13, [1.0, 0.0]),                          # exactly ON centroid 0
+        (14, [-1.0, 0.5]),                         # clear cell 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n = _with_norm_sq(emb)
+    cents = (
+        _with_norm_sq(emb.filter("vec_id < 2"))
+        .selectExpr("cast(vec_id as int) cell_id", "embedding c_emb",
+                    "nsq c_nsq")
+    )
+    got = {
+        r["vec_id"]: r["cell_id"]
+        for r in _assign_cells_arrow(n, cents, "embedding", "vec_id").collect()
+    }
+    assert got[10] == 0 and got[11] == 0 and got[12] == 0  # ties -> lower
+    assert got[13] == 0 and got[14] == 1
+
+    # and the SQL window twin agrees row-for-row
+    d = _cell_distances(n, cents, "embedding")
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+    sql = {
+        r["vec_id"]: r["cell_id"]
+        for r in d.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").select("vec_id", "cell_id").collect()
+    }
+    assert got == sql
