@@ -278,3 +278,39 @@ def test_assign_cells_arrow_tie_breaks_to_lowest_cell(spark):
         .filter("rn = 1").select("vec_id", "cell_id").collect()
     }
     assert got == sql
+
+
+def test_blas_vs_fold_dot_margin_is_orders_below_round_grain(spark, sf_dir):
+    """The Arrow kernels round cosines/distances at 6 dp and argue the
+    BLAS-vs-SQL-fold summation difference is absorbed ('round-6
+    doctrine'). Measure that margin instead of asserting it: over every
+    within-cell pair of the real embeddings table, max |BLAS dot - fold
+    dot| must sit >= 4 orders of magnitude below the 0.5e-6 rounding
+    grain (so a boundary flip needs a ~1e-10-probability coincidence per
+    value, not a plausible event)."""
+    import numpy as np
+
+    from enterprise_warp_spark.pipeline.similarity import DOT
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    E = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    # fold dots via SQL for a deterministic pair sample (all pairs of the
+    # first 80 vectors: 3160 dot products)
+    sub = emb.filter("vec_id < 80")
+    a = sub.selectExpr("vec_id va", "embedding ea")
+    b = sub.selectExpr("vec_id vb", "embedding eb")
+    fold = {
+        (r["va"], r["vb"]): r["d"]
+        for r in a.crossJoin(b)
+        .filter("va < vb")
+        .selectExpr("va", "vb", DOT.format(a="ea", b="eb") + " AS d")
+        .collect()
+    }
+    ids = {r["vec_id"]: i for i, r in enumerate(rows)}
+    worst = 0.0
+    for (va, vb), d in fold.items():
+        blas = float(E[ids[va]] @ E[ids[vb]])
+        worst = max(worst, abs(blas - d))
+    assert len(fold) == 80 * 79 // 2
+    assert worst < 5e-11, worst  # grain is 5e-7: >= 4 orders of margin
