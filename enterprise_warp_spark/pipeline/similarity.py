@@ -1,7 +1,9 @@
 """Similarity search over an embedding column (array<float>).
 
-    cosine_topk          brute-force top-k: query-set x corpus join, exact
-                         cosine, per-query rank. Correctness baseline.
+    cosine_topk          brute-force top-k: broadcast query matrix, BLAS
+                         per corpus batch, batch-local then global top-k.
+                         Exact; the correctness baseline AND the
+                         production exact-search shape (no Q x N rows).
     bucketed_topk        LSH-bucketed variant: deterministic random-hyperplane
                          signs bucket both sides, candidates come from an
                          equi-join on the bucket — the 100 TB plan shape
@@ -52,27 +54,83 @@ def cosine_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for rows matching query_filter."""
+    """Exact top-k cosine neighbors for rows matching query_filter.
+
+    Scale shape (r11): the queries (a search REQUEST — bounded by
+    definition) are collected and broadcast as one matrix; a batched
+    Arrow kernel scores each corpus batch in BLAS and keeps only each
+    query's batch-local top-k, so the Q x N score join never
+    materializes as Spark rows (the former crossJoin shape shipped
+    Q x N pair rows through the interpreted fold — 10^12 rows for 1000
+    queries against a 10^9 corpus). Kernel output is <= batches x Q x k
+    light rows; ONE tiny window takes the global top-k. Tie semantics
+    are identical end-to-end: cosines round at 6 BEFORE any selection,
+    ties order by ascending neighbor id both batch-locally and in the
+    final rank (BLAS-vs-fold margin measured in
+    tests/test_semdedup_shuffle.py)."""
+    import numpy as np
+
     n = _with_norm_sq(emb, emb_col, id_col)
-    q = n.filter(F.expr(query_filter)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("q_emb"),
-        F.col("nsq").alias("q_nsq"),
+    qrows = n.filter(F.expr(query_filter)).select(
+        id_col, emb_col, "nsq"
+    ).collect()
+    id_type = dict(n.dtypes)[id_col]
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [],
+            f"query_id {id_type}, neighbor_id {id_type}, "
+            "cosine double, rnk int",
+        )
+    Q = np.stack([np.asarray(r[emb_col], np.float64) for r in qrows])
+    qn = np.array([float(r["nsq"]) for r in qrows], dtype=np.float64)
+    qids = [r[id_col] for r in qrows]
+    b = n.sparkSession.sparkContext.broadcast((Q, qn, qids))
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
+    def kernel(batches):
+        import pandas as pd
+
+        Qm, qnsq, qid = b.value
+        nq = len(qid)
+        for pdf in batches:
+            m = len(pdf)
+            if not m:
+                continue
+            E = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            nsq = pdf["nsq"].to_numpy(dtype=np.float64)
+            nids = pdf[id_col].to_numpy()
+            C = np.round(
+                (Qm @ E.T) / np.sqrt(qnsq[:, None] * nsq[None, :]), 6
+            )
+            kk = min(k, m)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(nq):
+                c = C[qi].copy()
+                c[nids == qid[qi]] = -np.inf  # self-exclusion
+                # batch-local top-k with EXACT final-rank tie semantics
+                # (rounded cosine desc, neighbor id asc): partition for
+                # the kth value, then lexsort the >=kth candidates so an
+                # equal-cosine lower-id can never be cut at the boundary
+                sel = np.argpartition(-c, kk - 1)[:kk]
+                v = c[sel].min()
+                cand = np.nonzero(c >= v)[0]
+                cand = cand[np.lexsort((nids[cand], -c[cand]))][:kk]
+                cand = cand[np.isfinite(c[cand])]
+                out_q.extend([qid[qi]] * len(cand))
+                out_n.extend(nids[cand])
+                out_c.extend(c[cand])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n,
+                     "cosine": out_c}
+                )
+
+    local = n.select(id_col, emb_col, "nsq").mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
     )
-    c = n.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).alias("c_emb"),
-        F.col("nsq").alias("c_nsq"),
-    )
-    dot = DOT.format(a="q_emb", b="c_emb")
-    pairs = (
-        q.crossJoin(c)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(F.expr(f"{dot} / sqrt(q_nsq * c_nsq)"), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
+        local.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )

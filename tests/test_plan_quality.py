@@ -58,8 +58,9 @@ def test_lsh_candidate_paths_are_equi_joins(spark, sf001):
     for name in ("minhash_lsh", "ngram_jaccard_pairs"):
         p = plan(REGISTRY[name].spark(spark, sf001))
         assert "CartesianProduct" not in p, name
-    # the merged ANN gate contains the DELIBERATE brute-force cartesian
-    # baseline; the scale paths (lsh/ivf) are asserted equi-join directly
+    # r11: even the brute baseline no longer carries a cartesian (the
+    # Q x N scoring runs inside the broadcast-queries Arrow kernel); the
+    # scale paths (lsh/ivf) are asserted equi-join directly
     from enterprise_warp_spark.pipeline import similarity
     from enterprise_warp_spark.tables import table as _table
 
@@ -67,6 +68,7 @@ def test_lsh_candidate_paths_are_equi_joins(spark, sf001):
     for df in (
         similarity.bucketed_topk(emb, "vec_id < 10", 5, n_planes=4),
         similarity.ivf_topk(emb, "vec_id < 10", 5, n_cells=16, nprobe=4),
+        similarity.cosine_topk(emb, "vec_id < 10", 5),
     ):
         # (BroadcastNestedLoopJoin IS allowed here: the IVF centroid fan-out
         # is a deliberate broadcast of the tiny centroid table)
@@ -170,8 +172,7 @@ def test_semi_join_stays_semi(spark, sf001):
 
 def test_ivf_centroids_broadcast(spark, sf001):
     """IVF fan-out join broadcasts the small centroid table; candidate join
-    is an equi-join on cell_id (asserted on the IVF path alone — the merged
-    catalog gate also contains the deliberate brute-force cartesian)."""
+    is an equi-join on cell_id (asserted on the IVF path alone)."""
     from enterprise_warp_spark.pipeline import similarity
     from enterprise_warp_spark.tables import table as _table
 
