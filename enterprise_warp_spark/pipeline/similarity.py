@@ -199,15 +199,25 @@ def bucketed_topk(
 def deterministic_centroids(
     emb: DataFrame, n_cells: int, emb_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """IVF coarse quantizer, oracle-reproducible flavor: the first n_cells
-    vectors by id ARE the centroids (ids are dense from 0 in the testdata).
-    Production path at 100 TB: swap in MLlib KMeans cluster centers with the
-    same (cell_id, c_emb, c_nsq) schema — every downstream op is unchanged."""
+    """IVF coarse quantizer, oracle-reproducible flavor: the n_cells
+    LOWEST-id vectors ARE the centroids — for the testdata's dense-from-0
+    integer ids this is exactly the oracle contract `id < n_cells`, and
+    unlike a value predicate it also works for string/sparse ids (r11).
+    The limit compiles to TakeOrderedAndProject (per-partition heap +
+    one merge, never a global sort). cell_id is the dense 0..n_cells-1
+    rank so downstream argmin kernels can index a packed matrix whatever
+    the id type. Production path at 100 TB: swap in MLlib KMeans cluster
+    centers with the same (cell_id, c_emb, c_nsq) schema — every
+    downstream op is unchanged."""
     n = _with_norm_sq(emb, emb_col, id_col)
-    return n.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"),
-        F.col(emb_col).alias("c_emb"),
-        F.col("nsq").alias("c_nsq"),
+    picked = n.orderBy(id_col).limit(n_cells).collect()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [
+            (ci, list(map(float, r[emb_col])), float(r["nsq"]))
+            for ci, r in enumerate(picked)
+        ],
+        "cell_id int, c_emb array<float>, c_nsq double",
     )
 
 

@@ -386,3 +386,46 @@ def test_random_projection_feeds_ann(spark, emb):
         .collect()
     }
     assert top1 == {q: q + 100_000 for q in range(10)}
+
+
+def test_kernel_paths_handle_string_ids_and_empty_queries(spark):
+    """The Arrow kernels are generic over the id column: string ids must
+    flow through assignment, gram pairs, and brute top-k (the numpy
+    object-array compares and Arrow schema derivation), and an empty
+    query set returns an empty, correctly-typed frame instead of
+    crashing."""
+    from enterprise_warp_spark.pipeline.similarity import (
+        cosine_near_dup_pairs,
+        cosine_topk,
+        semdedup_pairs,
+    )
+
+    rows = [
+        ("doc_a", [1.0, 0.0, 0.0, 0.0]),
+        ("doc_b", [0.99, 0.01, 0.0, 0.0]),
+        ("doc_c", [0.0, 1.0, 0.0, 0.0]),
+        ("doc_d", [0.0, 0.98, 0.02, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "doc_id string, embedding array<float>")
+
+    pairs = semdedup_pairs(
+        emb, threshold=0.9, n_cells=1, id_col="doc_id"
+    ).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert ("doc_a", "doc_b") in got and ("doc_c", "doc_d") in got
+    assert all(r["vec_a"] < r["vec_b"] for r in pairs)
+
+    nd = cosine_near_dup_pairs(
+        emb, threshold=0.9, id_col="doc_id", n_planes=1
+    ).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in nd} >= {("doc_a", "doc_b")}
+
+    tk = cosine_topk(emb, "doc_id = 'doc_a'", 2, id_col="doc_id").collect()
+    assert [r["neighbor_id"] for r in sorted(tk, key=lambda r: r["rnk"])][0] == "doc_b"
+    assert all(r["query_id"] == "doc_a" for r in tk) and len(tk) == 2
+
+    empty = cosine_topk(emb, "doc_id = 'nope'", 3, id_col="doc_id")
+    assert empty.count() == 0
+    assert [f[0] for f in empty.dtypes] == [
+        "query_id", "neighbor_id", "cosine", "rnk",
+    ]
