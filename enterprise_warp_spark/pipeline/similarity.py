@@ -68,15 +68,25 @@ def cosine_topk(
     ties order by ascending neighbor id both batch-locally and in the
     final rank (BLAS-vs-fold margin measured in
     tests/test_semdedup_shuffle.py)."""
-    import numpy as np
-
     n = _with_norm_sq(emb, emb_col, id_col)
     qrows = n.filter(F.expr(query_filter)).select(
         id_col, emb_col, "nsq"
     ).collect()
-    id_type = dict(n.dtypes)[id_col]
+    return _broadcast_topk(n, qrows, k, emb_col, id_col)
+
+
+def _broadcast_topk(
+    corpus_n: DataFrame, qrows, k: int, emb_col: str, id_col: str
+) -> DataFrame:
+    """Exact top-k of collected query rows (id, emb, nsq) against a
+    corpus frame carrying (id, emb, nsq): broadcast query matrix, BLAS
+    per batch, batch-local then global top-k. Shared by cosine_topk
+    (exact corpus) and sq8_topk_adc (dequantized corpus)."""
+    import numpy as np
+
+    id_type = dict(corpus_n.dtypes)[id_col]
     if not qrows:
-        return emb.sparkSession.createDataFrame(
+        return corpus_n.sparkSession.createDataFrame(
             [],
             f"query_id {id_type}, neighbor_id {id_type}, "
             "cosine double, rnk int",
@@ -84,6 +94,7 @@ def cosine_topk(
     Q = np.stack([np.asarray(r[emb_col], np.float64) for r in qrows])
     qn = np.array([float(r["nsq"]) for r in qrows], dtype=np.float64)
     qids = [r[id_col] for r in qrows]
+    n = corpus_n
     b = n.sparkSession.sparkContext.broadcast((Q, qn, qids))
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
 
@@ -134,6 +145,110 @@ def cosine_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def sq8_params(
+    emb: DataFrame, emb_col: str = "embedding"
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, span) for 8-bit scalar quantization (the
+    FAISS SQ8 recipe): ONE posexplode + 64-key aggregate over the corpus
+    — min/max are order-free, so the collected params are exact and
+    engine-independent. Returned as a plain list (dim entries — the same
+    bounded driver crossing a centroid table makes) ready to inline as
+    plan literals."""
+    rows = (
+        emb.select(F.posexplode(emb_col).alias("j", "x"))
+        .groupBy("j")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq8_params: empty input")
+    by_j = {r["j"]: (float(r["mn"]), float(r["mx"]) - float(r["mn"]))
+            for r in rows}
+    return [by_j[j] for j in sorted(by_j)]
+
+
+def _sq8_code_col(emb_col: str, params) -> F.Column:
+    """codes array<int>: c_j = clamp(floor((x_j - mn_j)/span_j * 255
+    + 0.5), 0, 255); floor(z + 0.5) instead of round() so both engines
+    share ONE explicit half-up rule. span 0 (constant dimension) -> 0."""
+    mns = F.array(*[F.lit(m) for m, _ in params])
+    spans = F.array(*[F.lit(s) for _, s in params])
+
+    def one(x, j):
+        mn = F.element_at(mns, j + 1)
+        sp = F.element_at(spans, j + 1)
+        z = (x.cast("double") - mn) / sp * 255 + F.lit(0.5)
+        clamped = F.least(
+            F.lit(255.0), F.greatest(F.lit(0.0), F.floor(z).cast("double"))
+        )
+        return F.when(sp > 0, clamped).otherwise(F.lit(0.0)).cast("int")
+
+    return F.transform(F.col(emb_col), one)
+
+
+def _sq8_dequant_col(codes_col: str, params) -> F.Column:
+    """eh array<double>: mn_j + c_j * span_j / 255 — the asymmetric-
+    distance reconstruction every query is scored against."""
+    mns = F.array(*[F.lit(m) for m, _ in params])
+    spans = F.array(*[F.lit(s) for _, s in params])
+
+    def one(c, j):
+        mn = F.element_at(mns, j + 1)
+        sp = F.element_at(spans, j + 1)
+        return F.when(
+            sp > 0, mn + c.cast("double") * sp / 255
+        ).otherwise(mn)
+
+    return F.transform(F.col(codes_col), one)
+
+
+def sq8_encode(
+    emb: DataFrame,
+    params=None,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — 4x compression of a float32 corpus (32x
+    of the doubles the math runs in). Map-only: the 2*dim param literals
+    ride in the plan; no join, no shuffle."""
+    params = params if params is not None else sq8_params(emb, emb_col)
+    return emb.select(
+        id_col, _sq8_code_col(emb_col, params).alias("codes")
+    )
+
+
+def sq8_topk_adc(
+    emb: DataFrame,
+    query_filter: str,
+    k: int = 5,
+    params=None,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k, scalar-quantization flavor (FAISS IndexScalarQuantizer
+    SQ8 with asymmetric distance): the corpus is stored as 8-bit codes;
+    each EXACT query is scored against the dequantized reconstruction
+    eh = mn + c * span / 255. Same execution shape as cosine_topk
+    (broadcast query matrix, batched BLAS, batch-local then global
+    top-k) — the quantization error, not the plan, is the accuracy
+    trade. Corpus norms use the reconstruction (the ADC denominator),
+    computed by the same sequential fold the SQL oracle replays."""
+    params = params if params is not None else sq8_params(emb, emb_col)
+    n = _with_norm_sq(emb, emb_col, id_col)
+    qrows = n.filter(F.expr(query_filter)).select(
+        id_col, emb_col, "nsq"
+    ).collect()
+    deq = (
+        sq8_encode(emb, params, emb_col, id_col)
+        .select(id_col, _sq8_dequant_col("codes", params).alias(emb_col))
+        .withColumn("nsq", F.expr(DOT.format(a=emb_col, b=emb_col)))
+    )
+    return _broadcast_topk(deq, qrows, k, emb_col, id_col)
 
 
 def hyperplane_bucket(emb_col: str, n_planes: int = 8, dim: int = 64) -> str:

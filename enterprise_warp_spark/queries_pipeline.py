@@ -270,7 +270,33 @@ _D_SUB = (
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
             FROM (SELECT c.query_id, c.neighbor_id,
                          ROUND({_D_DOT.format(a="q.q_emb", b="m.embedding")} / SQRT(q.q_nsq * m.nsq), 6) AS cosine
-                  FROM cand c JOIN qn q USING (query_id) JOIN n m ON m.vec_id = c.neighbor_id))
+                  FROM cand c JOIN qn q USING (query_id) JOIN n m ON m.vec_id = c.neighbor_id)),
+    prm AS (
+      SELECT j, MIN(CAST(embedding[j] AS DOUBLE)) AS mn,
+             MAX(CAST(embedding[j] AS DOUBLE)) - MIN(CAST(embedding[j] AS DOUBLE)) AS span
+      FROM embeddings CROSS JOIN (SELECT UNNEST(range(1, 65)) AS j)
+      GROUP BY j),
+    sprm AS (SELECT LIST(mn ORDER BY j) AS mns, LIST(span ORDER BY j) AS spans FROM prm),
+    sqc AS (
+      SELECT e.vec_id, p.j,
+             CASE WHEN p.span > 0
+                  THEN LEAST(255, GREATEST(0, FLOOR((CAST(e.embedding[p.j] AS DOUBLE) - p.mn) / p.span * 255 + 0.5)))
+                  ELSE 0 END AS code
+      FROM embeddings e CROSS JOIN prm p),
+    sqd AS (
+      SELECT e.vec_id,
+             list_transform(range(1, 65), j ->
+               CASE WHEN sp.spans[j] > 0
+                    THEN sp.mns[j] + LEAST(255, GREATEST(0, FLOOR((CAST(e.embedding[j] AS DOUBLE) - sp.mns[j]) / sp.spans[j] * 255 + 0.5))) * sp.spans[j] / 255
+                    ELSE sp.mns[j] END) AS eh
+      FROM embeddings e CROSS JOIN sprm sp),
+    sqn AS (SELECT vec_id, eh, {_D_DOT.format(a="eh", b="eh")} AS nsqh FROM sqd),
+    sqt AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_D_DOT.format(a="q.embedding", b="c.eh")} / SQRT(q.nsq * c.nsqh), 6) AS cosine
+      FROM n q JOIN sqn c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+    sqtr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk FROM sqt)
     SELECT 'brute' AS method, query_id, neighbor_id, cosine, rnk FROM bfr WHERE rnk <= 5
     UNION ALL
     SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rnk FROM lshr WHERE rnk <= 5
@@ -282,6 +308,12 @@ _D_SUB = (
     FROM best
     UNION ALL
     SELECT 'pq' AS method, query_id, neighbor_id, cosine, rnk FROM pqr WHERE rnk <= 5
+    UNION ALL
+    SELECT 'sqc' AS method, vec_id AS query_id, CAST(j AS BIGINT) AS neighbor_id,
+           CAST(code AS DOUBLE) AS cosine, CAST(j AS INTEGER) AS rnk
+    FROM sqc
+    UNION ALL
+    SELECT 'sq8' AS method, query_id, neighbor_id, cosine, rnk FROM sqtr WHERE rnk <= 5
     """,
     doc="ANN over the embedding column, five methods tag-discriminated in one "
     "gate: brute-force cosine top-k (exact baseline), hyperplane-sign LSH "
@@ -294,7 +326,13 @@ _D_SUB = (
     "approximate-cosine candidate cut with reconstructed norms, exact "
     "cosine rerank of only the candidates) — the r8 VERDICT's last "
     "pytest-only ANN surface, driver-gated via the [rpj]-style exact "
-    "arithmetic twin (r9).",
+    "arithmetic twin (r9). r11 adds scalar quantization (FAISS SQ8): "
+    "[sqc] gates EVERY vector's full 8-bit code array as exact integers "
+    "(per-dim min/span from one corpus aggregate, floor(z+0.5) half-up "
+    "shared by both engines — no rounding doctrine involved) and [sq8] "
+    "the asymmetric-distance top-k of exact queries against the "
+    "dequantized corpus (pipeline/similarity.py sq8_params/sq8_encode/"
+    "sq8_topk_adc; same broadcast-BLAS execution shape as brute).",
 )
 def embedding_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
@@ -327,9 +365,34 @@ def embedding_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("pq").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
     )
+    # SQ8 (r11): scalar quantization — [sqc] gates every vector's full
+    # 8-bit code array (exact integers, no rounding doctrine needed) and
+    # [sq8] the asymmetric-distance top-k against the dequantized corpus.
+    # ONE params derivation feeds encode and search.
+    sq_params = similarity.sq8_params(emb)
+    sqc = (
+        similarity.sq8_encode(emb, sq_params)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("codes").alias("j", "code"),
+        )
+        .select(
+            F.lit("sqc").alias("method"),
+            "query_id",
+            (F.col("j") + 1).cast("long").alias("neighbor_id"),
+            F.col("code").cast("double").alias("cosine"),
+            (F.col("j") + 1).cast("int").alias("rnk"),
+        )
+    )
+    sq8 = similarity.sq8_topk_adc(
+        emb, "vec_id < 10", 5, params=sq_params
+    ).select(
+        F.lit("sq8").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
+    )
     return (
         brute.unionByName(lsh).unionByName(ivf)
         .unionByName(pqc).unionByName(pq)
+        .unionByName(sqc).unionByName(sq8)
     )
 
 

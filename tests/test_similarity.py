@@ -429,3 +429,49 @@ def test_kernel_paths_handle_string_ids_and_empty_queries(spark):
     assert [f[0] for f in empty.dtypes] == [
         "query_id", "neighbor_id", "cosine", "rnk",
     ]
+
+
+def test_sq8_quantization_and_adc_search(spark, sf_dir):
+    """Scalar quantization (r11, FAISS SQ8 recipe): codes must equal the
+    numpy twin dimension-for-dimension on the real corpus, dequantized
+    reconstruction error is bounded by half a step per dim, and the ADC
+    search's top-1 matches exact brute force on well-separated data
+    (8 bits over 64 dims is a fine grid)."""
+    import numpy as np
+
+    from enterprise_warp_spark.pipeline.similarity import (
+        cosine_topk,
+        sq8_encode,
+        sq8_params,
+        sq8_topk_adc,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    params = sq8_params(emb)
+    rows = emb.orderBy("vec_id").collect()
+    E = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    mn, mx = E.min(axis=0), E.max(axis=0)
+    assert np.allclose([p[0] for p in params], mn)
+    assert np.allclose([p[1] for p in params], mx - mn)
+
+    got = {
+        r["vec_id"]: np.asarray(r["codes"])
+        for r in sq8_encode(emb, params).collect()
+    }
+    span = np.where(mx - mn > 0, mx - mn, 1.0)
+    for i, r in enumerate(rows):
+        z = (E[i] - mn) / span * 255 + 0.5
+        want = np.where(mx - mn > 0,
+                        np.clip(np.floor(z), 0, 255), 0).astype(int)
+        assert np.array_equal(got[r["vec_id"]], want), r["vec_id"]
+        # reconstruction error <= half a quantization step per dim
+        eh = mn + want * (mx - mn) / 255
+        assert np.all(np.abs(eh - E[i]) <= (mx - mn) / 255 / 2 + 1e-12)
+
+    adc = sq8_topk_adc(emb, "vec_id < 10", 5, params=params)
+    ex = cosine_topk(emb, "vec_id < 10", 5)
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in adc.filter("rnk = 1").collect()}
+    want1 = {r["query_id"]: r["neighbor_id"]
+             for r in ex.filter("rnk = 1").collect()}
+    assert top1 == want1 and len(top1) == 10
