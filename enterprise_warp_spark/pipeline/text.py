@@ -371,3 +371,81 @@ def normalize_nfc(
         )
 
     return df.withColumn(out_col or text_col, _nfc(F.col(text_col)))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021, arXiv:2112.11446
+    Table A1) — the document-level heuristics large-scale curation runs
+    before any model-based scoring. Adds one column per rule (pass =
+    true), the packed `gopher_mask` (bit i = rule i+1 passed, 127 = all),
+    and `gopher_keep`:
+
+      1. word count in [50, 100000]
+      2. mean word length in [3, 10]
+      3. symbol-to-word ratio ('#' chars + '...' runs) <= 0.1
+      4. <= 90% of lines start with a bullet (-, *, the bullet glyph)
+      5. <= 30% of lines end with '...'
+      6. >= 80% of words contain an alphabetic character
+      7. >= 2 distinct Gopher stop words present
+
+    Every rule evaluates in INTEGER arithmetic (e.g. mean word length as
+    sum_len >= 3*n_words AND sum_len <= 10*n_words) so the SQL oracle
+    replays it exactly — no floating point, no rounding doctrine. One
+    map-only projection: no shuffle, no UDF."""
+    t = f"filter(split({text_col}, ' '), x -> x != '')"
+    lines = f"split({text_col}, '\\n')"
+    n_words = f"size({t})"
+    sum_wl = f"aggregate({t}, cast(0 as bigint), (a, w) -> a + length(w))"
+    alpha = f"size(filter({t}, w -> w rlike '[A-Za-z]'))"
+    n_hash = f"length({text_col}) - length(replace({text_col}, '#', ''))"
+    n_ell = (
+        f"cast((length({text_col}) - "
+        f"length(replace({text_col}, '...', ''))) / 3 as int)"
+    )
+    bullets = (
+        f"size(filter({lines}, l -> ltrim(l) like '-%' "
+        "or ltrim(l) like '*%' or ltrim(l) like '•%'))"
+    )
+    ellines = f"size(filter({lines}, l -> rtrim(l) like '%...'))"
+    n_lines = f"size({lines})"
+    stops = " + ".join(
+        f"if(array_contains(transform({t}, w -> lower(w)), '{w}'), 1, 0)"
+        for w in GOPHER_STOPWORDS
+    )
+    out = df.selectExpr(
+        "*",
+        f"{n_words} as __nw",
+        f"{sum_wl} as __swl",
+        f"{alpha} as __aw",
+        f"({n_hash}) + ({n_ell}) as __sym",
+        f"{bullets} as __bl",
+        f"{ellines} as __el",
+        f"{n_lines} as __nl",
+        f"({stops}) as __st",
+    ).selectExpr(
+        "*",
+        "__nw >= 50 and __nw <= 100000 as gopher_word_count",
+        "__swl >= 3 * __nw and __swl <= 10 * __nw as gopher_mean_word_len",
+        "10 * __sym <= __nw as gopher_symbol_ratio",
+        "10 * __bl <= 9 * __nl as gopher_bullet_lines",
+        "10 * __el <= 3 * __nl as gopher_ellipsis_lines",
+        "10 * __aw >= 8 * __nw as gopher_alpha_words",
+        "__st >= 2 as gopher_stop_words",
+    ).selectExpr(
+        "*",
+        "if(gopher_word_count, 1, 0) + if(gopher_mean_word_len, 2, 0) + "
+        "if(gopher_symbol_ratio, 4, 0) + if(gopher_bullet_lines, 8, 0) + "
+        "if(gopher_ellipsis_lines, 16, 0) + if(gopher_alpha_words, 32, 0) + "
+        "if(gopher_stop_words, 64, 0) as gopher_mask",
+    ).withColumn(
+        "gopher_keep", F.col("gopher_mask") == 127
+    )
+    return (
+        out.withColumnRenamed("__nw", "gopher_n_words")
+        .withColumnRenamed("__aw", "gopher_alpha_n")
+        .withColumnRenamed("__st", "gopher_stop_n")
+        .drop("__swl", "__sym", "__bl", "__el", "__nl")
+    )

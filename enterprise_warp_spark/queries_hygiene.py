@@ -30,6 +30,11 @@ Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
 * ``pii`` — pipeline.redact over documents carrying a deterministic
   doc_id-derived PII suffix (one email, URL, IP, long digit run each);
   the oracle builds the EXPECTED scrubbed text from the template (r8).
+* ``gqr`` — pipeline.text.gopher_rules (Rae et al. 2021 Table A1): the
+  7-rule document quality filter as a pass bitmask; every rule evaluates
+  in integer arithmetic (mean word length as sum-of-lengths bounds, the
+  ratio rules as cross-multiplied integers), so the oracle replays the
+  FILTER itself exactly, with h pinning the word/alpha/stopword counts.
 * ``stm`` — streaming.corpus.dedup_corpus_stream with the crawl-hygiene
   transform hook: each micro-batch is re-chromed (HTML wrapper varying by
   source), the hook extracts text back out, and near-dup survivors land in
@@ -208,6 +213,36 @@ _HYGIENE_ORACLE = f"""
           regexp_extract_all(text, '{_TOK_PATTERN}'),
           w -> regexp_replace(lower(hex(encode(w))), '(..)', '(\\1)', 'g')
         ), '/') AS s
+        FROM documents
+      )
+    )
+    UNION ALL
+    SELECT 'gqr', '', doc_id, CAST(mask AS DOUBLE),
+           CAST(nw AS VARCHAR) || '|' || CAST(aw AS VARCHAR) || '|' || CAST(st AS VARCHAR)
+    FROM (
+      SELECT doc_id,
+             (CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END)
+           + (CASE WHEN swl >= 3 * nw AND swl <= 10 * nw THEN 2 ELSE 0 END)
+           + (CASE WHEN 10 * sym <= nw THEN 4 ELSE 0 END)
+           + (CASE WHEN 10 * bl <= 9 * nl THEN 8 ELSE 0 END)
+           + (CASE WHEN 10 * el <= 3 * nl THEN 16 ELSE 0 END)
+           + (CASE WHEN 10 * aw >= 8 * nw THEN 32 ELSE 0 END)
+           + (CASE WHEN st >= 2 THEN 64 ELSE 0 END) AS mask,
+             nw, aw, st
+      FROM (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw,
+               COALESCE(list_sum(list_transform(list_filter(string_split(text, ' '),
+                 x -> x <> ''), w -> length(w))), 0) AS swl,
+               len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+                 w -> regexp_matches(w, '[A-Za-z]'))) AS aw,
+               (length(text) - length(replace(text, '#', '')))
+                 + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INT) AS sym,
+               len(list_filter(string_split(text, chr(10)),
+                 l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS bl,
+               len(list_filter(string_split(text, chr(10)), l -> rtrim(l) LIKE '%...')) AS el,
+               len(string_split(text, chr(10))) AS nl,
+               ((CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'the') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'be') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'to') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'of') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'and') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'that') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'have') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'with') THEN 1 ELSE 0 END)) AS st
         FROM documents
       )
     )
@@ -539,6 +574,27 @@ def _pii_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gqr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (r11, pipeline/text.py gopher_rules — Rae et
+    al. 2021 Table A1): v1 = the 7-rule pass bitmask (127 = keep), h =
+    'n_words|alpha_words|distinct_stopwords'. Every rule is integer
+    arithmetic, so the oracle replays the whole filter exactly — no
+    rounding anywhere."""
+    from enterprise_warp_spark.pipeline.text import gopher_rules
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = gopher_rules(docs)
+    return g.select(
+        F.lit("gqr").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.col("gopher_mask").cast("double").alias("v1"),
+        F.concat_ws(
+            "|", "gopher_n_words", "gopher_alpha_n", "gopher_stop_n"
+        ).alias("h"),
+    )
+
+
 @register(
     "web_hygiene_ops",
     _HYGIENE_ORACLE,
@@ -571,7 +627,9 @@ def _pii_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "encode_corpus under a fixed literal 24-merge vocabulary): per-doc "
     "n_tokens + a hash of the full token sequence, the oracle replaying "
     "encode as a rank-ordered replace() chain over pipe-delimited hex — "
-    "provably equivalent to the heap merge walk (r10).",
+    "provably equivalent to the heap merge walk (r10), [gqr] the Gopher "
+    "7-rule quality filter as an exact integer bitmask (r11 — "
+    "pipeline/text.py gopher_rules).",
 )
 def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # [stm] runs a full availableNow streaming query to completion and
@@ -596,6 +654,7 @@ def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(f_wrc.result())
             .unionByName(_nfc_branch(spark, sf_dir))
             .unionByName(_bpe_branch(spark, sf_dir))
+            .unionByName(_gqr_branch(spark, sf_dir))
         )
     finally:
         # a lazy-branch exception must not leak the in-flight stm/wrc

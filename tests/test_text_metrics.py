@@ -1,0 +1,49 @@
+
+
+def test_gopher_rules_boundaries(spark):
+    """Gopher quality rules (r11): crafted docs hit each rule's boundary
+    on both sides — pass/fail flips exactly at the published thresholds
+    (Rae et al. 2021 Table A1), and the bitmask/keep compose correctly."""
+    from enterprise_warp_spark.pipeline.text import gopher_rules
+
+    good = ("the quick brown fox jumps over that lazy dog and then they "
+            "have gone to be with friends of the family for dinner today "
+            "which was of course very nice and everyone that came along "
+            "said they have to come back with more food and that the host "
+            "should be proud of the effort and time")  # 59 words, clean
+    docs = [
+        (0, good),
+        (1, "the of and to be"),                         # < 50 words
+        (2, " ".join(["ab"] * 30 + ["the", "of"]) + " " +
+            " ".join(["to", "be"] * 12)),                # mean wlen < 3
+        (3, good + " " + "#" * 40),                      # symbols > 10%
+        (4, "\n".join(["- " + good] * 10)),              # all-bullet lines
+        (5, "\n".join([good + " ..."] * 10)),            # all-ellipsis ends
+        (6, " ".join(["123456"] * 55) + " the of"),      # alpha words < 80%
+        (7, " ".join(["walrus"] * 60)),                  # < 2 stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+
+    assert got[0]["gopher_keep"] and got[0]["gopher_mask"] == 127
+    assert not got[1]["gopher_word_count"]
+    assert not got[2]["gopher_mean_word_len"]
+    assert not got[3]["gopher_symbol_ratio"]
+    assert not got[4]["gopher_bullet_lines"]
+    assert not got[5]["gopher_ellipsis_lines"]
+    assert not got[6]["gopher_alpha_words"]
+    assert not got[7]["gopher_stop_words"]
+    for d in (1, 2, 3, 4, 5, 6, 7):
+        assert not got[d]["gopher_keep"]
+        assert got[d]["gopher_mask"] != 127
+
+    # python twin of the integer arithmetic for the clean doc
+    words = good.split()
+    assert got[0]["gopher_n_words"] == len(words)
+    assert got[0]["gopher_alpha_n"] == sum(
+        1 for w in words if any(c.isascii() and c.isalpha() for c in w)
+    )
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    assert got[0]["gopher_stop_n"] == len(
+        stop & {w.lower() for w in words}
+    )
