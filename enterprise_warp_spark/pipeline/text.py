@@ -449,3 +449,41 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumnRenamed("__st", "gopher_stop_n")
         .drop("__swl", "__sym", "__bl", "__el", "__nl")
     )
+
+
+def c4_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+    — the line-level companion to the document-level gopher_rules:
+
+      * keep only lines that end in terminal punctuation (. ! ? ") and
+        contain at least 5 words            -> `c4_clean_text`
+      * count the kept lines and the terminal-punctuation sentences in
+        the cleaned text                    -> `c4_kept_lines`,
+                                               `c4_sentences`
+      * flag pages containing the C4 code/boilerplate markers
+        ('lorem ipsum', '{', 'javascript', case-insensitive)
+                                            -> `c4_flagged`
+      * `c4_keep` = >= 3 sentences survive AND not flagged
+
+    Pure string/integer arithmetic over one map-only projection — the
+    SQL oracle replays the whole transform exactly (the [c4f] gate hashes
+    the cleaned text itself)."""
+    keep_line = (
+        "l -> (rtrim(l) like '%.' or rtrim(l) like '%!' "
+        "or rtrim(l) like '%?' or rtrim(l) like '%\"') "
+        "and size(filter(split(l, ' '), x -> x != '')) >= 5"
+    )
+    kept = f"filter(split({text_col}, '\\n'), {keep_line})"
+    clean = f"array_join({kept}, '\\n')"
+    low = f"lower({text_col})"
+    return df.selectExpr(
+        "*",
+        f"{clean} as c4_clean_text",
+        f"size({kept}) as c4_kept_lines",
+        f"length({clean}) - length(translate({clean}, '.!?', ''))"
+        " as c4_sentences",
+        f"{low} like '%lorem ipsum%' or {low} like '%{{%'"
+        f" or {low} like '%javascript%' as c4_flagged",
+    ).selectExpr(
+        "*", "c4_sentences >= 3 and not c4_flagged as c4_keep"
+    )

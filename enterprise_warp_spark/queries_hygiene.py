@@ -35,6 +35,10 @@ Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
   in integer arithmetic (mean word length as sum-of-lengths bounds, the
   ratio rules as cross-multiplied integers), so the oracle replays the
   FILTER itself exactly, with h pinning the word/alpha/stopword counts.
+* ``c4f`` — pipeline.text.c4_filters (Raffel et al. 2020 §2.2): the C4
+  line filter (terminal punctuation + >=5 words), sentence count and
+  blocklist over documents wrapped in a deterministic page chrome; the
+  gate hashes the CLEANED TEXT itself plus the keep/drop decision.
 * ``stm`` — streaming.corpus.dedup_corpus_stream with the crawl-hygiene
   transform hook: each micro-batch is re-chromed (HTML wrapper varying by
   source), the hook extracts text back out, and near-dup survivors land in
@@ -244,6 +248,35 @@ _HYGIENE_ORACLE = f"""
                len(string_split(text, chr(10))) AS nl,
                ((CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'the') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'be') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'to') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'of') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'and') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'that') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'have') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> lower(w)), 'with') THEN 1 ELSE 0 END)) AS st
         FROM documents
+      )
+    )
+    UNION ALL
+    SELECT 'c4f', CASE WHEN c4s >= 3 AND NOT flg THEN 'keep' ELSE 'drop' END,
+           doc_id, CAST(c4s AS DOUBLE), substr(md5(clean), 1, 16)
+    FROM (
+      SELECT doc_id, clean, flg,
+             length(clean) - length(translate(clean, '.!?', '')) AS c4s
+      FROM (
+        SELECT doc_id,
+               COALESCE(array_to_string(list_filter(string_split(text, chr(10)), l ->
+                 (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+                  OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+                 AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5),
+                 chr(10)), '') AS clean,
+               (lower(text) LIKE '%lorem ipsum%' OR lower(text) LIKE '%{{%'
+                OR lower(text) LIKE '%javascript%') AS flg
+        FROM (
+          SELECT doc_id,
+                 'Menu Home About' || chr(10) || text
+                 || '. It was a good day. All tests passed.' || chr(10)
+                 || 'Copyright 2026 all rights reserved'
+                 || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+                 || chr(10) || 'Click here now!'
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN chr(10) || 'And lorem ipsum dolor sit amet today.'
+                    ELSE '' END AS text
+          FROM documents
+        )
       )
     )
 """
@@ -574,6 +607,42 @@ def _pii_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4f_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning (r11, pipeline/text.py c4_filters — Raffel et al. 2020
+    §2.2): documents are wrapped in a deterministic page chrome (the
+    [tag]/[pii] fixture pattern — nav line, punctuated body, an
+    even-id-only punctuated footer, a short CTA line, a 'lorem ipsum'
+    line on doc_id % 7 == 0) so the line filter, sentence count and
+    blocklist all genuinely fire. The gate hashes the CLEANED TEXT
+    itself (md5 prefix in h), the surviving-sentence count (v1), and
+    the keep/drop decision (k1) against the SQL replay."""
+    from enterprise_warp_spark.pipeline.text import c4_filters
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Menu Home About\n"),
+            F.col("text"),
+            F.lit(". It was a good day. All tests passed.\n"),
+            F.lit("Copyright 2026 all rights reserved"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+            F.lit("\nClick here now!"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nAnd lorem ipsum dolor sit amet today."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    c = c4_filters(docs)
+    return c.select(
+        F.lit("c4f").alias("gate"),
+        F.when(F.col("c4_keep"), "keep").otherwise("drop").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.col("c4_sentences").cast("double").alias("v1"),
+        F.substring(F.md5("c4_clean_text"), 1, 16).alias("h"),
+    )
+
+
 def _gqr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (r11, pipeline/text.py gopher_rules — Rae et
     al. 2021 Table A1): v1 = the 7-rule pass bitmask (127 = keep), h =
@@ -629,7 +698,9 @@ def _gqr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "encode as a rank-ordered replace() chain over pipe-delimited hex — "
     "provably equivalent to the heap merge walk (r10), [gqr] the Gopher "
     "7-rule quality filter as an exact integer bitmask (r11 — "
-    "pipeline/text.py gopher_rules).",
+    "pipeline/text.py gopher_rules), [c4f] the C4 line filter + sentence/"
+    "blocklist page filter hashing the cleaned text itself (r11 — "
+    "pipeline/text.py c4_filters).",
 )
 def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # [stm] runs a full availableNow streaming query to completion and
@@ -655,6 +726,7 @@ def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(_nfc_branch(spark, sf_dir))
             .unionByName(_bpe_branch(spark, sf_dir))
             .unionByName(_gqr_branch(spark, sf_dir))
+            .unionByName(_c4f_branch(spark, sf_dir))
         )
     finally:
         # a lazy-branch exception must not leak the in-flight stm/wrc

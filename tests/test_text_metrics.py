@@ -1,4 +1,4 @@
-
+"""Gopher and C4 quality-filter operators (r11) — boundary pins."""
 
 def test_gopher_rules_boundaries(spark):
     """Gopher quality rules (r11): crafted docs hit each rule's boundary
@@ -47,3 +47,41 @@ def test_gopher_rules_boundaries(spark):
     assert got[0]["gopher_stop_n"] == len(
         stop & {w.lower() for w in words}
     )
+
+
+def test_c4_filters_boundaries(spark):
+    """C4 cleaning (r11): each rule flips at its threshold — terminal
+    punctuation set (. ! ? \"), the 5-word line minimum, the 3-sentence
+    document minimum, and the blocklist markers."""
+    from enterprise_warp_spark.pipeline.text import c4_filters
+
+    docs = [
+        (0, "one two three four five six.\nshort line.\n"
+            "seven eight nine ten eleven!\ntwelve thirteen fourteen "
+            "fifteen sixteen?\nno terminal punctuation here at all"),
+        (1, "a good line with five words.\nanother good line right here."),
+        (2, "this page uses javascript everywhere sadly.\n"
+            "one two three four five.\nsix seven eight nine ten.\n"
+            "ok fine good yes done."),
+        (3, 'he said "this is a quote line."\nthe second sentence is '
+            "here now.\nthe third sentence arrives right now."),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_filters(df).collect()}
+
+    # doc 0: three qualifying lines survive (short + unpunctuated drop)
+    assert got[0]["c4_kept_lines"] == 3 and got[0]["c4_sentences"] == 3
+    assert got[0]["c4_keep"]
+    assert "short line." not in got[0]["c4_clean_text"]
+    assert "no terminal punctuation" not in got[0]["c4_clean_text"]
+    # doc 1: only 2 sentences survive -> dropped
+    assert got[1]["c4_kept_lines"] == 2 and not got[1]["c4_keep"]
+    # doc 2: enough sentences but blocklisted
+    assert got[2]["c4_sentences"] >= 3 and got[2]["c4_flagged"]
+    assert not got[2]["c4_keep"]
+    # doc 3: quote-terminated line counts; 3 sentences -> keep
+    assert got[3]["c4_kept_lines"] == 3 and got[3]["c4_keep"]
+    # doc 4: empty text -> empty clean, zero everything, drop
+    assert got[4]["c4_clean_text"] == "" and got[4]["c4_sentences"] == 0
+    assert not got[4]["c4_keep"]
