@@ -289,6 +289,24 @@ def hundredx_probe(spark):
     run("quality scores",
         lambda: text.quality_scores(docs1).count(),
         lambda: text.quality_scores(docs100).count())
+    # sum the masks/sentence counts: the synthetic corpus keeps 0 docs
+    # under both recipes (no punctuation, disjoint stopword vocab), so a
+    # keep COUNT would be a zero row; the sums stay data-dependent
+    run("gopher rules (mask sum)",
+        lambda: text.gopher_rules(docs1).selectExpr(
+            "sum(gopher_mask)").first()[0],
+        lambda: text.gopher_rules(docs100).selectExpr(
+            "sum(gopher_mask)").first()[0])
+    run("c4 filters (sentence sum)",
+        lambda: text.c4_filters(docs1).selectExpr(
+            "sum(c4_sentences)").first()[0],
+        lambda: text.c4_filters(docs100).selectExpr(
+            "sum(c4_sentences)").first()[0])
+    run("sq8 encode (code sum)",
+        lambda: similarity.sq8_encode(emb1).selectExpr(
+            "sum(aggregate(codes, 0L, (a, c) -> a + c))").first()[0],
+        lambda: similarity.sq8_encode(emb100).selectExpr(
+            "sum(aggregate(codes, 0L, (a, c) -> a + c))").first()[0])
     run("bpe encode (24-merge vocab)",
         lambda: encode_corpus(docs1, _BPE_TOK).selectExpr(
             "sum(n_tokens)").first()[0],
