@@ -822,3 +822,52 @@ def leakage_safe_splits(
     return split_dataset(
         labeled, "component", weights, seed=seed, split_col=split_col
     ).drop("component")
+
+
+def strip_repeated_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document line-level boilerplate removal (the CCNet /
+    RefinedWeb line-dedup step, Wenzek et al. 2020 / Penedo et al. 2023):
+    any line occurring in >= min_docs DISTINCT documents (nav bars,
+    cookie banners, footers) is stripped from every document. Returns the
+    input plus `<text_col>_clean` (surviving lines rejoined in original
+    order; '' when everything was boilerplate) and `n_kept_lines`.
+
+    Scale shape: one explode, one (line -> distinct-doc count) aggregate
+    (partial map-side), one left-anti equi-join on the line string, one
+    per-doc rebuild via sort_array over (idx, line) structs — every stage
+    keys on a hash-distributable value, no broadcast of corpus-sized
+    state, no cartesian. The rebuild's collect_list is bounded by a
+    single document's line count."""
+    lines = docs.select(
+        id_col, F.posexplode(F.split(text_col, "\n")).alias("__idx", "__l")
+    )
+    boiler = (
+        lines.groupBy("__l")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__l")
+    )
+    kept = lines.join(boiler, "__l", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__idx", "__l"))
+                ),
+                lambda s: s["__l"],
+            ),
+            "\n",
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn(f"{text_col}_clean", F.coalesce("__clean", F.lit("")))
+        .withColumn("n_kept_lines", F.coalesce("__n", F.lit(0)).cast("int"))
+        .drop("__clean", "__n")
+    )

@@ -39,6 +39,11 @@ Branches (shared schema: gate, k1 string, k2 long, v1 double, h string):
   line filter (terminal punctuation + >=5 words), sentence count and
   blocklist over documents wrapped in a deterministic page chrome; the
   gate hashes the CLEANED TEXT itself plus the keep/drop decision.
+* ``lnd`` — pipeline.dedup.strip_repeated_lines (the CCNet/RefinedWeb
+  line-dedup): lines occurring in >= 2 distinct docs are stripped from
+  every doc; over the same chrome as [c4f], the shared nav/CTA lines,
+  the even-id footer and the lorem line all vanish while unique body
+  lines survive — the gate hashes each rebuilt text.
 * ``stm`` — streaming.corpus.dedup_corpus_stream with the crawl-hygiene
   transform hook: each micro-batch is re-chromed (HTML wrapper varying by
   source), the hook extracts text back out, and near-dup survivors land in
@@ -143,6 +148,26 @@ _HYGIENE_ORACLE = f"""
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
       WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0
+    ),
+    chrome AS (
+      SELECT doc_id,
+             'Menu Home About' || chr(10) || text
+             || '. It was a good day. All tests passed.' || chr(10)
+             || 'Copyright 2026 all rights reserved'
+             || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+             || chr(10) || 'Click here now!'
+             || CASE WHEN doc_id % 7 = 0
+                THEN chr(10) || 'And lorem ipsum dolor sit amet today.'
+                ELSE '' END AS text
+      FROM documents
+    ),
+    cls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM chrome),
+    clines AS (
+      SELECT doc_id, idx, arr[idx] AS l
+      FROM (SELECT doc_id, UNNEST(range(1, len(arr) + 1)) AS idx, arr FROM cls)
+    ),
+    cboiler AS (
+      SELECT l FROM clines GROUP BY l HAVING COUNT(DISTINCT doc_id) >= 2
     )
     SELECT 'url' AS gate, 'u1' AS k1, c_custkey AS k2, 0.0 AS v1,
            'http://www.site' || CAST(k AS VARCHAR) || '.com/Items/'
@@ -265,20 +290,18 @@ _HYGIENE_ORACLE = f"""
                  chr(10)), '') AS clean,
                (lower(text) LIKE '%lorem ipsum%' OR lower(text) LIKE '%{{%'
                 OR lower(text) LIKE '%javascript%') AS flg
-        FROM (
-          SELECT doc_id,
-                 'Menu Home About' || chr(10) || text
-                 || '. It was a good day. All tests passed.' || chr(10)
-                 || 'Copyright 2026 all rights reserved'
-                 || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
-                 || chr(10) || 'Click here now!'
-                 || CASE WHEN doc_id % 7 = 0
-                    THEN chr(10) || 'And lorem ipsum dolor sit amet today.'
-                    ELSE '' END AS text
-          FROM documents
-        )
+        FROM chrome
       )
     )
+    UNION ALL
+    SELECT 'lnd', '', d.doc_id, CAST(COALESCE(r.n, 0) AS DOUBLE),
+           substr(md5(COALESCE(r.clean, '')), 1, 16)
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n,
+             string_agg(l, chr(10) ORDER BY idx) AS clean
+      FROM clines WHERE l NOT IN (SELECT l FROM cboiler)
+      GROUP BY doc_id
+    ) r USING (doc_id)
 """
 
 
@@ -619,19 +642,7 @@ def _c4f_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.pipeline.text import c4_filters
 
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.lit("Menu Home About\n"),
-            F.col("text"),
-            F.lit(". It was a good day. All tests passed.\n"),
-            F.lit("Copyright 2026 all rights reserved"),
-            F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
-            F.lit("\nClick here now!"),
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.lit("\nAnd lorem ipsum dolor sit amet today."),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
+        "doc_id", _c4_chrome().alias("text")
     )
     c = c4_filters(docs)
     return c.select(
@@ -640,6 +651,46 @@ def _c4f_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("k2"),
         F.col("c4_sentences").cast("double").alias("v1"),
         F.substring(F.md5("c4_clean_text"), 1, 16).alias("h"),
+    )
+
+
+# the shared page chrome for the [c4f]/[lnd] fixtures: identical
+# nav/CTA lines in every doc, a punctuated footer in even docs only,
+# a lorem-ipsum line on doc_id % 7 == 0, the unique body in between
+def _c4_chrome() -> F.Column:
+    return F.concat(
+        F.lit("Menu Home About\n"),
+        F.col("text"),
+        F.lit(". It was a good day. All tests passed.\n"),
+        F.lit("Copyright 2026 all rights reserved"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.lit("\nClick here now!"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nAnd lorem ipsum dolor sit amet today."),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _lnd_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (r11, pipeline/dedup.py
+    strip_repeated_lines — the CCNet/RefinedWeb line-dedup): over the
+    same chrome as [c4f], the shared nav/CTA lines occur in EVERY doc,
+    the punctuated footer in half the docs, the lorem line in 1/7 —
+    all stripped at min_docs=2 while each unique body line survives.
+    v1 = surviving line count, h = md5 prefix of the rebuilt text."""
+    from enterprise_warp_spark.pipeline.dedup import strip_repeated_lines
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _c4_chrome().alias("text")
+    )
+    out = strip_repeated_lines(docs, min_docs=2)
+    return out.select(
+        F.lit("lnd").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.col("n_kept_lines").cast("double").alias("v1"),
+        F.substring(F.md5("text_clean"), 1, 16).alias("h"),
     )
 
 
@@ -700,7 +751,9 @@ def _gqr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "7-rule quality filter as an exact integer bitmask (r11 — "
     "pipeline/text.py gopher_rules), [c4f] the C4 line filter + sentence/"
     "blocklist page filter hashing the cleaned text itself (r11 — "
-    "pipeline/text.py c4_filters).",
+    "pipeline/text.py c4_filters), [lnd] cross-document line-level "
+    "boilerplate removal hashing each rebuilt text (r11 — "
+    "pipeline/dedup.py strip_repeated_lines).",
 )
 def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # [stm] runs a full availableNow streaming query to completion and
@@ -727,6 +780,7 @@ def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(_bpe_branch(spark, sf_dir))
             .unionByName(_gqr_branch(spark, sf_dir))
             .unionByName(_c4f_branch(spark, sf_dir))
+            .unionByName(_lnd_branch(spark, sf_dir))
         )
     finally:
         # a lazy-branch exception must not leak the in-flight stm/wrc

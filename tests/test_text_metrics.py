@@ -85,3 +85,27 @@ def test_c4_filters_boundaries(spark):
     # doc 4: empty text -> empty clean, zero everything, drop
     assert got[4]["c4_clean_text"] == "" and got[4]["c4_sentences"] == 0
     assert not got[4]["c4_keep"]
+
+
+def test_strip_repeated_lines(spark):
+    """Line-level boilerplate removal (r11): lines in >= min_docs
+    distinct docs vanish from every doc; within-doc repeats in a single
+    doc survive; order is preserved; an all-boilerplate doc rebuilds to
+    '' with zero kept lines."""
+    from enterprise_warp_spark.pipeline.dedup import strip_repeated_lines
+
+    docs = [
+        (1, "NAV BAR\nunique first body line\nFOOTER\nunique second line"),
+        (2, "NAV BAR\nanother body entirely\nFOOTER"),
+        (3, "solo line\nsolo line\nonly here"),
+        (4, "NAV BAR\nFOOTER"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in strip_repeated_lines(df, min_docs=2).collect()}
+    assert got[1]["text_clean"] == "unique first body line\nunique second line"
+    assert got[1]["n_kept_lines"] == 2
+    assert got[2]["text_clean"] == "another body entirely"
+    # within-doc duplicate in ONE doc: countDistinct(doc)=1 -> kept twice
+    assert got[3]["text_clean"] == "solo line\nsolo line\nonly here"
+    assert got[4]["text_clean"] == "" and got[4]["n_kept_lines"] == 0
