@@ -871,3 +871,99 @@ def strip_repeated_lines(
         .withColumn("n_kept_lines", F.coalesce("__n", F.lit(0)).cast("int"))
         .drop("__clean", "__n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+# — the MOSS algorithm). Reference parity note: the reference engine has no
+# fingerprinting; this is part of the LLM-data-pipeline surface (document
+# fingerprinting via rolling hashes).
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 6,
+    w: int = 4,
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, pos, gh) winnowing fingerprint selection over k-token grams.
+
+    SWA 2003: slide a window of ``w`` consecutive gram hashes over each
+    document; in every window select the MINIMUM hash, breaking ties by the
+    RIGHTMOST position (the paper's rule — it maximizes the chance the same
+    gram is re-selected by the next window, minimizing fingerprint density).
+    The distinct selected (pos, hash) pairs are the document fingerprint.
+
+    Guarantee: any shared token run of length >= w + k - 1 between two
+    documents yields at least one shared fingerprint hash. Expected density
+    is 2/(w+1) of gram positions.
+
+    Documents with fewer than ``w`` grams get one truncated window covering
+    all their grams (so every document with >= k tokens is fingerprinted);
+    window starts therefore run 1..max(1, m-w+1) for m grams.
+
+    Plan shape (100 TB): one explode per gram (linear), a constant ``w``-fold
+    window-membership explode, then a single hash aggregate per
+    (doc_id, window) using min_by — partial-aggregable, no sort window, no
+    cross join. ``grams`` lets callers share one explode+md5 pass with the
+    ExactSubstr/decontamination operators (same (doc_id, pos, gh) layout).
+    """
+    hashed = grams if grams is not None else _gram_position_hashes(df, text_col, k)
+    m = hashed.groupBy("doc_id").agg(F.max("pos").alias("__m"))
+    wins = explode_nonnull(
+        hashed.join(m, "doc_id"),
+        F.expr(
+            f"sequence(greatest(1L, pos - {w - 1}), "
+            f"least(pos, greatest(1L, __m - {w - 1})))"
+        ),
+        "win",
+        "doc_id",
+        "pos",
+        "gh",
+    )
+    sel = wins.groupBy("doc_id", "win").agg(
+        F.min_by(
+            F.struct(F.col("pos"), F.col("gh")),
+            F.struct(F.col("gh"), (-F.col("pos")).alias("rp")),
+        ).alias("s")
+    )
+    return sel.select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh")).distinct()
+
+
+def winnow_overlap_pairs(
+    fingerprints: DataFrame,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, shared_fp) document pairs sharing >= min_shared
+    distinct fingerprint hashes (MOSS-style overlap detection).
+
+    Blocking is the fingerprint hash itself: an equi-join on gh with
+    ``doc_a < doc_b`` — never a cross join. ``max_df`` drops hashes present
+    in more than that many documents first (the paper's "ignore very common
+    fingerprints" option) — at corpus scale a boilerplate gram shared by
+    millions of documents would otherwise emit a quadratic pair set; with
+    the cap the join output is bounded by max_df^2 per hash.
+    """
+    fp = fingerprints.select("doc_id", "gh").distinct()
+    if max_df is not None:
+        rare = (
+            fp.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("gh")
+        )
+        fp = fp.join(rare, "gh", "left_semi")
+    # explicit aliases, not positional toDF: a USING join reorders the key
+    # column to the front, so positional renames would swap doc_id and gh
+    a = fp.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "gh")
+    return (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )

@@ -561,6 +561,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tokpos tr
       LEFT JOIN cov ON tr.doc_id = cov.doc_id AND tr.pos = cov.pos
       GROUP BY tr.doc_id
+    ),
+    mx AS (SELECT doc_id, MAX(pos) AS m FROM p GROUP BY doc_id),
+    ww AS (
+      SELECT p.doc_id, p.pos, p.gh,
+             UNNEST(generate_series(GREATEST(1, p.pos - 3),
+                                    LEAST(p.pos, GREATEST(1, mx.m - 3)))) AS win
+      FROM p JOIN mx USING (doc_id)
+    ),
+    wsel AS (
+      SELECT doc_id, win, pos, gh,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, win
+                                ORDER BY gh ASC, pos DESC) AS rn
+      FROM ww
+    ),
+    wfp AS (SELECT DISTINCT doc_id, pos, gh FROM wsel WHERE rn = 1),
+    wd AS (SELECT DISTINCT doc_id, gh FROM wfp),
+    wrare AS (SELECT gh FROM wd GROUP BY gh HAVING COUNT(*) <= 50),
+    wk AS (SELECT wd.doc_id, wd.gh FROM wd JOIN wrare USING (gh)),
+    wpair AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+      FROM wk a JOIN wk b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 2
     )
     SELECT 'rep' AS gate, doc_id, MIN(pos) AS span_start,
            MAX(pos) + 5 AS span_end, COUNT(*) AS n_grams, '' AS h
@@ -570,6 +593,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'str', doc_id, n_removed, 0, 0, substr(md5(cleaned_text), 1, 16)
     FROM cleaned
+    UNION ALL
+    SELECT 'wfp', doc_id, COUNT(*), 0, 0,
+           substr(md5(string_agg(CAST(gh AS VARCHAR), ',' ORDER BY gh)), 1, 16)
+    FROM wfp GROUP BY doc_id
+    UNION ALL
+    SELECT 'wov', da, db, 0, shared, '' FROM wpair
     """,
     doc="Span-level gate family over the ExactSubstr machinery "
     "(pipeline/dedup.py): [rep] token positions whose 6-gram occurs >= 2 "
@@ -582,7 +611,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "[str] strip_contaminated_spans: one row per document with the "
     "surviving tokens re-joined (md5-16 fingerprint) and the removed-token "
     "count. Columns overloaded per branch: for [str] span_start carries "
-    "n_removed_tokens and h the cleaned-text fingerprint.",
+    "n_removed_tokens and h the cleaned-text fingerprint. [wfp] winnowing "
+    "document fingerprints (Schleimer-Wilkerson-Aiken 2003, w=4 over the "
+    "same k=6 gram hashes — rightmost-min window selection via a min_by "
+    "hash aggregate, no sort window): span_start carries the fingerprint "
+    "count and h an md5-16 over the sorted fingerprint hashes. [wov] "
+    "MOSS-style overlap pairs (fingerprint-hash equi-join, a<b, df<=50 "
+    "common-hash cap): doc_id/span_start carry the pair, n_grams the "
+    "shared-fingerprint count.",
 )
 def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.pipeline.decontaminate import (
@@ -592,6 +628,8 @@ def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.pipeline.dedup import (
         _gram_position_hashes,
         repeated_ngram_spans,
+        winnow_fingerprints,
+        winnow_overlap_pairs,
     )
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -632,7 +670,47 @@ def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n_grams"),
         F.substring(F.md5("cleaned_text"), 1, 16).alias("h"),
     )
-    return rep.unionByName(dcn).unionByName(stripped)
+    # shared slim: both winnowing branches consume the same selection
+    # (95k rows at sf0.1 — cheap to materialize, saves a full re-derive)
+    fp = winnow_fingerprints(docs, k=6, w=4, grams=grams).localCheckpoint(
+        eager=True
+    )
+    wfp = (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(F.collect_list("gh")),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+                1,
+                16,
+            ).alias("hh"),
+        )
+        .select(
+            F.lit("wfp").alias("gate"),
+            "doc_id",
+            F.col("n_fp").cast("long").alias("span_start"),
+            F.lit(0).cast("long").alias("span_end"),
+            F.lit(0).cast("long").alias("n_grams"),
+            F.col("hh").alias("h"),
+        )
+    )
+    wov = winnow_overlap_pairs(fp, min_shared=2, max_df=50).select(
+        F.lit("wov").alias("gate"),
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").cast("long").alias("span_start"),
+        F.lit(0).cast("long").alias("span_end"),
+        F.col("shared_fp").cast("long").alias("n_grams"),
+        F.lit("").alias("h"),
+    )
+    return rep.unionByName(dcn).unionByName(stripped).unionByName(wfp).unionByName(wov)
 
 
 # mixture_resample_by_lang was folded into queries_curation.temporal_
