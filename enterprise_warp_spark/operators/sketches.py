@@ -417,3 +417,112 @@ def count_min_from_counts(
         .groupBy("row_i", "bucket")
         .agg(F.sum("__n").alias("c"))
     )
+
+
+def kmv_set_ops(
+    df: DataFrame, group: str, col: str, k: int = 64
+) -> DataFrame:
+    """Theta-sketch-framework set-operation estimates between every pair of
+    groups' KMV sketches (Dasgupta, Lang, Malkin et al., "Theta sketches";
+    the KMV instance of it) -> (group_a, group_b, theta, inter_exact-free
+    estimates): union_cnt/inter_cnt sample counts, union_est, intersect_est,
+    jaccard.
+
+    Per group: keep the k smallest distinct 60-bit hashes (same portable
+    md5-prefix hash as kmv_distinct_by, so sketches from either operator
+    merge). theta_g = kth smallest hash when saturated (sample = hashes
+    STRICTLY below it, the k-1 retained entries) else 2^60 (sample = all).
+    For a pair, theta_ab = min(theta_a, theta_b); both samples are cut to
+    h < theta_ab, and |S| / (theta_ab / 2^60) estimates the set size:
+    union via |S_a ∪ S_b|, intersection via |S_a ∩ S_b|, jaccard as their
+    sample-count ratio. Unsaturated pairs degrade to EXACT set ops.
+
+    Scale shape: after the per-group top-k (the only pass over the data —
+    one distinct + one windowed top-k, same as kmv_distinct_by), everything
+    runs in sketch space: G groups x k hashes, so pair costs are
+    O(G^2 k) independent of corpus size, and every step is deterministic
+    portable arithmetic — exactly replayable in ANSI SQL."""
+    if k < 2:
+        raise ValueError(f"kmv_set_ops needs k >= 2, got {k}")
+    from pyspark.sql import Window
+
+    two60 = 1 << 60
+    h = (
+        f"cast(conv(substr(md5(cast({col} as string)), 1, 15), 16, 10) "
+        "as bigint)"
+    )
+    dh = (
+        df.select(group, F.expr(h).alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(group).orderBy("__h")
+    kept = (
+        dh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(group, "__h")
+        .localCheckpoint(eager=True)  # sketch space: G*k rows
+    )
+    thetas = kept.groupBy(group).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("__h").alias("__kth")
+    ).select(
+        group,
+        F.when(F.col("__n") < k, F.lit(two60))
+        .otherwise(F.col("__kth"))
+        .alias("theta"),
+    )
+    pa = thetas.select(F.col(group).alias("group_a"), F.col("theta").alias("__ta"))
+    pb = thetas.select(F.col(group).alias("group_b"), F.col("theta").alias("__tb"))
+    pairs = (
+        pa.join(pb, F.col("group_a") < F.col("group_b"))
+        .select("group_a", "group_b", F.least("__ta", "__tb").alias("theta"))
+    )
+    ka = kept.select(F.col(group).alias("group_a"), F.col("__h").alias("__ha"))
+    kb = kept.select(F.col(group).alias("group_b"), F.col("__h").alias("__hb"))
+    sa = (
+        pairs.join(ka, "group_a")
+        .filter(F.col("__ha") < F.col("theta"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("__sa"))
+    )
+    sb = (
+        pairs.join(kb, "group_b")
+        .filter(F.col("__hb") < F.col("theta"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("__sb"))
+    )
+    keys = ["group_a", "group_b"]
+    common = ka.join(kb, F.col("__ha") == F.col("__hb")).select(
+        "group_a", "group_b", "__ha"
+    )
+    inter = (
+        pairs.join(common, keys)
+        .filter(F.col("__ha") < F.col("theta"))
+        .groupBy(keys)
+        .agg(F.count(F.lit(1)).alias("__si"))
+    )
+    out = (
+        pairs.join(sa, keys, "left")
+        .join(sb, keys, "left")
+        .join(inter, keys, "left")
+        .na.fill(0, ["__sa", "__sb", "__si"])
+        .withColumn("inter_cnt", F.col("__si"))
+        .withColumn("union_cnt", F.col("__sa") + F.col("__sb") - F.col("__si"))
+    )
+    scale = F.lit(float(two60)) / F.col("theta").cast("double")
+    return out.select(
+        "group_a",
+        "group_b",
+        "theta",
+        "inter_cnt",
+        "union_cnt",
+        F.round(F.col("inter_cnt") * scale, 6).alias("intersect_est"),
+        F.round(F.col("union_cnt") * scale, 6).alias("union_est"),
+        F.when(F.col("union_cnt") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("inter_cnt").cast("double") / F.col("union_cnt"), 6
+            )
+        )
+        .alias("jaccard"),
+    )

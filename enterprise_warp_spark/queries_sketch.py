@@ -233,7 +233,84 @@ _SKETCH_ORACLE = f"""
              ROUND(kme_n.nsq + list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kmc2.c) + 1), i -> CAST(kmc2.c[i] AS DOUBLE) * CAST(kmc2.c[i] AS DOUBLE))), (acc, x) -> acc + x) - 2 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(kme_n.e) + 1), i -> CAST(kme_n.e[i] AS DOUBLE) * CAST(kmc2.c[i] AS DOUBLE))), (acc, x) -> acc + x), 6) AS dist
       FROM kme_n CROSS JOIN kmc2
     ),
-    kmaf AS (SELECT vec_id, e, cell_id, dist FROM kmaf_d WHERE rn = 1)
+    kmaf AS (SELECT vec_id, e, cell_id, dist FROM kmaf_d WHERE rn = 1),
+    kvd AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS __h
+      FROM events
+    ),
+    kvk AS (
+      SELECT event_type, __h FROM (
+        SELECT event_type, __h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY __h) AS rn
+        FROM kvd
+      ) WHERE rn <= {_KMV_K}
+    ),
+    kvt AS (
+      SELECT event_type,
+             CASE WHEN COUNT(*) < {_KMV_K}
+                  THEN CAST(1152921504606846976 AS BIGINT)
+                  ELSE MAX(__h) END AS theta
+      FROM kvk GROUP BY event_type
+    ),
+    kvp AS (
+      SELECT a.event_type AS ga, b.event_type AS gb,
+             LEAST(a.theta, b.theta) AS theta
+      FROM kvt a JOIN kvt b ON a.event_type < b.event_type
+    ),
+    kvsa AS (
+      SELECT p.ga, p.gb, COUNT(*) AS sa FROM kvp p
+      JOIN kvk k ON k.event_type = p.ga AND k.__h < p.theta
+      GROUP BY p.ga, p.gb
+    ),
+    kvsb AS (
+      SELECT p.ga, p.gb, COUNT(*) AS sb FROM kvp p
+      JOIN kvk k ON k.event_type = p.gb AND k.__h < p.theta
+      GROUP BY p.ga, p.gb
+    ),
+    kvsi AS (
+      SELECT p.ga, p.gb, COUNT(*) AS si FROM kvp p
+      JOIN kvk x ON x.event_type = p.ga AND x.__h < p.theta
+      JOIN kvk y ON y.event_type = p.gb AND y.__h = x.__h
+      GROUP BY p.ga, p.gb
+    ),
+    kvo AS (
+      SELECT p.ga, p.gb, p.theta,
+             COALESCE(i.si, 0) AS inter_cnt,
+             COALESCE(a.sa, 0) + COALESCE(b.sb, 0) - COALESCE(i.si, 0)
+               AS union_cnt
+      FROM kvp p
+      LEFT JOIN kvsa a ON a.ga = p.ga AND a.gb = p.gb
+      LEFT JOIN kvsb b ON b.ga = p.ga AND b.gb = p.gb
+      LEFT JOIN kvsi i ON i.ga = p.ga AND i.gb = p.gb
+    ),
+    kvdu AS (SELECT DISTINCT event_type, user_id FROM events),
+    kvexi AS (
+      SELECT a.event_type AS ga, b.event_type AS gb, COUNT(*) AS exi
+      FROM kvdu a JOIN kvdu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    kvsz AS (SELECT event_type, COUNT(*) AS n FROM kvdu GROUP BY 1),
+    kvx AS (
+      SELECT o.ga, o.gb, o.theta, o.inter_cnt, o.union_cnt,
+             COALESCE(e.exi, 0) AS exi,
+             za.n + zb.n - COALESCE(e.exi, 0) AS exu,
+             ROUND(CAST(o.inter_cnt AS DOUBLE)
+                   * (CAST(1152921504606846976 AS DOUBLE)
+                      / CAST(o.theta AS DOUBLE)), 6) AS intersect_est,
+             ROUND(CAST(o.union_cnt AS DOUBLE)
+                   * (CAST(1152921504606846976 AS DOUBLE)
+                      / CAST(o.theta AS DOUBLE)), 6) AS union_est,
+             CASE WHEN o.union_cnt = 0 THEN 0.0
+                  ELSE ROUND(CAST(o.inter_cnt AS DOUBLE) / o.union_cnt, 6)
+             END AS jaccard
+      FROM kvo o
+      JOIN kvsz za ON za.event_type = o.ga
+      JOIN kvsz zb ON zb.event_type = o.gb
+      LEFT JOIN kvexi e ON e.ga = o.ga AND e.gb = o.gb
+    )
     SELECT 'semd' AS gate, CAST(a1.vec_id AS VARCHAR) AS k1,
            a2.vec_id AS k2,
            ROUND({_D_DOT.format(a="a1.embedding", b="a2.embedding")}
@@ -287,6 +364,17 @@ _SKETCH_ORACLE = f"""
       SELECT event_type, COUNT(DISTINCT user_id) AS exact_d
       FROM events GROUP BY event_type
     ) kx USING (event_type)
+    UNION ALL
+    SELECT 'kvx', 'i|' || ga || '|' || gb, exi, intersect_est,
+           CAST(theta AS VARCHAR)
+    FROM kvx
+    UNION ALL
+    SELECT 'kvx', 'u|' || ga || '|' || gb, exu, union_est,
+           CAST(theta AS VARCHAR)
+    FROM kvx
+    UNION ALL
+    SELECT 'kvx', 'j|' || ga || '|' || gb, 0, jaccard, ''
+    FROM kvx
     UNION ALL
     SELECT 'lmp' AS gate, '' AS k1, doc_id AS k2,
            ROUND(-AVG(lp), 6) + 0.0 AS v1,
@@ -653,6 +741,73 @@ def _hll_gk_branches(
     return hll.unionByName(gk).unionByName(kmv)
 
 
+def _kvx_branch(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
+    """KMV set-operation estimates (operators/sketches.py kmv_set_ops, the
+    theta-sketch framework over the module's KMV bottom-k): for every
+    event_type pair, three hash-gated rows — [i] intersection estimate with
+    the exact distinct-user intersection as witness (k2), [u] union
+    estimate with the exact union as witness, [j] the sample Jaccard (theta
+    cancels, so it is exact arithmetic on two sample counts). Like [kmv],
+    the ESTIMATES themselves hash-match DuckDB: md5 hashing, integer
+    order statistics, and one matched-order multiply/divide per row."""
+    from enterprise_warp_spark.operators.sketches import kmv_set_ops
+
+    s = kmv_set_ops(
+        ev.select("event_type", "user_id"), "event_type", "user_id",
+        k=_KMV_K,
+    )
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=True
+    )
+    ua = du.select(F.col("event_type").alias("group_a"), "user_id")
+    ub = du.select(F.col("event_type").alias("group_b"), "user_id")
+    exi = (
+        ua.join(ub, "user_id")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("exi"))
+    )
+    sz = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    za = sz.select(F.col("event_type").alias("group_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("event_type").alias("group_b"), F.col("n").alias("nb"))
+    keys = ["group_a", "group_b"]
+    full = (
+        s.join(za, "group_a")
+        .join(zb, "group_b")
+        .join(exi, keys, "left")
+        .na.fill(0, ["exi"])
+        .withColumn("exu", F.col("na") + F.col("nb") - F.col("exi"))
+    )
+
+    def _k1(tag: str):
+        return F.concat_ws(
+            "|", F.lit(tag), F.col("group_a"), F.col("group_b")
+        ).alias("k1")
+
+    i_rows = full.select(
+        F.lit("kvx").alias("gate"),
+        _k1("i"),
+        F.col("exi").cast("long").alias("k2"),
+        F.col("intersect_est").alias("v1"),
+        F.col("theta").cast("string").alias("h"),
+    )
+    u_rows = full.select(
+        F.lit("kvx").alias("gate"),
+        _k1("u"),
+        F.col("exu").cast("long").alias("k2"),
+        F.col("union_est").alias("v1"),
+        F.col("theta").cast("string").alias("h"),
+    )
+    j_rows = full.select(
+        F.lit("kvx").alias("gate"),
+        _k1("j"),
+        F.lit(0).cast("long").alias("k2"),
+        F.col("jaccard").alias("v1"),
+        F.lit("").alias("h"),
+    )
+    return i_rows.unionByName(u_rows).unionByName(j_rows)
+
+
 def _cms_branch(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
     """Count-Min sketch gate (operators/sketches.py count_min_by /
     count_min_estimate, Cormode & Muthukrishnan 2005): the _CMS_D x _CMS_W
@@ -971,6 +1126,7 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             pool.submit(_kmc_branch, spark, sf_dir, emb),
             pool.submit(_rpj_branch, spark, sf_dir, emb),
             pool.submit(_cms_branch, spark, sf_dir, ev),
+            pool.submit(_kvx_branch, spark, sf_dir, ev),
         ]
         parts = [f.result() for f in futures]
     out = parts[0]

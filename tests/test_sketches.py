@@ -438,3 +438,107 @@ class TestCountMin:
             for r in count_min_from_counts(counts, "v", "n", d, w).collect()
         }
         assert a == b  # pre-aggregated build is exactly the raw build
+
+
+class TestKmvSetOps:
+    """kmv_set_ops (theta-sketch-framework union/intersection/Jaccard over
+    KMV bottom-k sketches) pinned against an independent Python twin, plus
+    its exact-degradation and guard contracts."""
+
+    @staticmethod
+    def _twin(rows, k):
+        import hashlib
+        import itertools
+
+        T = 1 << 60
+        sets: dict = {}
+        for g, v in rows:
+            sets.setdefault(g, set()).add(v)
+        hs = {
+            g: sorted(
+                int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                for v in vs
+            )
+            for g, vs in sets.items()
+        }
+        out = {}
+        for a, b in itertools.combinations(sorted(hs), 2):
+            ka, kb = hs[a][:k], hs[b][:k]
+            ta = T if len(ka) < k else ka[-1]
+            tb = T if len(kb) < k else kb[-1]
+            th = min(ta, tb)
+            sa = {x for x in ka if x < th}
+            sb = {x for x in kb if x < th}
+            i_, u_ = len(sa & sb), len(sa | sb)
+            out[(a, b)] = dict(
+                theta=th,
+                inter_cnt=i_,
+                union_cnt=u_,
+                intersect_est=round(i_ * (float(T) / th), 6),
+                union_est=round(u_ * (float(T) / th), 6),
+                jaccard=0.0 if u_ == 0 else round(i_ / u_, 6),
+            )
+        return out
+
+    def test_matches_python_twin(self, spark):
+        import random
+
+        from enterprise_warp_spark.operators.sketches import kmv_set_ops
+
+        rng = random.Random(5)
+        rows = [(f"g{i % 3}", rng.randint(0, 400)) for i in range(3000)]
+        rows += [("tiny", 1), ("tiny", 2)]  # unsaturated sketch
+        df = spark.createDataFrame(rows, ["g", "v"])
+        got = {
+            (r.group_a, r.group_b): r.asDict()
+            for r in kmv_set_ops(df, "g", "v", k=16).collect()
+        }
+        want = self._twin(rows, 16)
+        assert set(got) == set(want)
+        for pair, exp in want.items():
+            for col, val in exp.items():
+                assert got[pair][col] == val, (pair, col)
+
+    def test_unsaturated_pairs_are_exact(self, spark):
+        """Both sketches below k -> theta = 2^60 -> set ops are EXACT."""
+        from enterprise_warp_spark.operators.sketches import kmv_set_ops
+
+        rows = [("a", v) for v in range(10)] + [("b", v) for v in range(5, 20)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        r = kmv_set_ops(df, "g", "v", k=64).collect()[0]
+        assert (r.inter_cnt, r.union_cnt) == (5, 20)
+        assert (r.intersect_est, r.union_est) == (5.0, 20.0)
+        assert r.jaccard == 0.25
+
+    def test_disjoint_and_guard(self, spark):
+        import pytest as _pytest
+
+        from enterprise_warp_spark.operators.sketches import kmv_set_ops
+
+        rows = [("a", v) for v in range(8)] + [("b", v + 100) for v in range(8)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        r = kmv_set_ops(df, "g", "v", k=8).collect()[0]
+        assert r.inter_cnt == 0 and r.jaccard == 0.0
+        with _pytest.raises(ValueError):
+            kmv_set_ops(df, "g", "v", k=1)
+
+    def test_estimate_tracks_truth_at_scale(self, spark):
+        """Statistical contract: with k=256 over ~20k distinct values the
+        union/intersection estimates land within 4/sqrt(k-2) of truth."""
+        import random
+
+        from enterprise_warp_spark.operators.sketches import kmv_set_ops
+
+        rng = random.Random(11)
+        rows = [("a", rng.randint(0, 20000)) for _ in range(30000)]
+        rows += [("b", rng.randint(10000, 30000)) for _ in range(30000)]
+        sets: dict = {}
+        for g, v in rows:
+            sets.setdefault(g, set()).add(v)
+        true_i = len(sets["a"] & sets["b"])
+        true_u = len(sets["a"] | sets["b"])
+        df = spark.createDataFrame(rows, ["g", "v"])
+        r = kmv_set_ops(df, "g", "v", k=256).collect()[0]
+        tol = 4.0 / (254.0**0.5)
+        assert abs(r.union_est - true_u) <= tol * true_u
+        assert abs(r.intersect_est - true_i) <= tol * true_u  # abs err ~ U
