@@ -526,3 +526,63 @@ def kmv_set_ops(
         )
         .alias("jaccard"),
     )
+
+
+def ams_f2_by(
+    df: DataFrame, group: str, col: str, r: int = 16
+) -> DataFrame:
+    """AMS sketch of the second frequency moment (Alon, Matias & Szegedy,
+    STOC 1996) -> (group, j, z): r independent sign-hash counters per
+    group, z_j = sum over rows of s_j(col) with s_j(v) in {-1,+1} from the
+    module-standard portable md5 prefix (LSB of md5(j|v)), so each z_j --
+    and therefore the F2 estimate -- is exact integer arithmetic,
+    replayable in ANSI SQL.
+
+    E[z_j^2] = F2 = sum_v count(v)^2 (the self-join size); combine with
+    ams_f2_estimate for the classic median-of-means bound. Scale shape:
+    one constant r-fold explode then a single (group, j) hash aggregate
+    with map-side partials -- sketch space is G x r counters."""
+    if r < 1:
+        raise ValueError(f"ams_f2_by needs r >= 1, got {r}")
+    s = (
+        "1 - 2 * cast(cast(conv(substr(md5(concat(cast(j as string), '|', "
+        f"cast({col} as string))), 1, 15), 16, 10) as bigint) % 2 as int)"
+    )
+    return (
+        df.select(group, col)
+        .filter(F.col(col).isNotNull())
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(r - 1))))
+        .select(group, "j", F.expr(s).alias("__s"))
+        .groupBy(group, "j")
+        .agg(F.sum("__s").alias("z"))
+    )
+
+
+def ams_f2_estimate(
+    zdf: DataFrame, group: str = None, group_size: int = 4
+) -> DataFrame:
+    """Median-of-means F2 estimate from an ams_f2_by table -> (group,
+    f2_est): square each counter, average within buckets of `group_size`
+    consecutive j, take the exact median across buckets (even bucket
+    counts average the two middle values -- computed explicitly from the
+    sorted bucket means so any engine reproduces it bit-for-bit)."""
+    gcols = [group] if group else []
+    # integer div, not cast(j/4 as int): a float-division cast truncates in
+    # Spark but ROUNDS in DuckDB — div floors identically in both engines
+    bucketed = zdf.groupBy(
+        *gcols, F.expr(f"cast(j div {group_size} as int)").alias("__b")
+    ).agg(
+        (F.sum(F.col("z") * F.col("z")) / F.count(F.lit(1))).alias("__m")
+    )
+    n = "size(__ms)"
+    med = (
+        f"CASE WHEN {n} % 2 = 1 "
+        f"THEN element_at(__ms, cast(({n} + 1) div 2 as int)) "
+        f"ELSE (element_at(__ms, cast({n} div 2 as int)) "
+        f"+ element_at(__ms, cast({n} div 2 + 1 as int))) / 2 END"
+    )
+    return (
+        bucketed.groupBy(*gcols)
+        .agg(F.array_sort(F.collect_list("__m")).alias("__ms"))
+        .select(*gcols, F.expr(med).alias("f2_est"))
+    )

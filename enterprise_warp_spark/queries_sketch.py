@@ -87,6 +87,7 @@ _HH_SHARE = 1.0 / 256.0  # binary-exact: threshold compare is bit-identical
 _HLL_RSD = 0.02
 _GK_ACCURACY = 10_000
 _KMV_K = 64  # KMV sketch size; estimate = (k-1)/u_(k), rel err ~ 1/sqrt(k-2)
+_AMS_R = 16  # AMS F2 counters: 4 buckets of 4 for the median-of-means
 # Count-Min: 4 hash rows x 64 buckets over the hv domain (200 keys >> 64
 # buckets, so collisions/overestimates genuinely occur and get checked)
 _CMS_D, _CMS_W = 4, 64
@@ -293,6 +294,35 @@ _SKETCH_ORACLE = f"""
       GROUP BY 1, 2
     ),
     kvsz AS (SELECT event_type, COUNT(*) AS n FROM kvdu GROUP BY 1),
+    amsz AS (
+      SELECT event_type, j,
+             CAST(SUM(1 - 2 * (CAST('0x' || substr(md5(CAST(j AS VARCHAR)
+                  || '|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 2)) AS BIGINT) AS z
+      FROM events CROSS JOIN (SELECT UNNEST(range(0, {_AMS_R})) AS j) jj
+      GROUP BY event_type, j
+    ),
+    amsm AS (
+      SELECT event_type, CAST(j // 4 AS INT) AS b,
+             CAST(SUM(z * z) AS DOUBLE) / COUNT(*) AS m
+      FROM amsz GROUP BY 1, 2
+    ),
+    amse AS (
+      SELECT event_type,
+             CASE WHEN len(ms) % 2 = 1
+                  THEN ms[CAST((len(ms) + 1) // 2 AS INT)]
+                  ELSE (ms[CAST(len(ms) // 2 AS INT)]
+                        + ms[CAST(len(ms) // 2 + 1 AS INT)]) / 2
+             END AS f2_est
+      FROM (SELECT event_type, list_sort(list(m)) AS ms
+            FROM amsm GROUP BY event_type)
+    ),
+    amsx AS (
+      SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS f2
+      FROM (SELECT event_type, user_id, COUNT(*) AS c
+            FROM events GROUP BY 1, 2)
+      GROUP BY 1
+    ),
     kvx AS (
       SELECT o.ga, o.gb, o.theta, o.inter_cnt, o.union_cnt,
              COALESCE(e.exi, 0) AS exi,
@@ -375,6 +405,12 @@ _SKETCH_ORACLE = f"""
     UNION ALL
     SELECT 'kvx', 'j|' || ga || '|' || gb, 0, jaccard, ''
     FROM kvx
+    UNION ALL
+    SELECT 'ams', 'z|' || event_type || '|' || CAST(j AS VARCHAR), z, 0.0, ''
+    FROM amsz
+    UNION ALL
+    SELECT 'ams', 'e|' || event_type, x.f2, e.f2_est, ''
+    FROM amse e JOIN amsx x USING (event_type)
     UNION ALL
     SELECT 'lmp' AS gate, '' AS k1, doc_id AS k2,
            ROUND(-AVG(lp), 6) + 0.0 AS v1,
@@ -808,6 +844,51 @@ def _kvx_branch(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
     return i_rows.unionByName(u_rows).unionByName(j_rows)
 
 
+def _ams_branch(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
+    """AMS F2 sketch gate (operators/sketches.py ams_f2_by /
+    ams_f2_estimate, Alon-Matias-Szegedy 1996): every sign counter z_j per
+    event_type is hash-gated as exact integer arithmetic ([z] rows, z in
+    k2), and the median-of-means F2 estimate is hash-gated as matched-order
+    double arithmetic with the EXACT second moment (self-join size,
+    sum of per-user count^2) as witness in k2 ([e] rows)."""
+    from enterprise_warp_spark.operators.sketches import (
+        ams_f2_by,
+        ams_f2_estimate,
+    )
+
+    z = ams_f2_by(
+        ev.select("event_type", "user_id"), "event_type", "user_id",
+        r=_AMS_R,
+    ).localCheckpoint(eager=True)  # sketch space: G x r rows, two consumers
+    zrows = z.select(
+        F.lit("ams").alias("gate"),
+        F.concat_ws(
+            "|", F.lit("z"), F.col("event_type"), F.col("j").cast("string")
+        ).alias("k1"),
+        F.col("z").cast("long").alias("k2"),
+        F.lit(0.0).alias("v1"),
+        F.lit("").alias("h"),
+    )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+    )
+    erows = (
+        ams_f2_estimate(z, "event_type")
+        .join(exact, "event_type")
+        .select(
+            F.lit("ams").alias("gate"),
+            F.concat_ws("|", F.lit("e"), F.col("event_type")).alias("k1"),
+            F.col("f2").cast("long").alias("k2"),
+            F.col("f2_est").alias("v1"),
+            F.lit("").alias("h"),
+        )
+    )
+    return zrows.unionByName(erows)
+
+
 def _cms_branch(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
     """Count-Min sketch gate (operators/sketches.py count_min_by /
     count_min_estimate, Cormode & Muthukrishnan 2005): the _CMS_D x _CMS_W
@@ -1127,6 +1208,7 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             pool.submit(_rpj_branch, spark, sf_dir, emb),
             pool.submit(_cms_branch, spark, sf_dir, ev),
             pool.submit(_kvx_branch, spark, sf_dir, ev),
+            pool.submit(_ams_branch, spark, sf_dir, ev),
         ]
         parts = [f.result() for f in futures]
     out = parts[0]
