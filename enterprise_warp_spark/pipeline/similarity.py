@@ -1203,3 +1203,110 @@ def semdedup_keep_list(
             "vec_b", "doc_b"
         ), id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent Directions: the matrix sketch (streaming low-rank covariance).
+# Completes the sketch family for the embeddings modality — MG/KMV/CMS/HLL/
+# GK/Bloom/AMS sketch scalar columns; FD sketches the corpus embedding
+# MATRIX (Liberty, KDD 2013; Ghashami-Liberty-Phillips-Woodruff, SIAM 2016).
+# ---------------------------------------------------------------------------
+
+
+def _fd_shrink(B, ell: int):
+    """One FD shrink: SVD, subtract sigma_ell^2 from every squared singular
+    value, return the ell nonzero-padded rows diag(s')Vt[:ell]."""
+    import numpy as np
+
+    if B.shape[0] <= ell:
+        return B
+    _, s, vt = np.linalg.svd(B, full_matrices=False)
+    delta = s[ell - 1] ** 2 if s.shape[0] >= ell else 0.0
+    s2 = np.sqrt(np.maximum(s**2 - delta, 0.0))
+    return s2[:ell, None] * vt[:ell]
+
+
+def frequent_directions(
+    emb: DataFrame, ell: int = 32, emb_col: str = "embedding"
+):
+    """Frequent Directions sketch of the corpus embedding matrix ->
+    numpy (ell x d) matrix B with the FD covariance guarantee
+    ||A^T A - B^T B||_2 <= 2 ||A||_F^2 / ell (and A^T A - B^T B >= 0:
+    shrinkage only ever UNDER-counts covariance).
+
+    Plan shape (100 TB): ONE Arrow mapInPandas pass; each input partition
+    streams its rows through a local FD buffer (SVD on at most
+    (ell + batch) x d — d is the embedding width, so thin and cheap) and
+    emits its <= ell sketch rows. The partials are sketch space
+    (n_partitions x ell x d), collected and merged by one final stacked
+    shrink — FD is mergeable with the bounds ADDING, so the merged sketch
+    keeps the global guarantee (GLPW 2016, Thm 1.1 + mergeability).
+    Not in the oracle catalog: SVD is engine/LAPACK-specific, so
+    correctness is pinned by the covariance-error contract tests
+    (tests/test_similarity.py), the heavy_hitters/HLL precedent."""
+    import numpy as np
+
+    if ell < 1:
+        raise ValueError(f"frequent_directions needs ell >= 1, got {ell}")
+    first = emb.select(emb_col).first()
+    if first is None:
+        raise ValueError("frequent_directions: empty input")
+    d = len(first[0])
+
+    def kernel(batches):
+        import pandas as pd
+
+        B = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            B = M if B is None else np.vstack([B, M])
+            B = _fd_shrink(B, ell)
+        if B is None:
+            return
+        yield pd.DataFrame({"v": [row.tolist() for row in B]})
+
+    partials = (
+        emb.select(F.col(emb_col).cast("array<double>").alias(emb_col))
+        .mapInPandas(kernel, "v array<double>")
+        .collect()
+    )  # sketch space: <= ell rows per input partition
+    if not partials:
+        return np.zeros((0, d))
+    stacked = np.array([r["v"] for r in partials])
+    return _fd_shrink(stacked, ell)
+
+
+def fd_project(
+    emb: DataFrame, B, k: int, emb_col: str = "embedding"
+) -> DataFrame:
+    """Append `proj` = V_k^T e where V_k are the top-k right singular
+    vectors of an FD sketch B — streaming-PCA dimensionality reduction
+    that composes with the ANN/near-dup bucketing stages exactly like
+    random_projection, but data-adaptive. The k x d matrix is INLINED as
+    literal coefficient arrays (the random_projection pattern): map-only,
+    no join, no shuffle."""
+    import numpy as np
+
+    B = np.asarray(B, dtype=np.float64)
+    if not (1 <= k <= B.shape[0]):
+        raise ValueError(f"fd_project needs 1 <= k <= {B.shape[0]}, got {k}")
+    _, _, vt = np.linalg.svd(B, full_matrices=False)
+    rows = [
+        F.array(*[F.lit(float(x)) for x in vt[i]]) for i in range(k)
+    ]
+    e = F.col(emb_col).cast("array<double>")
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(e, r, lambda x, y: x * y),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            for r in rows
+        ]
+    )
+    return emb.withColumn("proj", proj)

@@ -475,3 +475,102 @@ def test_sq8_quantization_and_adc_search(spark, sf_dir):
     want1 = {r["query_id"]: r["neighbor_id"]
              for r in ex.filter("rnk = 1").collect()}
     assert top1 == want1 and len(top1) == 10
+
+
+class TestFrequentDirections:
+    """frequent_directions / fd_project (Liberty 2013 matrix sketch):
+    covariance-error contract, PSD under-counting, exact small case,
+    planted-subspace recovery, guards."""
+
+    def test_covariance_error_contract(self, spark):
+        import numpy as np
+
+        from enterprise_warp_spark.pipeline.similarity import (
+            frequent_directions,
+        )
+
+        rng = np.random.default_rng(7)
+        A = rng.normal(size=(600, 24))
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(A)],
+            ["vec_id", "embedding"],
+        ).repartition(8)
+        ell = 12
+        B = frequent_directions(df, ell=ell)
+        assert B.shape == (ell, 24)
+        err = np.linalg.norm(A.T @ A - B.T @ B, 2)
+        assert err <= 2.0 * (np.linalg.norm(A, "fro") ** 2) / ell
+        # shrinkage only UNDER-counts: A^T A - B^T B is PSD
+        assert np.linalg.eigvalsh(A.T @ A - B.T @ B).min() >= -1e-6
+
+    def test_no_shrink_is_exact(self, spark):
+        import numpy as np
+
+        from enterprise_warp_spark.pipeline.similarity import (
+            frequent_directions,
+        )
+
+        rng = np.random.default_rng(3)
+        A = rng.normal(size=(10, 6))
+        df = spark.createDataFrame(
+            [(i, r.tolist()) for i, r in enumerate(A)],
+            ["vec_id", "embedding"],
+        ).coalesce(1)
+        B = frequent_directions(df, ell=16)
+        # ell >= n_rows: no shrink ever fires, so B^T B == A^T A exactly
+        assert np.allclose(A.T @ A, B.T @ B, atol=1e-9)
+
+    def test_planted_subspace_recovery(self, spark):
+        """Rank-3 signal + small noise: projecting onto fd_project's top-3
+        directions retains >= 90% of the signal energy."""
+        import numpy as np
+
+        from enterprise_warp_spark.pipeline.similarity import (
+            fd_project,
+            frequent_directions,
+        )
+
+        rng = np.random.default_rng(11)
+        basis, _ = np.linalg.qr(rng.normal(size=(20, 3)))
+        A = rng.normal(size=(800, 3)) @ (basis.T * 10.0) + rng.normal(
+            size=(800, 20)
+        ) * 0.1
+        df = spark.createDataFrame(
+            [(i, r.tolist()) for i, r in enumerate(A)],
+            ["vec_id", "embedding"],
+        ).repartition(6)
+        B = frequent_directions(df, ell=8)
+        out = fd_project(df, B, k=3).select("vec_id", "proj").collect()
+        P = np.array([r.proj for r in sorted(out, key=lambda r: r.vec_id)])
+        retained = (np.linalg.norm(P, "fro") / np.linalg.norm(A, "fro")) ** 2
+        assert retained >= 0.90
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from enterprise_warp_spark.pipeline.similarity import (
+            fd_project,
+            frequent_directions,
+        )
+
+        df = spark.createDataFrame([(0, [1.0, 2.0])], ["vec_id", "embedding"])
+        with _pytest.raises(ValueError):
+            frequent_directions(df, ell=0)
+        B = frequent_directions(df, ell=2)
+        with _pytest.raises(ValueError):
+            fd_project(df, B, k=5)
+
+    def test_real_embeddings_table(self, spark, sf_dir):
+        import numpy as np
+
+        from enterprise_warp_spark.pipeline.similarity import (
+            frequent_directions,
+        )
+        from enterprise_warp_spark.tables import table
+
+        emb = table(spark, sf_dir, "embeddings")
+        rows = emb.select("embedding").collect()
+        A = np.array([r.embedding for r in rows], dtype=np.float64)
+        B = frequent_directions(emb, ell=16)
+        err = np.linalg.norm(A.T @ A - B.T @ B, 2)
+        assert err <= 2.0 * (np.linalg.norm(A, "fro") ** 2) / 16
