@@ -705,6 +705,9 @@ DECODABLE_MIMES = {
     "audio/flac": "flac",
     "audio/ogg": "vorbis",
     "application/ogg": "vorbis",
+    "audio/aiff": "aiff",
+    "audio/x-aiff": "aiff",
+    "audio/basic": "au",  # the Sun/NeXT .snd registered mime
     "video/x-raw-rgb": "rawvideo",
     "video/x-msvideo": "mjpeg",
     "video/avi": "mjpeg",
@@ -738,6 +741,14 @@ def decode_audio(payload: bytes, mime: str) -> tuple[np.ndarray, int]:
 
         # decode_vorbis already yields float64 (n, ch) in [-1, 1]
         return decode_vorbis(payload)
+    if family == "aiff":
+        from enterprise_warp_spark.pipeline.aiff import decode_aiff
+
+        return decode_aiff(payload)
+    if family == "au":
+        from enterprise_warp_spark.pipeline.aiff import decode_au
+
+        return decode_au(payload)
     raise NotImplementedError(f"audio mime {mime!r} needs an external codec")
 
 

@@ -121,7 +121,7 @@ def _decode_features(row: pd.Series, opt: dict | None = None) -> tuple[bool, lis
             return True, codecs.audio_features(*opt["audio"](payload))
         except Exception:
             pass
-    if family in ("wav", "flac", "vorbis"):
+    if family in ("wav", "flac", "vorbis", "aiff", "au"):
         try:
             return True, codecs.audio_features(
                 *codecs.decode_audio(payload, row["mime"])
