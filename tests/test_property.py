@@ -584,3 +584,105 @@ def test_adpcm_roundtrip_bounded_error(samples):
     x, rate = decode_wav(encode_ima_wav(samples, 8000, samples_per_block=33))
     assert x.shape == (len(samples), 1)
     assert np.all(np.isfinite(x)) and np.all(np.abs(x) <= 1.0)
+
+
+# ---------------------------------------------------------------------------
+# r11 operators: winnowing, AIFF/AU codecs, AMS — pure-python properties
+# run FAST (no Spark job); the Spark parity is pinned separately in
+# test_winnow / test_aiff_au_interop / test_sketches.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    toks=st.lists(
+        st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=3),
+        min_size=0,
+        max_size=60,
+    ),
+    k=st.integers(2, 5),
+    w=st.integers(2, 6),
+)
+@settings(max_examples=60, deadline=None)
+def test_winnow_twin_structural_invariants(toks, k, w):
+    """The SWA selection (via the tests' py twin, itself Spark-parity-
+    pinned): density <= one per window, every pick is a window min with
+    the rightmost-tie rule, and non-empty whenever >= k tokens exist."""
+    import hashlib
+
+    from tests.test_winnow import py_winnow
+
+    sel = py_winnow(toks, k, w)
+    m = len(toks) - k + 1
+    if m < 1:
+        assert sel == set()
+        return
+    assert 1 <= len(sel) <= max(1, m - w + 1)
+    gh = [
+        int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(m)
+    ]
+    for pos, h in sel:
+        assert gh[pos - 1] == h
+        # rightmost-tie: nothing to the right within any covering window
+        # that still has h' <= h AND would be picked instead — weaker,
+        # checkable form: the w-1 hashes right of pos are all > h OR out
+        # of every window that picked pos. Minimal sound check: h is the
+        # min of SOME window containing pos.
+        lo = max(1, pos - w + 1)
+        hi = min(pos, max(1, m - w + 1))
+        assert any(
+            h <= min(gh[i - 1 : min(i + w - 1, m)]) for i in range(lo, hi + 1)
+        )
+
+
+@given(
+    n=st.integers(1, 200),
+    ch=st.integers(1, 2),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=40, deadline=None)
+def test_aiff_au_roundtrip_property(n, ch, bits, rate, seed):
+    """encode->decode is exact at the container's quantization for any
+    signal shape, both containers, all PCM widths."""
+    import numpy as np
+
+    from enterprise_warp_spark.pipeline.aiff import (
+        decode_aiff,
+        decode_au,
+        encode_aiff,
+        encode_au,
+    )
+
+    rng = np.random.default_rng(seed)
+    sig = rng.uniform(-0.99, 0.99, size=(n, ch))
+    full = float(2 ** (bits - 1))
+    q = np.clip(np.round(sig * full), -full, full - 1) / full
+    a, ra = decode_aiff(encode_aiff(sig, rate, bits=bits))
+    assert ra == rate and np.allclose(a, q, atol=1e-12)
+    if bits != 24:  # AU has no 24-bit ENCODER here (decoder only)
+        enc = {8: 2, 16: 3, 32: 5}[bits]
+        u, ru = decode_au(encode_au(sig, rate, encoding=enc))
+        assert ru == rate and np.allclose(u, q, atol=1e-12)
+
+
+@given(
+    vals=st.lists(st.integers(0, 30), min_size=1, max_size=200),
+    r=st.integers(1, 8),
+)
+@settings(max_examples=40, deadline=None)
+def test_ams_counters_bounded_by_row_count(vals, r):
+    """|z_j| <= n rows always, and z_j has the parity of n (each row
+    contributes exactly +-1)."""
+    import collections
+    import hashlib
+
+    z: collections.Counter = collections.Counter()
+    for v in vals:
+        for j in range(r):
+            h = int(hashlib.md5(f"{j}|{v}".encode()).hexdigest()[:15], 16)
+            z[j] += 1 - 2 * (h % 2)
+    for j in range(r):
+        assert abs(z[j]) <= len(vals)
+        assert (z[j] - len(vals)) % 2 == 0
