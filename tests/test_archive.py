@@ -1,0 +1,126 @@
+"""ZIP/TAR archive source (sources/archive.py) — canonical-module-built
+fixtures (zipfile/tarfile ARE the canonical implementations), member
+exactness, the zip-bomb guard, truncation tolerance, and the documents
+bridge."""
+
+import io
+import tarfile
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.sources.archive import (
+    archive_documents,
+    parse_archive_bytes,
+    read_archive,
+)
+
+MEMBERS = {
+    "docs/a.txt": b"alpha document",
+    "docs/b.txt": b"beta " * 100,
+    "data/c.bin": bytes(range(256)),
+}
+
+
+def _zip_bytes() -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in MEMBERS.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def _tar_bytes(compress: str = "") -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode=f"w:{compress}") as tf:
+        for name, data in MEMBERS.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [_zip_bytes(), _tar_bytes(), _tar_bytes("gz"), _tar_bytes("bz2"),
+     _tar_bytes("xz")],
+    ids=["zip", "tar", "tgz", "tbz2", "txz"],
+)
+def test_members_extract_exactly(payload):
+    rows = {r["member"]: r for r in parse_archive_bytes(payload, "x")}
+    assert set(rows) == set(MEMBERS)
+    for name, data in MEMBERS.items():
+        assert rows[name]["payload"] == data
+        assert rows[name]["size"] == len(data)
+        assert rows[name]["archive_truncated"] is False
+
+
+def test_member_pattern_filters_before_inflate():
+    rows = parse_archive_bytes(_zip_bytes(), "x", member_pattern="docs/*.txt")
+    assert {r["member"] for r in rows} == {"docs/a.txt", "docs/b.txt"}
+
+
+def test_oversize_guard_skips_payload():
+    rows = {
+        r["member"]: r
+        for r in parse_archive_bytes(_zip_bytes(), "x", max_member_bytes=100)
+    }
+    assert rows["docs/b.txt"]["oversize"] is True
+    assert rows["docs/b.txt"]["payload"] is None
+    assert rows["docs/b.txt"]["size"] == len(MEMBERS["docs/b.txt"])
+    assert rows["docs/a.txt"]["oversize"] is False
+
+
+def test_truncated_zip_recovers_leading_members():
+    """Cut the central directory off: the tolerant local-header walk must
+    still yield the complete leading members, flagged truncated."""
+    z = _zip_bytes()
+    cut = z[: z.find(b"PK\x01\x02")]  # drop central directory entirely
+    rows = parse_archive_bytes(cut, "x")
+    assert rows, "tolerant walk found nothing"
+    assert all(r["archive_truncated"] for r in rows)
+    got = {r["member"]: r["payload"] for r in rows if r["member"]}
+    for name, data in got.items():
+        assert data == MEMBERS[name]
+    assert len(got) == len(MEMBERS)
+
+
+def test_garbage_archive_emits_sentinel():
+    rows = parse_archive_bytes(b"\x00" * 64, "x")
+    assert len(rows) == 1
+    assert rows[0]["member"] is None and rows[0]["archive_truncated"] is True
+
+
+def test_spark_scan_and_documents_bridge(spark, tmp_path):
+    (tmp_path / "one.zip").write_bytes(_zip_bytes())
+    (tmp_path / "two.tar.gz").write_bytes(_tar_bytes("gz"))
+    members = read_archive(spark, str(tmp_path / "*"), member_pattern="*.txt")
+    rows = members.collect()
+    assert len(rows) == 4  # 2 txt members per archive
+    assert all(r.member.endswith(".txt") for r in rows)
+    docs = archive_documents(members)
+    out = docs.collect()
+    assert len(out) == 4
+    assert {r.text for r in out} == {"alpha document", "beta " * 100}
+    # doc_id is the portable md5-60 of archive|member — replayable in SQL
+    one = docs.filter(F.col("member") == "docs/a.txt").select(
+        "doc_id", "source", "member"
+    ).collect()
+    import hashlib
+
+    for r in one:
+        want = int(
+            hashlib.md5(f"{r.source}|{r.member}".encode()).hexdigest()[:15],
+            16,
+        )
+        assert r.doc_id == want
+
+
+def test_truncated_tar_yields_leading_members(spark):
+    t = _tar_bytes()
+    cut = t[: 512 + len(MEMBERS["docs/a.txt"]) + 100]  # mid-second-member
+    rows = parse_archive_bytes(cut, "x")
+    got = {r["member"] for r in rows if r["member"]}
+    assert "docs/a.txt" in got
+    assert all(r["archive_truncated"] for r in rows)
