@@ -128,3 +128,28 @@ def test_short_docs(spark):
            winnow_fingerprints(docs, k=6, w=4)
            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert 0 not in out and out[1] == 1 and out[2] >= 1
+
+
+def test_composes_with_cluster_machinery(spark):
+    """Winnowing overlap pairs feed the existing transitive-cluster
+    machinery: three mutually-overlapping docs + one clean doc collapse to
+    one component plus a singleton-free remainder."""
+    from enterprise_warp_spark.pipeline.dedup import connected_components
+
+    shared = " ".join(f"s{i}" for i in range(12))  # >> w + k - 1
+    rows = [
+        (1, f"a1 a2 {shared} a3"),
+        (2, f"b1 {shared} b2 b3"),
+        (3, f"{shared} c1 c2 c3"),
+        (4, "clean doc " + " ".join(f"z{i}" for i in range(12))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = winnow_fingerprints(docs, k=6, w=4)
+    pairs = winnow_overlap_pairs(fp, min_shared=1).select(
+        F.col("doc_a"), F.col("doc_b")
+    )
+    comp = {
+        r.doc_id: r.component for r in connected_components(pairs).collect()
+    }
+    assert comp[1] == comp[2] == comp[3]
+    assert 4 not in comp  # never paired, never clustered
