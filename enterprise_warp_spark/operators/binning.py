@@ -110,3 +110,182 @@ def range_bins(
     )
     default_aggs = [F.count(F.lit(1)).alias("n")]
     return bucketed.groupBy("bucket").agg(*(list(aggs) or default_aggs))
+
+
+def exact_rank_select(
+    df: DataFrame,
+    group: str,
+    col: str,
+    probs: Sequence[float] = (0.5,),
+    buckets: int = 512,
+    collect_cap: int = 100_000,
+    max_levels: int = 8,
+) -> list[dict]:
+    """EXACT per-group order statistics WITHOUT a global sort — the staged
+    histogram-selection algorithm (the classic distributed quickselect /
+    BigQuery-style exact-percentile shape).
+
+    For each group g with n non-null values and each p in `probs`, returns
+    the exact element of rank floor((n-1)*p) + 1 (the type-1 discrete
+    quantile) as a list of dicts: {group, p, rank, n, value}.
+
+    Plan shape (100 TB): one count/min/max aggregate, then per level ONE
+    histogram aggregate over all still-active (group, p) tasks at once —
+    rows join the broadcast task table, bucket via the task's own
+    [lo, hi] split, count per (task, bucket); the driver walks cumulative
+    counts to pick the rank's bucket and narrows. A bucket whose count
+    <= collect_cap is resolved by one final filtered collect + local
+    sort (bounded by collect_cap rows per task). With 512 buckets a
+    10^12-row column resolves in <= 4 histogram passes; no stage ever
+    sorts more than collect_cap rows. Compare approx_quantiles_by (GK):
+    that streams one pass with rank error; this is exact in O(log_B n)
+    passes. Bucket membership re-uses the SAME floor expression that
+    built the histogram, so float boundary rounding can never drop or
+    double-count a row between passes."""
+    import math
+
+    if not 1 <= buckets:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob {p} outside [0, 1]")
+    base = df.select(
+        F.col(group).alias("__g"), F.col(col).cast("double").alias("__v")
+    ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+    stats = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("mn"),
+        F.max("__v").alias("mx"),
+    ).collect()
+
+    tasks = []
+    for r in stats:
+        for p in probs:
+            rank = math.floor((r["n"] - 1) * p) + 1
+            tasks.append(
+                dict(
+                    group=r["__g"], p=float(p), rank=int(rank), n=int(r["n"]),
+                    lo=float(r["mn"]), hi=float(r["mx"]), k=int(rank),
+                    count=int(r["n"]), constraints=[], value=None,
+                )
+            )
+    spark = df.sparkSession
+
+    # one SCAN per pass, not one scan per task: rows equi-join the tiny
+    # broadcast task table on the group key, a forall() over the task's
+    # constraint structs replays every prior level's bucket test, and the
+    # current level's bucket comes from the task row's own [lo, hi]
+    def _task_df(ts):
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        gtype = base.schema["__g"].dataType
+        schema = StructType(
+            [
+                StructField("__task", IntegerType()),
+                StructField("__tg", gtype),
+                StructField(
+                    "__cons",
+                    ArrayType(
+                        StructType(
+                            [
+                                StructField("lo", DoubleType()),
+                                StructField("hi", DoubleType()),
+                                StructField("b", IntegerType()),
+                            ]
+                        )
+                    ),
+                ),
+                StructField("__lo", DoubleType()),
+                StructField("__hi", DoubleType()),
+            ]
+        )
+        rows = [
+            (
+                i,
+                t["group"],
+                [(float(lo), float(hi), int(b)) for lo, hi, b in t["constraints"]],
+                float(t["lo"]),
+                float(t["hi"]),
+            )
+            for i, t in enumerate(ts)
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    _member = (
+        f"forall(__cons, c -> least({buckets - 1}, greatest(0, "
+        f"cast(floor((__v - c.lo) * {buckets} / (c.hi - c.lo)) as int))) = c.b)"
+    )
+    _cur_bucket = (
+        f"least({buckets - 1}, greatest(0, "
+        f"cast(floor((__v - __lo) * {buckets} / (__hi - __lo)) as int)))"
+    )
+
+    for _level in range(max_levels):
+        active = [
+            t for t in tasks
+            if t["value"] is None and t["count"] > collect_cap
+            and t["hi"] > t["lo"]
+        ]
+        for t in tasks:
+            if t["value"] is None and t["hi"] <= t["lo"]:
+                t["value"] = t["lo"]  # range collapsed: all values equal
+        if not active:
+            break
+        joined = base.join(
+            F.broadcast(_task_df(active)), base["__g"] == F.col("__tg")
+        ).filter(F.expr(_member))
+        hist = (
+            joined.groupBy("__task", F.expr(_cur_bucket).alias("__b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        counts: dict = {}
+        for r in hist:
+            counts.setdefault(r["__task"], {})[r["__b"]] = r["c"]
+        for i, t in enumerate(active):
+            cum = 0
+            for b in range(buckets):
+                c = counts.get(i, {}).get(b, 0)
+                if cum + c >= t["k"]:
+                    t["constraints"].append((t["lo"], t["hi"], b))
+                    width = (t["hi"] - t["lo"]) / buckets
+                    t["lo"], t["hi"] = (
+                        t["lo"] + b * width,
+                        t["lo"] + (b + 1) * width,
+                    )
+                    t["k"] -= cum
+                    t["count"] = c
+                    break
+                cum += c
+    # final exact pick: one filtered collect over all remaining tasks in
+    # one job (bounded by collect_cap rows per task)
+    pending = [t for t in tasks if t["value"] is None]
+    if pending:
+        rows = (
+            base.join(
+                F.broadcast(_task_df(pending)), base["__g"] == F.col("__tg")
+            )
+            .filter(F.expr(_member))
+            .select("__task", "__v")
+            .collect()
+        )
+        by_task: dict = {}
+        for r in rows:
+            by_task.setdefault(r["__task"], []).append(r["__v"])
+        for i, t in enumerate(pending):
+            vs = sorted(by_task.get(i, []))
+            if not (1 <= t["k"] <= len(vs)):
+                raise RuntimeError(
+                    f"exact_rank_select bookkeeping: k={t['k']} of {len(vs)}"
+                )
+            t["value"] = vs[t["k"] - 1]
+    return [
+        {k: t[k] for k in ("group", "p", "rank", "n", "value")}
+        for t in tasks
+    ]

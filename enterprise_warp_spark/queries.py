@@ -387,13 +387,41 @@ def weighted_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
            ROUND(STDDEV_SAMP(o_totalprice), 2) AS std_price
     FROM t GROUP BY bin
+    UNION ALL
+    SELECT CAST(1000 + xg.gi * 10 + xr.pi AS INTEGER) AS bin, xr.rank AS n,
+           ROUND(CAST(xr.cnt AS DOUBLE), 2) AS sum_price, xr.v, xr.v,
+           ROUND(CAST(xr.p AS DOUBLE), 2) AS std_price
+    FROM (
+      SELECT q.g, xp.p, xp.pi, q.rn AS rank, q.cnt, q.v
+      FROM (
+        SELECT o_orderpriority AS g, o_totalprice AS v,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        FROM orders
+      ) q JOIN (SELECT UNNEST([0.5, 0.9]) AS p, UNNEST([0, 1]) AS pi) xp
+        ON q.rn = CAST(FLOOR((q.cnt - 1) * xp.p) + 1 AS BIGINT)
+    ) xr JOIN (
+      SELECT g, ROW_NUMBER() OVER (ORDER BY g) - 1 AS gi
+      FROM (SELECT DISTINCT o_orderpriority AS g FROM orders)
+    ) xg USING (g)
     """,
     doc="A8 fixed-count binned stats via distributed two-phase ranking — no "
-    "single-partition window sort (results.py:305-346).",
+    "single-partition window sort (results.py:305-346). Plus [bin >= 1000] "
+    "EXACT per-priority order statistics (p50/p90 of o_totalprice) from "
+    "operators/binning.py exact_rank_select — staged histogram selection "
+    "(distributed quickselect): count/min/max pass, one histogram "
+    "aggregate per level over all tasks at once, bounded final collect; "
+    "no stage sorts more than collect_cap rows. Columns overloaded: bin = "
+    "1000 + group_index*10 + prob_index, n = rank, sum_price = group row "
+    "count, min/max = the selected value, std_price = the prob.",
 )
 def ntile_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ntile_bins_scalable(
-        table(spark, sf_dir, "orders"),
+    from enterprise_warp_spark.operators.binning import exact_rank_select
+
+    orders = table(spark, sf_dir, "orders")
+    base = ntile_bins_scalable(
+        orders,
         ["o_totalprice", "o_orderkey"],
         8,
         aggs=[
@@ -404,6 +432,29 @@ def ntile_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("o_totalprice"), 2).alias("std_price"),
         ],
     )
+    res = exact_rank_select(
+        orders, "o_orderpriority", "o_totalprice", probs=(0.5, 0.9),
+        collect_cap=20_000,
+    )
+    gi = {g: i for i, g in enumerate(sorted({t["group"] for t in res}))}
+    pidx = {0.5: 0, 0.9: 1}
+    rows = [
+        (
+            1000 + gi[t["group"]] * 10 + pidx[t["p"]],
+            t["rank"],
+            float(t["n"]),
+            t["value"],
+            t["value"],
+            round(t["p"], 2),
+        )
+        for t in res
+    ]
+    xdf = spark.createDataFrame(
+        rows,
+        schema="bin int, n bigint, sum_price double, min_price double, "
+        "max_price double, std_price double",
+    )
+    return base.unionByName(xdf)
 
 
 @register(
