@@ -166,7 +166,10 @@ def exact_rank_select(
                 dict(
                     group=r["__g"], p=float(p), rank=int(rank), n=int(r["n"]),
                     lo=float(r["mn"]), hi=float(r["mx"]), k=int(rank),
-                    count=int(r["n"]), constraints=[], value=None,
+                    count=int(r["n"]), constraints=[],
+                    # min == max: the whole group is one value — resolved
+                    # with no further passes regardless of group size
+                    value=float(r["mn"]) if r["mn"] >= r["mx"] else None,
                 )
             )
     spark = df.sparkSession
@@ -227,14 +230,16 @@ def exact_rank_select(
     )
 
     for _level in range(max_levels):
+        # a range that collapses MID-narrowing (float width underflow) may
+        # still hold several ulp-adjacent distinct doubles, so it is NOT
+        # assumed single-valued — it drops out of the histogram loop here
+        # and resolves exactly in the final collect (its row count is the
+        # last bucket count, ulp-narrow in any non-adversarial data)
         active = [
             t for t in tasks
             if t["value"] is None and t["count"] > collect_cap
             and t["hi"] > t["lo"]
         ]
-        for t in tasks:
-            if t["value"] is None and t["hi"] <= t["lo"]:
-                t["value"] = t["lo"]  # range collapsed: all values equal
         if not active:
             break
         joined = base.join(

@@ -105,3 +105,36 @@ def test_nulls_and_nans_excluded(spark):
     )
     out = exact_rank_select(df, "g", "v", probs=(1.0,))
     assert out[0]["n"] == 2 and out[0]["value"] == 3.0
+
+
+def test_ulp_adjacent_values_resolve_exactly(spark):
+    """Adversarial float case: a cluster of ulp-adjacent doubles makes the
+    range width underflow mid-narrowing; the selection must still return
+    the exact k-th element, not the range floor."""
+    import math as _math
+
+    base = 1.0
+    vals = [base]
+    for _ in range(6):
+        vals.append(_math.nextafter(vals[-1], 2.0))
+    rows = [("u", v) for v in vals for _ in range(10)]  # 70 rows, 7 values
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {
+        t["p"]: t["value"]
+        for t in exact_rank_select(
+            df, "g", "v", probs=(0.0, 0.5, 1.0), buckets=4, collect_cap=5
+        )
+    }
+    svals = sorted(v for _, v in rows)
+    assert out[0.0] == svals[0]
+    assert out[0.5] == svals[_math.floor(69 * 0.5)]
+    assert out[1.0] == svals[-1]
+
+
+def test_giant_constant_group_needs_no_collect(spark):
+    """min == max resolves at the stats pass — a billion-row constant
+    group must never reach the collect path (asserted via collect_cap=1
+    on a group far larger than it)."""
+    df = spark.createDataFrame([("c", 42.0)] * 500, ["g", "v"])
+    out = exact_rank_select(df, "g", "v", probs=(0.5,), collect_cap=1)
+    assert out[0]["value"] == 42.0 and out[0]["n"] == 500
