@@ -476,6 +476,10 @@ def kmv_set_ops(
     pairs = (
         pa.join(pb, F.col("group_a") < F.col("group_b"))
         .select("group_a", "group_b", F.least("__ta", "__tb").alias("theta"))
+        # checkpoint the G^2-row pair table: it feeds FOUR consumers
+        # (sa/sb/inter/the output join) and its non-equi join subtree
+        # would otherwise be replicated into each consumer's plan
+        .localCheckpoint(eager=True)
     )
     ka = kept.select(F.col(group).alias("group_a"), F.col("__h").alias("__ha"))
     kb = kept.select(F.col(group).alias("group_b"), F.col("__h").alias("__hb"))

@@ -40,10 +40,17 @@ ARCHIVE_SCHEMA = (
 )
 
 
-def _zip_members_tolerant(data: bytes) -> Iterator[tuple[str, int, bytes]]:
+def _zip_members_tolerant(
+    data: bytes, max_member_bytes: int
+) -> Iterator[tuple[str, int, bytes | None]]:
     """Walk ZIP local-file headers directly (PK\\x03\\x04) for archives
     whose central directory is truncated away. Only stored (0) and
-    deflated (8) members; a member that fails to inflate ends the walk."""
+    deflated (8) members; a member that fails to inflate ends the walk.
+
+    Bomb-safe: the DECLARED size gates inflation (payload None when it
+    exceeds the cap), and inflation itself is hard-capped via
+    decompressobj(max_length) so a header that LIES about its size still
+    cannot expand past the cap — it comes back as an oversize row."""
     import zlib
 
     pos = 0
@@ -70,11 +77,21 @@ def _zip_members_tolerant(data: bytes) -> Iterator[tuple[str, int, bytes]]:
         raw = data[body_at : body_at + csize]
         if len(raw) < csize:
             return
+        if usize > max_member_bytes:
+            yield name, usize, None  # declared oversize: never inflated
+            pos = body_at + csize
+            continue
         try:
             if method == 0:
                 payload = raw
             elif method == 8:
-                payload = zlib.decompress(raw, -15)
+                d = zlib.decompressobj(-15)
+                payload = d.decompress(raw, max_member_bytes + 1)
+                if len(payload) > max_member_bytes or d.unconsumed_tail:
+                    # the header lied about usize: stop inflating, flag it
+                    yield name, max(usize, len(payload)), None
+                    pos = body_at + csize
+                    continue
             else:
                 pos = body_at + csize
                 continue
@@ -127,10 +144,15 @@ def parse_archive_bytes(
                     )
         except zipfile.BadZipFile:
             truncated = True
-            for name, usize, payload in _zip_members_tolerant(data):
+            for name, usize, payload in _zip_members_tolerant(
+                data, max_member_bytes
+            ):
                 if name.endswith("/"):
                     continue
-                emit_entry(name, usize, lambda p=payload: p)
+                if payload is None:
+                    emit(name, usize, None, True)
+                else:
+                    emit(name, usize, payload, False)
     else:
         try:
             with tarfile.open(

@@ -124,3 +124,31 @@ def test_truncated_tar_yields_leading_members(spark):
     got = {r["member"] for r in rows if r["member"]}
     assert "docs/a.txt" in got
     assert all(r["archive_truncated"] for r in rows)
+
+
+def test_truncated_zip_bomb_is_never_inflated():
+    """A truncated archive carrying a deflate bomb whose header LIES about
+    its size: the tolerant walk must hard-cap inflation and flag the
+    member oversize rather than expanding it."""
+    import struct as _struct
+    import zlib
+
+    bomb_plain = b"\x00" * (8 << 20)  # 8 MiB of zeros -> ~8 KiB deflated
+    comp = zlib.compress(bomb_plain)[2:-4]  # raw deflate stream
+    # local header declaring usize=100 (a lie), method 8
+    hdr = b"PK\x03\x04" + _struct.pack(
+        "<HHHHHIIIHH", 20, 0, 8, 0, 0, 0, len(comp), 100, len("b.bin"), 0
+    )
+    small = zlib.compress(b"ok data")[2:-4]
+    hdr2 = b"PK\x03\x04" + _struct.pack(
+        "<HHHHHIIIHH", 20, 0, 8, 0, 0, 0, len(small), 7, len("a.txt"), 0
+    )
+    data = hdr2 + b"a.txt" + small + hdr + b"b.bin" + comp  # no central dir
+    rows = {
+        r["member"]: r
+        for r in parse_archive_bytes(data, "x", max_member_bytes=1 << 20)
+    }
+    assert rows["a.txt"]["payload"] == b"ok data"
+    assert rows["b.bin"]["oversize"] is True
+    assert rows["b.bin"]["payload"] is None
+    assert all(r["archive_truncated"] for r in rows.values())

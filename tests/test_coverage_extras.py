@@ -847,4 +847,13 @@ def test_bench_reprobe_helper(spark, tmp_path):
     bad = {"a": types.SimpleNamespace(spark=lambda s, d: 1 / 0)}
     summary2: dict = {}
     reprobe_worst(spark, str(tmp_path), bad, ["a"], summary2, n_probes=1)
-    assert summary2 == {"reprobe_error": "ZeroDivisionError"}
+    assert summary2["reprobe_error"] == "ZeroDivisionError"
+    assert summary2["reprobe"] == {}  # partial results kept, none here
+    # ad-hoc x_ timings (not registry entries) can be flagged vs the r11
+    # baseline: noted with a -1.0 sentinel instead of a KeyError that
+    # would kill every other reprobe
+    summary3: dict = {}
+    reprobe_worst(spark, str(tmp_path), registry,
+                  ["a", "x_marginalised_os_1000"], summary3, n_probes=1)
+    assert summary3["reprobe"]["x_marginalised_os_1000"] == -1.0
+    assert summary3["reprobe"]["a"] >= 0
