@@ -590,3 +590,84 @@ def ams_f2_estimate(
         .agg(F.array_sort(F.collect_list("__m")).alias("__ms"))
         .select(*gcols, F.expr(med).alias("f2_est"))
     )
+
+
+def ddsketch_by(
+    df: DataFrame, group: str, col: str, alpha: float = 0.02
+) -> DataFrame:
+    """DDSketch (Masson, Rim & Lee, VLDB 2019): the RELATIVE-error quantile
+    sketch -> (group, sign, idx, c) log-gamma bucket counts with
+    gamma = (1+alpha)/(1-alpha).
+
+    Bucketing is one deterministic expression — ceil(round(ln|x|/ln gamma,
+    6)) with a sign column and a zero bucket — so unlike GK (whose summary
+    is engine-internal) the SKETCH ITSELF is portable arithmetic,
+    hash-gateable across engines; the round-6 absorbs libm ulp skew.
+    One pass, map-side partial aggregation, trivially mergeable (bucket
+    counts add). Completes the quantile triad: GK = one-pass rank error,
+    this = one-pass relative VALUE error + mergeable, exact_rank_select =
+    multi-pass exact."""
+    import math
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = math.log(gamma)
+    sign = f"cast(sign({col}) as int)"
+    idx = (
+        f"CASE WHEN {col} = 0 THEN cast(0 as bigint) "
+        f"ELSE cast(ceil(round(ln(abs({col})) / {lg!r}, 6)) as bigint) END"
+    )
+    return (
+        df.select(group, F.col(col))
+        .filter(F.col(col).isNotNull() & ~F.isnan(col))
+        .groupBy(group, F.expr(sign).alias("sign"), F.expr(idx).alias("idx"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def ddsketch_quantiles(
+    sk: DataFrame, group: str, probs, alpha: float = 0.02
+) -> DataFrame:
+    """Quantile estimates from a ddsketch_by table -> (group, p, rank, n,
+    est): walk the buckets in value order (negatives by descending
+    magnitude, zero, positives ascending), pick the bucket containing rank
+    floor((n-1)*p) + 1, estimate sign * 2 gamma^idx / (gamma + 1) — the
+    midpoint guaranteeing relative error <= alpha for nonzero values.
+    Sketch-space only: one window cumsum over G x buckets rows."""
+    from pyspark.sql import Window
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    spark = sk.sparkSession
+    totals = sk.groupBy(group).agg(F.sum("c").alias("n"))
+    pdf_probs = spark.createDataFrame(
+        [(float(p), i) for i, p in enumerate(probs)], "p double, pi int"
+    )
+    ranks = totals.crossJoin(F.broadcast(pdf_probs)).select(
+        group, "p", "pi", "n",
+        (F.floor((F.col("n") - 1) * F.col("p")) + 1).alias("rank"),
+    )
+    w_ord = F.expr("CASE WHEN sign < 0 THEN -idx ELSE idx END")
+    w = (
+        Window.partitionBy(group)
+        .orderBy(F.col("sign"), w_ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sk.withColumn("cum", F.sum("c").over(w))
+    est_mag = F.round(
+        F.lit(2.0) * F.pow(F.lit(gamma), F.col("idx")) / F.lit(gamma + 1.0), 6
+    )
+    picked = (
+        cum.join(ranks, group)
+        .filter(
+            (F.col("cum") >= F.col("rank"))
+            & (F.col("cum") - F.col("c") < F.col("rank"))
+        )
+        .select(
+            group, "p", "rank", "n",
+            F.when(F.col("sign") == 0, F.lit(0.0))
+            .otherwise(F.col("sign") * est_mag)
+            .alias("est"),
+        )
+    )
+    return picked

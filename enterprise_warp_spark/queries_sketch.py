@@ -88,6 +88,11 @@ _HLL_RSD = 0.02
 _GK_ACCURACY = 10_000
 _KMV_K = 64  # KMV sketch size; estimate = (k-1)/u_(k), rel err ~ 1/sqrt(k-2)
 _AMS_R = 16  # AMS F2 counters: 4 buckets of 4 for the median-of-means
+_DDS_ALPHA = 0.02  # DDSketch relative accuracy; gamma = (1+a)/(1-a)
+_DDS_GAMMA = (1.0 + _DDS_ALPHA) / (1.0 - _DDS_ALPHA)
+import math as _math  # noqa: E402 — ln(gamma) literal for the oracle
+
+_DDS_LG = _math.log(_DDS_GAMMA)
 # Count-Min: 4 hash rows x 64 buckets over the hv domain (200 keys >> 64
 # buckets, so collisions/overestimates genuinely occur and get checked)
 _CMS_D, _CMS_W = 4, 64
@@ -323,6 +328,48 @@ _SKETCH_ORACLE = f"""
             FROM events GROUP BY 1, 2)
       GROUP BY 1
     ),
+    ddsk AS (
+      SELECT event_type, CAST(sign(value) AS INT) AS sgn,
+             CASE WHEN value = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(ceil(round(ln(abs(value)) / {_DDS_LG!r}, 6))
+                       AS BIGINT) END AS idx,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    ddn AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+            FROM ddsk GROUP BY 1),
+    ddcum AS (
+      SELECT event_type, sgn, idx, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY sgn,
+                          CASE WHEN sgn < 0 THEN -idx ELSE idx END
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM ddsk
+    ),
+    ddr AS (
+      SELECT d.event_type, CAST(pp.p AS DOUBLE) AS p, pp.pi, d.n,
+             CAST(FLOOR((d.n - 1) * pp.p) + 1 AS BIGINT) AS rank
+      FROM ddn d CROSS JOIN
+           (SELECT UNNEST([0.5, 0.95]) AS p, UNNEST([0, 1]) AS pi) pp
+    ),
+    ddq AS (
+      SELECT c.event_type, r.pi, r.rank,
+             CASE WHEN c.sgn = 0 THEN 0.0
+                  ELSE c.sgn * ROUND(2 * power({_DDS_GAMMA!r}, c.idx)
+                                     / {_DDS_GAMMA + 1.0!r}, 6) END AS est
+      FROM ddcum c JOIN ddr r ON c.event_type = r.event_type
+      WHERE c.cum >= r.rank AND c.cum - c.c < r.rank
+    ),
+    ddx AS (
+      SELECT q.event_type, xp.pi, q.v
+      FROM (
+        SELECT event_type, value AS v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events
+      ) q JOIN (SELECT UNNEST([0.5, 0.95]) AS p, UNNEST([0, 1]) AS pi) xp
+        ON q.rn = CAST(FLOOR((q.cnt - 1) * xp.p) + 1 AS BIGINT)
+    ),
     kvx AS (
       SELECT o.ga, o.gb, o.theta, o.inter_cnt, o.union_cnt,
              COALESCE(e.exi, 0) AS exi,
@@ -411,6 +458,21 @@ _SKETCH_ORACLE = f"""
     UNION ALL
     SELECT 'ams', 'e|' || event_type, x.f2, e.f2_est, ''
     FROM amse e JOIN amsx x USING (event_type)
+    UNION ALL
+    SELECT 'dds', 'b|' || event_type || '|' || CAST(sgn AS VARCHAR)
+           || '|' || CAST(idx AS VARCHAR), c, 0.0, ''
+    FROM ddsk
+    UNION ALL
+    SELECT 'dds', 'q|' || event_type || '|' || CAST(pi AS VARCHAR),
+           rank, est, ''
+    FROM ddq
+    UNION ALL
+    SELECT 'dds', 'c|' || q.event_type || '|' || CAST(q.pi AS VARCHAR), 0,
+           CASE WHEN (x.v = 0 AND q.est = 0)
+                  OR (x.v <> 0 AND abs(q.est - x.v)
+                      <= {_DDS_ALPHA!r} * abs(x.v) + 1e-12)
+                THEN 1.0 ELSE 0.0 END, ''
+    FROM ddq q JOIN ddx x ON q.event_type = x.event_type AND q.pi = x.pi
     UNION ALL
     SELECT 'lmp' AS gate, '' AS k1, doc_id AS k2,
            ROUND(-AVG(lp), 6) + 0.0 AS v1,
@@ -889,6 +951,98 @@ def _ams_branch(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
     return zrows.unionByName(erows)
 
 
+def _dds_branch(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
+    """DDSketch gate (operators/sketches.py ddsketch_by /
+    ddsketch_quantiles, Masson-Rim-Lee VLDB 2019): [b] every log-gamma
+    bucket count hash-gated (the bucketing is one portable expression —
+    unlike GK, the sketch itself replays in SQL), [q] the p50/p95
+    estimates hash-gated as matched-order double arithmetic, [c] the
+    paper's relative-error guarantee CHECKED against the exact order
+    statistic inside both engines (flag row, hll-contract style)."""
+    from enterprise_warp_spark.operators.sketches import (
+        ddsketch_by,
+        ddsketch_quantiles,
+    )
+
+    sk = ddsketch_by(
+        ev.select("event_type", "value"), "event_type", "value",
+        alpha=_DDS_ALPHA,
+    ).localCheckpoint(eager=True)  # sketch space; feeds buckets + quantiles
+    brows = sk.select(
+        F.lit("dds").alias("gate"),
+        F.concat_ws(
+            "|", F.lit("b"), F.col("event_type"),
+            F.col("sign").cast("string"), F.col("idx").cast("string"),
+        ).alias("k1"),
+        F.col("c").cast("long").alias("k2"),
+        F.lit(0.0).alias("v1"),
+        F.lit("").alias("h"),
+    )
+    q = ddsketch_quantiles(
+        sk, "event_type", (0.5, 0.95), alpha=_DDS_ALPHA
+    ).withColumn(
+        "pi", F.when(F.col("p") == 0.5, F.lit(0)).otherwise(F.lit(1))
+    )
+    qrows = q.select(
+        F.lit("dds").alias("gate"),
+        F.concat_ws(
+            "|", F.lit("q"), F.col("event_type"), F.col("pi").cast("string")
+        ).alias("k1"),
+        F.col("rank").cast("long").alias("k2"),
+        F.col("est").alias("v1"),
+        F.lit("").alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select("event_type", "value").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    exact = (
+        ranked.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(0.5, 0), (0.95, 1)], "p double, pi int"
+                )
+            )
+        )
+        .filter(
+            F.col("rn")
+            == (F.floor((F.col("cnt") - 1) * F.col("p")) + 1)
+        )
+        .select("event_type", "pi", F.col("value").alias("exact_v"))
+    )
+    crows = (
+        q.join(exact, ["event_type", "pi"])
+        .select(
+            F.lit("dds").alias("gate"),
+            F.concat_ws(
+                "|", F.lit("c"), F.col("event_type"),
+                F.col("pi").cast("string"),
+            ).alias("k1"),
+            F.lit(0).cast("long").alias("k2"),
+            F.when(
+                ((F.col("exact_v") == 0) & (F.col("est") == 0))
+                | (
+                    (F.col("exact_v") != 0)
+                    & (
+                        F.abs(F.col("est") - F.col("exact_v"))
+                        <= F.lit(_DDS_ALPHA) * F.abs(F.col("exact_v"))
+                        + F.lit(1e-12)
+                    )
+                ),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("v1"),
+            F.lit("").alias("h"),
+        )
+    )
+    return brows.unionByName(qrows).unionByName(crows)
+
+
 def _cms_branch(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
     """Count-Min sketch gate (operators/sketches.py count_min_by /
     count_min_estimate, Cormode & Muthukrishnan 2005): the _CMS_D x _CMS_W
@@ -1209,6 +1363,7 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             pool.submit(_cms_branch, spark, sf_dir, ev),
             pool.submit(_kvx_branch, spark, sf_dir, ev),
             pool.submit(_ams_branch, spark, sf_dir, ev),
+            pool.submit(_dds_branch, spark, sf_dir, ev),
         ]
         parts = [f.result() for f in futures]
     out = parts[0]

@@ -383,8 +383,11 @@ def test_learned_sketch_ops_plan_shape(spark, sf001):
     No row-at-a-time Python anywhere."""
     p = plan(REGISTRY["learned_sketch_ops"].spark(spark, sf001))
     assert "CartesianProduct" not in p
-    # formatted mode prints each node twice (tree + details): 2 nodes = 4
-    assert p.count("BroadcastNestedLoopJoin") <= 4  # centroid fan-outs only
+    # formatted mode prints each node twice (tree + details): 3 nodes = 6 —
+    # the two semd centroid fan-outs plus [dds]'s 2-row probs broadcast
+    # (rows x tiny-literal-frame, the sanctioned fan-out class; kvx's pair
+    # join is checkpointed so its BNLJ never reaches this plan)
+    assert p.count("BroadcastNestedLoopJoin") <= 6
     assert p.count("FlatMapGroupsInPandas") <= 2  # the semd gram kernel
     # count MG's MapInPandas without catching FlatMapGroupsInPandas'
     # substring

@@ -612,3 +612,88 @@ class TestAmsF2:
         assert all(abs(r.z) == 2 for r in z.collect())
         with _pytest.raises(ValueError):
             ams_f2_by(df, "g", "v", r=0)
+
+
+class TestDDSketch:
+    """ddsketch_by / ddsketch_quantiles (relative-error quantile sketch):
+    the paper's accuracy guarantee vs full sorts, exact mergeability,
+    sign/zero handling, guards."""
+
+    def test_relative_error_guarantee(self, spark):
+        import collections
+        import math
+        import random
+
+        from enterprise_warp_spark.operators.sketches import (
+            ddsketch_by,
+            ddsketch_quantiles,
+        )
+
+        rng = random.Random(1)
+        rows = (
+            [("a", rng.lognormvariate(2, 1.5)) for _ in range(8000)]
+            + [("a", -rng.lognormvariate(1, 1)) for _ in range(2000)]
+            + [("a", 0.0)] * 100
+            + [("b", float(rng.randint(1, 50))) for _ in range(3000)]
+        )
+        df = spark.createDataFrame(rows, ["g", "v"])
+        alpha = 0.02
+        sk = ddsketch_by(df, "g", "v", alpha=alpha)
+        vals: dict = collections.defaultdict(list)
+        for g, v in rows:
+            vals[g].append(v)
+        for g in vals:
+            vals[g].sort()
+        out = ddsketch_quantiles(
+            sk, "g", (0.01, 0.25, 0.5, 0.75, 0.99), alpha=alpha
+        ).collect()
+        assert len(out) == 10
+        for r in out:
+            n = len(vals[r.g])
+            assert r.n == n
+            rank = math.floor((n - 1) * r.p) + 1
+            assert r.rank == rank
+            exact = vals[r.g][rank - 1]
+            if exact == 0:
+                assert r.est == 0.0
+            else:
+                assert abs(r.est - exact) <= alpha * abs(exact) + 1e-12
+
+    def test_merge_by_sum_equals_whole(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from enterprise_warp_spark.operators.sketches import ddsketch_by
+
+        rng = random.Random(5)
+        rows = [("g", rng.uniform(0.1, 900.0)) for _ in range(4000)]
+        whole = {
+            (r.sign, r.idx): r.c
+            for r in ddsketch_by(
+                spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+            ).collect()
+        }
+        h1 = ddsketch_by(
+            spark.createDataFrame(rows[:1500], ["g", "v"]), "g", "v"
+        )
+        h2 = ddsketch_by(
+            spark.createDataFrame(rows[1500:], ["g", "v"]), "g", "v"
+        )
+        merged = {
+            (r.sign, r.idx): r.c
+            for r in h1.unionByName(h2)
+            .groupBy("g", "sign", "idx")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        }
+        assert merged == whole
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from enterprise_warp_spark.operators.sketches import ddsketch_by
+
+        df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+        with _pytest.raises(ValueError):
+            ddsketch_by(df, "g", "v", alpha=1.5)
