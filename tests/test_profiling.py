@@ -57,10 +57,6 @@ def test_single_job_plan(spark, sf_dir):
     """The profile is ONE aggregate over one scan no matter how many
     columns — no per-column jobs, no Python in the pass."""
     orders = table(spark, sf_dir, "orders")
-    agg_plan = None
-    # reconstruct the pre-collect plan: profile_table collects internally,
-    # so instead assert via the SQL plan of an equivalent wide agg through
-    # the public API path: count scans in the executed plan
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup() or [])
     profile_table(orders)
