@@ -643,8 +643,11 @@ def ddsketch_quantiles(
     pdf_probs = spark.createDataFrame(
         [(float(p), i) for i, p in enumerate(probs)], "p double, pi int"
     )
+    # rename the group key on the ranks side: ranks and cum share sk's
+    # lineage, and a same-name same-lineage join can hit Spark's
+    # conflicting-reference resolution (seen with memory-sink inputs)
     ranks = totals.crossJoin(F.broadcast(pdf_probs)).select(
-        group, "p", "pi", "n",
+        F.col(group).alias("__rg"), "p", "pi", "n",
         (F.floor((F.col("n") - 1) * F.col("p")) + 1).alias("rank"),
     )
     w_ord = F.expr("CASE WHEN sign < 0 THEN -idx ELSE idx END")
@@ -658,7 +661,7 @@ def ddsketch_quantiles(
         F.lit(2.0) * F.pow(F.lit(gamma), F.col("idx")) / F.lit(gamma + 1.0), 6
     )
     picked = (
-        cum.join(ranks, group)
+        cum.join(ranks, F.col(group) == F.col("__rg"))
         .filter(
             (F.col("cum") >= F.col("rank"))
             & (F.col("cum") - F.col("c") < F.col("rank"))

@@ -143,3 +143,60 @@ def test_incremental_filter_empty_batch_never_poisons_index(spark, tmp_path):
     )
     out3 = incremental_minhash_filter(dup, idx, update_index=False)
     assert out3.count() == 0  # near-copy of doc 1 filtered via the index
+
+
+def test_streaming_ddsketch_equals_batch_sketch(spark, sf_dir):
+    """DDSketch under Structured Streaming: because the sketch is a plain
+    bucket-count aggregate (mergeable by addition), the streaming build
+    over the event stream equals the batch ddsketch_by bit-for-bit — and
+    so do the quantile estimates derived from it. Streaming quantiles for
+    free, no custom state."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.sketches import (
+        ddsketch_by,
+        ddsketch_quantiles,
+    )
+    from enterprise_warp_spark.streaming import stream_events
+    from enterprise_warp_spark.tables import table
+
+    alpha = 0.02
+    gamma = (1 + alpha) / (1 - alpha)
+    lg = math.log(gamma)
+    sgn = "cast(sign(value) as int)"
+    idx = (
+        "CASE WHEN value = 0 THEN cast(0 as bigint) "
+        f"ELSE cast(ceil(round(ln(abs(value)) / {lg!r}, 6)) as bigint) END"
+    )
+    q = (
+        stream_events(spark, sf_dir)
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.expr(sgn).alias("sign"), F.expr(idx).alias("idx")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .writeStream.format("memory")
+        .queryName("dds_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("select * from dds_stream_test")
+    batch_sk = ddsketch_by(
+        table(spark, sf_dir, "events"), "event_type", "value", alpha=alpha
+    )
+    key = lambda r: (r["event_type"], r["sign"], r["idx"])  # noqa: E731
+    assert {key(r): r["c"] for r in streamed.collect()} == {
+        key(r): r["c"] for r in batch_sk.collect()
+    }
+    # quantiles from the streamed sketch == quantiles from the batch sketch
+    sq = ddsketch_quantiles(streamed, "event_type", (0.5, 0.95), alpha=alpha)
+    bq = ddsketch_quantiles(batch_sk, "event_type", (0.5, 0.95), alpha=alpha)
+    pick = lambda df: {  # noqa: E731
+        (r["event_type"], r["p"]): (r["rank"], r["est"]) for r in df.collect()
+    }
+    assert pick(sq) == pick(bq)
