@@ -269,12 +269,21 @@ def exact_rank_select(
                     break
                 cum += c
     # final exact pick: one filtered collect over all remaining tasks in
-    # one job (bounded by collect_cap rows per task)
+    # one job (bounded by collect_cap rows per task).  Tasks can exit the
+    # histogram loop still holding count > collect_cap — max_levels
+    # exhaustion, or a ulp-collapsed range (hi <= lo) packed with ties —
+    # so the row collect is NOT trusted for those: they resolve through a
+    # distinct-VALUE-count aggregate instead (bounded by the number of
+    # distinct doubles in the final range, which a count-distinct pass
+    # verifies <= collect_cap first; beyond that we raise rather than pull
+    # unbounded rows to the driver).
     pending = [t for t in tasks if t["value"] is None]
-    if pending:
+    small = [t for t in pending if t["count"] <= collect_cap]
+    big = [t for t in pending if t["count"] > collect_cap]
+    if small:
         rows = (
             base.join(
-                F.broadcast(_task_df(pending)), base["__g"] == F.col("__tg")
+                F.broadcast(_task_df(small)), base["__g"] == F.col("__tg")
             )
             .filter(F.expr(_member))
             .select("__task", "__v")
@@ -283,13 +292,54 @@ def exact_rank_select(
         by_task: dict = {}
         for r in rows:
             by_task.setdefault(r["__task"], []).append(r["__v"])
-        for i, t in enumerate(pending):
+        for i, t in enumerate(small):
             vs = sorted(by_task.get(i, []))
             if not (1 <= t["k"] <= len(vs)):
                 raise RuntimeError(
                     f"exact_rank_select bookkeeping: k={t['k']} of {len(vs)}"
                 )
             t["value"] = vs[t["k"] - 1]
+    if big:
+        bjoined = base.join(
+            F.broadcast(_task_df(big)), base["__g"] == F.col("__tg")
+        ).filter(F.expr(_member))
+        ndist = {
+            r["__task"]: r["nd"]
+            for r in bjoined.groupBy("__task")
+            .agg(F.countDistinct("__v").alias("nd"))
+            .collect()
+        }
+        over = {
+            big[i]["group"]: nd
+            for i, nd in ndist.items()
+            if nd > collect_cap
+        }
+        if over:
+            raise ValueError(
+                "exact_rank_select: range could not be narrowed under "
+                f"collect_cap={collect_cap} for groups {sorted(over)} "
+                f"(distinct values in final range: {over}); raise "
+                "max_levels, buckets, or collect_cap"
+            )
+        vrows = (
+            bjoined.groupBy("__task", "__v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_task2: dict = {}
+        for r in vrows:
+            by_task2.setdefault(r["__task"], []).append((r["__v"], r["c"]))
+        for i, t in enumerate(big):
+            cum = 0
+            for v, c in sorted(by_task2.get(i, [])):
+                cum += c
+                if cum >= t["k"]:
+                    t["value"] = v
+                    break
+            if t["value"] is None:
+                raise RuntimeError(
+                    f"exact_rank_select bookkeeping: k={t['k']} of {cum}"
+                )
     return [
         {k: t[k] for k in ("group", "p", "rank", "n", "value")}
         for t in tasks

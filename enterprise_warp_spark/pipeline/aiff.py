@@ -182,6 +182,10 @@ def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
     offset, size, enc, rate, n_ch = struct.unpack_from(">IIIII", payload, 4)
     if offset < 24:
         raise ValueError("AU data offset overlaps header")
+    if n_ch < 1 or rate < 1:
+        # hostile header: keep the decoder's ValueError contract instead
+        # of a ZeroDivisionError from the frame-count division below
+        raise ValueError(f"AU header invalid: channels={n_ch} rate={rate}")
     end = len(payload) if size == 0xFFFFFFFF else min(len(payload), offset + size)
     raw = payload[offset:end]
     if enc == _AU_ULAW:

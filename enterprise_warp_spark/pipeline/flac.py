@@ -300,8 +300,26 @@ def decode_flac_info(
             break
 
     total = streaminfo["total"] or len(chans_out[0])
-    dtype = np.int16 if streaminfo["bps"] <= 16 else np.int32
-    arrs = [np.asarray(c[:total], dtype=dtype) for c in chans_out]
+    # Decoded samples can transiently exceed the output width (mid/side
+    # reconstruction, wasted-bits shifts on hostile streams); the format's
+    # semantics are two's-complement wraparound at the output width.  Build
+    # in int64 and mask explicitly — np.asarray(py_int_list, np.int16) with
+    # out-of-bound values is a DeprecationWarning today and a hard error in
+    # future NumPy.
+    if streaminfo["bps"] <= 16:
+        arrs = [
+            (np.asarray(c[:total], dtype=np.int64) & 0xFFFF)
+            .astype(np.uint16)
+            .view(np.int16)
+            for c in chans_out
+        ]
+    else:
+        arrs = [
+            (np.asarray(c[:total], dtype=np.int64) & 0xFFFFFFFF)
+            .astype(np.uint32)
+            .view(np.int32)
+            for c in chans_out
+        ]
     stacked = np.stack(arrs, axis=-1)
     if verify_md5 and streaminfo["md5"] != b"\x00" * 16:
         got = _samples_md5(stacked, streaminfo["bps"])

@@ -45,6 +45,7 @@ def profile_table(
     columns: list[str] | None = None,
     rsd: float = 0.02,
     quantile_accuracy: int = 10_000,
+    exact_quantiles: bool = False,
 ) -> DataFrame:
     """-> one row per profiled column:
 
@@ -56,7 +57,14 @@ def profile_table(
 
     Complex-typed columns (arrays/structs/maps/binary) get the
     null/distinct block only (distinct over their md5). The whole profile
-    is ONE aggregate job regardless of column count."""
+    is ONE aggregate job regardless of column count.
+
+    `exact_quantiles=True` replaces the GK p50/p95 with EXACT type-1
+    order statistics: every numeric column is melted into one
+    (column, value) stack and a single exact_rank_select call (staged
+    histogram selection, operators/binning.py) resolves all of them
+    together — the user pays O(log_B n) extra passes, never a global
+    sort. The one-job plan pin applies only to the default sketch path."""
     if columns is None:
         columns = [f.name for f in df.schema.fields]
     fields = {f.name: f.dataType for f in df.schema.fields}
@@ -122,9 +130,32 @@ def profile_table(
 
     row = df.agg(*aggs).collect()[0]
     n = row["__n"]
+
+    exact_q: dict[tuple[str, float], float] = {}
+    if exact_quantiles:
+        from .operators.binning import exact_rank_select
+
+        num_cols = [c for c in columns if isinstance(fields[c], _NUMERIC)]
+        if num_cols:
+            pairs = ", ".join(
+                f"'{c}', cast(`{c}` as double)" for c in num_cols
+            )
+            melted = df.selectExpr(
+                f"stack({len(num_cols)}, {pairs}) as (__pc, __pv)"
+            )
+            for r in exact_rank_select(
+                melted, "__pc", "__pv", probs=(0.5, 0.95)
+            ):
+                exact_q[(r["group"], r["p"])] = r["value"]
+
     out = []
     for c in columns:
-        q = row[f"{c}__q"]
+        if exact_quantiles and (c, 0.5) in exact_q:
+            q = [exact_q[(c, 0.5)], exact_q[(c, 0.95)]]
+        elif exact_quantiles and isinstance(fields[c], _NUMERIC):
+            q = None  # all-null numeric column: no rank to select
+        else:
+            q = row[f"{c}__q"]
         out.append(
             (
                 c,
@@ -158,10 +189,14 @@ def profile_checks(
     min_distinct: int | None = None,
     unique: tuple[str, ...] = (),
     not_null: tuple[str, ...] = (),
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Deequ-style constraint evaluation over a profile_table result ->
     (column, check, passed, observed). Sketch-aware: the `unique` check
-    allows the HLL rsd band instead of demanding exact equality."""
+    allows the HLL rsd band instead of demanding exact equality — pass
+    the SAME rsd the profile was built with (a profile built at rsd=0.1
+    judged against the default 0.02 band would falsely fail genuinely
+    unique columns)."""
     rows = []
     for r in profile.collect():
         if r["column"] in not_null or max_null_rate is not None:
@@ -183,7 +218,7 @@ def profile_checks(
             )
         if r["column"] in unique:
             nn = r["n_rows"] - r["n_null"]
-            ok = r["approx_distinct"] >= nn * (1 - 3 * 0.02)
+            ok = r["approx_distinct"] >= nn * (1 - 3 * rsd)
             rows.append(
                 (r["column"], "unique", bool(ok), float(r["approx_distinct"]))
             )

@@ -50,7 +50,13 @@ def _zip_members_tolerant(
     Bomb-safe: the DECLARED size gates inflation (payload None when it
     exceeds the cap), and inflation itself is hard-capped via
     decompressobj(max_length) so a header that LIES about its size still
-    cannot expand past the cap — it comes back as an oversize row."""
+    cannot expand past the cap — it comes back as an oversize row.
+
+    A streamed entry (flag bit 0x08: sizes live in a trailing data
+    descriptor we can't trust without the central directory) is skipped,
+    NOT fatal: the walk advances past its header and re-synchronises on
+    the next PK\\x03\\x04 signature, so fully-parseable members AFTER a
+    streamed one are still recovered. Same for a corrupt deflate body."""
     import zlib
 
     pos = 0
@@ -72,8 +78,12 @@ def _zip_members_tolerant(
         ) = struct.unpack_from("<HHHHHIIIHH", data, pos + 4)
         name = data[pos + 30 : pos + 30 + nlen].decode("utf-8", "replace")
         body_at = pos + 30 + nlen + xlen
-        if flags & 0x08:  # streamed entry: sizes live in a data descriptor
-            return  # needs the central directory we don't have — stop
+        if flags & 0x08:  # streamed entry: local csize/usize are 0 lies;
+            # skip its header and re-sync on the next signature (csize is
+            # occasionally real even with 0x08 — use it as a hint when
+            # sane so the scan doesn't re-match inside this entry's body)
+            pos = body_at + csize if 0 < csize <= len(data) - body_at else body_at
+            continue
         raw = data[body_at : body_at + csize]
         if len(raw) < csize:
             return
@@ -96,9 +106,22 @@ def _zip_members_tolerant(
                 pos = body_at + csize
                 continue
         except zlib.error:
-            return
+            pos = body_at + csize  # corrupt body: re-sync, keep walking
+            continue
         yield name, usize, payload
         pos = body_at + csize
+
+
+def _looks_like_archive(data: bytes) -> bool:
+    """Magic-byte sniff for containers we can open: ZIP, tar (ustar at
+    257), or gz/bz2/xz wrappers (tarfile 'r:*' auto-detects those)."""
+    return (
+        data[:4] == b"PK\x03\x04"
+        or data[:2] == b"\x1f\x8b"
+        or data[:3] == b"BZh"
+        or data[:6] == b"\xfd7zXZ\x00"
+        or (len(data) > 262 and data[257:262] == b"ustar")
+    )
 
 
 def parse_archive_bytes(
@@ -106,12 +129,48 @@ def parse_archive_bytes(
     path: str = "",
     member_pattern: str | None = None,
     max_member_bytes: int = 64 << 20,
+    recurse: int = 0,
 ) -> list[dict]:
-    """Parse one archive payload -> member row dicts (ARCHIVE_SCHEMA)."""
+    """Parse one archive payload -> member row dicts (ARCHIVE_SCHEMA).
+
+    ``recurse`` levels of NESTED archives (tar-of-zips, the common
+    crawl-dump shape) are expanded in place: a member whose payload
+    sniffs as a container is replaced by its inner members under the
+    composed path ``outer.zip!inner.txt`` (the '!' convention of Hadoop
+    har/jar URIs). All guards compose — the inner parse runs under the
+    SAME max_member_bytes bomb cap, ``member_pattern`` matches the
+    composed path, and an inner container that fails to parse falls back
+    to its opaque member row rather than vanishing."""
     rows: list[dict] = []
     truncated = False
 
     def emit(name: str, size: int, payload: bytes | None, oversize: bool):
+        if payload is not None and recurse > 0 and _looks_like_archive(payload):
+            inner = parse_archive_bytes(
+                payload, path, None, max_member_bytes, recurse - 1
+            )
+            real = [r for r in inner if r["member"] is not None]
+            if real:
+                for r in real:
+                    composed = f"{name}!{r['member']}"
+                    if member_pattern is not None and not fnmatch(
+                        composed, member_pattern
+                    ):
+                        continue
+                    rows.append(
+                        dict(
+                            archive=path,
+                            member=composed,
+                            size=r["size"],
+                            payload=r["payload"],
+                            oversize=r["oversize"],
+                            # inner truncation survives; the outer flag is
+                            # OR-ed in at the end
+                            archive_truncated=r["archive_truncated"],
+                        )
+                    )
+                return
+            # sniffed like a container but yielded nothing: opaque member
         if member_pattern is not None and not fnmatch(name, member_pattern):
             return
         rows.append(
@@ -187,7 +246,7 @@ def parse_archive_bytes(
             )
         )
     for r in rows:
-        r["archive_truncated"] = truncated
+        r["archive_truncated"] = bool(r["archive_truncated"] or truncated)
     return rows
 
 
@@ -196,11 +255,13 @@ def read_archive(
     path_glob: str,
     member_pattern: str | None = None,
     max_member_bytes: int = 64 << 20,
+    recurse: int = 0,
 ) -> DataFrame:
     """Scan archive files -> one row per member (ARCHIVE_SCHEMA).
     ``member_pattern`` is an fnmatch glob applied to member paths
     ('**/*.txt' style selection happens HERE so unselected members are
-    never inflated or shipped)."""
+    never inflated or shipped). ``recurse`` expands nested archives that
+    many levels deep (composed 'outer!inner' member paths)."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path_glob).select(
@@ -221,6 +282,7 @@ def read_archive(
                         row["archive"],
                         member_pattern,
                         max_member_bytes,
+                        recurse,
                     )
                 )
             yield pd.DataFrame(out, columns=cols)

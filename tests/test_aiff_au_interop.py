@@ -23,11 +23,14 @@ from enterprise_warp_spark.pipeline.aiff import (
     encode_au,
 )
 
+# aifc/audioop/sunau were REMOVED in Python 3.13 — importorskip (with the
+# deprecation silenced where they still exist) so collection skips cleanly
+# on newer interpreters instead of erroring the whole file
 with warnings.catch_warnings():
     warnings.simplefilter("ignore", DeprecationWarning)
-    import aifc
-    import audioop
-    import sunau
+    aifc = pytest.importorskip("aifc")
+    audioop = pytest.importorskip("audioop")
+    sunau = pytest.importorskip("sunau")
 
 AUDIODATA = os.path.join(
     sysconfig.get_paths()["stdlib"], "test", "audiodata"
@@ -224,3 +227,14 @@ def test_malformed_inputs_raise_cleanly():
             assert out[1] >= 0 and out[0].ndim == 2
         except Exception:
             pass
+
+
+def test_au_zero_channel_header_raises_valueerror():
+    """Hostile AU header with n_ch=0: the decoder's ValueError contract,
+    not a ZeroDivisionError (r11 ADVICE)."""
+    hdr = struct.pack(">4sIIIII", b".snd", 24, 4, 3, 8000, 0) + b"\x00" * 4
+    with pytest.raises(ValueError, match="channels=0"):
+        decode_au(hdr)
+    bad_rate = struct.pack(">4sIIIII", b".snd", 24, 4, 3, 0, 1) + b"\x00" * 4
+    with pytest.raises(ValueError, match="rate=0"):
+        decode_au(bad_rate)

@@ -152,3 +152,107 @@ def test_truncated_zip_bomb_is_never_inflated():
     assert rows["b.bin"]["oversize"] is True
     assert rows["b.bin"]["payload"] is None
     assert all(r["archive_truncated"] for r in rows.values())
+
+
+def test_streamed_entry_does_not_abort_walk():
+    """A streamed (flag 0x08) entry mid-archive: members AFTER it must
+    still be recovered by the tolerant walk (r11 walk aborted here)."""
+    import struct as _struct
+    import zlib
+
+    small = zlib.compress(b"after data")[2:-4]
+    streamed_body = b"\x01\x02\x03\x04"  # opaque; sizes 0 in header
+    hdr_s = b"PK\x03\x04" + _struct.pack(
+        "<HHHHHIIIHH", 20, 0x08, 8, 0, 0, 0, 0, 0, len("s.bin"), 0
+    )
+    hdr_a = b"PK\x03\x04" + _struct.pack(
+        "<HHHHHIIIHH", 20, 0, 8, 0, 0, 0, len(small), 10, len("after.txt"), 0
+    )
+    data = hdr_s + b"s.bin" + streamed_body + hdr_a + b"after.txt" + small
+    rows = {r["member"]: r for r in parse_archive_bytes(data, "x")}
+    assert "after.txt" in rows
+    assert rows["after.txt"]["payload"] == b"after data"
+    assert all(r["archive_truncated"] for r in rows.values())
+
+
+def _nested_tar_of_zips() -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for shard in ("shard0.zip", "shard1.zip"):
+            z = _zip_bytes()
+            info = tarfile.TarInfo(shard)
+            info.size = len(z)
+            tf.addfile(info, io.BytesIO(z))
+        info = tarfile.TarInfo("plain.txt")
+        info.size = 5
+        tf.addfile(info, io.BytesIO(b"plain"))
+    return buf.getvalue()
+
+
+def test_nested_tar_of_zips_expands_with_composed_paths():
+    rows = {
+        r["member"]: r
+        for r in parse_archive_bytes(_nested_tar_of_zips(), "x", recurse=1)
+    }
+    want = {
+        f"{shard}!{m}"
+        for shard in ("shard0.zip", "shard1.zip")
+        for m in MEMBERS
+    } | {"plain.txt"}
+    assert set(rows) == want
+    for name, data in MEMBERS.items():
+        assert rows[f"shard0.zip!{name}"]["payload"] == data
+    assert rows["plain.txt"]["payload"] == b"plain"
+    assert not any(r["archive_truncated"] for r in rows.values())
+
+
+def test_nested_default_stays_opaque_and_pattern_sees_composed_paths():
+    # recurse=0 (default): the container members come through opaque
+    flat = {r["member"] for r in parse_archive_bytes(_nested_tar_of_zips(), "x")}
+    assert flat == {"shard0.zip", "shard1.zip", "plain.txt"}
+    # member_pattern matches the COMPOSED path
+    rows = parse_archive_bytes(
+        _nested_tar_of_zips(), "x", member_pattern="*!docs/*.txt", recurse=1
+    )
+    got = {r["member"] for r in rows}
+    assert got == {
+        f"{s}!docs/{n}.txt"
+        for s in ("shard0.zip", "shard1.zip")
+        for n in ("a", "b")
+    }
+
+
+def test_nested_bomb_cap_applies_inside():
+    """Cap sized to ADMIT the (well-compressed) inner zip container but
+    trip on its declared-5000-byte member: the guard must compose through
+    the recursion, not just gate the outer walk."""
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("big.txt", b"x" * 5000)
+        zf.writestr("ok.txt", b"fine")
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        info = tarfile.TarInfo("inner.zip")
+        info.size = len(zbuf.getvalue())
+        tf.addfile(info, io.BytesIO(zbuf.getvalue()))
+    rows = {
+        r["member"]: r
+        for r in parse_archive_bytes(
+            tbuf.getvalue(), "x", max_member_bytes=2000, recurse=1
+        )
+    }
+    assert rows["inner.zip!big.txt"]["oversize"] is True
+    assert rows["inner.zip!big.txt"]["payload"] is None
+    assert rows["inner.zip!ok.txt"]["payload"] == b"fine"
+
+
+def test_read_archive_recurse_end_to_end(spark, tmp_path):
+    (tmp_path / "dump.tar").write_bytes(_nested_tar_of_zips())
+    members = read_archive(
+        spark, str(tmp_path / "*"), member_pattern="*!docs/a.txt", recurse=1
+    )
+    rows = members.collect()
+    assert {r.member for r in rows} == {
+        "shard0.zip!docs/a.txt", "shard1.zip!docs/a.txt"
+    }
+    assert all(bytes(r.payload) == MEMBERS["docs/a.txt"] for r in rows)

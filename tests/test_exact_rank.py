@@ -138,3 +138,29 @@ def test_giant_constant_group_needs_no_collect(spark):
     df = spark.createDataFrame([("c", 42.0)] * 500, ["g", "v"])
     out = exact_rank_select(df, "g", "v", probs=(0.5,), collect_cap=1)
     assert out[0]["value"] == 42.0 and out[0]["n"] == 500
+
+
+def test_overcap_ties_resolve_via_value_counts(spark):
+    """Tasks that exit the histogram loop with count > collect_cap
+    (max_levels exhaustion on heavy ties) must resolve through the
+    distinct-value-count path — the driver never pulls the tied rows."""
+    rows = [("t", 5.0)] * 1000 + [("t", 6.0)] * 10
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = exact_rank_select(
+        df, "g", "v", probs=(0.5, 1.0), buckets=2, collect_cap=50,
+        max_levels=1,
+    )
+    got = {t["p"]: t["value"] for t in out}
+    assert got[0.5] == 5.0 and got[1.0] == 6.0
+
+
+def test_overcap_distinct_raises_clear_error(spark):
+    """If even the DISTINCT values in the un-narrowed range exceed
+    collect_cap, the collect must refuse with a clear error instead of
+    pulling unbounded rows (the r11 ADVICE hole)."""
+    rows = [("u", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    with pytest.raises(ValueError, match="collect_cap"):
+        exact_rank_select(
+            df, "g", "v", probs=(0.5,), collect_cap=10, max_levels=0
+        )

@@ -82,3 +82,41 @@ def test_profile_checks(spark):
     assert checks[("tag", "null_rate")] is True
     assert checks[("id", "unique")] is True
     assert ("tag", "unique") not in checks  # only requested columns checked
+
+
+def test_exact_quantiles_match_type1_truth(spark, sf_dir):
+    """exact_quantiles=True routes p50/p95 through exact_rank_select:
+    values must equal the exact type-1 order statistic, not the GK
+    approximation."""
+    orders = table(spark, sf_dir, "orders")
+    prof = {
+        r["column"]: r
+        for r in profile_table(orders, exact_quantiles=True).collect()
+    }
+    pdf = orders.toPandas()
+    for c in ("o_totalprice", "o_custkey"):
+        vals = sorted(float(v) for v in pdf[c].dropna())
+        n = len(vals)
+        for p, field in ((0.5, "p50"), (0.95, "p95")):
+            want = vals[math.floor((n - 1) * p)]
+            assert prof[c][field] == want, (c, p)
+    # non-numerics keep their null quantiles
+    assert prof["o_orderpriority"]["p50"] is None
+
+
+def test_profile_checks_respects_build_rsd(spark):
+    """A profile built with a loose HLL rsd must be judged against ITS
+    band: approx_distinct=90 of 100 non-null fails the default 0.02 band
+    (>=94) but passes an rsd=0.05 band (>=85)."""
+    prof = spark.createDataFrame(
+        [("id", "int", 100, 0, 0.0, 90, None, None, None, None, None,
+          None, None, None)],
+        "column string, dtype string, n_rows long, n_null long, "
+        "null_rate double, approx_distinct long, min string, max string, "
+        "mean double, stddev double, p50 double, p95 double, mode string, "
+        "mean_length double",
+    )
+    strict = profile_checks(prof, unique=("id",)).collect()
+    loose = profile_checks(prof, unique=("id",), rsd=0.05).collect()
+    get = lambda rs: {r["check"]: r["passed"] for r in rs}["unique"]
+    assert get(strict) is False and get(loose) is True
