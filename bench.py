@@ -275,8 +275,10 @@ def main() -> None:
             # sentinel-normalized ratios: divide by the window's measured
             # inflation (mean of the start/end sentinel factors vs its
             # quiet baseline). A normalized ratio near 1.0 under a raw
-            # ratio of 1.3 is host steal, not a regression.
-            if SENTINEL in r11 and r11[SENTINEL] > 0:
+            # ratio of 1.3 is host steal, not a regression. Only at sf0.1:
+            # the r11 baselines are sf0.1 quiet-window numbers, so at any
+            # other scale the sentinel factor measures data size, not load.
+            if SENTINEL in r11 and r11[SENTINEL] > 0 and sf == "0.1":
                 sentinel_end = _time_sentinel()
                 f0 = sentinel_start / r11[SENTINEL]
                 f1 = sentinel_end / r11[SENTINEL]
