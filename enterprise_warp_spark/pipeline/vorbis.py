@@ -37,14 +37,40 @@ matrix product per blocksize across all frames of a packet run).
 Reference surface: none — the reference engine has no media pipeline at
 all; this extends the training-data side (SURVEY §2.8 multimodal).
 
-Oracle boundary (r11 audit): decode correctness rests on hermetic twins —
-this container has NO canonical Vorbis counterpart (no libvorbis/libogg in
-ldconfig, no oggenc/oggdec/ffmpeg/sox binaries, no *.ogg/*.webm/*.mka file
-anywhere on the filesystem, no JVM SPI, no network for xiph.org test
-vectors). soundfile, when installed, reads Ogg/Vorbis and becomes the
-canonical pin via the import-gated test in tests/test_multimodal_codecs.py
-pattern. (ADPCM left this list in r11 — CPython's audioop IS the IMA
-reference codec, pinned in tests/test_adpcm_audioop.py.)
+Oracle boundary (r12 audit — the exhaustive exclusion): decode
+correctness rests on hermetic twins plus spec-value anchors, because this
+container verifiably holds NO canonical Vorbis implementation. Searched
+this round, all empty:
+  * shared libs: ``ctypes.util.find_library`` -> None for every one of
+    vorbis / vorbisfile / vorbisenc / ogg / sndfile / FLAC; ``ldconfig -p``
+    has no vorbis/ogg/sndfile/flac entry;
+  * binaries: no ffmpeg/ffprobe/sox/oggenc/oggdec/flac/opusdec on PATH or
+    under /usr; GStreamer ships ONLY coreelements+coretracers (no
+    vorbisdec plugin in /usr/lib/x86_64-linux-gnu/gstreamer-1.0);
+  * Python: soundfile, librosa, audioread, pyogg, av, pydub, miniaudio,
+    tinytag all unimportable (and pip install is out of contract);
+  * JVM: javax.sound has no Vorbis SPI; no codec jars outside Spark's own;
+  * fixtures: zero *.ogg/*.oga files on the filesystem (the only 'vorbis'
+    path hit is a MIME registry XML);
+  * network: DNS resolution fails, so xiph.org test vectors are
+    unreachable.
+tests/test_vorbis.py::test_no_canonical_vorbis_oracle_in_container
+re-verifies this exclusion EVERY run and fails loudly the moment a
+canonical decoder appears (at which point the soundfile-gated pin in
+test_multimodal_codecs.py activates). Until then the strongest available
+external anchors are vendored from the public spec text itself: the
+printed floor1_inverse_dB_table values, the §9.2.1 ilog examples, the
+§9.2.2 float32 field layout, the lookup1_values definition, the RFC 3533
+CRC sentence (vs an independent bit-serial transcription), the IMDCT and
+window formulas (vs fresh scalar transcriptions), and the §7.2.3 floor1
+pseudocode (independent transcription test). A mirrored misreading of any
+of those primitives can no longer round-trip invisibly; what remains
+unguarded is only logic with no printed spec value (codebook VQ lattices,
+residue cascade bookkeeping), which the soundfile-gated test covers the
+day a canonical library exists. (ADPCM left this list in r11 — CPython's
+audioop IS the IMA reference codec, pinned in tests/test_adpcm_audioop.py;
+AIFF/AU left via CPython aifc/sunau; FLAC self-verifies via STREAMINFO
+decoded-audio MD5.)
 """
 
 from __future__ import annotations

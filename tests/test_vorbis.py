@@ -708,3 +708,135 @@ def test_truncated_partition_fast_and_slow_paths_agree(monkeypatch):
         slow = decode_cut(cut_bytes, force_slow=True)
         assert fast.shape == slow.shape
         assert np.array_equal(fast, slow), f"paths diverge at cut={cut_bytes}"
+
+
+# ---------------------------------------------------------------------------
+# r12 spec anchors: values and formulas PRINTED in the public Vorbis I spec
+# / RFC 3533, transcribed independently here (the floor1 §7.2.3 pseudocode
+# test's pattern) — external anchors for the primitives the hermetic
+# round-trips can't distinguish from a mirrored misreading.
+# ---------------------------------------------------------------------------
+
+
+def test_ilog_spec_examples():
+    """Spec §9.2.1 prints these exact examples."""
+    from enterprise_warp_spark.pipeline.vorbis import ilog
+
+    assert [ilog(x) for x in (0, 1, 2, 3, 4, 7)] == [0, 1, 2, 2, 3, 3]
+
+
+def test_float32_unpack_spec_field_layout():
+    """§9.2.2: sign bit 31, 10-bit exponent (bias 788) at bits 21-30,
+    21-bit mantissa. Hand-packed patterns, not round-trips."""
+    from enterprise_warp_spark.pipeline.vorbis import float32_unpack
+
+    assert float32_unpack((788 << 21) | 1) == 1.0
+    assert float32_unpack((789 << 21) | 1) == 2.0
+    assert float32_unpack(0x80000000 | (788 << 21) | 1) == -1.0
+    assert float32_unpack((788 << 21) | 5) == 5.0
+    assert float32_unpack((787 << 21) | 1) == 0.5
+    assert float32_unpack(0) == 0.0
+
+
+def test_lookup1_values_spec_definition():
+    """§9.2.3: the greatest integer v for which v**dims <= entries."""
+    from enterprise_warp_spark.pipeline.vorbis import _lookup1_values
+
+    assert _lookup1_values(8, 3) == 2
+    assert _lookup1_values(7, 3) == 1
+    assert _lookup1_values(100, 2) == 10
+    assert _lookup1_values(1, 1) == 1
+    assert _lookup1_values(26, 3) == 2  # 3**3=27 > 26
+    assert _lookup1_values(27, 3) == 3
+
+
+def test_ogg_crc_matches_bitserial_rfc3533():
+    """RFC 3533 §6: CRC-32, generator 0x04c11db7, init 0, no reflection,
+    no final xor. The module's slice-by-4 implementation vs a from-scratch
+    bit-serial transcription of that sentence."""
+    import random
+
+    from enterprise_warp_spark.pipeline.vorbis import ogg_crc
+
+    def bitserial(data: bytes) -> int:
+        r = 0
+        for byte in data:
+            for bit in range(7, -1, -1):
+                top = (r >> 31) & 1
+                r = (r << 1) & 0xFFFFFFFF
+                if top ^ ((byte >> bit) & 1):
+                    r ^= 0x04C11DB7
+        return r
+
+    rng = random.Random(12)
+    for n in (0, 1, 3, 4, 5, 17, 64, 257):
+        data = bytes(rng.getrandbits(8) for _ in range(n))
+        assert ogg_crc(data) == bitserial(data), n
+    assert ogg_crc(b"OggS") == bitserial(b"OggS")
+
+
+def test_imdct_matches_direct_spec_formula():
+    """IMDCT as the literal double loop from the spec's inverse-MDCT
+    definition: y[n] = sum_k X[k] * cos(pi/(2N) * (2n + 1 + N/2) * (2k+1)),
+    transcribed fresh with scalar math.cos — pins the matrix construction
+    (the +N/2 phase offset is the classic transcription casualty)."""
+    import math
+    import random
+
+    from enterprise_warp_spark.pipeline.vorbis import imdct_matrix
+
+    rng = random.Random(5)
+    for n in (8, 16, 64):
+        X = [rng.uniform(-1, 1) for _ in range(n // 2)]
+        want = [
+            sum(
+                X[k] * math.cos(
+                    math.pi / (2 * n) * (2 * i + 1 + n // 2) * (2 * k + 1)
+                )
+                for k in range(n // 2)
+            )
+            for i in range(n)
+        ]
+        got = imdct_matrix(n) @ np.asarray(X)
+        assert np.allclose(got, want, atol=1e-12), n
+
+
+def test_vorbis_window_matches_spec_formula():
+    """§4.3.1 window: sin(pi/2 * sin^2((i + 0.5)/n * pi)) — scalar
+    transcription vs the vectorized module table."""
+    import math
+
+    from enterprise_warp_spark.pipeline.vorbis import vorbis_window
+
+    for n in (16, 256):
+        w = vorbis_window(n)
+        for i in (0, 1, n // 2, n - 1):
+            want = math.sin(
+                0.5 * math.pi * math.sin((i + 0.5) / n * math.pi) ** 2
+            )
+            assert w[i] == pytest.approx(want, abs=1e-15)
+
+
+def test_no_canonical_vorbis_oracle_in_container():
+    """Self-verifying exclusion (r12): the hermetic-only status of the
+    Vorbis codec rests on NO canonical implementation existing here. This
+    sentinel re-checks every run; if a canonical decoder ever appears,
+    it FAILS loudly so the real pin (the soundfile-gated test in
+    test_multimodal_codecs.py) gets activated instead of the boundary
+    silently rotting."""
+    import ctypes.util
+    import importlib.util
+
+    libs = {
+        n: ctypes.util.find_library(n)
+        for n in ("vorbis", "vorbisfile", "vorbisenc", "ogg", "sndfile")
+    }
+    present = {n: p for n, p in libs.items() if p}
+    assert not present, (
+        f"canonical Vorbis-capable libraries appeared: {present} — "
+        "vendor a canonical-encoder fixture / enable the soundfile pin"
+    )
+    assert importlib.util.find_spec("soundfile") is None, (
+        "soundfile is importable — the gated libvorbis pin in "
+        "test_multimodal_codecs.py now runs; drop this sentinel's claim"
+    )
