@@ -1068,6 +1068,176 @@ def _assign_cells_arrow(
     return n.select(id_col, emb_col, "nsq").mapInPandas(kernel, out_schema)
 
 
+def assign_cells_hierarchical(
+    n: DataFrame,
+    cents: DataFrame,
+    emb_col: str,
+    id_col: str,
+    n_super: int | None = None,
+    nprobe_super: int = 8,
+) -> DataFrame:
+    """Two-level (FAISS IVF-on-IVF) coarse assignment — the scale path
+    past _assign_cells_arrow's documented boundary (the FLAT kernel must
+    collect + broadcast the full n_cells x dim centroid matrix, ~512 MB
+    at 1e6 cells x 64 dims f64, which stops fitting the driver/broadcast
+    budget long before the corpus stops fitting the cluster).
+
+    Shape: (1) the sqrt(L) lowest-cell_id centroids become SUPER-centroids
+    (only this sqrt(L) x dim matrix ever crosses the driver); (2) the
+    centroid TABLE is flat-assigned to super-cells with the existing Arrow
+    argmin kernel (L rows vs sqrt(L) supers — cheap); (3) each vector's
+    top-nprobe_super super-cells come from one broadcast-super Arrow
+    kernel (nprobe rows per vector, never L); (4) a COGROUPED
+    applyInPandas on super_id pairs each vector batch with that super's
+    centroid sub-matrix — the centroid inverted lists reach executors by
+    shuffle, no broadcast — and emits the per-super best (dist, cell_id);
+    (5) one min(struct(dist, cell_id, ...)) reduce picks the global best.
+
+    Semantics: every distance is the SAME round(nsq + c_nsq - 2*dot, 6)
+    as the flat kernel, and the final lexicographic struct-min breaks ties
+    to the lowest cell_id — so with nprobe_super = n_super the result is
+    the flat assignment EXACTLY (pinned in tests/test_semdedup_shuffle.py).
+    Smaller nprobe_super trades recall for probing cost, the standard IVF
+    knob: a vector whose true cell lives in an unprobed super-cell gets
+    its best PROBED cell instead (SemDeDup then misses only cross-cell
+    pairs it already document-misses by construction).
+    """
+    import math as _math
+
+    import numpy as np
+
+    L = cents.count()
+    if L == 0:
+        raise ValueError("assign_cells_hierarchical: no centroids")
+    if n_super is None:
+        n_super = max(1, _math.isqrt(L))
+    nprobe_super = max(1, min(nprobe_super, n_super))
+
+    # (1) super-centroid table: lowest-cell_id centroids, renamed so the
+    # flat kernel and the vector-probe kernel can treat it as any other
+    # centroid table. sqrt(L) rows — the ONLY driver collect in this path.
+    sup = (
+        cents.orderBy("cell_id")
+        .limit(n_super)
+        .select(
+            F.col("cell_id").alias("sid"),
+            F.col("c_emb").alias("s_emb"),
+            F.col("c_nsq").alias("s_nsq"),
+        )
+    )
+    sup_rows = sorted(sup.collect(), key=lambda r: r["sid"])
+    S = np.stack([np.asarray(r["s_emb"], dtype=np.float64) for r in sup_rows])
+    snsq = np.array([float(r["s_nsq"]) for r in sup_rows], dtype=np.float64)
+    sids = np.array([int(r["sid"]) for r in sup_rows], dtype=np.int64)
+    spark = n.sparkSession
+    bsup = spark.sparkContext.broadcast((S, snsq, sids))
+
+    # (2) centroids -> super-cells: reuse the flat Arrow argmin verbatim
+    # (the centroid table IS a vector table with cell_id as its id)
+    sup_as_cents = sup.select(
+        F.col("sid").alias("cell_id"),
+        F.col("s_emb").alias("c_emb"),
+        F.col("s_nsq").alias("c_nsq"),
+    )
+    cents_assigned = _assign_cells_arrow(
+        cents.select(
+            F.col("cell_id").alias("__cid"),
+            F.col("c_emb").alias("__cemb"),
+            F.col("c_nsq").alias("nsq"),
+        ),
+        sup_as_cents,
+        "__cemb",
+        "__cid",
+    ).select(
+        F.col("cell_id").alias("super_id"),
+        F.col("__cid").alias("m_cell_id"),
+        F.col("__cemb").alias("m_emb"),
+        F.col("nsq").alias("m_nsq"),
+    )
+
+    # (3) vectors -> top-nprobe_super super-cells (round-6 dist, ties to
+    # the lowest sid — np.lexsort's stable (sid, dist) key order)
+    import pandas as pd
+
+    fields = dict(n.dtypes)
+    probe_schema = (
+        f"{id_col} {fields[id_col]}, {emb_col} {fields[emb_col]}, "
+        "nsq double, super_id int"
+    )
+    npr = nprobe_super
+
+    def probe_kernel(batches):
+        Sm, sn, sidv = bsup.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            nsq = pdf["nsq"].to_numpy(dtype=np.float64)
+            d = np.round(nsq[:, None] + sn[None, :] - 2.0 * (E @ Sm.T), 6)
+            order = np.argsort(d, axis=1, kind="stable")[:, :npr]
+            reps = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(reps),
+                    emb_col: pdf[emb_col].to_numpy().repeat(reps),
+                    "nsq": nsq.repeat(reps),
+                    "super_id": sidv[order.ravel()].astype(np.int32),
+                }
+            )
+
+    probes = n.select(id_col, emb_col, "nsq").mapInPandas(
+        probe_kernel, probe_schema
+    )
+
+    # (4) cogroup on super_id: vector batch x that super's inverted list
+    cand_schema = (
+        f"{id_col} {fields[id_col]}, {emb_col} {fields[emb_col]}, "
+        "nsq double, dist double, cell_id int"
+    )
+
+    def within_super(vec_pdf, cent_pdf):
+        if not len(vec_pdf) or not len(cent_pdf):
+            return pd.DataFrame(
+                columns=[id_col, emb_col, "nsq", "dist", "cell_id"]
+            )
+        cent_pdf = cent_pdf.sort_values("m_cell_id", kind="mergesort")
+        Cm = np.stack(cent_pdf["m_emb"].to_numpy()).astype(np.float64)
+        cn = cent_pdf["m_nsq"].to_numpy(dtype=np.float64)
+        cid = cent_pdf["m_cell_id"].to_numpy(dtype=np.int64)
+        E = np.stack(vec_pdf[emb_col].to_numpy()).astype(np.float64)
+        nsq = vec_pdf["nsq"].to_numpy(dtype=np.float64)
+        d = np.round(nsq[:, None] + cn[None, :] - 2.0 * (E @ Cm.T), 6)
+        idx = np.argmin(d, axis=1)  # first min == lowest cell_id (sorted)
+        return pd.DataFrame(
+            {
+                id_col: vec_pdf[id_col],
+                emb_col: vec_pdf[emb_col],
+                "nsq": nsq,
+                "dist": d[np.arange(len(idx)), idx],
+                "cell_id": cid[idx].astype(np.int32),
+            }
+        )
+
+    cands = (
+        probes.groupBy("super_id")
+        .cogroup(cents_assigned.groupBy("super_id"))
+        .applyInPandas(lambda _k, v, c: within_super(v, c), cand_schema)
+    )
+
+    # (5) global best among probed supers: lexicographic struct-min —
+    # (dist, cell_id) is unique per candidate so the trailing payload
+    # fields never participate in the comparison
+    best = cands.groupBy(id_col).agg(
+        F.min(F.struct("dist", "cell_id", emb_col, "nsq")).alias("__b")
+    )
+    return best.select(
+        id_col,
+        F.col(f"__b.{emb_col}").alias(emb_col),
+        F.col("__b.nsq").alias("nsq"),
+        F.col("__b.cell_id").alias("cell_id"),
+    )
+
+
 def semdedup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -1075,6 +1245,8 @@ def semdedup_pairs(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    assign: str = "flat",
+    nprobe_super: int = 8,
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
     semantic near-duplicates found WITHIN k-means cells only — cluster the
@@ -1127,7 +1299,17 @@ def semdedup_pairs(
                 4, _math.ceil(emb.count() / SEMDEDUP_TARGET_CELL_ROWS)
             )
         cents = deterministic_centroids(emb, n_cells, emb_col, id_col)
-    assigned = _assign_cells_arrow(n, cents, emb_col, id_col)
+    if assign == "hier":
+        # past ~1e5 cells the flat kernel's full centroid broadcast stops
+        # fitting; the two-level path never ships more than sqrt(L) rows
+        # to the driver (see assign_cells_hierarchical)
+        assigned = assign_cells_hierarchical(
+            n, cents, emb_col, id_col, nprobe_super=nprobe_super
+        )
+    elif assign == "flat":
+        assigned = _assign_cells_arrow(n, cents, emb_col, id_col)
+    else:
+        raise ValueError(f"semdedup_pairs: unknown assign mode {assign!r}")
     return _group_gram_pairs(assigned, "cell_id", threshold, emb_col, id_col)
 
 

@@ -314,3 +314,87 @@ def test_blas_vs_fold_dot_margin_is_orders_below_round_grain(spark, sf_dir):
         worst = max(worst, abs(blas - d))
     assert len(fold) == 80 * 79 // 2
     assert worst < 5e-11, worst  # grain is 5e-7: >= 4 orders of margin
+
+
+def _rand_corpus(spark, n=400, dim=8, seed=3):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_hier_assignment_all_probes_equals_flat(spark):
+    """nprobe_super = n_super makes the two-level assignment search every
+    centroid — it must reproduce the flat Arrow argmin EXACTLY (same
+    round-6 distances, same lowest-cell_id tie-break), per vector."""
+    from enterprise_warp_spark.pipeline.similarity import (
+        _assign_cells_arrow,
+        _with_norm_sq,
+        assign_cells_hierarchical,
+        deterministic_centroids,
+    )
+
+    emb = _rand_corpus(spark)
+    n = _with_norm_sq(emb, "embedding", "vec_id")
+    cents = deterministic_centroids(emb, 25, "embedding", "vec_id")
+    flat = {
+        r["vec_id"]: r["cell_id"]
+        for r in _assign_cells_arrow(n, cents, "embedding", "vec_id").collect()
+    }
+    hier = assign_cells_hierarchical(
+        n, cents, "embedding", "vec_id", n_super=5, nprobe_super=5
+    )
+    got = {r["vec_id"]: r["cell_id"] for r in hier.collect()}
+    assert got == flat
+    # payload columns survive the struct-min reduce intact
+    one = hier.limit(1).collect()[0]
+    assert len(one["embedding"]) == 8 and one["nsq"] > 0
+
+
+def test_hier_assignment_partial_probes_recall(spark):
+    """With the default modest nprobe_super, most (not necessarily all)
+    vectors still land in their true nearest cell; every assignment must
+    at least be a cell WITHIN a probed super — and exact ids must appear
+    once each (no duplicate/lost vectors through the cogroup+reduce)."""
+    from enterprise_warp_spark.pipeline.similarity import (
+        _assign_cells_arrow,
+        _with_norm_sq,
+        assign_cells_hierarchical,
+        deterministic_centroids,
+    )
+
+    emb = _rand_corpus(spark, n=600, seed=9)
+    n = _with_norm_sq(emb, "embedding", "vec_id")
+    cents = deterministic_centroids(emb, 36, "embedding", "vec_id")
+    hier = assign_cells_hierarchical(
+        n, cents, "embedding", "vec_id", n_super=6, nprobe_super=3
+    ).collect()
+    assert len(hier) == 600 and len({r["vec_id"] for r in hier}) == 600
+    flat = {
+        r["vec_id"]: r["cell_id"]
+        for r in _assign_cells_arrow(n, cents, "embedding", "vec_id").collect()
+    }
+    agree = sum(1 for r in hier if flat[r["vec_id"]] == r["cell_id"])
+    assert agree / len(hier) >= 0.5  # random data is the worst case
+
+
+def test_semdedup_pairs_hier_mode_matches_flat(spark):
+    """The full SemDeDup pipeline through assign='hier' (all probes) must
+    emit the identical pair set + cosines as the flat path."""
+    from enterprise_warp_spark.pipeline.similarity import semdedup_pairs
+
+    emb = _emb_corpus(spark)
+    flat = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in semdedup_pairs(emb, threshold=0.999, n_cells=4).collect()
+    }
+    hier = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in semdedup_pairs(
+            emb, threshold=0.999, n_cells=4, assign="hier", nprobe_super=4
+        ).collect()
+    }
+    assert hier == flat and len(flat) > 0
+    with pytest.raises(ValueError, match="assign"):
+        semdedup_pairs(emb, n_cells=4, assign="nope").collect()
