@@ -278,6 +278,15 @@ def kmv_distinct_by(
     k smallest)."""
     if k < 2:
         raise ValueError(f"kmv_distinct_by needs k >= 2, got {k}")
+    return kmv_estimate_from_kept(kmv_kept(df, group, col, k), group, k)
+
+
+def kmv_kept(df: DataFrame, group: str, col: str, k: int) -> DataFrame:
+    """The KMV sketch STATE: per `group`, the k smallest distinct 60-bit
+    portable hashes of `col` -> (group, __h). Public because this is the
+    mergeable unit — per-micro-batch kept tables union + kmv_rekept into
+    an identical global sketch (the global k smallest are each among
+    their own batch's k smallest, so the merge is EXACT, not approximate)."""
     from pyspark.sql import Window
 
     h = (
@@ -294,9 +303,33 @@ def kmv_distinct_by(
         .distinct()  # distinct VALUES collapse to distinct hashes
     )
     w = Window.partitionBy(group).orderBy("__h")
-    kept = dh.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
+    return (
+        dh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(group, "__h")
     )
+
+
+def kmv_rekept(kept: DataFrame, group: str, k: int) -> DataFrame:
+    """MERGE step: any union of kept tables (already-hashed (group, __h)
+    rows, duplicates allowed) -> the k smallest distinct per group. Runs
+    in sketch space (batches x G x k rows in, G x k out)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy("__h")
+    return (
+        kept.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(group, "__h")
+    )
+
+
+def kmv_estimate_from_kept(kept: DataFrame, group: str, k: int) -> DataFrame:
+    """(group, __h) kept table -> (group, n_kept, kth_hash, kmv_distinct):
+    the Beyer et al. unbiased estimator (k-1)/u_(k), exact below
+    saturation. Same output schema whether the sketch came from one batch
+    pass (kmv_distinct_by) or a streamed kmv_rekept merge."""
     two60 = float(1 << 60)
     return kept.groupBy(group).agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -444,25 +477,9 @@ def kmv_set_ops(
     portable arithmetic — exactly replayable in ANSI SQL."""
     if k < 2:
         raise ValueError(f"kmv_set_ops needs k >= 2, got {k}")
-    from pyspark.sql import Window
-
     two60 = 1 << 60
-    h = (
-        f"cast(conv(substr(md5(cast({col} as string)), 1, 15), 16, 10) "
-        "as bigint)"
-    )
-    dh = (
-        df.select(group, F.expr(h).alias("__h"))
-        .filter(F.col("__h").isNotNull())
-        .distinct()
-    )
-    w = Window.partitionBy(group).orderBy("__h")
-    kept = (
-        dh.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(group, "__h")
-        .localCheckpoint(eager=True)  # sketch space: G*k rows
-    )
+    # sketch space after checkpoint: G*k rows
+    kept = kmv_kept(df, group, col, k).localCheckpoint(eager=True)
     thetas = kept.groupBy(group).agg(
         F.count(F.lit(1)).alias("__n"), F.max("__h").alias("__kth")
     ).select(

@@ -1462,6 +1462,26 @@ def frequent_directions(
     return _fd_shrink(stacked, ell)
 
 
+def fd_merge(sketches, ell: int):
+    """Merge Frequent Directions sketches: stack and shrink once. FD is
+    mergeable with the covariance bounds ADDING (GLPW 2016), so folding
+    per-micro-batch sketches through this (e.g. under foreachBatch) keeps
+    the global ||A^T A - B^T B||_2 <= 2 ||A||_F^2 / ell guarantee over
+    everything streamed so far — the DDSketch streamed==batch pattern for
+    the one sketch whose merge is approximate-but-bounded rather than
+    exact. Empty/None entries are skipped; all-empty input -> (0, 0)."""
+    import numpy as np
+
+    mats = [
+        np.asarray(B, dtype=np.float64)
+        for B in sketches
+        if B is not None and np.size(B)
+    ]
+    if not mats:
+        return np.zeros((0, 0))
+    return _fd_shrink(np.vstack(mats), ell)
+
+
 def fd_project(
     emb: DataFrame, B, k: int, emb_col: str = "embedding"
 ) -> DataFrame:

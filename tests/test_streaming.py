@@ -200,3 +200,144 @@ def test_streaming_ddsketch_equals_batch_sketch(spark, sf_dir):
         (r["event_type"], r["p"]): (r["rank"], r["est"]) for r in df.collect()
     }
     assert pick(sq) == pick(bq)
+
+
+def test_streaming_ams_f2_equals_batch(spark, sf_dir):
+    """AMS F2 under Structured Streaming: the sketch is a plain sign-sum
+    aggregate (mergeable by addition), so ams_f2_by runs UNCHANGED on the
+    event stream in complete mode and equals the batch build bit-for-bit
+    — exact integer counters, so the median-of-means estimates match
+    exactly too (the DDSketch pattern)."""
+    from enterprise_warp_spark.operators.sketches import (
+        ams_f2_by,
+        ams_f2_estimate,
+    )
+    from enterprise_warp_spark.streaming import stream_events
+    from enterprise_warp_spark.tables import table
+
+    q = (
+        ams_f2_by(
+            stream_events(spark, sf_dir).select("event_type", "value"),
+            "event_type",
+            "value",
+            r=8,
+        )
+        .writeStream.format("memory")
+        .queryName("ams_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("select * from ams_stream_test")
+    batch = ams_f2_by(
+        table(spark, sf_dir, "events"), "event_type", "value", r=8
+    )
+    key = lambda r: (r["event_type"], r["j"])  # noqa: E731
+    s_rows = {key(r): r["z"] for r in streamed.collect()}
+    assert s_rows == {key(r): r["z"] for r in batch.collect()}
+    assert len(s_rows) > 0
+    se = ams_f2_estimate(streamed, "event_type")
+    be = ams_f2_estimate(batch, "event_type")
+    pick = lambda df: {  # noqa: E731
+        r["event_type"]: r["f2_est"] for r in df.collect()
+    }
+    assert pick(se) == pick(be)
+
+
+def test_streaming_kmv_foreachbatch_merge_equals_batch(spark, sf_dir, tmp_path):
+    """KMV under foreachBatch: each micro-batch's kept table (its k
+    smallest distinct hashes) merges through kmv_rekept into EXACTLY the
+    batch sketch — the global k smallest are each among their own batch's
+    k smallest, so the merge is exact, and so is the estimate."""
+    from enterprise_warp_spark.operators.sketches import (
+        kmv_distinct_by,
+        kmv_estimate_from_kept,
+        kmv_kept,
+        kmv_rekept,
+    )
+    from enterprise_warp_spark.tables import table
+
+    k = 32
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = str(tmp_path / "ev")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    merged_rows: list = []
+    n_batches = [0]
+
+    def sink(bdf, _bid):
+        n_batches[0] += 1
+        merged_rows.extend(
+            (r["event_type"], r["__h"])
+            for r in kmv_kept(bdf, "event_type", "user_id", k).collect()
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert n_batches[0] >= 2, "merge path needs multiple micro-batches"
+    union = spark.createDataFrame(merged_rows, "event_type string, __h long")
+    est = kmv_estimate_from_kept(
+        kmv_rekept(union, "event_type", k), "event_type", k
+    )
+    want = kmv_distinct_by(ev, "event_type", "user_id", k=k)
+    pick = lambda df: {  # noqa: E731
+        r["event_type"]: (r["n_kept"], r["kth_hash"], r["kmv_distinct"])
+        for r in df.collect()
+    }
+    got = pick(est)
+    assert got == pick(want) and len(got) > 0
+
+
+def test_streaming_fd_foreachbatch_merge_keeps_contract(spark, tmp_path):
+    """Frequent Directions under foreachBatch: per-micro-batch sketches
+    fold through fd_merge (stack + one shrink); FD mergeability (GLPW
+    2016) keeps the covariance-error contract over EVERYTHING streamed:
+    ||A^T A - B^T B||_2 <= 2 ||A||_F^2 / ell, with A^T A - B^T B PSD."""
+    import numpy as np
+
+    from enterprise_warp_spark.pipeline.similarity import (
+        fd_merge,
+        frequent_directions,
+    )
+
+    rng = np.random.default_rng(21)
+    A = rng.normal(size=(800, 16))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(A)],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path / "emb")
+    df.repartition(4).write.mode("overwrite").parquet(src)
+
+    ell = 10
+    state = {"B": None, "batches": 0}
+
+    def sink(bdf, _bid):
+        state["batches"] += 1
+        state["B"] = fd_merge(
+            [state["B"], frequent_directions(bdf, ell=ell)], ell
+        )
+
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert state["batches"] >= 2
+    B = state["B"]
+    assert B.shape == (ell, 16)
+    err = np.linalg.norm(A.T @ A - B.T @ B, 2)
+    assert err <= 2.0 * (np.linalg.norm(A, "fro") ** 2) / ell
+    assert np.linalg.eigvalsh(A.T @ A - B.T @ B).min() >= -1e-6
