@@ -127,7 +127,10 @@ def exact_rank_select(
 
     For each group g with n non-null values and each p in `probs`, returns
     the exact element of rank floor((n-1)*p) + 1 (the type-1 discrete
-    quantile) as a list of dicts: {group, p, rank, n, value}.
+    quantile) as a list of dicts: {group, p, rank, n, value}. NaN/NULL
+    are excluded (they have no rank); +-inf ARE ranked (-inf sorts first,
+    +inf last — the sorted-order contract) and resolve from the stats
+    pass without touching the histogram machinery.
 
     Plan shape (100 TB): one count/min/max aggregate, then per level ONE
     histogram aggregate over all still-active (group, p) tasks at once —
@@ -152,24 +155,42 @@ def exact_rank_select(
     base = df.select(
         F.col(group).alias("__g"), F.col(col).cast("double").alias("__v")
     ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+    # +-inf sort deterministically (-inf prefix, +inf suffix) but poison
+    # histogram arithmetic (infinite range -> NaN buckets), so the stats
+    # pass counts them separately and keeps min/max over FINITE values;
+    # ranks landing in an inf zone resolve here, the finite middle becomes
+    # a sub-problem with shifted rank, and the join frames below see only
+    # finite rows
+    inf = F.lit(float("inf"))
     stats = base.groupBy("__g").agg(
         F.count(F.lit(1)).alias("n"),
-        F.min("__v").alias("mn"),
-        F.max("__v").alias("mx"),
+        F.count(F.when(F.col("__v") == -inf, 1)).alias("n_neg"),
+        F.count(F.when(F.col("__v") == inf, 1)).alias("n_pos"),
+        F.min(F.when(F.abs("__v") != inf, F.col("__v"))).alias("mn"),
+        F.max(F.when(F.abs("__v") != inf, F.col("__v"))).alias("mx"),
     ).collect()
+    fin = base.filter(F.abs("__v") != inf)
 
     tasks = []
     for r in stats:
         for p in probs:
             rank = math.floor((r["n"] - 1) * p) + 1
+            if rank <= r["n_neg"]:
+                value, k, cnt, lo, hi = float("-inf"), 0, 0, 0.0, 0.0
+            elif rank > r["n"] - r["n_pos"]:
+                value, k, cnt, lo, hi = float("inf"), 0, 0, 0.0, 0.0
+            else:
+                k = rank - r["n_neg"]
+                cnt = r["n"] - r["n_neg"] - r["n_pos"]
+                lo, hi = float(r["mn"]), float(r["mx"])
+                # min == max: the whole finite zone is one value —
+                # resolved with no further passes regardless of group size
+                value = lo if lo >= hi else None
             tasks.append(
                 dict(
                     group=r["__g"], p=float(p), rank=int(rank), n=int(r["n"]),
-                    lo=float(r["mn"]), hi=float(r["mx"]), k=int(rank),
-                    count=int(r["n"]), constraints=[],
-                    # min == max: the whole group is one value — resolved
-                    # with no further passes regardless of group size
-                    value=float(r["mn"]) if r["mn"] >= r["mx"] else None,
+                    lo=lo, hi=hi, k=int(k), count=int(cnt), constraints=[],
+                    value=value,
                 )
             )
     spark = df.sparkSession
@@ -220,14 +241,21 @@ def exact_rank_select(
         ]
         return spark.createDataFrame(rows, schema)
 
-    _member = (
-        f"forall(__cons, c -> least({buckets - 1}, greatest(0, "
-        f"cast(floor((__v - c.lo) * {buckets} / (c.hi - c.lo)) as int))) = c.b)"
-    )
-    _cur_bucket = (
-        f"least({buckets - 1}, greatest(0, "
-        f"cast(floor((__v - __lo) * {buckets} / (__hi - __lo)) as int)))"
-    )
+    # bucket spelling is overflow-proof for full-double-range data:
+    # (v/2 - lo/2) never overflows where (v - lo) can (a [-1e308, 1e308]
+    # range doubles past DBL_MAX), and the ratio is clamped into [-1, B]
+    # BEFORE floor/cast so an extreme value replayed against a narrow
+    # later-level constraint can't push the int cast out of range. The
+    # active-task guard below keeps the denominator > 0.
+    def _bexpr(v, lo, hi):
+        q = f"(({v}/2 - {lo}/2) / ({hi}/2 - {lo}/2) * {buckets})"
+        return (
+            f"least({buckets - 1}, greatest(0, cast(floor("
+            f"least(greatest({q}, -1.0D), {float(buckets)!r}D)) as int)))"
+        )
+
+    _member = f"forall(__cons, c -> {_bexpr('__v', 'c.lo', 'c.hi')} = c.b)"
+    _cur_bucket = _bexpr("__v", "__lo", "__hi")
 
     for _level in range(max_levels):
         # a range that collapses MID-narrowing (float width underflow) may
@@ -238,11 +266,11 @@ def exact_rank_select(
         active = [
             t for t in tasks
             if t["value"] is None and t["count"] > collect_cap
-            and t["hi"] > t["lo"]
+            and t["hi"] / 2 - t["lo"] / 2 > 0  # bucket denominator > 0
         ]
         if not active:
             break
-        joined = base.join(
+        joined = fin.join(
             F.broadcast(_task_df(active)), base["__g"] == F.col("__tg")
         ).filter(F.expr(_member))
         hist = (
@@ -259,7 +287,8 @@ def exact_rank_select(
                 c = counts.get(i, {}).get(b, 0)
                 if cum + c >= t["k"]:
                     t["constraints"].append((t["lo"], t["hi"], b))
-                    width = (t["hi"] - t["lo"]) / buckets
+                    # halved form: (hi - lo) overflows for full-range data
+                    width = t["hi"] / buckets - t["lo"] / buckets
                     t["lo"], t["hi"] = (
                         t["lo"] + b * width,
                         t["lo"] + (b + 1) * width,
@@ -282,8 +311,8 @@ def exact_rank_select(
     big = [t for t in pending if t["count"] > collect_cap]
     if small:
         rows = (
-            base.join(
-                F.broadcast(_task_df(small)), base["__g"] == F.col("__tg")
+            fin.join(
+                F.broadcast(_task_df(small)), fin["__g"] == F.col("__tg")
             )
             .filter(F.expr(_member))
             .select("__task", "__v")
@@ -300,8 +329,8 @@ def exact_rank_select(
                 )
             t["value"] = vs[t["k"] - 1]
     if big:
-        bjoined = base.join(
-            F.broadcast(_task_df(big)), base["__g"] == F.col("__tg")
+        bjoined = fin.join(
+            F.broadcast(_task_df(big)), fin["__g"] == F.col("__tg")
         ).filter(F.expr(_member))
         ndist = {
             r["__task"]: r["nd"]
