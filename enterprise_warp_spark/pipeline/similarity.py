@@ -700,17 +700,32 @@ def build_ivf_index(
     index_path: str,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "flat",
+    nprobe_super: int = 8,
 ) -> None:
     """Persist the IVF inverted lists: every corpus vector stored under its
     nearest-centroid cell, as parquet PARTITIONED BY cell_id. This is the
     piece that makes ANN real at 100 TB: a search touches only its nprobe
     cell directories (partition pruning at the file-listing level) instead
     of scanning the corpus. Rebuild = re-run after centroids change; append
-    new vectors by writing their assignments with mode append."""
+    new vectors by writing their assignments with mode append.
+
+    assign="hier" routes through assign_cells_hierarchical — required once
+    the centroid table outgrows a single broadcast (and measured faster
+    well before that: the flat kernel's N x L distance matrix is quadratic
+    when cells track corpus size, PERF.md r12)."""
     n = _with_norm_sq(emb, emb_col, id_col)
     # the index BUILD is the 100 TB-critical path: Arrow argmin assignment
     # (one row per vector) instead of the corpus x n_cells SQL fan-out
-    assigned = _assign_cells_arrow(n, centroids, emb_col, id_col).select(
+    if assign == "hier":
+        raw = assign_cells_hierarchical(
+            n, centroids, emb_col, id_col, nprobe_super=nprobe_super
+        )
+    elif assign == "flat":
+        raw = _assign_cells_arrow(n, centroids, emb_col, id_col)
+    else:
+        raise ValueError(f"build_ivf_index: unknown assign mode {assign!r}")
+    assigned = raw.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_vec"),
         F.col("nsq").alias("c_nsq2"),

@@ -574,3 +574,24 @@ class TestFrequentDirections:
         B = frequent_directions(emb, ell=16)
         err = np.linalg.norm(A.T @ A - B.T @ B, 2)
         assert err <= 2.0 * (np.linalg.norm(A, "fro") ** 2) / 16
+
+
+def test_persisted_ivf_index_hier_assign_matches_flat(spark, emb, tmp_path):
+    """build_ivf_index(assign='hier', all supers probed) writes the
+    identical inverted lists as the flat build."""
+    cents = similarity.deterministic_centroids(emb, 16)
+    flat_idx = str(tmp_path / "flat")
+    hier_idx = str(tmp_path / "hier")
+    similarity.build_ivf_index(emb, cents, flat_idx)
+    similarity.build_ivf_index(
+        emb, cents, hier_idx, assign="hier", nprobe_super=4
+    )
+    load = lambda p: {  # noqa: E731
+        (r["neighbor_id"], r["cell_id"])
+        for r in spark.read.parquet(p).collect()
+    }
+    assert load(hier_idx) == load(flat_idx)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assign"):
+        similarity.build_ivf_index(emb, cents, str(tmp_path / "x"), assign="z")
