@@ -373,6 +373,96 @@ def normalize_nfc(
     return df.withColumn(out_col or text_col, _nfc(F.col(text_col)))
 
 
+# Every UTF-8 lead byte (C2-F4) read back as latin-1/cp1252 lands in
+# [Â-ô] ('Ã' for 2-byte Latin, 'ä'-'æ' for CJK, 'ð' for 4-byte emoji);
+# the continuation byte (0x80-0xBF) shows up either as
+# U+0080-U+00BF (latin-1 reads) or as cp1252's remapped printables (the
+# 'â€™' smart-quote wreck). One literal character class covers both,
+# valid in Java (Catalyst) and Python regex alike.
+_MOJIBAKE_RE = "[Â-ô][-¿€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ]"
+
+
+def mojibake_score(text_col: str = "text") -> Column:
+    """Count of mojibake marker sequences (UTF-8 bytes mis-decoded as
+    latin-1/cp1252: 'Ã©' for 'é', 'â€™' for a right quote). Pure Catalyst
+    regexp — a PREFILTER to select candidates cheaply; fix_mojibake is
+    the decider. Zero for clean ASCII and typical accented prose (a lone
+    'é' has no lead/continuation pair shape); an accented char directly
+    followed by a cp1252 punctuation printable ('café–bar') can score
+    without being mojibake — the repair's strict-UTF-8 round-trip guard
+    leaves such text untouched."""
+    return F.regexp_count(F.col(text_col), F.lit(_MOJIBAKE_RE))
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    max_passes: int = 2,
+) -> DataFrame:
+    """Repair latin-1/cp1252 mojibake (the ftfy/CCNet encoding-fix step):
+    re-encode the text as cp1252 (latin-1 fallback) and strictly decode
+    as UTF-8; accept a pass only when the text actually carried mojibake
+    markers AND the byte round-trip decodes cleanly — legitimate accented
+    text re-encodes to bytes that are NOT valid UTF-8, so it can never be
+    'repaired' into garbage. `max_passes` handles double-encoded text
+    ('ÃÂ©' -> 'Ã©' -> 'é'). Adds `out_col` (default: in-place) and
+    a `mojibake_fixed` boolean. Arrow-batched kernel, map-only.
+
+    This is deliberately the conservative core of ftfy (Speer,
+    zenodo.2591652): full ftfy also handles HTML-entity soup and
+    curly-quote salvage; those live upstream in html.py / normalize.
+
+    Relationship to pipeline/weburl.py repair_mojibake: that one is the
+    FROZEN oracle-gated contract (web_hygiene_ops[moj] — single pass,
+    cp1252 only, tell-count-reduction acceptance, exactly replayable
+    against its DuckDB twin). This is the production generalization:
+    latin-1 fallback (repairs 4-byte/CJK wrecks whose bytes are undefined
+    in cp1252), multi-pass double-encoding repair, and the free Catalyst
+    prefilter. On single-encoded cp1252-representable text the two agree
+    (pinned in tests/test_mojibake.py)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    marker = _re.compile(_MOJIBAKE_RE)
+
+    @pandas_udf("struct<text: string, fixed: boolean>")
+    def _fix(s: pd.Series) -> pd.DataFrame:
+        def one(t):
+            if t is None or not marker.search(t):
+                return t, False
+            cur, fixed = t, False
+            for _ in range(max_passes):
+                if not marker.search(cur):
+                    break
+                try:
+                    raw = cur.encode("cp1252")
+                except UnicodeEncodeError:
+                    try:
+                        raw = cur.encode("latin-1")
+                    except UnicodeEncodeError:
+                        break
+                try:
+                    dec = raw.decode("utf-8")
+                except UnicodeDecodeError:
+                    break
+                if dec == cur:
+                    break
+                cur, fixed = dec, True
+            return cur, fixed
+
+        out = s.map(one)
+        return pd.DataFrame(
+            {"text": out.map(lambda x: x[0]), "fixed": out.map(lambda x: x[1])}
+        )
+
+    res = _fix(F.col(text_col))
+    return df.withColumn("__mj", res).withColumn(
+        out_col or text_col, F.col("__mj.text")
+    ).withColumn("mojibake_fixed", F.col("__mj.fixed")).drop("__mj")
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

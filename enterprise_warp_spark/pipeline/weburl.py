@@ -235,7 +235,13 @@ def repair_mojibake(
     strictly reduces the count of tell-tale mojibake lead characters
     (Ã, Â, â, and the cp1252 curly-quote family) — clean text that merely
     LOOKS accented never round-trips to valid UTF-8 by accident on those
-    sequences, and failed round trips leave the row untouched."""
+    sequences, and failed round trips leave the row untouched.
+
+    This variant is the ORACLE CONTRACT (web_hygiene_ops[moj]) — single
+    pass, cp1252 only, frozen so the DuckDB twin replays it exactly. For
+    production cleaning use pipeline/text.py fix_mojibake: same guard
+    plus latin-1 fallback (4-byte/CJK wrecks), double-encoding passes,
+    and a pure-Catalyst prefilter (mojibake_score)."""
     import pandas as pd
 
     tells = set("ÃÂâ€™œ“”žÅ¢")

@@ -1,0 +1,125 @@
+"""Mojibake detection + repair (pipeline/text.py mojibake_score /
+fix_mojibake): the conservative ftfy core. Round-trip truths are built by
+ACTUALLY mis-decoding UTF-8 through latin-1/cp1252 — the repair must
+invert the real corruption, and must never touch legitimate text."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.pipeline.text import fix_mojibake, mojibake_score
+
+CLEAN = [
+    "hello plain ascii",
+    "é",                      # lone accent: no lead/continuation pair
+    "naïve café résumé",      # legit precomposed accents
+    "日本語のテキスト",          # CJK
+    "price: €50 – done",      # legit cp1252-printables w/o mojibake leads
+    "",
+]
+
+ORIGINALS = [
+    "élan vital — déjà vu",
+    "don’t “quote” me…",
+    "Müller, façade, piñata",
+    "𝄞 music and 中文 mixed",
+]
+
+
+def _wreck(s: str, codec: str) -> str:
+    return s.encode("utf-8").decode(codec)
+
+
+def test_detector_fires_only_on_mojibake(spark):
+    wrecked = [_wreck(s, "latin-1") for s in ORIGINALS[:3]] + [
+        _wreck("don’t", "cp1252")
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t in CLEAN + wrecked], ["text"]
+    ).withColumn("score", mojibake_score("text"))
+    rows = {r["text"]: r["score"] for r in df.collect()}
+    for t in CLEAN:
+        assert rows[t] == 0, (t, rows[t])
+    for t in wrecked:
+        assert rows[t] > 0, t
+
+
+@pytest.mark.parametrize("codec", ["latin-1", "cp1252"])
+def test_repair_inverts_real_misdecodes(spark, codec):
+    originals = [
+        s for s in ORIGINALS
+        # cp1252 can't represent every char of every original; only wreck
+        # what the codec can actually round-trip
+        if all(c.encode("utf-8").decode(codec, "ignore") for c in s)
+        and _wreck_ok(s, codec)
+    ]
+    wrecked = [_wreck(s, codec) for s in originals]
+    df = spark.createDataFrame([(t,) for t in wrecked], ["text"])
+    got = [r["text"] for r in fix_mojibake(df).orderBy(F.lit(1)).collect()]
+    assert sorted(got) == sorted(originals)
+    flags = [r["mojibake_fixed"] for r in fix_mojibake(df).collect()]
+    assert all(flags)
+
+
+def _wreck_ok(s: str, codec: str) -> bool:
+    try:
+        s.encode("utf-8").decode(codec)
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+def test_clean_text_is_never_touched(spark):
+    df = spark.createDataFrame([(t,) for t in CLEAN if t], ["text"])
+    out = fix_mojibake(df).collect()
+    assert {r["text"] for r in out} == {t for t in CLEAN if t}
+    assert not any(r["mojibake_fixed"] for r in out)
+
+
+def test_double_encoded_repairs_in_two_passes(spark):
+    twice = _wreck(_wreck("déjà vu – over", "latin-1"), "latin-1")
+    df = spark.createDataFrame([(twice,)], ["text"])
+    one = fix_mojibake(df, max_passes=1).collect()[0]
+    two = fix_mojibake(df, max_passes=2).collect()[0]
+    assert one["text"] == _wreck("déjà vu – over", "latin-1")
+    assert two["text"] == "déjà vu – over"
+    assert one["mojibake_fixed"] and two["mojibake_fixed"]
+
+
+def test_nulls_and_out_col(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, _wreck("été", "latin-1"))], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in fix_mojibake(df, out_col="fixed").collect()}
+    assert out[1]["fixed"] is None and out[1]["mojibake_fixed"] is False
+    assert out[2]["fixed"] == "été" and out[2]["text"] != "été"
+
+
+def test_detector_is_pure_catalyst(spark):
+    """mojibake_score must stay a codegen expression (no Python eval) so
+    candidate selection is free at scale."""
+    df = spark.createDataFrame([("x",)], ["text"]).select(
+        mojibake_score("text").alias("s")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_agrees_with_gate_contract_on_shared_domain(spark):
+    """On single-encoded, cp1252-representable wrecks, fix_mojibake and
+    the frozen oracle-gated weburl.repair_mojibake produce identical
+    repairs (fix_mojibake strictly generalizes; it never diverges inside
+    the old contract's domain)."""
+    from enterprise_warp_spark.pipeline.weburl import repair_mojibake
+
+    # note: '”' (U+201D) is excluded — its UTF-8 bytes contain 0x9D,
+    # which cp1252 cannot decode, so that wreck cannot exist via cp1252
+    wrecked = [
+        _wreck(s, "cp1252")
+        for s in ["élan vital", "don’t quote me…", "Müller façade"]
+    ] + [t for t in CLEAN if t]
+    df = spark.createDataFrame([(t,) for t in wrecked], ["text"])
+    new = {r["text"]: r["mojibake_fixed"] for r in fix_mojibake(df).collect()}
+    old = {
+        r["text"]: r["mojibake_fixed"] for r in repair_mojibake(df).collect()
+    }
+    assert new == old
