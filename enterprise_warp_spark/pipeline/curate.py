@@ -34,10 +34,19 @@ class CurationConfig:
     # duplicate-token fraction / dominant-bigram share exceed the bound.
     max_dup_token_ratio: float = 1.0
     max_top_bigram_share: float = 1.0
+    # Encoding repair BEFORE any scoring/hashing: mojibake inflates symbol
+    # ratios (dropping salvageable docs) and splits dedup families (the
+    # wrecked and clean spellings of the same page hash apart). CCNet-style
+    # pipelines fix encodings first; off by default for config stability.
+    fix_encoding: bool = False
 
 
 def curate_corpus(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> dict[str, DataFrame]:
-    """-> {'kept', 'dropped_quality', 'dropped_lang', 'dropped_dup', 'stats'}."""
+    """-> {'kept', 'dropped_quality', 'dropped_lang', 'dropped_dup', 'stats'}
+    (+ 'encoding_fixed' when cfg.fix_encoding)."""
+    if cfg.fix_encoding:
+        repaired = text.fix_mojibake(docs, "text")
+        docs = repaired.drop("mojibake_fixed")
     scored = text.quality_scores(docs).join(
         text.langid(docs).select("doc_id", "predicted"), "doc_id"
     )
@@ -99,13 +108,18 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> di
         .crossJoin(dropped_lang.agg(F.count(F.lit(1)).alias("n_dropped_lang")))
         .crossJoin(dropped_dup.agg(F.count(F.lit(1)).alias("n_dropped_dup")))
     )
-    return {
+    out = {
         "kept": kept,
         "dropped_quality": dropped_quality,
         "dropped_lang": dropped_lang,
         "dropped_dup": dropped_dup,
         "stats": stats,
     }
+    if cfg.fix_encoding:
+        out["encoding_fixed"] = repaired.filter(
+            F.col("mojibake_fixed")
+        ).select("doc_id")
+    return out
 
 
 @dataclass(frozen=True)

@@ -123,3 +123,35 @@ def test_agrees_with_gate_contract_on_shared_domain(spark):
         r["text"]: r["mojibake_fixed"] for r in repair_mojibake(df).collect()
     }
     assert new == old
+
+
+def test_curation_fix_encoding_stage(spark):
+    """CurationConfig(fix_encoding=True): a wrecked duplicate of a clean
+    document repairs BEFORE dedup keys are built, so the pair collapses
+    into one exact-dup family instead of surviving as two documents."""
+    from enterprise_warp_spark.pipeline.curate import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    base = "the quick brown fox and the lazy dog of the east " * 4
+    accented = base + "résumé déjà vu"
+    rows = [
+        (1, "src", "en", accented, len(accented)),
+        (2, "src", "en", _wreck(accented, "latin-1"), 0),
+        (3, "src", "en", base + "a different unique ending here", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, source string, lang string, text string, n_chars long",
+    )
+    cfg_off = CurationConfig(min_tokens=5)
+    cfg_on = CurationConfig(min_tokens=5, fix_encoding=True)
+    kept_off = {r["doc_id"] for r in curate_corpus(docs, cfg_off)["kept"].collect()}
+    out_on = curate_corpus(docs, cfg_on)
+    kept_on = {r["doc_id"] for r in out_on["kept"].collect()}
+    # without repair the wreck survives as a distinct doc; with repair it
+    # becomes an exact duplicate of doc 1 and dedup keeps one of the pair
+    assert {1, 2} <= kept_off
+    assert len(kept_on & {1, 2}) == 1 and 3 in kept_on
+    assert {r["doc_id"] for r in out_on["encoding_fixed"].collect()} == {2}
