@@ -1,0 +1,305 @@
+"""Distributed suffix array + adjacent-suffix LCP — EXACT repeated-substring
+discovery (the suffix-array instrument of Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better", arXiv:2107.06499), as the exact
+complement to pipeline/dedup.py's hash-granularity ExactSubstr family:
+n-gram hashing finds spans at a FIXED length; the suffix array yields every
+maximal repeat with its exact length.
+
+Construction is Manber–Myers prefix doubling expressed in DataFrame ops:
+
+    rank_0   = dense rank of the single token at each position
+    rank_{k+1}(p) = dense rank of (rank_k(p), rank_k(p + 2^k))
+    ... until every rank is unique (early exit), <= ceil(log2 L) rounds
+    where L is the longest DOCUMENT (unique per-doc sentinel tokens make
+    cross-document comparisons resolve immediately).
+
+Every global ranking uses the scalable two-pass shape — repartitionByRange,
+per-partition local ranks via one Arrow pass, per-partition counts to the
+driver (n_partitions rows, metadata scale), broadcast offsets — NEVER a
+single-reducer `Window.orderBy` over the corpus. The pair shift
+rank_k(p + 2^k) is an equi-join on position. Adjacent-suffix LCPs come
+from the level tables the doubling already built: walk k high->low, and
+whenever rank_k(a + lcp) == rank_k(b + lcp) the suffixes share 2^k more
+tokens — 2 joins per level over the n adjacent pairs, O(n log L) join work
+total (the standard distributed LCP formulation; Kasai's O(n) scan is
+inherently sequential).
+
+Scale honesty: each doubling round is one range-shuffle of the position
+table plus one join — ~2 log L corpus shuffles end to end. That is the
+real cost of EXACT suffix ordering; at 100 TB you run it per shard (the
+paper runs single-machine per chunk) and reconcile shard boundaries with
+the hash-granularity operators. Not oracle-SQL-expressible (iterative);
+correctness is pinned against a brute-force sorted-suffix oracle in
+tests/test_suffix.py, the iterative-algorithm precedent (PageRank/BPE).
+
+Reference surface: none (the reference engine has no text pipeline);
+SURVEY §2.8 training-data extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.pipeline.text import TOKENS
+
+
+def _two_pass_dense_rank(
+    df: DataFrame, order_cols: list[str], out: str, n_parts: int = 32
+) -> DataFrame:
+    """Global DENSE rank of rows by `order_cols` without a global window:
+    range-partition on the keys (equal keys land in one partition), one
+    Arrow pass computes local dense ranks + per-partition distinct counts,
+    the n_parts counts cross the driver, and broadcast offsets lift local
+    ranks to global. The partitioned frame is checkpointed so both passes
+    see the SAME (sampled) range boundaries."""
+    import pandas as pd
+
+    staged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["__pid"]: r["nd"]
+        for r in staged.groupBy("__pid")
+        .agg(F.count_distinct(*[F.col(c) for c in order_cols]).alias("nd"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    spark = df.sparkSession
+    b_off = spark.sparkContext.broadcast(offsets)
+    out_schema = ", ".join(
+        f"{n} {t}" for n, t in staged.dtypes if n != "__pid"
+    ) + f", {out} long"
+
+    def kernel(batches):
+        # one partition streams through in order: carry the last key and
+        # the running local dense rank across batches
+        last_key = None
+        local = 0
+        pid = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            ranks = []
+            for key in zip(*[pdf[c] for c in order_cols]):
+                if key != last_key:
+                    local += 1
+                    last_key = key
+                ranks.append(local)
+            res = pdf.drop(columns=["__pid"]).copy()
+            res[out] = pd.Series(ranks, index=pdf.index) + b_off.value.get(
+                pid, 0
+            ) - 1
+            yield res
+
+    return staged.mapInPandas(kernel, out_schema)
+
+
+def corpus_positions(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents -> one row per token position:
+    (pos global long, doc_id, idx local int, token string), with a unique
+    per-document sentinel token appended so no suffix comparison crosses a
+    document boundary. Global positions come from a per-document offset
+    table (#docs rows) ranked with the same two-pass machinery."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(
+            F.expr(TOKENS.format(s=text_col)),
+            F.array(F.concat(F.lit("\x00"), F.col(id_col).cast("string"))),
+        ).alias("__toks"),
+    )
+    lens = toks.select("doc_id", F.size("__toks").alias("__n"))
+    # per-doc offset = sum of lengths of all docs before it in doc_id
+    # order: rank the docs (two-pass, no global window), then one
+    # partial-sum pass over the SAME partitioning shape
+    import pandas as pd
+
+    staged = (
+        lens.repartitionByRange(32, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["__pid"]: r["s"]
+        for r in staged.groupBy("__pid").agg(F.sum("__n").alias("s")).collect()
+    }
+    offs = {}
+    acc = 0
+    for pid in sorted(totals):
+        offs[pid] = acc
+        acc += totals[pid]
+    b_off = staged.sparkSession.sparkContext.broadcast(offs)
+
+    def cumsum(batches):
+        run = 0
+        pid = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            starts = []
+            for n in pdf["__n"]:
+                starts.append(run)
+                run += int(n)
+            res = pdf.drop(columns=["__pid"]).copy()
+            res["__off"] = pd.Series(starts, index=pdf.index) + b_off.value.get(
+                pid, 0
+            )
+            yield res[["doc_id", "__off"]]
+
+    doc_offs = staged.mapInPandas(cumsum, "doc_id long, __off long")
+    return (
+        toks.join(doc_offs, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode("__toks").alias("idx", "token"),
+            F.col("__off"),
+        )
+        .select(
+            (F.col("__off") + F.col("idx")).alias("pos"),
+            "doc_id",
+            "idx",
+            "token",
+        )
+    )
+
+
+def suffix_array(
+    positions: DataFrame, max_rounds: int = 40, n_parts: int = 32
+) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+    """(pos, token) rows -> (sa, levels):
+
+    sa     = (pos, doc_id, idx, sa_rank) where sa_rank is the suffix's
+             index in lexicographic suffix order (dense, 0-based, unique).
+    levels = [(width, ranks)] per doubling level, ranks = (pos, r) with r
+             the dense rank of the width-token prefix at pos — kept for
+             the LCP walk in adjacent_lcp.
+
+    Early-exits as soon as ranks are all-unique (with per-doc sentinels:
+    <= ceil(log2 longest_doc) + 1 rounds)."""
+    ranked = _two_pass_dense_rank(
+        positions.select("pos", "doc_id", "idx", "token"),
+        ["token"],
+        "r",
+        n_parts,
+    ).select("pos", "doc_id", "idx", "r").localCheckpoint(eager=True)
+    levels: list[tuple[int, DataFrame]] = [
+        (1, ranked.select("pos", "r").localCheckpoint(eager=True))
+    ]
+    width = 1
+    for _ in range(max_rounds):
+        n_rows, n_ranks = ranked.agg(
+            F.count(F.lit(1)).alias("n"), F.max("r").alias("m")
+        ).collect()[0]
+        if n_ranks is not None and n_ranks + 1 >= n_rows:
+            break  # every rank unique: suffix order is decided
+        shifted = ranked.select(
+            (F.col("pos") - width).alias("pos"), F.col("r").alias("r2")
+        )
+        paired = (
+            ranked.join(shifted, "pos", "left")
+            .withColumn("r2", F.coalesce("r2", F.lit(-1)))
+        )
+        ranked = _two_pass_dense_rank(
+            paired.select("pos", "doc_id", "idx", "r", "r2"),
+            ["r", "r2"],
+            "rn",
+            n_parts,
+        ).select(
+            "pos", "doc_id", "idx", F.col("rn").alias("r")
+        ).localCheckpoint(eager=True)
+        width *= 2
+        levels.append(
+            (width, ranked.select("pos", "r").localCheckpoint(eager=True))
+        )
+    sa = ranked.select("pos", "doc_id", "idx", F.col("r").alias("sa_rank"))
+    return sa, levels
+
+
+def adjacent_lcp(
+    sa: DataFrame, levels: list[tuple[int, DataFrame]]
+) -> DataFrame:
+    """Adjacent pairs in suffix order -> their exact LCP in tokens:
+    (pos_a, doc_a, idx_a, pos_b, doc_b, idx_b, lcp). The walk: for levels
+    widest-first, if the width-w prefixes at (a + lcp) and (b + lcp) have
+    equal rank, the suffixes share w more tokens. Two position-joins per
+    level over the n-1 adjacent pairs. Sentinel tokens are unique per doc,
+    so lcp never counts past a document's end (and never includes the
+    sentinel itself: equal-rank requires equal tokens)."""
+    a = sa.select(
+        F.col("pos").alias("pos_a"), F.col("doc_id").alias("doc_a"),
+        F.col("idx").alias("idx_a"), (F.col("sa_rank") + 1).alias("__nxt"),
+    )
+    b = sa.select(
+        F.col("pos").alias("pos_b"), F.col("doc_id").alias("doc_b"),
+        F.col("idx").alias("idx_b"), F.col("sa_rank").alias("__nxt"),
+    )
+    pairs = a.join(b, "__nxt").drop("__nxt").withColumn("lcp", F.lit(0))
+    for width, ranks in sorted(levels, key=lambda t: -t[0]):
+        ra = ranks.select(
+            F.col("pos").alias("__pa"), F.col("r").alias("__ra")
+        )
+        rb = ranks.select(
+            F.col("pos").alias("__pb"), F.col("r").alias("__rb")
+        )
+        pairs = (
+            pairs.withColumn("__pa", F.col("pos_a") + F.col("lcp"))
+            .withColumn("__pb", F.col("pos_b") + F.col("lcp"))
+            .join(ra, "__pa", "left")
+            .join(rb, "__pb", "left")
+            .withColumn(
+                "lcp",
+                F.when(
+                    F.col("__ra").isNotNull()
+                    & (F.col("__ra") == F.col("__rb")),
+                    F.col("lcp") + width,
+                ).otherwise(F.col("lcp")),
+            )
+            .drop("__pa", "__pb", "__ra", "__rb")
+        )
+    return pairs
+
+
+def exact_duplicate_spans(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """EXACT repeated token spans of >= min_tokens across the corpus ->
+    (doc_id, start_tok int, n_tokens int, twin_doc, twin_start): every
+    suffix whose neighbor in suffix order shares >= min_tokens, reported
+    from BOTH sides (downstream span-removal consumes per-doc coverage;
+    maximal repeats appear as runs of adjacent positions, exactly as in
+    the suffix-array dedup paper). cross_doc_only=False also reports
+    repeats within one document (self-plagiarism/boilerplate)."""
+    pos = corpus_positions(docs, text_col, id_col)
+    sa, levels = suffix_array(pos)
+    pairs = adjacent_lcp(sa, levels).filter(F.col("lcp") >= min_tokens)
+    if cross_doc_only:
+        pairs = pairs.filter(F.col("doc_a") != F.col("doc_b"))
+    left = pairs.select(
+        F.col("doc_a").alias(id_col), F.col("idx_a").alias("start_tok"),
+        F.col("lcp").alias("n_tokens"),
+        F.col("doc_b").alias("twin_doc"), F.col("idx_b").alias("twin_start"),
+    )
+    right = pairs.select(
+        F.col("doc_b").alias(id_col), F.col("idx_b").alias("start_tok"),
+        F.col("lcp").alias("n_tokens"),
+        F.col("doc_a").alias("twin_doc"), F.col("idx_a").alias("twin_start"),
+    )
+    return left.unionByName(right).distinct()
