@@ -155,3 +155,53 @@ def test_curation_fix_encoding_stage(spark):
     assert {1, 2} <= kept_off
     assert len(kept_on & {1, 2}) == 1 and 3 in kept_on
     assert {r["doc_id"] for r in out_on["encoding_fixed"].collect()} == {2}
+
+
+def test_property_repair_inverts_any_cleanly_wreckable_text(spark):
+    """Hypothesis property: for ANY text whose UTF-8 bytes survive a
+    latin-1 read (always true) the repair inverts the wreck, and for any
+    text at all the repair never corrupts the clean spelling."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(
+        list("abc défgèh ñüß中文🎵'’“.,!- ")
+    )
+
+    def ambiguous(t):
+        # a text that ITSELF round-trips as valid UTF-8 through a legacy
+        # codec is indistinguishable from mojibake of some other string —
+        # the inherent ftfy ambiguity; the inversion guarantee excludes it
+        for codec in ("cp1252", "latin-1"):
+            try:
+                raw = t.encode(codec)
+            except UnicodeEncodeError:
+                continue
+            try:
+                raw.decode("utf-8")
+                return True
+            except UnicodeDecodeError:
+                pass
+        return False
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(st.text(alphabet, min_size=1, max_size=40),
+                    min_size=1, max_size=6))
+    def prop(texts):
+        texts = [t for t in texts if not ambiguous(t)]
+        if not texts:
+            return
+        wrecked = [t.encode("utf-8").decode("latin-1") for t in texts]
+        df = spark.createDataFrame([(t,) for t in wrecked], ["text"])
+        got = sorted(r["text"] for r in fix_mojibake(df).collect())
+        # a pure-ASCII text wrecks to itself and is correctly untouched
+        assert got == sorted(texts)
+        clean_df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        untouched = sorted(r["text"] for r in fix_mojibake(clean_df).collect())
+        assert untouched == sorted(texts)
+
+    prop()

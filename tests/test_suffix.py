@@ -159,3 +159,24 @@ def test_strip_exact_duplicate_spans_removes_the_phrase(spark):
     assert out[0]["n_removed_tokens"] == 6
     assert out[2]["cleaned_text"] == texts[2]
     assert out[2]["n_removed_tokens"] == 0
+
+
+def test_non_ascii_corpus_matches_brute(spark):
+    """UTF-8 byte order == code-point order by design, so Spark's string
+    comparison and Python's sort agree on accented/CJK/emoji tokens —
+    pinned here because the whole suffix order rests on it."""
+    texts = [
+        "café über straße 中文 字 🎵 note café über",
+        "中文 字 appears again 中文 字 and café too",
+        "ASCII only words here",
+    ]
+    pos = corpus_positions(_docs(spark, texts))
+    sa, levels = suffix_array(pos)
+    got = [r["pos"] for r in sa.orderBy("sa_rank").collect()]
+    sufs, lcps = _brute(texts)
+    assert got == [s[1] for s in sufs]
+    got_lcp = {
+        (r["pos_a"], r["pos_b"]): r["lcp"]
+        for r in adjacent_lcp(sa, levels).collect()
+    }
+    assert got_lcp == {(a, b): n for a, b, n, *_ in lcps}
