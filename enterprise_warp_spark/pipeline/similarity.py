@@ -1314,6 +1314,12 @@ def semdedup_pairs(
                 4, _math.ceil(emb.count() / SEMDEDUP_TARGET_CELL_ROWS)
             )
         cents = deterministic_centroids(emb, n_cells, emb_col, id_col)
+    if assign == "auto":
+        # past ~32k cells the flat kernel is compute-quadratic in the
+        # production contract and its full-matrix broadcast grows past the
+        # driver budget (PERF.md r12: 61.8x vs 9.7x at 10x); one count of
+        # the tiny centroid table decides
+        assign = "hier" if cents.count() > 32_768 else "flat"
     if assign == "hier":
         # past ~1e5 cells the flat kernel's full centroid broadcast stops
         # fitting; the two-level path never ships more than sqrt(L) rows

@@ -33,6 +33,9 @@ def main(argv=None) -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--bpe-vocab", type=int, default=0,
                     help="train a byte-BPE of this size and encode (0=off)")
+    ap.add_argument("--fix-encoding", action="store_true",
+                    help="repair latin-1/cp1252 mojibake before scoring "
+                         "and dedup (pipeline.text.fix_mojibake)")
     args = ap.parse_args(argv)
 
     from enterprise_warp_spark.pipeline.curate import (
@@ -54,7 +57,11 @@ def main(argv=None) -> None:
         bpe_vocab_size=args.bpe_vocab or None,
         pack_seq_len=128 if args.bpe_vocab else None,
     )
-    out = prepare_training_corpus(docs, CurationConfig(), serving)
+    out = prepare_training_corpus(
+        docs, CurationConfig(fix_encoding=args.fix_encoding), serving
+    )
+    if "encoding_fixed" in out:
+        print(f"encoding repaired:      {out['encoding_fixed'].count()}")
 
     print(f"input documents:        {n0}")
     for stage in ("dropped_quality", "dropped_lang", "dropped_dup", "kept"):

@@ -398,3 +398,22 @@ def test_semdedup_pairs_hier_mode_matches_flat(spark):
     assert hier == flat and len(flat) > 0
     with pytest.raises(ValueError, match="assign"):
         semdedup_pairs(emb, n_cells=4, assign="nope").collect()
+
+
+def test_assign_auto_picks_flat_below_threshold(spark):
+    """assign='auto' with a small centroid table routes through the flat
+    kernel and matches the explicit flat call."""
+    from enterprise_warp_spark.pipeline.similarity import semdedup_pairs
+
+    emb = _emb_corpus(spark)
+    flat = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in semdedup_pairs(emb, threshold=0.999, n_cells=4).collect()
+    }
+    auto = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in semdedup_pairs(
+            emb, threshold=0.999, n_cells=4, assign="auto"
+        ).collect()
+    }
+    assert auto == flat and len(flat) > 0
