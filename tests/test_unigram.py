@@ -1,0 +1,124 @@
+"""Unigram-LM tokenizer (pipeline/unigram.py, Kudo 2018) — Viterbi vs a
+brute-force all-segmentations oracle, EM likelihood monotonicity, planted
+pattern recovery, lossless coverage, corpus encode."""
+
+import itertools
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_warp_spark.pipeline.tokenizer import word_counts
+from enterprise_warp_spark.pipeline.unigram import (
+    _viterbi,
+    candidate_pieces,
+    encode_corpus_unigram,
+    train_unigram,
+)
+
+
+def _brute_best_score(word, logp, max_len):
+    """Best segmentation SCORE by enumerating every split (exponential;
+    words kept short)."""
+    n = len(word)
+    best = -math.inf
+    for cuts in itertools.product([0, 1], repeat=max(n - 1, 0)):
+        pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+        pieces = [word[a:b] for a, b in zip(pos, pos[1:])]
+        if any(len(p) > max_len or p not in logp for p in pieces):
+            continue
+        best = max(best, sum(logp[p] for p in pieces))
+    return best
+
+
+def test_viterbi_matches_bruteforce_scores():
+    rng = random.Random(3)
+    for trial in range(30):
+        alphabet = "abc"
+        pieces = {"a", "b", "c"}
+        for _ in range(rng.randint(1, 6)):
+            pieces.add(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 4)))
+            )
+        logp = {p: rng.uniform(-5, -0.1) for p in pieces}
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+        got_pieces, got = _viterbi(word, logp, 4)
+        want = _brute_best_score(word, logp, 4)
+        assert got == pytest.approx(want), (trial, word)
+        assert "".join(got_pieces) == word
+
+
+def test_viterbi_unsegmentable_returns_none():
+    pieces, score = _viterbi("axe", {"a": -1.0, "e": -1.0}, 4)
+    assert pieces is None and score == -math.inf
+
+
+def test_candidate_pieces_cover_all_chars(spark):
+    counts = spark.createDataFrame(
+        [("hello", 3), ("help", 2)], ["word", "n"]
+    )
+    got = {r["piece"]: r["weight"] for r in candidate_pieces(counts).collect()}
+    for ch in "helop":
+        assert ch in got
+    assert got["hel"] == 5  # substring weight sums word frequencies
+    assert got["hello"] == 3
+
+
+def test_train_recovers_planted_pattern_and_ll_monotone(spark):
+    """A corpus dominated by one multi-char pattern: the trained vocab
+    keeps it as a single piece, segmentation uses it, and the hard-EM
+    corpus log-likelihood never decreases across iterations."""
+    docs = spark.createDataFrame(
+        [(i, "ababab " * 4 + "xyz") for i in range(30)]
+        + [(100 + i, "qrs tuv") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    counts = word_counts(docs)
+    model = train_unigram(counts, vocab_size=24, max_piece_len=6, n_iters=4)
+    assert model["vocab_size"] <= 24
+    assert "ababab" in model["logp"]
+    lls = model["train_ll"]
+    assert all(b >= a - 1e-6 for a, b in zip(lls, lls[1:])), lls
+    enc = encode_corpus_unigram(docs, model).filter(F.col("doc_id") == 0)
+    pieces = enc.collect()[0]["pieces"]
+    # the first word 'ababab' (6 chars) is one piece; later words carry
+    # the GPT-2-style leading space (' ababab', 7 chars > max_piece_len)
+    # and segment through the learned ' abab' + 'ab' pair
+    assert pieces.count("ababab") == 1
+    assert pieces.count(" abab") >= 3
+    assert "".join(pieces).startswith("ababab ababab")
+
+
+def test_encode_round_trips_and_unk(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc abc zz"), (2, "abc")], ["doc_id", "text"]
+    )
+    model = train_unigram(word_counts(docs), vocab_size=12, n_iters=2)
+    out = {r["doc_id"]: r for r in encode_corpus_unigram(docs, model).collect()}
+    # concatenated pieces reproduce each pre-token's characters exactly
+    assert "".join(out[2]["pieces"]).strip() == "abc"
+    assert out[1]["n_pieces"] >= 2
+    # unseen characters at encode time surface as <unk>, never an error
+    new = spark.createDataFrame([(3, "abc Q4")], ["doc_id", "text"])
+    enc = encode_corpus_unigram(new, model).collect()[0]
+    assert "<unk>" in enc["pieces"]
+
+
+def test_vocab_size_guards(spark):
+    counts = spark.createDataFrame([("abcdefgh", 1)], ["word", "n"])
+    with pytest.raises(ValueError, match="below the"):
+        train_unigram(counts, vocab_size=2)
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(counts, vocab_size=0)
+
+
+def test_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox " * 3) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    counts = word_counts(docs)
+    m1 = train_unigram(counts, vocab_size=30, n_iters=3)
+    m2 = train_unigram(counts, vocab_size=30, n_iters=3)
+    assert m1["logp"] == m2["logp"]
