@@ -82,6 +82,59 @@ def _viterbi(word: str, logp: dict[str, float], max_len: int):
     return pieces, best[n][0]
 
 
+def _forward_backward(word: str, logp: dict[str, float], max_len: int):
+    """Soft-EM statistics for one word: expected piece counts under the
+    FULL segmentation posterior (forward-backward over the segmentation
+    lattice, log-space) and the word's marginal log-likelihood
+    log Z = logsumexp over all segmentations. Returns (None, -inf) when
+    the word is unsegmentable."""
+    n = len(word)
+    NEG = float("-inf")
+
+    def ladd(a, b):
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = a if a > b else b
+        return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            if alpha[j] == NEG:
+                continue
+            lp = logp.get(word[j:i])
+            if lp is not None:
+                alpha[i] = ladd(alpha[i], alpha[j] + lp)
+    if alpha[n] == NEG:
+        return None, NEG
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for j in range(n - 1, -1, -1):
+        for i in range(j + 1, min(n, j + max_len) + 1):
+            if beta[i] == NEG:
+                continue
+            lp = logp.get(word[j:i])
+            if lp is not None:
+                beta[j] = ladd(beta[j], lp + beta[i])
+    z = alpha[n]
+    exp: dict[str, float] = {}
+    for j in range(n):
+        if alpha[j] == NEG:
+            continue
+        for i in range(j + 1, min(n, j + max_len) + 1):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None or beta[i] == NEG:
+                continue
+            exp[piece] = exp.get(piece, 0.0) + math.exp(
+                alpha[j] + lp + beta[i] - z
+            )
+    return exp, z
+
+
 def candidate_pieces(
     counts: DataFrame, max_piece_len: int = 8, max_candidates: int = MAX_CANDIDATES
 ) -> DataFrame:
@@ -117,18 +170,31 @@ def train_unigram(
     n_iters: int = 4,
     shrink: float = 0.75,
     max_candidates: int = MAX_CANDIDATES,
+    em: str = "hard",
 ) -> dict:
     """(word, n) table -> model dict {'logp': {piece: logp}, 'max_len',
     'vocab_size'}: EM-prune loop from the candidate set down to
-    vocab_size. Each round: hard-EM piece counts over the word table
-    (one Arrow pass, frequency-weighted), M-step renormalize, then prune
-    the lowest-probability removable pieces by the shrink factor (never
-    below vocab_size, never a single character). Final round re-fits
-    probabilities on the surviving vocabulary."""
+    vocab_size. Each round: piece statistics over the word table (one
+    Arrow pass, frequency-weighted), M-step renormalize, then prune the
+    lowest-probability removable pieces by the shrink factor (never below
+    vocab_size, never a single character). Final round re-fits
+    probabilities on the surviving vocabulary.
+
+    em="hard" counts the Viterbi path's pieces (fast, the classic
+    approximation); em="soft" is Kudo's actual E-step — EXPECTED piece
+    counts under the full segmentation posterior (forward-backward,
+    _forward_backward) with train_ll the true marginal log-likelihood,
+    which plain EM theory guarantees non-decreasing between prune-free
+    iterations. Both paths accumulate integer micro-nat counts so the
+    distributed sum is exact integer arithmetic — training is
+    bit-deterministic regardless of partitioning (the round-6 doctrine
+    applied to EM statistics)."""
     import pandas as pd
 
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if em not in ("hard", "soft"):
+        raise ValueError(f"em must be 'hard' or 'soft', got {em!r}")
     cand = candidate_pieces(counts, max_piece_len, max_candidates).collect()
     total0 = sum(r["weight"] for r in cand) or 1
     logp = {
@@ -152,15 +218,24 @@ def train_unigram(
             for pdf in batches:
                 rows = []
                 for w, n in zip(pdf["word"], pdf["n"]):
-                    pieces, score = _viterbi(str(w), lp, max_piece_len)
-                    if pieces is None:
-                        continue
-                    for p in pieces:
-                        rows.append((p, int(n)))
-                    # weighted corpus log-likelihood rides along as a
-                    # pseudo-piece row (score * n, scaled to int micro-nats
-                    # so the sum aggregate stays exact integer arithmetic)
-                    rows.append(("\x00LL", int(round(score * int(n) * 1e6))))
+                    n = int(n)
+                    if em == "soft":
+                        exp, z = _forward_backward(str(w), lp, max_piece_len)
+                        if exp is None:
+                            continue
+                        for p, c in exp.items():
+                            rows.append((p, int(round(c * n * 1e6))))
+                        rows.append(("\x00LL", int(round(z * n * 1e6))))
+                    else:
+                        pieces, score = _viterbi(str(w), lp, max_piece_len)
+                        if pieces is None:
+                            continue
+                        for p in pieces:
+                            rows.append((p, n * 1_000_000))
+                        # weighted corpus log-likelihood rides along as a
+                        # pseudo-piece row; everything is integer
+                        # micro-nats so the distributed sum is exact
+                        rows.append(("\x00LL", int(round(score * n * 1e6))))
                 yield pd.DataFrame(rows, columns=["piece", "c"])
 
         agg = (

@@ -122,3 +122,96 @@ def test_determinism(spark):
     m1 = train_unigram(counts, vocab_size=30, n_iters=3)
     m2 = train_unigram(counts, vocab_size=30, n_iters=3)
     assert m1["logp"] == m2["logp"]
+
+
+def _brute_posterior(word, logp, max_len):
+    """Expected piece counts + marginal logZ by enumerating EVERY
+    segmentation (exponential; short words only)."""
+    n = len(word)
+    segs = []
+    for cuts in itertools.product([0, 1], repeat=max(n - 1, 0)):
+        pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+        pieces = [word[a:b] for a, b in zip(pos, pos[1:])]
+        if any(len(p) > max_len or p not in logp for p in pieces):
+            continue
+        segs.append((pieces, sum(logp[p] for p in pieces)))
+    if not segs:
+        return None, -math.inf
+    mx = max(s for _, s in segs)
+    z = mx + math.log(sum(math.exp(s - mx) for _, s in segs))
+    exp = {}
+    for pieces, s in segs:
+        w = math.exp(s - z)
+        for p in pieces:
+            exp[p] = exp.get(p, 0.0) + w
+    return exp, z
+
+
+def test_forward_backward_matches_enumeration():
+    from enterprise_warp_spark.pipeline.unigram import _forward_backward
+
+    rng = random.Random(11)
+    for trial in range(25):
+        alphabet = "ab"
+        pieces = {"a", "b"}
+        for _ in range(rng.randint(1, 5)):
+            pieces.add(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 3)))
+            )
+        logp = {p: rng.uniform(-4, -0.2) for p in pieces}
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        got_exp, got_z = _forward_backward(word, logp, 3)
+        want_exp, want_z = _brute_posterior(word, logp, 3)
+        assert got_z == pytest.approx(want_z, abs=1e-10), (trial, word)
+        assert set(got_exp) == set(want_exp)
+        for p in want_exp:
+            assert got_exp[p] == pytest.approx(want_exp[p], abs=1e-10), (
+                trial, word, p,
+            )
+
+
+def test_forward_backward_unsegmentable():
+    from enterprise_warp_spark.pipeline.unigram import _forward_backward
+
+    exp, z = _forward_backward("axe", {"a": -1.0, "e": -1.0}, 3)
+    assert exp is None and z == -math.inf
+
+
+def test_soft_em_marginal_ll_monotone_without_pruning(spark):
+    """With a vocab budget big enough that no pruning fires, soft EM's
+    marginal log-likelihood must be non-decreasing every iteration — the
+    textbook EM guarantee, which hard (Viterbi) EM does not carry."""
+    docs = spark.createDataFrame(
+        [(i, "ababab abba baab " * 2) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    counts = word_counts(docs)
+    model = train_unigram(
+        counts, vocab_size=500, max_piece_len=5, n_iters=5, em="soft"
+    )
+    lls = model["train_ll"]
+    assert len(lls) == 5
+    assert all(b >= a - 1e-3 for a, b in zip(lls, lls[1:])), lls
+    assert model["train_ll"][-1] > model["train_ll"][0]
+
+
+def test_soft_and_hard_agree_on_planted_pattern(spark):
+    docs = spark.createDataFrame(
+        [(i, "ababab " * 4) for i in range(10)], ["doc_id", "text"]
+    )
+    counts = word_counts(docs)
+    hard = train_unigram(counts, vocab_size=20, max_piece_len=6, em="hard")
+    soft = train_unigram(counts, vocab_size=20, max_piece_len=6, em="soft")
+    assert "ababab" in hard["logp"] and "ababab" in soft["logp"]
+    with pytest.raises(ValueError, match="em must be"):
+        train_unigram(counts, vocab_size=20, em="nope")
+
+
+def test_soft_em_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "xy yx xyxy " * 2) for i in range(6)], ["doc_id", "text"]
+    )
+    counts = word_counts(docs)
+    m1 = train_unigram(counts, vocab_size=40, n_iters=3, em="soft")
+    m2 = train_unigram(counts, vocab_size=40, n_iters=3, em="soft")
+    assert m1["logp"] == m2["logp"] and m1["train_ll"] == m2["train_ll"]
