@@ -305,6 +305,38 @@ def exact_duplicate_spans(
     return left.unionByName(right).distinct()
 
 
+def exact_duplicate_spans_sharded(
+    docs: DataFrame,
+    n_shards: int,
+    min_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """The 100 TB recipe, executable: hash-partition documents into
+    n_shards, build each shard's suffix array independently (peak state
+    = one shard's position table, the bound that makes corpus-scale
+    suffix sorting tractable — the suffix-array dedup paper runs
+    per-chunk the same way), and union the per-shard span tables.
+
+    Coverage contract: every repeat whose occurrences share a shard is
+    found exactly; CROSS-shard repeats are missed by construction —
+    reconcile those with the hash-granularity operators (MinHash /
+    repeated_ngram_spans), which are shard-free. Same schema as
+    exact_duplicate_spans."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    spans = None
+    shard_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    for s in range(n_shards):
+        part = exact_duplicate_spans(
+            docs.filter(shard_of == s),
+            min_tokens, text_col, id_col, cross_doc_only,
+        )
+        spans = part if spans is None else spans.unionByName(part)
+    return spans
+
+
 def strip_exact_duplicate_spans(
     docs: DataFrame,
     min_tokens: int = 10,

@@ -180,3 +180,55 @@ def test_non_ascii_corpus_matches_brute(spark):
         for r in adjacent_lcp(sa, levels).collect()
     }
     assert got_lcp == {(a, b): n for a, b, n, *_ in lcps}
+
+
+def test_sharded_spans_subset_of_global_and_exact_within_shard(spark):
+    from enterprise_warp_spark.pipeline.suffix import (
+        exact_duplicate_spans_sharded,
+    )
+
+    texts = [
+        "the cat sat on the mat and slept there all day",  # 0
+        "the cat sat on the mat and slept there all day",  # 1 (dup of 0)
+        "a completely different document goes right here",  # 2
+        "another text where the cat sat on the mat appears",  # 3
+    ]
+    docs = _docs(spark, texts)
+    key = lambda r: (r["doc_id"], r["start_tok"], r["n_tokens"],  # noqa: E731
+                     r["twin_doc"])
+    global_spans = {
+        key(r) for r in exact_duplicate_spans(docs, min_tokens=6).collect()
+    }
+    sharded = {
+        key(r)
+        for r in exact_duplicate_spans_sharded(
+            docs, n_shards=2, min_tokens=6
+        ).collect()
+    }
+    # sharded never invents pairs
+    assert sharded <= global_spans
+    # pairs whose docs share a shard are found exactly
+    from pyspark.sql import functions as _F
+
+    shard = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", _F.pmod(_F.xxhash64("doc_id"), _F.lit(2)).alias("s")
+        ).collect()
+    }
+    want_within = {
+        k for k in global_spans if shard[k[0]] == shard[k[3]]
+    }
+    assert sharded == want_within
+    # n_shards=1 is exactly the global result
+    one = {
+        key(r)
+        for r in exact_duplicate_spans_sharded(
+            docs, n_shards=1, min_tokens=6
+        ).collect()
+    }
+    assert one == global_spans
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        exact_duplicate_spans_sharded(docs, n_shards=0)
