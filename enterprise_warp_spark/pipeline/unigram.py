@@ -292,29 +292,53 @@ def train_unigram(
     }
 
 
+def unigram_vocab(model: dict) -> dict[str, int]:
+    """Stable piece -> id map for a trained model: '<unk>' is id 0, the
+    pieces follow sorted ascending from 1 — a pure function of the piece
+    SET, so the same vocabulary gives the same ids on any engine, and
+    save_tokenizer/load_tokenizer JSON round-trips reproduce it."""
+    return {"<unk>": 0} | {
+        p: i + 1 for i, p in enumerate(sorted(model["logp"]))
+    }
+
+
 def encode_corpus_unigram(
-    docs: DataFrame, model: dict, text_col: str = "text"
+    docs: DataFrame, model: dict, text_col: str = "text",
+    output: str = "pieces",
 ) -> DataFrame:
-    """Add (pieces array<string>, n_pieces long) per document: Viterbi
-    segmentation of every pre-token under the model, with a per-batch
-    memo (each distinct word segments once per batch). Characters outside
-    the model's coverage become '<unk>' pieces — loud in the output, never
-    an error. Map-only; upstream partitioning preserved."""
+    """Viterbi-segment every pre-token under the model, per-batch memo
+    (each distinct word segments once per batch). Characters outside the
+    model's coverage become '<unk>' — loud in the output, never an error.
+    Map-only; upstream partitioning preserved.
+
+    output="pieces" adds (pieces array<string>, n_pieces long);
+    output="ids" adds (token_ids array<int>, n_tokens long) under the
+    stable unigram_vocab id space — the SAME schema the byte-BPE
+    encode_corpus emits, so packing (pack_documents) and every
+    downstream token consumer take either tokenizer unchanged."""
     import pandas as pd
 
     from enterprise_warp_spark.pipeline.tokenizer import _PY_PRETOKEN_RE
 
+    if output not in ("pieces", "ids"):
+        raise ValueError(f"output must be 'pieces' or 'ids', got {output!r}")
+    cols = (
+        ("pieces", "array<string>", "n_pieces")
+        if output == "pieces"
+        else ("token_ids", "array<int>", "n_tokens")
+    )
     out_schema = ", ".join(
         f"{name} {dtype}" for name, dtype in docs.dtypes
-    ) + ", pieces array<string>, n_pieces long"
+    ) + f", {cols[0]} {cols[1]}, {cols[2]} long"
     spark = docs.sparkSession
-    b = spark.sparkContext.broadcast((model["logp"], model["max_len"]))
+    ids = unigram_vocab(model) if output == "ids" else None
+    b = spark.sparkContext.broadcast((model["logp"], model["max_len"], ids))
 
     def kernel(batches):
-        lp, mx = b.value
-        memo: dict[str, list[str]] = {}
+        lp, mx, idmap = b.value
+        memo: dict[str, list] = {}
 
-        def seg(word: str) -> list[str]:
+        def seg(word: str) -> list:
             got = memo.get(word)
             if got is None:
                 pieces, _ = _viterbi(word, lp, mx)
@@ -323,21 +347,23 @@ def encode_corpus_unigram(
                     pieces = [
                         ch if ch in lp else "<unk>" for ch in word
                     ]
+                if idmap is not None:
+                    pieces = [idmap.get(p, 0) for p in pieces]
                 memo[word] = got = pieces
             return got
 
         for pdf in batches:
             out_p, out_n = [], []
             for t in pdf[text_col]:
-                pieces: list[str] = []
+                pieces: list = []
                 if t:
                     for w in _PY_PRETOKEN_RE.findall(t):
                         pieces.extend(seg(w))
                 out_p.append(pieces)
                 out_n.append(len(pieces))
             res = pdf.copy()
-            res["pieces"] = out_p
-            res["n_pieces"] = out_n
+            res[cols[0]] = out_p
+            res[cols[2]] = out_n
             yield res
 
     return docs.mapInPandas(kernel, out_schema)

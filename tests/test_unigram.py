@@ -215,3 +215,39 @@ def test_soft_em_deterministic(spark):
     m1 = train_unigram(counts, vocab_size=40, n_iters=3, em="soft")
     m2 = train_unigram(counts, vocab_size=40, n_iters=3, em="soft")
     assert m1["logp"] == m2["logp"] and m1["train_ll"] == m2["train_ll"]
+
+
+def test_ids_output_interops_with_bpe_schema_and_packing(spark, tmp_path):
+    """output='ids': the stable unigram_vocab id space, the byte-BPE
+    encode schema (token_ids/n_tokens) so pack_documents takes either
+    tokenizer, and JSON save/load reproduces ids exactly."""
+    from enterprise_warp_spark.pipeline.packing import pack_documents
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        load_tokenizer,
+        save_tokenizer,
+    )
+    from enterprise_warp_spark.pipeline.unigram import unigram_vocab
+
+    docs = spark.createDataFrame(
+        [(i, "abc abd abc") for i in range(6)], ["doc_id", "text"]
+    )
+    model = train_unigram(word_counts(docs), vocab_size=16, n_iters=2)
+    enc = encode_corpus_unigram(docs, model, output="ids")
+    assert {"token_ids", "n_tokens"} <= set(enc.columns)
+    rows = enc.collect()
+    vocab = unigram_vocab(model)
+    inv = {v: k for k, v in vocab.items()}
+    # ids decode back to the piece segmentation's characters
+    for r in rows:
+        text_back = "".join(inv[i] for i in r["token_ids"])
+        assert text_back.replace(" ", "") == r["text"].replace(" ", "")
+        assert r["n_tokens"] == len(r["token_ids"])
+    # packing consumes the schema unchanged
+    packed = pack_documents(enc, budget=16)
+    assert {"pack_id", "pack_offset"} <= set(packed.columns)
+    # model JSON round-trip preserves the id space bit-for-bit
+    p = str(tmp_path / "uni.json")
+    save_tokenizer(model, p)
+    assert unigram_vocab(load_tokenizer(p)) == vocab
+    with pytest.raises(ValueError, match="output"):
+        encode_corpus_unigram(docs, model, output="tokens").collect()
