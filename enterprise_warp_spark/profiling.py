@@ -46,6 +46,7 @@ def profile_table(
     rsd: float = 0.02,
     quantile_accuracy: int = 10_000,
     exact_quantiles: bool = False,
+    histogram_bins: int = 0,
 ) -> DataFrame:
     """-> one row per profiled column:
 
@@ -64,7 +65,14 @@ def profile_table(
     (column, value) stack and a single exact_rank_select call (staged
     histogram selection, operators/binning.py) resolves all of them
     together — the user pays O(log_B n) extra passes, never a global
-    sort. The one-job plan pin applies only to the default sketch path."""
+    sort. The one-job plan pin applies only to the default sketch path.
+
+    `histogram_bins` > 0 adds a `histogram` column for numeric columns —
+    array<struct<x double, y double>> of (centroid, count) bins from
+    Spark's streaming histogram aggregate (Ben-Haim & Tom-Tov, JMLR
+    2010) — still inside the SAME single wide aggregate (the one-job pin
+    holds). Bin centroids are merge-order-dependent (approximate by
+    design); counts sum to the non-null count exactly."""
     if columns is None:
         columns = [f.name for f in df.schema.fields]
     fields = {f.name: f.dataType for f in df.schema.fields}
@@ -127,6 +135,20 @@ def profile_table(
             )
         else:
             aggs.append(F.lit(None).cast("double").alias(f"{c}__mlen"))
+        if histogram_bins > 0:
+            if isinstance(dt, _NUMERIC):
+                aggs.append(
+                    F.expr(
+                        f"histogram_numeric(cast({q} as double), "
+                        f"{int(histogram_bins)})"
+                    ).alias(f"{c}__hist")
+                )
+            else:
+                aggs.append(
+                    F.lit(None)
+                    .cast("array<struct<x: double, y: double>>")
+                    .alias(f"{c}__hist")
+                )
 
     row = df.agg(*aggs).collect()[0]
     n = row["__n"]
@@ -156,31 +178,39 @@ def profile_table(
             q = None  # all-null numeric column: no rank to select
         else:
             q = row[f"{c}__q"]
-        out.append(
-            (
-                c,
-                fields[c].simpleString(),
-                n,
-                row[f"{c}__nnull"],
-                round(row[f"{c}__nnull"] / n, 6) if n else 0.0,
-                row[f"{c}__dist"],
-                row[f"{c}__min"],
-                row[f"{c}__max"],
-                row[f"{c}__mean"],
-                row[f"{c}__std"],
-                float(q[0]) if q is not None else None,
-                float(q[1]) if q is not None else None,
-                row[f"{c}__mode"],
-                row[f"{c}__mlen"],
-            )
+        vals = (
+            c,
+            fields[c].simpleString(),
+            n,
+            row[f"{c}__nnull"],
+            round(row[f"{c}__nnull"] / n, 6) if n else 0.0,
+            row[f"{c}__dist"],
+            row[f"{c}__min"],
+            row[f"{c}__max"],
+            row[f"{c}__mean"],
+            row[f"{c}__std"],
+            float(q[0]) if q is not None else None,
+            float(q[1]) if q is not None else None,
+            row[f"{c}__mode"],
+            row[f"{c}__mlen"],
         )
-    return df.sparkSession.createDataFrame(
-        out,
+        if histogram_bins > 0:
+            h = row[f"{c}__hist"]
+            vals = vals + (
+                [(float(b["x"]), float(b["y"])) for b in h]
+                if h is not None
+                else None,
+            )
+        out.append(vals)
+    schema = (
         "column string, dtype string, n_rows long, n_null long, "
         "null_rate double, approx_distinct long, min string, max string, "
         "mean double, stddev double, p50 double, p95 double, mode string, "
-        "mean_length double",
+        "mean_length double"
     )
+    if histogram_bins > 0:
+        schema += ", histogram array<struct<x: double, y: double>>"
+    return df.sparkSession.createDataFrame(out, schema)
 
 
 def profile_checks(

@@ -120,3 +120,29 @@ def test_profile_checks_respects_build_rsd(spark):
     loose = profile_checks(prof, unique=("id",), rsd=0.05).collect()
     get = lambda rs: {r["check"]: r["passed"] for r in rs}["unique"]
     assert get(strict) is False and get(loose) is True
+
+
+def test_histogram_bins_inside_the_single_job(spark, sf_dir):
+    """histogram_bins adds per-numeric-column Ben-Haim/Tom-Tov histograms
+    WITHOUT breaking the one-aggregate plan pin; bin counts sum exactly
+    to the non-null count, centroids lie within [min, max], non-numerics
+    stay null."""
+    orders = table(spark, sf_dir, "orders")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    prof = {
+        r["column"]: r
+        for r in profile_table(orders, histogram_bins=8).collect()
+    }
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after - before <= 3  # same budget as the histogram-free pin
+    tp = prof["o_totalprice"]
+    h = tp["histogram"]
+    assert h is not None and 1 <= len(h) <= 8
+    nn = tp["n_rows"] - tp["n_null"]
+    assert sum(b["y"] for b in h) == pytest.approx(nn)
+    lo, hi = float(tp["min"]), float(tp["max"])
+    assert all(lo - 1e-9 <= b["x"] <= hi + 1e-9 for b in h)
+    assert prof["o_orderpriority"]["histogram"] is None
+    # default keeps the old schema
+    assert "histogram" not in profile_table(orders).columns
