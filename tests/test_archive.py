@@ -256,3 +256,44 @@ def test_read_archive_recurse_end_to_end(spark, tmp_path):
         "shard0.zip!docs/a.txt", "shard1.zip!docs/a.txt"
     }
     assert all(bytes(r.payload) == MEMBERS["docs/a.txt"] for r in rows)
+
+
+def test_nested_inner_truncation_flag_propagates():
+    """A zip member that is itself a TRUNCATED zip: its recoverable inner
+    members surface with archive_truncated=True while siblings from the
+    intact outer stay clean."""
+    z = _zip_bytes()
+    cut = z[: z.find(b"PK\x01\x02")]  # inner zip loses its central dir
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("broken.zip")
+        info.size = len(cut)
+        tf.addfile(info, io.BytesIO(cut))
+        info = tarfile.TarInfo("fine.txt")
+        info.size = 4
+        tf.addfile(info, io.BytesIO(b"fine"))
+    rows = {
+        r["member"]: r
+        for r in parse_archive_bytes(buf.getvalue(), "x", recurse=1)
+    }
+    inner = [m for m in rows if m.startswith("broken.zip!")]
+    assert len(inner) == len(MEMBERS)
+    assert all(rows[m]["archive_truncated"] for m in inner)
+    assert rows["fine.txt"]["archive_truncated"] is False
+    assert rows["broken.zip!docs/a.txt"]["payload"] == MEMBERS["docs/a.txt"]
+
+
+def test_zip_of_tars_expands_too():
+    """The opposite nesting (zip containing tars) goes through the same
+    recursion."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("inner.tar", _tar_bytes())
+        zf.writestr("plain.bin", b"\x01\x02")
+    rows = {
+        r["member"]: r
+        for r in parse_archive_bytes(buf.getvalue(), "x", recurse=1)
+    }
+    assert {f"inner.tar!{m}" for m in MEMBERS} <= set(rows)
+    assert rows["inner.tar!data/c.bin"]["payload"] == MEMBERS["data/c.bin"]
+    assert rows["plain.bin"]["payload"] == b"\x01\x02"
