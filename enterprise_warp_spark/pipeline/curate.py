@@ -141,10 +141,28 @@ class ServingConfig:
                        on the served corpus itself, then encode with it
     pack_seq_len       with token ids present, also emit `packed`: pack
                        assignments at this token budget (pipeline.packing)
+    semdedup_embeddings
+                       embeddings table (id col matching doc_id + an
+                       `embedding` array) — when set, a SemDeDup stage
+                       runs after curation: within-cell semantic near-
+                       duplicates above semdedup_threshold are dropped
+                       down to one representative per component. Cell
+                       assignment uses assign='auto', which routes to the
+                       hierarchical two-level quantizer whenever the cell
+                       count exceeds the flat Arrow kernel's measured
+                       knee (~32k cells, PERF.md r12) — the recipe can
+                       never take the quadratic flat path at production
+                       cell counts
+    semdedup_threshold / semdedup_n_cells / semdedup_centroids
+                       forwarded to pipeline.similarity.semdedup_keep_list
     """
 
     quality_model: object | None = None
     quality_threshold: float = 0.5
+    semdedup_embeddings: DataFrame | None = None
+    semdedup_threshold: float = 0.95
+    semdedup_n_cells: int | None = None
+    semdedup_centroids: DataFrame | None = None
     cap_per_source: int | None = None
     source_col: str = "source"
     mixture_weights: Mapping[str, float] | None = field(default=None)
@@ -183,6 +201,36 @@ def prepare_training_corpus(
 
     out = curate_corpus(docs, curation)
     kept = out["kept"]
+    if serving.semdedup_embeddings is not None:
+        # semantic dedup right after the lexical stages (the SemDeDup
+        # recipe order); assign='auto' so the quantizer switches to the
+        # hierarchical path past the flat kernel's measured knee — at
+        # production cell counts the recipe can never go quadratic
+        from enterprise_warp_spark.pipeline.similarity import (
+            semdedup_keep_list,
+        )
+
+        keep = semdedup_keep_list(
+            serving.semdedup_embeddings.join(
+                kept.select(F.col("doc_id").alias("vec_id")), "vec_id",
+                "left_semi",
+            ),
+            threshold=serving.semdedup_threshold,
+            n_cells=serving.semdedup_n_cells,
+            centroids=serving.semdedup_centroids,
+            assign="auto",
+        )
+        before = kept
+        kept = kept.join(
+            keep.select(F.col("vec_id").alias("doc_id")), "doc_id",
+            "left_semi",
+        )
+        out["dropped_semdedup"] = before.join(
+            kept.select("doc_id"), "doc_id", "left_anti"
+        )
+        out["kept"] = kept  # semantic dedup is part of the keep-set (the
+        # later serving stages — quality model, caps, mixture — only
+        # narrow `corpus`, preserving corpus <= kept)
     if serving.quality_model is not None:
         from enterprise_warp_spark.pipeline.classify import quality_filter
 

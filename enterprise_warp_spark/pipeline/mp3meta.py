@@ -136,40 +136,59 @@ def _decode_id3_text(raw: bytes) -> str | None:
 
 
 _ID3_WANTED = {"TIT2": "title", "TPE1": "artist", "TALB": "album"}
+_ID3V22_WANTED = {"TT2": "title", "TP1": "artist", "TAL": "album"}
 
 
 def _parse_id3v2(b: bytes) -> tuple[int, dict]:
-    """-> (tag_total_size, {title/artist/album}) — 0, {} when absent."""
+    """-> (tag_total_size, {title/artist/album}) — 0, {} when absent.
+
+    Handles the three wild layouts: v2.2 (3-byte frame ids + 3-byte
+    big-endian sizes: TT2/TP1/TAL), v2.3 (4-byte ids, plain 32-bit
+    sizes), v2.4 (syncsafe frame sizes). A tag with the unsynchronisation
+    flag (header byte 5 bit 7) is de-unsynchronised (FF 00 -> FF, the
+    exact inverse of the spec's insertion rule) before the frame walk; a
+    v2.2 tag with the compression bit set is skipped whole, as the v2.2
+    spec prescribes (no scheme was ever defined)."""
     if len(b) < 10 or b[:3] != b"ID3":
         return 0, {}
-    major = b[3]
+    major, flags = b[3], b[5]
     size = _syncsafe(b[6:10])
-    end = min(10 + size, len(b))
+    total = 10 + size
+    if major < 2 or (major == 2 and flags & 0x40):
+        return total, {}  # unknown layout / v2.2 compressed tag
+    body = b[10 : min(total, len(b))]
+    if flags & 0x80:  # unsynchronised tag body
+        body = body.replace(b"\xff\x00", b"\xff")
     out: dict = {}
-    pos = 10
-    if b[5] & 0x40 and end - pos >= 4:  # extended header: skip it
-        ext = _syncsafe(b[pos : pos + 4]) if major >= 4 else struct.unpack_from(
-            ">I", b, pos
+    pos = 0
+    end = len(body)
+    if major >= 3 and flags & 0x40 and end >= 4:  # extended header: skip
+        ext = _syncsafe(body[0:4]) if major >= 4 else struct.unpack_from(
+            ">I", body, 0
         )[0] + 4
         pos += max(ext, 4)
-    while pos + 10 <= end:
-        fid = b[pos : pos + 4]
+    hdr_len = 6 if major == 2 else 10
+    wanted = _ID3V22_WANTED if major == 2 else _ID3_WANTED
+    id_len = 3 if major == 2 else 4
+    while pos + hdr_len <= end:
+        fid = body[pos : pos + id_len]
         if not fid.strip(b"\x00"):
             break  # padding
-        fsize = (
-            _syncsafe(b[pos + 4 : pos + 8])
-            if major >= 4
-            else struct.unpack_from(">I", b, pos + 4)[0]
-        )
-        if fsize <= 0 or pos + 10 + fsize > end:
+        if major == 2:
+            fsize = int.from_bytes(body[pos + 3 : pos + 6], "big")
+        elif major >= 4:
+            fsize = _syncsafe(body[pos + 4 : pos + 8])
+        else:
+            fsize = struct.unpack_from(">I", body, pos + 4)[0]
+        if fsize <= 0 or pos + hdr_len + fsize > end:
             break
-        name = _ID3_WANTED.get(fid.decode("latin-1", "replace"))
+        name = wanted.get(fid.decode("latin-1", "replace"))
         if name and name not in out:
-            txt = _decode_id3_text(b[pos + 10 : pos + 10 + fsize])
+            txt = _decode_id3_text(body[pos + hdr_len : pos + hdr_len + fsize])
             if txt:
                 out[name] = txt
-        pos += 10 + fsize
-    return 10 + size, out
+        pos += hdr_len + fsize
+    return total, out
 
 
 def _parse_id3v1(b: bytes) -> dict:

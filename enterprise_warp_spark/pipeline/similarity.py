@@ -1025,6 +1025,12 @@ def pq_topk_reranked(
 # (Abbas et al. 2023 scale n_cells with corpus size for the same reason)
 SEMDEDUP_TARGET_CELL_ROWS = 500
 
+# assign='auto' knee: above this many cells the flat Arrow argmin kernel
+# (full centroid-matrix broadcast, corpus x n_cells FLOPs) loses to the
+# two-level hierarchical quantizer — measured in PERF.md r12 (flat 61.8x
+# per input decade vs hier 9.7x; 2M x 200k cells: hier 644s, flat ~3.5h)
+SEMDEDUP_FLAT_MAX_CELLS = 32_768
+
 
 def _assign_cells_arrow(
     n: DataFrame, cents: DataFrame, emb_col: str, id_col: str
@@ -1315,11 +1321,11 @@ def semdedup_pairs(
             )
         cents = deterministic_centroids(emb, n_cells, emb_col, id_col)
     if assign == "auto":
-        # past ~32k cells the flat kernel is compute-quadratic in the
-        # production contract and its full-matrix broadcast grows past the
-        # driver budget (PERF.md r12: 61.8x vs 9.7x at 10x); one count of
-        # the tiny centroid table decides
-        assign = "hier" if cents.count() > 32_768 else "flat"
+        # past the measured knee the flat kernel is compute-quadratic in
+        # the production contract and its full-matrix broadcast grows past
+        # the driver budget (PERF.md r12: 61.8x vs 9.7x at 10x); one count
+        # of the tiny centroid table decides
+        assign = "hier" if cents.count() > SEMDEDUP_FLAT_MAX_CELLS else "flat"
     if assign == "hier":
         # past ~1e5 cells the flat kernel's full centroid broadcast stops
         # fitting; the two-level path never ships more than sqrt(L) rows
@@ -1394,13 +1400,19 @@ def semdedup_keep_list(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    assign: str = "flat",
 ) -> DataFrame:
     """Rows surviving SemDeDup: one representative (min id) per connected
     semantic-duplicate component, everything unpaired untouched. Reuses the
-    transitive min-label keep-list from pipeline/dedup.py."""
+    transitive min-label keep-list from pipeline/dedup.py. `assign` is
+    forwarded to semdedup_pairs ('auto' switches to the hierarchical
+    quantizer past the flat kernel's knee — what production call sites
+    such as curate.prepare_training_corpus use)."""
     from enterprise_warp_spark.pipeline.dedup import cluster_keep_list
 
-    pairs = semdedup_pairs(emb, threshold, n_cells, emb_col, id_col, centroids)
+    pairs = semdedup_pairs(
+        emb, threshold, n_cells, emb_col, id_col, centroids, assign=assign
+    )
     return cluster_keep_list(
         emb, pairs.withColumnRenamed("vec_a", "doc_a").withColumnRenamed(
             "vec_b", "doc_b"

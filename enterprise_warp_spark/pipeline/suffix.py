@@ -160,7 +160,8 @@ def corpus_positions(
             )
             yield res[["doc_id", "__off"]]
 
-    doc_offs = staged.mapInPandas(cumsum, "doc_id long, __off long")
+    id_type = dict(staged.dtypes)["doc_id"]
+    doc_offs = staged.mapInPandas(cumsum, f"doc_id {id_type}, __off long")
     return (
         toks.join(doc_offs, "doc_id")
         .select(
@@ -233,7 +234,9 @@ def adjacent_lcp(
     sa: DataFrame, levels: list[tuple[int, DataFrame]]
 ) -> DataFrame:
     """Adjacent pairs in suffix order -> their exact LCP in tokens:
-    (pos_a, doc_a, idx_a, pos_b, doc_b, idx_b, lcp). The walk: for levels
+    (pos_a, doc_a, idx_a, rank_a, pos_b, doc_b, idx_b, lcp), rank_a being
+    the left suffix's sa_rank (consecutive ranks = adjacent pairs, which
+    lets exact_duplicate_spans cluster maximal runs). The walk: for levels
     widest-first, if the width-w prefixes at (a + lcp) and (b + lcp) have
     equal rank, the suffixes share w more tokens. Two position-joins per
     level over the n-1 adjacent pairs. Sentinel tokens are unique per doc,
@@ -241,7 +244,8 @@ def adjacent_lcp(
     sentinel itself: equal-rank requires equal tokens)."""
     a = sa.select(
         F.col("pos").alias("pos_a"), F.col("doc_id").alias("doc_a"),
-        F.col("idx").alias("idx_a"), (F.col("sa_rank") + 1).alias("__nxt"),
+        F.col("idx").alias("idx_a"), F.col("sa_rank").alias("rank_a"),
+        (F.col("sa_rank") + 1).alias("__nxt"),
     )
     b = sa.select(
         F.col("pos").alias("pos_b"), F.col("doc_id").alias("doc_b"),
@@ -281,28 +285,94 @@ def exact_duplicate_spans(
     cross_doc_only: bool = True,
 ) -> DataFrame:
     """EXACT repeated token spans of >= min_tokens across the corpus ->
-    (doc_id, start_tok int, n_tokens int, twin_doc, twin_start): every
-    suffix whose neighbor in suffix order shares >= min_tokens, reported
-    from BOTH sides (downstream span-removal consumes per-doc coverage;
-    maximal repeats appear as runs of adjacent positions, exactly as in
-    the suffix-array dedup paper). cross_doc_only=False also reports
-    repeats within one document (self-plagiarism/boilerplate)."""
+    (doc_id, start_tok int, n_tokens int, twin_doc, twin_start): one row
+    per token position whose suffix shares a >= min_tokens prefix with a
+    suffix of ANOTHER document (any other position when
+    cross_doc_only=False), n_tokens being the MAXIMAL such shared length
+    and (twin_doc, twin_start) an occurrence achieving it.
+
+    Exactness: LCP(i, j) = min of the adjacent LCPs between i and j in
+    suffix order, so qualifying positions are exactly the members of
+    maximal RUNS of adjacent suffixes with lcp >= min_tokens, and the
+    per-member maximum is a path-min maximized over admissible targets.
+    Runs are clustered by consecutive sa_rank (gaps-and-islands over the
+    filtered edge table, two-pass rank — no global window) and each run
+    is resolved by a linear two-directional sweep keeping the best two
+    path-min candidates from DISTINCT documents (the classic top-2 trick:
+    all candidate values decay through the same edge-min, so order among
+    live candidates never changes and two distinct-doc slots dominate any
+    evicted one). A run's rows stay on one worker — run length equals the
+    duplication multiplicity of its span, the same skew any ExactSubstr
+    clustering carries.
+
+    cross_doc_only=False also reports repeats within one document
+    (self-plagiarism/boilerplate): the admissibility test drops the
+    different-doc requirement, everything else is identical."""
     pos = corpus_positions(docs, text_col, id_col)
     sa, levels = suffix_array(pos)
-    pairs = adjacent_lcp(sa, levels).filter(F.col("lcp") >= min_tokens)
-    if cross_doc_only:
-        pairs = pairs.filter(F.col("doc_a") != F.col("doc_b"))
-    left = pairs.select(
-        F.col("doc_a").alias(id_col), F.col("idx_a").alias("start_tok"),
-        F.col("lcp").alias("n_tokens"),
-        F.col("doc_b").alias("twin_doc"), F.col("idx_b").alias("twin_start"),
+    edges = adjacent_lcp(sa, levels).filter(F.col("lcp") >= min_tokens)
+    # gaps-and-islands: consecutive rank_a values = one run
+    edges = _two_pass_dense_rank(
+        edges.select(
+            "rank_a", "doc_a", "idx_a", "doc_b", "idx_b", "lcp"
+        ),
+        ["rank_a"],
+        "__eidx",
+    ).withColumn("__run", F.col("rank_a") - F.col("__eidx"))
+    id_type = dict(edges.dtypes)["doc_a"]
+    out_schema = (
+        f"{id_col} {id_type}, start_tok int, n_tokens int, "
+        f"twin_doc {id_type}, twin_start int"
     )
-    right = pairs.select(
-        F.col("doc_b").alias(id_col), F.col("idx_b").alias("start_tok"),
-        F.col("lcp").alias("n_tokens"),
-        F.col("doc_a").alias("twin_doc"), F.col("idx_a").alias("twin_start"),
-    )
-    return left.unionByName(right).distinct()
+    cross = bool(cross_doc_only)
+    min_t = int(min_tokens)
+    inf = 1 << 62
+
+    def resolve_run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("rank_a")
+        member_doc = list(pdf["doc_a"]) + [pdf["doc_b"].iloc[-1]]
+        member_idx = [int(v) for v in pdf["idx_a"]] + [
+            int(pdf["idx_b"].iloc[-1])
+        ]
+        lcps = [int(v) for v in pdf["lcp"]]
+        k = len(member_doc)
+        best = [(0, None, None)] * k
+
+        def sweep(forward):
+            order = range(k) if forward else range(k - 1, -1, -1)
+            top = []  # [(path_min, doc, start)] desc, distinct docs, <=2
+            for step, t in enumerate(order):
+                d = member_doc[t]
+                for v, td, ti in top:
+                    if (not cross) or td != d:
+                        if v > best[t][0]:
+                            best[t] = (v, td, ti)
+                        break
+                top = [e for e in top if e[1] != d]
+                top.append((inf, d, member_idx[t]))
+                top.sort(key=lambda e: -e[0])
+                top = top[:2]
+                if step < k - 1:
+                    e = lcps[t] if forward else lcps[t - 1]
+                    top = [(min(v, e), td, ti) for v, td, ti in top]
+
+        sweep(True)
+        sweep(False)
+        rows = [
+            (member_doc[t], member_idx[t], best[t][0], best[t][1],
+             best[t][2])
+            for t in range(k)
+            if best[t][0] >= min_t and best[t][1] is not None
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[id_col, "start_tok", "n_tokens", "twin_doc",
+                     "twin_start"],
+        )
+
+    return edges.groupBy("__run").applyInPandas(resolve_run, out_schema)
 
 
 def exact_duplicate_spans_sharded(

@@ -225,7 +225,8 @@ _HYGIENE_ORACLE = f"""
     SELECT 'wrc', 'conversion', doc_id,
            CAST(octet_length(encode(text)) AS DOUBLE),
            substr(md5(text), 1, 16)
-    FROM documents WHERE doc_id % 5 = 0
+    FROM (SELECT doc_id, text FROM documents
+          WHERE doc_id % 5 = 0 ORDER BY doc_id LIMIT 4096)
     UNION ALL
     SELECT 'nfc', '', doc_id,
            CAST(length(nfc_normalize(text || {_NFC_SUFFIX_SQL})) AS DOUBLE),
@@ -526,7 +527,9 @@ def _wrc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC/WET source round-trip gate (VERDICT r8 Next #7, the [pii]
     constructed-expected pattern): spell a deterministic documents subset
     as a real .warc.gz via the hermetic encode_warc twin (driver-side by
-    design; the subset is bounded at 1/5 of the docs table), ingest it
+    design; the subset is HARD-CAPPED at the 4096 lowest qualifying
+    doc_ids — non-binding at driver sfs, so a larger sf saturates the
+    fixture instead of ballooning the driver copy), ingest it
     through the REAL read_warc source — binaryFile + gzip member walk +
     Arrow-batched header/payload parse — and hash-check type, URI-derived
     id, byte length and content md5 against SQL rows built directly from
@@ -542,8 +545,9 @@ def _wrc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 5 == 0)
         .select("doc_id", "lang", "text")
         .orderBy("doc_id")
-        .collect()
-    )
+        .limit(4096)  # hard bound on the driver copy: non-binding at any
+        .collect()    # driver sf (100 rows at sf0.01, 1000 at sf0.1); the
+    )                 # oracle applies the identical ORDER BY/LIMIT
     recs = [
         {
             "warc_type": "conversion",

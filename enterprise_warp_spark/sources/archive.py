@@ -56,14 +56,44 @@ def _zip_members_tolerant(
     descriptor we can't trust without the central directory) is skipped,
     NOT fatal: the walk advances past its header and re-synchronises on
     the next PK\\x03\\x04 signature, so fully-parseable members AFTER a
-    streamed one are still recovered. Same for a corrupt deflate body."""
+    streamed one are still recovered. Same for a corrupt deflate body.
+
+    Re-sync candidates are VALIDATED before being emitted: the scan after
+    a skipped entry runs through that entry's untrusted compressed body,
+    where the 4 signature bytes can occur by chance (2^-32 per offset —
+    near-certain somewhere in a multi-GB dump). A candidate is accepted
+    only if its header is plausible (known method, sane name length, body
+    in bounds) AND the byte right after its body is another PK frame or
+    EOF — a chance match inside deflate output fails that alignment check
+    and the scan keeps looking instead of fabricating a member row."""
     import zlib
 
+    def _plausible(at: int) -> bool:
+        if at + 30 > len(data):
+            return False
+        _v, fl, meth, _t2, _d2, _c, cs, _u, nl, xl = struct.unpack_from(
+            "<HHHHHIIIHH", data, at + 4
+        )
+        if meth not in (0, 8) or nl == 0 or nl > 1024 or xl > 4096:
+            return False
+        body = at + 30 + nl + xl
+        if fl & 0x08:  # a streamed header is a legitimate frame to
+            return True  # re-sync ON (it gets skipped again below)
+        end = body + cs
+        if end > len(data):
+            return False
+        return end == len(data) or data[end : end + 2] == b"PK"
+
     pos = 0
+    resyncing = False
     while True:
         pos = data.find(b"PK\x03\x04", pos)
         if pos < 0 or pos + 30 > len(data):
             return
+        if resyncing and not _plausible(pos):
+            pos += 1  # chance signature inside a skipped body: keep looking
+            continue
+        resyncing = False
         (
             _ver,
             flags,
@@ -83,6 +113,7 @@ def _zip_members_tolerant(
             # occasionally real even with 0x08 — use it as a hint when
             # sane so the scan doesn't re-match inside this entry's body)
             pos = body_at + csize if 0 < csize <= len(data) - body_at else body_at
+            resyncing = True
             continue
         raw = data[body_at : body_at + csize]
         if len(raw) < csize:
@@ -107,6 +138,7 @@ def _zip_members_tolerant(
                 continue
         except zlib.error:
             pos = body_at + csize  # corrupt body: re-sync, keep walking
+            resyncing = True
             continue
         yield name, usize, payload
         pos = body_at + csize

@@ -175,6 +175,36 @@ def test_streamed_entry_does_not_abort_walk():
     assert all(r["archive_truncated"] for r in rows.values())
 
 
+def test_resync_rejects_fabricated_member_in_streamed_body():
+    """A streamed entry whose compressed body happens to CONTAIN a valid-
+    looking local-header signature: the r12 walk emitted a garbage member
+    from it; the validated re-sync must skip it (the byte after its fake
+    body is not another PK frame) and still recover the real member."""
+    import struct as _struct
+    import zlib
+
+    small = zlib.compress(b"after data")[2:-4]
+    # fake stored member embedded in the streamed entry's opaque body —
+    # plausible enough for the old walk to emit ("xyz", b"ABCD")
+    fake = (
+        b"PK\x03\x04"
+        + _struct.pack("<HHHHHIIIHH", 20, 0, 0, 0, 0, 0, 4, 4, 3, 0)
+        + b"xyz"
+        + b"ABCD"
+    )
+    streamed_body = b"\x01\x02" + fake + b"GARBAGE NOISE"
+    hdr_s = b"PK\x03\x04" + _struct.pack(
+        "<HHHHHIIIHH", 20, 0x08, 8, 0, 0, 0, 0, 0, len("s.bin"), 0
+    )
+    hdr_a = b"PK\x03\x04" + _struct.pack(
+        "<HHHHHIIIHH", 20, 0, 8, 0, 0, 0, len(small), 10, len("after.txt"), 0
+    )
+    data = hdr_s + b"s.bin" + streamed_body + hdr_a + b"after.txt" + small
+    rows = {r["member"]: r for r in parse_archive_bytes(data, "x")}
+    assert "xyz" not in rows  # the fabricated member is rejected
+    assert rows["after.txt"]["payload"] == b"after data"
+
+
 def _nested_tar_of_zips() -> bytes:
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode="w") as tf:

@@ -593,6 +593,108 @@ def test_prepare_training_corpus_end_to_end(spark, sf_dir):
     assert again == ids
 
 
+def test_prepare_training_corpus_semdedup_auto_switch(spark, sf_dir, monkeypatch):
+    """Recipe-level pin of the assign='auto' knee (VERDICT r12 Next #8):
+    with a centroid table past SEMDEDUP_FLAT_MAX_CELLS the recipe's
+    SemDeDup stage must take the hierarchical quantizer and must NEVER
+    flat-assign the corpus (the quadratic path); below the knee it takes
+    flat. Also checks the stage actually removes a semantic duplicate."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline import similarity
+    from enterprise_warp_spark.pipeline.curate import (
+        CurationConfig,
+        ServingConfig,
+        prepare_training_corpus,
+    )
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    base = prepare_training_corpus(docs, CurationConfig(min_tokens=5))
+    kept_ids = sorted(
+        r["doc_id"] for r in base["kept"].select("doc_id").collect()
+    )
+    assert len(kept_ids) >= 2
+    dup_a, dup_b = kept_ids[0], kept_ids[1]
+
+    def mk_emb(ids):
+        # deterministic 4-dim embeddings; dup_b clones dup_a's vector
+        src = [(i, i if i != dup_b else dup_a) for i in ids]
+        return spark.createDataFrame(src, ["vec_id", "__s"]).select(
+            "vec_id",
+            F.array(
+                F.cos("__s"), F.sin("__s"),
+                F.cos(F.col("__s") * 0.7), F.sin(F.col("__s") * 0.31),
+            ).alias("embedding"),
+        )
+
+    emb = mk_emb(kept_ids)
+
+    def mk_cents(n):
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("cell_id"),
+                F.array(
+                    F.cos("id"), F.sin("id"),
+                    F.cos(F.col("id") * 0.7), F.sin(F.col("id") * 0.31),
+                ).alias("c_emb"),
+            )
+            .withColumn(
+                "c_nsq",
+                F.aggregate(
+                    "c_emb", F.lit(0.0), lambda a, x: a + x * x
+                ),
+            )
+        )
+
+    seen = {"hier": 0, "flat_corpus": 0}
+    real_hier = similarity.assign_cells_hierarchical
+    real_flat = similarity._assign_cells_arrow
+
+    def spy_hier(*a, **k):
+        seen["hier"] += 1
+        return real_hier(*a, **k)
+
+    def spy_flat(n, cents, emb_col, id_col, *a, **k):
+        if id_col == "vec_id":  # the corpus-level flat assignment; the
+            seen["flat_corpus"] += 1  # hier path's internal centroid->
+        return real_flat(n, cents, emb_col, id_col, *a, **k)  # super use
+        # of the same kernel is legitimate (L x sqrt(L))
+
+    monkeypatch.setattr(similarity, "assign_cells_hierarchical", spy_hier)
+    monkeypatch.setattr(similarity, "_assign_cells_arrow", spy_flat)
+
+    big = similarity.SEMDEDUP_FLAT_MAX_CELLS + 1
+    out = prepare_training_corpus(
+        docs,
+        CurationConfig(min_tokens=5),
+        ServingConfig(
+            semdedup_embeddings=emb,
+            semdedup_threshold=1.0,
+            semdedup_centroids=mk_cents(big),
+        ),
+    )
+    assert seen["hier"] == 1 and seen["flat_corpus"] == 0
+    kept_after = {r["doc_id"] for r in out["kept"].select("doc_id").collect()}
+    assert dup_a in kept_after and dup_b not in kept_after
+    assert {r["doc_id"] for r in out["dropped_semdedup"].collect()} == {dup_b}
+
+    # below the knee the auto switch stays on the flat kernel
+    out2 = prepare_training_corpus(
+        docs,
+        CurationConfig(min_tokens=5),
+        ServingConfig(
+            semdedup_embeddings=emb,
+            semdedup_threshold=1.0,
+            semdedup_centroids=mk_cents(64),
+        ),
+    )
+    assert seen["hier"] == 1 and seen["flat_corpus"] == 1
+    kept2 = {r["doc_id"] for r in out2["kept"].select("doc_id").collect()}
+    assert dup_b not in kept2
+
+
 def test_prepare_training_corpus_tokenize_and_pack(spark, sf_dir):
     """r6: the recipe optionally trains a BPE on the served corpus, encodes
     it (token_ids/n_tokens ride the served rows), and emits pack

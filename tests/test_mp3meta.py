@@ -106,6 +106,67 @@ def test_id3v2_and_id3v1_tags():
     assert meta2["album"] == "Old Album"  # v1 fills the gap
 
 
+def _id3v22(frames: dict, compressed=False) -> bytes:
+    """ID3v2.2 tag: 3-char frame ids, 3-byte big-endian frame sizes."""
+    body = b""
+    for fid, text in frames.items():
+        payload = b"\x00" + text.encode("latin-1")
+        body += fid.encode() + len(payload).to_bytes(3, "big") + payload
+    size = len(body)
+    syncsafe = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F,
+         size & 0x7F]
+    )
+    flags = 0x40 if compressed else 0x00
+    return b"ID3\x02\x00" + bytes([flags]) + syncsafe + body
+
+
+def test_id3v22_three_char_frames():
+    """v2.2 layout (the r12-advice gap): TT2/TP1/TAL must map to
+    title/artist/album through the 6-byte frame headers."""
+    blob = (
+        _id3v22({"TT2": "Old Title", "TP1": "Old Artist", "TAL": "An LP"})
+        + _frame_v1l3_128_44100() * 3
+    )
+    meta = parse_mp3_meta(blob)
+    assert meta["title"] == "Old Title" and meta["artist"] == "Old Artist"
+    assert meta["album"] == "An LP"
+    assert meta["n_frames"] == 3  # tag size still skips to the audio
+
+
+def test_id3v22_compressed_tag_skipped_whole():
+    """The v2.2 compression bit: spec says ignore the entire tag — but
+    its SIZE must still be honoured so the frame walk starts at audio."""
+    blob = _id3v22({"TT2": "Hidden"}, compressed=True) + \
+        _frame_v1l3_128_44100() * 4
+    meta = parse_mp3_meta(blob)
+    assert meta["title"] is None
+    assert meta["n_frames"] == 4
+
+
+def test_id3v2_unsynchronised_tag():
+    """Unsynchronisation (header flag 0x80): every FF in the tag body is
+    stored as FF 00; the parser must invert that before the frame walk.
+    Text with a real 0xFF byte (latin-1 'ÿ') exercises the inversion."""
+    body = b""
+    for fid, text in (("TIT2", "y\xffz"), ("TPE1", "A\xffB")):
+        payload = b"\x00" + text.encode("latin-1")
+        body += fid.encode() + struct.pack(">I", len(payload)) + b"\x00\x00" + payload
+    unsynced = body.replace(b"\xff", b"\xff\x00")
+    size = len(unsynced)
+    syncsafe = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F,
+         size & 0x7F]
+    )
+    blob = (
+        b"ID3\x03\x00\x80" + syncsafe + unsynced
+        + _frame_v1l3_128_44100() * 2
+    )
+    meta = parse_mp3_meta(blob)
+    assert meta["title"] == "y\xffz" and meta["artist"] == "A\xffB"
+    assert meta["n_frames"] == 2
+
+
 def test_resync_over_garbage():
     blob = (
         _frame_v1l3_128_44100()

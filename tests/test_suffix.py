@@ -44,6 +44,33 @@ def _brute(texts):
     return sufs, lcps
 
 
+def _brute_spans(texts, min_tokens, cross_doc_only=True, doc_ids=None):
+    """{(doc, start): maximal shared length} the O(n^2 L) way — for every
+    position, the longest prefix of its suffix occurring at some OTHER
+    admissible position (different doc when cross_doc_only)."""
+    ids = list(range(len(texts))) if doc_ids is None else doc_ids
+    toked = {d: [w for w in texts[i].split(" ") if w]
+             for i, d in enumerate(ids)}
+    out = {}
+    for d, toks in toked.items():
+        for i in range(len(toks)):
+            best = 0
+            for d2, toks2 in toked.items():
+                if cross_doc_only and d2 == d:
+                    continue
+                for j in range(len(toks2)):
+                    if (d2, j) == (d, i):
+                        continue
+                    n = 0
+                    while (i + n < len(toks) and j + n < len(toks2)
+                           and toks[i + n] == toks2[j + n]):
+                        n += 1
+                    best = max(best, n)
+            if best >= min_tokens:
+                out[(d, i)] = best
+    return out
+
+
 TEXTS = [
     "the cat sat on the mat and the cat sat still",
     "a dog and the cat sat on the mat together today",
@@ -74,28 +101,61 @@ def test_adjacent_lcp_matches_brute_force(spark):
     assert got == want
 
 
-def test_exact_duplicate_spans_finds_the_clone_and_the_phrase(spark):
+def test_exact_duplicate_spans_match_brute_maxima(spark):
     spans = exact_duplicate_spans(
         _docs(spark, TEXTS), min_tokens=5
     ).collect()
-    by_doc = {}
+    got = {(r["doc_id"], r["start_tok"]): r["n_tokens"] for r in spans}
+    assert len(got) == len(spans)  # one row per position
+    assert got == _brute_spans(TEXTS, min_tokens=5)
+    # headline facts still visible through the oracle: the identical twin
+    # pair (docs 0/3, 11 tokens) and doc 1's shared 6-token phrase
+    assert got[(0, 0)] == 11 and got[(3, 0)] == 11
+    assert got[(1, 3)] == 6
+    assert all(d != 2 for d, _ in got)
+    # every reported twin actually achieves the reported length, from a
+    # DIFFERENT document
+    toks = {d: t.split(" ") for d, t in enumerate(TEXTS)}
     for r in spans:
-        by_doc.setdefault(r["doc_id"], []).append(r)
-    # docs 0 and 3 are identical (11 tokens): a full-length span each way
-    full = [r for r in by_doc.get(0, []) if r["twin_doc"] == 3]
-    assert any(r["n_tokens"] == 11 and r["start_tok"] == 0 for r in full)
-    full3 = [r for r in by_doc.get(3, []) if r["twin_doc"] == 0]
-    assert any(r["n_tokens"] == 11 and r["start_tok"] == 0 for r in full3)
-    # the shared phrase 'the cat sat on the mat' (6 tokens) surfaces on
-    # doc 1 against ONE of the identical twins (its suffix is adjacent to
-    # whichever twin sorts next to it — adjacency semantics; the other
-    # twin is reachable through the run, exactly as in the paper)
-    assert any(
-        r["twin_doc"] in (0, 3) and r["n_tokens"] == 6
-        for r in by_doc.get(1, [])
+        assert r["twin_doc"] != r["doc_id"]
+        a = toks[r["doc_id"]][r["start_tok"]:r["start_tok"] + r["n_tokens"]]
+        b = toks[r["twin_doc"]][r["twin_start"]:r["twin_start"] + r["n_tokens"]]
+        assert a == b and len(a) == r["n_tokens"]
+
+
+def test_exact_duplicate_spans_string_ids(spark):
+    """The advertised generic id_col with STRING document ids (the
+    r12-advice regression: the offset schema was hardcoded long)."""
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
     )
-    # doc 2 shares nothing of length >= 5
-    assert 2 not in by_doc
+    got = {
+        (r["doc_id"], r["start_tok"]): r["n_tokens"]
+        for r in exact_duplicate_spans(docs, min_tokens=5).collect()
+    }
+    want = _brute_spans(
+        TEXTS, min_tokens=5, doc_ids=[f"doc-{i}" for i in range(len(TEXTS))]
+    )
+    assert got == want
+
+
+def test_three_occurrence_run_reports_every_member(spark):
+    """The r12-advice under-removal case: a span twice in doc A and once
+    in doc B — adjacent-pair filtering used to drop one A occurrence; the
+    run sweep must report all three with their exact maxima."""
+    texts = [
+        "p q r s t u v w filler p q r s t u v w end",  # A: twice
+        "prefix words p q r s t u v w suffix words",   # B: once
+    ]
+    got = {
+        (r["doc_id"], r["start_tok"]): r["n_tokens"]
+        for r in exact_duplicate_spans(
+            _docs(spark, texts), min_tokens=8
+        ).collect()
+    }
+    assert got == _brute_spans(texts, min_tokens=8)
+    # all three occurrence starts present
+    assert (0, 0) in got and (0, 9) in got and (1, 2) in got
 
 
 def test_within_doc_repeats_gated_by_flag(spark):
@@ -194,20 +254,14 @@ def test_sharded_spans_subset_of_global_and_exact_within_shard(spark):
         "another text where the cat sat on the mat appears",  # 3
     ]
     docs = _docs(spark, texts)
-    key = lambda r: (r["doc_id"], r["start_tok"], r["n_tokens"],  # noqa: E731
-                     r["twin_doc"])
-    global_spans = {
-        key(r) for r in exact_duplicate_spans(docs, min_tokens=6).collect()
-    }
+    key = lambda r: (r["doc_id"], r["start_tok"], r["n_tokens"])  # noqa: E731
     sharded = {
         key(r)
         for r in exact_duplicate_spans_sharded(
             docs, n_shards=2, min_tokens=6
         ).collect()
     }
-    # sharded never invents pairs
-    assert sharded <= global_spans
-    # pairs whose docs share a shard are found exactly
+    # per-shard EXACT: the union of each shard's brute-force maxima
     from pyspark.sql import functions as _F
 
     shard = {
@@ -216,10 +270,18 @@ def test_sharded_spans_subset_of_global_and_exact_within_shard(spark):
             "doc_id", _F.pmod(_F.xxhash64("doc_id"), _F.lit(2)).alias("s")
         ).collect()
     }
-    want_within = {
-        k for k in global_spans if shard[k[0]] == shard[k[3]]
-    }
-    assert sharded == want_within
+    want = set()
+    for s in (0, 1):
+        ids = [d for d in sorted(shard) if shard[d] == s]
+        sub = _brute_spans(
+            [texts[d] for d in ids], min_tokens=6, doc_ids=ids
+        )
+        want |= {(d, i, n) for (d, i), n in sub.items()}
+    assert sharded == want
+    # the shard split can only shrink or shorten spans, never invent them
+    global_spans = _brute_spans(texts, min_tokens=6)
+    for d, i, n in sharded:
+        assert global_spans.get((d, i), 0) >= n
     # n_shards=1 is exactly the global result
     one = {
         key(r)
@@ -227,8 +289,54 @@ def test_sharded_spans_subset_of_global_and_exact_within_shard(spark):
             docs, n_shards=1, min_tokens=6
         ).collect()
     }
-    assert one == global_spans
+    assert one == {(d, i, n) for (d, i), n in global_spans.items()}
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="n_shards"):
         exact_duplicate_spans_sharded(docs, n_shards=0)
+
+
+def test_cross_shard_span_missed_but_hash_backstop_catches_it(spark):
+    """The sharded contract (suffix.py), EXECUTABLE: a duplicate span
+    whose two occurrences straddle the shard boundary is missed by
+    construction by exact_duplicate_spans_sharded — and the documented
+    backstop, the shard-free hash-granularity repeated_ngram_spans,
+    catches it."""
+    from pyspark.sql import functions as _F
+
+    from enterprise_warp_spark.pipeline.dedup import repeated_ngram_spans
+    from enterprise_warp_spark.pipeline.suffix import (
+        exact_duplicate_spans_sharded,
+    )
+
+    # pick two doc ids that land in DIFFERENT shards under the recipe's
+    # own hash (pmod(xxhash64(doc_id), 2))
+    probe = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    shard = {
+        r["doc_id"]: r["s"]
+        for r in probe.select(
+            "doc_id", _F.pmod(_F.xxhash64("doc_id"), _F.lit(2)).alias("s")
+        ).collect()
+    }
+    a = next(d for d in shard if shard[d] == 0)
+    b = next(d for d in shard if shard[d] == 1)
+    phrase = "p q r s t u v w x y"  # 10 tokens, only in docs a and b
+    rows = [
+        (a, f"alpha beta {phrase} gamma"),
+        (b, f"one two three {phrase} four"),
+        (next(d for d in shard if d not in (a, b)),
+         "completely unrelated filler text goes here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # the per-shard suffix arrays never see both occurrences together
+    assert exact_duplicate_spans_sharded(
+        docs, n_shards=2, min_tokens=10
+    ).count() == 0
+    # ...but the global (unsharded) run finds it
+    assert exact_duplicate_spans(docs, min_tokens=10).count() == 2
+    # ...and the hash-granularity backstop covers the straddling span
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in repeated_ngram_spans(docs, k=10).collect()
+    }
+    assert got[a] == (3, 12) and got[b] == (4, 13)
