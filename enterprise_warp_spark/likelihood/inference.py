@@ -281,11 +281,16 @@ def run_adaptive_inference(
     fixed: dict[str, float] | None = None,
     backends: list[str] | None = None,
     tm: TMComponent | None = None,
+    final_is: int = 0,
+    final_is_waves: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """§3.1 with adaptive refinement: rounds of (sample -> score -> re-center)
     recover higher-dimensional posteriors that one naive prior round cannot
     (the reference's MCMC explores sequentially; this explores in parallel
-    waves). Deterministic given the seed. tm: as in run_inference."""
+    waves). Deterministic given the seed. tm: as in run_inference.
+    final_is > 0: append one defensive importance-sampling pass of that
+    size and return proposal-corrected posterior samples (column `logw`)
+    instead of the raw CEM table — see sampling.adaptive_posterior."""
     from enterprise_warp_spark.likelihood.sampling import adaptive_posterior
 
     priors, comps = compile_priors_and_components(model_rows, fixed, nfreqs, backends)
@@ -300,4 +305,7 @@ def run_adaptive_inference(
             gp_loglik_per_pulsar(residuals, pdf, nfreqs, components=comps or None)
         )
 
-    return adaptive_posterior(spark, priors, score, rounds, n_per_round, seed)
+    return adaptive_posterior(
+        spark, priors, score, rounds, n_per_round, seed,
+        final_is=final_is, final_is_waves=final_is_waves,
+    )

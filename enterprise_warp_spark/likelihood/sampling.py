@@ -109,15 +109,19 @@ def sample_priors(
     return df
 
 
-def posterior_summary(samples_lnl: DataFrame, param_cols: list[str]) -> DataFrame:
+def posterior_summary(
+    samples_lnl: DataFrame, param_cols: list[str], logw_col: str = "lnl"
+) -> DataFrame:
     """Importance-weighted posterior mean/std per parameter + the MAP sample.
 
     samples_lnl: (sample_id, <params...>, lnl). Weights are normalized
-    against max(lnl) for stability; all aggregates are single-shuffle.
-    """
-    mx = samples_lnl.agg(F.max("lnl").alias("_mx"))
+    against max(logw_col) for stability; all aggregates are single-shuffle.
+    logw_col: the log-weight column — 'lnl' for prior-sampled tables (the
+    proposal IS the prior, so likelihood = importance weight); 'logw' for
+    importance_posterior tables (proposal-corrected weights)."""
+    mx = samples_lnl.agg(F.max(logw_col).alias("_mx"))
     weighted = samples_lnl.join(F.broadcast(mx)).withColumn(
-        "w", F.exp(F.col("lnl") - F.col("_mx"))
+        "w", F.exp(F.col(logw_col) - F.col("_mx"))
     )
     aggs = []
     for c in param_cols:
@@ -130,6 +134,44 @@ def posterior_summary(samples_lnl: DataFrame, param_cols: list[str]) -> DataFram
             F.max_by(F.col(c), F.col("lnl")).alias(f"{c}_map"),
         ]
     return weighted.agg(*aggs)
+
+
+def posterior_quantiles(
+    samples_lnl: DataFrame,
+    param_cols: list[str],
+    qs: tuple[float, ...] = (0.16, 0.5, 0.84),
+    logw_col: str = "lnl",
+) -> dict[str, dict[float, float]]:
+    """Weighted posterior quantiles per parameter -> {param: {q: value}} —
+    the median/band companion to posterior_summary (the reference's
+    results.py reports chain percentiles the same way; here the chain is
+    the scored sample table and the weight is exp(logw_col - max)):
+    'lnl' for prior-sampled tables, 'logw' for importance_posterior
+    tables whose weights carry the proposal correction.
+
+    Computation is EXACT weighted quantiles: sort by value, walk the
+    cumulative weight, take the first value whose cum >= q * total. The
+    sample table crosses the driver — bounded by the same
+    MAX_ADAPTIVE_N_PER_ROUND contract every adaptive round already pays
+    (sample tables are metadata-scale next to the residual data)."""
+    import numpy as _np
+
+    pdf = samples_lnl.select(*param_cols, logw_col).toPandas()
+    lnl = pdf[logw_col].to_numpy(dtype=float)
+    keep = _np.isfinite(lnl)
+    pdf, lnl = pdf[keep], lnl[keep]
+    w = _np.exp(lnl - lnl.max())
+    out: dict[str, dict[float, float]] = {}
+    for c in param_cols:
+        v = pdf[c].to_numpy(dtype=float)
+        order = _np.argsort(v, kind="mergesort")
+        cum = _np.cumsum(w[order])
+        total = cum[-1]
+        out[c] = {
+            q: float(v[order][int(_np.searchsorted(cum, q * total))])
+            for q in qs
+        }
+    return out
 
 
 def refined_samples(
@@ -162,6 +204,190 @@ def refined_samples(
     return df
 
 
+_LOG_ZERO = -1.0e30  # finite stand-in for log(0): keeps column arithmetic
+# NaN-free (exp gives exactly 0.0, greatest/when stay well-defined)
+
+
+def _log_prior_density(priors: list[Prior], of=F.col) -> F.Column:
+    """Sum of per-parameter prior log-densities as one column expression
+    (constants contribute 0 — they are point masses on both sides of any
+    importance ratio). Outside any parameter's support the sum collapses
+    to _LOG_ZERO, zeroing the weight."""
+    import math as _math
+
+    total = F.lit(0.0)
+    ok = F.lit(True)
+    for p in priors:
+        if p.kind == "constant":
+            continue
+        x = of(p.name)
+        if p.kind in ("uniform", "linearexp"):
+            total = total + F.lit(-_math.log(p.b - p.a))
+            ok = ok & (x >= p.a) & (x <= p.b)
+        elif p.kind in ("normal", "truncnormal"):
+            z = (x - p.a) / p.b
+            total = total - 0.5 * z * z + F.lit(
+                -_math.log(p.b) - 0.5 * _math.log(2.0 * _math.pi)
+            )
+            if p.kind == "truncnormal":
+                alpha = (_math.erf(((p.lo - p.a) / p.b) / _math.sqrt(2.0)) + 1.0) / 2.0 \
+                    if _math.isfinite(p.lo) else 0.0
+                beta = (_math.erf(((p.hi - p.a) / p.b) / _math.sqrt(2.0)) + 1.0) / 2.0 \
+                    if _math.isfinite(p.hi) else 1.0
+                total = total + F.lit(-_math.log(max(beta - alpha, 1e-300)))
+                ok = ok & (x >= p.lo) & (x <= p.hi)
+        else:
+            raise ValueError(f"unknown prior kind {p.kind}")
+    return F.when(ok, total).otherwise(F.lit(_LOG_ZERO))
+
+
+def importance_posterior(
+    spark: SparkSession,
+    priors: list[Prior],
+    score_fn,
+    centers: dict[str, float],
+    scales: dict[str, float],
+    n: int,
+    seed: int,
+    prior_frac: float = 0.25,
+    inflate: float = 1.5,
+    waves: int = 1,
+    init_cov=None,
+    temper0: float = 4.0,
+) -> DataFrame:
+    """Defensive-mixture importance sampling around a located mode ->
+    (sample_id, <params>, lnl, logw, wave) with VALID posterior weights.
+
+    The CEM waves in adaptive_posterior LOCATE the high-likelihood region
+    but their elite-weighted samples are proposal-biased (weights
+    exp(lnl - max) ignore where the samples came from, so the spread
+    collapses onto the best few rows). This fixes that the standard
+    adaptive-IS way: sample q(x) = prior_frac * prior(x) +
+    (1 - prior_frac) * N(x; mu, Sigma) — the defensive mixture of
+    Hesterberg (1995), guaranteeing bounded weights where the prior has
+    mass — then weight logw = lnl + log pi(x) - log q(x). Quantiles /
+    summaries over (params, logw) estimate the TRUE posterior.
+
+    waves > 1 runs tempered population Monte Carlo (Cappe et al. 2004;
+    annealed refits as in AMIS practice): after each wave, (mu, Sigma)
+    are refit to the pooled samples weighted by exp((logw - max) / T_w),
+    with the temperature ladder T_w = temper0^((waves-1-wv)/(waves-1))
+    cooling to T = 1 on the last wave — early waves adapt on a FLATTENED
+    target (many effective samples even when the true weights collapse),
+    late waves sharpen to the real posterior. The refit covariance is
+    FULL (it picks up the amplitude-vs-slope bananas a diagonal proposal
+    misses), inflated by `inflate` and regularized to stay positive
+    definite; init_cov (d x d over the non-constant priors, e.g. the CEM
+    elite covariance) seeds wave 1. Each sample keeps its OWN wave's
+    proposal density in logw, so the pooled table is a valid
+    multiple-proposal self-normalized IS estimate. Per wave cost: ONE
+    distributed scoring of n samples; the refit moments are the only
+    driver-side values (d + d^2 floats).
+
+    All sampling is column arithmetic (rand/randn streams keyed by seed +
+    wave): no driver RNG, deterministic; wave 1 uses the diagonal
+    (inflate * scales)^2 covariance."""
+    if n > MAX_ADAPTIVE_N_PER_ROUND:
+        raise ValueError(
+            f"importance_posterior n={n} exceeds the driver-collect "
+            f"contract ({MAX_ADAPTIVE_N_PER_ROUND})"
+        )
+    if not 0.0 < prior_frac < 1.0:
+        raise ValueError(
+            "prior_frac must be strictly inside (0, 1): the defensive "
+            f"mixture needs both components (got {prior_frac})"
+        )
+    import math as _math
+
+    import numpy as _np
+    import pandas as _pd
+
+    sampled = [p for p in priors if p.kind != "constant"]
+    names = [p.name for p in sampled]
+    d = len(names)
+    mu = _np.array([float(centers[c]) for c in names])
+    base = _np.array([float(max(scales[c], 1e-12)) for c in names])
+    cov = (
+        _np.asarray(init_cov, dtype=float).copy()
+        if init_cov is not None
+        else _np.diag(base**2)
+    ) * inflate**2
+    pooled: _pd.DataFrame | None = None
+    for wv in range(waves):
+        sw = seed + 60013 * wv
+        T_w = temper0 ** ((waves - 1 - wv) / (waves - 1)) if waves > 1 else 1.0
+        # rand/randn streams are seeded PER PARTITION: pin the partition
+        # count so the drawn samples (and therefore the whole posterior)
+        # do not depend on the session's default parallelism
+        # regularize: keep the proposal from collapsing below 2% of the
+        # initial per-axis scale (the CEM floor convention)
+        cov = cov + _np.diag((0.02 * base) ** 2)
+        L = _np.linalg.cholesky(cov)
+        P = _np.linalg.inv(cov)
+        _sign, logdet = _np.linalg.slogdet(cov)
+        df = spark.range(0, n, 1, 32).withColumnRenamed("id", "sample_id")
+        pick_prior = F.rand(sw - 7) < prior_frac
+        gcols = [F.randn(sw + 1000 * k + 499) for k in range(d)]
+        for p in priors:
+            if p.kind == "constant":
+                df = df.withColumn(p.name, F.lit(p.a))
+        for j, p in enumerate(sampled):
+            u = F.rand(sw + 1000 * j)
+            gx = F.lit(float(mu[j]))
+            for k in range(j + 1):
+                if L[j, k] != 0.0:
+                    gx = gx + F.lit(float(L[j, k])) * gcols[k]
+            df = df.withColumn(
+                p.name, F.when(pick_prior, _column(p, u, gcols[j])).otherwise(gx)
+            )
+        quad = F.lit(0.0)
+        for j in range(d):
+            for k in range(j, d):
+                c = float(P[j, k] * (1.0 if j == k else 2.0))
+                if c != 0.0:
+                    quad = quad + F.lit(c) * (
+                        F.col(names[j]) - float(mu[j])
+                    ) * (F.col(names[k]) - float(mu[k]))
+        log_g = -0.5 * quad + F.lit(
+            -0.5 * (d * _math.log(2.0 * _math.pi) + logdet)
+        )
+        log_pi = _log_prior_density(priors)
+        t1 = F.lit(_math.log(prior_frac)) + log_pi
+        t2 = F.lit(_math.log(1.0 - prior_frac)) + log_g
+        m = F.greatest(t1, t2)
+        log_q = m + F.log(F.exp(t1 - m) + F.exp(t2 - m))
+        df = df.withColumn("__log_pi", log_pi).withColumn("__log_q", log_q)
+        scored = score_fn(
+            df.select("sample_id", *[p.name for p in priors])
+        ).join(df, "sample_id")
+        scored = scored.withColumn(
+            "logw",
+            F.when(
+                F.col("__log_pi") <= _LOG_ZERO / 2, F.lit(_LOG_ZERO)
+            ).otherwise(F.col("lnl") + F.col("__log_pi") - F.col("__log_q")),
+        ).drop("__log_pi", "__log_q")
+        part = scored.toPandas()
+        part["sample_id"] = part["sample_id"] + wv * n
+        part["wave"] = wv
+        pooled = part if pooled is None else _pd.concat(
+            [pooled, part], ignore_index=True
+        )
+        if wv == waves - 1:
+            break
+        # tempered PMC refit on the pooled weighted cloud (finite only)
+        lw = pooled["logw"].to_numpy(dtype=float)
+        fin = _np.isfinite(pooled["lnl"].to_numpy(dtype=float)) & (
+            lw > _LOG_ZERO / 2
+        )
+        X = pooled.loc[fin, names].to_numpy(dtype=float)
+        w = _np.exp((lw[fin] - lw[fin].max()) / T_w)
+        w = w / w.sum()
+        mu = w @ X
+        dx = X - mu
+        cov = (dx * w[:, None]).T @ dx * (inflate**2)
+    return spark.createDataFrame(pooled)
+
+
 # adaptive_posterior round-trips each round's scored samples through the
 # driver (the CEM refit is a driver-side pandas moment fit). That is fine at
 # the design scale — hundreds to thousands of samples of tens of params —
@@ -179,6 +405,8 @@ def adaptive_posterior(
     n_per_round: int = 256,
     seed: int = 42,
     elite_frac: float = 0.2,
+    final_is: int = 0,
+    final_is_waves: int = 3,
 ):
     """Cross-entropy-method posterior search: each round fits the Gaussian
     proposal to the ELITE set (top lnl) of ALL samples scored so far, so a
@@ -189,7 +417,13 @@ def adaptive_posterior(
 
     score_fn(samples_df) -> DataFrame(sample_id, lnl).
     Returns (all_scored_df, summary_row_df over the final elite-weighted set).
-    """
+
+    final_is > 0 appends ONE defensive importance_posterior pass of that
+    many samples around the located mode and returns ITS table (with the
+    proposal-corrected `logw` column) and a logw-weighted summary instead —
+    the CEM waves find the region, the IS pass turns it into a valid
+    posterior estimate (medians/bands via posterior_quantiles(...,
+    logw_col='logw'))."""
     import numpy as _np
     import pandas as _pd
 
@@ -229,6 +463,24 @@ def adaptive_posterior(
         samples = refined_samples(
             spark, priors, centers, scales, n_per_round, seed + 7919 * (rnd + 1)
         )
+    if final_is:
+        elites = seen.nlargest(n_elite, "lnl")
+        centers = {c: float(elites[c].mean()) for c in names}
+        scales = {
+            c: max(float(elites[c].std()), 0.02 * abs(widths[c])) for c in names
+        }
+        # seed the IS stage with the elites' FULL covariance (floored per
+        # axis at the CEM scale floor) so the first wave already knows the
+        # local parameter correlations
+        ex = elites[names].to_numpy(dtype=float)
+        cov0 = _np.cov(ex, rowvar=False, ddof=0) + _np.diag(
+            [(0.02 * abs(widths[c])) ** 2 for c in names]
+        )
+        is_df = importance_posterior(
+            spark, priors, score_fn, centers, scales, final_is,
+            seed + 104729, waves=final_is_waves, init_cov=cov0,
+        )
+        return is_df, posterior_summary(is_df, names, logw_col="logw")
     all_scored = spark.createDataFrame(seen)
     # guard exp() against overflow across rounds of very different lnl
     return all_scored, posterior_summary(all_scored, names)

@@ -53,6 +53,18 @@ def _two_pass_dense_rank(
     the n_parts counts cross the driver, and broadcast offsets lift local
     ranks to global. The partitioned frame is checkpointed so both passes
     see the SAME (sampled) range boundaries."""
+    out_df, _nd, _n = _two_pass_dense_rank_counted(df, order_cols, out, n_parts)
+    return out_df
+
+
+def _two_pass_dense_rank_counted(
+    df: DataFrame, order_cols: list[str], out: str, n_parts: int = 32
+) -> tuple[DataFrame, int, int]:
+    """_two_pass_dense_rank plus the scalars its driver pass already
+    knows: (ranked_df, n_distinct_keys, n_rows). The doubling loop's
+    all-ranks-unique early exit reads them for FREE — the per-partition
+    totals collect is the same job either way (suffix_array used to pay
+    an extra count/max aggregate per round just to rediscover them)."""
     import pandas as pd
 
     staged = (
@@ -61,17 +73,23 @@ def _two_pass_dense_rank(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    totals = {
-        r["__pid"]: r["nd"]
+    stats = {
+        r["__pid"]: (r["nd"], r["nr"])
         for r in staged.groupBy("__pid")
-        .agg(F.count_distinct(*[F.col(c) for c in order_cols]).alias("nd"))
+        .agg(
+            F.count_distinct(*[F.col(c) for c in order_cols]).alias("nd"),
+            F.count(F.lit(1)).alias("nr"),
+        )
         .collect()
     }
+    totals = {pid: nd for pid, (nd, _r) in stats.items()}
+    n_rows = sum(nr for _d, nr in stats.values())
     offsets = {}
     acc = 0
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
+    n_distinct = acc
     spark = df.sparkSession
     b_off = spark.sparkContext.broadcast(offsets)
     out_schema = ", ".join(
@@ -101,11 +119,12 @@ def _two_pass_dense_rank(
             ) - 1
             yield res
 
-    return staged.mapInPandas(kernel, out_schema)
+    return staged.mapInPandas(kernel, out_schema), n_distinct, n_rows
 
 
 def corpus_positions(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_parts: int = 32,
 ) -> DataFrame:
     """Documents -> one row per token position:
     (pos global long, doc_id, idx local int, token string), with a unique
@@ -126,7 +145,7 @@ def corpus_positions(
     import pandas as pd
 
     staged = (
-        lens.repartitionByRange(32, "doc_id")
+        lens.repartitionByRange(n_parts, "doc_id")
         .sortWithinPartitions("doc_id")
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
@@ -191,21 +210,23 @@ def suffix_array(
 
     Early-exits as soon as ranks are all-unique (with per-doc sentinels:
     <= ceil(log2 longest_doc) + 1 rounds)."""
-    ranked = _two_pass_dense_rank(
+    ranked_raw, n_distinct, n_rows = _two_pass_dense_rank_counted(
         positions.select("pos", "doc_id", "idx", "token"),
         ["token"],
         "r",
         n_parts,
-    ).select("pos", "doc_id", "idx", "r").localCheckpoint(eager=True)
-    levels: list[tuple[int, DataFrame]] = [
-        (1, ranked.select("pos", "r").localCheckpoint(eager=True))
-    ]
+    )
+    # ONE materialization per round: the checkpoint; the levels entry is a
+    # lazy select over it (a second eager checkpoint of the same rows was
+    # pure stage overhead — at small corpora the fixed per-job cost, not
+    # the data, dominates the wall clock)
+    ranked = ranked_raw.select(
+        "pos", "doc_id", "idx", "r"
+    ).localCheckpoint(eager=True)
+    levels: list[tuple[int, DataFrame]] = [(1, ranked.select("pos", "r"))]
     width = 1
     for _ in range(max_rounds):
-        n_rows, n_ranks = ranked.agg(
-            F.count(F.lit(1)).alias("n"), F.max("r").alias("m")
-        ).collect()[0]
-        if n_ranks is not None and n_ranks + 1 >= n_rows:
+        if n_distinct >= n_rows:
             break  # every rank unique: suffix order is decided
         shifted = ranked.select(
             (F.col("pos") - width).alias("pos"), F.col("r").alias("r2")
@@ -214,18 +235,17 @@ def suffix_array(
             ranked.join(shifted, "pos", "left")
             .withColumn("r2", F.coalesce("r2", F.lit(-1)))
         )
-        ranked = _two_pass_dense_rank(
+        ranked_raw, n_distinct, n_rows = _two_pass_dense_rank_counted(
             paired.select("pos", "doc_id", "idx", "r", "r2"),
             ["r", "r2"],
             "rn",
             n_parts,
-        ).select(
+        )
+        ranked = ranked_raw.select(
             "pos", "doc_id", "idx", F.col("rn").alias("r")
         ).localCheckpoint(eager=True)
         width *= 2
-        levels.append(
-            (width, ranked.select("pos", "r").localCheckpoint(eager=True))
-        )
+        levels.append((width, ranked.select("pos", "r")))
     sa = ranked.select("pos", "doc_id", "idx", F.col("r").alias("sa_rank"))
     return sa, levels
 
@@ -283,6 +303,7 @@ def exact_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     cross_doc_only: bool = True,
+    n_parts: int = 32,
 ) -> DataFrame:
     """EXACT repeated token spans of >= min_tokens across the corpus ->
     (doc_id, start_tok int, n_tokens int, twin_doc, twin_start): one row
@@ -308,8 +329,8 @@ def exact_duplicate_spans(
     cross_doc_only=False also reports repeats within one document
     (self-plagiarism/boilerplate): the admissibility test drops the
     different-doc requirement, everything else is identical."""
-    pos = corpus_positions(docs, text_col, id_col)
-    sa, levels = suffix_array(pos)
+    pos = corpus_positions(docs, text_col, id_col, n_parts)
+    sa, levels = suffix_array(pos, n_parts=n_parts)
     edges = adjacent_lcp(sa, levels).filter(F.col("lcp") >= min_tokens)
     # gaps-and-islands: consecutive rank_a values = one run
     edges = _two_pass_dense_rank(
@@ -318,6 +339,7 @@ def exact_duplicate_spans(
         ),
         ["rank_a"],
         "__eidx",
+        n_parts,
     ).withColumn("__run", F.col("rank_a") - F.col("__eidx"))
     id_type = dict(edges.dtypes)["doc_a"]
     out_schema = (

@@ -111,6 +111,25 @@ _BPE_CHAIN_SQL = "s"
 for _a, _b in _BPE_MERGES:
     _BPE_CHAIN_SQL = f"replace({_BPE_CHAIN_SQL}, '({_a})({_b})', '({_a}{_b})')"
 
+# [uni]: FIXED unigram-LM model (the _BPE_MERGES convention): 27 coverage
+# characters + 29 multi-character pieces with GENERIC log-probs (every
+# piece distinct, no sum-commensurate families), inlined as one literal so
+# both engines replay one model at every sf. Ids follow
+# pipeline.unigram.unigram_vocab: '<unk>' = 0, pieces sorted from 1.
+_UNI_CHARS = " abcdefghijklmnopqrstuvwxyz"
+_UNI_MULTI = [
+    " the", " of", " and", " to", " in", "th", "he", "in", "er", "an",
+    "re", "on", "at", "es", "en", "ti", "te", "or", "st", "ar", "al",
+    "it", "as", "ed", "is", "ing", "ion", "ent", "ati",
+]
+_UNI_LOGP = {c: -7.0 - 0.003 * i for i, c in enumerate(_UNI_CHARS)}
+_UNI_LOGP |= {p: -(4.0 + 0.07 * i) for i, p in enumerate(_UNI_MULTI)}
+_UNI_MODEL = {"logp": _UNI_LOGP, "max_len": 4}
+_UNI_PIECES_SQL = ", ".join(
+    f"('{p}', CAST({lp!r} AS DOUBLE), {i + 1})"
+    for i, (p, lp) in enumerate(sorted(_UNI_LOGP.items()))
+)
+
 # [nfc]: deterministic DECOMPOSED suffix appended to every document —
 # combining acute / ring / double diacritic / dot-below+above / Hangul
 # jamo, plus NFC-invariant ligature and superscript. Written as escapes so
@@ -124,7 +143,45 @@ _NFC_SUFFIX = (
 _NFC_SUFFIX_SQL = "'" + _NFC_SUFFIX + "'"
 
 _HYGIENE_ORACLE = f"""
-    WITH ku AS (
+    WITH RECURSIVE up(piece, lp, pid) AS (
+      SELECT * FROM (VALUES {_UNI_PIECES_SQL})
+    ),
+    uw AS (
+      SELECT DISTINCT UNNEST(regexp_extract_all(text, '{_TOK_PATTERN}')) AS w
+      FROM documents
+    ),
+    useg AS (
+      SELECT w, 0 AS pos, CAST(0.0 AS DOUBLE) AS sc, 0 AS np,
+             CAST('' AS VARCHAR) AS ids, CAST('' AS VARCHAR) AS rev
+      FROM uw
+      UNION ALL
+      SELECT s.w, s.pos + length(p.piece), s.sc + p.lp, s.np + 1,
+             CASE WHEN s.ids = '' THEN CAST(p.pid AS VARCHAR)
+                  ELSE s.ids || ',' || p.pid END,
+             p.piece || chr(1) || s.rev
+      FROM useg s JOIN up p
+        ON substr(s.w, s.pos + 1, length(p.piece)) = p.piece
+      WHERE s.pos < length(s.w)
+    ),
+    ubest AS (
+      SELECT w, ids, np FROM (
+        SELECT w, ids, np, ROW_NUMBER() OVER (
+          PARTITION BY w ORDER BY sc DESC, np ASC, rev ASC) AS rn
+        FROM useg WHERE pos = length(w)
+      ) WHERE rn = 1
+    ),
+    uexp AS (
+      SELECT doc_id, UNNEST(arr) AS w, UNNEST(range(1, len(arr) + 1)) AS ord
+      FROM (SELECT doc_id, regexp_extract_all(text, '{_TOK_PATTERN}') AS arr
+            FROM documents)
+    ),
+    ujoin AS (
+      SELECT e.doc_id, string_agg(b.ids, ',' ORDER BY e.ord) AS allids,
+             SUM(b.np) AS ntok
+      FROM uexp e JOIN ubest b ON e.w = b.w
+      GROUP BY e.doc_id
+    ),
+    ku AS (
       SELECT c_custkey, c_custkey % 97 AS k, c_custkey % 7 AS k2 FROM customer
     ),
     words AS (
@@ -246,6 +303,10 @@ _HYGIENE_ORACLE = f"""
         FROM documents
       )
     )
+    UNION ALL
+    SELECT 'uni', '', d.doc_id, CAST(COALESCE(u.ntok, 0) AS DOUBLE),
+           substr(md5(COALESCE(u.allids, '')), 1, 16)
+    FROM documents d LEFT JOIN ujoin u USING (doc_id)
     UNION ALL
     SELECT 'gqr', '', doc_id, CAST(mask AS DOUBLE),
            CAST(nw AS VARCHAR) || '|' || CAST(aw AS VARCHAR) || '|' || CAST(st AS VARCHAR)
@@ -433,6 +494,33 @@ def _bpe_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("k2"),
         F.col("n_tokens").cast("double").alias("v1"),
         F.substring(F.md5(canon), 1, 16).alias("h"),
+    )
+
+
+def _uni_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[uni] — the REAL distributed unigram-LM encode path
+    (pipeline/unigram.py encode_corpus_unigram: Viterbi per pre-token
+    with the per-batch word memo, stable unigram_vocab id space) under
+    the fixed literal model _UNI_MODEL; rows carry n_tokens and a hash
+    of the FULL id sequence so any segmentation, tie-break, or id-space
+    drift breaks the gate. The oracle replays Viterbi as a recursive-CTE
+    enumeration over the distinct-word table with the identical
+    (score DESC, n_pieces ASC, reversed-path ASC) ordering — the exact
+    global statement of the DP's local (fewer pieces, smaller last
+    piece) tie-break."""
+    from enterprise_warp_spark.pipeline.unigram import encode_corpus_unigram
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = encode_corpus_unigram(docs, _UNI_MODEL, output="ids")
+    ids_str = F.array_join(
+        F.transform("token_ids", lambda i: i.cast("string")), ","
+    )
+    return enc.select(
+        F.lit("uni").alias("gate"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.col("n_tokens").cast("double").alias("v1"),
+        F.substring(F.md5(ids_str), 1, 16).alias("h"),
     )
 
 
@@ -751,7 +839,14 @@ def _gqr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "encode_corpus under a fixed literal 24-merge vocabulary): per-doc "
     "n_tokens + a hash of the full token sequence, the oracle replaying "
     "encode as a rank-ordered replace() chain over pipe-delimited hex — "
-    "provably equivalent to the heap merge walk (r10), [gqr] the Gopher "
+    "provably equivalent to the heap merge walk (r10), [uni] the "
+    "distributed unigram-LM ENCODE (pipeline/unigram.py "
+    "encode_corpus_unigram under the fixed literal model _UNI_MODEL): "
+    "per-doc n_tokens + a hash of the full stable-vocab id sequence, the "
+    "oracle replaying Viterbi as a recursive-CTE enumeration over the "
+    "distinct-word table ordered (score DESC, n_pieces ASC, "
+    "reversed-path ASC) — the global statement of the DP tie-break "
+    "(r13), [gqr] the Gopher "
     "7-rule quality filter as an exact integer bitmask (r11 — "
     "pipeline/text.py gopher_rules), [c4f] the C4 line filter + sentence/"
     "blocklist page filter hashing the cleaned text itself (r11 — "
@@ -782,6 +877,7 @@ def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(f_wrc.result())
             .unionByName(_nfc_branch(spark, sf_dir))
             .unionByName(_bpe_branch(spark, sf_dir))
+            .unionByName(_uni_branch(spark, sf_dir))
             .unionByName(_gqr_branch(spark, sf_dir))
             .unionByName(_c4f_branch(spark, sf_dir))
             .unionByName(_lnd_branch(spark, sf_dir))

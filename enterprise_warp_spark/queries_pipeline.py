@@ -461,17 +461,120 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_binary_meta",
     """
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-           md5(text) AS payload_md5
+    SELECT 'bin' AS gate, doc_id, 0.0 AS v1,
+           CAST(octet_length(encode(text)) AS BIGINT) AS v2,
+           md5(text) AS s
     FROM documents
+    UNION ALL
+    SELECT 'mp3', doc_id,
+           CASE WHEN doc_id % 3 = 1
+                THEN ROUND((3 + doc_id % 5) * 576.0 / 22050, 6)
+                ELSE ROUND((3 + doc_id % 5) * 1152.0 / 44100, 6) END,
+           3 + doc_id % 5,
+           concat_ws('/',
+             CASE WHEN doc_id % 3 = 1 THEN '2' ELSE '1' END, '3',
+             CASE WHEN doc_id % 3 = 1 THEN '64' ELSE '128' END,
+             CASE WHEN doc_id % 3 = 1 THEN '22050' ELSE '44100' END,
+             CASE WHEN doc_id % 3 = 1 THEN '1' ELSE '2' END,
+             CASE WHEN doc_id % 3 = 1 THEN 'mono' ELSE 'joint' END,
+             CASE WHEN doc_id % 3 = 2 THEN 'true' ELSE 'false' END,
+             CASE WHEN doc_id % 14 = 0 THEN 'T' || doc_id
+                  WHEN doc_id % 21 = 0 THEN 'V' || doc_id ELSE '' END,
+             CASE WHEN doc_id % 21 = 0 THEN 'A' || doc_id ELSE '' END)
+    FROM documents WHERE doc_id % 7 = 0
     """,
-    doc="Opaque-binary metadata: byte length + content hash (decode stubbed).",
+    doc="Opaque-binary metadata family. [bin] byte length + content hash "
+    "over the whole table (decode stubbed). [mp3] the MP3 metadata census "
+    "(pipeline/mp3meta.py) run over SYNTHETIC payloads constructed "
+    "deterministically from doc_id — the [pii]/[wrc] constructed-expected "
+    "pattern: every 7th doc gets 3 + id%5 frames of one of three stream "
+    "flavors (MPEG-1 L3 128k stereo / MPEG-2 L3 64k mono / VBR 128+160 "
+    "mix), an ID3v2.2 3-char-frame tag on multiples of 14 and an ID3v1 "
+    "trailer on multiples of 21; the REAL frame walk + tag parsers produce "
+    "duration (v1), walked frame count (v2) and a version/layer/bitrate/"
+    "rate/channels/mode/vbr/title/album descriptor (s), while the oracle "
+    "computes the same census in closed form from the construction "
+    "arithmetic. DuckDB never parses MP3; the PARSER is what's under test.",
 )
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    import pandas as pd
+
+    from enterprise_warp_spark.pipeline.mp3meta import mp3_meta
     from enterprise_warp_spark.pipeline.multimodal import binary_meta
 
-    return binary_meta(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
+    bin_rows = binary_meta(docs).select(
+        F.lit("bin").alias("gate"),
+        "doc_id",
+        F.lit(0.0).alias("v1"),
+        F.col("n_bytes").cast("long").alias("v2"),
+        F.col("payload_md5").alias("s"),
+    )
+
+    # deterministic synthetic MP3 fixtures (independent arithmetic: frame
+    # lengths 144*bitrate/rate from the published tables — 417/522/208)
+    f128 = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\xAA" * (417 - 4)
+    f160 = bytes([0xFF, 0xFB, 0xA0, 0x40]) + b"\xCC" * (522 - 4)
+    f64m = bytes([0xFF, 0xF3, 0x80, 0xC0]) + b"\xBB" * (208 - 4)
+
+    def _id3v22(title: str) -> bytes:
+        payload = b"\x00" + title.encode()
+        body = b"TT2" + len(payload).to_bytes(3, "big") + payload
+        sz = len(body)
+        ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F])
+        return b"ID3\x02\x00\x00" + ss + body
+
+    def _id3v1(title: str, album: str) -> bytes:
+        return (b"TAG" + title.encode().ljust(30, b"\x00")
+                + b"\x00" * 30 + album.encode().ljust(30, b"\x00")
+                + b"\x00" * 35)
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = 3 + d % 5
+                flavor = d % 3
+                if flavor == 1:
+                    body = f64m * nf
+                elif flavor == 2:
+                    body = f128 * (nf - 1) + f160
+                else:
+                    body = f128 * nf
+                head = _id3v22(f"T{d}") if d % 14 == 0 else b""
+                tail = _id3v1(f"V{d}", f"A{d}") if d % 21 == 0 else b""
+                payloads.append(head + body + tail)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+    meta = mp3_meta(media)
+    mp3 = meta.select(
+        F.lit("mp3").alias("gate"),
+        "doc_id",
+        F.col("duration_s").alias("v1"),
+        F.col("n_frames").cast("long").alias("v2"),
+        F.concat_ws(
+            "/",
+            "version",
+            F.col("layer").cast("string"),
+            F.col("bitrate_kbps").cast("string"),
+            F.col("sample_rate").cast("string"),
+            F.col("channels").cast("string"),
+            "mode",
+            F.col("vbr").cast("string"),
+            F.coalesce("title", F.lit("")),
+            F.coalesce("album", F.lit("")),
+        ).alias("s"),
+    )
+    return bin_rows.unionByName(mp3)
 
 
 _D_BUCKET2 = (
@@ -584,6 +687,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wk a JOIN wk b ON a.gh = b.gh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
       HAVING COUNT(*) >= 2
+    ),
+    sxs AS (
+      SELECT doc_id,
+             list_slice(list_filter(string_split(text, ' '), x -> x != ''),
+                        1, 32) AS tok
+      FROM documents WHERE doc_id % 29 = 0 AND doc_id < 490
+    ),
+    sxc AS (
+      SELECT doc_id, tok FROM sxs
+      UNION ALL
+      SELECT doc_id + 1000000, list_slice(tok, 4, 18) FROM sxs
+      WHERE len(tok) >= 18
+      UNION ALL
+      SELECT doc_id + 2000000, list_slice(tok, 4, 18) FROM sxs
+      WHERE len(tok) >= 18 AND doc_id % 58 = 0
+    ),
+    sxg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i, CAST(L AS BIGINT) AS L,
+             md5(array_to_string(list_slice(tok, CAST(i AS INTEGER),
+                 CAST(i AS INTEGER) + CAST(L AS INTEGER) - 1), ' ')) AS gh
+      FROM (
+        SELECT doc_id, tok, i, UNNEST(range(5, len(tok) - CAST(i AS INTEGER) + 2)) AS L
+        FROM (SELECT doc_id, tok, UNNEST(range(1, len(tok) + 1)) AS i FROM sxc)
+      )
+    ),
+    sxq AS (
+      SELECT gh, L FROM sxg GROUP BY gh, L
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    sxm AS (
+      SELECT g.doc_id, g.i, MAX(g.L) AS n
+      FROM sxg g JOIN sxq USING (gh, L) GROUP BY g.doc_id, g.i
     )
     SELECT 'rep' AS gate, doc_id, MIN(pos) AS span_start,
            MAX(pos) + 5 AS span_end, COUNT(*) AS n_grams, '' AS h
@@ -599,6 +734,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM wfp GROUP BY doc_id
     UNION ALL
     SELECT 'wov', da, db, 0, shared, '' FROM wpair
+    UNION ALL
+    SELECT 'sfx', doc_id, i - 1, i - 2 + n, n, '' FROM sxm
     """,
     doc="Span-level gate family over the ExactSubstr machinery "
     "(pipeline/dedup.py): [rep] token positions whose 6-gram occurs >= 2 "
@@ -710,7 +847,56 @@ def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shared_fp").cast("long").alias("n_grams"),
         F.lit("").alias("h"),
     )
-    return rep.unionByName(dcn).unionByName(stripped).unionByName(wfp).unionByName(wov)
+    # [sfx] suffix-array exact duplicate spans (pipeline/suffix.py) on a
+    # deterministic FIXED sub-corpus with PLANTED cross-document spans:
+    # every 29th document below id 490 (the same 17 docs at every driver
+    # sf — the [wrc] bounded-fixture doctrine; the suffix array's SCALE
+    # curve is pinned by the PERF.md probes, the gate pins correctness),
+    # each truncated to its first 32 tokens (caps the doubling depth),
+    # plus derived docs carrying its 15-token slice [4, 18] (one per
+    # source; a second copy for every 58th source, so spans occur at 3+
+    # positions and exercise the run-clustered maximal-span sweep).
+    # The suffix array itself is iterative and non-SQL; its OUTPUT — per
+    # position, the maximal >=5-token span shared with another document —
+    # is brute-forceable in SQL at gate scale (every (position, length)
+    # gram, grouped by hash, kept where >= 2 distinct docs hold it).
+    from enterprise_warp_spark.pipeline.suffix import exact_duplicate_spans
+
+    sub = (
+        docs.filter((F.col("doc_id") % 29 == 0) & (F.col("doc_id") < 490))
+        .select("doc_id", F.slice(F.expr(
+            "filter(split(text, ' '), x -> x != '')"
+        ), 1, 32).alias("toks"))
+    )
+    der1 = sub.filter(F.size("toks") >= 18).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.slice("toks", 4, 15).alias("toks"),
+    )
+    der2 = sub.filter(
+        (F.size("toks") >= 18) & (F.col("doc_id") % 58 == 0)
+    ).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.slice("toks", 4, 15).alias("toks"),
+    )
+    corp = (
+        sub.unionByName(der1)
+        .unionByName(der2)
+        .select("doc_id", F.concat_ws(" ", "toks").alias("text"))
+    )
+    sfx = exact_duplicate_spans(corp, min_tokens=5, n_parts=8).select(
+        F.lit("sfx").alias("gate"),
+        "doc_id",
+        F.col("start_tok").cast("long").alias("span_start"),
+        (F.col("start_tok") + F.col("n_tokens") - 1).cast("long").alias(
+            "span_end"
+        ),
+        F.col("n_tokens").cast("long").alias("n_grams"),
+        F.lit("").alias("h"),
+    )
+    return (
+        rep.unionByName(dcn).unionByName(stripped).unionByName(wfp)
+        .unionByName(wov).unionByName(sfx)
+    )
 
 
 # mixture_resample_by_lang was folded into queries_curation.temporal_
