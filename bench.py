@@ -62,6 +62,22 @@ def reprobe_worst(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --sf N: run the sweep at another scale point (VERDICT r12 Next #6).
+    # sf 1 resolves to the derived .scale/sf1 tables (10x key-space tiling
+    # of sf0.1, scripts/make_scale_point.py); other values resolve to the
+    # driver's /root/testdata/sfN directories.
+    if "--sf" in sys.argv:
+        want = sys.argv[sys.argv.index("--sf") + 1]
+        if want in ("1", "1.0"):
+            sf_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"
+            )
+            if not os.path.isdir(sf_dir):
+                raise SystemExit(
+                    "sf1 tables missing - run scripts/make_scale_point.py"
+                )
+        else:
+            sf_dir = f"/root/testdata/sf{want}"
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from enterprise_warp_spark.queries import REGISTRY
@@ -260,7 +276,8 @@ def main() -> None:
                     os.path.dirname(__file__), "r11_baseline_queries.json"
                 )
             ) as fh:
-                r11 = json.load(fh)["queries"]
+                full_baseline = json.load(fh)
+            r11 = full_baseline["queries"]
             common = sorted(set(r11) & set(timings))
             summary["all_ratio_vs_r11"] = round(
                 sum(timings[q] for q in common)
@@ -278,6 +295,36 @@ def main() -> None:
             # ratio of 1.3 is host steal, not a regression. Only at sf0.1:
             # the r11 baselines are sf0.1 quiet-window numbers, so at any
             # other scale the sentinel factor measures data size, not load.
+            # at sf1 the committed one-time scale-point baselines
+            # (queries_sf1/sentinel_sf1, recorded r13) play the r11 role
+            if sf == "1" and "queries_sf1" in full_baseline:
+                r11_sf1 = full_baseline["queries_sf1"]
+                common1 = sorted(set(r11_sf1) & set(timings))
+                if common1:
+                    summary["all_ratio_vs_sf1_baseline"] = round(
+                        sum(timings[q] for q in common1)
+                        / sum(r11_sf1[q] for q in common1),
+                        4,
+                    )
+                    r1s = sorted(
+                        ((round(timings[q] / r11_sf1[q], 2), q)
+                         for q in common1),
+                        reverse=True,
+                    )
+                    summary["worst_vs_sf1_baseline"] = [
+                        [q, r] for r, q in r1s[:3]
+                    ]
+                    sb = full_baseline.get("sentinel_sf1", 0)
+                    if sb:
+                        sentinel_end = _time_sentinel()
+                        f0, f1 = sentinel_start / sb, sentinel_end / sb
+                        lf = (f0 + f1) / 2
+                        summary["sentinel_factor_sf1"] = [
+                            round(f0, 3), round(f1, 3)
+                        ]
+                        summary["all_ratio_vs_sf1_baseline_norm"] = round(
+                            summary["all_ratio_vs_sf1_baseline"] / lf, 4
+                        )
             if SENTINEL in r11 and r11[SENTINEL] > 0 and sf == "0.1":
                 sentinel_end = _time_sentinel()
                 f0 = sentinel_start / r11[SENTINEL]
@@ -305,6 +352,17 @@ def main() -> None:
         reprobe_worst(spark, sf_dir, REGISTRY, to_reprobe, summary)
     except (OSError, ValueError, ZeroDivisionError):
         pass
+    # carry the committed one-time sf1 scale point (SCALE_sf1.json,
+    # recorded via `python bench.py --sf 1`) alongside the live sf0.1
+    # numbers so every BENCH artifact shows both points of the scale curve
+    if sf == "0.1":
+        try:
+            with open(
+                os.path.join(os.path.dirname(__file__), "SCALE_sf1.json")
+            ) as fh:
+                summary["sf1_recorded"] = json.load(fh)
+        except (OSError, ValueError):
+            pass
     print(json.dumps(summary))
     spark.stop()
 

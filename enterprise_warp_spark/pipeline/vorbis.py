@@ -503,11 +503,17 @@ def ogg_crc(data: bytes) -> int:
     return r
 
 
-def ogg_pages_to_packets(payload: bytes):
-    """Parse an Ogg stream -> yields (packet_bytes, granulepos_of_its_page).
-    Handles lacing and packets continued across pages; verifies page CRCs."""
+def ogg_demux(payload: bytes):
+    """Parse a (possibly chained and/or multiplexed) Ogg container ->
+    yields (serial, packet_bytes, granulepos_of_its_page) in page order
+    across ALL logical bitstreams. Per-serial continuation buffers, so
+    interleaved pages of different streams (RFC 3533 grouping) and
+    back-to-back chained links (new BOS after EOS) reassemble each
+    stream's packets exactly as a per-stream parse would. Page CRCs are
+    verified; lacing and cross-page packet continuation handled per
+    serial."""
     pos = 0
-    pending = bytearray()
+    pending: dict[int, bytearray] = {}
     n = len(payload)
     while pos + 27 <= n:
         if payload[pos:pos + 4] != b"OggS":
@@ -516,6 +522,7 @@ def ogg_pages_to_packets(payload: bytes):
         if version != 0:
             raise ValueError(f"unsupported Ogg version {version}")
         granule = struct.unpack_from("<q", payload, pos + 6)[0]
+        serial = struct.unpack_from("<I", payload, pos + 14)[0]
         crc_given = struct.unpack_from("<I", payload, pos + 22)[0]
         nsegs = payload[pos + 26]
         seg_table = payload[pos + 27:pos + 27 + nsegs]
@@ -527,16 +534,42 @@ def ogg_pages_to_packets(payload: bytes):
             raise ValueError("Ogg page CRC mismatch")
         body = payload[body_start:body_start + body_len]
         if not (htype & 0x01):
-            pending = bytearray()  # fresh packet (not a continuation)
+            pending[serial] = bytearray()  # fresh packet, this stream
+        buf = pending.setdefault(serial, bytearray())
         off = 0
         for i, seg in enumerate(seg_table):
-            pending += body[off:off + seg]
+            buf += body[off:off + seg]
             off += seg
             if seg < 255:
-                yield bytes(pending), granule if i == nsegs - 1 else None
-                pending = bytearray()
+                yield serial, bytes(buf), granule if i == nsegs - 1 else None
+                buf = pending[serial] = bytearray()
         pos = body_start + body_len
     # a trailing pending with no <255 lacing value = truncated final packet
+
+
+def ogg_serials(payload: bytes) -> list[int]:
+    """Logical-bitstream serial numbers in BOS order — one entry per
+    chain link / multiplexed stream."""
+    out: list[int] = []
+    for serial, _pkt, _g in ogg_demux(payload):
+        if serial not in out:
+            out.append(serial)
+    return out
+
+
+def ogg_pages_to_packets(payload: bytes, serial: int | None = None):
+    """Parse ONE logical Ogg bitstream -> yields (packet_bytes,
+    granulepos_of_its_page). serial=None follows the container's FIRST
+    stream; pages belonging to other serials (later chain links,
+    multiplexed siblings) are cleanly skipped instead of being spliced
+    into this stream's packets — use ogg_demux/ogg_serials to read the
+    rest."""
+    want = serial
+    for got, pkt, granule in ogg_demux(payload):
+        if want is None:
+            want = got
+        if got == want:
+            yield pkt, granule
 
 
 def ogg_write_pages(packets_with_flags, serial: int = 0x6577) -> bytes:
