@@ -403,12 +403,18 @@ def ivf_topk(
     )
 
 
+# hyperplane-bucket sizing contract (the SemDeDup cell-size convention):
+# with n_planes derived so expected bucket population ~ this constant, the
+# within-bucket gram cost sum(|bucket|^2) grows ~linearly with the corpus
+COSINE_TARGET_BUCKET_ROWS = 2000
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.35,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 2,
+    n_planes: int | None = 2,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from hyperplane
     buckets (coarse buckets for recall), verified by exact cosine against
@@ -417,7 +423,29 @@ def cosine_near_dup_pairs(
     same values as the former bucket equi-join (round-6 cosines on
     carried SQL-fold norms), but candidate pairs never materialize as
     Spark rows and one task per bucket parallelizes the compute-bound
-    stage AQE's byte-based coalescing misjudges."""
+    stage AQE's byte-based coalescing misjudges.
+
+    n_planes=None derives the plane count from a corpus count() so the
+    EXPECTED bucket population stays ~COSINE_TARGET_BUCKET_ROWS — the
+    SemDeDup cell-sizing contract applied to the hyperplane family. A
+    FIXED plane count is density-quadratic: the r13 sf1 sweep measured
+    the n_planes=2 gate at 12.25x cost for 10x vectors (within-bucket
+    pairs grow with density squared); with the derived count the
+    within-bucket work grows ~linearly in the corpus, at the standard
+    LSH recall trade (more planes split more true pairs across buckets —
+    raise threshold recall by lowering COSINE_TARGET_BUCKET_ROWS
+    pressure only when profiling says so)."""
+    if n_planes is None:
+        import math as _math
+
+        n_planes = max(
+            1,
+            _math.ceil(
+                _math.log2(
+                    max(emb.count() / COSINE_TARGET_BUCKET_ROWS, 2.0)
+                )
+            ),
+        )
     n = _with_norm_sq(emb, emb_col, id_col).withColumn(
         "bucket", F.expr(hyperplane_bucket(emb_col, n_planes))
     )

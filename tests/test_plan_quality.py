@@ -423,3 +423,36 @@ def test_k7_feeding_aggregation_plans(spark):
     assert "BroadcastNestedLoopJoin" not in p2
     assert "BatchEvalPython" not in p2 and "ArrowEvalPython" not in p2
     assert "HashAggregate" in p2  # partial map-side combine before exchange
+
+
+def test_r13_branches_are_map_only(spark, sf001):
+    """The r13 gate branches keep the binary_meta shape: [mp3] fixture
+    construction + census and [uni] unigram encode are pure map chains —
+    no shuffle, no join anywhere in either plan (per-document work only,
+    the property that makes them free at 100 TB)."""
+    from enterprise_warp_spark.queries_hygiene import _uni_branch
+
+    p = plan(REGISTRY["multimodal_binary_meta"].spark(spark, sf001))
+    assert "Exchange" not in p and "Join" not in p, p
+    p = plan(_uni_branch(spark, sf001))
+    assert "Exchange" not in p and "Join" not in p, p
+
+
+def test_exact_duplicate_spans_never_single_partition(spark, sf001):
+    """The suffix-span resolver's shuffles are all n_parts-wide: no stage
+    collapses to SinglePartition (the no-global-window doctrine of
+    pipeline/suffix.py, asserted on the [sfx] fixture's final plan) and
+    the run resolution reaches applyInPandas via a hash exchange on the
+    run id, never a sort-merge over everything."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [(i, "p q r s t u v w x y z filler " * 2) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    from enterprise_warp_spark.pipeline.suffix import exact_duplicate_spans
+
+    df = exact_duplicate_spans(docs, min_tokens=5, n_parts=8)
+    p = plan(df)
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p

@@ -595,3 +595,30 @@ def test_persisted_ivf_index_hier_assign_matches_flat(spark, emb, tmp_path):
 
     with _pytest.raises(ValueError, match="assign"):
         similarity.build_ivf_index(emb, cents, str(tmp_path / "x"), assign="z")
+
+
+def test_cosine_near_dup_auto_plane_sizing(spark):
+    """n_planes=None derives the plane count so expected bucket population
+    stays ~COSINE_TARGET_BUCKET_ROWS (the r13 answer to the sf1 sweep's
+    density quadratic at fixed n_planes). Coarser auto buckets can only
+    ADD recall versus a finer fixed split that shares plane 0 — every
+    2-plane co-bucketed pair is 1-plane co-bucketed."""
+    import math
+
+    from enterprise_warp_spark.pipeline.similarity import (
+        COSINE_TARGET_BUCKET_ROWS,
+        cosine_near_dup_pairs,
+    )
+    from enterprise_warp_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    want_planes = max(
+        1, math.ceil(math.log2(max(n / COSINE_TARGET_BUCKET_ROWS, 2.0)))
+    )
+    assert want_planes == 1  # 2000 vectors at the 2000-row target
+    key = lambda r: (r["vec_a"], r["vec_b"])  # noqa: E731
+    fixed = {key(r) for r in cosine_near_dup_pairs(emb, 0.35, n_planes=2).collect()}
+    auto = {key(r) for r in cosine_near_dup_pairs(emb, 0.35, n_planes=None).collect()}
+    assert fixed <= auto
+    assert len(auto) > 0
