@@ -429,6 +429,50 @@ def exact_duplicate_spans_sharded(
     return spans
 
 
+def strip_exact_duplicate_spans_sharded(
+    docs: DataFrame,
+    n_shards: int,
+    min_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """The 100 TB ExactSubstr strip with the cross-shard backstop COMPOSED
+    IN (the contract exact_duplicate_spans_sharded documents, as one
+    call): per-shard suffix arrays remove every repeat whose occurrences
+    share a shard at EXACT maximal granularity, and the shard-free
+    hash-granularity pass (pipeline/dedup.py repeated_ngram_spans at
+    k = min_tokens) covers the repeats that straddle shard boundaries —
+    so no >= min_tokens cross-document repeat survives anywhere.
+
+    The backstop is occurrence-count based (>= 2 anywhere in the corpus),
+    so with cross_doc_only=True it may ALSO remove a span repeated only
+    within one document — removal-side conservatism, the right direction
+    for dedup. -> (doc_id, cleaned_text, n_removed_tokens)."""
+    from enterprise_warp_spark.pipeline.dedup import (
+        _strip_spans,
+        repeated_ngram_spans,
+    )
+
+    named = docs if id_col == "doc_id" else docs.withColumnRenamed(
+        id_col, "doc_id"
+    )
+    exact = exact_duplicate_spans_sharded(
+        named, n_shards, min_tokens, text_col, "doc_id", cross_doc_only
+    ).select(
+        "doc_id",
+        (F.col("start_tok") + 1).alias("span_start"),
+        (F.col("start_tok") + F.col("n_tokens")).alias("span_end"),
+    )
+    back = repeated_ngram_spans(
+        named, text_col, k=min_tokens, min_count=2
+    ).select("doc_id", "span_start", "span_end")
+    out = _strip_spans(named, exact.unionByName(back), text_col)
+    return out if id_col == "doc_id" else out.withColumnRenamed(
+        "doc_id", id_col
+    )
+
+
 def strip_exact_duplicate_spans(
     docs: DataFrame,
     min_tokens: int = 10,

@@ -286,8 +286,14 @@ def reference_par_name(psr: str, kernel_name: str) -> str:
     return f"{psr}_{kernel_name}"
 
 def _sir_resample(samples_pd, lnl_col: str, n_out: int, seed: int):
-    """Importance (SIR) resample prior draws -> unweighted posterior rows."""
+    """Importance (SIR) resample weighted draws -> unweighted posterior
+    rows. lnl_col is the LOG-WEIGHT: 'lnl' for prior draws (proposal =
+    prior), 'logw' for importance_posterior tables. Non-finite weights
+    (out-of-support defensive draws) are dropped before resampling."""
     lnl = samples_pd[lnl_col].to_numpy(dtype=np.float64)
+    finite = np.isfinite(lnl) & (lnl > -1e29)
+    samples_pd = samples_pd[finite].reset_index(drop=True)
+    lnl = lnl[finite]
     w = np.exp(lnl - lnl.max())
     w = w / w.sum()
     rng = np.random.default_rng(seed)
@@ -432,17 +438,40 @@ def run_from_paramfile(
         shutil.rmtree(out_dir)
 
     bk = sorted(backends)
+    # sampler: adaptive -> the CEM + tempered-importance posterior
+    # (likelihood/sampling.py importance_posterior); any reference sampler
+    # label (ptmcmcsampler/dynesty/...) takes the default one-round
+    # prior-IS path, exactly as before. The adaptive chain is SIR-resampled
+    # from the PROPOSAL-CORRECTED logw weights, so run dirs carry a valid
+    # posterior even for the 12-dim by-backend models one prior round
+    # cannot cover.
+    sampler = str(p.values.get("sampler", "")).strip().lower()
     if len(models) == 1:
-        joined, summary = run_inference(
-            spark, res, models[min(models)], n_samples=n_samples,
-            seed=seed, fixed=fixed or None, backends=bk, tm=tm,
-        )
+        if sampler == "adaptive":
+            from enterprise_warp_spark.likelihood.inference import (
+                run_adaptive_inference,
+            )
+
+            joined, summary = run_adaptive_inference(
+                spark, res, models[min(models)], rounds=4,
+                n_per_round=n_samples, seed=seed, fixed=fixed or None,
+                backends=bk, tm=tm,
+                final_is=min(4 * n_samples, 16384), final_is_waves=3,
+            )
+            w_col = "logw"
+        else:
+            joined, summary = run_inference(
+                spark, res, models[min(models)], n_samples=n_samples,
+                seed=seed, fixed=fixed or None, backends=bk, tm=tm,
+            )
+            w_col = "lnl"
         pdf = joined.toPandas()
         par_names = [
-            c for c in pdf.columns if c not in ("sample_id", "lnl")
+            c for c in pdf.columns
+            if c not in ("sample_id", "lnl", "logw", "wave")
             and pdf[c].nunique() > 1
         ]
-        chain = _sir_resample(pdf, "lnl", min(2000, 4 * len(pdf)), seed)
+        chain = _sir_resample(pdf, w_col, min(2000, 4 * len(pdf)), seed)
         if not array_run:
             rename = {k: reference_par_name(psr0, k) for k in par_names}
             chain = chain.rename(columns=rename)

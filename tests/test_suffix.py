@@ -340,3 +340,48 @@ def test_cross_shard_span_missed_but_hash_backstop_catches_it(spark):
         for r in repeated_ngram_spans(docs, k=10).collect()
     }
     assert got[a] == (3, 12) and got[b] == (4, 13)
+
+
+def test_sharded_strip_with_backstop_covers_the_straddling_span(spark):
+    """The one-call production recipe: per-shard exact spans + the
+    shard-free hash backstop. The duplicate phrase whose occurrences
+    straddle the shard boundary (missed by the per-shard suffix arrays —
+    pinned above) is REMOVED from both documents; unique text survives."""
+    from pyspark.sql import functions as _F
+
+    from enterprise_warp_spark.pipeline.suffix import (
+        strip_exact_duplicate_spans_sharded,
+    )
+
+    probe = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    shard = {
+        r["doc_id"]: r["s"]
+        for r in probe.select(
+            "doc_id", _F.pmod(_F.xxhash64("doc_id"), _F.lit(2)).alias("s")
+        ).collect()
+    }
+    a = next(d for d in shard if shard[d] == 0)
+    b = next(d for d in shard if shard[d] == 1)
+    c = next(d for d in shard if d not in (a, b))
+    phrase = "p q r s t u v w x y"  # 10 tokens, straddles the shards
+    docs = spark.createDataFrame(
+        [
+            (a, f"alpha beta {phrase} gamma"),
+            (b, f"one two three {phrase} four"),
+            (c, "completely unrelated filler text right here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in strip_exact_duplicate_spans_sharded(
+            docs, n_shards=2, min_tokens=10
+        ).collect()
+    }
+    assert got[a]["cleaned_text"] == "alpha beta gamma"
+    assert got[b]["cleaned_text"] == "one two three four"
+    assert got[a]["n_removed_tokens"] == 10
+    assert got[c]["cleaned_text"] == docs.filter(
+        _F.col("doc_id") == c
+    ).first()["text"]
+    assert got[c]["n_removed_tokens"] == 0
