@@ -312,6 +312,11 @@ def importance_posterior(
         if init_cov is not None
         else _np.diag(base**2)
     ) * inflate**2
+    # the full-covariance proposal spells the quadratic form as ~d^2/2
+    # column terms; past ~40 sampled dimensions that expression tree (and
+    # the d x d refit) stops paying for itself — fall back to the
+    # diagonal family (refits below project to the diagonal too)
+    diag_only = d > 40
     pooled: _pd.DataFrame | None = None
     for wv in range(waves):
         sw = seed + 60013 * wv
@@ -322,6 +327,8 @@ def importance_posterior(
         # regularize: keep the proposal from collapsing below 2% of the
         # initial per-axis scale (the CEM floor convention)
         cov = cov + _np.diag((0.02 * base) ** 2)
+        if diag_only:
+            cov = _np.diag(_np.diag(cov))
         L = _np.linalg.cholesky(cov)
         P = _np.linalg.inv(cov)
         _sign, logdet = _np.linalg.slogdet(cov)

@@ -114,3 +114,36 @@ def test_prior_frac_validation(spark):
             spark, PRIORS, _gauss_score, {"x": 0, "y": 0},
             {"x": 1, "y": 1}, 64, 1, prior_frac=1.0,
         )
+
+
+def test_high_dimension_takes_diagonal_family(spark):
+    """Past 40 sampled dimensions the proposal falls back to the diagonal
+    family (the full quadratic form would spell ~d^2/2 column terms).
+    Target = a FLAT likelihood, so the true posterior is the uniform
+    prior box: unweighted draws cluster at the (deliberately off-center)
+    proposal mean, and only correct proposal-reweighting recovers the
+    box's median at 0 — in 44 dims the defensive component's bounded
+    weights (w <= 1/prior_frac for prior draws) keep the estimate
+    stable where a pure Gaussian proposal would collapse."""
+    priors = [Prior(f"p{i:02d}", "uniform", -5.0, 5.0) for i in range(44)]
+
+    def score(df):
+        return df.select("sample_id", F.lit(0.0).alias("lnl"))
+
+    out = importance_posterior(
+        spark, priors, score,
+        centers={p.name: 2.0 for p in priors},
+        scales={p.name: 1.0 for p in priors},
+        n=8192, seed=5, waves=2,
+    ).cache()
+    qs = posterior_quantiles(
+        out, ["p00", "p07", "p31"], qs=(0.16, 0.5, 0.84), logw_col="logw"
+    )
+    for c in ("p00", "p07", "p31"):
+        assert abs(qs[c][0.5]) < 0.5, (c, qs[c])
+        # the box's 16/84 percentiles sit at -/+ 3.4
+        assert abs(qs[c][0.16] + 3.4) < 0.8 and abs(qs[c][0.84] - 3.4) < 0.8
+    lw = np.array([r["logw"] for r in out.select("logw").collect()])
+    lw = lw[np.isfinite(lw) & (lw > -1e29)]
+    w = np.exp(lw - lw.max())
+    assert w.sum() ** 2 / (w**2).sum() > 300  # bounded-weight ESS
