@@ -395,6 +395,34 @@ def importance_posterior(
     return spark.createDataFrame(pooled)
 
 
+def log_evidence(pooled: DataFrame, logw_col: str = "logw") -> float:
+    """Marginal-likelihood (Bayesian evidence) estimate from an
+    importance_posterior table: since logw = ln L + ln pi - ln q for
+    samples drawn from q, E_q[exp(logw)] = integral of L * pi = Z, so
+    ln Z ~= logsumexp(logw) - ln N. Valid for the pooled multi-wave table
+    (equal n per wave = a uniform mixture of proposals, itself a valid
+    q). The reference reaches evidence through dynesty (bilby_warp); here
+    it falls out of the weights the posterior already carries — log Bayes
+    factors between separately-run models are differences of this value.
+
+    Driver cost: one logsumexp over the sample table's weight column (the
+    same MAX_ADAPTIVE_N_PER_ROUND-bounded table every summary reads)."""
+    import math as _math
+
+    import numpy as _np
+
+    lw = _np.array(
+        [r[0] for r in pooled.select(logw_col).collect()], dtype=float
+    )
+    n = len(lw)
+    lw = lw[_np.isfinite(lw) & (lw > _LOG_ZERO / 2)]
+    if not len(lw):
+        return float("-inf")
+    m = lw.max()
+    # out-of-support draws contribute exp(-inf) = 0 but still count in N
+    return float(m + _math.log(_np.exp(lw - m).sum()) - _math.log(n))
+
+
 # adaptive_posterior round-trips each round's scored samples through the
 # driver (the CEM refit is a driver-side pandas moment fit). That is fine at
 # the design scale — hundreds to thousands of samples of tens of params —

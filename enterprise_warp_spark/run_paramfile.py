@@ -477,8 +477,17 @@ def run_from_paramfile(
             chain = chain.rename(columns=rename)
             par_names = [rename[k] for k in par_names]
         write_chain_dir(chain, par_names, out_dir)
-        return {"output_dir": out_dir, "pars": par_names, "chain": chain,
-                "summary": summary, "job_config": job_config}
+        out = {"output_dir": out_dir, "pars": par_names, "chain": chain,
+               "summary": summary, "job_config": job_config}
+        if w_col == "logw":
+            # the adaptive path's weights carry the marginal likelihood
+            # for free (the reference reads evidence off dynesty results)
+            from enterprise_warp_spark.likelihood.sampling import (
+                log_evidence,
+            )
+
+            out["log_evidence"] = log_evidence(joined)
+        return out
 
     posterior, log_bf = hypermodel_sample(
         spark, res, models, n_samples=n_samples, seed=seed,

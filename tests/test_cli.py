@@ -519,3 +519,5 @@ def test_run_paramfile_adaptive_sampler(spark, example_tree):
     assert np.std(chain[:, j]) < 0.6, np.std(chain[:, j])
     # resampled chain has real diversity (not one repeated row)
     assert len(np.unique(chain[:, j])) > 20
+    # the adaptive path hands back a finite evidence estimate for free
+    assert np.isfinite(out["log_evidence"])

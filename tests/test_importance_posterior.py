@@ -147,3 +147,39 @@ def test_high_dimension_takes_diagonal_family(spark):
     lw = lw[np.isfinite(lw) & (lw > -1e29)]
     w = np.exp(lw - lw.max())
     assert w.sum() ** 2 / (w**2).sum() > 300  # bounded-weight ESS
+
+
+def test_log_evidence_matches_analytic_value(spark, pooled):
+    """Z = integral of L * pi: for L = exp(-(x-1)^2/2 - (y+2)^2/(2*0.25))
+    under U(-10,10)^2 priors, Z = 2*pi*1*0.5 / 400 (the box truncation is
+    ~0 at 8+ sigma). The logw table's logsumexp must land on it."""
+    import math
+
+    from enterprise_warp_spark.likelihood.sampling import log_evidence
+
+    want = math.log(2.0 * math.pi * 1.0 * 0.5 / 400.0)
+    got = log_evidence(pooled)
+    assert abs(got - want) < 0.15, (got, want)
+
+
+def test_log_evidence_differences_are_bayes_factors(spark):
+    """Two models on the same data-free targets with a known likelihood
+    ratio: a model whose lnl is uniformly higher by c has evidence higher
+    by exactly c — the difference survives the estimator."""
+    import math
+
+    from enterprise_warp_spark.likelihood.sampling import log_evidence
+
+    def score_hi(df):
+        return _gauss_score(df).withColumn("lnl", F.col("lnl") + 3.0)
+
+    lo = importance_posterior(
+        spark, PRIORS, _gauss_score, {"x": 0.0, "y": 0.0},
+        {"x": 2.0, "y": 2.0}, 4096, 11, waves=3,
+    )
+    hi = importance_posterior(
+        spark, PRIORS, score_hi, {"x": 0.0, "y": 0.0},
+        {"x": 2.0, "y": 2.0}, 4096, 11, waves=3,
+    )
+    bf = log_evidence(hi) - log_evidence(lo)
+    assert abs(bf - 3.0) < 0.05, bf
