@@ -121,3 +121,63 @@ def test_shared_prior_conflict_raises(spark):
         hypermodel_sample(
             spark, res, {1: [], 2: []}, n_samples=8, nfreqs=4, seed=1
         )
+
+
+def test_adaptive_evidence_differences_agree_with_hypermodel_bf(spark):
+    """Two INDEPENDENT Bayes-factor estimators must agree: the
+    product-space prior-IS evidence ratio (hypermodel_sample's log_bf)
+    vs the difference of per-model adaptive importance evidences
+    (run_adaptive_inference(final_is) + log_evidence, r13).
+
+    Models are NESTED with non-empty rows in both (model 0: achromatic
+    powerlaw; model 1: + a chromatic DM powerlaw) so both paths compile
+    identical physics, and the data is white-only so the BF is the
+    moderate Occam factor for the unused DM parameters — the regime
+    where both estimators have low variance. Agreement within 1 nat
+    cross-validates the product-space evidence and the new logw
+    weighting end to end."""
+    from enterprise_warp_spark.likelihood.inference import (
+        run_adaptive_inference,
+    )
+    from enterprise_warp_spark.likelihood.sampling import log_evidence
+
+    models = {
+        0: [{"signal": "spin_noise",
+             "option_json": json.dumps("powerlaw_8_nfreqs")}],
+        1: [{"signal": "spin_noise",
+             "option_json": json.dumps("powerlaw_8_nfreqs")},
+            {"signal": "dm_noise",
+             "option_json": json.dumps("powerlaw_8_nfreqs")}],
+    }
+    rng = np.random.default_rng(29)
+    rows = []
+    for p in range(NPSR):
+        n = 150
+        t = np.sort(rng.uniform(0, TSPAN, n))
+        r = rng.normal(0, SIGMA, n)
+        freq = np.where(np.arange(n) % 2 == 0, 700.0, 3000.0)
+        rows += [
+            (f"J{p:04d}+0000", float(ti), float(ri), SIGMA, 1.0, 0.0,
+             float(fi))
+            for ti, ri, fi in zip(t, r, freq)
+        ]
+    res = spark.createDataFrame(
+        rows,
+        "psr string, toa_s double, residual_s double, toa_err_s double, "
+        "efac double, equad double, freq_mhz double",
+    ).cache()
+
+    _, log_bf = hypermodel_sample(
+        spark, res, models, n_samples=4096, nfreqs=NFREQ, seed=5
+    )
+    bf_ps = log_bf.collect()[0]["log_bf"]
+
+    evs = {}
+    for m in (0, 1):
+        scored, _ = run_adaptive_inference(
+            spark, res, models[m], rounds=3, n_per_round=256,
+            nfreqs=NFREQ, seed=5, final_is=4096, final_is_waves=3,
+        )
+        evs[m] = log_evidence(scored)
+    bf_is = evs[1] - evs[0]
+    assert abs(bf_is - bf_ps) < 1.0, (bf_is, bf_ps, evs)
