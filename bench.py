@@ -278,17 +278,22 @@ def main() -> None:
             ) as fh:
                 full_baseline = json.load(fh)
             r11 = full_baseline["queries"]
-            common = sorted(set(r11) & set(timings))
-            summary["all_ratio_vs_r11"] = round(
-                sum(timings[q] for q in common)
-                / sum(r11[q] for q in common),
-                4,
-            )
-            ratios11 = sorted(
-                ((round(timings[q] / r11[q], 2), q) for q in common),
-                reverse=True,
-            )
-            summary["worst_vs_r11"] = [[q, r] for r, q in ratios11[:3]]
+            # the r11 per-gate baselines are sf0.1 quiet-window numbers:
+            # at any other scale the ratios would measure data size, so
+            # they are only reported at sf0.1 (sf1 has its own block)
+            common = sorted(set(r11) & set(timings)) if sf == "0.1" else []
+            ratios11 = []
+            if common:
+                summary["all_ratio_vs_r11"] = round(
+                    sum(timings[q] for q in common)
+                    / sum(r11[q] for q in common),
+                    4,
+                )
+                ratios11 = sorted(
+                    ((round(timings[q] / r11[q], 2), q) for q in common),
+                    reverse=True,
+                )
+                summary["worst_vs_r11"] = [[q, r] for r, q in ratios11[:3]]
             # sentinel-normalized ratios: divide by the window's measured
             # inflation (mean of the start/end sentinel factors vs its
             # quiet baseline). A normalized ratio near 1.0 under a raw

@@ -72,6 +72,11 @@ def hypermodel_sample(
     models: {model_index: normalized model rows (§1.5)} — the paramfile's
     `{N}` sections. Same-named parameters are SHARED across models (the
     reference's HyperModel semantics: one column per unique parameter).
+    An EMPTY row list is the white-noise-only null model HERE (its lnl
+    carries no GP component) — deliberately different from
+    run_inference's minimal-powerlaw fallback, which exists so a bare
+    single-model config still infers something; a product-space run
+    exists to COMPARE models, so the empty model must stay null.
 
     posterior_chain: (step, nmodel, <params...>, lnl) — an unweighted
     resampled posterior; feed `operators.relational.model_counts` /
