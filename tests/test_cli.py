@@ -521,3 +521,8 @@ def test_run_paramfile_adaptive_sampler(spark, example_tree):
     assert len(np.unique(chain[:, j])) > 20
     # the adaptive path hands back a finite evidence estimate for free
     assert np.isfinite(out["log_evidence"])
+    # §3.2 reads the adaptive run dir exactly like any PTMCMC-layout dir
+    from enterprise_warp_spark.results import main as results_main
+
+    res = results_main(["--result", prfile, "--info", "1"], spark=spark)
+    assert res["run_ids"] == ["0_J1832-0836"]

@@ -183,3 +183,21 @@ def test_log_evidence_differences_are_bayes_factors(spark):
     )
     bf = log_evidence(hi) - log_evidence(lo)
     assert abs(bf - 3.0) < 0.05, bf
+
+
+def test_importance_table_is_deterministic(spark):
+    """Same seed, same priors, same proposal -> bit-identical logw table
+    (the repo's determinism doctrine; the stream partitioning is pinned
+    inside importance_posterior so session parallelism cannot shift it)."""
+    def run():
+        return (
+            importance_posterior(
+                spark, PRIORS, _gauss_score, {"x": 0.0, "y": 0.0},
+                {"x": 2.0, "y": 2.0}, 2048, 31, waves=2,
+            )
+            .select("sample_id", "x", "y", "logw")
+            .collect()
+        )
+
+    a, b = run(), run()
+    assert a == b
