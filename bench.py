@@ -60,6 +60,45 @@ def reprobe_worst(
     return summary
 
 
+def compact_final_summary(summary: dict, limit: int = 1800) -> str:
+    """Serialize the bench summary to the ONE final stdout line, enforcing
+    the driver-contract length bound (r13 verdict #1: the driver keeps only
+    a 2000-char stdout tail; r13's final line overflowed it by embedding
+    all 52 sf1 per-query times and the whole artifact parsed as null).
+    Over-limit summaries shed the bulkiest optional fields in a stated
+    priority order; if the headline fields alone still overflow, raise —
+    a silent truncation upstream is exactly the failure this guards."""
+    line = json.dumps(summary)
+    if len(line) <= limit:
+        return line
+    for victim in (
+        "sf1_recorded",
+        "reprobe",
+        "worst_vs_r11_norm",
+        "worst_vs_sf1_baseline",
+        "worst_vs_r11",
+        "worst",
+    ):
+        if victim in summary:
+            summary.pop(victim)
+            summary["truncated"] = True
+            line = json.dumps(summary)
+            if len(line) <= limit:
+                break
+    print(
+        f"# WARNING: final summary line overflowed {limit} chars; "
+        f"dropped optional fields, now {len(line)} chars",
+        file=sys.stderr,
+    )
+    if len(line) > limit:
+        raise SystemExit(
+            f"bench final summary line is {len(line)} chars even after "
+            f"trimming — the driver's 2000-char tail would truncate it; "
+            "move the offending field to stderr or an earlier line"
+        )
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # --sf N: run the sweep at another scale point (VERDICT r12 Next #6).
@@ -357,18 +396,25 @@ def main() -> None:
         reprobe_worst(spark, sf_dir, REGISTRY, to_reprobe, summary)
     except (OSError, ValueError, ZeroDivisionError):
         pass
-    # carry the committed one-time sf1 scale point (SCALE_sf1.json,
-    # recorded via `python bench.py --sf 1`) alongside the live sf0.1
-    # numbers so every BENCH artifact shows both points of the scale curve
+    # carry the committed sf1 scale point alongside the live sf0.1 numbers
+    # — COMPACT (r13 verdict #1: embedding all 52 per-query sf1 times blew
+    # the final line past the driver's 2000-char stdout tail and r13's
+    # bench artifact parsed as null). Total + pointer only; the full
+    # per-query block lives in SCALE_sf1.json.
     if sf == "0.1":
         try:
             with open(
                 os.path.join(os.path.dirname(__file__), "SCALE_sf1.json")
             ) as fh:
-                summary["sf1_recorded"] = json.load(fh)
+                _sf1 = json.load(fh)
+            summary["sf1_recorded"] = {
+                "total_sec": _sf1.get("total_sec"),
+                "n_queries": len(_sf1.get("queries", {})),
+                "detail": "SCALE_sf1.json",
+            }
         except (OSError, ValueError):
             pass
-    print(json.dumps(summary))
+    print(compact_final_summary(summary))
     spark.stop()
 
 

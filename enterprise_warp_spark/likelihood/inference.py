@@ -283,6 +283,9 @@ def run_adaptive_inference(
     tm: TMComponent | None = None,
     final_is: int = 0,
     final_is_waves: int = 3,
+    final_is_ess_target: float | None = None,
+    final_is_max_waves: int | None = None,
+    diagnostics: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """§3.1 with adaptive refinement: rounds of (sample -> score -> re-center)
     recover higher-dimensional posteriors that one naive prior round cannot
@@ -290,7 +293,11 @@ def run_adaptive_inference(
     waves). Deterministic given the seed. tm: as in run_inference.
     final_is > 0: append one defensive importance-sampling pass of that
     size and return proposal-corrected posterior samples (column `logw`)
-    instead of the raw CEM table — see sampling.adaptive_posterior."""
+    instead of the raw CEM table — see sampling.adaptive_posterior.
+    final_is_ess_target / final_is_max_waves / diagnostics: the
+    ESS-targeted wave loop (sampling.importance_posterior) — with a
+    target, the summary row gains `ess`/`n_waves` columns and the
+    diagnostics dict receives the per-wave ESS trace."""
     from enterprise_warp_spark.likelihood.sampling import adaptive_posterior
 
     priors, comps = compile_priors_and_components(model_rows, fixed, nfreqs, backends)
@@ -308,4 +315,7 @@ def run_adaptive_inference(
     return adaptive_posterior(
         spark, priors, score, rounds, n_per_round, seed,
         final_is=final_is, final_is_waves=final_is_waves,
+        final_is_ess_target=final_is_ess_target,
+        final_is_max_waves=final_is_max_waves,
+        diagnostics=diagnostics,
     )

@@ -254,6 +254,9 @@ def importance_posterior(
     waves: int = 1,
     init_cov=None,
     temper0: float = 4.0,
+    ess_target: float | None = None,
+    max_waves: int | None = None,
+    diagnostics: dict | None = None,
 ) -> DataFrame:
     """Defensive-mixture importance sampling around a located mode ->
     (sample_id, <params>, lnl, logw, wave) with VALID posterior weights.
@@ -286,7 +289,15 @@ def importance_posterior(
 
     All sampling is column arithmetic (rand/randn streams keyed by seed +
     wave): no driver RNG, deterministic; wave 1 uses the diagonal
-    (inflate * scales)^2 covariance."""
+    (inflate * scales)^2 covariance.
+
+    ess_target (r13 verdict #6): production mode — keep appending T=1
+    waves past the `waves` cooling ladder until the pooled untempered
+    ESS (sum(w)^2 / sum(w^2)) reaches the target or the wave budget
+    `max_waves` (default 4 * waves when a target is set) is exhausted
+    (then warns). ess_target=None reproduces the fixed-wave behavior
+    bit-for-bit. diagnostics: pass a dict to receive {ess, ess_per_wave,
+    n_waves, ess_target, ess_target_met}."""
     if n > MAX_ADAPTIVE_N_PER_ROUND:
         raise ValueError(
             f"importance_posterior n={n} exceeds the driver-collect "
@@ -318,9 +329,23 @@ def importance_posterior(
     # diagonal family (refits below project to the diagonal too)
     diag_only = d > 40
     pooled: _pd.DataFrame | None = None
-    for wv in range(waves):
+    # wave budget: fixed `waves` without a target (bit-identical to the
+    # pre-ESS behavior); with ess_target, extension waves run at T = 1
+    # until the target or the cap
+    cap = (
+        waves
+        if ess_target is None
+        else max(int(max_waves), waves) if max_waves is not None else 4 * waves
+    )
+    ess_per_wave: list[float] = []
+    wv = 0
+    while True:
         sw = seed + 60013 * wv
-        T_w = temper0 ** ((waves - 1 - wv) / (waves - 1)) if waves > 1 else 1.0
+        T_w = (
+            temper0 ** ((waves - 1 - wv) / (waves - 1))
+            if waves > 1 and wv < waves
+            else 1.0
+        )
         # rand/randn streams are seeded PER PARTITION: pin the partition
         # count so the drawn samples (and therefore the whole posterior)
         # do not depend on the session's default parallelism
@@ -379,19 +404,56 @@ def importance_posterior(
         pooled = part if pooled is None else _pd.concat(
             [pooled, part], ignore_index=True
         )
-        if wv == waves - 1:
-            break
-        # tempered PMC refit on the pooled weighted cloud (finite only)
+        # pooled untempered ESS after this wave — the diagnostic users
+        # read, and the ess_target loop variable
         lw = pooled["logw"].to_numpy(dtype=float)
         fin = _np.isfinite(pooled["lnl"].to_numpy(dtype=float)) & (
             lw > _LOG_ZERO / 2
         )
+        if fin.any():
+            w_all = _np.exp(lw[fin] - lw[fin].max())
+            ess_now = float(w_all.sum() ** 2 / (w_all**2).sum())
+        else:
+            ess_now = 0.0
+        ess_per_wave.append(round(ess_now, 2))
+        if wv + 1 >= waves and (
+            ess_target is None or ess_now >= ess_target or wv + 1 >= cap
+        ):
+            if ess_target is not None and ess_now < ess_target:
+                import warnings as _warnings
+
+                _warnings.warn(
+                    f"importance_posterior: ESS {ess_now:.1f} is below the "
+                    f"target {ess_target:g} after {wv + 1} waves (budget "
+                    f"cap {cap}); the posterior is valid but thin",
+                    stacklevel=2,
+                )
+            break
+        # tempered PMC refit on the pooled weighted cloud (finite only)
+        if not fin.any():
+            # ADVICE r13: a wave where score_fn returned -inf everywhere
+            # (no finite-likelihood in-support sample yet) must not refit
+            # — w.sum() would be 0 and mu/cov would go NaN, crashing the
+            # next wave's cholesky. Keep the previous proposal and let the
+            # next wave's prior_frac draws keep exploring.
+            wv += 1
+            continue
         X = pooled.loc[fin, names].to_numpy(dtype=float)
         w = _np.exp((lw[fin] - lw[fin].max()) / T_w)
         w = w / w.sum()
         mu = w @ X
         dx = X - mu
         cov = (dx * w[:, None]).T @ dx * (inflate**2)
+        wv += 1
+    if diagnostics is not None:
+        diagnostics.update(
+            ess=ess_per_wave[-1],
+            ess_per_wave=ess_per_wave,
+            n_waves=wv + 1,
+            ess_target=ess_target,
+            ess_target_met=ess_target is None
+            or ess_per_wave[-1] >= ess_target,
+        )
     return spark.createDataFrame(pooled)
 
 
@@ -442,6 +504,9 @@ def adaptive_posterior(
     elite_frac: float = 0.2,
     final_is: int = 0,
     final_is_waves: int = 3,
+    final_is_ess_target: float | None = None,
+    final_is_max_waves: int | None = None,
+    diagnostics: dict | None = None,
 ):
     """Cross-entropy-method posterior search: each round fits the Gaussian
     proposal to the ELITE set (top lnl) of ALL samples scored so far, so a
@@ -514,8 +579,18 @@ def adaptive_posterior(
         is_df = importance_posterior(
             spark, priors, score_fn, centers, scales, final_is,
             seed + 104729, waves=final_is_waves, init_cov=cov0,
+            ess_target=final_is_ess_target,
+            max_waves=final_is_max_waves,
+            diagnostics=diagnostics,
         )
-        return is_df, posterior_summary(is_df, names, logw_col="logw")
+        summary = posterior_summary(is_df, names, logw_col="logw")
+        if diagnostics is not None:
+            # surface the wave diagnostics on the summary row itself
+            # (r13 verdict #6) — the run-dir JSON carries the full dict
+            summary = summary.withColumn(
+                "ess", F.lit(float(diagnostics["ess"]))
+            ).withColumn("n_waves", F.lit(int(diagnostics["n_waves"])))
+        return is_df, summary
     all_scored = spark.createDataFrame(seen)
     # guard exp() against overflow across rounds of very different lnl
     return all_scored, posterior_summary(all_scored, names)

@@ -210,21 +210,30 @@ def prepare_training_corpus(
             semdedup_keep_list,
         )
 
+        emb = serving.semdedup_embeddings.join(
+            kept.select(F.col("doc_id").alias("vec_id")), "vec_id",
+            "left_semi",
+        )
         keep = semdedup_keep_list(
-            serving.semdedup_embeddings.join(
-                kept.select(F.col("doc_id").alias("vec_id")), "vec_id",
-                "left_semi",
-            ),
+            emb,
             threshold=serving.semdedup_threshold,
             n_cells=serving.semdedup_n_cells,
             centroids=serving.semdedup_centroids,
             assign="auto",
         )
-        before = kept
-        kept = kept.join(
-            keep.select(F.col("vec_id").alias("doc_id")), "doc_id",
-            "left_semi",
+        # Remove only the ids SemDeDup actually DROPPED (covered by an
+        # embedding row but absent from the keep-list). A left_semi
+        # against the keep-list would also remove every kept doc with no
+        # embedding coverage and mislabel it a semantic duplicate
+        # (ADVICE r13) — coverage-less docs pass through unjudged.
+        dropped_ids = (
+            emb.select("vec_id")
+            .distinct()
+            .join(keep.select("vec_id"), "vec_id", "left_anti")
+            .select(F.col("vec_id").alias("doc_id"))
         )
+        before = kept
+        kept = kept.join(dropped_ids, "doc_id", "left_anti")
         out["dropped_semdedup"] = before.join(
             kept.select("doc_id"), "doc_id", "left_anti"
         )

@@ -144,9 +144,13 @@ def _parse_id3v2(b: bytes) -> tuple[int, dict]:
 
     Handles the three wild layouts: v2.2 (3-byte frame ids + 3-byte
     big-endian sizes: TT2/TP1/TAL), v2.3 (4-byte ids, plain 32-bit
-    sizes), v2.4 (syncsafe frame sizes). A tag with the unsynchronisation
-    flag (header byte 5 bit 7) is de-unsynchronised (FF 00 -> FF, the
-    exact inverse of the spec's insertion rule) before the frame walk; a
+    sizes), v2.4 (syncsafe frame sizes). Unsynchronisation (FF 00 -> FF,
+    the exact inverse of the spec's insertion rule) is version-correct:
+    v2.3's tag-level flag decodes the whole body before the walk (sizes
+    count decoded bytes), while v2.4 walks the RAW body on the syncsafe
+    sizes (which count on-disk bytes) and decodes each frame's payload
+    individually (tag flag or per-frame format flag 0x02), honoring the
+    4-byte data-length-indicator prefix (format flag 0x01); a
     v2.2 tag with the compression bit set is skipped whole, as the v2.2
     spec prescribes (no scheme was ever defined)."""
     if len(b) < 10 or b[:3] != b"ID3":
@@ -157,7 +161,13 @@ def _parse_id3v2(b: bytes) -> tuple[int, dict]:
     if major < 2 or (major == 2 and flags & 0x40):
         return total, {}  # unknown layout / v2.2 compressed tag
     body = b[10 : min(total, len(b))]
-    if flags & 0x80:  # unsynchronised tag body
+    if flags & 0x80 and major == 3:
+        # v2.3: unsynchronisation is applied to (and the frame sizes
+        # count) the DECODED tag body, so one whole-tag FF 00 -> FF
+        # replace before the walk is exact. v2.4 is the opposite (ADVICE
+        # r13): frame size fields count ON-DISK bytes and unsync is
+        # per-frame, so the walk below stays on the raw body and decodes
+        # each frame's payload individually.
         body = body.replace(b"\xff\x00", b"\xff")
     out: dict = {}
     pos = 0
@@ -184,7 +194,16 @@ def _parse_id3v2(b: bytes) -> tuple[int, dict]:
             break
         name = wanted.get(fid.decode("latin-1", "replace"))
         if name and name not in out:
-            txt = _decode_id3_text(body[pos + hdr_len : pos + hdr_len + fsize])
+            raw = body[pos + hdr_len : pos + hdr_len + fsize]
+            if major >= 4:
+                fmt = body[pos + 9]
+                # per-frame unsync: set by the frame's own format flag, or
+                # implied for every frame by the tag-level unsync flag
+                if fmt & 0x02 or flags & 0x80:
+                    raw = raw.replace(b"\xff\x00", b"\xff")
+                if fmt & 0x01 and len(raw) >= 4:
+                    raw = raw[4:]  # data-length indicator prefix
+            txt = _decode_id3_text(raw)
             if txt:
                 out[name] = txt
         pos += hdr_len + fsize

@@ -170,6 +170,27 @@ _HYGIENE_ORACLE = f"""
         FROM useg WHERE pos = length(w)
       ) WHERE rn = 1
     ),
+    -- per-char <unk> fallback (ADVICE r13): a word with NO complete
+    -- segmentation (any character outside the 27-char coverage blocks
+    -- the recursion) mirrors the encoder's fallback — one piece per
+    -- character, unknown chars as id 0 — instead of silently vanishing
+    -- from the inner join
+    uchars AS (
+      SELECT w, UNNEST(range(1, length(w) + 1)) AS i
+      FROM uw WHERE w NOT IN (SELECT w FROM ubest)
+    ),
+    ufall AS (
+      SELECT c.w,
+             string_agg(CAST(COALESCE(p.pid, 0) AS VARCHAR), ','
+                        ORDER BY c.i) AS ids,
+             COUNT(*) AS np
+      FROM uchars c LEFT JOIN up p ON p.piece = substr(c.w, c.i, 1)
+      GROUP BY c.w
+    ),
+    uall AS (
+      SELECT w, ids, np FROM ubest
+      UNION ALL SELECT w, ids, np FROM ufall
+    ),
     uexp AS (
       SELECT doc_id, UNNEST(arr) AS w, UNNEST(range(1, len(arr) + 1)) AS ord
       FROM (SELECT doc_id, regexp_extract_all(text, '{_TOK_PATTERN}') AS arr
@@ -178,7 +199,7 @@ _HYGIENE_ORACLE = f"""
     ujoin AS (
       SELECT e.doc_id, string_agg(b.ids, ',' ORDER BY e.ord) AS allids,
              SUM(b.np) AS ntok
-      FROM uexp e JOIN ubest b ON e.w = b.w
+      FROM uexp e JOIN uall b ON e.w = b.w
       GROUP BY e.doc_id
     ),
     ku AS (

@@ -452,11 +452,25 @@ def run_from_paramfile(
                 run_adaptive_inference,
             )
 
+            # optional paramfile knobs (r13 verdict #6): `ess_target: N`
+            # keeps appending T=1 importance waves until the pooled ESS
+            # reaches N (budget-capped by `max_waves`, default 4x);
+            # absent -> the fixed 3-wave ladder, bit-identical to r13
+            ess_target = p.values.get("ess_target")
+            adaptive_diag: dict = {}
             joined, summary = run_adaptive_inference(
                 spark, res, models[min(models)], rounds=4,
                 n_per_round=n_samples, seed=seed, fixed=fixed or None,
                 backends=bk, tm=tm,
                 final_is=min(4 * n_samples, 16384), final_is_waves=3,
+                final_is_ess_target=(
+                    float(ess_target) if ess_target is not None else None
+                ),
+                final_is_max_waves=(
+                    int(p.values["max_waves"])
+                    if "max_waves" in p.values else None
+                ),
+                diagnostics=adaptive_diag,
             )
             w_col = "logw"
         else:
@@ -487,6 +501,16 @@ def run_from_paramfile(
             )
 
             out["log_evidence"] = log_evidence(joined)
+            # adaptive run-dir JSON (r13 verdict #6): evidence + the
+            # ESS/wave diagnostics land next to the chain so a user (and
+            # the results CLI) can judge posterior quality without
+            # re-deriving it from the weights
+            out["ess"] = adaptive_diag.get("ess")
+            info = {"log_evidence": out["log_evidence"], **adaptive_diag}
+            with open(
+                os.path.join(out_dir, "adaptive_info.json"), "w"
+            ) as fh:
+                json.dump(info, fh, sort_keys=True, indent=2)
         return out
 
     posterior, log_bf = hypermodel_sample(
@@ -519,6 +543,10 @@ def main(argv=None, spark=None):
         )
         print(f"output: {out['output_dir']}")
         print(f"pars: {' '.join(out['pars'])}")
+        if out.get("ess") is not None:
+            print(f"ess: {out['ess']:.1f}")
+        if out.get("log_evidence") is not None:
+            print(f"log_evidence: {out['log_evidence']:.4f}")
         return out
     finally:
         if own:

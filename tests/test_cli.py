@@ -521,6 +521,15 @@ def test_run_paramfile_adaptive_sampler(spark, example_tree):
     assert len(np.unique(chain[:, j])) > 20
     # the adaptive path hands back a finite evidence estimate for free
     assert np.isfinite(out["log_evidence"])
+    # r14: the run dir carries adaptive_info.json with evidence + the
+    # ESS/wave diagnostics, and the returned dict surfaces ess
+    import json as _json
+
+    with open(os.path.join(d, "adaptive_info.json")) as fh:
+        info = _json.load(fh)
+    assert info["log_evidence"] == out["log_evidence"]
+    assert info["ess"] > 0 and out["ess"] == info["ess"]
+    assert len(info["ess_per_wave"]) == info["n_waves"] == 3
     # §3.2 reads the adaptive run dir exactly like any PTMCMC-layout dir
     from enterprise_warp_spark.results import main as results_main
 

@@ -959,3 +959,97 @@ def test_bench_reprobe_helper(spark, tmp_path):
                   ["a", "x_marginalised_os_1000"], summary3, n_probes=1)
     assert summary3["reprobe"]["x_marginalised_os_1000"] == -1.0
     assert summary3["reprobe"]["a"] >= 0
+
+
+def test_bench_final_line_stays_under_driver_tail():
+    """compact_final_summary (r13 verdict #1): the driver keeps only a
+    2000-char stdout tail, and r13's artifact parsed as null because the
+    final line embedded all 52 sf1 per-query times. The serializer must
+    (a) pass small summaries through verbatim, (b) shed bulky optional
+    fields (sf1_recorded first) when over the limit and mark truncated,
+    and (c) fail LOUD, not silently truncate, if the headline fields
+    alone overflow."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        from bench import compact_final_summary
+    finally:
+        sys.path.pop(0)
+
+    small = {"value": 1.23, "unit": "sec", "basket_ratio_vs_r1": 0.58}
+    line = compact_final_summary(dict(small))
+    assert json.loads(line) == small
+
+    # an r13-shaped overflow: full sf1 block embedded
+    big = dict(small)
+    big["sf1_recorded"] = {"queries": {f"q{i}": 1.0 for i in range(200)}}
+    big["worst"] = [["q1", 1.2, 0.1]]
+    summary = dict(big)
+    line = compact_final_summary(summary, limit=600)
+    assert len(line) <= 600
+    parsed = json.loads(line)
+    assert parsed["truncated"] is True
+    assert "sf1_recorded" not in parsed  # shed first
+    assert parsed["value"] == 1.23  # headline survives
+    assert "worst" in parsed  # shedding stops once under the limit
+
+    # headline fields alone over the limit -> loud failure, never a
+    # silently-truncated artifact
+    import pytest
+
+    huge = {"value": 1.0, "queries": {f"q{i}": 1.0 for i in range(500)}}
+    with pytest.raises(SystemExit):
+        compact_final_summary(huge, limit=100)
+
+
+def test_semdedup_stage_keeps_coverage_less_docs(spark, sf_dir):
+    """ADVICE r13 (medium): the recipe's SemDeDup stage must only remove
+    ids SemDeDup actually judged duplicates. A kept doc with NO row in
+    semdedup_embeddings is unjudged — it must survive the stage and must
+    NOT appear in dropped_semdedup (the old left_semi keep-list join
+    silently removed it and mislabeled it a semantic duplicate)."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline.curate import (
+        CurationConfig,
+        ServingConfig,
+        prepare_training_corpus,
+    )
+    from enterprise_warp_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    base = prepare_training_corpus(docs, CurationConfig(min_tokens=5))
+    kept_ids = sorted(
+        r["doc_id"] for r in base["kept"].select("doc_id").collect()
+    )
+    assert len(kept_ids) >= 4
+    dup_a, dup_b = kept_ids[0], kept_ids[1]
+    uncovered = set(kept_ids[2:4])  # no embedding rows at all
+
+    covered = [i for i in kept_ids if i not in uncovered]
+    src = [(i, i if i != dup_b else dup_a) for i in covered]
+    emb = spark.createDataFrame(src, ["vec_id", "__s"]).select(
+        "vec_id",
+        F.array(
+            F.cos("__s"), F.sin("__s"),
+            F.cos(F.col("__s") * 0.7), F.sin(F.col("__s") * 0.31),
+        ).alias("embedding"),
+    )
+    out = prepare_training_corpus(
+        docs,
+        CurationConfig(min_tokens=5),
+        ServingConfig(
+            semdedup_embeddings=emb,
+            semdedup_threshold=1.0,
+            semdedup_n_cells=4,
+        ),
+    )
+    kept_after = {r["doc_id"] for r in out["kept"].select("doc_id").collect()}
+    dropped = {r["doc_id"] for r in out["dropped_semdedup"].collect()}
+    # the true duplicate goes; the coverage-less docs stay and are not
+    # reported as semantic duplicates
+    assert dup_b in dropped and dup_b not in kept_after
+    assert uncovered <= kept_after
+    assert not (uncovered & dropped)

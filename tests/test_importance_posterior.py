@@ -201,3 +201,82 @@ def test_importance_table_is_deterministic(spark):
 
     a, b = run(), run()
     assert a == b
+
+
+def test_all_inf_wave_skips_refit_instead_of_nan(spark):
+    """ADVICE r13: a score_fn that returns -inf everywhere (no in-support
+    finite-likelihood sample) must not divide by w.sum()==0 — the refit is
+    skipped, the previous proposal is reused, and the run completes with a
+    valid (all-zero-weight) table rather than a cholesky crash on NaN."""
+
+    def _impossible(df):
+        return df.select(
+            "sample_id", F.lit(float("-inf")).alias("lnl")
+        )
+
+    out = importance_posterior(
+        spark, PRIORS, _impossible,
+        centers={"x": 0.0, "y": 0.0}, scales={"x": 1.0, "y": 1.0},
+        n=256, seed=3, waves=3,
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == 3 * 256  # every wave ran
+    # weights carry no finite mass; evidence degrades to -inf, not NaN
+    from enterprise_warp_spark.likelihood.sampling import log_evidence
+
+    assert log_evidence(out) == float("-inf")
+    assert not np.isnan(pdf[["x", "y"]].to_numpy(dtype=float)).any()
+
+
+def test_ess_target_easy_terminates_early(spark):
+    """r13 verdict #6: with an achievable ess_target, the loop keeps
+    appending T=1 waves past the cooling ladder only until the pooled ESS
+    reaches the target — and reports the trace in diagnostics."""
+    diag: dict = {}
+    out = importance_posterior(
+        spark, PRIORS, _gauss_score,
+        centers={"x": 0.0, "y": 0.0}, scales={"x": 2.0, "y": 2.0},
+        n=1024, seed=5, waves=2, ess_target=400.0, max_waves=10,
+        diagnostics=diag,
+    )
+    assert diag["ess_target_met"] is True
+    assert diag["ess"] >= 400.0
+    assert diag["n_waves"] <= 10
+    assert len(diag["ess_per_wave"]) == diag["n_waves"]
+    # the pooled table really carries n_waves * n rows
+    assert out.count() == diag["n_waves"] * 1024
+
+
+def test_ess_target_hard_hits_cap_and_warns(spark):
+    """An unreachable target must terminate at the wave budget with a
+    warning, not loop forever — and still return a valid table."""
+    import warnings
+
+    diag: dict = {}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = importance_posterior(
+            spark, PRIORS, _gauss_score,
+            centers={"x": 0.0, "y": 0.0}, scales={"x": 2.0, "y": 2.0},
+            n=128, seed=5, waves=2, ess_target=1e9, max_waves=3,
+            diagnostics=diag,
+        )
+    assert diag["n_waves"] == 3 and diag["ess_target_met"] is False
+    assert any("below the target" in str(w.message) for w in rec)
+    assert out.count() == 3 * 128
+
+
+def test_no_ess_target_reproduces_fixed_wave_table(spark, pooled):
+    """ess_target=None must stay bit-identical to the r13 fixed-wave
+    behavior (same seeds, same ladder, same wave count) — the pinned
+    determinism contract."""
+    diag: dict = {}
+    again = importance_posterior(
+        spark, PRIORS, _gauss_score,
+        centers={"x": 0.0, "y": 0.0}, scales={"x": 2.0, "y": 2.0},
+        n=4096, seed=11, waves=3, diagnostics=diag,
+    )
+    a = pooled.toPandas().sort_values("sample_id").reset_index(drop=True)
+    b = again.toPandas().sort_values("sample_id").reset_index(drop=True)
+    assert diag["n_waves"] == 3 and diag["ess_target_met"] is True
+    assert a.equals(b)

@@ -210,3 +210,55 @@ def test_spark_mp3_meta_kernel(spark):
     # map-only plan: no shuffle anywhere
     plan = mp3_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _syncsafe4(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def test_id3v24_unsync_sizes_count_on_disk_bytes():
+    """ADVICE r13: in v2.4, frame size fields count the ON-DISK (unsynced)
+    bytes and unsynchronisation is per-frame. A first frame whose payload
+    contains FF 00 must not desynchronise the walk to the frames after it
+    (the old whole-tag FF00->FF replace shifted every later offset)."""
+    frames = b""
+    for fid, text in (("TIT2", "y\xffz"), ("TPE1", "A\xffB"),
+                      ("TALB", "plain")):
+        payload = b"\x00" + text.encode("latin-1")
+        on_disk = payload.replace(b"\xff", b"\xff\x00")
+        # v2.4: syncsafe size = on-disk byte count; format flag 0x02 =
+        # this frame is unsynchronised
+        frames += (
+            fid.encode() + _syncsafe4(len(on_disk)) + b"\x00\x02" + on_disk
+        )
+    blob = (
+        b"ID3\x04\x00\x00" + _syncsafe4(len(frames)) + frames
+        + _frame_v1l3_128_44100() * 2
+    )
+    meta = parse_mp3_meta(blob)
+    assert meta["title"] == "y\xffz"
+    assert meta["artist"] == "A\xffB"
+    assert meta["album"] == "plain"  # the frame AFTER the unsynced ones
+    assert meta["n_frames"] == 2
+
+    # tag-level unsync flag (0x80): every frame stored unsynced, sizes
+    # still on-disk — same walk, same answers
+    blob2 = b"ID3\x04\x00\x80" + _syncsafe4(len(frames)) + frames.replace(
+        b"\x00\x02", b"\x00\x00"
+    ) + _frame_v1l3_128_44100()
+    meta2 = parse_mp3_meta(blob2)
+    assert meta2["title"] == "y\xffz" and meta2["artist"] == "A\xffB"
+
+
+def test_id3v24_data_length_indicator_prefix_skipped():
+    """v2.4 format flag 0x01 prepends a 4-byte data-length indicator to
+    the payload; the text decoder must skip it."""
+    payload = b"\x00" + b"DLI title"
+    frame = (
+        b"TIT2" + _syncsafe4(4 + len(payload)) + b"\x00\x01"
+        + _syncsafe4(len(payload)) + payload
+    )
+    blob = b"ID3\x04\x00\x00" + _syncsafe4(len(frame)) + frame
+    assert parse_mp3_meta(blob)["title"] == "DLI title"

@@ -251,3 +251,66 @@ def test_ids_output_interops_with_bpe_schema_and_packing(spark, tmp_path):
     assert unigram_vocab(load_tokenizer(p)) == vocab
     with pytest.raises(ValueError, match="output"):
         encode_corpus_unigram(docs, model, output="tokens").collect()
+
+
+def test_uni_oracle_per_char_unk_fallback(spark, tmp_path):
+    """ADVICE r13: the [uni] oracle's recursive CTE only extends positions
+    via coverage pieces, so a word with any out-of-coverage character
+    (digit, uppercase) had NO ubest row and the inner join silently
+    dropped it — while encode_corpus_unigram emits per-char pieces with
+    <unk>=0 for the unknown chars. The oracle now carries a per-char
+    fallback branch; pin the equivalence on a corpus that actually
+    exercises it."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.queries_hygiene import (
+        _HYGIENE_ORACLE,
+        _uni_branch,
+    )
+    from tests.oracle import _normalize
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat in the hat",        # fully covered — Viterbi path
+                "th3 cat has 9 lives",       # digits block segmentation
+                "HELLO there the end",       # uppercase out of coverage
+                "mix3d and plain words",     # fallback + covered in one doc
+            ],
+            "lang": ["en"] * 4,
+            "source": ["a", "a", "b", "b"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    sf = str(tmp_path)
+    import os
+
+    for t in os.listdir("/root/testdata/sf0.01"):
+        if t != "documents.parquet":
+            os.symlink(f"/root/testdata/sf0.01/{t}", f"{sf}/{t}")
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    # the other tables the combined oracle references come from real sf0.01
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    for t in ("customer",):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.01/{t}.parquet'"
+        )
+    want = con.sql(
+        f"SELECT * FROM ({_HYGIENE_ORACLE}) WHERE gate = 'uni'"
+    )
+    got = _uni_branch(spark, sf).filter(F.col("gate") == "uni")
+    left = _normalize(got.toPandas())
+    right = _normalize(want.df())
+    assert len(left) == 4, left
+    assert left.equals(right), (left, right)
+    # and the fallback genuinely fired: doc 2/3/4 token counts include the
+    # per-char words (e.g. 'th3' -> 3 pieces with id 0 for '3')
+    v = {int(r["k2"]): float(r["v1"]) for _, r in left.iterrows()}
+    assert v[2] > 0 and v[3] > 0 and v[4] > 0
