@@ -60,6 +60,50 @@ def reprobe_worst(
     return summary
 
 
+# x_importance_wave pin (r13 verdict #8): one defensive-mixture importance
+# wave on the toy Gaussian target (test_importance_posterior's fixture
+# shape), fixed seed — the estimator is partition-seeded, so the evidence
+# VALUE is a constant; the analytic answer is ln((sqrt(2pi)*1 *
+# sqrt(2pi)*0.5) / 400) = -4.8465. A drift in the value means the sampling
+# columns or weight algebra changed, not noise.
+X_IMPORTANCE_LOGZ_PIN = -4.850992372310326
+X_IMPORTANCE_LOGZ_TOL = 1e-6
+
+
+def x_importance_wave(spark) -> tuple[float, float]:
+    """One seed-pinned importance wave -> (wall_seconds, log_evidence)."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.likelihood.sampling import (
+        Prior,
+        importance_posterior,
+        log_evidence,
+    )
+
+    priors = [
+        Prior("x", "uniform", -10.0, 10.0),
+        Prior("y", "uniform", -10.0, 10.0),
+    ]
+
+    def score(df):
+        return df.select(
+            "sample_id",
+            (
+                -0.5 * (F.col("x") - 1.0) ** 2
+                - 0.5 * ((F.col("y") + 2.0) / 0.5) ** 2
+            ).alias("lnl"),
+        )
+
+    t0 = time.perf_counter()
+    pooled = importance_posterior(
+        spark, priors, score,
+        centers={"x": 1.0, "y": -2.0}, scales={"x": 1.0, "y": 0.5},
+        n=8192, seed=17, waves=1,
+    )
+    logz = log_evidence(pooled)
+    return time.perf_counter() - t0, logz
+
+
 def compact_final_summary(summary: dict, limit: int = 1800) -> str:
     """Serialize the bench summary to the ONE final stdout line, enforcing
     the driver-contract length bound (r13 verdict #1: the driver keeps only
@@ -263,6 +307,19 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # bench-only entry (r14): one seed-pinned importance wave + evidence
+    # — gives the r13 inference newcomers a recorded per-round wall-time
+    # AND value row (the x_marginalised_os_1000 precedent)
+    iw_sec, iw_logz = x_importance_wave(spark)
+    timings["x_importance_wave"] = round(iw_sec, 4)
+    logz_ok = abs(iw_logz - X_IMPORTANCE_LOGZ_PIN) <= X_IMPORTANCE_LOGZ_TOL
+    print(
+        f"# x_importance_wave: {iw_sec:.3f}s log_evidence {iw_logz:.4f} "
+        f"(pin {X_IMPORTANCE_LOGZ_PIN} "
+        f"{'OK' if logz_ok else 'MISMATCH — estimator drifted'})",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 4)
     # `spread` = per-query (max - min) over the n_reps timings: this VM has
     # 2-3x wall-clock noise windows, so a regression is only real when the
@@ -358,6 +415,16 @@ def main() -> None:
                     summary["worst_vs_sf1_baseline"] = [
                         [q, r] for r, q in r1s[:3]
                     ]
+                    # sf1-flagged gates get the same isolated-reprobe
+                    # self-adjudication the r11 path has (the r14 sf1
+                    # adjudication run flagged minhash_lsh 2.1x in-sweep
+                    # that solo-reprobes at its baseline — in-sweep reads
+                    # inherit GC pressure from the preceding gate's 6M-row
+                    # output at sf1)
+                    to_reprobe += [
+                        q for r, q in r1s[:3]
+                        if r >= 1.5 and q not in to_reprobe
+                    ]
                     sb = full_baseline.get("sentinel_sf1", 0)
                     if sb:
                         sentinel_end = _time_sentinel()
@@ -396,6 +463,57 @@ def main() -> None:
         reprobe_worst(spark, sf_dir, REGISTRY, to_reprobe, summary)
     except (OSError, ValueError, ZeroDivisionError):
         pass
+    # Per-branch attribution for the heaviest union gate (r13 verdict #4):
+    # ONE isolated post-sweep run with SPARK_GRAFT_BRANCH_TIMING=1 (never
+    # inside the timed reps — the attribution materializes each branch
+    # twice). Per-branch seconds go to stderr with ratios against the
+    # committed per-branch baseline (r11_baseline_queries.json
+    # learned_sketch_branches), so a regression inside the 13-branch
+    # union is attributable without a manual bisect.
+    if sf == "0.1":
+        import importlib
+
+        for gate, module, basekey in (
+            ("learned_sketch_ops", "queries_sketch",
+             "learned_sketch_branches"),
+            ("web_hygiene_ops", "queries_hygiene", "web_hygiene_branches"),
+        ):
+            try:
+                os.environ["SPARK_GRAFT_BRANCH_TIMING"] = "1"
+                spark.catalog.clearCache()
+                REGISTRY[gate].spark(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                secs = dict(
+                    importlib.import_module(
+                        f"enterprise_warp_spark.{module}"
+                    ).LAST_BRANCH_SECONDS
+                )
+                with open(
+                    os.path.join(
+                        os.path.dirname(__file__),
+                        "r11_baseline_queries.json",
+                    )
+                ) as fh:
+                    bb = json.load(fh).get(basekey, {})
+                for bname, bsec in sorted(secs.items()):
+                    b0 = bb.get(bname)
+                    ratio = (
+                        f" ({bsec / b0:.2f}x vs baseline {b0:.3f}s)"
+                        if isinstance(b0, (int, float)) else ""
+                    )
+                    print(
+                        f"# {gate} branch {bname}: {bsec:.3f}s{ratio}",
+                        file=sys.stderr,
+                    )
+            except Exception as ex:  # noqa: BLE001 — best-effort
+                print(
+                    f"# branch attribution failed for {gate}: "
+                    f"{type(ex).__name__}",
+                    file=sys.stderr,
+                )
+            finally:
+                os.environ.pop("SPARK_GRAFT_BRANCH_TIMING", None)
     # carry the committed sf1 scale point alongside the live sf0.1 numbers
     # — COMPACT (r13 verdict #1: embedding all 52 per-query sf1 times blew
     # the final line past the driver's 2000-char stdout tail and r13's

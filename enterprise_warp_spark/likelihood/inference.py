@@ -319,3 +319,116 @@ def run_adaptive_inference(
         final_is_max_waves=final_is_max_waves,
         diagnostics=diagnostics,
     )
+
+
+def run_adaptive_from_general2(
+    spark: SparkSession,
+    general2_path: str,
+    psr: str,
+    model_rows: list[dict],
+    tim_path: str | None = None,
+    par_path: str | None = None,
+    pepoch_mjd: float | None = None,
+    residual_col: str = "post",
+    rounds: int = 4,
+    n_per_round: int = 256,
+    nfreqs: int = 8,
+    seed: int = 42,
+    final_is: int = 4096,
+    final_is_waves: int = 3,
+    final_is_ess_target: float | None = None,
+    final_is_max_waves: int | None = None,
+    noise_json_dir: str | None = None,
+) -> dict:
+    """§3.1 on REAL tempo2 output with zero glue (r13 verdict #5): a saved
+    `tempo2 -output general2` stdout (the one step the reference also
+    delegates to tempo2/libstempo — JPL-ephemeris barycentering and the
+    nonlinear timing fit, enterprise_warp.py:420, tempo2_warp.py:4-48)
+    goes straight to a proposal-corrected posterior + evidence:
+
+        read_general2 (sentinel scrape, optional .tim flag attach)
+          -> residuals_from_general2 (GP residual schema)
+          -> run_adaptive_inference  (CEM locate + tempered importance)
+          -> posterior summary, log_evidence, ESS
+          -> optional {psr}_noise.json (PAL2 flat format, reference names)
+
+    tim_path attaches per-TOA backend flags so by-backend white-noise
+    selections in model_rows resolve; par_path compiles the .par into a
+    marginalized TMComponent and supplies PEPOCH (pepoch_mjd overrides).
+    Returns {residuals, scored, summary, log_evidence, ess, diagnostics,
+    noise_json_path?}."""
+    from enterprise_warp_spark.likelihood.sampling import (
+        log_evidence,
+        posterior_quantiles,
+    )
+    from enterprise_warp_spark.sources.tempo2 import (
+        read_general2,
+        residuals_from_general2,
+    )
+
+    tm = None
+    if par_path is not None:
+        from enterprise_warp_spark.functions.timingmodel import (
+            tm_spec_from_par_file,
+        )
+        from enterprise_warp_spark.likelihood.gp import TMComponent
+
+        tm = TMComponent(tm_spec_from_par_file(par_path), mode="fast")
+        if pepoch_mjd is None:
+            for line in open(par_path):
+                parts = line.split()
+                if parts and parts[0] == "PEPOCH":
+                    pepoch_mjd = float(parts[1])
+                    break
+    if pepoch_mjd is None:
+        raise ValueError(
+            "pepoch_mjd is required (pass it, or par_path with a PEPOCH "
+            "line) — toa_s must be PEPOCH-relative for the timing-model "
+            "spec to line up"
+        )
+    g2 = read_general2(spark, general2_path, tim_path=tim_path)
+    res = residuals_from_general2(
+        g2, psr, bat_mjd0=pepoch_mjd, residual_col=residual_col
+    ).cache()
+    backends = None
+    if "backend" in res.columns:
+        backends = sorted(
+            r["backend"] for r in res.select("backend").distinct().collect()
+        )
+    diagnostics: dict = {}
+    scored, summary = run_adaptive_inference(
+        spark, res, model_rows, rounds=rounds, n_per_round=n_per_round,
+        nfreqs=nfreqs, seed=seed, backends=backends, tm=tm,
+        final_is=final_is, final_is_waves=final_is_waves,
+        final_is_ess_target=final_is_ess_target,
+        final_is_max_waves=final_is_max_waves, diagnostics=diagnostics,
+    )
+    out = {
+        "residuals": res,
+        "scored": scored,
+        "summary": summary,
+        "log_evidence": log_evidence(scored),
+        "ess": diagnostics.get("ess"),
+        "diagnostics": diagnostics,
+    }
+    if noise_json_dir is not None:
+        import json as _json
+        import os as _os
+
+        from enterprise_warp_spark.run_paramfile import reference_par_name
+
+        names = [
+            c for c in scored.columns
+            if c not in ("sample_id", "lnl", "logw", "wave")
+        ]
+        qs = posterior_quantiles(scored, names, qs=(0.5,), logw_col="logw")
+        doc = {
+            reference_par_name(psr, k): float(qs[k][0.5]) for k in names
+        }
+        _os.makedirs(noise_json_dir, exist_ok=True)
+        path = _os.path.join(noise_json_dir, f"{psr}_noise.json")
+        with open(path, "w") as fh:
+            _json.dump(doc, fh, sort_keys=True, indent=4)
+            fh.write("\n")
+        out["noise_json_path"] = path
+    return out

@@ -304,6 +304,8 @@ def exact_duplicate_spans(
     id_col: str = "doc_id",
     cross_doc_only: bool = True,
     n_parts: int = 32,
+    max_run_members: int | None = None,
+    on_oversized: str = "error",
 ) -> DataFrame:
     """EXACT repeated token spans of >= min_tokens across the corpus ->
     (doc_id, start_tok int, n_tokens int, twin_doc, twin_start): one row
@@ -328,7 +330,21 @@ def exact_duplicate_spans(
 
     cross_doc_only=False also reports repeats within one document
     (self-plagiarism/boilerplate): the admissibility test drops the
-    different-doc requirement, everything else is identical."""
+    different-doc requirement, everything else is identical.
+
+    max_run_members (r13 verdict #7): the documented pathology made
+    enforceable — a span repeated N times forms one N-member run resolved
+    on one worker (fixed costs dominate to ~4k multiplicity, PERF.md r13;
+    ~1e8-member runs are the wall). With a bound set, an oversized run
+    either fails LOUD at resolve time (on_oversized='error', the
+    offending multiplicity in the message) or is dropped from the exact
+    path (on_oversized='drop') — only sound inside a composition whose
+    hash-granularity backstop still removes the span, which is exactly
+    how strip_exact_duplicate_spans_sharded routes it."""
+    if on_oversized not in ("error", "drop"):
+        raise ValueError(
+            f"on_oversized must be 'error' or 'drop', got {on_oversized!r}"
+        )
     pos = corpus_positions(docs, text_col, id_col, n_parts)
     sa, levels = suffix_array(pos, n_parts=n_parts)
     edges = adjacent_lcp(sa, levels).filter(F.col("lcp") >= min_tokens)
@@ -349,10 +365,26 @@ def exact_duplicate_spans(
     cross = bool(cross_doc_only)
     min_t = int(min_tokens)
     inf = 1 << 62
+    max_run = int(max_run_members) if max_run_members is not None else None
+    oversized_err = on_oversized == "error"
 
     def resolve_run(pdf):
         import pandas as pd
 
+        if max_run is not None and len(pdf) + 1 > max_run:
+            if oversized_err:
+                raise ValueError(
+                    f"exact_duplicate_spans: run of {len(pdf) + 1} members "
+                    f"exceeds max_run_members={max_run} (a span repeated "
+                    "that many times resolves on one worker); raise the "
+                    "bound or route through "
+                    "strip_exact_duplicate_spans_sharded, whose hash-"
+                    "granularity backstop covers dropped runs"
+                )
+            return pd.DataFrame(
+                columns=[id_col, "start_tok", "n_tokens", "twin_doc",
+                         "twin_start"]
+            )
         pdf = pdf.sort_values("rank_a")
         member_doc = list(pdf["doc_a"]) + [pdf["doc_b"].iloc[-1]]
         member_idx = [int(v) for v in pdf["idx_a"]] + [
@@ -404,6 +436,8 @@ def exact_duplicate_spans_sharded(
     text_col: str = "text",
     id_col: str = "doc_id",
     cross_doc_only: bool = True,
+    max_run_members: int | None = None,
+    on_oversized: str = "error",
 ) -> DataFrame:
     """The 100 TB recipe, executable: hash-partition documents into
     n_shards, build each shard's suffix array independently (peak state
@@ -424,6 +458,7 @@ def exact_duplicate_spans_sharded(
         part = exact_duplicate_spans(
             docs.filter(shard_of == s),
             min_tokens, text_col, id_col, cross_doc_only,
+            max_run_members=max_run_members, on_oversized=on_oversized,
         )
         spans = part if spans is None else spans.unionByName(part)
     return spans
@@ -436,6 +471,7 @@ def strip_exact_duplicate_spans_sharded(
     text_col: str = "text",
     id_col: str = "doc_id",
     cross_doc_only: bool = True,
+    max_run_members: int | None = None,
 ) -> DataFrame:
     """The 100 TB ExactSubstr strip with the cross-shard backstop COMPOSED
     IN (the contract exact_duplicate_spans_sharded documents, as one
@@ -448,7 +484,15 @@ def strip_exact_duplicate_spans_sharded(
     The backstop is occurrence-count based (>= 2 anywhere in the corpus),
     so with cross_doc_only=True it may ALSO remove a span repeated only
     within one document — removal-side conservatism, the right direction
-    for dedup. -> (doc_id, cleaned_text, n_removed_tokens)."""
+    for dedup. -> (doc_id, cleaned_text, n_removed_tokens).
+
+    max_run_members (r13 verdict #7): caps the single-worker run-resolver
+    skew — a run bigger than the bound is DROPPED from the exact path
+    (on_oversized='drop'), which is sound precisely here: the composed
+    hash-granularity backstop removes every >= min_tokens repeat with
+    >= 2 occurrences regardless, so a high-multiplicity span still comes
+    out of every document, just at hash granularity instead of maximal
+    granularity."""
     from enterprise_warp_spark.pipeline.dedup import (
         _strip_spans,
         repeated_ngram_spans,
@@ -458,7 +502,8 @@ def strip_exact_duplicate_spans_sharded(
         id_col, "doc_id"
     )
     exact = exact_duplicate_spans_sharded(
-        named, n_shards, min_tokens, text_col, "doc_id", cross_doc_only
+        named, n_shards, min_tokens, text_col, "doc_id", cross_doc_only,
+        max_run_members=max_run_members, on_oversized="drop",
     ).select(
         "doc_id",
         (F.col("start_tok") + 1).alias("span_start"),

@@ -66,6 +66,10 @@ from enterprise_warp_spark.queries import register
 from enterprise_warp_spark.queries_pipeline import _D_SIG_CTE
 from enterprise_warp_spark.tables import table
 
+# filled by web_hygiene_ops when SPARK_GRAFT_BRANCH_TIMING=1 (bench's
+# isolated attribution pass): {branch: isolated build+materialize sec}
+LAST_BRANCH_SECONDS: dict[str, float] = {}
+
 # RE2 twin of the tokenizer's _PY_PRETOKEN_RE (" ?[^\W\d_]+| ?\d+|\s+|
 # [^\s\w]+|_+"): Python's str-mode classes expand to Unicode categories —
 # \w = L* u Nd u Nl u No u {_}, so [^\W\d_] = [\p{L}\p{Nl}\p{No}]; \d =
@@ -881,27 +885,49 @@ def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build phase for seconds while every other branch is a lazy plan.
     # Build them on threads (the learned_sketch_ops pattern) so their
     # wall-clock overlaps; union order stays fixed by code.
+    # SPARK_GRAFT_BRANCH_TIMING=1 (bench's isolated post-sweep attribution
+    # pass, r13 verdict #4) additionally materializes each branch alone
+    # and records its seconds in LAST_BRANCH_SECONDS.
+    import os
+    import sys as _sys
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
+
+    timing = os.environ.get("SPARK_GRAFT_BRANCH_TIMING") == "1"
+    LAST_BRANCH_SECONDS.clear()
+
+    def _b(name, fn, *args):
+        if not timing:
+            return fn(*args)
+        t0 = _time.perf_counter()
+        df = fn(*args)
+        df.write.format("noop").mode("overwrite").save()
+        sec = round(_time.perf_counter() - t0, 4)
+        LAST_BRANCH_SECONDS[name] = sec
+        print(
+            f"# web_hygiene_ops branch {name}: {sec:.3f}s", file=_sys.stderr
+        )
+        return df
 
     pool = ThreadPoolExecutor(max_workers=2)
     try:
-        f_stm = pool.submit(_stm_branch, spark, sf_dir)
-        f_wrc = pool.submit(_wrc_branch, spark, sf_dir)
+        f_stm = pool.submit(_b, "stm", _stm_branch, spark, sf_dir)
+        f_wrc = pool.submit(_b, "wrc", _wrc_branch, spark, sf_dir)
         out = (
-            _url_dom_branches(spark, sf_dir)
-            .unionByName(_moj_branch(spark, sf_dir))
-            .unionByName(_tag_branch(spark, sf_dir))
-            .unionByName(_tok_branch(spark, sf_dir))
-            .unionByName(_spl_branch(spark, sf_dir))
+            _b("url_dom", _url_dom_branches, spark, sf_dir)
+            .unionByName(_b("moj", _moj_branch, spark, sf_dir))
+            .unionByName(_b("tag", _tag_branch, spark, sf_dir))
+            .unionByName(_b("tok", _tok_branch, spark, sf_dir))
+            .unionByName(_b("spl", _spl_branch, spark, sf_dir))
             .unionByName(f_stm.result())
-            .unionByName(_pii_branch(spark, sf_dir))
+            .unionByName(_b("pii", _pii_branch, spark, sf_dir))
             .unionByName(f_wrc.result())
-            .unionByName(_nfc_branch(spark, sf_dir))
-            .unionByName(_bpe_branch(spark, sf_dir))
-            .unionByName(_uni_branch(spark, sf_dir))
-            .unionByName(_gqr_branch(spark, sf_dir))
-            .unionByName(_c4f_branch(spark, sf_dir))
-            .unionByName(_lnd_branch(spark, sf_dir))
+            .unionByName(_b("nfc", _nfc_branch, spark, sf_dir))
+            .unionByName(_b("bpe", _bpe_branch, spark, sf_dir))
+            .unionByName(_b("uni", _uni_branch, spark, sf_dir))
+            .unionByName(_b("gqr", _gqr_branch, spark, sf_dir))
+            .unionByName(_b("c4f", _c4f_branch, spark, sf_dir))
+            .unionByName(_b("lnd", _lnd_branch, spark, sf_dir))
         )
     finally:
         # a lazy-branch exception must not leak the in-flight stm/wrc

@@ -1289,6 +1289,11 @@ def _dsr_branch(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     )
 
 
+# filled by learned_sketch_ops when SPARK_GRAFT_BRANCH_TIMING=1 (the
+# bench attribution pass): {branch_name: isolated build+materialize sec}
+LAST_BRANCH_SECONDS: dict[str, float] = {}
+
+
 @register(
     "learned_sketch_ops",
     _SKETCH_ORACLE,
@@ -1341,29 +1346,58 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the longest single branch (kmc's iteration chain). Results are
     # deterministic: each branch is deterministic in isolation and the
     # union order below is fixed by code, not completion order.
+    import os
+    import sys as _sys
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
+
+    # per-branch attribution (r13 verdict #4): the gate is an 11+-branch
+    # union whose baseline total hides which branch regressed. With
+    # SPARK_GRAFT_BRANCH_TIMING=1 (bench.py sets it for ONE isolated
+    # post-sweep run — never inside the timed reps), each branch build is
+    # ALSO materialized on its own and its seconds go to stderr and
+    # LAST_BRANCH_SECONDS for comparison against the committed per-branch
+    # baseline (BASELINE.json learned_sketch_branches).
+    timing = os.environ.get("SPARK_GRAFT_BRANCH_TIMING") == "1"
+    LAST_BRANCH_SECONDS.clear()
+
+    def _b(name, fn, *args):
+        if not timing:
+            return fn(*args)
+        t0 = _time.perf_counter()
+        df = fn(*args)
+        df.write.format("noop").mode("overwrite").save()
+        sec = round(_time.perf_counter() - t0, 4)
+        LAST_BRANCH_SECONDS[name] = sec
+        print(
+            f"# learned_sketch_ops branch {name}: {sec:.3f}s",
+            file=_sys.stderr,
+        )
+        return df
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_td = pool.submit(_tokdocs, spark, sf_dir)
         f_emb = pool.submit(_sketch_emb, spark, sf_dir)
         f_ev = pool.submit(_events_slim, spark, sf_dir)
-        f_blm = pool.submit(_blm_branch, spark, sf_dir)
+        f_blm = pool.submit(_b, "blm", _blm_branch, spark, sf_dir)
         td, emb = f_td.result(), f_emb.result()
         ev, exact = f_ev.result()
         futures = [
-            pool.submit(_semd_branch, spark, sf_dir, emb),
-            pool.submit(_hh_branch, spark, sf_dir, ev),
-            pool.submit(_hll_gk_branches, spark, sf_dir, ev, exact),
-            pool.submit(_lmp_branch, spark, sf_dir, td),
-            pool.submit(_dsr_branch, spark, sf_dir, td),
+            pool.submit(_b, "semd", _semd_branch, spark, sf_dir, emb),
+            pool.submit(_b, "hh", _hh_branch, spark, sf_dir, ev),
+            pool.submit(
+                _b, "hll_gk", _hll_gk_branches, spark, sf_dir, ev, exact
+            ),
+            pool.submit(_b, "lmp", _lmp_branch, spark, sf_dir, td),
+            pool.submit(_b, "dsr", _dsr_branch, spark, sf_dir, td),
             f_blm,
-            pool.submit(_ccn_branch, spark, sf_dir, td),
-            pool.submit(_kmc_branch, spark, sf_dir, emb),
-            pool.submit(_rpj_branch, spark, sf_dir, emb),
-            pool.submit(_cms_branch, spark, sf_dir, ev),
-            pool.submit(_kvx_branch, spark, sf_dir, ev),
-            pool.submit(_ams_branch, spark, sf_dir, ev),
-            pool.submit(_dds_branch, spark, sf_dir, ev),
+            pool.submit(_b, "ccn", _ccn_branch, spark, sf_dir, td),
+            pool.submit(_b, "kmc", _kmc_branch, spark, sf_dir, emb),
+            pool.submit(_b, "rpj", _rpj_branch, spark, sf_dir, emb),
+            pool.submit(_b, "cms", _cms_branch, spark, sf_dir, ev),
+            pool.submit(_b, "kvx", _kvx_branch, spark, sf_dir, ev),
+            pool.submit(_b, "ams", _ams_branch, spark, sf_dir, ev),
+            pool.submit(_b, "dds", _dds_branch, spark, sf_dir, ev),
         ]
         parts = [f.result() for f in futures]
     out = parts[0]

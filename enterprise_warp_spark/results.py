@@ -375,6 +375,20 @@ def _main_pipeline(spark, opts, outdir_all: str, params):
     if opts.info:
         for rid in run_ids:
             print("Processing", rid)
+            # adaptive run dirs carry evidence + ESS diagnostics
+            # (run_paramfile adaptive_info.json, r14) — surface them in
+            # the info listing so posterior quality is visible at a glance
+            p = os.path.join(outdir_all, rid, "adaptive_info.json")
+            if os.path.isfile(p):
+                with open(p) as fh:
+                    info = json.load(fh)
+                results.setdefault("adaptive_info", {})[rid] = info
+                print(
+                    f"  adaptive: log_evidence "
+                    f"{info.get('log_evidence', float('nan')):.4f}  "
+                    f"ess {info.get('ess', float('nan')):.1f}  "
+                    f"waves {info.get('n_waves')}"
+                )
         pars = [r["par"] for r in chains.select("par").distinct().collect()]
         print("Parameters:", " ".join(sorted(pars)))
 

@@ -43,11 +43,11 @@ def parse_general2_output(stdout_text: str) -> str:
     return body.replace('"', "")
 
 
-def general2_to_df(
-    spark: SparkSession, scraped: str, configuration: str = DEFAULT_FORMAT
-) -> DataFrame:
-    """Scraped general2 text -> DataFrame with one DOUBLE column per format
-    field (numpy.loadtxt-equivalent parse, whitespace-separated rows)."""
+def general2_rows(scraped: str, configuration: str = DEFAULT_FORMAT):
+    """Scraped general2 text -> pandas frame in FILE ORDER (tempo2 emits
+    TOAs in .tim order — the order-alignment contract read_general2's
+    tim-flag attach relies on), one float column per format field
+    (numpy.loadtxt-equivalent parse, whitespace-separated rows)."""
     import pandas as pd
 
     fields = format_fields(configuration)
@@ -60,7 +60,64 @@ def general2_to_df(
             rows.append([float(x) for x in parts])
         except ValueError:
             continue
-    return spark.createDataFrame(pd.DataFrame(rows, columns=fields))
+    return pd.DataFrame(rows, columns=fields)
+
+
+def general2_to_df(
+    spark: SparkSession, scraped: str, configuration: str = DEFAULT_FORMAT
+) -> DataFrame:
+    """Scraped general2 text -> DataFrame with one DOUBLE column per format
+    field."""
+    return spark.createDataFrame(general2_rows(scraped, configuration))
+
+
+def read_general2(
+    spark: SparkSession,
+    path: str,
+    configuration: str = DEFAULT_FORMAT,
+    tim_path: str | None = None,
+) -> DataFrame:
+    """A saved tempo2 general2 output (raw stdout with the plugin
+    sentinels, or an already-scraped matrix) -> DataFrame; with tim_path,
+    the .tim's backend group and flags are ATTACHED by file order (tempo2
+    emits general2 rows in .tim order), validated per row: equal row
+    counts, frequency agreement within 0.5 MHz, and |bat - toa_mjd| under
+    0.05 d (generous for any barycentric correction, |Roemer delay| <~
+    500 s). The TOA table is metadata-scale (10^2-10^5 rows), so the
+    alignment runs driver-side like every other TOA-table bridge."""
+    text = open(path).read()
+    if START_SENTINEL in text:
+        text = parse_general2_output(text)
+    text = text.replace('"', "")
+    pdf = general2_rows(text, configuration)
+    if tim_path is None:
+        return spark.createDataFrame(pdf)
+    from enterprise_warp_spark.sources.tim import read_tim
+
+    toas = read_tim(spark, tim_path).toPandas()
+    if len(toas) != len(pdf):
+        raise ValueError(
+            f"general2 file has {len(pdf)} rows but {tim_path} has "
+            f"{len(toas)} TOAs — cannot order-align"
+        )
+    import numpy as np
+
+    dfreq = np.abs(pdf["freq"].to_numpy() - toas["freq_mhz"].to_numpy())
+    dmjd = np.abs(
+        pdf["bat"].to_numpy() - toas["toa_mjd"].astype(float).to_numpy()
+    )
+    bad = (dfreq > 0.5) | (dmjd > 0.05)
+    if bad.any():
+        i = int(np.argmax(bad))
+        raise ValueError(
+            "general2/tim order-alignment failed at row "
+            f"{i}: |dfreq|={dfreq[i]:.3f} MHz, |dmjd|={dmjd[i]:.5f} d — "
+            "the general2 output does not correspond to this .tim"
+        )
+    out = pdf.copy()
+    out["backend"] = [dict(m)["group"] for m in toas["flags"]]
+    out["flags"] = [dict(m) for m in toas["flags"]]
+    return spark.createDataFrame(out)
 
 
 def residuals_from_general2(
@@ -77,10 +134,12 @@ def residuals_from_general2(
     noise-subtracted 'posttn'), err µs -> seconds. This is the §3.1
     raw-data path: tempo2 fits the nonlinear timing solution, the engine's
     TMComponent marginalizes the remaining LINEAR fit uncertainty, and the
-    same rows feed likelihood/gp and the OS reduction unchanged."""
+    same rows feed likelihood/gp and the OS reduction unchanged. backend /
+    flags columns (read_general2's tim attach) ride along when present —
+    the by-backend white-noise selections need them."""
     from pyspark.sql import functions as F
 
-    return g2.select(
+    cols = [
         F.lit(psr).alias("psr"),
         ((F.col("bat") - F.lit(bat_mjd0)) * 86400.0).alias("toa_s"),
         F.col(residual_col).cast("double").alias("residual_s"),
@@ -88,7 +147,11 @@ def residuals_from_general2(
         F.lit(1.0).alias("efac"),
         F.lit(0.0).alias("equad"),
         F.col("freq").alias("freq_mhz"),
-    )
+    ]
+    for extra in ("backend", "flags"):
+        if extra in g2.columns:
+            cols.append(F.col(extra))
+    return g2.select(*cols)
 
 
 def run_tempo2_prediction(

@@ -535,3 +535,6 @@ def test_run_paramfile_adaptive_sampler(spark, example_tree):
 
     res = results_main(["--result", prfile, "--info", "1"], spark=spark)
     assert res["run_ids"] == ["0_J1832-0836"]
+    # r14: --info surfaces the adaptive run's evidence + ESS diagnostics
+    ai = res["adaptive_info"]["0_J1832-0836"]
+    assert ai["log_evidence"] == out["log_evidence"] and ai["ess"] > 0

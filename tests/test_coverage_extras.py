@@ -1053,3 +1053,83 @@ def test_semdedup_stage_keeps_coverage_less_docs(spark, sf_dir):
     assert dup_b in dropped and dup_b not in kept_after
     assert uncovered <= kept_after
     assert not (uncovered & dropped)
+
+
+def test_x_importance_wave_value_is_pinned(spark):
+    """r13 verdict #8: the bench-only importance-wave entry's evidence
+    value is seed-deterministic (partition-seeded rand/randn columns);
+    the run must reproduce the committed pin exactly — a drift means the
+    sampling columns or weight algebra changed, not noise."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        from bench import (
+            X_IMPORTANCE_LOGZ_PIN,
+            X_IMPORTANCE_LOGZ_TOL,
+            x_importance_wave,
+        )
+    finally:
+        sys.path.pop(0)
+    sec, logz = x_importance_wave(spark)
+    assert abs(logz - X_IMPORTANCE_LOGZ_PIN) <= X_IMPORTANCE_LOGZ_TOL
+    assert sec > 0
+    # and the pin itself stays near the analytic answer
+    # ln(sqrt(2pi)*sqrt(2pi)*0.5/400) = -4.8465 (IS noise at n=8192)
+    assert abs(X_IMPORTANCE_LOGZ_PIN + 4.8465) < 0.02
+
+
+def test_sketch_branch_timing_instrumentation(spark, monkeypatch):
+    """r13 verdict #4: SPARK_GRAFT_BRANCH_TIMING=1 fills
+    LAST_BRANCH_SECONDS with one positive entry per union branch and must
+    NOT change the gate's rows (the wrapper only adds isolated noop
+    materializations)."""
+    import os
+
+    from enterprise_warp_spark import queries_sketch
+    from enterprise_warp_spark.queries import REGISTRY
+    from tests.oracle import _normalize
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.delenv("SPARK_GRAFT_BRANCH_TIMING", raising=False)
+    plain = _normalize(
+        REGISTRY["learned_sketch_ops"].spark(spark, sf).toPandas()
+    )
+    assert queries_sketch.LAST_BRANCH_SECONDS == {}
+    monkeypatch.setenv("SPARK_GRAFT_BRANCH_TIMING", "1")
+    timed = _normalize(
+        REGISTRY["learned_sketch_ops"].spark(spark, sf).toPandas()
+    )
+    secs = dict(queries_sketch.LAST_BRANCH_SECONDS)
+    assert len(secs) == 13 and all(v > 0 for v in secs.values())
+    assert set(secs) == {
+        "blm", "hh", "semd", "hll_gk", "lmp", "ccn", "rpj", "dsr",
+        "cms", "ams", "kmc", "kvx", "dds",
+    }
+    assert plain.equals(timed)
+
+
+def test_web_hygiene_branch_timing_instrumentation(spark, monkeypatch):
+    """Same contract as the learned_sketch attribution: timing fills one
+    positive entry per web_hygiene branch and does not change rows."""
+    from enterprise_warp_spark import queries_hygiene
+    from enterprise_warp_spark.queries import REGISTRY
+    from tests.oracle import _normalize
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.delenv("SPARK_GRAFT_BRANCH_TIMING", raising=False)
+    plain = _normalize(
+        REGISTRY["web_hygiene_ops"].spark(spark, sf).toPandas()
+    )
+    assert queries_hygiene.LAST_BRANCH_SECONDS == {}
+    monkeypatch.setenv("SPARK_GRAFT_BRANCH_TIMING", "1")
+    timed = _normalize(
+        REGISTRY["web_hygiene_ops"].spark(spark, sf).toPandas()
+    )
+    secs = dict(queries_hygiene.LAST_BRANCH_SECONDS)
+    assert set(secs) == {
+        "stm", "wrc", "url_dom", "moj", "tag", "tok", "spl", "pii",
+        "nfc", "bpe", "uni", "gqr", "c4f", "lnd",
+    }
+    assert all(v > 0 for v in secs.values())
+    assert plain.equals(timed)

@@ -622,3 +622,60 @@ def test_cosine_near_dup_auto_plane_sizing(spark):
     auto = {key(r) for r in cosine_near_dup_pairs(emb, 0.35, n_planes=None).collect()}
     assert fixed <= auto
     assert len(auto) > 0
+
+
+def test_cosine_auto_planes_bucket_population_band_at_10x(spark):
+    """r13 verdict #3: the n_planes=None auto-sizing contract, measured at
+    two densities — the DERIVED plane count must keep the expected bucket
+    population (N / 2^planes) inside the stated band
+    (COSINE_TARGET_BUCKET_ROWS/2, COSINE_TARGET_BUCKET_ROWS] at BOTH N and
+    10N, and the realized size-weighted mean bucket population must stay
+    ~flat (within 3x) across the 10x density step — the property that
+    makes within-bucket gram work ~linear instead of density-quadratic."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline.similarity import (
+        COSINE_TARGET_BUCKET_ROWS,
+        _with_norm_sq,
+        hyperplane_bucket,
+    )
+
+    def derived_planes(n):
+        return max(
+            1, math.ceil(math.log2(max(n / COSINE_TARGET_BUCKET_ROWS, 2.0)))
+        )
+
+    def mean_bucket(n_rows):
+        # >=32 dims so up to ~8 derived planes can split ~independently
+        # (a 4-dim corpus cannot support 7 independent sign splits)
+        emb = spark.range(n_rows).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    F.cos(F.col("id") * float(0.13 + 0.61 * k))
+                    for k in range(32)
+                ]
+            ).alias("embedding"),
+        )
+        p = derived_planes(n_rows)
+        expected = n_rows / 2**p
+        assert COSINE_TARGET_BUCKET_ROWS / 2 < expected
+        assert expected <= COSINE_TARGET_BUCKET_ROWS
+        sizes = (
+            _with_norm_sq(emb, "embedding", "vec_id")
+            .withColumn("bucket", F.expr(hyperplane_bucket("embedding", p)))
+            .groupBy("bucket")
+            .count()
+            .agg(
+                (F.sum(F.col("count") * F.col("count")) / F.sum("count"))
+                .alias("m")
+            )
+            .first()["m"]
+        )
+        return float(sizes)
+
+    m1 = mean_bucket(24_000)
+    m10 = mean_bucket(240_000)
+    assert m10 / m1 < 3.0, (m1, m10)

@@ -385,3 +385,58 @@ def test_sharded_strip_with_backstop_covers_the_straddling_span(spark):
         _F.col("doc_id") == c
     ).first()["text"]
     assert got[c]["n_removed_tokens"] == 0
+
+
+def test_max_run_members_guard(spark):
+    """r13 verdict #7: the run-resolver's single-worker pathology (a span
+    repeated N times = one N-member run on one worker) is now an enforced
+    contract. 'error' fails loud with the multiplicity; 'drop' removes the
+    oversized run from the exact path but keeps smaller runs; and the
+    sharded strip composition stays CORRECT under 'drop' because the hash
+    backstop still removes the high-multiplicity span."""
+    phrase = "h i j k l m n o p q"  # 10 tokens, planted in many docs
+    texts = [f"doc{i} unique{i} {phrase} tail{i}" for i in range(8)]
+    texts.append("small a b c d e f g h x one")
+    texts.append("small2 a b c d e f g h x two")  # 8-token repeat < min
+    texts.append(f"pair one {'r s t u v w x y z zz'} mid")
+    texts.append(f"pair two {'r s t u v w x y z zz'} end")  # 2-member run
+    docs = _docs(spark, texts)
+
+    # unguarded: the 8-occurrence phrase resolves fine (baseline)
+    base = exact_duplicate_spans(docs, min_tokens=10).count()
+    assert base > 0
+
+    # error mode: the oversized run fails LOUD
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)) as ei:
+        exact_duplicate_spans(
+            docs, min_tokens=10, max_run_members=4, on_oversized="error"
+        ).count()
+    assert "max_run_members=4" in str(ei.value)
+
+    # drop mode: the big run's spans vanish; the 2-member run survives
+    dropped = exact_duplicate_spans(
+        docs, min_tokens=10, max_run_members=4, on_oversized="drop"
+    ).toPandas()
+    assert set(dropped["doc_id"]) == {10, 11}
+
+    # the strip composition stays correct: the hash backstop removes the
+    # planted phrase from every doc even though the exact path dropped it
+    from enterprise_warp_spark.pipeline.suffix import (
+        strip_exact_duplicate_spans_sharded,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in strip_exact_duplicate_spans_sharded(
+            docs, n_shards=1, min_tokens=10, max_run_members=4
+        ).collect()
+    }
+    for i in range(8):
+        assert phrase not in got[i]["cleaned_text"]
+        assert f"unique{i}" in got[i]["cleaned_text"]
+    # bad mode name is rejected at plan time
+    with pytest.raises(ValueError):
+        exact_duplicate_spans(docs, on_oversized="nope")
