@@ -538,3 +538,35 @@ def test_run_paramfile_adaptive_sampler(spark, example_tree):
     # r14: --info surfaces the adaptive run's evidence + ESS diagnostics
     ai = res["adaptive_info"]["0_J1832-0836"]
     assert ai["log_evidence"] == out["log_evidence"] and ai["ess"] > 0
+
+
+def test_run_paramfile_adaptive_ess_target(spark, example_tree):
+    """r14: the `ess_target:`/`max_waves:` paramfile knobs reach the
+    ESS-targeted wave loop — the run appends T=1 waves past the 3-wave
+    ladder, adaptive_info.json records the per-wave trace, and the
+    achieved ESS meets the target (or the warning path fires at the
+    cap)."""
+    import json as _json
+
+    from enterprise_warp_spark.run_paramfile import main
+
+    src = os.path.join(example_tree, "example_params",
+                       "default_model_dynesty.dat")
+    txt = open(src).read().replace(
+        "sampler: dynesty", "sampler: adaptive\ness_target: 60\nmax_waves: 8"
+    )
+    txt = txt.replace("nlive: 800", "nlive: 256")
+    prfile = os.path.join(example_tree, "example_params",
+                          "adaptive_ess.dat")
+    open(prfile, "w").write(txt)
+    out = main(["--prfile", prfile, "--num", "0"], spark=spark)
+    with open(os.path.join(out["output_dir"], "adaptive_info.json")) as fh:
+        info = _json.load(fh)
+    assert info["ess_target"] == 60.0
+    assert info["n_waves"] > 3  # extension waves actually fired
+    assert len(info["ess_per_wave"]) == info["n_waves"]
+    if info["ess_target_met"]:
+        assert info["ess"] >= 60.0
+    else:
+        assert info["n_waves"] == 8  # hit the stated cap
+    assert out["ess"] == info["ess"]
