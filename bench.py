@@ -307,6 +307,37 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # bench-only entry (r14): CDC binary dedup over payloads derived from
+    # the documents table (repeated text -> real shared chunks): map-only
+    # gear-hash chunking + the capped pair join + savings aggregate.
+    # Tracks the chunker's MB/s and the join's cost together.
+    from enterprise_warp_spark.pipeline.cdc import (
+        cdc_chunks,
+        chunk_dedup_pairs,
+        chunk_savings,
+    )
+
+    t0 = time.perf_counter()
+    media = (
+        _table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(
+                F.concat("text", F.reverse("text"), "text"), "utf-8"
+            ).alias("payload"),
+        )
+    )
+    ch = cdc_chunks(media)
+    chunk_dedup_pairs(ch, min_shared=2).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    chunk_savings(ch).write.format("noop").mode("overwrite").save()
+    timings["x_cdc_chunk_dedup"] = round(time.perf_counter() - t0, 4)
+    print(
+        f"# x_cdc_chunk_dedup: {timings['x_cdc_chunk_dedup']:.3f}s",
+        file=sys.stderr,
+    )
+
     # bench-only entry (r14): one seed-pinned importance wave + evidence
     # — gives the r13 inference newcomers a recorded per-round wall-time
     # AND value row (the x_marginalised_os_1000 precedent)
