@@ -11,7 +11,10 @@ boundaries (a rolling gear hash, the FastCDC/LBFS family — Xia et al.
 hashes. Because boundaries depend only on a 64-byte rolling window of
 CONTENT (not offsets), inserting bytes at the front of a file re-syncs the
 chunking within one chunk — the shared tail still produces identical
-chunk hashes.
+chunk hashes. Large payloads are hashed in bounded-memory segments (the
+64-byte window means each segment needs only 63 bytes of left context),
+so a multi-GB video blob never materializes a 16x-payload hash array on
+an executor.
 
 Spark shape (the 100 TB contract):
 
@@ -84,11 +87,92 @@ def gear_hashes(data) -> "object":
     return h
 
 
+_SEGMENT = 1 << 23  # bytes of payload hashed per vectorized pass
+
+
+def _hash_dtype(bits: int):
+    import numpy as np
+
+    return np.uint16 if bits <= 16 else np.uint32 if bits <= 32 else np.uint64
+
+
+_NARROW = {}
+
+
+def _narrow_gear(dtype):
+    key = dtype().dtype.str
+    if key not in _NARROW:
+        _NARROW[key] = _gear().astype(dtype)
+    return _NARROW[key]
+
+
+def _low_hashes(data: bytes, bits: int):
+    """Low `bits` bits of the rolling gear hash at every position.
+
+    Exact shortcut: h_i = sum_k g[b_{i-k}] << k (mod 2^64), and an
+    addend shifted by k has zero low-k bits while addition carries only
+    propagate UPWARD — so (h_i mod 2^bits) depends only on the taps
+    k < bits. Boundary detection (h & mask == 0, mask = 2^bits - 1)
+    therefore needs a bits-tap convolution in the narrowest unsigned
+    dtype holding `bits` bits, not the full 64 taps in uint64: ~6x less
+    work and 4x narrower arithmetic at the default avg_size=1024."""
+    import numpy as np
+
+    taps = min(bits, 64)
+    dtype = _hash_dtype(bits)
+    b = np.frombuffer(data, dtype=np.uint8)
+    g = _narrow_gear(dtype)[b]  # wraps mod 2^width, exact for low bits
+    h = g.copy()
+    # in-place shift-into-scratch keeps each pass at pure streaming reads/
+    # writes (no fresh temporaries) — the loop is memory-bandwidth bound
+    tmp = np.empty(len(b), dtype=dtype)
+    for k in range(1, taps):
+        rest = len(b) - k
+        if rest <= 0:
+            break
+        np.left_shift(g[:rest], dtype(k), out=tmp[:rest])
+        h[k:] += tmp[:rest]
+    return h
+
+
+def _boundary_candidates(payload: bytes, bits: int, segment_bytes: int):
+    """Positions whose rolling hash has the low `bits` bits zero, in
+    BOUNDED memory. A whole-payload hash array costs bytes-per-element x
+    payload: fine for documents, a multi-GB spike for a large video
+    blob. The low-bits hash at position i depends only on bytes
+    (i - taps + 1 .. i), so each segment is hashed with taps-1 bytes of
+    left context and only the candidate POSITIONS (about n/avg_size of
+    them) are kept — peak memory is a few x segment_bytes regardless of
+    payload size."""
+    import numpy as np
+
+    mask = _hash_dtype(bits)((1 << min(bits, 64)) - 1)
+    n = len(payload)
+    if n <= segment_bytes:
+        h = _low_hashes(payload, bits)
+        return np.nonzero((h & mask) == 0)[0]
+    ctx_len = min(bits, 64) - 1
+    out = []
+    start = 0
+    while start < n:
+        end = min(start + segment_bytes, n)
+        ctx = min(start, ctx_len)
+        h = _low_hashes(payload[start - ctx : end], bits)
+        idx = np.nonzero((h[ctx:] & mask) == 0)[0]
+        if idx.size:
+            out.append(idx + start)
+        start = end
+    return (
+        np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    )
+
+
 def cdc_chunk_bytes(
     payload: bytes,
     min_size: int = 256,
     avg_size: int = 1024,
     max_size: int = 4096,
+    segment_bytes: int = _SEGMENT,
 ) -> list[tuple[int, int, str]]:
     """One payload -> [(offset, length, chunk_hash)]. A boundary is a
     position whose rolling hash has log2(avg_size) low zero bits, subject
@@ -101,12 +185,12 @@ def cdc_chunk_bytes(
             f"need min_size <= avg_size <= max_size, got "
             f"({min_size}, {avg_size}, {max_size})"
         )
-    import numpy as np
-
+    if segment_bytes <= 63:
+        raise ValueError(
+            f"segment_bytes must exceed the 64-byte window, got {segment_bytes}"
+        )
     bits = max(int(avg_size).bit_length() - 1, 1)
-    mask = np.uint64((1 << bits) - 1)
-    h = gear_hashes(payload)
-    candidates = np.nonzero((h & mask) == 0)[0]
+    candidates = _boundary_candidates(payload, bits, segment_bytes)
     chunks: list[tuple[int, int, str]] = []
     start = 0
     n = len(payload)

@@ -65,6 +65,40 @@ def test_chunks_partition_payload_and_respect_bounds():
         cdc_chunk_bytes(payload, min_size=2048, avg_size=1024)
 
 
+def test_low_bits_shortcut_matches_full_hash():
+    """Boundary detection uses a bits-tap narrow-dtype convolution; it
+    must flag EXACTLY the positions where the full 64-tap uint64 hash
+    has the low bits zero (an addend shifted by k has zero low-k bits
+    and carries only move upward, so the low bits see only taps
+    k < bits). Pinned across dtype tiers (uint16/uint32/uint64)."""
+    import numpy as np
+
+    from enterprise_warp_spark.pipeline.cdc import _boundary_candidates
+
+    data = _blob(12, 100_000)
+    full = gear_hashes(data)
+    for bits in (4, 10, 16, 17, 33):
+        mask = np.uint64((1 << bits) - 1)
+        want = np.nonzero((full & mask) == 0)[0]
+        for seg in (1 << 23, 4096):
+            got = _boundary_candidates(data, bits, seg)
+            assert np.array_equal(got, want), (bits, seg)
+
+
+def test_segmented_hashing_is_bit_identical():
+    """Bounded-memory segmented hashing (the 100 TB guard for multi-GB
+    blobs: peak memory is 16x segment_bytes, not 16x payload) must cut
+    at exactly the same boundaries as the single-pass path — including
+    segment sizes that are not multiples of the 64-byte window and a
+    segment edge landing mid-window."""
+    payload = _blob(11, 200_000)
+    whole = cdc_chunk_bytes(payload)
+    for seg in (4096, 1000, 64, 65, 199_999):
+        assert cdc_chunk_bytes(payload, segment_bytes=seg) == whole, seg
+    with pytest.raises(ValueError):
+        cdc_chunk_bytes(payload, segment_bytes=63)
+
+
 def test_insertion_resyncs_chunking():
     """THE CDC property: prepending bytes re-syncs within ~one chunk, so
     the shared tail yields identical chunk hashes — fixed-size blocks
