@@ -305,6 +305,130 @@ def chunk_dedup_pairs(
     )
 
 
+def probe_novel_chunks(
+    chunks: DataFrame,
+    store_path: str,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """Distinct chunks of a batch not yet in the persisted chunk store:
+    (bucket, chunk_hash, length, instances, instance_bytes), where
+    instances/instance_bytes count the batch's occurrences (novel or not
+    — the caller derives batch totals from this one aggregate without
+    re-chunking payloads).
+
+    The store is parquet partitioned by (__epoch, bucket) with
+    bucket = the hash's first byte: the anti-join is an equi-join on
+    (bucket, chunk_hash) — O(batch + store-probe), never all-pairs —
+    and per-bucket layout keeps compaction and any future bloom/zone
+    pruning local to 256 independent directories. exclude_epoch ignores
+    the batch's own (possibly partially written) epoch during a crash
+    replay — same contract as incremental_minhash_filter."""
+    return _anti_store(_per_hash(chunks), store_path, exclude_epoch)
+
+
+def _per_hash(chunks: DataFrame) -> DataFrame:
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.max("length").alias("length"),
+            F.count("*").alias("instances"),
+            F.sum("length").alias("instance_bytes"),
+        )
+        .withColumn("bucket", F.substring("chunk_hash", 1, 2))
+    )
+
+
+def _anti_store(
+    per: DataFrame, store_path: str, exclude_epoch: int | None
+) -> DataFrame:
+    from enterprise_warp_spark.pipeline.dedup import _readable_parquet
+
+    store = _readable_parquet(per.sparkSession, store_path)
+    if store is None:
+        return per
+    if exclude_epoch is not None and "__epoch" in store.columns:
+        store = store.filter(F.col("__epoch") != int(exclude_epoch))
+    return per.join(
+        store.select("bucket", "chunk_hash"),
+        ["bucket", "chunk_hash"],
+        "left_anti",
+    )
+
+
+def chunk_store_stream(
+    media_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    stats_path: str | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    min_size: int = 256,
+    avg_size: int = 1024,
+    max_size: int = 4096,
+):
+    """Streaming content-addressed chunk-store ingest: each micro-batch of
+    media is CDC-chunked, probed against everything already stored, and
+    only NOVEL chunk hashes land — so a blob that streamed in an hour ago
+    already deduplicates today's re-uploads at chunk granularity. The
+    binary-media analog of streaming/corpus.dedup_corpus_stream, with the
+    same exactly-once contract: the probe EXCLUDES the batch's own epoch
+    and both writes are epoch-keyed dynamic-partition OVERWRITES, so any
+    crash replay converges to the identical store (see that module's
+    docstring for the crash analysis).
+
+    Per-batch work is O(batch chunks + store probe); nothing rescans
+    payload bytes already ingested. stats_path (optional) accumulates one
+    row per epoch — (ingested_bytes, stored_bytes, novel_chunks,
+    total_chunks) — the dedup-ratio-over-time series a storage operator
+    monitors."""
+    from enterprise_warp_spark.maintenance import upsert_partitions
+
+    def _one_batch(batch: DataFrame, epoch_id: int) -> None:
+        eid = int(epoch_id)
+        ch = cdc_chunks(
+            batch, payload_col, id_col, min_size, avg_size, max_size
+        )
+        # chunk the payloads EXACTLY ONCE: the per-hash aggregate is
+        # checkpointed and reused for the probe, the store write, and
+        # both stats rows (instances/instance_bytes carry batch totals)
+        per = _per_hash(ch).localCheckpoint(eager=True)
+        novel = _anti_store(per, store_path, eid).localCheckpoint(eager=True)
+        if novel.take(1):
+            upsert_partitions(
+                novel.select("bucket", "chunk_hash", "length").withColumn(
+                    "__epoch", F.lit(eid)
+                ),
+                store_path,
+                ["__epoch", "bucket"],
+            )
+            batch.sparkSession.catalog.refreshByPath(store_path)
+        if stats_path is not None:
+            tot = per.agg(
+                F.coalesce(F.sum("instance_bytes"), F.lit(0)).alias(
+                    "ingested_bytes"
+                ),
+                F.coalesce(F.sum("instances"), F.lit(0)).alias(
+                    "total_chunks"
+                ),
+            )
+            nov = novel.agg(
+                F.coalesce(F.sum("length"), F.lit(0)).alias("stored_bytes"),
+                F.count("*").alias("novel_chunks"),
+            )
+            upsert_partitions(
+                tot.crossJoin(nov).withColumn("__epoch", F.lit(eid)),
+                stats_path,
+                ["__epoch"],
+            )
+
+    return (
+        media_stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def chunk_savings(chunks: DataFrame) -> DataFrame:
     """Corpus dedup ratio for a content-addressed chunk store: one row
     (total_bytes, unique_bytes, dedup_ratio). unique_bytes counts each

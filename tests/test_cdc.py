@@ -162,6 +162,109 @@ def test_hot_chunk_cap_prevents_quadratic_bucket(spark):
     assert uncapped.count() == 12 * 11 // 2  # all-pairs via the hot chunks
 
 
+def test_chunk_store_stream_incremental_and_replay(spark, tmp_path):
+    """Streaming content-addressed ingest: a re-upload of batch-1 content
+    with a prepended header stores almost nothing new (CDC resync dedups
+    it against the persisted store), stats record the per-epoch dedup
+    ratio, and a full replay leaves the store byte-identical."""
+    from enterprise_warp_spark.pipeline.cdc import chunk_store_stream
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    common = _blob(21, 40_000)
+    a, b = _blob(22, 10_000) + common, _blob(23, 30_000)
+    reupload = _blob(99, 17) + a  # same content behind a new 17-byte header
+    fresh = _blob(24, 30_000)
+    spark.createDataFrame(
+        [(1, a), (2, b)], "media_id long, payload binary"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(3, reupload), (4, fresh)], "media_id long, payload binary"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+
+    def run(ckpt):
+        q = chunk_store_stream(
+            stream,
+            store_path=str(tmp_path / "store"),
+            checkpoint_path=str(tmp_path / ckpt),
+            stats_path=str(tmp_path / "stats"),
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    spark.catalog.refreshByPath(str(tmp_path / "store"))
+    store = spark.read.parquet(str(tmp_path / "store"))
+    got = {(r["chunk_hash"], r["length"]) for r in store.collect()}
+    # the store holds exactly the distinct chunks of all four payloads
+    brute = {}
+    for p in (a, b, reupload, fresh):
+        for off, ln, hx in cdc_chunk_bytes(p):
+            brute[hx] = max(brute.get(hx, 0), ln)
+    assert got == set(brute.items())
+    assert store.count() == len(brute)  # each hash stored exactly once
+
+    stats = {
+        r["__epoch"]: r
+        for r in spark.read.parquet(str(tmp_path / "stats")).collect()
+    }
+    assert set(stats) == {0, 1}
+    e0, e1 = stats[0], stats[1]
+    assert e0["ingested_bytes"] == len(a) + len(b)
+    assert sum(e["stored_bytes"] for e in stats.values()) == sum(
+        brute.values()
+    )
+    # epoch 1 re-ingests a's content: most of its bytes dedup against the
+    # store, so it stores far less than it ingested (fresh + resync only)
+    assert e1["ingested_bytes"] == len(reupload) + len(fresh)
+    assert len(fresh) - 4096 < e1["stored_bytes"] < 0.65 * e1["ingested_bytes"]
+
+    # full replay, fresh checkpoint: identical epochs overwrite their own
+    # partitions — store and stats land byte-identical, no duplicates
+    run("ckpt2")
+    spark.catalog.refreshByPath(str(tmp_path / "store"))
+    again = spark.read.parquet(str(tmp_path / "store"))
+    assert {(r["chunk_hash"], r["length"]) for r in again.collect()} == got
+    assert again.count() == len(brute)
+
+
+def test_probe_novel_chunks_batch(spark, tmp_path):
+    """Batch-mode probe: against no store everything is novel (with batch
+    totals carried on the aggregate); after persisting those chunks, a
+    second probe of overlapping content returns only the new hashes."""
+    from enterprise_warp_spark.pipeline.cdc import probe_novel_chunks
+
+    shared = _blob(31, 25_000)
+    m1 = spark.createDataFrame(
+        [(1, shared + shared)], "media_id long, payload binary"
+    )
+    ch1 = cdc_chunks(m1)
+    store = str(tmp_path / "store")
+    novel1 = probe_novel_chunks(ch1, store)
+    rows1 = novel1.collect()
+    # batch totals: instances count BOTH copies of the shared half
+    assert sum(r["instance_bytes"] for r in rows1) == 50_000
+    assert all(r["instances"] >= 1 for r in rows1)
+    novel1.select("bucket", "chunk_hash", "length").write.partitionBy(
+        "bucket"
+    ).parquet(store)
+
+    m2 = spark.createDataFrame(
+        [(2, shared + _blob(32, 10_000))], "media_id long, payload binary"
+    )
+    novel2 = {r["chunk_hash"] for r in probe_novel_chunks(cdc_chunks(m2), store).collect()}
+    stored = {r["chunk_hash"] for r in rows1}
+    assert novel2 and not (novel2 & stored)  # only genuinely new chunks
+    # and the new suffix's bytes dominate what a second ingest would store
+    tail_hashes = {h for _, _, h in cdc_chunk_bytes(shared + _blob(32, 10_000))}
+    assert novel2 <= tail_hashes
+
+
 def test_cdc_chunks_plan_is_map_only(spark):
     """The chunker must not shuffle: no Exchange in the physical plan."""
     media = spark.createDataFrame(
