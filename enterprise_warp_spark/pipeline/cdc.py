@@ -355,11 +355,91 @@ def _anti_store(
     )
 
 
+def chunk_payloads(
+    media: DataFrame,
+    chunks: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """One exemplar byte-slice per distinct chunk hash:
+    (chunk_hash, length, payload). Entirely JVM-side: the exemplar
+    location is a min-struct aggregate over the (metadata-only) chunk
+    table, and the bytes come from `substring` on the media payload —
+    chunk bytes are shuffled once per DISTINCT hash, never once per
+    occurrence."""
+    ex = (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("mid"),
+                    F.col("offset").alias("off"),
+                    F.col("length").alias("len"),
+                )
+            ).alias("ex")
+        )
+        .select(
+            "chunk_hash",
+            F.col("ex.mid").alias("__mid"),
+            F.col("ex.off").alias("__off"),
+            F.col("ex.len").alias("__len"),
+        )
+    )
+    return (
+        ex.join(
+            media.select(F.col(id_col).alias("__mid"), payload_col), "__mid"
+        )
+        .select(
+            "chunk_hash",
+            F.col("__len").alias("length"),
+            F.expr(
+                f"substring({payload_col}, __off + 1, __len)"
+            ).alias("payload"),
+        )
+    )
+
+
+def reconstruct_media(
+    manifests: DataFrame,
+    store: DataFrame,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Restore path of the content-addressed store: manifests
+    (id, chunk_idx, chunk_hash) join the byte store (chunk_hash, payload)
+    and each media's chunks concatenate back in order ->
+    (id, payload), bit-identical to the original ingest. The join is a
+    plain equi-join on chunk_hash; assembly is one applyInPandas group
+    per media (a media's bytes must fit one task — the same contract as
+    chunking it did)."""
+    import pandas as pd
+
+    id_type = dict(manifests.dtypes)[id_col]
+    j = manifests.select(id_col, "chunk_idx", "chunk_hash").join(
+        store.select("chunk_hash", "payload").dropDuplicates(["chunk_hash"]),
+        "chunk_hash",
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("chunk_idx")
+        return pd.DataFrame(
+            {
+                id_col: [pdf[id_col].iloc[0]],
+                "payload": [b"".join(bytes(x) for x in pdf["payload"])],
+            }
+        )
+
+    return j.groupBy(id_col).applyInPandas(
+        kernel, f"{id_col} {id_type}, payload binary"
+    )
+
+
 def chunk_store_stream(
     media_stream: DataFrame,
     store_path: str,
     checkpoint_path: str,
     stats_path: str | None = None,
+    manifest_path: str | None = None,
+    store_payloads: bool = False,
     payload_col: str = "payload",
     id_col: str = "media_id",
     min_size: int = 256,
@@ -380,24 +460,53 @@ def chunk_store_stream(
     payload bytes already ingested. stats_path (optional) accumulates one
     row per epoch — (ingested_bytes, stored_bytes, novel_chunks,
     total_chunks) — the dedup-ratio-over-time series a storage operator
-    monitors."""
+    monitors.
+
+    store_payloads=True turns the hash INDEX into a full content-
+    addressed STORE: novel chunks land with their exemplar byte slice,
+    and manifest_path (required then, epoch-partitioned
+    (id, chunk_idx, chunk_hash, length)) records each media's chunk
+    sequence — `reconstruct_media(manifests, store)` restores any
+    ingested payload bit-identically while re-uploaded content occupies
+    store space only once."""
     from enterprise_warp_spark.maintenance import upsert_partitions
+
+    if store_payloads and manifest_path is None:
+        raise ValueError(
+            "store_payloads=True without manifest_path would store bytes "
+            "nothing can reconstruct from — pass manifest_path"
+        )
 
     def _one_batch(batch: DataFrame, epoch_id: int) -> None:
         eid = int(epoch_id)
         ch = cdc_chunks(
             batch, payload_col, id_col, min_size, avg_size, max_size
         )
+        if manifest_path is not None:
+            # manifests are metadata-scale (one row per chunk, no bytes);
+            # checkpointing them also pins the chunking to run ONCE
+            ch = ch.localCheckpoint(eager=True)
+            upsert_partitions(
+                ch.withColumn("__epoch", F.lit(eid)),
+                manifest_path,
+                ["__epoch"],
+            )
         # chunk the payloads EXACTLY ONCE: the per-hash aggregate is
         # checkpointed and reused for the probe, the store write, and
         # both stats rows (instances/instance_bytes carry batch totals)
         per = _per_hash(ch).localCheckpoint(eager=True)
         novel = _anti_store(per, store_path, eid).localCheckpoint(eager=True)
         if novel.take(1):
+            write = novel.select("bucket", "chunk_hash", "length")
+            if store_payloads:
+                write = write.join(
+                    chunk_payloads(
+                        batch, ch, payload_col, id_col
+                    ).select("chunk_hash", "payload"),
+                    "chunk_hash",
+                )
             upsert_partitions(
-                novel.select("bucket", "chunk_hash", "length").withColumn(
-                    "__epoch", F.lit(eid)
-                ),
+                write.withColumn("__epoch", F.lit(eid)),
                 store_path,
                 ["__epoch", "bucket"],
             )
