@@ -538,6 +538,37 @@ def chunk_store_stream(
     )
 
 
+def compact_chunk_store(spark, store_path: str) -> int:
+    """Fold every epoch partition of a chunk store into the reserved base
+    epoch -1, one file per bucket — the OPTIMIZE step for small-file
+    buildup from long-running streaming ingest (each micro-batch writes
+    up to 256 bucket files).
+
+    REPLAY-SAFE by construction: a crash-replayed micro-batch probes the
+    store excluding only ITS OWN epoch id; compacted rows live in epoch
+    -1, so the replay still sees every previously stored hash, finds
+    nothing novel, and writes nothing — compaction can run at any time,
+    including between a crash and its replay. Returns the distinct chunk
+    count."""
+    df = spark.read.parquet(store_path)
+    value_cols = [c for c in df.columns if c not in ("bucket", "chunk_hash", "__epoch")]
+    per = (
+        df.groupBy("bucket", "chunk_hash")
+        # defensive max: rows for one hash are identical by the ingest
+        # contract, so any deterministic pick works
+        .agg(*[F.max(c).alias(c) for c in value_cols])
+        .withColumn("__epoch", F.lit(-1))
+        .repartition(F.col("bucket"))
+        .localCheckpoint(eager=True)  # materialize BEFORE overwriting the source
+    )
+    n = per.count()
+    per.write.mode("overwrite").partitionBy("__epoch", "bucket").parquet(
+        store_path
+    )
+    spark.catalog.refreshByPath(store_path)
+    return n
+
+
 def chunk_savings(chunks: DataFrame) -> DataFrame:
     """Corpus dedup ratio for a content-addressed chunk store: one row
     (total_bytes, unique_bytes, dedup_ratio). unique_bytes counts each

@@ -111,6 +111,49 @@ def test_insertion_resyncs_chunking():
     assert shared > 0.9, shared
 
 
+def test_chunking_invariants_fuzz():
+    """Property fuzz (pure Python, no Spark): for arbitrary payloads and
+    any valid (min, avg, max, segment) parameters, chunks tile the
+    payload exactly, respect the size bounds, self-verify their hashes,
+    and are independent of the segmentation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        payload=st.binary(min_size=0, max_size=30_000),
+        min_size=st.sampled_from([16, 64, 256]),
+        avg_mult=st.sampled_from([1, 4, 8]),
+        max_mult=st.sampled_from([1, 2, 16]),
+        segment=st.integers(64, 5_000),
+    )
+    @settings(max_examples=60, deadline=None)
+    def prop(payload, min_size, avg_mult, max_mult, segment):
+        avg = min_size * avg_mult
+        mx = avg * max_mult
+        chunks = cdc_chunk_bytes(payload, min_size, avg, mx)
+        pos = 0
+        for off, ln, hx in chunks:
+            assert off == pos
+            assert (
+                hashlib.blake2b(
+                    payload[off : off + ln], digest_size=8
+                ).hexdigest()
+                == hx
+            )
+            pos = off + ln
+        assert pos == len(payload)
+        for off, ln, hx in chunks[:-1]:
+            assert min_size <= ln <= mx
+        if chunks:
+            assert chunks[-1][1] <= mx
+        assert (
+            cdc_chunk_bytes(payload, min_size, avg, mx, segment_bytes=segment)
+            == chunks
+        )
+
+    prop()
+
+
 def test_chunk_dedup_pairs_and_savings(spark):
     """Three media: a and b share b's entire second half; c is unrelated.
     The pair (a, b) surfaces with ~half of a's bytes shared; (a, c) and
@@ -324,6 +367,82 @@ def test_chunk_store_stream_full_store_restores(spark, tmp_path):
             checkpoint_path=str(tmp_path / "c2"),
             store_payloads=True,  # no manifest_path
         )
+
+
+def test_compact_chunk_store_preserves_contract(spark, tmp_path):
+    """Compaction folds epochs into base epoch -1 with one file per
+    bucket; contents are unchanged, restore still works, and a FULL
+    REPLAY after compaction writes nothing (the replay probe sees the
+    compacted rows because they are not its own epoch)."""
+    import os
+
+    from enterprise_warp_spark.pipeline.cdc import (
+        chunk_store_stream,
+        compact_chunk_store,
+        reconstruct_media,
+    )
+
+    payloads = {1: _blob(61, 30_000), 2: _blob(62, 25_000)}
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for k, sub in ((1, "b1"), (2, "b2")):
+        spark.createDataFrame(
+            [(k, payloads[k])], "media_id long, payload binary"
+        ).coalesce(1).write.parquet(str(src / sub))
+
+    def run(ckpt):
+        q = chunk_store_stream(
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*")),
+            store_path=str(tmp_path / "store"),
+            checkpoint_path=str(tmp_path / ckpt),
+            manifest_path=str(tmp_path / "manifests"),
+            store_payloads=True,
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    store_path = str(tmp_path / "store")
+    before = {
+        (r["chunk_hash"], r["length"], bytes(r["payload"]))
+        for r in spark.read.parquet(store_path).collect()
+    }
+
+    n = compact_chunk_store(spark, store_path)
+    assert n == len(before)
+    compacted = spark.read.parquet(store_path)
+    rows = compacted.collect()
+    assert {
+        (r["chunk_hash"], r["length"], bytes(r["payload"])) for r in rows
+    } == before
+    assert {r["__epoch"] for r in rows} == {-1}
+    # one file per bucket directory
+    base = os.path.join(store_path, "__epoch=-1")
+    for bucket_dir in os.listdir(base):
+        files = [
+            f
+            for f in os.listdir(os.path.join(base, bucket_dir))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, bucket_dir
+
+    # restore still works from the compacted store
+    got = {
+        r["media_id"]: bytes(r["payload"])
+        for r in reconstruct_media(
+            spark.read.parquet(str(tmp_path / "manifests")), compacted
+        ).collect()
+    }
+    assert got == payloads
+
+    # full replay against the compacted store: nothing is novel, nothing
+    # is written — no duplicates, no resurrected epochs
+    run("ckpt2")
+    spark.catalog.refreshByPath(store_path)
+    after = spark.read.parquet(store_path)
+    assert {r["__epoch"] for r in after.collect()} == {-1}
+    assert after.count() == len(before)
 
 
 def test_probe_novel_chunks_batch(spark, tmp_path):
