@@ -256,6 +256,62 @@ def bloom_probe(
     return probed.withColumn(out_col, F.expr(hit)).drop("__bw", "__h1", "__h2")
 
 
+def bloom_probe_join(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int = 5,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """The broadcast-join form of bloom_probe, for filters too large to
+    inline as a plan literal (the shape bloom_probe's guard points to):
+    explode the k probe positions, broadcast-join the <= m_bits/64-row
+    word table on word_idx, and AND the bit tests back per key. Same
+    result column as bloom_probe; scales to arbitrarily large m_bits
+    (the word table rides the broadcast, never the plan). Requires the
+    values of `col` to be DISTINCT in df — they are the join-back key
+    (pre-aggregate first otherwise)."""
+    h1, h2 = _bloom_h1_h2(F.col(col))
+    pos = (
+        df.select(F.col(col).alias("__key"), h1.alias("__h1"), h2.alias("__h2"))
+        .select(
+            "__key",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j"),
+            "__h1",
+            "__h2",
+        )
+        .select(
+            "__key",
+            ((F.col("__h1") + F.col("__j") * F.col("__h2")) % m_bits).alias(
+                "__pos"
+            ),
+        )
+        .select(
+            "__key",
+            F.expr("__pos div 64").alias("word_idx"),
+            F.expr("cast(__pos % 64 as int)").alias("__bit"),
+        )
+    )
+    hit = (
+        pos.join(
+            F.broadcast(bloom.select("word_idx", "word")), "word_idx", "left"
+        )
+        # an absent word row means those 64 bits are all zero
+        .groupBy("__key")
+        .agg(
+            F.min(
+                F.coalesce(
+                    F.expr("((word >> __bit) & 1) = 1"), F.lit(False)
+                )
+            ).alias(out_col)  # min over booleans = AND of the k bit tests
+        )
+    )
+    return df.join(
+        hit, df[col] == hit["__key"], "left"
+    ).drop("__key")
+
+
 def kmv_distinct_by(
     df: DataFrame, group: str, col: str, k: int = 64
 ) -> DataFrame:

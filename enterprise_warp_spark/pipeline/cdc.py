@@ -309,6 +309,7 @@ def probe_novel_chunks(
     chunks: DataFrame,
     store_path: str,
     exclude_epoch: int | None = None,
+    bloom_path: str | None = None,
 ) -> DataFrame:
     """Distinct chunks of a batch not yet in the persisted chunk store:
     (bucket, chunk_hash, length, instances, instance_bytes), where
@@ -319,11 +320,16 @@ def probe_novel_chunks(
     The store is parquet partitioned by (__epoch, bucket) with
     bucket = the hash's first byte: the anti-join is an equi-join on
     (bucket, chunk_hash) — O(batch + store-probe), never all-pairs —
-    and per-bucket layout keeps compaction and any future bloom/zone
-    pruning local to 256 independent directories. exclude_epoch ignores
-    the batch's own (possibly partially written) epoch during a crash
-    replay — same contract as incremental_minhash_filter."""
-    return _anti_store(_per_hash(chunks), store_path, exclude_epoch)
+    and per-bucket layout keeps compaction and bloom-driven pruning
+    local to 256 independent directories. exclude_epoch ignores the
+    batch's own (possibly partially written) epoch during a crash
+    replay — same contract as incremental_minhash_filter.
+
+    bloom_path (written by update_store_bloom) removes the O(store) scan
+    from the steady state: see _probe_store."""
+    return _probe_store(
+        _per_hash(chunks), store_path, exclude_epoch, bloom_path
+    )
 
 
 def _per_hash(chunks: DataFrame) -> DataFrame:
@@ -350,6 +356,163 @@ def _anti_store(
         store = store.filter(F.col("__epoch") != int(exclude_epoch))
     return per.join(
         store.select("bucket", "chunk_hash"),
+        ["bucket", "chunk_hash"],
+        "left_anti",
+    )
+
+
+def update_store_bloom(
+    spark,
+    store_path: str,
+    bloom_path: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> int:
+    """(Re)build the store's membership bloom — the structure that lets
+    the steady-state probe skip the store scan (see _probe_store). The
+    filter covers every hash in the store AT BUILD TIME and records the
+    covering watermark `max_epoch`; probes treat later epochs as
+    uncovered and anti-join just that (partition-pruned, small) slice,
+    so a STALE bloom costs speed, never correctness.
+
+    MUST be re-run after compact_chunk_store (compaction folds
+    post-watermark epochs into base epoch -1, which probes treat as
+    covered) — compact_chunk_store(bloom_path=...) does both in order.
+    Returns the number of hashes covered. The filter itself is the
+    mergeable portable-md5 bloom of operators/sketches.py; at the
+    default m_bits=2^20 it holds ~10^5 hashes at ~1% false-positive
+    rate — size m_bits to the store (false positives only cost verify
+    joins; production stores shard the filter per bucket and raise
+    m_bits, the same scaling story as every sketch in the module)."""
+    from enterprise_warp_spark.operators.sketches import bloom_build
+
+    store = spark.read.parquet(store_path)
+    wm_row = store.agg(
+        F.max("__epoch").alias("wm"), F.count("*").alias("n")
+    ).first()
+    bloom = bloom_build(store.select("chunk_hash"), "chunk_hash", m_bits, k)
+    (
+        bloom.withColumn("m_bits", F.lit(m_bits))
+        .withColumn("k", F.lit(k))
+        .withColumn("max_epoch", F.lit(int(wm_row["wm"])))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(bloom_path)
+    )
+    spark.catalog.refreshByPath(bloom_path)
+    return int(wm_row["n"])
+
+
+def _merge_bloom(
+    spark,
+    novel: DataFrame,
+    bloom_path: str,
+    epoch_id: int,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> None:
+    """Fold a batch's novel hashes into the persisted bloom and advance
+    the watermark. Idempotent under crash replay: bit_or re-merging the
+    same hashes is a no-op, and the watermark takes the max. A crash
+    mid-write leaves the path without readable data files, which probes
+    treat as 'no bloom' and fall back to the full anti-join — stale or
+    absent blooms cost speed, never correctness."""
+    from enterprise_warp_spark.operators.sketches import bloom_build
+    from enterprise_warp_spark.pipeline.dedup import _readable_parquet
+
+    existing = _readable_parquet(spark, bloom_path)
+    wm = int(epoch_id)
+    if existing is not None:
+        meta = existing.select("m_bits", "k", "max_epoch").first()
+        m_bits, k = int(meta["m_bits"]), int(meta["k"])
+        wm = max(int(meta["max_epoch"]), wm)
+        words = (
+            existing.select("word_idx", "word")
+            .unionByName(
+                bloom_build(novel.select("chunk_hash"), "chunk_hash", m_bits, k)
+            )
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
+    else:
+        words = bloom_build(novel.select("chunk_hash"), "chunk_hash", m_bits, k)
+    out = (
+        words.withColumn("m_bits", F.lit(m_bits))
+        .withColumn("k", F.lit(k))
+        .withColumn("max_epoch", F.lit(wm))
+        .coalesce(1)
+        .localCheckpoint(eager=True)  # materialize BEFORE overwriting the source
+    )
+    out.write.mode("overwrite").parquet(bloom_path)
+    spark.catalog.refreshByPath(bloom_path)
+
+
+def _probe_store(
+    per: DataFrame,
+    store_path: str,
+    exclude_epoch: int | None,
+    bloom_path: str | None,
+) -> DataFrame:
+    """Split the batch's distinct hashes against the store without
+    scanning it when a bloom is available:
+
+    - bloom definite-miss -> novel with NO store lookup (bloom false
+      negatives are impossible);
+    - bloom maybe-hit (true dups + ~1% false positives) -> verified by
+      an anti-join against ONLY the covered store slice in the
+      suspects' own buckets (driver collects <= 256 bucket strings —
+      metadata, not data — so partition pruning is literal);
+    - epochs newer than the bloom's watermark are uncovered -> one
+      anti-join against that partition-pruned (small) slice for ALL
+      candidates.
+
+    Steady-state per-batch store IO is therefore O(suspect buckets +
+    post-watermark epochs), not O(store)."""
+    from enterprise_warp_spark.operators.sketches import bloom_probe_join
+    from enterprise_warp_spark.pipeline.dedup import _readable_parquet
+
+    if bloom_path is None:
+        return _anti_store(per, store_path, exclude_epoch)
+    spark = per.sparkSession
+    bloom = _readable_parquet(spark, bloom_path)
+    if bloom is None:
+        return _anti_store(per, store_path, exclude_epoch)
+    store = _readable_parquet(spark, store_path)
+    if store is None:
+        return per
+    if exclude_epoch is not None:
+        store = store.filter(F.col("__epoch") != int(exclude_epoch))
+    meta = bloom.select("m_bits", "k", "max_epoch").first()
+    # the JOIN form of the probe: the word table rides a broadcast, so
+    # m_bits can be sized to the store without bloating the plan (the
+    # inline-literal bloom_probe is quadratic-feeling past ~2^16 bits —
+    # the literal array is materialized per ROW); per-hash rows are
+    # distinct by construction, satisfying the join-back contract
+    flagged = bloom_probe_join(
+        per,
+        "chunk_hash",
+        bloom.select("word_idx", "word"),
+        int(meta["m_bits"]),
+        int(meta["k"]),
+        out_col="__maybe",
+    )
+    suspects = flagged.filter(F.col("__maybe")).drop("__maybe")
+    definite = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    buckets = [
+        r["bucket"] for r in suspects.select("bucket").distinct().collect()
+    ]
+    wm = int(meta["max_epoch"])
+    covered = store.filter(
+        (F.col("__epoch") <= wm) & F.col("bucket").isin(buckets)
+    )
+    verified = suspects.join(
+        covered.select("bucket", "chunk_hash"),
+        ["bucket", "chunk_hash"],
+        "left_anti",
+    )
+    recent = store.filter(F.col("__epoch") > wm)
+    return definite.unionByName(verified).join(
+        recent.select("bucket", "chunk_hash"),
         ["bucket", "chunk_hash"],
         "left_anti",
     )
@@ -440,6 +603,7 @@ def chunk_store_stream(
     stats_path: str | None = None,
     manifest_path: str | None = None,
     store_payloads: bool = False,
+    bloom_path: str | None = None,
     payload_col: str = "payload",
     id_col: str = "media_id",
     min_size: int = 256,
@@ -461,6 +625,12 @@ def chunk_store_stream(
     row per epoch — (ingested_bytes, stored_bytes, novel_chunks,
     total_chunks) — the dedup-ratio-over-time series a storage operator
     monitors.
+
+    bloom_path keeps a persisted membership bloom fresh alongside the
+    store (merged per epoch, watermarked): steady-state probes then skip
+    the store scan for bloom-definite-miss chunks and verify only
+    suspects against bucket-pruned slices — per-batch store IO stops
+    growing with the corpus (see _probe_store / update_store_bloom).
 
     store_payloads=True turns the hash INDEX into a full content-
     addressed STORE: novel chunks land with their exemplar byte slice,
@@ -495,7 +665,9 @@ def chunk_store_stream(
         # checkpointed and reused for the probe, the store write, and
         # both stats rows (instances/instance_bytes carry batch totals)
         per = _per_hash(ch).localCheckpoint(eager=True)
-        novel = _anti_store(per, store_path, eid).localCheckpoint(eager=True)
+        novel = _probe_store(
+            per, store_path, eid, bloom_path
+        ).localCheckpoint(eager=True)
         if novel.take(1):
             write = novel.select("bucket", "chunk_hash", "length")
             if store_payloads:
@@ -511,6 +683,12 @@ def chunk_store_stream(
                 ["__epoch", "bucket"],
             )
             batch.sparkSession.catalog.refreshByPath(store_path)
+            if bloom_path is not None:
+                # AFTER the store write: a crash in between leaves the
+                # bloom stale (watermark short), which probes handle
+                _merge_bloom(
+                    batch.sparkSession, novel, bloom_path, eid
+                )
         if stats_path is not None:
             tot = per.agg(
                 F.coalesce(F.sum("instance_bytes"), F.lit(0)).alias(
@@ -538,7 +716,9 @@ def chunk_store_stream(
     )
 
 
-def compact_chunk_store(spark, store_path: str) -> int:
+def compact_chunk_store(
+    spark, store_path: str, bloom_path: str | None = None
+) -> int:
     """Fold every epoch partition of a chunk store into the reserved base
     epoch -1, one file per bucket — the OPTIMIZE step for small-file
     buildup from long-running streaming ingest (each micro-batch writes
@@ -549,7 +729,12 @@ def compact_chunk_store(spark, store_path: str) -> int:
     -1, so the replay still sees every previously stored hash, finds
     nothing novel, and writes nothing — compaction can run at any time,
     including between a crash and its replay. Returns the distinct chunk
-    count."""
+    count.
+
+    When the ingest uses a bloom, pass bloom_path here: compaction moves
+    post-watermark rows into epoch -1 (which probes treat as covered),
+    so the bloom MUST be rebuilt in the same maintenance step — this
+    function does it after the fold."""
     df = spark.read.parquet(store_path)
     value_cols = [c for c in df.columns if c not in ("bucket", "chunk_hash", "__epoch")]
     per = (
@@ -566,6 +751,15 @@ def compact_chunk_store(spark, store_path: str) -> int:
         store_path
     )
     spark.catalog.refreshByPath(store_path)
+    if bloom_path is not None:
+        from enterprise_warp_spark.pipeline.dedup import _readable_parquet
+
+        old = _readable_parquet(spark, bloom_path)
+        kw = {}
+        if old is not None:  # keep the operator's chosen sizing
+            meta = old.select("m_bits", "k").first()
+            kw = {"m_bits": int(meta["m_bits"]), "k": int(meta["k"])}
+        update_store_bloom(spark, store_path, bloom_path, **kw)
     return n
 
 

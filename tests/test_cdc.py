@@ -477,6 +477,137 @@ def test_probe_novel_chunks_batch(spark, tmp_path):
     assert novel2 <= tail_hashes
 
 
+def test_bloom_probe_matches_full_antijoin_and_handles_staleness(
+    spark, tmp_path
+):
+    """The bloom-accelerated probe must return EXACTLY the novel set of
+    the plain anti-join — including hashes added to the store AFTER the
+    bloom was built (the post-watermark slice is verified by its own
+    partition-pruned anti-join, so a stale bloom can never resurrect a
+    stored chunk)."""
+    from enterprise_warp_spark.pipeline.cdc import (
+        probe_novel_chunks,
+        update_store_bloom,
+    )
+
+    store_path = str(tmp_path / "store")
+    bloom_path = str(tmp_path / "bloom")
+    old_content, late_content = _blob(71, 30_000), _blob(72, 20_000)
+
+    def chunks_of(*payloads):
+        return cdc_chunks(
+            spark.createDataFrame(
+                [(i, p) for i, p in enumerate(payloads)],
+                "media_id long, payload binary",
+            )
+        )
+
+    # epoch 0 in the store, then the bloom covers it (watermark 0)
+    probe_novel_chunks(chunks_of(old_content), store_path).select(
+        "bucket", "chunk_hash", "length"
+    ).withColumn("__epoch", F.lit(0)).write.partitionBy(
+        "__epoch", "bucket"
+    ).parquet(store_path)
+    covered_n = update_store_bloom(spark, store_path, bloom_path)
+    assert covered_n == spark.read.parquet(store_path).count()
+
+    # epoch 1 lands AFTER the bloom build — the bloom is now stale
+    probe_novel_chunks(chunks_of(late_content), store_path).select(
+        "bucket", "chunk_hash", "length"
+    ).withColumn("__epoch", F.lit(1)).write.mode("append").partitionBy(
+        "__epoch", "bucket"
+    ).parquet(store_path)
+    spark.catalog.refreshByPath(store_path)
+
+    # probe a batch mixing covered content, post-watermark content, and
+    # genuinely new bytes: bloom path == plain path, and nothing stored
+    # (before OR after the watermark) comes back as novel
+    batch = chunks_of(old_content + late_content + _blob(73, 15_000))
+    plain = {
+        r["chunk_hash"] for r in probe_novel_chunks(batch, store_path).collect()
+    }
+    fast = {
+        r["chunk_hash"]
+        for r in probe_novel_chunks(
+            batch, store_path, bloom_path=bloom_path
+        ).collect()
+    }
+    assert fast == plain
+    stored = {
+        r["chunk_hash"] for r in spark.read.parquet(store_path).collect()
+    }
+    assert not (fast & stored)
+    assert fast  # the fresh 15 KB did produce novel chunks
+
+
+def test_stream_with_bloom_and_compaction_rebuild(spark, tmp_path):
+    """Streaming ingest with bloom_path: the bloom tracks the store per
+    epoch (watermark = last epoch), a full replay leaves store AND bloom
+    semantics intact, and compact_chunk_store(bloom_path=...) rebuilds
+    the bloom so post-compaction probes still dedup everything."""
+    from enterprise_warp_spark.pipeline.cdc import (
+        chunk_store_stream,
+        compact_chunk_store,
+        probe_novel_chunks,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    p1, p2 = _blob(81, 25_000), _blob(82, 25_000)
+    spark.createDataFrame(
+        [(1, p1)], "media_id long, payload binary"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(2, p2)], "media_id long, payload binary"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    store_path = str(tmp_path / "store")
+    bloom_path = str(tmp_path / "bloom")
+
+    def run(ckpt):
+        q = chunk_store_stream(
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*")),
+            store_path=store_path,
+            checkpoint_path=str(tmp_path / ckpt),
+            bloom_path=bloom_path,
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    store = spark.read.parquet(store_path)
+    n = store.count()
+    brute = set()
+    for p in (p1, p2):
+        brute |= {h for _, _, h in cdc_chunk_bytes(p)}
+    assert {r["chunk_hash"] for r in store.collect()} == brute
+    bloom = spark.read.parquet(bloom_path)
+    assert bloom.select("max_epoch").first()[0] == 1
+
+    # replay: same store, bloom watermark unchanged, no duplicates
+    run("ckpt2")
+    spark.catalog.refreshByPath(store_path)
+    assert spark.read.parquet(store_path).count() == n
+    assert spark.read.parquet(bloom_path).select("max_epoch").first()[0] == 1
+
+    # compaction folds epochs into -1 and rebuilds the bloom with it
+    compact_chunk_store(spark, store_path, bloom_path=bloom_path)
+    assert spark.read.parquet(bloom_path).select("max_epoch").first()[0] == -1
+    # post-compaction bloom probe still dedups all previously stored bytes
+    reingest = cdc_chunks(
+        spark.createDataFrame(
+            [(9, p1), (10, p2)], "media_id long, payload binary"
+        )
+    )
+    assert (
+        probe_novel_chunks(
+            reingest, store_path, bloom_path=bloom_path
+        ).count()
+        == 0
+    )
+
+
 def test_cdc_chunks_plan_is_map_only(spark):
     """The chunker must not shuffle: no Exchange in the physical plan."""
     media = spark.createDataFrame(
