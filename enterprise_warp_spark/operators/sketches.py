@@ -272,6 +272,13 @@ def bloom_probe_join(
     (the word table rides the broadcast, never the plan). Requires the
     values of `col` to be DISTINCT in df — they are the join-back key
     (pre-aggregate first otherwise)."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if not 1 <= k <= 8:
+        # same bound as bloom_build: h1 + 7*h2 < 8*2^60 = 2^63; beyond it
+        # the position arithmetic overflows long and negative positions
+        # would read as definite misses — bloom FALSE NEGATIVES
+        raise ValueError(f"k must be in [1, 8], got {k}")
     h1, h2 = _bloom_h1_h2(F.col(col))
     pos = (
         df.select(F.col(col).alias("__key"), h1.alias("__h1"), h2.alias("__h2"))

@@ -197,8 +197,10 @@ def cdc_chunk_bytes(
     ci = 0
     while start < n:
         cut = min(start + max_size, n)
-        # first candidate boundary in [start + min_size, start + max_size)
-        while ci < len(candidates) and candidates[ci] < start + min_size:
+        # first candidate boundary yielding a chunk of >= min_size bytes
+        # (a candidate at start + min_size - 1 cuts AFTER itself, giving
+        # exactly min_size — legal, so the skip threshold is min_size - 1)
+        while ci < len(candidates) and candidates[ci] < start + min_size - 1:
             ci += 1
         if ci < len(candidates) and candidates[ci] < cut:
             cut = int(candidates[ci]) + 1  # cut AFTER the boundary byte
@@ -390,11 +392,16 @@ def update_store_bloom(
     wm_row = store.agg(
         F.max("__epoch").alias("wm"), F.count("*").alias("n")
     ).first()
-    bloom = bloom_build(store.select("chunk_hash"), "chunk_hash", m_bits, k)
+    # empty-but-readable store: nothing to cover; watermark -1 makes every
+    # future epoch "recent" (verified by its own anti-join)
+    wm = -1 if wm_row["wm"] is None else int(wm_row["wm"])
+    bloom = _pad_bloom(
+        spark, bloom_build(store.select("chunk_hash"), "chunk_hash", m_bits, k)
+    )
     (
         bloom.withColumn("m_bits", F.lit(m_bits))
         .withColumn("k", F.lit(k))
-        .withColumn("max_epoch", F.lit(int(wm_row["wm"])))
+        .withColumn("max_epoch", F.lit(wm))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(bloom_path)
@@ -406,6 +413,7 @@ def update_store_bloom(
 def _merge_bloom(
     spark,
     novel: DataFrame,
+    store_path: str,
     bloom_path: str,
     epoch_id: int,
     m_bits: int = 1 << 20,
@@ -416,26 +424,29 @@ def _merge_bloom(
     same hashes is a no-op, and the watermark takes the max. A crash
     mid-write leaves the path without readable data files, which probes
     treat as 'no bloom' and fall back to the full anti-join — stale or
-    absent blooms cost speed, never correctness."""
+    absent blooms cost speed, never correctness.
+
+    When NO readable bloom exists (first epoch, bloom enabled on a
+    pre-existing store, or recovery after a torn bloom write), the
+    filter is rebuilt from the WHOLE store — stamping this epoch's
+    watermark over a batch-only filter would un-cover every earlier
+    epoch and let already-stored hashes re-enter as 'definite misses'."""
     from enterprise_warp_spark.operators.sketches import bloom_build
     from enterprise_warp_spark.pipeline.dedup import _readable_parquet
 
     existing = _readable_parquet(spark, bloom_path)
-    wm = int(epoch_id)
-    if existing is not None:
-        meta = existing.select("m_bits", "k", "max_epoch").first()
-        m_bits, k = int(meta["m_bits"]), int(meta["k"])
-        wm = max(int(meta["max_epoch"]), wm)
-        words = (
-            existing.select("word_idx", "word")
-            .unionByName(
-                bloom_build(novel.select("chunk_hash"), "chunk_hash", m_bits, k)
-            )
-            .groupBy("word_idx")
-            .agg(F.bit_or("word").alias("word"))
-        )
-    else:
-        words = bloom_build(novel.select("chunk_hash"), "chunk_hash", m_bits, k)
+    if existing is None:
+        update_store_bloom(spark, store_path, bloom_path, m_bits, k)
+        return
+    meta = existing.select("m_bits", "k", "max_epoch").first()
+    m_bits, k = int(meta["m_bits"]), int(meta["k"])
+    wm = max(int(meta["max_epoch"]), int(epoch_id))
+    words = _pad_bloom(
+        spark,
+        existing.select("word_idx", "word").unionByName(
+            bloom_build(novel.select("chunk_hash"), "chunk_hash", m_bits, k)
+        ),
+    )
     out = (
         words.withColumn("m_bits", F.lit(m_bits))
         .withColumn("k", F.lit(k))
@@ -445,6 +456,20 @@ def _merge_bloom(
     )
     out.write.mode("overwrite").parquet(bloom_path)
     spark.catalog.refreshByPath(bloom_path)
+
+
+def _pad_bloom(spark, words: DataFrame) -> DataFrame:
+    """Re-aggregate a word table with a guaranteed (word_idx=0, word=0)
+    row: an all-zero word is a no-op for every probe form, and it keeps
+    the persisted table non-empty so the per-row meta columns
+    (m_bits/k/max_epoch) always survive — a zero-hash store would
+    otherwise write a rowless bloom whose metadata is unreadable."""
+    zero = spark.createDataFrame([(0, 0)], "word_idx long, word long")
+    return (
+        words.unionByName(zero)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
 
 
 def _probe_store(
@@ -480,6 +505,10 @@ def _probe_store(
     store = _readable_parquet(spark, store_path)
     if store is None:
         return per
+    if "__epoch" not in store.columns:
+        # a store without epoch provenance can't support the watermark
+        # split; degrade to the plain anti-join (speed, not correctness)
+        return _anti_store(per, store_path, exclude_epoch)
     if exclude_epoch is not None:
         store = store.filter(F.col("__epoch") != int(exclude_epoch))
     meta = bloom.select("m_bits", "k", "max_epoch").first()
@@ -495,7 +524,11 @@ def _probe_store(
         int(meta["m_bits"]),
         int(meta["k"]),
         out_col="__maybe",
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the probe is consumed three times (bucket collect + both result
+    # branches); without pinning it, each consumer would re-run the
+    # upstream per-hash aggregate — and, in batch mode, the payload
+    # chunking itself, the most expensive stage of the whole flow
     suspects = flagged.filter(F.col("__maybe")).drop("__maybe")
     definite = flagged.filter(~F.col("__maybe")).drop("__maybe")
     buckets = [
@@ -573,17 +606,31 @@ def reconstruct_media(
     (id, payload), bit-identical to the original ingest. The join is a
     plain equi-join on chunk_hash; assembly is one applyInPandas group
     per media (a media's bytes must fit one task — the same contract as
-    chunking it did)."""
+    chunking it did). A manifest chunk with NO store row (manifests
+    committed before a crashed store write, a lost bucket file) raises
+    instead of silently returning a truncated payload — the join is
+    LEFT so the gap is visible to the kernel."""
     import pandas as pd
 
     id_type = dict(manifests.dtypes)[id_col]
     j = manifests.select(id_col, "chunk_idx", "chunk_hash").join(
         store.select("chunk_hash", "payload").dropDuplicates(["chunk_hash"]),
         "chunk_hash",
+        "left",
     )
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("chunk_idx")
+        missing = pdf["payload"].isna()
+        if missing.any():
+            raise ValueError(
+                f"reconstruct_media: media {pdf[id_col].iloc[0]!r} has "
+                f"{int(missing.sum())} manifest chunk(s) absent from the "
+                "store (first hash "
+                f"{pdf.loc[missing, 'chunk_hash'].iloc[0]}) — store and "
+                "manifests are out of sync; refusing to emit a truncated "
+                "payload"
+            )
         return pd.DataFrame(
             {
                 id_col: [pdf[id_col].iloc[0]],
@@ -687,7 +734,7 @@ def chunk_store_stream(
                 # AFTER the store write: a crash in between leaves the
                 # bloom stale (watermark short), which probes handle
                 _merge_bloom(
-                    batch.sparkSession, novel, bloom_path, eid
+                    batch.sparkSession, novel, store_path, bloom_path, eid
                 )
         if stats_path is not None:
             tot = per.agg(

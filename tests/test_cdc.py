@@ -608,6 +608,110 @@ def test_stream_with_bloom_and_compaction_rebuild(spark, tmp_path):
     )
 
 
+def test_bloom_enabled_on_existing_store_covers_old_epochs(
+    spark, tmp_path
+):
+    """Turning bloom_path on over a store built WITHOUT one must not
+    un-cover the old epochs: the first merge rebuilds the filter from
+    the whole store, so a re-upload of pre-bloom content stays deduped
+    (the regression would stamp a batch-only bloom with the current
+    watermark and re-store every old chunk as a 'definite miss')."""
+    from enterprise_warp_spark.pipeline.cdc import chunk_store_stream
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    old = _blob(91, 25_000)
+    spark.createDataFrame(
+        [(1, old)], "media_id long, payload binary"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    store_path = str(tmp_path / "store")
+
+    # epoch 0: no bloom configured
+    q = chunk_store_stream(
+        spark.readStream.schema("media_id long, payload binary")
+        .parquet(str(src / "*")),
+        store_path=store_path,
+        checkpoint_path=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(300)
+    n0 = spark.read.parquet(store_path).count()
+
+    # later batches arrive with bloom_path ON; the batch re-uploads the
+    # pre-bloom content plus a little new data
+    spark.createDataFrame(
+        [(2, old), (3, _blob(92, 6_000))], "media_id long, payload binary"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q = chunk_store_stream(
+        spark.readStream.schema("media_id long, payload binary")
+        .parquet(str(src / "*")),
+        store_path=store_path,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        bloom_path=str(tmp_path / "bloom"),
+    )
+    q.awaitTermination(300)
+    spark.catalog.refreshByPath(store_path)
+    store = spark.read.parquet(store_path)
+    # no duplicate hashes: the old content was NOT re-stored
+    assert store.groupBy("chunk_hash").count().filter("count > 1").count() == 0
+    assert store.count() < n0 + 6_000 // 256 + 3  # only the new 6 KB landed
+
+
+def test_reconstruct_refuses_truncated_payload(spark):
+    """A manifest chunk with no store row (crash between manifest and
+    store writes, lost bucket file) must raise, never return a silently
+    truncated payload."""
+    from pyspark.errors import PythonException
+
+    from enterprise_warp_spark.pipeline.cdc import (
+        chunk_payloads,
+        reconstruct_media,
+    )
+
+    media = spark.createDataFrame(
+        [(1, _blob(93, 20_000))], "media_id long, payload binary"
+    )
+    chunks = cdc_chunks(media).cache()
+    # drop one chunk's bytes from the store
+    victim = chunks.orderBy("chunk_idx").first()["chunk_hash"]
+    store = chunk_payloads(media, chunks).filter(
+        F.col("chunk_hash") != victim
+    )
+    with pytest.raises(PythonException, match="out of sync"):
+        reconstruct_media(chunks, store).collect()
+
+
+def test_update_store_bloom_empty_store(spark, tmp_path):
+    """An empty-but-readable store gets watermark -1 (everything future
+    is 'recent') instead of a TypeError on max(NULL)."""
+    from enterprise_warp_spark.pipeline.cdc import (
+        probe_novel_chunks,
+        update_store_bloom,
+    )
+
+    store_path = str(tmp_path / "store")
+    # non-partitioned empty write: leaves a zero-row parquet footer, so
+    # the path is readable-but-empty (a partitioned empty write leaves
+    # no data files at all and reads as 'no store')
+    spark.createDataFrame(
+        [], "bucket string, chunk_hash string, length long, __epoch int"
+    ).write.parquet(store_path)
+    bloom_path = str(tmp_path / "bloom")
+    assert update_store_bloom(spark, store_path, bloom_path) == 0
+    assert (
+        spark.read.parquet(bloom_path).select("max_epoch").first()[0] == -1
+    )
+    # and the bloom path still classifies everything as novel
+    media = spark.createDataFrame(
+        [(1, _blob(94, 5_000))], "media_id long, payload binary"
+    )
+    ch = cdc_chunks(media)
+    assert (
+        probe_novel_chunks(ch, store_path, bloom_path=bloom_path).count()
+        == probe_novel_chunks(ch, store_path).count()
+    )
+
+
 def test_cdc_chunks_plan_is_map_only(spark):
     """The chunker must not shuffle: no Exchange in the physical plan."""
     media = spark.createDataFrame(
