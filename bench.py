@@ -111,7 +111,9 @@ def compact_final_summary(summary: dict, limit: int = 1800) -> str:
     all 52 sf1 per-query times and the whole artifact parsed as null).
     Over-limit summaries shed the bulkiest optional fields in a stated
     priority order; if the headline fields alone still overflow, raise —
-    a silent truncation upstream is exactly the failure this guards."""
+    a silent truncation upstream is exactly the failure this guards.
+    Operates on a copy: the caller's dict keeps every field."""
+    summary = dict(summary)
     line = json.dumps(summary)
     if len(line) <= limit:
         return line

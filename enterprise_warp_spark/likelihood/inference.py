@@ -329,6 +329,7 @@ def run_adaptive_from_general2(
     tim_path: str | None = None,
     par_path: str | None = None,
     pepoch_mjd: float | None = None,
+    backend_flag: str = "group",
     residual_col: str = "post",
     rounds: int = 4,
     n_per_round: int = 256,
@@ -375,18 +376,20 @@ def run_adaptive_from_general2(
 
         tm = TMComponent(tm_spec_from_par_file(par_path), mode="fast")
         if pepoch_mjd is None:
-            for line in open(par_path):
-                parts = line.split()
-                if parts and parts[0] == "PEPOCH":
-                    pepoch_mjd = float(parts[1])
-                    break
+            # the shared .par scalar reader (handles fit-flag columns)
+            from enterprise_warp_spark.run_paramfile import _par_value
+
+            found = _par_value(par_path, "PEPOCH", float("nan"))
+            pepoch_mjd = None if found != found else found
     if pepoch_mjd is None:
         raise ValueError(
             "pepoch_mjd is required (pass it, or par_path with a PEPOCH "
             "line) — toa_s must be PEPOCH-relative for the timing-model "
             "spec to line up"
         )
-    g2 = read_general2(spark, general2_path, tim_path=tim_path)
+    g2 = read_general2(
+        spark, general2_path, tim_path=tim_path, backend_flag=backend_flag
+    )
     res = residuals_from_general2(
         g2, psr, bat_mjd0=pepoch_mjd, residual_col=residual_col
     ).cache()

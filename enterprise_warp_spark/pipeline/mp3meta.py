@@ -161,13 +161,14 @@ def _parse_id3v2(b: bytes) -> tuple[int, dict]:
     if major < 2 or (major == 2 and flags & 0x40):
         return total, {}  # unknown layout / v2.2 compressed tag
     body = b[10 : min(total, len(b))]
-    if flags & 0x80 and major == 3:
-        # v2.3: unsynchronisation is applied to (and the frame sizes
-        # count) the DECODED tag body, so one whole-tag FF 00 -> FF
-        # replace before the walk is exact. v2.4 is the opposite (ADVICE
-        # r13): frame size fields count ON-DISK bytes and unsync is
-        # per-frame, so the walk below stays on the raw body and decodes
-        # each frame's payload individually.
+    if flags & 0x80 and major <= 3:
+        # v2.2/v2.3: unsynchronisation is applied to (and the frame
+        # sizes count) the DECODED tag body — both specs define it
+        # tag-wide — so one whole-tag FF 00 -> FF replace before the
+        # walk is exact. v2.4 is the opposite (ADVICE r13): frame size
+        # fields count ON-DISK bytes and unsync is per-frame, so the
+        # walk below stays on the raw body and decodes each frame's
+        # payload individually.
         body = body.replace(b"\xff\x00", b"\xff")
     out: dict = {}
     pos = 0

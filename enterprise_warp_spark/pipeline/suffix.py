@@ -335,10 +335,12 @@ def exact_duplicate_spans(
     max_run_members (r13 verdict #7): the documented pathology made
     enforceable — a span repeated N times forms one N-member run resolved
     on one worker (fixed costs dominate to ~4k multiplicity, PERF.md r13;
-    ~1e8-member runs are the wall). With a bound set, an oversized run
-    either fails LOUD at resolve time (on_oversized='error', the
-    offending multiplicity in the message) or is dropped from the exact
-    path (on_oversized='drop') — only sound inside a composition whose
+    ~1e8-member runs are the wall). The bound is enforced BEFORE the
+    per-run shuffle via a map-side-combined count, so the oversized
+    run's rows are never collected onto one worker: it either fails
+    LOUD at plan time (on_oversized='error', the offending multiplicity
+    in the message) or is dropped from the exact path
+    (on_oversized='drop') — only sound inside a composition whose
     hash-granularity backstop still removes the span, which is exactly
     how strip_exact_duplicate_spans_sharded routes it."""
     if on_oversized not in ("error", "drop"):
@@ -368,23 +370,33 @@ def exact_duplicate_spans(
     max_run = int(max_run_members) if max_run_members is not None else None
     oversized_err = on_oversized == "error"
 
-    def resolve_run(pdf):
-        import pandas as pd
-
-        if max_run is not None and len(pdf) + 1 > max_run:
-            if oversized_err:
+    if max_run is not None:
+        # enforce BEFORE the per-run shuffle: a count aggregate uses
+        # map-side partial combine, so no worker ever materializes an
+        # oversized run's rows (the whole point of the bound — checking
+        # inside applyInPandas would OOM during Arrow group collection
+        # before any guard code ran)
+        sizes = edges.groupBy("__run").agg(F.count("*").alias("__n"))
+        oversized = sizes.filter(F.col("__n") + 1 > max_run)
+        if oversized_err:
+            hit = oversized.orderBy(F.desc("__n")).take(1)
+            if hit:
                 raise ValueError(
-                    f"exact_duplicate_spans: run of {len(pdf) + 1} members "
-                    f"exceeds max_run_members={max_run} (a span repeated "
-                    "that many times resolves on one worker); raise the "
-                    "bound or route through "
+                    f"exact_duplicate_spans: run of {int(hit[0]['__n']) + 1} "
+                    f"members exceeds max_run_members={max_run} (a span "
+                    "repeated that many times resolves on one worker); "
+                    "raise the bound or route through "
                     "strip_exact_duplicate_spans_sharded, whose hash-"
                     "granularity backstop covers dropped runs"
                 )
-            return pd.DataFrame(
-                columns=[id_col, "start_tok", "n_tokens", "twin_doc",
-                         "twin_start"]
+        else:
+            edges = edges.join(
+                oversized.select("__run"), "__run", "left_anti"
             )
+
+    def resolve_run(pdf):
+        import pandas as pd
+
         pdf = pdf.sort_values("rank_a")
         member_doc = list(pdf["doc_a"]) + [pdf["doc_b"].iloc[-1]]
         member_idx = [int(v) for v in pdf["idx_a"]] + [

@@ -60,6 +60,39 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
+def make_branch_timer(gate_name: str, seconds: dict):
+    """Shared per-branch attribution instrumentation for multi-branch
+    union gates (r13 verdict #4; one definition so a fix cannot miss a
+    gate). Returns (timing, _b): with SPARK_GRAFT_BRANCH_TIMING=1 —
+    bench's isolated post-sweep pass, never a timed rep — each
+    `_b(name, fn, *args)` ALSO materializes the branch and records its
+    seconds into `seconds` and stderr; otherwise `_b` is a passthrough.
+    Gates MUST run branches strictly sequentially when `timing` is set
+    (drop their thread pools to one worker): concurrently-built branches
+    would charge each other's contention to whichever branch overlapped,
+    which is exactly the misattribution this instrument exists to
+    remove."""
+    import os
+    import sys as _sys
+    import time as _time
+
+    timing = os.environ.get("SPARK_GRAFT_BRANCH_TIMING") == "1"
+    seconds.clear()
+
+    def _b(name, fn, *args):
+        if not timing:
+            return fn(*args)
+        t0 = _time.perf_counter()
+        df = fn(*args)
+        df.write.format("noop").mode("overwrite").save()
+        sec = round(_time.perf_counter() - t0, 4)
+        seconds[name] = sec
+        print(f"# {gate_name} branch {name}: {sec:.3f}s", file=_sys.stderr)
+        return df
+
+    return timing, _b
+
+
 def _dec(col: str | F.Column, prec: int, scale: int) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(DecimalType(prec, scale))

@@ -888,31 +888,31 @@ def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SPARK_GRAFT_BRANCH_TIMING=1 (bench's isolated post-sweep attribution
     # pass, r13 verdict #4) additionally materializes each branch alone
     # and records its seconds in LAST_BRANCH_SECONDS.
-    import os
-    import sys as _sys
-    import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
-    timing = os.environ.get("SPARK_GRAFT_BRANCH_TIMING") == "1"
-    LAST_BRANCH_SECONDS.clear()
+    from enterprise_warp_spark.queries import make_branch_timer
 
-    def _b(name, fn, *args):
-        if not timing:
-            return fn(*args)
-        t0 = _time.perf_counter()
-        df = fn(*args)
-        df.write.format("noop").mode("overwrite").save()
-        sec = round(_time.perf_counter() - t0, 4)
-        LAST_BRANCH_SECONDS[name] = sec
-        print(
-            f"# web_hygiene_ops branch {name}: {sec:.3f}s", file=_sys.stderr
-        )
-        return df
+    timing, _b = make_branch_timer("web_hygiene_ops", LAST_BRANCH_SECONDS)
+
+    class _Done:
+        """Pre-resolved future: in timing mode stm/wrc build inline on
+        the main thread BEFORE the other branches, so no two branch
+        measurements ever overlap (see make_branch_timer)."""
+
+        def __init__(self, v):
+            self._v = v
+
+        def result(self):
+            return self._v
 
     pool = ThreadPoolExecutor(max_workers=2)
     try:
-        f_stm = pool.submit(_b, "stm", _stm_branch, spark, sf_dir)
-        f_wrc = pool.submit(_b, "wrc", _wrc_branch, spark, sf_dir)
+        if timing:
+            f_stm = _Done(_b("stm", _stm_branch, spark, sf_dir))
+            f_wrc = _Done(_b("wrc", _wrc_branch, spark, sf_dir))
+        else:
+            f_stm = pool.submit(_b, "stm", _stm_branch, spark, sf_dir)
+            f_wrc = pool.submit(_b, "wrc", _wrc_branch, spark, sf_dir)
         out = (
             _b("url_dom", _url_dom_branches, spark, sf_dir)
             .unionByName(_b("moj", _moj_branch, spark, sf_dir))

@@ -1346,36 +1346,19 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the longest single branch (kmc's iteration chain). Results are
     # deterministic: each branch is deterministic in isolation and the
     # union order below is fixed by code, not completion order.
-    import os
-    import sys as _sys
-    import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
+    from enterprise_warp_spark.queries import make_branch_timer
+
     # per-branch attribution (r13 verdict #4): the gate is an 11+-branch
-    # union whose baseline total hides which branch regressed. With
-    # SPARK_GRAFT_BRANCH_TIMING=1 (bench.py sets it for ONE isolated
-    # post-sweep run — never inside the timed reps), each branch build is
-    # ALSO materialized on its own and its seconds go to stderr and
-    # LAST_BRANCH_SECONDS for comparison against the committed per-branch
-    # baseline (BASELINE.json learned_sketch_branches).
-    timing = os.environ.get("SPARK_GRAFT_BRANCH_TIMING") == "1"
-    LAST_BRANCH_SECONDS.clear()
+    # union whose baseline total hides which branch regressed; see
+    # make_branch_timer. In timing mode the pool drops to ONE worker so
+    # branches build strictly sequentially (submission order) — timings
+    # from the 4-wide pool would include sibling contention and
+    # misattribute regressions (r14 review).
+    timing, _b = make_branch_timer("learned_sketch_ops", LAST_BRANCH_SECONDS)
 
-    def _b(name, fn, *args):
-        if not timing:
-            return fn(*args)
-        t0 = _time.perf_counter()
-        df = fn(*args)
-        df.write.format("noop").mode("overwrite").save()
-        sec = round(_time.perf_counter() - t0, 4)
-        LAST_BRANCH_SECONDS[name] = sec
-        print(
-            f"# learned_sketch_ops branch {name}: {sec:.3f}s",
-            file=_sys.stderr,
-        )
-        return df
-
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=1 if timing else 4) as pool:
         f_td = pool.submit(_tokdocs, spark, sf_dir)
         f_emb = pool.submit(_sketch_emb, spark, sf_dir)
         f_ev = pool.submit(_events_slim, spark, sf_dir)

@@ -380,8 +380,14 @@ def _main_pipeline(spark, opts, outdir_all: str, params):
             # the info listing so posterior quality is visible at a glance
             p = os.path.join(outdir_all, rid, "adaptive_info.json")
             if os.path.isfile(p):
-                with open(p) as fh:
-                    info = json.load(fh)
+                try:
+                    with open(p) as fh:
+                        info = json.load(fh)
+                except (json.JSONDecodeError, OSError) as exc:
+                    # one truncated file (run killed mid-dump) must not
+                    # abort the listing for every other run
+                    print(f"  adaptive: unreadable ({exc})")
+                    continue
                 results.setdefault("adaptive_info", {})[rid] = info
                 print(
                     f"  adaptive: log_evidence "

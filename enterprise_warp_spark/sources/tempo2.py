@@ -76,6 +76,7 @@ def read_general2(
     path: str,
     configuration: str = DEFAULT_FORMAT,
     tim_path: str | None = None,
+    backend_flag: str = "group",
 ) -> DataFrame:
     """A saved tempo2 general2 output (raw stdout with the plugin
     sentinels, or an already-scraped matrix) -> DataFrame; with tim_path,
@@ -84,7 +85,11 @@ def read_general2(
     counts, frequency agreement within 0.5 MHz, and |bat - toa_mjd| under
     0.05 d (generous for any barycentric correction, |Roemer delay| <~
     500 s). The TOA table is metadata-scale (10^2-10^5 rows), so the
-    alignment runs driver-side like every other TOA-table bridge."""
+    alignment runs driver-side like every other TOA-table bridge.
+
+    backend_flag names the .tim flag carrying the backend/system label
+    (default '-group'; NANOGrav-convention files use '-f') — a TOA
+    missing it fails loudly with the row and its available flags."""
     text = open(path).read()
     if START_SENTINEL in text:
         text = parse_general2_output(text)
@@ -115,7 +120,18 @@ def read_general2(
             "the general2 output does not correspond to this .tim"
         )
     out = pdf.copy()
-    out["backend"] = [dict(m)["group"] for m in toas["flags"]]
+    backends = []
+    for i, m in enumerate(toas["flags"]):
+        d = dict(m)
+        if backend_flag not in d:
+            raise ValueError(
+                f"TOA row {i} of {tim_path} has no -{backend_flag} flag "
+                f"(flags present: {sorted(d) or 'none'}); pass "
+                "backend_flag= naming the flag that carries the backend "
+                "label (e.g. 'f' for NANOGrav-convention files)"
+            )
+        backends.append(d[backend_flag])
+    out["backend"] = backends
     out["flags"] = [dict(m) for m in toas["flags"]]
     return spark.createDataFrame(out)
 

@@ -994,6 +994,9 @@ def test_bench_final_line_stays_under_driver_tail():
     assert "sf1_recorded" not in parsed  # shed first
     assert parsed["value"] == 1.23  # headline survives
     assert "worst" in parsed  # shedding stops once under the limit
+    # non-destructive (r14 review): the caller's dict keeps every field
+    # even after an overflow trim
+    assert summary == big
 
     # headline fields alone over the limit -> loud failure, never a
     # silently-truncated artifact

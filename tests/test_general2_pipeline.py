@@ -40,6 +40,20 @@ def test_read_general2_attaches_tim_flags(spark):
             spark, FIXTURE, tim_path=f"{EX}/data/fake_psr_0.tim"
         )
 
+    # a backend flag the .tim doesn't carry fails with the row and the
+    # flags that ARE present (r14 review: was a bare KeyError), and the
+    # message points at the backend_flag= escape hatch
+    with pytest.raises(ValueError, match="-sys flag.*flags present.*group"):
+        read_general2(
+            spark, FIXTURE, tim_path=f"{EX}/data/{PSR}.tim",
+            backend_flag="sys",
+        )
+    # the parkes files also carry -f; selecting it works end-to-end
+    g2f = read_general2(
+        spark, FIXTURE, tim_path=f"{EX}/data/{PSR}.tim", backend_flag="f"
+    )
+    assert g2f.select("backend").distinct().count() >= 1
+
 
 @pytest.fixture(scope="module")
 def g2_run(spark, tmp_path_factory):

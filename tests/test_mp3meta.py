@@ -167,6 +167,29 @@ def test_id3v2_unsynchronised_tag():
     assert meta["n_frames"] == 2
 
 
+def test_id3v22_unsynchronised_tag():
+    """v2.2 unsynchronisation is TAG-WIDE like v2.3 (frame sizes count
+    decoded bytes) — the r13 v2.4 fix restricted the whole-tag decode to
+    major == 3 and silently garbled unsynced v2.2 tags (r14 review)."""
+    body = b""
+    for fid, text in (("TT2", "y\xffz"), ("TP1", "A\xffB")):
+        payload = b"\x00" + text.encode("latin-1")
+        body += fid.encode() + len(payload).to_bytes(3, "big") + payload
+    unsynced = body.replace(b"\xff", b"\xff\x00")
+    size = len(unsynced)
+    syncsafe = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F,
+         size & 0x7F]
+    )
+    blob = (
+        b"ID3\x02\x00\x80" + syncsafe + unsynced
+        + _frame_v1l3_128_44100() * 2
+    )
+    meta = parse_mp3_meta(blob)
+    assert meta["title"] == "y\xffz" and meta["artist"] == "A\xffB"
+    assert meta["n_frames"] == 2
+
+
 def test_resync_over_garbage():
     blob = (
         _frame_v1l3_128_44100()

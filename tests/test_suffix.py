@@ -406,14 +406,14 @@ def test_max_run_members_guard(spark):
     base = exact_duplicate_spans(docs, min_tokens=10).count()
     assert base > 0
 
-    # error mode: the oversized run fails LOUD
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import PythonException
-
-    with pytest.raises((PythonException, Py4JJavaError)) as ei:
+    # error mode: the oversized run fails LOUD — at plan time, via the
+    # map-side-combined run-size count, BEFORE any worker collects the
+    # run's rows (the r14 review fix: the old in-kernel check only fired
+    # after Arrow had already materialized the oversized group)
+    with pytest.raises(ValueError) as ei:
         exact_duplicate_spans(
             docs, min_tokens=10, max_run_members=4, on_oversized="error"
-        ).count()
+        )
     assert "max_run_members=4" in str(ei.value)
 
     # drop mode: the big run's spans vanish; the 2-member run survives
