@@ -651,6 +651,8 @@ def chunk_store_stream(
     manifest_path: str | None = None,
     store_payloads: bool = False,
     bloom_path: str | None = None,
+    bloom_m_bits: int = 1 << 20,
+    bloom_k: int = 5,
     payload_col: str = "payload",
     id_col: str = "media_id",
     min_size: int = 256,
@@ -673,11 +675,25 @@ def chunk_store_stream(
     total_chunks) — the dedup-ratio-over-time series a storage operator
     monitors.
 
+    OWNERSHIP: one stream (one checkpoint) owns a store. Epoch ids come
+    from the checkpoint, so a second stream — or a fresh checkpoint over
+    NEW source content — re-issues epoch ids whose dynamic-partition
+    overwrites REPLACE the prior owner's partitions and lose chunks. The
+    replay contract covers re-processing the SAME input through a fresh
+    checkpoint (identical epochs rewrite identical content), never
+    sharing a store between different inputs; fan multiple sources into
+    one stream with union, not into one store with two streams.
+
     bloom_path keeps a persisted membership bloom fresh alongside the
     store (merged per epoch, watermarked): steady-state probes then skip
     the store scan for bloom-definite-miss chunks and verify only
     suspects against bucket-pruned slices — per-batch store IO stops
     growing with the corpus (see _probe_store / update_store_bloom).
+    Size bloom_m_bits to the EXPECTED store (~10 bits per distinct chunk
+    for ~1% false positives; it is fixed at first build): a saturating
+    bloom costs speed, never correctness — measured at 2x-over-capacity,
+    FPR ~13% turned ~13% of each batch into suspect verifies and
+    per-batch wall crept 7.4 -> 12.9 s over 10 epochs (PERF.md r14).
 
     store_payloads=True turns the hash INDEX into a full content-
     addressed STORE: novel chunks land with their exemplar byte slice,
@@ -734,7 +750,8 @@ def chunk_store_stream(
                 # AFTER the store write: a crash in between leaves the
                 # bloom stale (watermark short), which probes handle
                 _merge_bloom(
-                    batch.sparkSession, novel, store_path, bloom_path, eid
+                    batch.sparkSession, novel, store_path, bloom_path, eid,
+                    m_bits=bloom_m_bits, k=bloom_k,
                 )
         if stats_path is not None:
             tot = per.agg(
