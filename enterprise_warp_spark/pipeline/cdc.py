@@ -682,7 +682,9 @@ def chunk_store_stream(
     replay contract covers re-processing the SAME input through a fresh
     checkpoint (identical epochs rewrite identical content), never
     sharing a store between different inputs; fan multiple sources into
-    one stream with union, not into one store with two streams.
+    one stream with union, not into one store with two streams. An
+    epoch-collision guard enforces this: a batch refuses (before any
+    write) to overwrite an epoch holding chunks it did not produce.
 
     bloom_path keeps a persisted membership bloom fresh alongside the
     store (merged per epoch, watermarked): steady-state probes then skip
@@ -719,11 +721,6 @@ def chunk_store_stream(
             # manifests are metadata-scale (one row per chunk, no bytes);
             # checkpointing them also pins the chunking to run ONCE
             ch = ch.localCheckpoint(eager=True)
-            upsert_partitions(
-                ch.withColumn("__epoch", F.lit(eid)),
-                manifest_path,
-                ["__epoch"],
-            )
         # chunk the payloads EXACTLY ONCE: the per-hash aggregate is
         # checkpointed and reused for the probe, the store write, and
         # both stats rows (instances/instance_bytes carry batch totals)
@@ -731,6 +728,46 @@ def chunk_store_stream(
         novel = _probe_store(
             per, store_path, eid, bloom_path
         ).localCheckpoint(eager=True)
+        # epoch-collision guard, BEFORE any write: a legit crash replay's
+        # novel set is a SUPERSET of its own (possibly partial) prior
+        # epoch-N rows, so rows in epoch N that this batch cannot explain
+        # mean a DIFFERENT input is re-using the epoch id (second stream
+        # / fresh checkpoint over new content — see OWNERSHIP above). The
+        # check is one partition-pruned anti-join against a single epoch:
+        # empty (and free) on every normal first-write batch.
+        from enterprise_warp_spark.pipeline.dedup import _readable_parquet
+
+        existing = _readable_parquet(batch.sparkSession, store_path)
+        if existing is not None and "__epoch" in existing.columns:
+            foreign = (
+                existing.filter(F.col("__epoch") == eid)
+                .select("bucket", "chunk_hash")
+                .join(
+                    novel.select("bucket", "chunk_hash").unionByName(
+                        # a replay's non-novel hashes (already stored in
+                        # OTHER epochs via this same input) can't appear
+                        # in epoch N, so novel alone is the right bound
+                        per.select("bucket", "chunk_hash")
+                    ),
+                    ["bucket", "chunk_hash"],
+                    "left_anti",
+                )
+            )
+            if foreign.take(1):
+                raise ValueError(
+                    f"chunk_store_stream: store epoch {eid} already holds "
+                    "chunks this batch did not produce — a different input "
+                    "is re-using this epoch id (second stream on one "
+                    "store, or a fresh checkpoint over new content). One "
+                    "checkpoint owns a store; union sources upstream. "
+                    "Refusing to overwrite the prior owner's partitions."
+                )
+        if manifest_path is not None:
+            upsert_partitions(
+                ch.withColumn("__epoch", F.lit(eid)),
+                manifest_path,
+                ["__epoch"],
+            )
         if novel.take(1):
             write = novel.select("bucket", "chunk_hash", "length")
             if store_payloads:

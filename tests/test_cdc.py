@@ -657,6 +657,54 @@ def test_bloom_enabled_on_existing_store_covers_old_epochs(
     assert store.count() < n0 + 6_000 // 256 + 3  # only the new 6 KB landed
 
 
+def test_epoch_collision_guard_blocks_second_owner(spark, tmp_path):
+    """Two different inputs sharing one store re-issue the same epoch ids
+    (each checkpoint starts at 0) and their dynamic-partition overwrites
+    would silently replace each other's chunks. The guard refuses before
+    any write; a legit full replay of the SAME input (fresh checkpoint)
+    still passes — its epoch rows are all explainable."""
+    from pyspark.errors import StreamingQueryException
+
+    from enterprise_warp_spark.pipeline.cdc import chunk_store_stream
+
+    src = tmp_path / "in1"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, _blob(95, 20_000))], "media_id long, payload binary"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    spark.createDataFrame(
+        [(2, _blob(96, 20_000))], "media_id long, payload binary"
+    ).coalesce(1).write.parquet(str(src2 / "b1"))
+
+    store_path = str(tmp_path / "store")
+
+    def run(source, ckpt):
+        q = chunk_store_stream(
+            spark.readStream.schema("media_id long, payload binary")
+            .parquet(str(source / "*")),
+            store_path=store_path,
+            checkpoint_path=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(300)
+
+    run(src, "ckpt1")
+    n = spark.read.parquet(store_path).count()
+
+    # same input, fresh checkpoint (the supported replay): passes
+    run(src, "ckpt-replay")
+    spark.catalog.refreshByPath(store_path)
+    assert spark.read.parquet(store_path).count() == n
+
+    # DIFFERENT input, second stream on the same store: refused loudly,
+    # store untouched
+    with pytest.raises(StreamingQueryException, match="owns a store"):
+        run(src2, "ckpt2")
+    spark.catalog.refreshByPath(store_path)
+    assert spark.read.parquet(store_path).count() == n
+
+
 def test_reconstruct_refuses_truncated_payload(spark):
     """A manifest chunk with no store row (crash between manifest and
     store writes, lost bucket file) must raise, never return a silently
