@@ -665,58 +665,79 @@ def strip_repeated_spans(
 
 
 def _strip_spans(df: DataFrame, spans: DataFrame, text_col: str) -> DataFrame:
-    """Rebuild each document's text with the given spans' tokens removed."""
-    covered = (
-        spans.select(
-            "doc_id",
-            F.explode(F.expr("sequence(span_start, span_end)")).alias("pos"),
-        )
-        .distinct()
-        .withColumn("cut", F.lit(True))
+    """Rebuild each document's text with the given spans' tokens removed.
+
+    Shape (r14): the span table is aggregated to one sorted span LIST per
+    document (the only shuffle proportional to span count), merged into
+    disjoint clamped intervals by a linear fold, and the surviving text is
+    re-sliced from the token array through the COMPLEMENT gaps — all
+    map-side expression work on the docs scan. The previous shape exploded
+    every token of every document into rows, shuffled them against an
+    exploded covered-position table and re-assembled with a per-document
+    collect_list — a corpus-sized token shuffle that this formulation
+    removes outright (the spans shuffle is all that remains, and spans are
+    bounded by covered tokens). Per-row state is one document's token and
+    span arrays — the same per-document bound the rest of the pipeline
+    carries."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("long").alias("s"),
+                    F.col("span_end").cast("long").alias("e"),
+                )
+            )
+        ).alias("__sp")
     )
-    toks = spread(df.select("doc_id", F.expr(TOKENS.format(s=text_col)).alias("toks")))
-    tok_rows = explode_nonnull(
-        toks,
+    toks = df.select(
+        "doc_id", F.expr(TOKENS.format(s=text_col)).alias("__toks")
+    ).join(per_doc, "doc_id", "left")
+    # merge sorted (possibly overlapping/adjacent) spans into disjoint
+    # intervals, then clamp to the valid position range [1, n]: covered
+    # positions outside the document (defensive) counted nothing before
+    # and count nothing now
+    merged = (
+        "aggregate("
+        "  coalesce(__sp, cast(array() as array<struct<s:bigint,e:bigint>>)),"
+        "  cast(array() as array<struct<s:bigint,e:bigint>>),"
+        "  (acc, x) -> CASE"
+        "    WHEN size(acc) = 0 OR x.s > element_at(acc, -1).e + 1L"
+        "      THEN concat(acc, array(x))"
+        "    WHEN x.e > element_at(acc, -1).e"
+        "      THEN concat(slice(acc, 1, size(acc) - 1),"
+        "                  array(named_struct('s', element_at(acc, -1).s,"
+        "                                     'e', x.e)))"
+        "    ELSE acc END)"
+    )
+    clamped = (
+        f"filter(transform({merged}, r -> named_struct("
+        "   's', greatest(r.s, 1L),"
+        "   'e', least(r.e, cast(size(__toks) as bigint)))),"
+        " r -> r.e >= r.s)"
+    )
+    work = toks.select("doc_id", "__toks", F.expr(clamped).alias("__cov"))
+    # complement gaps of the disjoint covered intervals -> kept slices
+    gaps = (
+        "filter(transform(sequence(0, size(__cov)), i -> named_struct("
+        "  'lo', CASE WHEN i = 0 THEN 1L"
+        "             ELSE element_at(__cov, i).e + 1L END,"
+        "  'hi', CASE WHEN i = size(__cov)"
+        "             THEN cast(size(__toks) as bigint)"
+        "             ELSE element_at(__cov, i + 1).s - 1L END)),"
+        " g -> g.hi >= g.lo)"
+    )
+    return work.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.expr(
+                f"flatten(transform({gaps}, g -> slice(__toks,"
+                " cast(g.lo as int), cast(g.hi - g.lo + 1 as int))))"
+            ),
+        ).alias("cleaned_text"),
         F.expr(
-            "CASE WHEN size(toks) > 0 THEN sequence(1, size(toks)) "
-            "ELSE cast(array() as array<int>) END"
-        ),
-        "pos",
-        "doc_id",
-        "toks",
-    ).select(
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        F.expr("element_at(toks, pos)").alias("tok"),
-    )
-    joined = tok_rows.join(covered, ["doc_id", "pos"], "left")
-    stripped = (
-        joined.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.expr(
-                    "transform(array_sort(collect_list(CASE WHEN cut IS NULL "
-                    "THEN struct(pos, tok) END)), s -> s.tok)"
-                ),
-            ).alias("cleaned_text"),
-            F.sum(F.when(F.col("cut").isNotNull(), 1).otherwise(0)).alias(
-                "n_removed_tokens"
-            ),
-        )
-    )
-    # zero-token documents produce no tok_rows and would vanish from the
-    # groupBy; re-attach them so the output keeps one row per input doc
-    return (
-        df.select("doc_id")
-        .join(stripped, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-            F.coalesce("n_removed_tokens", F.lit(0)).cast("long").alias(
-                "n_removed_tokens"
-            ),
-        )
+            "aggregate(__cov, 0L, (acc, r) -> acc + r.e - r.s + 1L)"
+        ).alias("n_removed_tokens"),
     )
 
 
@@ -904,32 +925,39 @@ def winnow_fingerprints(
     all their grams (so every document with >= k tokens is fingerprinted);
     window starts therefore run 1..max(1, m-w+1) for m grams.
 
-    Plan shape (100 TB): one explode per gram (linear), a constant ``w``-fold
-    window-membership explode, then a single hash aggregate per
-    (doc_id, window) using min_by — partial-aggregable, no sort window, no
-    cross join. ``grams`` lets callers share one explode+md5 pass with the
-    ExactSubstr/decontamination operators (same (doc_id, pos, gh) layout).
+    Plan shape (100 TB, r14): ONE shuffle — the per-document gram list
+    aggregate — then a map-only expression computes every window's
+    rightmost-min in place (left-fold over each w-slice of the sorted
+    (pos, gh) array; `x.gh <= acc.gh` takes the later element on ties,
+    which IS the paper's rightmost rule). The previous shape exploded
+    every gram into its w windows and hash-aggregated 4x the gram rows
+    over (doc_id, window) groups — this one shuffles the grams once and
+    touches nothing wider than one document's gram list per row (the
+    same per-document bound every collect_list operator here carries).
+    ``grams`` lets callers share one explode+md5 pass with the
+    ExactSubstr/decontamination operators; the layout contract is
+    _gram_position_hashes' contiguous 1..m positions per document (the
+    slice-by-index arithmetic relies on it).
     """
     hashed = grams if grams is not None else _gram_position_hashes(df, text_col, k)
-    m = hashed.groupBy("doc_id").agg(F.max("pos").alias("__m"))
-    wins = explode_nonnull(
-        hashed.join(m, "doc_id"),
-        F.expr(
-            f"sequence(greatest(1L, pos - {w - 1}), "
-            f"least(pos, greatest(1L, __m - {w - 1})))"
-        ),
-        "win",
-        "doc_id",
-        "pos",
-        "gh",
+    per_doc = hashed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "gh"))).alias("__arr")
     )
-    sel = wins.groupBy("doc_id", "win").agg(
-        F.min_by(
-            F.struct(F.col("pos"), F.col("gh")),
-            F.struct(F.col("gh"), (-F.col("pos")).alias("rp")),
-        ).alias("s")
+    gh_t = dict(hashed.dtypes)["gh"]
+    sel = (
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(1, size(__arr) - {w - 1})),"
+        f"  s -> aggregate("
+        f"    slice(__arr, s, {w}),"
+        f"    cast(null as struct<pos:bigint, gh:{gh_t}>),"
+        f"    (acc, x) -> CASE WHEN acc IS NULL OR x.gh <= acc.gh"
+        f"                     THEN x ELSE acc END)))"
     )
-    return sel.select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh")).distinct()
+    return per_doc.select(
+        "doc_id", F.explode(F.expr(sel)).alias("__s")
+    ).select(
+        "doc_id", F.col("__s.pos").alias("pos"), F.col("__s.gh").alias("gh")
+    )
 
 
 def winnow_overlap_pairs(

@@ -84,15 +84,33 @@ def pagerank(
 
     ranks = base.select("node", "odeg", F.lit(1.0 / n).alias("rank"))
     for it in range(iterations):
-        # the dangling-mass aggregate is an ACTION every iteration — without
-        # materializing first it would re-execute every prior iteration's
-        # join chain (and the next iteration would re-run it again). Since
-        # an action runs anyway, materialize ranks eagerly each round:
-        # per-iteration work stays constant and lineage never grows.
+        # ONE materialization per iteration bounds lineage so per-iteration
+        # work stays constant. The dangling-mass sum stays IN-PLAN as a
+        # broadcast 1-row aggregate (crossJoin below) instead of a
+        # driver-side .first() action: same partial-then-final sum over the
+        # same checkpointed partitions, so the double is bit-identical,
+        # but the per-iteration driver round-trip job disappears (2 jobs ->
+        # 1 per iteration; at 100 TB the saved job is a full executor
+        # barrier per iteration).
         ranks = ranks.localCheckpoint(eager=True)
-        dangling = (
-            ranks.filter(F.col("odeg") == 0).agg(F.sum("rank").alias("s")).first()["s"]
-            or 0.0
+        # the attach below must stay a broadcast EQUI-join
+        # (BroadcastHashJoin with a 1-row build side), never a cross join:
+        # plan-shape guards ban BroadcastNestedLoopJoin. Both keys are
+        # always 1 but deliberately NON-foldable (an aggregate on the
+        # build side, a column-referencing expression on the probe side) —
+        # two literal keys would be constant-folded to a trivially-true
+        # condition and the join would degenerate to a nested loop.
+        dang = ranks.filter(F.col("odeg") == 0).agg(
+            F.sum("rank").alias("__dang"),
+            # count-based (never NULL even when no node dangles — a
+            # sum/min over an empty frame would be NULL and the inner
+            # equi-join would drop every row); substring(x, 1, 0) is ''
+            # for every non-null input and survives the optimizer's
+            # arithmetic simplifications, which fold multiply-by-zero
+            # style keys back into a trivially-true cross join
+            F.substring(
+                F.count(F.lit(1)).cast("string"), 1, 0
+            ).alias("__one"),
         )
         contrib = (
             ranks.filter(F.col("odeg") > 0)
@@ -103,13 +121,20 @@ def pagerank(
         )
         ranks = (
             base.join(contrib, "node", "left")
+            .withColumn(
+                "__one", F.substring(F.col("odeg").cast("string"), 1, 0)
+            )
+            .join(F.broadcast(dang), "__one")
             .select(
                 "node",
                 "odeg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.coalesce("__dang", F.lit(0.0)) / n
+                    )
                 ).alias("rank"),
             )
         )

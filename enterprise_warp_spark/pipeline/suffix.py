@@ -5,13 +5,19 @@ complement to pipeline/dedup.py's hash-granularity ExactSubstr family:
 n-gram hashing finds spans at a FIXED length; the suffix array yields every
 maximal repeat with its exact length.
 
-Construction is Manber–Myers prefix doubling expressed in DataFrame ops:
+Construction is Manber–Myers prefix doubling expressed in DataFrame ops,
+in its 4-ary form (r14):
 
     rank_0   = dense rank of the single token at each position
-    rank_{k+1}(p) = dense rank of (rank_k(p), rank_k(p + 2^k))
-    ... until every rank is unique (early exit), <= ceil(log2 L) rounds
-    where L is the longest DOCUMENT (unique per-doc sentinel tokens make
-    cross-document comparisons resolve immediately).
+    rank_{k+1}(p) = dense rank of (rank_k(p), rank_k(p + w),
+                                   rank_k(p + 2w), rank_k(p + 3w)),
+                    w = 4^k
+    ... until every rank is unique (early exit), <= ceil(log4 L) + 1
+    rounds where L is the longest DOCUMENT (unique per-doc sentinel
+    tokens make cross-document comparisons resolve immediately). The
+    4-tuple round decides 4x the width per corpus range-shuffle, halving
+    the number of blocking ranking rounds vs the binary formulation; the
+    extra shift joins ride the same round's plan.
 
 Every global ranking uses the scalable two-pass shape — repartitionByRange,
 per-partition local ranks via one Arrow pass, per-partition counts to the
@@ -22,7 +28,9 @@ from the level tables the doubling already built: walk k high->low, and
 whenever rank_k(a + lcp) == rank_k(b + lcp) the suffixes share 2^k more
 tokens — 2 joins per level over the n adjacent pairs, O(n log L) join work
 total (the standard distributed LCP formulation; Kasai's O(n) scan is
-inherently sequential).
+inherently sequential). With 4-ary levels each width is probed up to 3
+times (the lcp's base-4 digits), so the join count per pair stays
+O(log L) overall.
 
 Scale honesty: each doubling round is one range-shuffle of the position
 table plus one join — ~2 log L corpus shuffles end to end. That is the
@@ -42,6 +50,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from enterprise_warp_spark.pipeline.text import TOKENS
+
+# scale-adaptive partitioning target for the doubling rounds: ~2M position
+# rows (4 longs each) per range partition keeps partitions in the
+# guide-recommended 10s-of-MB..low-100s-of-MB band; the caller's n_parts
+# stays the upper bound for genuinely large shards
+_ROWS_PER_PART = 2_000_000
 
 
 def _two_pass_dense_rank(
@@ -198,7 +212,8 @@ def corpus_positions(
 
 
 def suffix_array(
-    positions: DataFrame, max_rounds: int = 40, n_parts: int = 32
+    positions: DataFrame, max_rounds: int = 40, n_parts: int = 32,
+    _stats_out: list | None = None,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
     """(pos, token) rows -> (sa, levels):
 
@@ -209,13 +224,26 @@ def suffix_array(
              the LCP walk in adjacent_lcp.
 
     Early-exits as soon as ranks are all-unique (with per-doc sentinels:
-    <= ceil(log2 longest_doc) + 1 rounds)."""
+    <= ceil(log4 longest_doc) + 1 rounds).
+
+    Partitioning is SCALE-ADAPTIVE past round one: the first two-pass
+    rank (at the caller's n_parts cap) learns the position count for
+    free, and every later round runs at ceil(n_rows / 2M) partitions
+    capped by n_parts — a corpus-sized table keeps the full width, a
+    fixture-sized one stops paying 8-32 near-empty range-shuffle tasks
+    (and a 1-partition repartitionByRange skips its bounds-sampling job
+    entirely). ``_stats_out``, if given, receives (n_rows, eff_parts)
+    so callers reuse the adapted width (the global_rank _total_out
+    precedent)."""
     ranked_raw, n_distinct, n_rows = _two_pass_dense_rank_counted(
         positions.select("pos", "doc_id", "idx", "token"),
         ["token"],
         "r",
         n_parts,
     )
+    eff_parts = max(1, min(n_parts, (n_rows + _ROWS_PER_PART - 1) // _ROWS_PER_PART))
+    if _stats_out is not None:
+        _stats_out.append((n_rows, eff_parts))
     # ONE materialization per round: the checkpoint; the levels entry is a
     # lazy select over it (a second eager checkpoint of the same rows was
     # pure stage overhead — at small corpora the fixed per-job cost, not
@@ -228,23 +256,37 @@ def suffix_array(
     for _ in range(max_rounds):
         if n_distinct >= n_rows:
             break  # every rank unique: suffix order is decided
-        shifted = ranked.select(
-            (F.col("pos") - width).alias("pos"), F.col("r").alias("r2")
-        )
-        paired = (
-            ranked.join(shifted, "pos", "left")
-            .withColumn("r2", F.coalesce("r2", F.lit(-1)))
-        )
+        # 4-ary doubling (r14): rank the 4-tuple of width-w ranks at
+        # (p, p+w, p+2w, p+3w) — lexicographic order of that tuple IS the
+        # order of the width-4w prefix, so each round quadruples the
+        # decided width. Halves the number of blocking two-pass rank
+        # rounds vs classic binary doubling (log4 vs log2 — at 100 TB
+        # each round is a corpus range-shuffle, at fixture scale it is
+        # 2-3 scheduled jobs); the extra shift joins ride the same
+        # round's plan. Past-the-end positions keep the -1 sentinel
+        # (shorter suffix sorts first), exactly as the binary version.
+        paired = ranked
+        for k in (1, 2, 3):
+            shifted = ranked.select(
+                (F.col("pos") - width * k).alias("pos"),
+                F.col("r").alias(f"r{k + 1}"),
+            )
+            paired = (
+                paired.join(shifted, "pos", "left")
+                .withColumn(
+                    f"r{k + 1}", F.coalesce(f"r{k + 1}", F.lit(-1))
+                )
+            )
         ranked_raw, n_distinct, n_rows = _two_pass_dense_rank_counted(
-            paired.select("pos", "doc_id", "idx", "r", "r2"),
-            ["r", "r2"],
+            paired.select("pos", "doc_id", "idx", "r", "r2", "r3", "r4"),
+            ["r", "r2", "r3", "r4"],
             "rn",
-            n_parts,
+            eff_parts,
         )
         ranked = ranked_raw.select(
             "pos", "doc_id", "idx", F.col("rn").alias("r")
         ).localCheckpoint(eager=True)
-        width *= 2
+        width *= 4
         levels.append((width, ranked.select("pos", "r")))
     sa = ranked.select("pos", "doc_id", "idx", F.col("r").alias("sa_rank"))
     return sa, levels
@@ -272,28 +314,40 @@ def adjacent_lcp(
         F.col("idx").alias("idx_b"), F.col("sa_rank").alias("__nxt"),
     )
     pairs = a.join(b, "__nxt").drop("__nxt").withColumn("lcp", F.lit(0))
-    for width, ranks in sorted(levels, key=lambda t: -t[0]):
+    ordered = sorted(levels, key=lambda t: -t[0])
+    for i, (width, ranks) in enumerate(ordered):
+        # each level may contribute its width SEVERAL times: with k-ary
+        # doubling the widths are 1, k, k^2, ... and the lcp's base-k
+        # digits run 0..k-1, so a level is probed (next_wider/width - 1)
+        # times (binary levels -> once, 4-ary -> three times). The widest
+        # level is probed once: all-unique ranks at width W bound every
+        # adjacent lcp below W, so a second probe could never fire.
+        if i == 0:
+            uses = 1
+        else:
+            uses = max(1, ordered[i - 1][0] // width - 1)
         ra = ranks.select(
             F.col("pos").alias("__pa"), F.col("r").alias("__ra")
         )
         rb = ranks.select(
             F.col("pos").alias("__pb"), F.col("r").alias("__rb")
         )
-        pairs = (
-            pairs.withColumn("__pa", F.col("pos_a") + F.col("lcp"))
-            .withColumn("__pb", F.col("pos_b") + F.col("lcp"))
-            .join(ra, "__pa", "left")
-            .join(rb, "__pb", "left")
-            .withColumn(
-                "lcp",
-                F.when(
-                    F.col("__ra").isNotNull()
-                    & (F.col("__ra") == F.col("__rb")),
-                    F.col("lcp") + width,
-                ).otherwise(F.col("lcp")),
+        for _ in range(uses):
+            pairs = (
+                pairs.withColumn("__pa", F.col("pos_a") + F.col("lcp"))
+                .withColumn("__pb", F.col("pos_b") + F.col("lcp"))
+                .join(ra, "__pa", "left")
+                .join(rb, "__pb", "left")
+                .withColumn(
+                    "lcp",
+                    F.when(
+                        F.col("__ra").isNotNull()
+                        & (F.col("__ra") == F.col("__rb")),
+                        F.col("lcp") + width,
+                    ).otherwise(F.col("lcp")),
+                )
+                .drop("__pa", "__pb", "__ra", "__rb")
             )
-            .drop("__pa", "__pb", "__ra", "__rb")
-        )
     return pairs
 
 
@@ -348,16 +402,20 @@ def exact_duplicate_spans(
             f"on_oversized must be 'error' or 'drop', got {on_oversized!r}"
         )
     pos = corpus_positions(docs, text_col, id_col, n_parts)
-    sa, levels = suffix_array(pos, n_parts=n_parts)
+    stats: list = []
+    sa, levels = suffix_array(pos, n_parts=n_parts, _stats_out=stats)
+    eff_parts = stats[0][1] if stats else n_parts
     edges = adjacent_lcp(sa, levels).filter(F.col("lcp") >= min_tokens)
-    # gaps-and-islands: consecutive rank_a values = one run
+    # gaps-and-islands: consecutive rank_a values = one run; the edge
+    # table is strictly smaller than the position table, so the adapted
+    # width from the doubling rounds is an upper bound here too
     edges = _two_pass_dense_rank(
         edges.select(
             "rank_a", "doc_a", "idx_a", "doc_b", "idx_b", "lcp"
         ),
         ["rank_a"],
         "__eidx",
-        n_parts,
+        eff_parts,
     ).withColumn("__run", F.col("rank_a") - F.col("__eidx"))
     id_type = dict(edges.dtypes)["doc_a"]
     out_schema = (

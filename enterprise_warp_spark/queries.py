@@ -454,7 +454,11 @@ def ntile_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = table(spark, sf_dir, "orders")
     base = ntile_bins_scalable(
-        orders,
+        # project to the two columns the ranking and the aggs touch BEFORE
+        # the range exchange (guide §2.3): the two-phase rank checkpoints
+        # its ranged input, so every dropped column is saved twice (shuffle
+        # bytes + materialized checkpoint)
+        orders.select("o_totalprice", "o_orderkey"),
         ["o_totalprice", "o_orderkey"],
         8,
         aggs=[
