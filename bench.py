@@ -329,7 +329,11 @@ def main() -> None:
             ).alias("payload"),
         )
     )
-    ch = cdc_chunks(media)
+    # materialize the chunk table once INSIDE the timed region (r14): the
+    # pair join and the savings aggregate both consume it, and the
+    # python gear-hash chunking pass is the entry's dominant cost — the
+    # composition a real pipeline runs, not a cross-run cache
+    ch = cdc_chunks(media).localCheckpoint(eager=True)
     chunk_dedup_pairs(ch, min_shared=2).write.format("noop").mode(
         "overwrite"
     ).save()

@@ -844,22 +844,21 @@ def _subvectors(
     Requires dim % m == 0: slicing would otherwise silently TRUNCATE the
     trailing dimensions (dim=64, m=6 ignores dims 61-64 in codebooks,
     encoding and the query LUT), and dim < m degenerates to empty
-    subvectors whose distances are all 0.0 — garbage with no error."""
+    subvectors whose distances are all 0.0 — garbage with no error. The
+    guard is IN-PLAN (raise_error on the first bad row) rather than an
+    eager .first() probe: the check stays loud, the extra scheduled job
+    per caller disappears (r14 — pq_codebooks/pq_encode/pq_topk each
+    paid one)."""
     from enterprise_warp_spark.functions.arrays import explode_nonnull
     from enterprise_warp_spark.pipeline.dedup import spread
 
-    probe = emb.select(F.size(emb_col).alias("d")).first()
-    if probe is not None:
-        dim = int(probe["d"])
-        if dim < m or dim % m != 0:
-            raise ValueError(
-                f"PQ needs size({emb_col}) divisible by m_subspaces: "
-                f"dim={dim}, m={m}"
-            )
     sub_arr = (
-        f"transform(sequence(0, {m - 1}), s -> struct(s as subspace, "
+        f"CASE WHEN size({emb_col}) >= {m} AND size({emb_col}) % {m} = 0 "
+        f"THEN transform(sequence(0, {m - 1}), s -> struct(s as subspace, "
         f"slice({emb_col}, s * (size({emb_col}) div {m}) + 1, "
-        f"size({emb_col}) div {m}) as sub))"
+        f"size({emb_col}) div {m}) as sub)) "
+        f"ELSE raise_error(concat('PQ needs size({emb_col}) divisible by "
+        f"m_subspaces: dim=', size({emb_col}), ', m={m}')) END"
     )
     return explode_nonnull(spread(emb, id_col), sub_arr, "sv", id_col).select(
         id_col, "sv.subspace", "sv.sub"

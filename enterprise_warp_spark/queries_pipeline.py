@@ -342,14 +342,44 @@ def embedding_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = similarity.bucketed_topk(emb, "vec_id < 10", 5, n_planes=4).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
     )
-    ivf = similarity.ivf_topk(emb, "vec_id < 10", 5, n_cells=16, nprobe=4).select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
-    )
-    # PQ: codebooks (M*K rows) and the code table are each built ONCE and
-    # checkpointed — the codes feed both the [pqc] rows and the [pq]
-    # search (encoded=), the codebooks feed encode + LUT + norms.
-    cbs = similarity.pq_codebooks(emb, _PQ_M, _PQ_K).localCheckpoint(eager=True)
-    codes = similarity.pq_encode(emb, cbs, _PQ_M).localCheckpoint(eager=True)
+    # The build phase runs independent driver-side jobs (IVF's centroid
+    # collect, the two PQ checkpoints, SQ8's param aggregate) — run the
+    # three lanes on a thread pool (the learned_sketch_ops pattern) so
+    # the serial build chain collapses to the longest lane. Union order
+    # below stays fixed by code, not completion order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=3)
+    try:
+        f_ivf = pool.submit(
+            lambda: similarity.ivf_topk(
+                emb, "vec_id < 10", 5, n_cells=16, nprobe=4
+            )
+        )
+
+        # PQ: codebooks (M*K rows) and the code table are each built ONCE
+        # and checkpointed — the codes feed both the [pqc] rows and the
+        # [pq] search (encoded=), the codebooks feed encode + LUT + norms.
+        def _pq_lane():
+            cbs = similarity.pq_codebooks(emb, _PQ_M, _PQ_K).localCheckpoint(
+                eager=True
+            )
+            return cbs, similarity.pq_encode(emb, cbs, _PQ_M).localCheckpoint(
+                eager=True
+            )
+
+        f_pq = pool.submit(_pq_lane)
+        f_sq = pool.submit(similarity.sq8_params, emb)
+        ivf = f_ivf.result().select(
+            F.lit("ivf").alias("method"), "query_id", "neighbor_id",
+            "cosine", "rnk"
+        )
+        cbs, codes = f_pq.result()
+        sq_params = f_sq.result()
+    finally:
+        # exceptions between submit and result must not leak in-flight
+        # lane builds on non-daemon threads
+        pool.shutdown(wait=True, cancel_futures=True)
     pqc = codes.select(
         F.col("vec_id").alias("query_id"),
         F.posexplode("codes").alias("subspace", "code"),
@@ -368,8 +398,8 @@ def embedding_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQ8 (r11): scalar quantization — [sqc] gates every vector's full
     # 8-bit code array (exact integers, no rounding doctrine needed) and
     # [sq8] the asymmetric-distance top-k against the dequantized corpus.
-    # ONE params derivation feeds encode and search.
-    sq_params = similarity.sq8_params(emb)
+    # ONE params derivation (built on the pool above) feeds encode and
+    # search.
     sqc = (
         similarity.sq8_encode(emb, sq_params)
         .select(
@@ -603,6 +633,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sfx_branch(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """[sfx] suffix-array exact duplicate spans (pipeline/suffix.py) on a
+    deterministic FIXED sub-corpus with PLANTED cross-document spans:
+    every 29th document below id 490 (the same 17 docs at every driver
+    sf — the [wrc] bounded-fixture doctrine; the suffix array's SCALE
+    curve is pinned by the PERF.md probes, the gate pins correctness),
+    each truncated to its first 32 tokens (caps the doubling depth),
+    plus derived docs carrying its 15-token slice [4, 18] (one per
+    source; a second copy for every 58th source, so spans occur at 3+
+    positions and exercise the run-clustered maximal-span sweep).
+    The suffix array itself is iterative and non-SQL; its OUTPUT — per
+    position, the maximal >=5-token span shared with another document —
+    is brute-forceable in SQL at gate scale (every (position, length)
+    gram, grouped by hash, kept where >= 2 distinct docs hold it)."""
+    from enterprise_warp_spark.pipeline.suffix import exact_duplicate_spans
+
+    sub = (
+        docs.filter((F.col("doc_id") % 29 == 0) & (F.col("doc_id") < 490))
+        .select("doc_id", F.slice(F.expr(
+            "filter(split(text, ' '), x -> x != '')"
+        ), 1, 32).alias("toks"))
+    )
+    der1 = sub.filter(F.size("toks") >= 18).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.slice("toks", 4, 15).alias("toks"),
+    )
+    der2 = sub.filter(
+        (F.size("toks") >= 18) & (F.col("doc_id") % 58 == 0)
+    ).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.slice("toks", 4, 15).alias("toks"),
+    )
+    corp = (
+        sub.unionByName(der1)
+        .unionByName(der2)
+        .select("doc_id", F.concat_ws(" ", "toks").alias("text"))
+    )
+    return exact_duplicate_spans(corp, min_tokens=5, n_parts=8).select(
+        F.lit("sfx").alias("gate"),
+        "doc_id",
+        F.col("start_tok").cast("long").alias("span_start"),
+        (F.col("start_tok") + F.col("n_tokens") - 1).cast("long").alias(
+            "span_end"
+        ),
+        F.col("n_tokens").cast("long").alias("n_grams"),
+        F.lit("").alias("h"),
+    )
+
+
+
 @register(
     "repeated_ngram_spans",
     f"""
@@ -770,9 +850,32 @@ def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # ONE corpus gram explode+hash pass shared by all three branches
-    # (rep / dcn / str each consume the same (doc_id, pos, gh) table)
-    grams = _gram_position_hashes(docs, "text", 6).localCheckpoint(eager=True)
+    # The [sfx] suffix-array machinery is a chain of blocking driver
+    # jobs (per-round two-pass ranks) entirely independent of the gram
+    # branches — build it on a thread (the learned_sketch_ops pattern)
+    # so those jobs overlap the gram/fingerprint checkpoints below.
+    # Union order stays fixed by code.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        f_sfx = pool.submit(_sfx_branch, spark, docs)
+        # ONE corpus gram explode+hash pass shared by all three branches
+        # (rep / dcn / str each consume the same (doc_id, pos, gh) table)
+        grams = _gram_position_hashes(docs, "text", 6).localCheckpoint(
+            eager=True
+        )
+        # shared slim: both winnowing branches consume the same selection
+        # (95k rows at sf0.1 — cheap to materialize, saves a full
+        # re-derive)
+        fp = winnow_fingerprints(
+            docs, k=6, w=4, grams=grams
+        ).localCheckpoint(eager=True)
+        sfx = f_sfx.result()
+    finally:
+        # exceptions between submit and result must not leak the
+        # in-flight suffix build on a non-daemon thread
+        pool.shutdown(wait=True, cancel_futures=True)
     rep = repeated_ngram_spans(docs, k=6, min_count=2, grams=grams).select(
         F.lit("rep").alias("gate"),
         "doc_id",
@@ -807,11 +910,6 @@ def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n_grams"),
         F.substring(F.md5("cleaned_text"), 1, 16).alias("h"),
     )
-    # shared slim: both winnowing branches consume the same selection
-    # (95k rows at sf0.1 — cheap to materialize, saves a full re-derive)
-    fp = winnow_fingerprints(docs, k=6, w=4, grams=grams).localCheckpoint(
-        eager=True
-    )
     wfp = (
         fp.groupBy("doc_id")
         .agg(
@@ -845,52 +943,6 @@ def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").cast("long").alias("span_start"),
         F.lit(0).cast("long").alias("span_end"),
         F.col("shared_fp").cast("long").alias("n_grams"),
-        F.lit("").alias("h"),
-    )
-    # [sfx] suffix-array exact duplicate spans (pipeline/suffix.py) on a
-    # deterministic FIXED sub-corpus with PLANTED cross-document spans:
-    # every 29th document below id 490 (the same 17 docs at every driver
-    # sf — the [wrc] bounded-fixture doctrine; the suffix array's SCALE
-    # curve is pinned by the PERF.md probes, the gate pins correctness),
-    # each truncated to its first 32 tokens (caps the doubling depth),
-    # plus derived docs carrying its 15-token slice [4, 18] (one per
-    # source; a second copy for every 58th source, so spans occur at 3+
-    # positions and exercise the run-clustered maximal-span sweep).
-    # The suffix array itself is iterative and non-SQL; its OUTPUT — per
-    # position, the maximal >=5-token span shared with another document —
-    # is brute-forceable in SQL at gate scale (every (position, length)
-    # gram, grouped by hash, kept where >= 2 distinct docs hold it).
-    from enterprise_warp_spark.pipeline.suffix import exact_duplicate_spans
-
-    sub = (
-        docs.filter((F.col("doc_id") % 29 == 0) & (F.col("doc_id") < 490))
-        .select("doc_id", F.slice(F.expr(
-            "filter(split(text, ' '), x -> x != '')"
-        ), 1, 32).alias("toks"))
-    )
-    der1 = sub.filter(F.size("toks") >= 18).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.slice("toks", 4, 15).alias("toks"),
-    )
-    der2 = sub.filter(
-        (F.size("toks") >= 18) & (F.col("doc_id") % 58 == 0)
-    ).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.slice("toks", 4, 15).alias("toks"),
-    )
-    corp = (
-        sub.unionByName(der1)
-        .unionByName(der2)
-        .select("doc_id", F.concat_ws(" ", "toks").alias("text"))
-    )
-    sfx = exact_duplicate_spans(corp, min_tokens=5, n_parts=8).select(
-        F.lit("sfx").alias("gate"),
-        "doc_id",
-        F.col("start_tok").cast("long").alias("span_start"),
-        (F.col("start_tok") + F.col("n_tokens") - 1).cast("long").alias(
-            "span_end"
-        ),
-        F.col("n_tokens").cast("long").alias("n_grams"),
         F.lit("").alias("h"),
     )
     return (

@@ -76,15 +76,21 @@ def dedup_corpus_stream(
             update_index=False,
             exclude_epoch=int(epoch_id),
         )
-        # 2. idempotent corpus write: replays overwrite their own epoch
-        tagged = survivors.withColumn("__epoch", F.lit(int(epoch_id)))
+        # 2. idempotent corpus write: replays overwrite their own epoch.
+        # Materialize the survivor set ONCE (r14): the emptiness probe,
+        # the corpus write and the band derivation below all consume it —
+        # unmaterialized, the whole batch dedup (minhash + index
+        # anti-join) re-executed for each of the three.
+        tagged = survivors.withColumn(
+            "__epoch", F.lit(int(epoch_id))
+        ).localCheckpoint(eager=True)
         if tagged.take(1):  # empty overwrite would be a no-op anyway; skip IO
             upsert_partitions(tagged, corpus_path, ["__epoch"])
         # 3. idempotent index write: the survivors' bands overwrite this
         # epoch's (__epoch, band_id) partitions — a replay rewrites the
         # same set, never appends duplicates
         bands = (
-            minhash_bands(survivors, text_col)
+            minhash_bands(tagged.drop("__epoch"), text_col)
             .withColumn("__epoch", F.lit(int(epoch_id)))
             .localCheckpoint(eager=True)
         )
