@@ -26,11 +26,13 @@ single-reducer `Window.orderBy` over the corpus. The pair shift
 rank_k(p + 2^k) is an equi-join on position. Adjacent-suffix LCPs come
 from the level tables the doubling already built: walk k high->low, and
 whenever rank_k(a + lcp) == rank_k(b + lcp) the suffixes share 2^k more
-tokens — 2 joins per level over the n adjacent pairs, O(n log L) join work
-total (the standard distributed LCP formulation; Kasai's O(n) scan is
-inherently sequential). With 4-ary levels each width is probed up to 3
-times (the lcp's base-4 digits), so the join count per pair stays
-O(log L) overall.
+tokens (the standard distributed LCP formulation; Kasai's O(n) scan is
+inherently sequential). Each 4-ary level's three digit probes (the lcp's
+base-4 digits) resolve in ONE join round: the rerank's width-w rank
+3-tuple rides the round's checkpoint, so the walk joins each level's
+table twice total — 2 joins per level over the n adjacent pairs,
+O(n log L) join work, and the all-unique widest level is skipped
+outright (r14).
 
 Scale honesty: each doubling round is one range-shuffle of the position
 table plus one join — ~2 log L corpus shuffles end to end. That is the
@@ -214,14 +216,20 @@ def corpus_positions(
 def suffix_array(
     positions: DataFrame, max_rounds: int = 40, n_parts: int = 32,
     _stats_out: list | None = None,
-) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+) -> tuple[DataFrame, list[tuple]]:
     """(pos, token) rows -> (sa, levels):
 
     sa     = (pos, doc_id, idx, sa_rank) where sa_rank is the suffix's
              index in lexicographic suffix order (dense, 0-based, unique).
-    levels = [(width, ranks)] per doubling level, ranks = (pos, r) with r
-             the dense rank of the width-token prefix at pos — kept for
-             the LCP walk in adjacent_lcp.
+    levels = [(width, ranks[, unique])] per doubling level; ranks =
+             (pos, r) with r the dense rank of the width-token prefix at
+             pos, ENRICHED to (pos, r, r2, r3) — the width-w ranks at
+             (pos, pos+w, pos+2w), -1 past the corpus end — for every
+             level a later round reranked (the rerank computes the tuple
+             anyway; keeping it lets adjacent_lcp fold a level's three
+             base-4 digit probes into one join round). The final level
+             carries unique=True when the early exit proved its ranks
+             all-distinct, so the LCP walk can skip its no-op probe.
 
     Early-exits as soon as ranks are all-unique (with per-doc sentinels:
     <= ceil(log4 longest_doc) + 1 rounds).
@@ -251,11 +259,17 @@ def suffix_array(
     ranked = ranked_raw.select(
         "pos", "doc_id", "idx", "r"
     ).localCheckpoint(eager=True)
-    levels: list[tuple[int, DataFrame]] = [(1, ranked.select("pos", "r"))]
+    levels: list[tuple] = [(1, ranked.select("pos", "r"))]
     width = 1
     for _ in range(max_rounds):
         if n_distinct >= n_rows:
-            break  # every rank unique: suffix order is decided
+            # every rank unique: suffix order is decided. Flag the level —
+            # a probe against all-unique ranks can NEVER fire (distinct
+            # positions have distinct ranks), so adjacent_lcp skips its
+            # two joins outright. Only the early-exit level is provably
+            # unique; a max_rounds exhaustion leaves the flag off.
+            levels[-1] = (*levels[-1][:2], True)
+            break
         # 4-ary doubling (r14): rank the 4-tuple of width-w ranks at
         # (p, p+w, p+2w, p+3w) — lexicographic order of that tuple IS the
         # order of the width-4w prefix, so each round quadruples the
@@ -283,17 +297,27 @@ def suffix_array(
             "rn",
             eff_parts,
         )
-        ranked = ranked_raw.select(
-            "pos", "doc_id", "idx", F.col("rn").alias("r")
+        # ONE checkpoint per round, kept 3 longs wider (r, r2, r3 — the
+        # width-w rank 3-tuple the rerank already computed): enriching the
+        # PREVIOUS level with its own tuple lets adjacent_lcp resolve all
+        # three base-4 digit probes of that level in ONE join round (2
+        # joins) instead of three rounds (6 joins) — each walk join is a
+        # shuffle of both the pairs table and the level table, so this
+        # cuts the LCP walk's shuffle count ~3x for +24 bytes/row of
+        # checkpoint (guide §2.4 "remove shuffles outright").
+        ck = ranked_raw.select(
+            "pos", "doc_id", "idx", "r", "r2", "r3", "rn"
         ).localCheckpoint(eager=True)
+        levels[-1] = (width, ck.select("pos", "r", "r2", "r3"))
+        ranked = ck.select("pos", "doc_id", "idx", F.col("rn").alias("r"))
         width *= 4
-        levels.append((width, ranked.select("pos", "r")))
+        levels.append((width, ck.select("pos", F.col("rn").alias("r"))))
     sa = ranked.select("pos", "doc_id", "idx", F.col("r").alias("sa_rank"))
     return sa, levels
 
 
 def adjacent_lcp(
-    sa: DataFrame, levels: list[tuple[int, DataFrame]]
+    sa: DataFrame, levels: list[tuple]
 ) -> DataFrame:
     """Adjacent pairs in suffix order -> their exact LCP in tokens:
     (pos_a, doc_a, idx_a, rank_a, pos_b, doc_b, idx_b, lcp), rank_a being
@@ -301,9 +325,12 @@ def adjacent_lcp(
     lets exact_duplicate_spans cluster maximal runs). The walk: for levels
     widest-first, if the width-w prefixes at (a + lcp) and (b + lcp) have
     equal rank, the suffixes share w more tokens. Two position-joins per
-    level over the n-1 adjacent pairs. Sentinel tokens are unique per doc,
-    so lcp never counts past a document's end (and never includes the
-    sentinel itself: equal-rank requires equal tokens)."""
+    level over the n-1 adjacent pairs (enriched levels resolve all three
+    base-4 digit probes from one rank-tuple lookup; the flagged
+    all-unique widest level is skipped — its probe provably never
+    fires). Sentinel tokens are unique per doc, so lcp never counts past
+    a document's end (and never includes the sentinel itself: equal-rank
+    requires equal tokens)."""
     a = sa.select(
         F.col("pos").alias("pos_a"), F.col("doc_id").alias("doc_a"),
         F.col("idx").alias("idx_a"), F.col("sa_rank").alias("rank_a"),
@@ -315,17 +342,83 @@ def adjacent_lcp(
     )
     pairs = a.join(b, "__nxt").drop("__nxt").withColumn("lcp", F.lit(0))
     ordered = sorted(levels, key=lambda t: -t[0])
-    for i, (width, ranks) in enumerate(ordered):
+    prev_width = None
+    for entry in ordered:
+        width, ranks = entry[0], entry[1]
         # each level may contribute its width SEVERAL times: with k-ary
         # doubling the widths are 1, k, k^2, ... and the lcp's base-k
         # digits run 0..k-1, so a level is probed (next_wider/width - 1)
         # times (binary levels -> once, 4-ary -> three times). The widest
         # level is probed once: all-unique ranks at width W bound every
         # adjacent lcp below W, so a second probe could never fire.
-        if i == 0:
-            uses = 1
-        else:
-            uses = max(1, ordered[i - 1][0] // width - 1)
+        uses = 1 if prev_width is None else max(1, prev_width // width - 1)
+        prev_width = width
+        if len(entry) > 2 and entry[2]:
+            # all-unique ranks (suffix_array's early-exit proof): the
+            # probe compares ranks at DISTINCT positions, so it can never
+            # fire — skip its two joins outright (§2.4)
+            continue
+        if "r2" in ranks.columns and "r3" in ranks.columns:
+            # enriched level: one join round resolves up to three digit
+            # probes. The three sequential probes of this level are a
+            # leading-equal-run count over the width-w blocks at
+            # (p+lcp, p+lcp+w, p+lcp+2w): a non-firing probe leaves lcp
+            # unchanged and re-evaluates the SAME comparison, so once a
+            # block differs no later probe of this level can fire. The
+            # tuple at key p+lcp carries exactly those three block ranks
+            # (-1 = past the corpus end, matching the legacy walk's
+            # missing-row null → no fire).
+            ra = ranks.select(
+                F.col("pos").alias("__pa"), F.col("r").alias("__ra1"),
+                F.col("r2").alias("__ra2"), F.col("r3").alias("__ra3"),
+            )
+            rb = ranks.select(
+                F.col("pos").alias("__pb"), F.col("r").alias("__rb1"),
+                F.col("r2").alias("__rb2"), F.col("r3").alias("__rb3"),
+            )
+            remaining = uses
+            while remaining > 0:
+                cap = min(3, remaining)
+                remaining -= cap
+                eq1 = (
+                    F.col("__ra1").isNotNull()
+                    & F.col("__rb1").isNotNull()
+                    & (F.col("__ra1") == F.col("__rb1"))
+                )
+                eq2 = (
+                    F.col("__ra2").isNotNull()
+                    & F.col("__rb2").isNotNull()
+                    & (F.col("__ra2") != -1)
+                    & (F.col("__ra2") == F.col("__rb2"))
+                )
+                eq3 = (
+                    F.col("__ra3").isNotNull()
+                    & F.col("__rb3").isNotNull()
+                    & (F.col("__ra3") != -1)
+                    & (F.col("__ra3") == F.col("__rb3"))
+                )
+                digit = (
+                    F.when(~eq1, F.lit(0))
+                    .when(~eq2, F.lit(1))
+                    .when(~eq3, F.lit(2))
+                    .otherwise(F.lit(3))
+                )
+                pairs = (
+                    pairs.withColumn("__pa", F.col("pos_a") + F.col("lcp"))
+                    .withColumn("__pb", F.col("pos_b") + F.col("lcp"))
+                    .join(ra, "__pa", "left")
+                    .join(rb, "__pb", "left")
+                    .withColumn(
+                        "lcp",
+                        F.col("lcp")
+                        + F.lit(width) * F.least(digit, F.lit(cap)),
+                    )
+                    .drop(
+                        "__pa", "__pb", "__ra1", "__ra2", "__ra3",
+                        "__rb1", "__rb2", "__rb3",
+                    )
+                )
+            continue
         ra = ranks.select(
             F.col("pos").alias("__pa"), F.col("r").alias("__ra")
         )

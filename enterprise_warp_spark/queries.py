@@ -453,26 +453,42 @@ def ntile_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.operators.binning import exact_rank_select
 
     orders = table(spark, sf_dir, "orders")
-    base = ntile_bins_scalable(
-        # project to the two columns the ranking and the aggs touch BEFORE
-        # the range exchange (guide §2.3): the two-phase rank checkpoints
-        # its ranged input, so every dropped column is saved twice (shuffle
-        # bytes + materialized checkpoint)
-        orders.select("o_totalprice", "o_orderkey"),
-        ["o_totalprice", "o_orderkey"],
-        8,
-        aggs=[
-            F.count(F.lit(1)).alias("n"),
-            _dsum("o_totalprice", 19, 2).alias("sum_price"),
-            F.min("o_totalprice").alias("min_price"),
-            F.max("o_totalprice").alias("max_price"),
-            F.round(F.stddev_samp("o_totalprice"), 2).alias("std_price"),
-        ],
-    )
-    res = exact_rank_select(
-        orders, "o_orderpriority", "o_totalprice", probs=(0.5, 0.9),
-        collect_cap=20_000,
-    )
+    # the two-phase rank (sample + checkpoint + offsets collect) and the
+    # staged quickselect (stats + histogram + bounded collect) are
+    # independent driver-side job chains — run them on a 2-thread pool
+    # (the learned_sketch_ops pattern) so neither waits on the other
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        f_base = pool.submit(
+            ntile_bins_scalable,
+            # project to the two columns the ranking and the aggs touch
+            # BEFORE the range exchange (guide §2.3): the two-phase rank
+            # checkpoints its ranged input, so every dropped column is
+            # saved twice (shuffle bytes + materialized checkpoint)
+            orders.select("o_totalprice", "o_orderkey"),
+            ["o_totalprice", "o_orderkey"],
+            8,
+            aggs=[
+                F.count(F.lit(1)).alias("n"),
+                _dsum("o_totalprice", 19, 2).alias("sum_price"),
+                F.min("o_totalprice").alias("min_price"),
+                F.max("o_totalprice").alias("max_price"),
+                F.round(F.stddev_samp("o_totalprice"), 2).alias("std_price"),
+            ],
+        )
+        f_res = pool.submit(
+            exact_rank_select,
+            orders, "o_orderpriority", "o_totalprice",
+            probs=(0.5, 0.9), collect_cap=20_000,
+        )
+        base = f_base.result()
+        res = f_res.result()
+    finally:
+        # exceptions between submit and result must not leak in-flight
+        # builds on non-daemon threads
+        pool.shutdown(wait=True, cancel_futures=True)
     gi = {g: i for i, g in enumerate(sorted({t["group"] for t in res}))}
     pidx = {0.5: 0, 0.9: 1}
     rows = [
