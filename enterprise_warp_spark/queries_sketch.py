@@ -73,6 +73,8 @@ deterministic refit, JVM-only scoring plan) — documented exclusion.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1358,7 +1360,14 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # misattribute regressions (r14 review).
     timing, _b = make_branch_timer("learned_sketch_ops", LAST_BRANCH_SECONDS)
 
-    with ThreadPoolExecutor(max_workers=1 if timing else 4) as pool:
+    # pool width is scale-dependent (how many concurrent branch builds the
+    # scheduler can absorb), so it is env-parameterised rather than
+    # hard-coded; the local default of 8 won an interleaved 4-vs-8 A/B on
+    # quiet hardware (median 12.1s -> 10.5s, 4 of 5 reps; r14, see
+    # OPTIMIZATION_r14.md). FIFO scheduling back-fills executor gaps, so
+    # a wider pool only adds driver threads, not executor pressure.
+    width = int(os.environ.get("EWS_SKETCH_POOL_WIDTH", "8"))
+    with ThreadPoolExecutor(max_workers=1 if timing else width) as pool:
         f_td = pool.submit(_tokdocs, spark, sf_dir)
         f_emb = pool.submit(_sketch_emb, spark, sf_dir)
         f_ev = pool.submit(_events_slim, spark, sf_dir)
