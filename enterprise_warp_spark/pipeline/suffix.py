@@ -32,7 +32,9 @@ base-4 digits) resolve in ONE join round: the rerank's width-w rank
 3-tuple rides the round's checkpoint, so the walk joins each level's
 table twice total — 2 joins per level over the n adjacent pairs,
 O(n log L) join work, and the all-unique widest level is skipped
-outright (r14).
+outright (r14). The walk carries only (pos_a, pos_b, lcp); doc/idx/rank
+attributes re-attach after the walk (and after any min_lcp filter), so
+each walk shuffle moves three longs per pair, not the full row (r14).
 
 Scale honesty: each doubling round is one range-shuffle of the position
 table plus one join — ~2 log L corpus shuffles end to end. That is the
@@ -317,7 +319,7 @@ def suffix_array(
 
 
 def adjacent_lcp(
-    sa: DataFrame, levels: list[tuple]
+    sa: DataFrame, levels: list[tuple], min_lcp: int | None = None
 ) -> DataFrame:
     """Adjacent pairs in suffix order -> their exact LCP in tokens:
     (pos_a, doc_a, idx_a, rank_a, pos_b, doc_b, idx_b, lcp), rank_a being
@@ -330,15 +332,27 @@ def adjacent_lcp(
     all-unique widest level is skipped — its probe provably never
     fires). Sentinel tokens are unique per doc, so lcp never counts past
     a document's end (and never includes the sentinel itself: equal-rank
-    requires equal tokens)."""
+    requires equal tokens).
+
+    The walk itself carries only (pos_a, pos_b, lcp) — three longs —
+    through its join rounds; doc ids (possibly wide strings), idx and
+    rank_a are re-attached AFTER the walk by two position-joins against
+    sa (pos is a unique key, so the attach is row-preserving and
+    value-exact). Every walk join shuffles the pairs table, so the
+    narrow projection cuts the walk's shuffled bytes by the dropped
+    columns times the number of join rounds (guide §2.2 "project
+    early").
+
+    min_lcp, when given, filters lcp >= min_lcp BEFORE the attach joins
+    (the filter commutes with the attach — it reads only lcp), so a
+    caller that keeps only qualifying edges (exact_duplicate_spans)
+    attaches attributes to the edge set, not to all n-1 pairs."""
     a = sa.select(
-        F.col("pos").alias("pos_a"), F.col("doc_id").alias("doc_a"),
-        F.col("idx").alias("idx_a"), F.col("sa_rank").alias("rank_a"),
+        F.col("pos").alias("pos_a"),
         (F.col("sa_rank") + 1).alias("__nxt"),
     )
     b = sa.select(
-        F.col("pos").alias("pos_b"), F.col("doc_id").alias("doc_b"),
-        F.col("idx").alias("idx_b"), F.col("sa_rank").alias("__nxt"),
+        F.col("pos").alias("pos_b"), F.col("sa_rank").alias("__nxt"),
     )
     pairs = a.join(b, "__nxt").drop("__nxt").withColumn("lcp", F.lit(0))
     ordered = sorted(levels, key=lambda t: -t[0])
@@ -441,7 +455,24 @@ def adjacent_lcp(
                 )
                 .drop("__pa", "__pb", "__ra", "__rb")
             )
-    return pairs
+    if min_lcp is not None:
+        pairs = pairs.filter(F.col("lcp") >= int(min_lcp))
+    attrs_a = sa.select(
+        F.col("pos").alias("pos_a"), F.col("doc_id").alias("doc_a"),
+        F.col("idx").alias("idx_a"), F.col("sa_rank").alias("rank_a"),
+    )
+    attrs_b = sa.select(
+        F.col("pos").alias("pos_b"), F.col("doc_id").alias("doc_b"),
+        F.col("idx").alias("idx_b"),
+    )
+    return (
+        pairs.join(attrs_a, "pos_a")
+        .join(attrs_b, "pos_b")
+        .select(
+            "pos_a", "doc_a", "idx_a", "rank_a",
+            "pos_b", "doc_b", "idx_b", "lcp",
+        )
+    )
 
 
 def exact_duplicate_spans(
@@ -498,7 +529,7 @@ def exact_duplicate_spans(
     stats: list = []
     sa, levels = suffix_array(pos, n_parts=n_parts, _stats_out=stats)
     eff_parts = stats[0][1] if stats else n_parts
-    edges = adjacent_lcp(sa, levels).filter(F.col("lcp") >= min_tokens)
+    edges = adjacent_lcp(sa, levels, min_lcp=min_tokens)
     # gaps-and-islands: consecutive rank_a values = one run; the edge
     # table is strictly smaller than the position table, so the adapted
     # width from the doubling rounds is an upper bound here too
