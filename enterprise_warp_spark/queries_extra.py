@@ -121,6 +121,11 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _STREAM_COUNTER[0] += 1
     name = f"ews_stream_rollup_{_STREAM_COUNTER[0]}"
+    # stream_events narrows spark.sql.shuffle.partitions to the input-
+    # derived state-partition count for the streaming query; remember the
+    # session's setting and restore it after the stream finishes so later
+    # batch queries keep their pre-AQE width
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
     rolled = (
         stream_events(spark, sf_dir)
         .withWatermark("ts", "2 hours")
@@ -140,7 +145,11 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        q.awaitTermination(300)
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 

@@ -12,6 +12,8 @@ only the readStream source line differs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,9 +39,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same try as the perf tweak below
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        # streaming state has no AQE to coalesce partitions; the vanilla 200
-        # default costs ~25x task overhead at test scale
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        # Streaming state has no AQE to coalesce partitions, and every
+        # stateful-operator partition pays a per-batch state-store open +
+        # commit regardless of how few rows it holds (measured ~0.6s/store
+        # per batch on this fs — 32 stores turned a 1.6s micro-batch into
+        # 5s+). Size the count from the INPUT BYTES, not the core count:
+        # one state partition per 128 MB of source (floor 8 so a real
+        # corpus still fans out, cap 4096). Result values are partition-
+        # count invariant (hash aggregation); callers that finish their
+        # query should restore the session's previous setting
+        # (streaming_hourly_rollup does). EWS_STREAM_STATE_PARTITIONS
+        # overrides for a cluster whose state-store latency differs.
+        n_parts = os.environ.get("EWS_STREAM_STATE_PARTITIONS")
+        if n_parts is None:
+            try:
+                sz = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+            except OSError:
+                sz = 0
+            n_parts = str(max(8, min(4096, (sz >> 27) + 1)))
+        spark.conf.set("spark.sql.shuffle.partitions", n_parts)
     except Exception:
         pass
     if events_ts_unit(sf_dir) == "ns":

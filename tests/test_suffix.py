@@ -101,6 +101,31 @@ def test_adjacent_lcp_matches_brute_force(spark):
     assert got == want
 
 
+def test_adjacent_lcp_min_lcp_pushdown_equals_post_filter(spark):
+    """min_lcp filters BEFORE the attribute-attach joins (r14: the walk
+    carries only (pos_a, pos_b, lcp)); the pushed-down path must equal
+    filtering the full result, rows AND attached attributes."""
+    pos = corpus_positions(_docs(spark, TEXTS))
+    sa, levels = suffix_array(pos)
+    cols = [
+        "pos_a", "doc_a", "idx_a", "rank_a",
+        "pos_b", "doc_b", "idx_b", "lcp",
+    ]
+    full = adjacent_lcp(sa, levels)
+    assert full.columns == cols  # attach preserves the public schema
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in full.collect()
+        if r["lcp"] >= 3
+    )
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in adjacent_lcp(sa, levels, min_lcp=3).collect()
+    )
+    assert got == want
+    assert len(got) > 0  # the fixture must actually exercise the filter
+
+
 def test_exact_duplicate_spans_match_brute_maxima(spark):
     spans = exact_duplicate_spans(
         _docs(spark, TEXTS), min_tokens=5
