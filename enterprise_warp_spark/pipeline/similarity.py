@@ -875,31 +875,69 @@ def pq_encode(
     """-> (vec_id, codes array<int>): each vector compressed to M codebook
     indices (nearest sub-centroid per subspace, L2). Storage drops from
     dim floats to M small ints — the compression that lets a 100 TB corpus'
-    index fit in memory. Codebook join is broadcast; argmin is a window over
-    M*K candidate rows per vector."""
-    dot = DOT.format(a="sub", b="c_sub")
-    nsq_sub = DOT.format(a="sub", b="sub")
-    nsq_c = DOT.format(a="c_sub", b="c_sub")
-    slices = _subvectors(emb, m_subspaces, emb_col, id_col)
-    d = (
-        slices.join(F.broadcast(codebooks), "subspace")
-        .withColumn(
-            "dist",
-            F.round(
-                F.expr(nsq_sub) - 2.0 * F.expr(dot) + F.expr(nsq_c), 6
+    index fit in memory.
+
+    Execution shape (r14): the codebook is M*K rows by construction, so it
+    aggregates to ONE row (per-entry ||c||^2 precomputed once) attached to
+    the corpus with the repo's constant-key BroadcastHashJoin pattern
+    (pagerank's dangling-mass attach), and the per-vector argmin is a
+    single map-side expression: per subspace, array_min over
+    struct(rounded dist, code) replicates the former window's ORDER BY
+    (dist, code) tie rule exactly. The former shape — explode to M
+    rows/vector, broadcast-join to M*K candidate rows, window shuffle,
+    groupBy shuffle — moved the whole corpus through two exchanges; this
+    one moves it through none. The distance arithmetic is term-for-term
+    the old plan's ((||sub||^2 - 2.0*dot) + ||c||^2, rounded at 6), the
+    slice/guard expressions are _subvectors' own, so codes are
+    bit-identical (pinned by test_similarity's joined-twin test and the
+    [pqc]/[pq] oracle gates)."""
+    m = m_subspaces
+    cb1 = (
+        codebooks.withColumn(
+            "c_nsq", F.expr(DOT.format(a="c_sub", b="c_sub"))
+        ).agg(
+            F.sort_array(
+                F.collect_list(F.struct("subspace", "code", "c_sub", "c_nsq"))
+            ).alias("__cbs"),
+            # count-based constant non-foldable key (never NULL); two
+            # LITERAL keys would constant-fold into a trivially-true
+            # condition and degenerate the attach to
+            # BroadcastNestedLoopJoin
+            F.substring(F.count(F.lit(1)).cast("string"), 1, 0).alias(
+                "__one"
             ),
         )
     )
-    w = Window.partitionBy(id_col, "subspace").orderBy("dist", "code")
-    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    dot_sc = DOT.format(a="sub", b="c.c_sub")
+    nsq_sub = DOT.format(a="sub", b="sub")
+    # same divisibility guard as _subvectors: in-plan raise_error, loud on
+    # the first bad row, zero probe jobs; the array(...)-wrapped transforms
+    # bind `sub` (the slice) and `nsq` (its norm) once per subspace instead
+    # of re-evaluating the slice under every codebook entry's fold
+    codes = (
+        f"CASE WHEN size({emb_col}) >= {m} AND size({emb_col}) % {m} = 0 "
+        f"THEN transform(sequence(0, {m - 1}), s -> "
+        f"element_at(transform(array(slice({emb_col}, "
+        f"s * (size({emb_col}) div {m}) + 1, size({emb_col}) div {m})), "
+        f"sub -> element_at(transform(array({nsq_sub}), nsq -> "
+        f"array_min(transform(filter(__cbs, c -> c.subspace = s), "
+        f"c -> struct(round((nsq - CAST(2.0 AS DOUBLE) * {dot_sc}) "
+        f"+ c.c_nsq, 6) as dist, c.code as code))).code), 1)), 1)) "
+        f"ELSE raise_error(concat('PQ needs size({emb_col}) divisible by "
+        f"m_subspaces: dim=', size({emb_col}), ', m={m}')) END"
+    )
+    from enterprise_warp_spark.pipeline.dedup import spread
+
     return (
-        best.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("subspace", "code"))
-            ).alias("sc")
+        spread(emb, id_col)
+        .withColumn(
+            "__one",
+            F.substring(
+                F.coalesce(F.col(id_col).cast("string"), F.lit("")), 1, 0
+            ),
         )
-        .select(id_col, F.expr("transform(sc, x -> x.code)").alias("codes"))
+        .join(F.broadcast(cb1), "__one")
+        .select(id_col, F.expr(codes).alias("codes"))
     )
 
 

@@ -679,3 +679,56 @@ def test_cosine_auto_planes_bucket_population_band_at_10x(spark):
     m1 = mean_bucket(24_000)
     m10 = mean_bucket(240_000)
     assert m10 / m1 < 3.0, (m1, m10)
+
+
+def test_pq_encode_matches_joined_window_twin(spark, emb):
+    """The r14 map-only pq_encode (one-row broadcast codebook + per-vector
+    argmin fold) must be BIT-IDENTICAL to the former explode -> broadcast
+    join -> window -> groupBy shape, including the window's (dist, code)
+    tie rule — the twin below is that shape verbatim. Plan contract: the
+    corpus side crosses no Window/exchange and the codebook attach stays a
+    BroadcastHashJoin (never BNLJ)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import Window
+
+    cbs = similarity.pq_codebooks(emb, 4, 16).localCheckpoint(eager=True)
+
+    def twin(emb, codebooks, m, emb_col="embedding", id_col="vec_id"):
+        dot = similarity.DOT.format(a="sub", b="c_sub")
+        nsq_sub = similarity.DOT.format(a="sub", b="sub")
+        nsq_c = similarity.DOT.format(a="c_sub", b="c_sub")
+        slices = similarity._subvectors(emb, m, emb_col, id_col)
+        d = slices.join(F.broadcast(codebooks), "subspace").withColumn(
+            "dist",
+            F.round(F.expr(nsq_sub) - 2.0 * F.expr(dot) + F.expr(nsq_c), 6),
+        )
+        w = Window.partitionBy(id_col, "subspace").orderBy("dist", "code")
+        best = d.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        return (
+            best.groupBy(id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("subspace", "code"))
+                ).alias("sc")
+            )
+            .select(
+                id_col, F.expr("transform(sc, x -> x.code)").alias("codes")
+            )
+        )
+
+    new = similarity.pq_encode(emb, cbs, 4)
+    got = {r["vec_id"]: list(r["codes"]) for r in new.collect()}
+    want = {r["vec_id"]: list(r["codes"]) for r in twin(emb, cbs, 4).collect()}
+    assert got == want and len(got) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        new.explain("formatted")
+    p = buf.getvalue()
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
