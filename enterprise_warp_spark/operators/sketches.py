@@ -245,7 +245,11 @@ def bloom_probe(
     words = [0] * (m_bits // 64)
     for r in bloom.collect():
         words[int(r["word_idx"])] = int(r["word"])
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    # ONE parsed SQL literal, not m_bits/64 F.lit py4j round-trips of
+    # driver time (1024 words = ~2k round-trips at the default m; r14)
+    from enterprise_warp_spark.functions.arrays import long_array_lit
+
+    arr = long_array_lit(words)
     h1, h2 = _bloom_h1_h2(F.col(col))
     probed = df.withColumn("__bw", arr).withColumn("__h1", h1).withColumn("__h2", h2)
     hit = (

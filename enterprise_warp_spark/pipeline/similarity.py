@@ -176,8 +176,10 @@ def _sq8_code_col(emb_col: str, params) -> F.Column:
     """codes array<int>: c_j = clamp(floor((x_j - mn_j)/span_j * 255
     + 0.5), 0, 255); floor(z + 0.5) instead of round() so both engines
     share ONE explicit half-up rule. span 0 (constant dimension) -> 0."""
-    mns = F.array(*[F.lit(m) for m, _ in params])
-    spans = F.array(*[F.lit(s) for _, s in params])
+    from enterprise_warp_spark.functions.arrays import double_array_lit
+
+    mns = double_array_lit([m for m, _ in params])
+    spans = double_array_lit([s for _, s in params])
 
     def one(x, j):
         mn = F.element_at(mns, j + 1)
@@ -194,8 +196,10 @@ def _sq8_code_col(emb_col: str, params) -> F.Column:
 def _sq8_dequant_col(codes_col: str, params) -> F.Column:
     """eh array<double>: mn_j + c_j * span_j / 255 — the asymmetric-
     distance reconstruction every query is scored against."""
-    mns = F.array(*[F.lit(m) for m, _ in params])
-    spans = F.array(*[F.lit(s) for _, s in params])
+    from enterprise_warp_spark.functions.arrays import double_array_lit
+
+    mns = double_array_lit([m for m, _ in params])
+    spans = double_array_lit([s for _, s in params])
 
     def one(c, j):
         mn = F.element_at(mns, j + 1)
@@ -564,17 +568,22 @@ def lloyd_kmeans(
         # indexing), but analysis/codegen sees one tree instead of k —
         # this is pure planning-time cost on tiny-but-wide literal plans
         # (3 assign() calls per 2-iteration run used to dominate the
-        # gate's build phase).
-        m_lit = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in cs]
+        # gate's build phase). Built as ONE parsed SQL expression, not
+        # k*dim F.lit py4j round-trips (r14: ~0.8 s -> ~0.2 s of driver
+        # time per assign(), bit-identical output; see double_matrix_lit).
+        from enterprise_warp_spark.functions.arrays import (
+            double_array_lit,
+            double_matrix_lit,
         )
+
+        m_lit = double_matrix_lit(cs)
         nsq_vals = []
         for c in cs:
             c_nsq = 0.0
             for v in c:  # same sequential fold as DOT over the centroid
                 c_nsq += v * v
             nsq_vals.append(c_nsq)
-        nsq_lit = F.array(*[F.lit(v) for v in nsq_vals])
+        nsq_lit = double_array_lit(nsq_vals)
 
         def one(ci):
             dot = F.aggregate(
@@ -609,12 +618,15 @@ def lloyd_kmeans(
         )
 
     for _ in range(n_iter):
+        # one F.expr per mean column (not col/getItem/avg/round/alias
+        # chains — 5 py4j round-trips each x dim x n_iter of driver time);
+        # `round(avg(__e[i]), d)` resolves to the identical expression
         new = (
             assign(cents)
             .groupBy("cell_id")
             .agg(
                 *[
-                    F.round(F.avg(F.col("__e")[i]), decimals).alias(f"c{i}")
+                    F.expr(f"round(avg(__e[{i}]), {decimals}) as c{i}")
                     for i in range(dim)
                 ]
             )
@@ -671,19 +683,24 @@ def random_projection(
         u = int.from_bytes(h[:8], "big") % 6
         return s if u == 0 else (-s if u == 1 else 0.0)
 
-    rows = [
-        F.array(*[F.lit(entry(i, j)) for j in range(in_dim)])
-        for i in range(out_dim)
-    ]
+    # the whole matrix rides as ONE parsed SQL literal (not out_dim x
+    # in_dim F.lit py4j round-trips of driver time); element_at of a
+    # literal matrix constant-folds to the identical per-row coefficient
+    # array, so values and fold order are unchanged (r14)
+    from enterprise_warp_spark.functions.arrays import double_matrix_lit
+
+    m_lit = double_matrix_lit(
+        [[entry(i, j) for j in range(in_dim)] for i in range(out_dim)]
+    )
     e = F.col(emb_col).cast("array<double>")
     proj = F.array(
         *[
             F.aggregate(
-                F.zip_with(e, r, lambda x, y: x * y),
+                F.zip_with(e, F.element_at(m_lit, i + 1), lambda x, y: x * y),
                 F.lit(0.0).cast("double"),
                 lambda acc, x: acc + x,
             )
-            for r in rows
+            for i in range(out_dim)
         ]
     )
     return emb.withColumn("proj", proj)
@@ -1595,18 +1612,23 @@ def fd_project(
     if not (1 <= k <= B.shape[0]):
         raise ValueError(f"fd_project needs 1 <= k <= {B.shape[0]}, got {k}")
     _, _, vt = np.linalg.svd(B, full_matrices=False)
-    rows = [
-        F.array(*[F.lit(float(x)) for x in vt[i]]) for i in range(k)
-    ]
+    # ONE parsed SQL literal for the k x d matrix (the random_projection
+    # r14 pattern); element_at of a literal matrix constant-folds to the
+    # identical per-row coefficient array
+    from enterprise_warp_spark.functions.arrays import double_matrix_lit
+
+    m_lit = double_matrix_lit(
+        [[float(x) for x in vt[i]] for i in range(k)]
+    )
     e = F.col(emb_col).cast("array<double>")
     proj = F.array(
         *[
             F.aggregate(
-                F.zip_with(e, r, lambda x, y: x * y),
+                F.zip_with(e, F.element_at(m_lit, i + 1), lambda x, y: x * y),
                 F.lit(0.0).cast("double"),
                 lambda acc, x: acc + x,
             )
-            for r in rows
+            for i in range(k)
         ]
     )
     return emb.withColumn("proj", proj)
