@@ -880,57 +880,54 @@ def _gqr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline/dedup.py strip_repeated_lines).",
 )
 def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # [stm] runs a full availableNow streaming query to completion and
-    # [wrc] collects + encodes + re-ingests a WARC file — both BLOCK the
-    # build phase for seconds while every other branch is a lazy plan.
-    # Build them on threads (the learned_sketch_ops pattern) so their
-    # wall-clock overlaps; union order stays fixed by code.
-    # SPARK_GRAFT_BRANCH_TIMING=1 (bench's isolated post-sweep attribution
-    # pass, r13 verdict #4) additionally materializes each branch alone
-    # and records its seconds in LAST_BRANCH_SECONDS.
+    # EVERY branch builds on the thread pool (the learned_sketch_ops
+    # pattern), not just the two obviously-eager ones ([stm] runs a full
+    # availableNow stream, [wrc] collects + encodes + re-ingests a WARC
+    # file): [spl] turned out to run eager connected-components
+    # checkpoint jobs inside its build (~5 s of blocking driver jobs the
+    # old stm/wrc-only pool left on the main thread), and even the lazy
+    # branches each spend hundreds of py4j round-trips CONSTRUCTING
+    # their plans — round-trip latency overlaps across threads (one
+    # gateway connection per thread), so pooling collapses the serial
+    # ~7k-call build chain to the longest single lane. Union order stays
+    # fixed by code, never completion order.
+    # SPARK_GRAFT_BRANCH_TIMING=1 (bench's isolated post-sweep
+    # attribution pass, r13 verdict #4) additionally materializes each
+    # branch alone and records its seconds in LAST_BRANCH_SECONDS; the
+    # pool then drops to ONE worker so branches build strictly
+    # sequentially in submission order (make_branch_timer's no-overlap
+    # contract).
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
     from enterprise_warp_spark.queries import make_branch_timer
 
     timing, _b = make_branch_timer("web_hygiene_ops", LAST_BRANCH_SECONDS)
 
-    class _Done:
-        """Pre-resolved future: in timing mode stm/wrc build inline on
-        the main thread BEFORE the other branches, so no two branch
-        measurements ever overlap (see make_branch_timer)."""
-
-        def __init__(self, v):
-            self._v = v
-
-        def result(self):
-            return self._v
-
-    pool = ThreadPoolExecutor(max_workers=2)
-    try:
-        if timing:
-            f_stm = _Done(_b("stm", _stm_branch, spark, sf_dir))
-            f_wrc = _Done(_b("wrc", _wrc_branch, spark, sf_dir))
-        else:
-            f_stm = pool.submit(_b, "stm", _stm_branch, spark, sf_dir)
-            f_wrc = pool.submit(_b, "wrc", _wrc_branch, spark, sf_dir)
-        out = (
-            _b("url_dom", _url_dom_branches, spark, sf_dir)
-            .unionByName(_b("moj", _moj_branch, spark, sf_dir))
-            .unionByName(_b("tag", _tag_branch, spark, sf_dir))
-            .unionByName(_b("tok", _tok_branch, spark, sf_dir))
-            .unionByName(_b("spl", _spl_branch, spark, sf_dir))
-            .unionByName(f_stm.result())
-            .unionByName(_b("pii", _pii_branch, spark, sf_dir))
-            .unionByName(f_wrc.result())
-            .unionByName(_b("nfc", _nfc_branch, spark, sf_dir))
-            .unionByName(_b("bpe", _bpe_branch, spark, sf_dir))
-            .unionByName(_b("uni", _uni_branch, spark, sf_dir))
-            .unionByName(_b("gqr", _gqr_branch, spark, sf_dir))
-            .unionByName(_b("c4f", _c4f_branch, spark, sf_dir))
-            .unionByName(_b("lnd", _lnd_branch, spark, sf_dir))
-        )
-    finally:
-        # a lazy-branch exception must not leak the in-flight stm/wrc
-        # builds on non-daemon threads
-        pool.shutdown(wait=True, cancel_futures=True)
+    width = int(os.environ.get("EWS_HYGIENE_POOL_WIDTH", "8"))
+    branches = [
+        ("url_dom", _url_dom_branches),
+        ("moj", _moj_branch),
+        ("tag", _tag_branch),
+        ("tok", _tok_branch),
+        ("spl", _spl_branch),
+        ("stm", _stm_branch),
+        ("pii", _pii_branch),
+        ("wrc", _wrc_branch),
+        ("nfc", _nfc_branch),
+        ("bpe", _bpe_branch),
+        ("uni", _uni_branch),
+        ("gqr", _gqr_branch),
+        ("c4f", _c4f_branch),
+        ("lnd", _lnd_branch),
+    ]
+    with ThreadPoolExecutor(max_workers=1 if timing else width) as pool:
+        futures = [
+            pool.submit(_b, name, fn, spark, sf_dir)
+            for name, fn in branches
+        ]
+        parts = [f.result() for f in futures]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
