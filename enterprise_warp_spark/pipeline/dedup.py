@@ -407,10 +407,15 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry the round's INPUT label through as `prev`: the fixpoint
+        # detector then reads it off the round's own checkpoint instead of
+        # shuffle-joining new labels back against old labels — one fewer
+        # corpus-label shuffle per round (r14)
         stepped = labels.join(
             neighbor_min, labels["id"] == neighbor_min["u"], "left"
         ).select(
             "id",
+            F.col("component").alias("prev"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
             ).alias("component"),
@@ -434,16 +439,14 @@ def connected_components(
                     F.col("s.component"),
                     F.coalesce(F.col("ccomp"), F.col("s.component")),
                 ).alias("component"),
+                F.col("s.prev").alias("prev"),
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+            new_labels.filter(F.col("component") != F.col("prev")).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     else:
