@@ -375,7 +375,10 @@ def temporal_curation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below stays fixed by code.
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=4)
+    import os
+
+    width = int(os.environ.get("EWS_TEMPORAL_POOL_WIDTH", "8"))
+    pool = ThreadPoolExecutor(max_workers=width)
     try:
         # ONE hourly-MIN aggregate shared by gfl/gfi/zsc (the
         # _customer_slim / grams= pattern): min is idempotent under
@@ -390,63 +393,80 @@ def temporal_curation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_scd = pool.submit(_scd2_branch, spark, sf_dir)
         f_mix = pool.submit(_mix_branch, spark, sf_dir)
         f_pak = pool.submit(_pack_chunk_branches, spark, sf_dir)
-        hm = f_hm.result()
-        scd = f_scd.result()
-        mix = f_mix.result()
-        pak = f_pak.result()
+
+        # the gapfill/zscore/funnel/retention CONSTRUCTIONS are pure plan
+        # building (hundreds of py4j round-trips each) — submit them to
+        # the pool too, so their chatter overlaps the eager SCD2/mix/pack
+        # lanes instead of running serially after every lane has resolved
+        # (r14). Each hm-consumer blocks on f_hm inside its own closure;
+        # union order below stays fixed by code.
+        def gf(method: str, tag: str, rounded: bool) -> DataFrame:
+            g = gapfill(
+                f_hm.result(), "b", ["event_type"], HOUR_US, "v",
+                agg="min", method=method,
+            )
+            v1 = (F.round("v", 6) + F.lit(0.0)) if rounded else F.col("v")
+            return g.select(
+                F.lit(tag).alias("gate"),
+                F.col("event_type").alias("k1"),
+                F.col("bucket_us").cast("long").alias("k2"),
+                v1.alias("v1"),
+                F.col("filled").cast("double").alias("v2"),
+            )
+
+        def _z() -> DataFrame:
+            return rolling_zscore(
+                f_hm.result(), "b", "v", ["event_type"],
+                window_rows=24, threshold=2.0,
+            ).select(
+                F.lit("zsc").alias("gate"),
+                F.col("event_type").alias("k1"),
+                F.col("b").cast("long").alias("k2"),
+                (F.round("zscore", 4) + F.lit(0.0)).alias("v1"),
+                F.col("is_anomaly").cast("double").alias("v2"),
+            )
+
+        def _fnl() -> DataFrame:
+            return funnel(ev, list(_FUNNEL_STEPS)).select(
+                F.lit("fnl").alias("gate"),
+                F.col("event_type").alias("k1"),
+                F.col("step").cast("long").alias("k2"),
+                F.col("n_users").cast("double").alias("v1"),
+                F.lit(0.0).alias("v2"),
+            )
+
+        def _ret() -> DataFrame:
+            return retention_cohorts(ev, WEEK_US).select(
+                F.lit("ret").alias("gate"),
+                F.col("cohort_us").cast("string").alias("k1"),
+                F.col("offset").cast("long").alias("k2"),
+                F.col("n_users").cast("double").alias("v1"),
+                F.lit(0.0).alias("v2"),
+            )
+
+        f_gfl = pool.submit(gf, "locf", "gfl", False)
+        f_gfi = pool.submit(gf, "linear", "gfi", True)
+        f_z = pool.submit(_z)
+        f_fnl = pool.submit(_fnl)
+        f_ret = pool.submit(_ret)
+        parts = [
+            f_gfl.result(),
+            f_gfi.result(),
+            f_z.result(),
+            f_fnl.result(),
+            f_ret.result(),
+            f_scd.result(),
+            f_mix.result(),
+            f_pak.result(),
+        ]
     finally:
         # exceptions between submit and result must not leak in-flight
         # branch builds on non-daemon threads
         pool.shutdown(wait=True, cancel_futures=True)
-
-    def gf(method: str, tag: str, rounded: bool) -> DataFrame:
-        g = gapfill(
-            hm, "b", ["event_type"], HOUR_US, "v",
-            agg="min", method=method,
-        )
-        v1 = (F.round("v", 6) + F.lit(0.0)) if rounded else F.col("v")
-        return g.select(
-            F.lit(tag).alias("gate"),
-            F.col("event_type").alias("k1"),
-            F.col("bucket_us").cast("long").alias("k2"),
-            v1.alias("v1"),
-            F.col("filled").cast("double").alias("v2"),
-        )
-
-    z = rolling_zscore(
-        hm, "b", "v", ["event_type"],
-        window_rows=24, threshold=2.0,
-    ).select(
-        F.lit("zsc").alias("gate"),
-        F.col("event_type").alias("k1"),
-        F.col("b").cast("long").alias("k2"),
-        (F.round("zscore", 4) + F.lit(0.0)).alias("v1"),
-        F.col("is_anomaly").cast("double").alias("v2"),
-    )
-    fnl = funnel(ev, list(_FUNNEL_STEPS)).select(
-        F.lit("fnl").alias("gate"),
-        F.col("event_type").alias("k1"),
-        F.col("step").cast("long").alias("k2"),
-        F.col("n_users").cast("double").alias("v1"),
-        F.lit(0.0).alias("v2"),
-    )
-    ret = retention_cohorts(ev, WEEK_US).select(
-        F.lit("ret").alias("gate"),
-        F.col("cohort_us").cast("string").alias("k1"),
-        F.col("offset").cast("long").alias("k2"),
-        F.col("n_users").cast("double").alias("v1"),
-        F.lit(0.0).alias("v2"),
-    )
-    return (
-        gf("locf", "gfl", rounded=False)
-        .unionByName(gf("linear", "gfi", rounded=True))
-        .unionByName(z)
-        .unionByName(fnl)
-        .unionByName(ret)
-        .unionByName(scd)
-        .unionByName(mix)
-        .unionByName(pak)
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # --------------------------------------------------------------------------
