@@ -43,8 +43,15 @@ def _tokens(text_col: str):
 
 def _index_from_postings(toks: DataFrame, postings: DataFrame) -> dict:
     """Shared tail of both index builders: doc lengths + corpus stats.
-    total_dl rides the SAME stats aggregate (no extra corpus scan)."""
-    doclen = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    total_dl rides the SAME stats aggregate (no extra corpus scan).
+    doclen is checkpointed BEFORE the stats read: the stats job then
+    scans the tiny cached (doc_id, dl) partitions instead of
+    re-tokenizing the corpus, and every downstream doclen consumer
+    (bm25/tfidf length normalization) reads the same materialization —
+    one tokenize pass serves stats + scoring instead of one each (r14)."""
+    doclen = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    ).localCheckpoint(eager=True)
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("dl").alias("avgdl"),

@@ -707,17 +707,24 @@ def matching_geo_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _customer_slim(spark, sf_dir)
     pts = _points(base)
-    rad = (
-        radius_join(pts, pts, _RADIUS_KM, lat_col="lat", lng_col="lng")
-        .filter(F.col("id_l") < F.col("id_r"))
-        .select(
-            F.lit("rad").alias("gate"),
-            F.col("id_l").cast("string").alias("k1"),
-            F.col("id_r").cast("long").alias("k2"),
-            F.round("distance_km", 4).alias("v1"),
-            F.lit(0.0).alias("v2"),
+
+    # all four branches are LAZY plan constructions, but each is hundreds
+    # of py4j round-trips (the haversine/ray-cast/q-gram expression
+    # trees); build them on a pool so the round-trip latency overlaps
+    # (r14). Union order stays fixed by code.
+    def _rad():
+        return (
+            radius_join(pts, pts, _RADIUS_KM, lat_col="lat", lng_col="lng")
+            .filter(F.col("id_l") < F.col("id_r"))
+            .select(
+                F.lit("rad").alias("gate"),
+                F.col("id_l").cast("string").alias("k1"),
+                F.col("id_r").cast("long").alias("k2"),
+                F.round("distance_km", 4).alias("v1"),
+                F.lit(0.0).alias("v2"),
+            )
         )
-    )
+
     poly_schema = T.StructType(
         [
             T.StructField("poly", T.StringType()),
@@ -734,33 +741,47 @@ def matching_geo_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
-    polys = spark.createDataFrame(
-        [(name, verts) for name, verts in _POLYGONS.items()], poly_schema
-    )
-    pip = points_in_polygons_join(
-        pts, polys, lat_col="lat", lng_col="lng", polygon_col="polygon"
-    ).select(
-        F.lit("pip").alias("gate"),
-        F.col("poly").alias("k1"),
-        F.col("id").cast("long").alias("k2"),
-        F.lit(0.0).alias("v1"),
-        F.lit(0.0).alias("v2"),
-    )
-    names = base
-    fuz = edit_distance_join(
-        names.filter(F.col("c_custkey") % 20 == 0),
-        names,
-        "c_name",
-        max_dist=1,
-        q=2,
-    ).select(
-        F.lit("fuz").alias("gate"),
-        F.col("c_custkey_l").cast("string").alias("k1"),
-        F.col("c_custkey_r").cast("long").alias("k2"),
-        F.col("distance").cast("double").alias("v1"),
-        F.lit(0.0).alias("v2"),
-    )
-    return (
-        rad.unionByName(pip).unionByName(fuz)
-        .unionByName(_img_branch(spark, sf_dir, base))
-    )
+    def _pip():
+        polys = spark.createDataFrame(
+            [(name, verts) for name, verts in _POLYGONS.items()], poly_schema
+        )
+        return points_in_polygons_join(
+            pts, polys, lat_col="lat", lng_col="lng", polygon_col="polygon"
+        ).select(
+            F.lit("pip").alias("gate"),
+            F.col("poly").alias("k1"),
+            F.col("id").cast("long").alias("k2"),
+            F.lit(0.0).alias("v1"),
+            F.lit(0.0).alias("v2"),
+        )
+
+    def _fuz():
+        names = base
+        return edit_distance_join(
+            names.filter(F.col("c_custkey") % 20 == 0),
+            names,
+            "c_name",
+            max_dist=1,
+            q=2,
+        ).select(
+            F.lit("fuz").alias("gate"),
+            F.col("c_custkey_l").cast("string").alias("k1"),
+            F.col("c_custkey_r").cast("long").alias("k2"),
+            F.col("distance").cast("double").alias("v1"),
+            F.lit(0.0).alias("v2"),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [
+            pool.submit(_rad),
+            pool.submit(_pip),
+            pool.submit(_fuz),
+            pool.submit(_img_branch, spark, sf_dir, base),
+        ]
+        parts = [f.result() for f in futures]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -272,12 +272,17 @@ def search_rank_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
 
     # [pr] never touches the text index, and pagerank's per-iteration
-    # dangling-mass aggregates are blocking driver jobs — run the whole
-    # branch on a thread so its iterations overlap the index build (the
-    # learned_sketch_ops pattern; union order below stays fixed).
+    # dangling-mass aggregates are blocking driver jobs; the index build
+    # runs two eager corpus jobs (doclen + postings checkpoints) and the
+    # three query-branch CONSTRUCTIONS are each hundreds of py4j
+    # round-trips. Everything builds on the pool, the query branches
+    # blocking on the index future inside their own closures (union
+    # order below stays fixed by code).
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=1)
+    width = int(os.environ.get("EWS_SEARCH_POOL_WIDTH", "8"))
+    pool = ThreadPoolExecutor(max_workers=width)
     try:
         f_pr = pool.submit(_pr_branch, spark, sf_dir)
 
@@ -286,30 +291,48 @@ def search_rank_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (term, doc_id, tf), so bm25/tfidf score straight off them and
         # phrase_match gets its position lists — no second index build.
         # Materialize so the three consumers read the aggregated
-        # postings, not three corpus scans.
-        idx = build_positional_index(docs)
-        idx["postings"] = idx["postings"].localCheckpoint(eager=True)
-        idx["doclen"] = idx["doclen"].localCheckpoint(eager=True)
-        pr = f_pr.result()
+        # postings, not three corpus scans (doclen is checkpointed
+        # inside _index_from_postings, where the stats read shares it).
+        def _idx():
+            idx = build_positional_index(docs)
+            idx["postings"] = idx["postings"].localCheckpoint(eager=True)
+            return idx
+
+        f_idx = pool.submit(_idx)
+
+        # k far above corpus size: every matched doc is scored, so the
+        # gate's own rank window (over ROUNDED scores) is the only
+        # ordering that matters — bm25_topk's internal unrounded orderBy
+        # can't cut anything
+        big = 1 << 30
+        f_bm25 = pool.submit(
+            lambda: _ranked(bm25_topk(f_idx.result(), _BM25_QUERY, k=big), "bm25")
+        )
+        f_tfidf = pool.submit(
+            lambda: _ranked(
+                tfidf_topk(f_idx.result(), _TFIDF_QUERY, k=big), "tfidf"
+            )
+        )
+        f_phr = pool.submit(
+            lambda: phrase_match(f_idx.result(), _PHRASE).select(
+                F.lit("phr").alias("gate"),
+                F.lit("").alias("k1"),
+                F.col("doc_id").cast("long").alias("k2"),
+                F.col("n_occurrences").cast("double").alias("v1"),
+                F.lit("").alias("h"),
+            )
+        )
+        parts = [
+            f_bm25.result(),
+            f_tfidf.result(),
+            f_phr.result(),
+            f_pr.result(),
+        ]
     finally:
         # an index-build exception must not leak the in-flight pagerank
         # iterations on a non-daemon thread
         pool.shutdown(wait=True, cancel_futures=True)
-    # k far above corpus size: every matched doc is scored, so the gate's
-    # own rank window (over ROUNDED scores) is the only ordering that
-    # matters — bm25_topk's internal unrounded orderBy can't cut anything
-    big = 1 << 30
-    bm25 = _ranked(bm25_topk(idx, _BM25_QUERY, k=big), "bm25")
-    tfidf = _ranked(tfidf_topk(idx, _TFIDF_QUERY, k=big), "tfidf")
-    phr = phrase_match(idx, _PHRASE).select(
-        F.lit("phr").alias("gate"),
-        F.lit("").alias("k1"),
-        F.col("doc_id").cast("long").alias("k2"),
-        F.col("n_occurrences").cast("double").alias("v1"),
-        F.lit("").alias("h"),
-    )
-    return (
-        bm25.unionByName(tfidf)
-        .unionByName(phr)
-        .unionByName(pr)
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
