@@ -1368,28 +1368,59 @@ def learned_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a wider pool only adds driver threads, not executor pressure.
     width = int(os.environ.get("EWS_SKETCH_POOL_WIDTH", "8"))
     with ThreadPoolExecutor(max_workers=1 if timing else width) as pool:
+        # shared inputs build as futures; each branch blocks only on the
+        # input IT consumes, inside its own closure (r14) — a branch
+        # needing just the embeddings no longer waits for the events
+        # checkpoint. Producers are submitted first, so no pool width
+        # can deadlock. In timing mode (width 1) everything still runs
+        # strictly sequentially in submission order, with the shared
+        # inputs resolved before any timed branch.
         f_td = pool.submit(_tokdocs, spark, sf_dir)
         f_emb = pool.submit(_sketch_emb, spark, sf_dir)
         f_ev = pool.submit(_events_slim, spark, sf_dir)
         f_blm = pool.submit(_b, "blm", _blm_branch, spark, sf_dir)
-        td, emb = f_td.result(), f_emb.result()
-        ev, exact = f_ev.result()
         futures = [
-            pool.submit(_b, "semd", _semd_branch, spark, sf_dir, emb),
-            pool.submit(_b, "hh", _hh_branch, spark, sf_dir, ev),
             pool.submit(
-                _b, "hll_gk", _hll_gk_branches, spark, sf_dir, ev, exact
+                _b, "semd",
+                lambda: _semd_branch(spark, sf_dir, f_emb.result()),
             ),
-            pool.submit(_b, "lmp", _lmp_branch, spark, sf_dir, td),
-            pool.submit(_b, "dsr", _dsr_branch, spark, sf_dir, td),
+            pool.submit(
+                _b, "hh", lambda: _hh_branch(spark, sf_dir, f_ev.result()[0])
+            ),
+            pool.submit(
+                _b, "hll_gk",
+                lambda: _hll_gk_branches(spark, sf_dir, *f_ev.result()),
+            ),
+            pool.submit(
+                _b, "lmp", lambda: _lmp_branch(spark, sf_dir, f_td.result())
+            ),
+            pool.submit(
+                _b, "dsr", lambda: _dsr_branch(spark, sf_dir, f_td.result())
+            ),
             f_blm,
-            pool.submit(_b, "ccn", _ccn_branch, spark, sf_dir, td),
-            pool.submit(_b, "kmc", _kmc_branch, spark, sf_dir, emb),
-            pool.submit(_b, "rpj", _rpj_branch, spark, sf_dir, emb),
-            pool.submit(_b, "cms", _cms_branch, spark, sf_dir, ev),
-            pool.submit(_b, "kvx", _kvx_branch, spark, sf_dir, ev),
-            pool.submit(_b, "ams", _ams_branch, spark, sf_dir, ev),
-            pool.submit(_b, "dds", _dds_branch, spark, sf_dir, ev),
+            pool.submit(
+                _b, "ccn", lambda: _ccn_branch(spark, sf_dir, f_td.result())
+            ),
+            pool.submit(
+                _b, "kmc",
+                lambda: _kmc_branch(spark, sf_dir, f_emb.result()),
+            ),
+            pool.submit(
+                _b, "rpj",
+                lambda: _rpj_branch(spark, sf_dir, f_emb.result()),
+            ),
+            pool.submit(
+                _b, "cms", lambda: _cms_branch(spark, sf_dir, f_ev.result()[0])
+            ),
+            pool.submit(
+                _b, "kvx", lambda: _kvx_branch(spark, sf_dir, f_ev.result()[0])
+            ),
+            pool.submit(
+                _b, "ams", lambda: _ams_branch(spark, sf_dir, f_ev.result()[0])
+            ),
+            pool.submit(
+                _b, "dds", lambda: _dds_branch(spark, sf_dir, f_ev.result()[0])
+            ),
         ]
         parts = [f.result() for f in futures]
     out = parts[0]
