@@ -18,7 +18,8 @@ import time
 
 
 def reprobe_worst(
-    spark, sf_dir: str, registry, worst_queries, summary: dict, n_probes: int = 5
+    spark, sf_dir: str, registry, worst_queries, summary: dict, n_probes: int = 5,
+    extra_runners: dict | None = None,
 ) -> dict:
     """Self-adjudication (r9): re-time the given queries ISOLATED (after the
     sweep), median-of-n each, so a judge or the driver can tell a contended
@@ -26,26 +27,28 @@ def reprobe_worst(
     summary['reprobe'] = {query: median_sec}; any failure is swallowed into
     summary['reprobe_error'] instead — the guaranteed final summary line
     (the one the driver's stdout tail always captures) must never be lost
-    to a transient reprobe error."""
+    to a transient reprobe error. The x_-prefixed extras are reprobe-able
+    through extra_runners (r14 verdict #5: x_importance_wave was flagged
+    11.16x in-sweep and nothing could re-adjudicate it)."""
     import statistics
 
+    extra_runners = extra_runners or {}
     reprobe: dict[str, float] = {}
     try:
         for q in worst_queries:
-            if q not in registry:
-                # the x_-prefixed extra timings (marginalised-OS feeder,
-                # BPE train+encode) are timed ad hoc in main(), not
-                # registry entries — they can be FLAGGED vs the r11
-                # baseline but cannot be re-run here; note, don't crash
+            if q not in registry and q not in extra_runners:
                 reprobe[q] = -1.0
                 continue
             probes: list[float] = []
             for _ in range(n_probes):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                registry[q].spark(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                if q in registry:
+                    registry[q].spark(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                else:
+                    extra_runners[q](spark, sf_dir)
                 probes.append(time.perf_counter() - t0)
             reprobe[q] = round(statistics.median(probes), 4)
             print(
@@ -70,8 +73,8 @@ X_IMPORTANCE_LOGZ_PIN = -4.850992372310326
 X_IMPORTANCE_LOGZ_TOL = 1e-6
 
 
-def x_importance_wave(spark) -> tuple[float, float]:
-    """One seed-pinned importance wave -> (wall_seconds, log_evidence)."""
+def _run_x_importance_wave(spark, sf_dir: str) -> float:
+    """One seed-pinned importance wave -> log_evidence (value pinned)."""
     from pyspark.sql import functions as F
 
     from enterprise_warp_spark.likelihood.sampling import (
@@ -94,14 +97,105 @@ def x_importance_wave(spark) -> tuple[float, float]:
             ).alias("lnl"),
         )
 
-    t0 = time.perf_counter()
     pooled = importance_posterior(
         spark, priors, score,
         centers={"x": 1.0, "y": -2.0}, scales={"x": 1.0, "y": 0.5},
         n=8192, seed=17, waves=1,
     )
-    logz = log_evidence(pooled)
-    return time.perf_counter() - t0, logz
+    return log_evidence(pooled)
+
+
+def _run_x_marginalised_os_1000(spark, sf_dir: str) -> None:
+    """A12 noise-marginalised OS over 1000 posterior draws — the draws x
+    pairs fan-out whose per-(pair,draw) Python loop was vectorized into one
+    einsum per pair; tracks that the 1000-draw pass stays ~the per-pair
+    kernel cost."""
+    import pandas as pd
+
+    from enterprise_warp_spark.analytics.optimal_statistic import (
+        marginalised_moments,
+        marginalised_os,
+        per_pulsar_reduction,
+    )
+    from enterprise_warp_spark.queries_kernel import _synthetic_residuals
+
+    res = _synthetic_residuals(spark, sf_dir)
+    tspan = 300_000.0 * 1_000_000
+    red = per_pulsar_reduction(res, nfreqs=6, tspan_s=tspan)
+    positions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "psr": ["J0", "J1", "J2"],
+                "pos": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+            }
+        )
+    )
+    draws = pd.DataFrame(
+        {"draw_id": range(1000), "gamma": [3.0 + (i % 40) * 0.05 for i in range(1000)]}
+    )
+    marginalised_moments(
+        marginalised_os(red, positions, draws, tspan_s=tspan)
+    ).write.format("noop").mode("overwrite").save()
+
+
+def _run_x_bpe_train_encode(spark, sf_dir: str) -> None:
+    """Full BPE tokenizer cycle over the documents table — lossless
+    pre-tokenize + word-count shuffle, 512-merge driver train, distributed
+    memoized encode. Tracks the corpus-tokenization throughput the training
+    pipeline pays per epoch."""
+    from enterprise_warp_spark.pipeline.tokenizer import (
+        encode_corpus,
+        train_bpe,
+        word_counts,
+    )
+    from enterprise_warp_spark.tables import table as _table
+
+    _docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    _tok = train_bpe(word_counts(_docs), vocab_size=256 + 512)
+    encode_corpus(_docs, _tok).write.format("noop").mode("overwrite").save()
+
+
+def _run_x_cdc_chunk_dedup(spark, sf_dir: str) -> None:
+    """CDC binary dedup over payloads derived from the documents table
+    (repeated text -> real shared chunks): map-only gear-hash chunking +
+    the capped pair join + savings aggregate. The chunk table is
+    materialized once INSIDE the timed region (r14): the pair join and the
+    savings aggregate both consume it — the composition a real pipeline
+    runs, not a cross-run cache."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline.cdc import (
+        cdc_chunks,
+        chunk_dedup_pairs,
+        chunk_savings,
+    )
+    from enterprise_warp_spark.tables import table as _table
+
+    media = (
+        _table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(
+                F.concat("text", F.reverse("text"), "text"), "utf-8"
+            ).alias("payload"),
+        )
+    )
+    ch = cdc_chunks(media).localCheckpoint(eager=True)
+    chunk_dedup_pairs(ch, min_shared=2).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    chunk_savings(ch).write.format("noop").mode("overwrite").save()
+
+
+# the x_-prefixed bench-only extras, as (spark, sf_dir) closures so the
+# post-sweep isolated reprobe can re-adjudicate them like registry gates
+# (r14 verdict #5: x_importance_wave flagged 11.16x, reprobe returned -1.0)
+X_RUNNERS = {
+    "x_marginalised_os_1000": _run_x_marginalised_os_1000,
+    "x_bpe_train_encode": _run_x_bpe_train_encode,
+    "x_cdc_chunk_dedup": _run_x_cdc_chunk_dedup,
+    "x_importance_wave": _run_x_importance_wave,
+}
 
 
 def compact_final_summary(summary: dict, limit: int = 1800) -> str:
@@ -109,12 +203,16 @@ def compact_final_summary(summary: dict, limit: int = 1800) -> str:
     the driver-contract length bound (r13 verdict #1: the driver keeps only
     a 2000-char stdout tail; r13's final line overflowed it by embedding
     all 52 sf1 per-query times and the whole artifact parsed as null).
-    Over-limit summaries shed the bulkiest optional fields in a stated
-    priority order; if the headline fields alone still overflow, raise —
-    a silent truncation upstream is exactly the failure this guards.
-    Operates on a copy: the caller's dict keeps every field."""
+    The line MUST carry the per-query medians (r14 verdict #1: two rounds
+    of aggregate-only final lines left PERF with n_common=0) — compact JSON
+    separators plus 2-decimal rounding keep 54 entries ≈ 1.2 KB. Over-limit
+    summaries shed the bulkiest optional fields in a stated priority order;
+    "queries"/"value"/"sf" are never shed — if the headline fields alone
+    still overflow, raise, because a silent truncation upstream is exactly
+    the failure this guards. Operates on a copy: the caller's dict keeps
+    every field."""
     summary = dict(summary)
-    line = json.dumps(summary)
+    line = json.dumps(summary, separators=(",", ":"))
     if len(line) <= limit:
         return line
     for victim in (
@@ -124,11 +222,17 @@ def compact_final_summary(summary: dict, limit: int = 1800) -> str:
         "worst_vs_sf1_baseline",
         "worst_vs_r11",
         "worst",
+        "sentinel_factor_sf1",
+        "sentinel_factor",
+        "all_ratio_vs_r11_norm",
+        "all_ratio_vs_sf1_baseline_norm",
+        "basket_n",
+        "metric",
     ):
         if victim in summary:
             summary.pop(victim)
             summary["truncated"] = True
-            line = json.dumps(summary)
+            line = json.dumps(summary, separators=(",", ":"))
             if len(line) <= limit:
                 break
     print(
@@ -272,111 +376,28 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # bench-only entry (not a correctness-catalog query): A12 noise-
-    # marginalised OS over 1000 posterior draws — the draws x pairs fan-out
-    # whose per-(pair,draw) Python loop was vectorized into one einsum per
-    # pair; tracks that the 1000-draw pass stays ~the per-pair kernel cost.
-    import pandas as pd
-
-    from enterprise_warp_spark.analytics.optimal_statistic import (
-        marginalised_moments,
-        marginalised_os,
-        per_pulsar_reduction,
-    )
-    from enterprise_warp_spark.queries_kernel import _synthetic_residuals
-
-    t0 = time.perf_counter()
-    res = _synthetic_residuals(spark, sf_dir)
-    tspan = 300_000.0 * 1_000_000
-    red = per_pulsar_reduction(res, nfreqs=6, tspan_s=tspan)
-    positions = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "psr": ["J0", "J1", "J2"],
-                "pos": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
-            }
+    # bench-only x_ extras (marginalised-OS feeder, BPE cycle, CDC dedup,
+    # importance wave) — timed single-shot via the module-level runners so
+    # the post-sweep reprobe can re-adjudicate them (r14 verdict #5)
+    for xname, xrun in X_RUNNERS.items():
+        t0 = time.perf_counter()
+        xret = xrun(spark, sf_dir)
+        timings[xname] = round(time.perf_counter() - t0, 4)
+        note = ""
+        if xname == "x_importance_wave":
+            # value pin: a drift means the sampling columns or weight
+            # algebra changed, not noise
+            logz_ok = (
+                abs(xret - X_IMPORTANCE_LOGZ_PIN) <= X_IMPORTANCE_LOGZ_TOL
+            )
+            note = (
+                f" log_evidence {xret:.4f} (pin {X_IMPORTANCE_LOGZ_PIN} "
+                f"{'OK' if logz_ok else 'MISMATCH — estimator drifted'})"
+            )
+        print(
+            f"# {xname}: {timings[xname]:.3f}s{note}",
+            file=sys.stderr,
         )
-    )
-    draws = pd.DataFrame(
-        {"draw_id": range(1000), "gamma": [3.0 + (i % 40) * 0.05 for i in range(1000)]}
-    )
-    marginalised_moments(
-        marginalised_os(red, positions, draws, tspan_s=tspan)
-    ).write.format("noop").mode("overwrite").save()
-    timings["x_marginalised_os_1000"] = round(time.perf_counter() - t0, 4)
-    print(
-        f"# x_marginalised_os_1000: {timings['x_marginalised_os_1000']:.3f}s",
-        file=sys.stderr,
-    )
-
-    # bench-only entry (r6): full BPE tokenizer cycle over the documents
-    # table — lossless pre-tokenize + word-count shuffle, 512-merge driver
-    # train, distributed memoized encode. Tracks the corpus-tokenization
-    # throughput the training pipeline pays per epoch.
-    from enterprise_warp_spark.pipeline.tokenizer import (
-        encode_corpus,
-        train_bpe,
-        word_counts,
-    )
-    from enterprise_warp_spark.tables import table as _table
-
-    t0 = time.perf_counter()
-    _docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
-    _tok = train_bpe(word_counts(_docs), vocab_size=256 + 512)
-    encode_corpus(_docs, _tok).write.format("noop").mode("overwrite").save()
-    timings["x_bpe_train_encode"] = round(time.perf_counter() - t0, 4)
-    print(
-        f"# x_bpe_train_encode: {timings['x_bpe_train_encode']:.3f}s",
-        file=sys.stderr,
-    )
-
-    # bench-only entry (r14): CDC binary dedup over payloads derived from
-    # the documents table (repeated text -> real shared chunks): map-only
-    # gear-hash chunking + the capped pair join + savings aggregate.
-    # Tracks the chunker's MB/s and the join's cost together.
-    from enterprise_warp_spark.pipeline.cdc import (
-        cdc_chunks,
-        chunk_dedup_pairs,
-        chunk_savings,
-    )
-
-    t0 = time.perf_counter()
-    media = (
-        _table(spark, sf_dir, "documents")
-        .select(
-            F.col("doc_id").alias("media_id"),
-            F.encode(
-                F.concat("text", F.reverse("text"), "text"), "utf-8"
-            ).alias("payload"),
-        )
-    )
-    # materialize the chunk table once INSIDE the timed region (r14): the
-    # pair join and the savings aggregate both consume it, and the
-    # python gear-hash chunking pass is the entry's dominant cost — the
-    # composition a real pipeline runs, not a cross-run cache
-    ch = cdc_chunks(media).localCheckpoint(eager=True)
-    chunk_dedup_pairs(ch, min_shared=2).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    chunk_savings(ch).write.format("noop").mode("overwrite").save()
-    timings["x_cdc_chunk_dedup"] = round(time.perf_counter() - t0, 4)
-    print(
-        f"# x_cdc_chunk_dedup: {timings['x_cdc_chunk_dedup']:.3f}s",
-        file=sys.stderr,
-    )
-
-    # bench-only entry (r14): one seed-pinned importance wave + evidence
-    # — gives the r13 inference newcomers a recorded per-round wall-time
-    # AND value row (the x_marginalised_os_1000 precedent)
-    iw_sec, iw_logz = x_importance_wave(spark)
-    timings["x_importance_wave"] = round(iw_sec, 4)
-    logz_ok = abs(iw_logz - X_IMPORTANCE_LOGZ_PIN) <= X_IMPORTANCE_LOGZ_TOL
-    print(
-        f"# x_importance_wave: {iw_sec:.3f}s log_evidence {iw_logz:.4f} "
-        f"(pin {X_IMPORTANCE_LOGZ_PIN} "
-        f"{'OK' if logz_ok else 'MISMATCH — estimator drifted'})",
-        file=sys.stderr,
-    )
 
     total = round(sum(timings.values()), 4)
     # `spread` = per-query (max - min) over the n_reps timings: this VM has
@@ -396,13 +417,20 @@ def main() -> None:
         )
     )
     # The driver keeps only a 2000-char tail of stdout, and the full JSON
-    # line above is ~4KB — so its front half (metric/value/most medians) is
-    # lost in the artifact. Print ONE final compact line with the headline
-    # numbers (total, the judge's 32-query r1-basket ratio, worst-3 by
-    # ratio-vs-r1 with their spreads) so they always land inside the tail
-    # window. r1 per-query medians live in r1_baseline_queries.json
-    # (recovered verbatim from BENCH_r01.json's tail).
-    summary: dict[str, object] = {"value": total, "unit": "sec"}
+    # line above is ~4KB (4-decimal medians + spreads) — so it always falls
+    # outside the tail. The FINAL line therefore re-carries the documented
+    # contract (r14 verdict #1: `"queries": {name: sec}` and `"sf"` MUST be
+    # in the last line or PERF/scaling cannot adjudicate): per-query medians
+    # at 2-decimal precision plus the headline diagnostics, with
+    # compact_final_summary shedding diagnostics — never queries — under
+    # the 1800-char bound. The full-precision line above is kept for humans.
+    summary: dict[str, object] = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": {q: round(v, 2) for q, v in timings.items()},
+    }
     try:
         with open(os.path.join(os.path.dirname(__file__), "r1_baseline_queries.json")) as fh:
             r1 = json.load(fh)
@@ -519,7 +547,10 @@ def main() -> None:
         # reprobe median is the number to trust when it disagrees with
         # the in-sweep median
         if _extras_ok("isolated reprobes"):
-            reprobe_worst(spark, sf_dir, REGISTRY, to_reprobe, summary)
+            reprobe_worst(
+                spark, sf_dir, REGISTRY, to_reprobe, summary,
+                extra_runners=X_RUNNERS,
+            )
     except (OSError, ValueError, ZeroDivisionError):
         pass
     # Per-branch attribution for the heaviest union gate (r13 verdict #4):

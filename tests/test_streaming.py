@@ -341,3 +341,31 @@ def test_streaming_fd_foreachbatch_merge_keeps_contract(spark, tmp_path):
     err = np.linalg.norm(A.T @ A - B.T @ B, 2)
     assert err <= 2.0 * (np.linalg.norm(A, "fro") ** 2) / ell
     assert np.linalg.eigvalsh(A.T @ A - B.T @ B).min() >= -1e-6
+
+
+def test_source_bytes_resolves_non_local_uris(spark, sf_dir):
+    """r14 verdict #3: streaming state sizing used os.path.getsize, which
+    throws OSError on any non-local URI (hdfs://, s3a://, file:) and
+    silently floored a 100 TB stream to 8 state partitions. The Hadoop-FS
+    helper must resolve a `file:` URI (the non-local-path semantics we can
+    exercise without a cluster) to the real byte size, and degrade to 0 —
+    not raise — for a missing path."""
+    import os
+
+    from enterprise_warp_spark.streaming.events import _source_bytes
+
+    local = os.path.join(sf_dir, "events.parquet")
+    want = os.path.getsize(local)
+    assert want > 0
+    # scheme-qualified URI: os.path.getsize(uri) raises; Hadoop FS must not
+    uri = "file://" + os.path.abspath(local)
+    with __import__("pytest").raises(OSError):
+        os.path.getsize(uri)
+    assert _source_bytes(spark, uri) == want
+    # plain local path still works (the bench/driver call shape)
+    assert _source_bytes(spark, local) == want
+    # directory: recursive content summary, >= the single file
+    assert _source_bytes(spark, "file://" + os.path.abspath(sf_dir)) >= want
+    # missing path: 0, never an exception (callers floor the count)
+    assert _source_bytes(spark, "file:///definitely/not/there") == 0
+    assert _source_bytes(spark, "/definitely/not/there") == 0
