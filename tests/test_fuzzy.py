@@ -154,3 +154,70 @@ def test_deletion_neighborhood_path_edges(spark):
     # 'ab' vs 'ba' share deletion variants {'a','b'} but sit at distance 2
     # — the verify step must discard them at k=1
     assert (3, 4, 2) not in got and (3, 4, 1) not in got
+
+
+def test_deletion_variants_runs_and_position_filter_completeness(spark):
+    """r15: the deletion pass annotates each distinct deletion variant with
+    its contiguous deletion-position run [p0, p1] and keeps a candidate
+    only when runs overlap or one side is the un-deleted string (p0 = -1).
+    Pin (a) the run semantics on repeated-char strings and (b) filter
+    completeness: the filtered candidate set still contains every true
+    distance<=1 pair on a fuzzed corpus (vs brute force)."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.operators.fuzzy import (
+        _deletion_run_starts,
+        _deletion_variants,
+        edit_distance_join,
+    )
+
+    rows = spark.createDataFrame(
+        [("aab",), ("",), ("aaaa",), ("abba",)], ["t"]
+    ).withColumn("__st", _deletion_run_starts("t")).select(
+        "t", _deletion_variants("t", "__st").alias("dv")
+    ).collect()
+    got = {r["t"]: [(d["v"], d["p0"], d["p1"]) for d in r["dv"]] for r in rows}
+    # itself first with (-1, -1); distinct deletions with contiguous runs
+    assert got["aab"] == [("aab", -1, -1), ("ab", 0, 1), ("aa", 2, 2)]
+    assert got[""] == [("", -1, -1)]
+    assert got["aaaa"] == [("aaaa", -1, -1), ("aaa", 0, 3)]
+    assert got["abba"] == [
+        ("abba", -1, -1), ("bba", 0, 0), ("aba", 1, 2), ("abb", 3, 3)
+    ]
+
+    # completeness fuzz: random short strings over a 2-char alphabet (max
+    # repeat/collision pressure); the join must equal brute force at k=1
+    rnd = random.Random(7)
+    corpus = [
+        "".join(rnd.choice("ab") for _ in range(rnd.randint(0, 5)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], ["rid", "name"]
+    )
+    got_pairs = {
+        (r["rid_l"], r["rid_r"], r["distance"])
+        for r in edit_distance_join(df, df, "name", max_dist=1).collect()
+    }
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(
+                    m[j] + 1, m[j - 1] + 1, prev + (ca != cb)
+                )
+        return m[len(b)]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.product(
+            enumerate(corpus), enumerate(corpus)
+        )
+        if lev(a, b) <= 1
+    }
+    assert got_pairs == want
