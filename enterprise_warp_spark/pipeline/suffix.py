@@ -91,14 +91,36 @@ def _two_pass_dense_rank_counted(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+
+    # per-partition (distinct-keys, rows) WITHOUT an exchange: rows are
+    # already sorted by the keys within each partition, so the distinct
+    # count is a key-change count in one streaming pass — a narrow
+    # mapInPandas collected directly, ONE scheduled job where the former
+    # groupBy(__pid) aggregate paid a shuffle that AQE materialized as
+    # 2-3 jobs per rank round (r15; guide §2.4)
+    def stat_kernel(batches):
+        pid = None
+        nr = 0
+        nd = 0
+        last = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            nr += len(pdf)
+            for key in zip(*[pdf[c] for c in order_cols]):
+                if key != last:
+                    nd += 1
+                    last = key
+        if pid is not None:
+            yield pd.DataFrame({"__pid": [pid], "nd": [nd], "nr": [nr]})
+
     stats = {
         r["__pid"]: (r["nd"], r["nr"])
-        for r in staged.groupBy("__pid")
-        .agg(
-            F.count_distinct(*[F.col(c) for c in order_cols]).alias("nd"),
-            F.count(F.lit(1)).alias("nr"),
-        )
-        .collect()
+        for r in staged.mapInPandas(
+            stat_kernel, "__pid int, nd long, nr long"
+        ).collect()
     }
     totals = {pid: nd for pid, (nd, _r) in stats.items()}
     n_rows = sum(nr for _d, nr in stats.values())
@@ -142,13 +164,19 @@ def _two_pass_dense_rank_counted(
 
 def corpus_positions(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n_parts: int = 32,
+    n_parts: int = 32, _total_out: list | None = None,
 ) -> DataFrame:
     """Documents -> one row per token position:
     (pos global long, doc_id, idx local int, token string), with a unique
     per-document sentinel token appended so no suffix comparison crosses a
     document boundary. Global positions come from a per-document offset
-    table (#docs rows) ranked with the same two-pass machinery."""
+    table (#docs rows) ranked with the same two-pass machinery.
+
+    ``_total_out``, if given, receives the total position count (incl.
+    sentinels) — the offset pass's running sum already ends at exactly
+    that number, so callers get the corpus size for FREE and can size the
+    FIRST doubling round's partitioning before any ranking job runs (the
+    suffix_array ``_stats_out`` precedent, one round earlier)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.concat(
@@ -168,15 +196,33 @@ def corpus_positions(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    # narrow per-partition sums (no exchange — see _two_pass_dense_rank_
+    # counted's stat_kernel): one job instead of an AQE-staged groupBy
+    def sum_kernel(batches):
+        pid = None
+        s = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            s += int(pdf["__n"].sum())
+        if pid is not None:
+            yield pd.DataFrame({"__pid": [pid], "s": [s]})
+
     totals = {
         r["__pid"]: r["s"]
-        for r in staged.groupBy("__pid").agg(F.sum("__n").alias("s")).collect()
+        for r in staged.mapInPandas(
+            sum_kernel, "__pid int, s long"
+        ).collect()
     }
     offs = {}
     acc = 0
     for pid in sorted(totals):
         offs[pid] = acc
         acc += totals[pid]
+    if _total_out is not None:
+        _total_out.append(int(acc))
     b_off = staged.sparkSession.sparkContext.broadcast(offs)
 
     def cumsum(batches):
@@ -217,7 +263,7 @@ def corpus_positions(
 
 def suffix_array(
     positions: DataFrame, max_rounds: int = 40, n_parts: int = 32,
-    _stats_out: list | None = None,
+    _stats_out: list | None = None, _plan_out: list | None = None,
 ) -> tuple[DataFrame, list[tuple]]:
     """(pos, token) rows -> (sa, levels):
 
@@ -244,7 +290,9 @@ def suffix_array(
     (and a 1-partition repartitionByRange skips its bounds-sampling job
     entirely). ``_stats_out``, if given, receives (n_rows, eff_parts)
     so callers reuse the adapted width (the global_rank _total_out
-    precedent)."""
+    precedent). ``_plan_out``, if given, receives (width, paired_df)
+    per doubling round BEFORE the rank pass consumes it — debug-only
+    lane evidence for plans that eager checkpoints otherwise hide."""
     ranked_raw, n_distinct, n_rows = _two_pass_dense_rank_counted(
         positions.select("pos", "doc_id", "idx", "token"),
         ["token"],
@@ -257,12 +305,23 @@ def suffix_array(
     # ONE materialization per round: the checkpoint; the levels entry is a
     # lazy select over it (a second eager checkpoint of the same rows was
     # pure stage overhead — at small corpora the fixed per-job cost, not
-    # the data, dominates the wall clock)
-    ranked = ranked_raw.select(
-        "pos", "doc_id", "idx", "r"
-    ).localCheckpoint(eager=True)
+    # the data, dominates the wall clock). When the whole table fits ONE
+    # range partition, even that checkpoint is elided (r15): every
+    # consumer then re-runs the rank kernel lazily over the two-pass's
+    # own staged checkpoint — one extra single-task Arrow pass per
+    # consumer vs one blocking eager job per round on the build's
+    # critical path. Large shards (recompute = a real corpus pass) keep
+    # the eager checkpoint.
+    elide_ck = n_rows <= _ROWS_PER_PART
+
+    def _settle(df: DataFrame) -> DataFrame:
+        return df if elide_ck else df.localCheckpoint(eager=True)
+
+    ranked = _settle(ranked_raw.select("pos", "doc_id", "idx", "r"))
     levels: list[tuple] = [(1, ranked.select("pos", "r"))]
     width = 1
+    doc_t = dict(ranked.dtypes)["doc_id"]
+    idx_t = dict(ranked.dtypes)["idx"]
     for _ in range(max_rounds):
         if n_distinct >= n_rows:
             # every rank unique: suffix order is decided. Flag the level —
@@ -276,40 +335,77 @@ def suffix_array(
         # (p, p+w, p+2w, p+3w) — lexicographic order of that tuple IS the
         # order of the width-4w prefix, so each round quadruples the
         # decided width. Halves the number of blocking two-pass rank
-        # rounds vs classic binary doubling (log4 vs log2 — at 100 TB
-        # each round is a corpus range-shuffle, at fixture scale it is
-        # 2-3 scheduled jobs); the extra shift joins ride the same
-        # round's plan. Past-the-end positions keep the -1 sentinel
-        # (shorter suffix sorts first), exactly as the binary version.
-        paired = ranked
-        for k in (1, 2, 3):
-            shifted = ranked.select(
-                (F.col("pos") - width * k).alias("pos"),
-                F.col("r").alias(f"r{k + 1}"),
+        # rounds vs classic binary doubling (log4 vs log2). The tuple is
+        # assembled by ONE explode -> groupBy fold (r15), not three
+        # position self-joins: each (pos, r) row scatters its rank to the
+        # four target positions it is a digit of (pos - k*w, slot k), and
+        # one hash aggregation per target reassembles (r, r2, r3, r4) —
+        # one exchange of 4x skinny rows in place of three join rounds
+        # that each shuffled both sides (guide §2.3/§2.4). Positions are
+        # globally contiguous 0..n-1 (corpus_positions' cumsum), but
+        # foreign targets are dropped by the slot-0 guard, not assumed
+        # away: a group with no slot-0 row is a shifted ghost of a
+        # position that does not exist. Missing higher slots keep the -1
+        # sentinel (shorter suffix sorts first), exactly as the join
+        # formulation.
+        contrib = ranked.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        (F.col("pos") - width * k).alias("p"),
+                        F.lit(k).alias("s"),
+                        F.col("r").alias("rr"),
+                        (
+                            F.col("doc_id") if k == 0
+                            else F.lit(None).cast(doc_t)
+                        ).alias("d"),
+                        (
+                            F.col("idx") if k == 0
+                            else F.lit(None).cast(idx_t)
+                        ).alias("i"),
+                    )
+                    for k in range(4)
+                ])
+            ).alias("c")
+        ).select("c.*").filter(F.col("p") >= 0)
+        slot = [
+            F.max(F.when(F.col("s") == k, F.col("rr"))) for k in range(4)
+        ]
+        paired = (
+            contrib.groupBy("p")
+            .agg(
+                F.max(F.when(F.col("s") == 0, F.col("d"))).alias("doc_id"),
+                F.max(F.when(F.col("s") == 0, F.col("i"))).alias("idx"),
+                slot[0].alias("r"),
+                F.coalesce(slot[1], F.lit(-1)).alias("r2"),
+                F.coalesce(slot[2], F.lit(-1)).alias("r3"),
+                F.coalesce(slot[3], F.lit(-1)).alias("r4"),
             )
-            paired = (
-                paired.join(shifted, "pos", "left")
-                .withColumn(
-                    f"r{k + 1}", F.coalesce(f"r{k + 1}", F.lit(-1))
-                )
-            )
+            .filter(F.col("r").isNotNull())
+            .withColumnRenamed("p", "pos")
+        )
+        if _plan_out is not None:
+            _plan_out.append((width, paired))
         ranked_raw, n_distinct, n_rows = _two_pass_dense_rank_counted(
             paired.select("pos", "doc_id", "idx", "r", "r2", "r3", "r4"),
             ["r", "r2", "r3", "r4"],
             "rn",
             eff_parts,
         )
-        # ONE checkpoint per round, kept 3 longs wider (r, r2, r3 — the
-        # width-w rank 3-tuple the rerank already computed): enriching the
-        # PREVIOUS level with its own tuple lets adjacent_lcp resolve all
-        # three base-4 digit probes of that level in ONE join round (2
-        # joins) instead of three rounds (6 joins) — each walk join is a
-        # shuffle of both the pairs table and the level table, so this
-        # cuts the LCP walk's shuffle count ~3x for +24 bytes/row of
-        # checkpoint (guide §2.4 "remove shuffles outright").
-        ck = ranked_raw.select(
-            "pos", "doc_id", "idx", "r", "r2", "r3", "rn"
-        ).localCheckpoint(eager=True)
+        # ONE checkpoint per round (elided on single-partition shards, see
+        # _settle above), kept 3 longs wider (r, r2, r3 — the width-w rank
+        # 3-tuple the rerank already computed): enriching the PREVIOUS
+        # level with its own tuple lets adjacent_lcp resolve all three
+        # base-4 digit probes of that level in ONE join round (2 joins)
+        # instead of three rounds (6 joins) — each walk join is a shuffle
+        # of both the pairs table and the level table, so this cuts the
+        # LCP walk's shuffle count ~3x for +24 bytes/row of checkpoint
+        # (guide §2.4 "remove shuffles outright").
+        ck = _settle(
+            ranked_raw.select(
+                "pos", "doc_id", "idx", "r", "r2", "r3", "rn"
+            )
+        )
         levels[-1] = (width, ck.select("pos", "r", "r2", "r3"))
         ranked = ck.select("pos", "doc_id", "idx", F.col("rn").alias("r"))
         width *= 4
@@ -525,10 +621,21 @@ def exact_duplicate_spans(
         raise ValueError(
             f"on_oversized must be 'error' or 'drop', got {on_oversized!r}"
         )
-    pos = corpus_positions(docs, text_col, id_col, n_parts)
+    totals: list = []
+    pos = corpus_positions(docs, text_col, id_col, n_parts, _total_out=totals)
+    # round ONE of the doubling is sized from the token total the offset
+    # pass already computed (r15): previously only rounds 2+ adapted,
+    # leaving the first — and largest-constant — rank round at the
+    # caller's full n_parts even for fixture-sized shards (a 1-partition
+    # repartitionByRange also skips its bounds-sampling job outright).
+    n1 = n_parts
+    if totals:
+        n1 = max(
+            1, min(n_parts, (totals[0] + _ROWS_PER_PART - 1) // _ROWS_PER_PART)
+        )
     stats: list = []
-    sa, levels = suffix_array(pos, n_parts=n_parts, _stats_out=stats)
-    eff_parts = stats[0][1] if stats else n_parts
+    sa, levels = suffix_array(pos, n_parts=n1, _stats_out=stats)
+    eff_parts = stats[0][1] if stats else n1
     edges = adjacent_lcp(sa, levels, min_lcp=min_tokens)
     # gaps-and-islands: consecutive rank_a values = one run; the edge
     # table is strictly smaller than the position table, so the adapted
