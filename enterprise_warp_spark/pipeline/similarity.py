@@ -498,6 +498,7 @@ def lloyd_kmeans(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     decimals: int = 6,
+    input_materialized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic fixed-iteration Lloyd k-means -> (assignments,
     centroids): assignments = (id, cell_id, dist) labeling every vector
@@ -535,17 +536,18 @@ def lloyd_kmeans(
     # materialize the slim (id, e, nsq) projection ONCE (MLlib KMeans'
     # cache-the-input pattern): every iteration and the final assignment
     # re-read these partitions instead of re-scanning the source and
-    # re-folding nsq n_iter+1 times
-    base = (
-        spread(
-            emb.select(
-                id_col, F.col(emb_col).cast("array<double>").alias("__e")
-            ),
-            id_col,
-        )
-        .withColumn("nsq", F.expr(DOT.format(a="__e", b="__e")))
-        .localCheckpoint(eager=True)
-    )
+    # re-folding nsq n_iter+1 times. input_materialized (r15, verdict
+    # #5): a caller that already holds a checkpointed, well-partitioned
+    # slim (the sketch gate's shared _sketch_emb) skips this SECOND
+    # materialization — its n_iter+2 consumers then redo only the
+    # cast+nsq map over the caller's in-memory partitions, one cheap
+    # fold per pass in place of a blocking corpus-copy job on the
+    # gate's critical path.
+    base = emb.select(
+        id_col, F.col(emb_col).cast("array<double>").alias("__e")
+    ).withColumn("nsq", F.expr(DOT.format(a="__e", b="__e")))
+    if not input_materialized:
+        base = spread(base, id_col).localCheckpoint(eager=True)
     init = (
         base.select(id_col, "__e").orderBy(id_col).limit(k).collect()
     )

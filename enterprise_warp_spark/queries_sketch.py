@@ -1217,7 +1217,13 @@ def _kmc_branch(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
         prototype_prune,
     )
 
-    assignments, centroids = lloyd_kmeans(emb, k=_KMC_K, n_iter=_KMC_ITER)
+    # input_materialized: emb is the gate's shared _sketch_emb — already
+    # spread + checkpointed — so lloyd_kmeans skips its own blocking
+    # corpus-copy checkpoint (r15, verdict #5); its consumers redo only
+    # the cast+nsq map over the shared in-memory partitions
+    assignments, centroids = lloyd_kmeans(
+        emb, k=_KMC_K, n_iter=_KMC_ITER, input_materialized=True
+    )
     kept = prototype_prune(assignments, _KBS_KEEP, hardest=True)
     b = kept.select(
         F.lit("kbs").alias("gate"),
