@@ -453,7 +453,23 @@ def cosine_near_dup_pairs(
     n = _with_norm_sq(emb, emb_col, id_col).withColumn(
         "bucket", F.expr(hyperplane_bucket(emb_col, n_planes))
     )
-    return _group_gram_pairs(n, "bucket", threshold, emb_col, id_col)
+    # hot-key split (r15, guide §2.1): 2^n_planes buckets means at most
+    # that many gram tasks, each quadratic in its bucket — with a small
+    # FIXED plane count (this gate pins n_planes=2 -> 4 tasks) the whole
+    # compute-bound stage runs on 4 cores regardless of cluster width.
+    # Split each bucket into c sub-chunks by id hash and resolve the
+    # c(c+1)/2 chunk pairs as independent tasks: total gram work is
+    # unchanged, shuffled bytes grow only c-fold over a slim projection,
+    # and parallelism grows ~c^2/2. c is sized from cluster width (the
+    # data-adaptive derived-planes path already bounds bucket population,
+    # so it keeps c small by construction).
+    n_split = max(
+        1, min(16, emb.sparkSession.sparkContext.defaultParallelism
+               // (1 << n_planes))
+    )
+    return _group_gram_pairs(
+        n, "bucket", threshold, emb_col, id_col, n_split=n_split
+    )
 
 
 def kmeans_centroids(
@@ -1430,6 +1446,7 @@ def _group_gram_pairs(
     threshold: float,
     emb_col: str,
     id_col: str,
+    n_split: int = 1,
 ) -> DataFrame:
     """Within-group all-pairs cosine >= threshold via the grouped Arrow
     gram kernel: `grouped` carries (id, emb, nsq, group_col); each group's
@@ -1438,43 +1455,116 @@ def _group_gram_pairs(
     never materialize as Spark rows; kernel memory is O(|group| * d +
     chunk * |group|) doubles. Cosine = round(dot / sqrt(nsq_a * nsq_b), 6)
     with both norms carried from the SQL fold (round-6 doctrine); shared
-    by SemDeDup cells and the hyperplane-bucket near-dup path."""
+    by SemDeDup cells and the hyperplane-bucket near-dup path.
+
+    n_split > 1 (r15, guide §2.1 hot-key split): rows are sub-chunked by
+    id hash and each of the n_split(n_split+1)/2 chunk PAIRS becomes its
+    own Arrow group — same pair set, same round-6 values (the kernel
+    arithmetic is per-pair and order-free), but a group's quadratic gram
+    now runs across ~n_split^2/2 tasks instead of one. Use for FEW fat
+    groups (fixed-plane hyperplane buckets); leave 1 for many small
+    groups (SemDeDup cells), where the c-fold row replication would
+    outweigh the parallelism."""
     id_type = dict(grouped.dtypes)[id_col]
     out_schema = f"vec_a {id_type}, vec_b {id_type}, cosine double"
 
-    def group_gram(pdf):
+    def gram_block(A, B, cross):
+        # A, B: (ids, nsq, E) triples; cross=False means A is B (one
+        # chunk against itself -> va < vb dedups and drops the diagonal);
+        # cross=True emits every A x B pair once, oriented by id
         import numpy as np
         import pandas as pd
 
-        ids = pdf[id_col].to_numpy()
-        nsq = pdf["nsq"].to_numpy(dtype=np.float64)
-        E = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-        m = len(ids)
+        ids_a, nsq_a, Ea = A
+        ids_b, nsq_b, Eb = B
+        m = len(ids_a)
         outs = []
         # chunk the gram so memory stays ~<=256 MB even on a hot group
-        chunk = max(64, min(m, int(3.2e7 // max(m, 1)) or 64))
+        chunk = max(64, min(m, int(3.2e7 // max(len(ids_b), 1)) or 64))
         for s in range(0, m, chunk):
-            g = E[s : s + chunk] @ E.T
+            g = Ea[s : s + chunk] @ Eb.T
             c = np.round(
-                g / np.sqrt(nsq[s : s + chunk, None] * nsq[None, :]), 6
+                g / np.sqrt(nsq_a[s : s + chunk, None] * nsq_b[None, :]), 6
             )
             ia, ib = np.nonzero(c >= threshold)
-            va, vb = ids[s + ia], ids[ib]
-            keep = va < vb  # dedups (i,j)/(j,i) and drops the diagonal
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "vec_a": va[keep],
-                        "vec_b": vb[keep],
-                        "cosine": c[ia[keep], ib[keep]],
-                    }
+            va, vb = ids_a[s + ia], ids_b[ib]
+            if cross:
+                cos = c[ia, ib]
+                lo = np.minimum(va, vb)
+                hi = np.maximum(va, vb)
+                outs.append(
+                    pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": cos})
                 )
-            )
+            else:
+                keep = va < vb  # dedups (i,j)/(j,i), drops the diagonal
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": va[keep],
+                            "vec_b": vb[keep],
+                            "cosine": c[ia[keep], ib[keep]],
+                        }
+                    )
+                )
         if not outs:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         return pd.concat(outs, ignore_index=True)
 
-    return grouped.groupBy(group_col).applyInPandas(group_gram, out_schema)
+    def unpack(pdf):
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy()
+        nsq = pdf["nsq"].to_numpy(dtype=np.float64)
+        E = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        return ids, nsq, E
+
+    def empty_out():
+        import pandas as pd
+
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+
+    if n_split <= 1:
+        def group_gram(pdf):
+            blk = unpack(pdf)
+            return gram_block(blk, blk, cross=False)
+
+        return grouped.groupBy(group_col).applyInPandas(
+            group_gram, out_schema
+        )
+
+    # scatter each row to its n_split chunk-pair groups: row in chunk ci
+    # joins groups {min(ci,t), max(ci,t)} for every t — one diagonal
+    # group (ga == gb == ci) plus n_split-1 cross groups
+    ci = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_split)).cast("int")
+    scattered = (
+        grouped.select(
+            id_col, emb_col, "nsq", group_col, ci.alias("__ci"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_split - 1))
+            ).alias("__t"),
+        )
+        .select(
+            id_col, emb_col, "nsq", group_col, "__ci",
+            F.least("__ci", "__t").alias("__ga"),
+            F.greatest("__ci", "__t").alias("__gb"),
+        )
+    )
+
+    def chunk_pair_gram(pdf):
+        ga = int(pdf["__ga"].iloc[0])
+        gb = int(pdf["__gb"].iloc[0])
+        if ga == gb:
+            blk = unpack(pdf)
+            return gram_block(blk, blk, cross=False)
+        side_a = pdf[pdf["__ci"] == ga]
+        side_b = pdf[pdf["__ci"] == gb]
+        if not len(side_a) or not len(side_b):
+            return empty_out()
+        return gram_block(unpack(side_a), unpack(side_b), cross=True)
+
+    return scattered.groupBy(group_col, "__ga", "__gb").applyInPandas(
+        chunk_pair_gram, out_schema
+    )
 
 
 def semdedup_keep_list(

@@ -732,3 +732,39 @@ def test_pq_encode_matches_joined_window_twin(spark, emb):
     assert "Window" not in p
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_group_gram_split_twin_matches_unsplit(spark):
+    """r15 hot-key split (guide §2.1): the chunk-pair decomposition of the
+    grouped gram kernel must emit EXACTLY the unsplit kernel's pair set —
+    same (vec_a, vec_b) orientation, same round-6 cosines — for split
+    widths that exercise diagonal-only, balanced, and
+    more-chunks-than-rows shapes."""
+    from pyspark.sql import functions as F
+
+    from enterprise_warp_spark.pipeline import similarity as sim
+    from enterprise_warp_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = sim._with_norm_sq(emb, "embedding", "vec_id").withColumn(
+        "bucket", F.expr(sim.hyperplane_bucket("embedding", 2))
+    )
+    base = sorted(
+        map(
+            tuple,
+            sim._group_gram_pairs(
+                n, "bucket", 0.35, "embedding", "vec_id"
+            ).collect(),
+        )
+    )
+    assert len(base) > 0
+    for c in (2, 8, 33):
+        split = sorted(
+            map(
+                tuple,
+                sim._group_gram_pairs(
+                    n, "bucket", 0.35, "embedding", "vec_id", n_split=c
+                ).collect(),
+            )
+        )
+        assert split == base, f"n_split={c} diverged"
