@@ -412,6 +412,12 @@ def ivf_topk(
 # within-bucket gram cost sum(|bucket|^2) grows ~linearly with the corpus
 COSINE_TARGET_BUCKET_ROWS = 2000
 
+# rough parquet bytes per embedding row (id + compressed float array;
+# measured 260-400 B on the 64-dim fixtures) — feeds the DRIVER-SIDE
+# row-count estimate that sizes the gram hot-key split. Only a
+# parallelism knob rides on it, never a result.
+_EST_EMB_ROW_BYTES = 300
+
 
 def cosine_near_dup_pairs(
     emb: DataFrame,
@@ -460,13 +466,26 @@ def cosine_near_dup_pairs(
     # Split each bucket into c sub-chunks by id hash and resolve the
     # c(c+1)/2 chunk pairs as independent tasks: total gram work is
     # unchanged, shuffled bytes grow only c-fold over a slim projection,
-    # and parallelism grows ~c^2/2. c is sized from cluster width (the
-    # data-adaptive derived-planes path already bounds bucket population,
-    # so it keeps c small by construction).
-    n_split = max(
+    # and parallelism grows ~c^2/2. c is SCALE-ADAPTIVE (guide §2): the
+    # expected bucket population, estimated from the input's file bytes
+    # (driver-side Hadoop FS metadata, no job), divided by the same
+    # COSINE_TARGET_BUCKET_ROWS grain the derived-planes path uses —
+    # fixture-sized inputs keep c=1 (a split there is pure explode/
+    # shuffle overhead, measured +0.55s at sf0.1), inputs past the
+    # bucket-size grain jump straight to the cluster-width cap — a
+    # proportional c underfills the cluster and load-imbalances
+    # (interleaved sf1 A/B: c=3 median 2.22s vs c=8 1.17s vs unsplit
+    # 6.65s). Unknown footprints (non-file inputs) stay unsplit: they
+    # are in-memory test frames, not 100 TB scans.
+    from enterprise_warp_spark.tables import input_bytes
+
+    width_cap = max(
         1, min(16, emb.sparkSession.sparkContext.defaultParallelism
                // (1 << n_planes))
     )
+    est_rows = input_bytes(emb) // _EST_EMB_ROW_BYTES
+    est_bucket = est_rows >> n_planes
+    n_split = width_cap if est_bucket >= COSINE_TARGET_BUCKET_ROWS else 1
     return _group_gram_pairs(
         n, "bucket", threshold, emb_col, id_col, n_split=n_split
     )

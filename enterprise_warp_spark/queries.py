@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
+from enterprise_warp_spark.functions.arrays import spread
 from enterprise_warp_spark.functions.orf import hd_orf
 from enterprise_warp_spark.operators.binning import histogram_mode
 from enterprise_warp_spark.operators.ranking import ntile_bins_scalable
@@ -627,8 +628,20 @@ def chain_census_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="J6 unordered-pair self-join + F8 Hellings-Downs ORF (results.py:138-144).",
 )
 def pair_hd_orf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The intentional a<b BroadcastNestedLoopJoin stays (output quadratic
+    # by pair-join semantics) — but the LEFT side must be spread (r15,
+    # guide §2): a single-file supplier scan is ONE partition, so the
+    # whole O(N^2) pair stream (join, trig, round, sink) ran on one core
+    # regardless of cluster width. spread() is a no-op once the scan is
+    # at least cluster-parallel (the 100 TB case); at the sf1 scale
+    # point it is 22.6s -> 1.6s, bit-identical output. Rewriting the
+    # pair generation itself (broadcast sorted-key array + per-row
+    # filter/slice explode, BHJ via non-foldable key) measured FLAT to
+    # worse — pair enumeration was never the cost, the serial stage was.
     s = table(spark, sf_dir, "supplier").select("s_suppkey")
-    a = s.select(F.col("s_suppkey").alias("a_suppkey"))
+    # only the PROBE side spreads — the build side is broadcast whole, so
+    # repartitioning it would be one more (tiny but pointless) shuffle
+    a = spread(s, "s_suppkey").select(F.col("s_suppkey").alias("a_suppkey"))
     b = s.select(F.col("s_suppkey").alias("b_suppkey"))
     pairs = a.join(F.broadcast(b), F.col("a_suppkey") < F.col("b_suppkey"))
     zeta_deg = (F.col("a_suppkey") * 37 + F.col("b_suppkey") * 53) % 179 + 1

@@ -34,14 +34,11 @@ def _source_bytes(spark: SparkSession, path: str) -> int:
     OSError on any non-local URI and silently floored a 100 TB stream to 8
     state partitions (r14 verdict #3). getContentSummary sums recursively,
     so a multi-file source directory works too. Returns 0 when the path is
-    missing (callers floor the partition count anyway)."""
-    try:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return int(fs.getContentSummary(jpath).getLength())
-    except Exception:
-        return 0
+    missing (callers floor the partition count anyway). Shared
+    implementation lives in tables.source_bytes (r15)."""
+    from enterprise_warp_spark.tables import source_bytes
+
+    return source_bytes(spark, path)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,6 +49,45 @@ def events_ts_unit(sf_dir: str) -> str:
     return unit
 
 
+def source_bytes(spark: SparkSession, path: str) -> int:
+    """Byte size of a source file/directory via the Hadoop FileSystem API
+    — scheme-agnostic (file:, hdfs://, s3a://), driver-side metadata only,
+    no Spark job (the streaming state-sizing helper, promoted here so
+    scale-adaptive operators share it; r14 verdict #3 precedent).
+    getContentSummary sums recursively, so directories work. Returns 0
+    when the path is missing or unreadable (callers must treat 0 as
+    'size unknown')."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(jpath).getLength())
+    except Exception:
+        return 0
+
+
+def input_bytes(df: DataFrame) -> int:
+    """Estimated byte footprint of a DataFrame's file-backed inputs:
+    driver-side only (inputFiles + Hadoop FS metadata, no Spark job).
+    Large inputs are sampled (first 64 files extrapolated by file count)
+    so the estimate costs O(64) namenode calls, not O(files). Returns 0
+    for non-file-backed inputs — callers fall back to their
+    scale-unknown default."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    if not files:
+        return 0
+    sample = files[:64]
+    spark = df.sparkSession
+    got = [source_bytes(spark, f) for f in sample]
+    known = [b for b in got if b > 0]
+    if not known:
+        return 0
+    return int(sum(known) / len(known) * len(files))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table.
 
