@@ -392,13 +392,41 @@ _HYGIENE_ORACLE = f"""
 """
 
 
+def _docs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE spread + checkpointed documents table shared by the 12
+    docs-consuming branches (r15; the learned_sketch_ops _tokdocs /
+    _sketch_emb pattern). Two problems at once (guide §2/§6): each
+    branch otherwise re-scans + re-decodes documents.parquet (12 scans
+    of the text column), and a single-file scan is ONE partition — so
+    every branch's heavy per-row map (URL regex, mojibake repair, BPE
+    encode, redaction) ran serially regardless of cluster width. The
+    spread is a no-op once the scan is at least cluster-parallel (the
+    100 TB case)."""
+    import os
+
+    from enterprise_warp_spark.functions.arrays import spread
+
+    mode = os.environ.get("EWS_HYGIENE_DOCS_MODE", "ckpt")
+    docs = table(spark, sf_dir, "documents")
+    if mode == "raw":
+        return docs
+    docs = spread(docs, "doc_id")
+    if mode == "ckpt":
+        docs = docs.localCheckpoint(eager=True)
+    return docs
+
+
 def _url_dom_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.pipeline.weburl import (
         canonical_url,
         registrable_domain,
     )
 
-    ku = table(spark, sf_dir, "customer").select(
+    from enterprise_warp_spark.functions.arrays import spread
+
+    # spread: single-file customer scan is one partition, and the six
+    # canonicalization cases below are regex-heavy per row (r15, §2)
+    ku = spread(table(spark, sf_dir, "customer"), "c_custkey").select(
         F.col("c_custkey").cast("long").alias("k2"),
         (F.col("c_custkey") % 97).cast("string").alias("k"),
         (F.col("c_custkey") % 7).cast("string").alias("kq"),
@@ -443,10 +471,10 @@ def _url_dom_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _moj_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _moj_branch(spark: SparkSession, sf_dir: str, docs_in: DataFrame) -> DataFrame:
     from enterprise_warp_spark.pipeline.weburl import repair_mojibake
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_in.select("doc_id", "text")
     corrupted = docs.withColumn(
         "text", F.regexp_replace("text", "a", "Ã©")
     )
@@ -459,10 +487,10 @@ def _moj_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tag_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tag_branch(spark: SparkSession, sf_dir: str, docs_in: DataFrame) -> DataFrame:
     from enterprise_warp_spark.pipeline.html import strip_tags_catalyst
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_in.select("doc_id", "text")
     markup = F.concat(
         F.lit('<div class="a"><script type="text/javascript">ignore()'
               "</script><h1>Doc "),
@@ -481,10 +509,10 @@ def _tag_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tok_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tok_branch(spark: SparkSession, sf_dir: str, docs_in: DataFrame) -> DataFrame:
     from enterprise_warp_spark.pipeline.tokenizer import word_counts
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_in.select("doc_id", "text")
     return word_counts(docs).select(
         F.lit("tok").alias("gate"),
         F.col("word").alias("k1"),
@@ -494,7 +522,7 @@ def _tok_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_branch(spark: SparkSession, sf_dir: str, docs_in: DataFrame) -> DataFrame:
     """[bpe] — the REAL distributed encode path (encode_corpus: mapInPandas
     heap-walk merges with a per-batch word memo) under the fixed literal
     vocabulary; rows carry n_tokens and a hash of the FULL token sequence
@@ -505,7 +533,7 @@ def _bpe_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenizer_tables,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_in.select("doc_id", "text")
     enc = encode_corpus(docs, _BPE_TOK)
     _, _, symbols = tokenizer_tables(_BPE_TOK)
     hex_list = ",".join(f"'{s.hex()}'" for s in symbols)
@@ -522,7 +550,7 @@ def _bpe_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _uni_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _uni_branch(spark: SparkSession, sf_dir: str, docs_in: DataFrame) -> DataFrame:
     """[uni] — the REAL distributed unigram-LM encode path
     (pipeline/unigram.py encode_corpus_unigram: Viterbi per pre-token
     with the per-batch word memo, stable unigram_vocab id space) under
@@ -535,7 +563,7 @@ def _uni_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece) tie-break."""
     from enterprise_warp_spark.pipeline.unigram import encode_corpus_unigram
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_in.select("doc_id", "text")
     enc = encode_corpus_unigram(docs, _UNI_MODEL, output="ids")
     ids_str = F.array_join(
         F.transform("token_ids", lambda i: i.cast("string")), ","
@@ -549,12 +577,12 @@ def _uni_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spl_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spl_branch(spark: SparkSession, sf_dir: str, docs_in: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     from enterprise_warp_spark.pipeline.dedup import leakage_safe_splits
 
-    docs = table(spark, sf_dir, "documents")
+    docs = docs_in
     w = Window.partitionBy("lang", "source")
     pairs = (
         docs.select(
@@ -636,7 +664,7 @@ def _stm_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _wrc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _wrc_branch(spark: SparkSession, sf_dir: str, docs_in: DataFrame) -> DataFrame:
     """WARC/WET source round-trip gate (VERDICT r8 Next #7, the [pii]
     constructed-expected pattern): spell a deterministic documents subset
     as a real .warc.gz via the hermetic encode_warc twin (driver-side by
@@ -654,7 +682,7 @@ def _wrc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_warp_spark.sources.warc import encode_warc, read_warc
 
     rows = (
-        table(spark, sf_dir, "documents")
+        docs_in
         .filter(F.col("doc_id") % 5 == 0)
         .select("doc_id", "lang", "text")
         .orderBy("doc_id")
@@ -692,7 +720,7 @@ def _wrc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _nfc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _nfc_branch(spark: SparkSession, sf_dir: str, docs_in: DataFrame) -> DataFrame:
     """Unicode NFC normalization gate (pipeline/text.py normalize_nfc):
     every document gets the DECOMPOSED _NFC_SUFFIX (combining marks,
     Hangul jamo, NFC-invariant ligature/superscript); the Arrow kernel's
@@ -703,7 +731,7 @@ def _nfc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the composed text."""
     from enterprise_warp_spark.pipeline.text import normalize_nfc
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_in.select("doc_id", "text")
     d = docs.withColumn("text", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)))
     out = normalize_nfc(d)
     return out.select(
@@ -715,7 +743,7 @@ def _nfc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pii_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pii_branch(spark: SparkSession, sf_dir: str, docs_in: DataFrame) -> DataFrame:
     """pipeline.redact over documents with a deterministic PII suffix
     built from doc_id (one email, URL, IP and long digit run each). The
     oracle constructs the EXPECTED scrubbed text directly — placeholders
@@ -725,7 +753,7 @@ def _pii_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_email*1000 + n_url*100 + n_ip*10 + n_digits = 1111."""
     from enterprise_warp_spark.pipeline.redact import redact
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_in.select("doc_id", "text")
     d = F.col("doc_id")
     suffix = F.concat(
         F.lit(" mail bob"), d.cast("string"),
@@ -747,7 +775,7 @@ def _pii_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _c4f_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _c4f_branch(spark: SparkSession, sf_dir: str, docs_in: DataFrame) -> DataFrame:
     """C4 cleaning (r11, pipeline/text.py c4_filters — Raffel et al. 2020
     §2.2): documents are wrapped in a deterministic page chrome (the
     [tag]/[pii] fixture pattern — nav line, punctuated body, an
@@ -758,7 +786,7 @@ def _c4f_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keep/drop decision (k1) against the SQL replay."""
     from enterprise_warp_spark.pipeline.text import c4_filters
 
-    docs = table(spark, sf_dir, "documents").select(
+    docs = docs_in.select(
         "doc_id", _c4_chrome().alias("text")
     )
     c = c4_filters(docs)
@@ -789,7 +817,7 @@ def _c4_chrome() -> F.Column:
     )
 
 
-def _lnd_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lnd_branch(spark: SparkSession, sf_dir: str, docs_in: DataFrame) -> DataFrame:
     """Line-level boilerplate removal (r11, pipeline/dedup.py
     strip_repeated_lines — the CCNet/RefinedWeb line-dedup): over the
     same chrome as [c4f], the shared nav/CTA lines occur in EVERY doc,
@@ -798,7 +826,7 @@ def _lnd_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = surviving line count, h = md5 prefix of the rebuilt text."""
     from enterprise_warp_spark.pipeline.dedup import strip_repeated_lines
 
-    docs = table(spark, sf_dir, "documents").select(
+    docs = docs_in.select(
         "doc_id", _c4_chrome().alias("text")
     )
     out = strip_repeated_lines(docs, min_docs=2)
@@ -811,7 +839,7 @@ def _lnd_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gqr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gqr_branch(spark: SparkSession, sf_dir: str, docs_in: DataFrame) -> DataFrame:
     """Gopher quality rules (r11, pipeline/text.py gopher_rules — Rae et
     al. 2021 Table A1): v1 = the 7-rule pass bitmask (127 = keep), h =
     'n_words|alpha_words|distinct_stopwords'. Every rule is integer
@@ -819,7 +847,7 @@ def _gqr_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding anywhere."""
     from enterprise_warp_spark.pipeline.text import gopher_rules
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_in.select("doc_id", "text")
     g = gopher_rules(docs)
     return g.select(
         F.lit("gqr").alias("gate"),
@@ -905,26 +933,33 @@ def web_hygiene_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     timing, _b = make_branch_timer("web_hygiene_ops", LAST_BRANCH_SECONDS)
 
     width = int(os.environ.get("EWS_HYGIENE_POOL_WIDTH", "8"))
-    branches = [
-        ("url_dom", _url_dom_branches),
-        ("moj", _moj_branch),
-        ("tag", _tag_branch),
-        ("tok", _tok_branch),
-        ("spl", _spl_branch),
-        ("stm", _stm_branch),
-        ("pii", _pii_branch),
-        ("wrc", _wrc_branch),
-        ("nfc", _nfc_branch),
-        ("bpe", _bpe_branch),
-        ("uni", _uni_branch),
-        ("gqr", _gqr_branch),
-        ("c4f", _c4f_branch),
-        ("lnd", _lnd_branch),
-    ]
     with ThreadPoolExecutor(max_workers=1 if timing else width) as pool:
+        # ONE spread + checkpointed documents table feeds the 12
+        # docs-consuming branches (r15; the learned_sketch_ops shared-
+        # input pattern): 12 single-partition re-scans of the text
+        # column become one cluster-wide materialization every branch's
+        # heavy map inherits. Submitted first so no pool width can
+        # deadlock; [stm] (a readStream source) and [url_dom] (customer)
+        # don't consume it.
+        f_docs = pool.submit(_docs_shared, spark, sf_dir)
+        branches = [
+            ("url_dom", lambda: _url_dom_branches(spark, sf_dir)),
+            ("moj", lambda: _moj_branch(spark, sf_dir, f_docs.result())),
+            ("tag", lambda: _tag_branch(spark, sf_dir, f_docs.result())),
+            ("tok", lambda: _tok_branch(spark, sf_dir, f_docs.result())),
+            ("spl", lambda: _spl_branch(spark, sf_dir, f_docs.result())),
+            ("stm", lambda: _stm_branch(spark, sf_dir)),
+            ("pii", lambda: _pii_branch(spark, sf_dir, f_docs.result())),
+            ("wrc", lambda: _wrc_branch(spark, sf_dir, f_docs.result())),
+            ("nfc", lambda: _nfc_branch(spark, sf_dir, f_docs.result())),
+            ("bpe", lambda: _bpe_branch(spark, sf_dir, f_docs.result())),
+            ("uni", lambda: _uni_branch(spark, sf_dir, f_docs.result())),
+            ("gqr", lambda: _gqr_branch(spark, sf_dir, f_docs.result())),
+            ("c4f", lambda: _c4f_branch(spark, sf_dir, f_docs.result())),
+            ("lnd", lambda: _lnd_branch(spark, sf_dir, f_docs.result())),
+        ]
         futures = [
-            pool.submit(_b, name, fn, spark, sf_dir)
-            for name, fn in branches
+            pool.submit(_b, name, fn) for name, fn in branches
         ]
         parts = [f.result() for f in futures]
     out = parts[0]
